@@ -1,0 +1,141 @@
+package graft.core
+
+import java.io.ByteArrayOutputStream
+
+/**
+ * Variable-byte + delta codec for posting lists and position lists.
+ *
+ * Same role as the reference's pack_uint (reference: xapian-core/
+ * common/pack.h — SURVEY.md §4.2), but our own format: little-endian
+ * 7-bit groups, continuation bit = 0x80 set on all but the final
+ * byte. Internal self-consistency is what matters (we define our own
+ * index format); ScalaCheck round-trip properties pin it.
+ */
+object Codec {
+
+  /** Append one unsigned long (must be >= 0) as vbyte. */
+  def writeVLong(out: ByteArrayOutputStream, value: Long): Unit = {
+    require(value >= 0, s"vbyte value must be >= 0, got $value")
+    var v = value
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Cursor-based reader over a byte array. */
+  final class Reader(bytes: Array[Byte], var pos: Int = 0) {
+    def hasNext: Boolean = pos < bytes.length
+    def readVLong(): Long = {
+      var shift = 0
+      var result = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+  }
+
+  /** Pack sorted postings as (docIdDelta, wdf)* with delta vs `base`. */
+  def packPostings(postings: Seq[Posting], base: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream(postings.size * 3)
+    var prev = base
+    postings.foreach { p =>
+      require(p.docId > prev, s"postings must be strictly increasing: ${p.docId} after $prev")
+      writeVLong(out, p.docId - prev)
+      writeVLong(out, p.wdf.toLong)
+      prev = p.docId
+    }
+    out.toByteArray
+  }
+
+  /** Unpack postings; `base` must match the value used at pack time. */
+  def unpackPostings(bytes: Array[Byte], base: Long, count: Int): Array[Posting] = {
+    val r = new Reader(bytes)
+    val out = new Array[Posting](count)
+    var prev = base
+    var i = 0
+    while (i < count) {
+      prev += r.readVLong()
+      out(i) = Posting(prev, r.readVLong().toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Pack sorted positive positions (delta, first vs 0). */
+  def packPositions(positions: Seq[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(positions.size * 2)
+    writeVLong(out, positions.size.toLong)
+    var prev = 0L
+    positions.foreach { p =>
+      require(p > prev, s"positions must be strictly increasing: $p after $prev")
+      writeVLong(out, p - prev)
+      prev = p.toLong
+    }
+    out.toByteArray
+  }
+
+  def unpackPositions(bytes: Array[Byte]): Array[Int] = {
+    val r = new Reader(bytes)
+    val n = r.readVLong().toInt
+    val out = new Array[Int](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      prev += r.readVLong()
+      out(i) = prev.toInt
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Cut one term's postings (sorted by docId) into stripe-aligned
+   * blocks: a block never crosses a docId stripe boundary and holds
+   * at most `maxPerBlock` entries. Stripe width is a power-of-two
+   * docId range so `stripe = ((docId-1) >> stripeShift)`.
+   */
+  def packBlocks(
+      termId: Long,
+      bucket: Int,
+      postings: Seq[Posting],
+      docLen: Long => Long,
+      stripeShift: Int,
+      maxPerBlock: Int = 4096): Seq[PostingBlock] = {
+    val blocks = Seq.newBuilder[PostingBlock]
+    var i = 0
+    val arr = postings.toIndexedSeq
+    while (i < arr.length) {
+      val stripe = ((arr(i).docId - 1) >> stripeShift).toInt
+      var j = i
+      var maxWdf = 0
+      var minLen = Long.MaxValue
+      while (j < arr.length && j - i < maxPerBlock &&
+             ((arr(j).docId - 1) >> stripeShift).toInt == stripe) {
+        if (arr(j).wdf > maxWdf) maxWdf = arr(j).wdf
+        val dl = docLen(arr(j).docId)
+        if (dl < minLen) minLen = dl
+        j += 1
+      }
+      val slice = arr.slice(i, j)
+      val first = slice.head.docId
+      val base = first - 1 // delta base: one before the first docId
+      blocks += PostingBlock(
+        termId = termId, bucket = bucket, stripe = stripe,
+        firstDocId = first, lastDocId = slice.last.docId,
+        count = slice.length, maxWdf = maxWdf, minDocLen = minLen,
+        bytes = packPostings(slice, base))
+      i = j
+    }
+    blocks.result()
+  }
+
+  def unpackBlock(b: PostingBlock): Array[Posting] =
+    unpackPostings(b.bytes, b.firstDocId - 1, b.count)
+}

@@ -1,0 +1,219 @@
+package graft.core
+
+/**
+ * Core data model: the query algebra and the index-table row types.
+ *
+ * The query algebra mirrors the reference's `Xapian::Query::op` set
+ * (reference: xapian-core/include/xapian/query.h — see SURVEY.md §2a);
+ * each node is re-expressed here as an immutable ADT that both the
+ * scalar oracle ([[graft.core.Oracle]]) and the Spark matchers
+ * (graft.matcher.*) evaluate with identical semantics.
+ */
+sealed trait Query extends Product with Serializable {
+  /** Normalized description, shaped like Xapian::Query::get_description(). */
+  def describe: String = this match {
+    case Query.Term(t, wqf, _) =>
+      if (wqf == 1) t else s"$t#$wqf"
+    case Query.And(cs)            => cs.map(_.describe).mkString("(", " AND ", ")")
+    case Query.Or(cs)             => cs.map(_.describe).mkString("(", " OR ", ")")
+    case Query.AndNot(l, r)       => s"(${l.describe} AND_NOT ${r.describe})"
+    case Query.Xor(l, r)          => s"(${l.describe} XOR ${r.describe})"
+    case Query.AndMaybe(l, r)     => s"(${l.describe} AND_MAYBE ${r.describe})"
+    case Query.Filter(l, r)       => s"(${l.describe} FILTER ${r.describe})"
+    case Query.Near(cs, w)        => cs.map(_.describe).mkString("(", s" NEAR $w ", ")")
+    case Query.Phrase(cs, w)      => cs.map(_.describe).mkString("(", s" PHRASE $w ", ")")
+    case Query.ValueRange(f, lo, hi) => s"VALUE_RANGE $f $lo $hi"
+    case Query.ValueGe(f, lo)     => s"VALUE_GE $f $lo"
+    case Query.ValueLe(f, hi)     => s"VALUE_LE $f $hi"
+    case Query.ScaleWeight(q, f)  => s"$f * ${q.describe}"
+    case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
+    case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
+    case Query.MatchAll           => "<alldocuments>"
+    case Query.MatchNothing       => ""
+  }
+
+  /** All term leaves, in left-to-right query order (dup terms kept). */
+  def terms: Seq[Query.Term] = this match {
+    case t: Query.Term            => Seq(t)
+    case Query.And(cs)            => cs.flatMap(_.terms)
+    case Query.Or(cs)             => cs.flatMap(_.terms)
+    case Query.AndNot(l, _)       => l.terms // right side never contributes weight
+    case Query.Xor(l, r)          => l.terms ++ r.terms
+    case Query.AndMaybe(l, r)     => l.terms ++ r.terms
+    case Query.Filter(l, _)       => l.terms
+    case Query.Near(cs, _)        => cs.flatMap(_.terms)
+    case Query.Phrase(cs, _)      => cs.flatMap(_.terms)
+    case Query.ScaleWeight(q, _)  => q.terms
+    case Query.EliteSet(cs, _)    => cs.flatMap(_.terms)
+    case Query.Synonym(cs)        => cs.flatMap(_.terms)
+    case _                        => Seq.empty
+  }
+}
+
+object Query {
+  /** Term leaf. wqf = within-query frequency (BM25 k3 part). */
+  final case class Term(term: String, wqf: Int = 1, pos: Int = 0) extends Query
+  /** Intersection; weight = sum of children. */
+  final case class And(children: Seq[Query]) extends Query
+  /** Union; weight = sum of matching children. */
+  final case class Or(children: Seq[Query]) extends Query
+  /** Left minus right; weight from left only. */
+  final case class AndNot(left: Query, right: Query) extends Query
+  /** Symmetric difference; weight from whichever side matches. */
+  final case class Xor(left: Query, right: Query) extends Query
+  /** Left's docs; weight += right where right also matches. */
+  final case class AndMaybe(left: Query, right: Query) extends Query
+  /** Intersection; right contributes no weight (BoolWeight). */
+  final case class Filter(left: Query, right: Query) extends Query
+  /** AND + all terms within a window of `window` positions, any order. */
+  final case class Near(children: Seq[Query], window: Int) extends Query
+  /** AND + terms in order within `window` positions. window==size → exact. */
+  final case class Phrase(children: Seq[Query], window: Int) extends Query
+  /** Docs whose numeric field value ∈ [lo, hi]; weight 0. */
+  final case class ValueRange(field: String, lo: Double, hi: Double) extends Query
+  final case class ValueGe(field: String, lo: Double) extends Query
+  final case class ValueLe(field: String, hi: Double) extends Query
+  /** Multiply subquery weights by factor >= 0. */
+  final case class ScaleWeight(q: Query, factor: Double) extends Query
+  /** OR over only the n highest-maxweight children. */
+  final case class EliteSet(children: Seq[Query], n: Int) extends Query
+  /** Like OR but scored as a single pseudo-term (combined wdf). */
+  final case class Synonym(children: Seq[Query]) extends Query
+  case object MatchAll extends Query
+  case object MatchNothing extends Query
+
+  def and(qs: Query*): Query   = And(qs)
+  def or(qs: Query*): Query    = Or(qs)
+  def t(s: String): Term       = Term(s)
+
+  /**
+   * Query-tree simplification, mirroring the reference's n-ary
+   * flattening and MatchNothing propagation
+   * (reference: xapian-core/api/omqueryinternal.cc; SURVEY.md §4.1).
+   */
+  def simplify(q: Query): Query = q match {
+    case And(cs) =>
+      val s = cs.map(simplify)
+      if (s.contains(MatchNothing)) MatchNothing
+      else {
+        val flat: Seq[Query] =
+          s.flatMap { case And(inner) => inner; case x => Seq(x) }
+            .filterNot(_ == MatchAll)
+        flat match {
+          case Seq()    => MatchAll
+          case Seq(one) => one
+          case many     => And(many)
+        }
+      }
+    case Or(cs) =>
+      val s = cs.map(simplify).filterNot(_ == MatchNothing)
+      val flat = s.flatMap { case Or(inner) => inner; case x => Seq(x) }
+      flat match {
+        case Seq()    => MatchNothing
+        case Seq(one) => one
+        case many     => Or(many)
+      }
+    case AndNot(l, r) =>
+      (simplify(l), simplify(r)) match {
+        case (MatchNothing, _) => MatchNothing
+        case (sl, MatchNothing) => sl
+        case (sl, sr)          => AndNot(sl, sr)
+      }
+    case Xor(l, r) =>
+      (simplify(l), simplify(r)) match {
+        case (MatchNothing, sr) => sr
+        case (sl, MatchNothing) => sl
+        case (sl, sr)           => Xor(sl, sr)
+      }
+    case AndMaybe(l, r) =>
+      (simplify(l), simplify(r)) match {
+        case (MatchNothing, _)  => MatchNothing
+        case (sl, MatchNothing) => sl
+        case (sl, sr)           => AndMaybe(sl, sr)
+      }
+    case Filter(l, r) =>
+      (simplify(l), simplify(r)) match {
+        case (MatchNothing, _)  => MatchNothing
+        case (_, MatchNothing)  => MatchNothing
+        case (sl, MatchAll)     => sl
+        case (sl, sr)           => Filter(sl, sr)
+      }
+    case Near(cs, w)      => Near(cs.map(simplify), w)
+    case Phrase(cs, w)    => Phrase(cs.map(simplify), w)
+    case ScaleWeight(sub, f) =>
+      simplify(sub) match {
+        case MatchNothing => MatchNothing
+        case s            => ScaleWeight(s, f)
+      }
+    case EliteSet(cs, n)  => EliteSet(cs.map(simplify).filterNot(_ == MatchNothing), n)
+    case Synonym(cs)      =>
+      cs.map(simplify).filterNot(_ == MatchNothing) match {
+        case Seq()  => MatchNothing
+        case many   => Synonym(many)
+      }
+    case other => other
+  }
+}
+
+/** Input corpus row, per BASELINE.json input_hint. */
+final case class CorpusRow(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** Engine-owned `docs` table row (FIXTURES.md §2). */
+final case class DocRow(
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    doclen: Long)
+
+/** Engine-owned `dict` table row: per-term collection stats. */
+final case class DictRow(
+    term: String,
+    termId: Long,
+    df: Long,       // termfreq: number of docs containing term
+    cf: Long,       // collfreq: sum of wdf over all docs
+    maxWdf: Int)    // wdf upper bound, for maxweight/WAND
+
+/**
+ * Packed posting block: delta+vbyte encoded (docidDelta, wdf)* pairs,
+ * stripe-aligned so distributed WAND can group blocks by docId range.
+ * Header fields double as block-max metadata (SURVEY.md §1).
+ */
+final case class PostingBlock(
+    termId: Long,
+    bucket: Int,     // hash(termId) % nBuckets — directory partition key
+    stripe: Int,     // docId stripe; block never crosses a stripe boundary
+    firstDocId: Long,
+    lastDocId: Long,
+    count: Int,
+    maxWdf: Int,
+    minDocLen: Long,
+    bytes: Array[Byte])
+
+/** Per-(term,doc) positions, delta+vbyte packed. */
+final case class PositionsRow(
+    termId: Long,
+    bucket: Int,
+    docId: Long,
+    posBytes: Array[Byte])
+
+/** Collection-wide stats (single row). */
+final case class StatsRow(
+    n: Long,
+    totalLen: Long,
+    avgLen: Double,
+    minDocLen: Long,
+    maxDocLen: Long)
+
+/** A single decoded posting. */
+final case class Posting(docId: Long, wdf: Int)
+
+/** One ranked result. */
+final case class MSetItem(rank: Int, docId: Long, score: Double, percent: Int)

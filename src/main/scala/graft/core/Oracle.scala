@@ -1,0 +1,302 @@
+package graft.core
+
+import scala.collection.mutable
+
+/**
+ * Scalar reference engine: a deliberately naive, single-threaded,
+ * no-Spark implementation of tokenize → invert → match → rank with
+ * the exact semantics of SURVEY.md §2a and the BM25 of §4.3.
+ *
+ * Both Spark matcher paths must reproduce its MSets exactly (ranks
+ * exact, scores within 1e-9) — this is golden-layer 1 of SURVEY.md §5
+ * (role of the reference's tests/apitest.cc golden MSets).
+ */
+object Oracle {
+
+  final case class Doc(
+      docId: Long,
+      content: String,
+      fields: Map[String, Double] = Map.empty,
+      lang: String = "")
+
+  final case class Options(
+      weight: Weight = Bm25Weight(),
+      stemMode: String = "some", // "none" | "some"
+      stopwords: Set[String] = Set.empty,
+      decider: Option[Doc => Boolean] = None,
+      collapseKey: Option[Doc => String] = None,
+      percentCutoff: Int = 0,
+      weightCutoff: Double = 0.0)
+
+  final case class Index(
+      postings: Map[String, Vector[(Long, Int, Array[Int])]], // term -> (docId, wdf, positions) sorted by docId
+      docLen: Map[Long, Long],
+      docs: Map[Long, Doc],
+      stats: StatsRow)
+
+  def buildIndex(docs: Seq[Doc], stemMode: String = "some",
+                 stopwords: Set[String] = Set.empty): Index = {
+    val post = mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Int, Array[Int])]]
+    val docLen = mutable.Map.empty[Long, Long]
+    docs.sortBy(_.docId).foreach { d =>
+      val toks =
+        if (stemMode == "some")
+          Tokenizer.indexTerms(d.content, Stemmer.stem, stopwords)
+        else Tokenizer.tokenize(d.content)
+      // doclen = number of positional tokens (the document's length in words)
+      val positional = toks.filter(_.pos > 0)
+      docLen(d.docId) = positional.size.toLong
+      toks.groupBy(_.term).foreach { case (term, ts) =>
+        val positions = ts.filter(_.pos > 0).map(_.pos).sorted.toArray
+        val wdf = ts.count(_.pos > 0) match {
+          case 0 => ts.size // position-less (Z) terms: wdf = occurrences
+          case n => n
+        }
+        post.getOrElseUpdate(term, mutable.ArrayBuffer.empty) +=
+          ((d.docId, wdf, positions))
+      }
+    }
+    val n = docs.size.toLong
+    val total = docLen.values.sum
+    val stats = StatsRow(
+      n = n, totalLen = total,
+      avgLen = if (n > 0) total.toDouble / n else 0.0,
+      minDocLen = if (docLen.nonEmpty) docLen.values.min else 0L,
+      maxDocLen = if (docLen.nonEmpty) docLen.values.max else 0L)
+    Index(post.view.mapValues(_.sortBy(_._1).toVector).toMap,
+      docLen.toMap, docs.map(d => d.docId -> d).toMap, stats)
+  }
+
+  /** Matched docs with weights; insertion-ordered by docId. */
+  private type Matches = mutable.LinkedHashMap[Long, Double]
+
+  private def sortedMap(pairs: Seq[(Long, Double)]): Matches = {
+    val m = new mutable.LinkedHashMap[Long, Double]
+    pairs.sortBy(_._1).foreach { case (k, v) => m(k) = v }
+    m
+  }
+
+  /** Evaluate a query to (docId -> weight), docId-ascending. */
+  def evaluate(q: Query, idx: Index, opts: Options): Matches = {
+    val weight = opts.weight
+    val stats = idx.stats
+
+    def termMatches(term: String, wqf: Int): Matches = {
+      idx.postings.get(term) match {
+        case None => new mutable.LinkedHashMap
+        case Some(pl) =>
+          val tw = weight.termWeight(wqf, pl.size.toLong, stats)
+          sortedMap(pl.map { case (did, wdf, _) =>
+            did -> weight.sumPart(tw, wdf, idx.docLen(did), stats)
+          })
+      }
+    }
+
+    def positionsOf(term: String): Map[Long, Array[Int]] =
+      idx.postings.getOrElse(term, Vector.empty)
+        .map { case (did, _, pos) => did -> pos }.toMap
+
+    /** NEAR / PHRASE: AND-weighted + positional window constraint.
+      * Children must be term leaves (as in the reference's common case).
+      * window w: all positions within w (max-min <= w-1); PHRASE also
+      * requires positions strictly increasing in child order. Terms
+      * without positions never match positionally. */
+    def positional(cs: Seq[Query], window: Int, ordered: Boolean): Matches = {
+      val terms = cs.map {
+        case Query.Term(t, _, _) => t
+        case other => throw new IllegalArgumentException(
+          s"NEAR/PHRASE children must be terms, got: ${other.describe}")
+      }
+      val andMatches = evaluate(Query.And(cs), idx, opts)
+      val posMaps = terms.map(positionsOf)
+      sortedMap(andMatches.toSeq.filter { case (did, _) =>
+        val lists = posMaps.map(_.getOrElse(did, Array.empty[Int]))
+        lists.forall(_.nonEmpty) && windowMatch(lists, window, ordered)
+      })
+    }
+
+    q match {
+      case Query.Term(t, wqf, _) => termMatches(t, wqf)
+
+      case Query.And(cs) =>
+        val ms = cs.map(evaluate(_, idx, opts))
+        val common = ms.map(_.keySet).reduceOption[collection.Set[Long]](_ & _)
+          .getOrElse(Set.empty)
+        sortedMap(common.toSeq.map(d => d -> ms.map(_(d)).sum))
+
+      case Query.Or(cs) =>
+        val ms = cs.map(evaluate(_, idx, opts))
+        val all = ms.flatMap(_.keys).distinct
+        sortedMap(all.map(d => d -> ms.flatMap(_.get(d)).sum))
+
+      case Query.AndNot(l, r) =>
+        val lm = evaluate(l, idx, opts)
+        val rm = evaluate(r, idx, opts)
+        sortedMap(lm.toSeq.filterNot { case (d, _) => rm.contains(d) })
+
+      case Query.Xor(l, r) =>
+        val lm = evaluate(l, idx, opts)
+        val rm = evaluate(r, idx, opts)
+        sortedMap(
+          lm.toSeq.filterNot { case (d, _) => rm.contains(d) } ++
+          rm.toSeq.filterNot { case (d, _) => lm.contains(d) })
+
+      case Query.AndMaybe(l, r) =>
+        val lm = evaluate(l, idx, opts)
+        val rm = evaluate(r, idx, opts)
+        sortedMap(lm.toSeq.map { case (d, w) => d -> (w + rm.getOrElse(d, 0.0)) })
+
+      case Query.Filter(l, r) =>
+        val lm = evaluate(l, idx, opts)
+        val rKeys = evaluate(r, idx, opts).keySet
+        sortedMap(lm.toSeq.filter { case (d, _) => rKeys.contains(d) })
+
+      case Query.Near(cs, w) =>
+        positional(cs, w, ordered = false)
+
+      case Query.Phrase(cs, w) =>
+        positional(cs, w, ordered = true)
+
+      case Query.ValueRange(f, lo, hi) =>
+        sortedMap(idx.docs.values.toSeq
+          .filter(d => d.fields.get(f).exists(v => v >= lo && v <= hi))
+          .map(_.docId -> 0.0))
+
+      case Query.ValueGe(f, lo) =>
+        sortedMap(idx.docs.values.toSeq
+          .filter(d => d.fields.get(f).exists(_ >= lo)).map(_.docId -> 0.0))
+
+      case Query.ValueLe(f, hi) =>
+        sortedMap(idx.docs.values.toSeq
+          .filter(d => d.fields.get(f).exists(_ <= hi)).map(_.docId -> 0.0))
+
+      case Query.ScaleWeight(sub, f) =>
+        val m = evaluate(sub, idx, opts)
+        sortedMap(m.toSeq.map { case (d, w) => d -> w * f })
+
+      case Query.EliteSet(cs, n) =>
+        // pick the n children with highest maxweight bound; stable on ties
+        val ranked = cs.zipWithIndex.map { case (c, i) =>
+          (c, i, maxWeightBound(c, idx, opts))
+        }.sortBy { case (_, i, b) => (-b, i) }.take(n).sortBy(_._2).map(_._1)
+        evaluate(Query.Or(ranked), idx, opts)
+
+      case Query.Synonym(cs) =>
+        // union of children, scored as one pseudo-term: df = union size,
+        // wdf = sum of child wdfs (frozen per SURVEY.md §2a [VERIFY])
+        val terms = cs.flatMap(_.terms).map(_.term)
+        val wdfByDoc = mutable.Map.empty[Long, Int]
+        terms.foreach { t =>
+          idx.postings.getOrElse(t, Vector.empty).foreach {
+            case (did, wdf, _) =>
+              wdfByDoc(did) = wdfByDoc.getOrElse(did, 0) + wdf
+          }
+        }
+        val df = wdfByDoc.size.toLong
+        val tw = weight.termWeight(1, df, stats)
+        sortedMap(wdfByDoc.toSeq.map { case (did, wdf) =>
+          did -> weight.sumPart(tw, wdf, idx.docLen(did), stats)
+        })
+
+      case Query.MatchAll =>
+        sortedMap(idx.docs.keys.toSeq.map(_ -> 0.0))
+
+      case Query.MatchNothing => new mutable.LinkedHashMap
+    }
+  }
+
+  /** Upper bound of the weight any doc can get from q (for ELITE_SET). */
+  private def maxWeightBound(q: Query, idx: Index, opts: Options): Double =
+    q match {
+      case Query.Term(t, wqf, _) =>
+        idx.postings.get(t) match {
+          case None => 0.0
+          case Some(pl) =>
+            val tw = opts.weight.termWeight(wqf, pl.size.toLong, idx.stats)
+            val maxWdf = pl.map(_._2).max
+            opts.weight.maxPart(tw, maxWdf, idx.stats.minDocLen, idx.stats)
+        }
+      case other =>
+        val m = evaluate(other, idx, opts)
+        if (m.isEmpty) 0.0 else m.values.max
+    }
+
+  /**
+   * True if one position can be chosen from each list such that
+   * max-min <= window-1 (NEAR) — for PHRASE additionally strictly
+   * increasing in list order with last-first <= window-1.
+   * Exposed so the Spark matchers reuse the identical check.
+   */
+  def windowMatch(lists: Seq[Array[Int]], window: Int, ordered: Boolean): Boolean = {
+    if (lists.exists(_.isEmpty)) return false
+    if (ordered) {
+      // greedy: for each start in lists(0), extend with the smallest
+      // strictly-larger position from each subsequent list
+      lists.head.exists { start =>
+        var prev = start
+        var ok = true
+        var i = 1
+        while (ok && i < lists.length) {
+          val cand = lists(i).find(p => p > prev && p - start <= window - 1)
+          cand match {
+            case Some(p) => prev = p
+            case None    => ok = false
+          }
+          i += 1
+        }
+        ok
+      }
+    } else {
+      // k-pointer sweep: repeatedly advance the minimum pointer
+      val ptr = Array.fill(lists.length)(0)
+      var found = false
+      var exhausted = false
+      while (!found && !exhausted) {
+        var minIdx = 0; var minV = Int.MaxValue; var maxV = Int.MinValue
+        var i = 0
+        while (i < lists.length) {
+          val v = lists(i)(ptr(i))
+          if (v < minV) { minV = v; minIdx = i }
+          if (v > maxV) maxV = v
+          i += 1
+        }
+        if (maxV - minV <= window - 1) found = true
+        else {
+          ptr(minIdx) += 1
+          if (ptr(minIdx) >= lists(minIdx).length) exhausted = true
+        }
+      }
+      found
+    }
+  }
+
+  def mset(q: Query, idx: Index, k: Int, opts: Options = Options(),
+           first: Int = 0): Vector[MSetItem] = {
+    val simplified = Query.simplify(q)
+    val m = evaluate(simplified, idx, opts)
+    val filtered = opts.decider match {
+      case Some(dec) => m.filter { case (did, _) => dec(idx.docs(did)) }
+      case None      => m
+    }
+    var items = filtered.toVector
+      .sortBy { case (did, w) => (-w, did) }
+    opts.collapseKey.foreach { keyFn =>
+      val seen = mutable.Set.empty[String]
+      items = items.filter { case (did, _) =>
+        val key = keyFn(idx.docs(did))
+        if (key.isEmpty) true else seen.add(key)
+      }
+    }
+    if (opts.weightCutoff > 0.0)
+      items = items.filter(_._2 >= opts.weightCutoff)
+    val greatest = if (items.nonEmpty) items.head._2 else 0.0
+    def pct(w: Double): Int =
+      if (greatest <= 0.0) 0
+      else math.max(1, math.min(100, (100.0 * w / greatest).toInt))
+    if (opts.percentCutoff > 0)
+      items = items.filter(i => pct(i._2) >= opts.percentCutoff)
+    items.slice(first, first + k).zipWithIndex.map {
+      case ((did, w), r) => MSetItem(r + first, did, w, pct(w))
+    }
+  }
+}

@@ -1,0 +1,214 @@
+package graft.core
+
+/**
+ * Porter2 ("english") Snowball stemmer, implemented in Scala from the
+ * published algorithm (snowballstem.org/algorithms/english/stemmer.html).
+ * Plays the role of the reference's generated english stemmer
+ * (reference: xapian-core/languages/english.sbl — SURVEY.md §2e).
+ *
+ * Only lowercase input is expected (the tokenizer lowercases first).
+ */
+object Stemmer {
+
+  private val exceptions1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die",
+    "lying" -> "lie", "tying" -> "tie", "idly" -> "idl",
+    "gently" -> "gentl", "ugly" -> "ugli", "early" -> "earli",
+    "only" -> "onli", "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe",
+    "atlas" -> "atlas", "cosmos" -> "cosmos", "bias" -> "bias",
+    "andes" -> "andes")
+
+  private val exceptions2: Set[String] = Set(
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed")
+
+  private def isVowel(c: Char): Boolean =
+    c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+
+  // consonant in the Y-marked representation (Y is a consonant)
+  private def isCons(c: Char): Boolean = !isVowel(c)
+
+  private val doubles = Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+  private val liEnding = Set('c', 'd', 'e', 'g', 'h', 'k', 'm', 'n', 'r', 't')
+
+  /** First position of R1 (length of word if none). */
+  private def r1of(w: String): Int = {
+    if (w.startsWith("gener")) return 5
+    if (w.startsWith("commun")) return 6
+    if (w.startsWith("arsen")) return 5
+    var i = 0
+    while (i < w.length && !isVowel(w(i))) i += 1
+    while (i < w.length && isVowel(w(i))) i += 1
+    if (i < w.length) i + 1 else w.length
+  }
+
+  private def regionAfterVC(w: String, from: Int): Int = {
+    var i = from
+    while (i < w.length && !isVowel(w(i))) i += 1
+    while (i < w.length && isVowel(w(i))) i += 1
+    if (i < w.length) i + 1 else w.length
+  }
+
+  /** Ends in a short syllable? */
+  private def endsShortSyllable(w: String): Boolean = {
+    val n = w.length
+    if (n == 2) isVowel(w(0)) && isCons(w(1))
+    else if (n >= 3) {
+      val c = w(n - 1); val v = w(n - 2); val p = w(n - 3)
+      isCons(c) && c != 'w' && c != 'x' && c != 'Y' && isVowel(v) && isCons(p)
+    } else false
+  }
+
+  def stem(input: String): String = {
+    if (input.length <= 2) return input
+    var w = input
+    if (!w.forall(c => c >= 'a' && c <= 'z' || c == '\'')) return w
+
+    exceptions1.get(w) match {
+      case Some(s) => return s
+      case None    =>
+    }
+
+    // strip leading apostrophe; remove 's / s' / ' suffixes (step 0)
+    if (w.startsWith("'")) w = w.substring(1)
+    if (w.endsWith("'s'")) w = w.dropRight(3)
+    else if (w.endsWith("'s")) w = w.dropRight(2)
+    else if (w.endsWith("'")) w = w.dropRight(1)
+    if (w.length <= 2) return w
+
+    // mark consonant y as Y: initial y, or y after a vowel
+    val sb = new StringBuilder(w)
+    if (sb.nonEmpty && sb(0) == 'y') sb(0) = 'Y'
+    var i = 1
+    while (i < sb.length) {
+      if (sb(i) == 'y' && isVowel(sb(i - 1))) sb(i) = 'Y'
+      i += 1
+    }
+    w = sb.toString
+
+    var r1 = r1of(w)
+    var r2 = regionAfterVC(w, r1)
+
+    def inR1(suffixLen: Int): Boolean = w.length - suffixLen >= r1
+    def inR2(suffixLen: Int): Boolean = w.length - suffixLen >= r2
+    def hasVowelBefore(suffixLen: Int): Boolean =
+      w.substring(0, w.length - suffixLen).exists(isVowel)
+
+    // ---- Step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ied") || w.endsWith("ies")) {
+      w = if (w.length - 3 > 1) w.dropRight(2) else w.dropRight(1)
+    } else if (w.endsWith("us") || w.endsWith("ss")) { /* leave */ }
+    else if (w.endsWith("s")) {
+      // delete if the preceding word part contains a vowel not
+      // immediately before the s
+      if (w.length >= 3 && w.substring(0, w.length - 2).exists(isVowel))
+        w = w.dropRight(1)
+    }
+
+    if (exceptions2.contains(w)) return w.replace('Y', 'y')
+
+    // ---- Step 1b
+    val eedly = w.endsWith("eedly"); val eed = w.endsWith("eed")
+    if (eedly || eed) {
+      val sl = if (eedly) 5 else 3
+      if (inR1(sl)) w = w.dropRight(sl - 2) + "" // eed(ly) -> ee
+    } else {
+      var deleted = false
+      for (suf <- Seq("ingly", "edly", "ing", "ed") if !deleted) {
+        if (w.endsWith(suf) && hasVowelBefore(suf.length)) {
+          w = w.dropRight(suf.length)
+          deleted = true
+        }
+      }
+      if (deleted) {
+        if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+        else if (w.length >= 2 && doubles.contains(w.takeRight(2))) w = w.dropRight(1)
+        else {
+          // short word: R1 empty and ends in short syllable
+          r1 = r1of(w).min(w.length)
+          if (r1 >= w.length && endsShortSyllable(w)) w = w + "e"
+        }
+      }
+    }
+    r1 = r1of(w); r2 = regionAfterVC(w, r1)
+
+    // ---- Step 1c: y/Y -> i if preceded by a non-vowel which is not
+    // the first letter of the word
+    if (w.length > 2 && (w.endsWith("y") || w.endsWith("Y")) &&
+        isCons(w(w.length - 2)))
+      w = w.dropRight(1) + "i"
+
+    // ---- Step 2 (longest suffix, condition in R1)
+    val step2: Seq[(String, String)] = Seq(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al",
+      "ousli" -> "ous", "iviti" -> "ive", "fulli" -> "ful",
+      "enci" -> "ence", "anci" -> "ance", "abli" -> "able",
+      "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
+      "bli" -> "ble", "ogi" -> "og", "li" -> "")
+    var done2 = false
+    for ((suf, rep) <- step2 if !done2) {
+      if (w.endsWith(suf)) {
+        done2 = true // longest match attempted; no fallback to shorter
+        if (inR1(suf.length)) {
+          if (suf == "ogi") {
+            if (w.length > 3 && w(w.length - 4) == 'l') w = w.dropRight(3) + rep
+          } else if (suf == "li") {
+            if (w.length > 2 && liEnding.contains(w(w.length - 3)))
+              w = w.dropRight(2)
+          } else w = w.dropRight(suf.length) + rep
+        }
+      }
+    }
+    r1 = r1of(w); r2 = regionAfterVC(w, r1)
+
+    // ---- Step 3 (in R1; "ative" needs R2)
+    val step3: Seq[(String, String)] = Seq(
+      "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+      "icate" -> "ic", "iciti" -> "ic", "ative" -> "",
+      "ical" -> "ic", "ness" -> "", "ful" -> "")
+    var done3 = false
+    for ((suf, rep) <- step3 if !done3) {
+      if (w.endsWith(suf)) {
+        done3 = true
+        if (suf == "ative") {
+          if (inR2(5)) w = w.dropRight(5)
+        } else if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+      }
+    }
+    r1 = r1of(w); r2 = regionAfterVC(w, r1)
+
+    // ---- Step 4 (in R2)
+    val step4: Seq[String] = Seq(
+      "ement", "ance", "ence", "able", "ible", "ment",
+      "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+      "ion", "al", "er", "ic")
+    var done4 = false
+    for (suf <- step4 if !done4) {
+      if (w.endsWith(suf)) {
+        done4 = true
+        if (inR2(suf.length)) {
+          if (suf == "ion") {
+            val p = w(w.length - 4)
+            if (p == 's' || p == 't') w = w.dropRight(3)
+          } else w = w.dropRight(suf.length)
+        }
+      }
+    }
+    r1 = r1of(w); r2 = regionAfterVC(w, r1)
+
+    // ---- Step 5
+    if (w.endsWith("e")) {
+      if (inR2(1)) w = w.dropRight(1)
+      else if (inR1(1) && !endsShortSyllable(w.dropRight(1))) w = w.dropRight(1)
+    } else if (w.endsWith("l")) {
+      if (inR2(1) && w.length >= 2 && w(w.length - 2) == 'l') w = w.dropRight(1)
+    }
+
+    w.replace('Y', 'y')
+  }
+}

@@ -1,0 +1,127 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Text → (term, position) tokenizer.
+ *
+ * Re-expresses the reference's term generator rules (reference:
+ * xapian-core/queryparser/termgenerator_internal.cc; frozen spec in
+ * SURVEY.md §2e):
+ *  - word characters: Unicode letters, marks, numbers, and
+ *    connector punctuation (underscore class);
+ *  - lowercased;
+ *  - up to 3 trailing '+' or '#' kept ("c++", "c#");
+ *  - infix '\'' and '&' kept when surrounded by word chars
+ *    ("don't", "AT&T");
+ *  - digit groups joined by '.' or ',' kept as one number ("3.14");
+ *  - terms longer than 64 bytes (UTF-8) are discarded;
+ *  - the position counter increments once per emitted term,
+ *    starting at 1.
+ */
+object Tokenizer {
+
+  final val MaxTermBytes = 64
+
+  final case class Token(term: String, pos: Int)
+
+  private def isWordChar(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+    t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+    t == Character.OTHER_LETTER ||
+    t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+    t == Character.COMBINING_SPACING_MARK ||
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+    t == Character.OTHER_NUMBER ||
+    t == Character.CONNECTOR_PUNCTUATION // underscore class
+  }
+
+  private def isDigit(cp: Int): Boolean =
+    Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER
+
+  /** Tokenize into (term, 1-based position) pairs. */
+  def tokenize(text: String): IndexedSeq[Token] = {
+    val out = new ArrayBuffer[Token]()
+    val n = text.length
+    var i = 0
+    var pos = 0
+    val sb = new java.lang.StringBuilder(32)
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isWordChar(cp)) {
+        // consume a word
+        sb.setLength(0)
+        var lastWasDigit = false
+        var continue = true
+        while (continue && i < n) {
+          val c = text.codePointAt(i)
+          if (isWordChar(c)) {
+            sb.appendCodePoint(Character.toLowerCase(c))
+            lastWasDigit = isDigit(c)
+            i += Character.charCount(c)
+          } else if ((c == '\'' || c == '&') && i + 1 < n &&
+                     sb.length > 0 && isWordChar(text.codePointAt(i + 1))) {
+            // infix apostrophe / ampersand inside a word
+            sb.appendCodePoint(c)
+            lastWasDigit = false
+            i += 1
+          } else if ((c == '.' || c == ',') && lastWasDigit && i + 1 < n &&
+                     isDigit(text.codePointAt(i + 1))) {
+            // digit groups joined by . or , stay one number
+            sb.appendCodePoint(c)
+            lastWasDigit = false
+            i += 1
+          } else {
+            continue = false
+          }
+        }
+        // up to 3 trailing + or # kept (c++, c#)
+        var trail = 0
+        while (trail < 3 && i < n && {
+                 val c = text.charAt(i); c == '+' || c == '#'
+               }) {
+          sb.append(text.charAt(i))
+          i += 1
+          trail += 1
+        }
+        val term = sb.toString
+        if (term.getBytes("UTF-8").length <= MaxTermBytes) {
+          pos += 1
+          out += Token(term, pos)
+        }
+      } else {
+        i += Character.charCount(cp)
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /**
+   * Index-side term stream: unstemmed positional terms plus
+   * "Z"-prefixed stemmed terms (no positions), mirroring the
+   * reference's TermGenerator under STEM_SOME (SURVEY.md §3.2).
+   * Returns (term, pos) where pos == 0 marks a position-less term.
+   */
+  def indexTerms(
+      text: String,
+      stem: String => String,
+      stopwords: Set[String] = Set.empty): IndexedSeq[Token] = {
+    val toks = tokenize(text)
+    val out = new ArrayBuffer[Token](toks.size * 2)
+    toks.foreach { t =>
+      out += t
+      if (!stopwords.contains(t.term)) {
+        val s = stem(t.term)
+        out += Token("Z" + s, 0)
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Default stopword list (a small, fixed english set). */
+  val defaultStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "this", "to",
+    "was", "with")
+}

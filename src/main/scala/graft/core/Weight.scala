@@ -1,0 +1,88 @@
+package graft.core
+
+/**
+ * Scoring schemes, mirroring Xapian::Weight subclasses
+ * (reference: xapian-core/matcher/bm25weight.cc, tradweight.cc,
+ * weight.cc; formula frozen per SURVEY.md §4.3).
+ *
+ * A Weight is fully determined by the global collection stats and the
+ * per-term stats; both sides (scalar oracle and Spark matchers) share
+ * this exact code so scores are bit-identical.
+ */
+sealed trait Weight extends Serializable {
+  /** Query-independent part for term t: computed once per query term. */
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double
+  /** Per-(term, doc) contribution. */
+  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double
+  /** Per-document extra part (independent of matching terms). */
+  def sumExtra(querySize: Int, doclen: Long, stats: StatsRow): Double = 0.0
+  /** Upper bound of sumPart given term bounds — for WAND pruning. */
+  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double
+}
+
+/**
+ * BM25 with the reference's defaults: k1=1, k2=0, k3=1, b=0.5,
+ * min_normlen=0.5 (reference: xapian-core/docs/bm25.rst).
+ */
+final case class Bm25Weight(
+    k1: Double = 1.0,
+    k2: Double = 0.0,
+    k3: Double = 1.0,
+    b: Double = 0.5,
+    minNormLen: Double = 0.5) extends Weight {
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = {
+    val n = df.toDouble
+    val N = stats.n.toDouble
+    var idfRaw = (N - n + 0.5) / (n + 0.5)
+    if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
+    val idf = math.log(idfRaw)
+    val wqfPart =
+      if (k3 == 0.0) 1.0
+      else (k3 + 1.0) * wqf / (k3 + wqf)
+    idf * wqfPart
+  }
+
+  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double = {
+    if (k1 == 0.0) return termWt
+    val normLen = math.max(
+      if (stats.avgLen > 0) doclen / stats.avgLen else 1.0, minNormLen)
+    val denom = k1 * ((1.0 - b) + b * normLen) + wdf
+    termWt * wdf * (k1 + 1.0) / denom
+  }
+
+  override def sumExtra(querySize: Int, doclen: Long, stats: StatsRow): Double = {
+    if (k2 == 0.0) return 0.0
+    val normLen = math.max(
+      if (stats.avgLen > 0) doclen / stats.avgLen else 1.0, minNormLen)
+    k2 * querySize * (1.0 - normLen) / (1.0 + normLen)
+  }
+
+  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double =
+    sumPart(termWt, maxWdf, minDocLen, stats)
+}
+
+/** Classic probabilistic weighting with a single parameter k. */
+final case class TradWeight(k: Double = 1.0) extends Weight {
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = {
+    val n = df.toDouble
+    val N = stats.n.toDouble
+    var idfRaw = (N - n + 0.5) / (n + 0.5)
+    if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
+    math.log(idfRaw)
+  }
+  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double = {
+    if (k == 0.0) return termWt
+    val normLen = if (stats.avgLen > 0) doclen / stats.avgLen else 1.0
+    termWt * wdf / (k * normLen + wdf)
+  }
+  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double =
+    sumPart(termWt, maxWdf, minDocLen, stats)
+}
+
+/** All-zero weight for pure-boolean matching (OP_FILTER sides). */
+case object BoolWeight extends Weight {
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = 0.0
+  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double = 0.0
+  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double = 0.0
+}

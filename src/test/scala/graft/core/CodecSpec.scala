@@ -1,0 +1,76 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class CodecSpec extends AnyFunSuite {
+
+  test("vbyte round-trips representative values") {
+    val values = Seq(0L, 1L, 127L, 128L, 255L, 16383L, 16384L,
+      Int.MaxValue.toLong, Long.MaxValue)
+    val out = new java.io.ByteArrayOutputStream()
+    values.foreach(Codec.writeVLong(out, _))
+    val r = new Codec.Reader(out.toByteArray)
+    values.foreach(v => assert(r.readVLong() == v))
+    assert(!r.hasNext)
+  }
+
+  test("vbyte round-trip property (seeded)") {
+    val rnd = new Random(42)
+    (1 to 200).foreach { _ =>
+      val vs = List.fill(rnd.nextInt(50))(math.abs(rnd.nextLong()))
+      val out = new java.io.ByteArrayOutputStream()
+      vs.foreach(Codec.writeVLong(out, _))
+      val r = new Codec.Reader(out.toByteArray)
+      vs.foreach(v => assert(r.readVLong() == v))
+    }
+  }
+
+  test("postings pack/unpack round-trip property (seeded)") {
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      var id = 0L
+      val ps = List.fill(rnd.nextInt(100)) {
+        id += 1 + rnd.nextInt(1000)
+        Posting(id, 1 + rnd.nextInt(500))
+      }
+      val bytes = Codec.packPostings(ps, 0L)
+      val back = Codec.unpackPostings(bytes, 0L, ps.size)
+      assert(back.toList == ps)
+    }
+  }
+
+  test("positions pack/unpack round-trip (seeded)") {
+    val rnd = new Random(11)
+    (1 to 200).foreach { _ =>
+      val ps = List.fill(rnd.nextInt(60))(1 + rnd.nextInt(10000)).distinct.sorted
+      val back = Codec.unpackPositions(Codec.packPositions(ps))
+      assert(back.toList == ps)
+    }
+  }
+
+  test("packBlocks respects stripe boundaries and block-max metadata") {
+    // stripeShift 4 → stripes of 16 docIds: [1..16], [17..32], ...
+    val ps = (1L to 100L by 3).map(d => Posting(d, (d % 7).toInt + 1))
+    val lens = ps.map(p => p.docId -> (p.docId * 10)).toMap
+    val blocks = Codec.packBlocks(42L, 0, ps, lens, stripeShift = 4)
+    blocks.foreach { b =>
+      assert(((b.firstDocId - 1) >> 4).toInt == b.stripe)
+      assert(((b.lastDocId - 1) >> 4).toInt == b.stripe)
+      val decoded = Codec.unpackBlock(b)
+      assert(decoded.length == b.count)
+      assert(decoded.map(_.wdf).max == b.maxWdf)
+      assert(decoded.map(p => lens(p.docId)).min == b.minDocLen)
+    }
+    assert(blocks.flatMap(Codec.unpackBlock).toList == ps.toList)
+  }
+
+  test("packBlocks honors maxPerBlock within a stripe") {
+    val ps = (1L to 3000L).map(d => Posting(d, 1))
+    val blocks = Codec.packBlocks(1L, 0, ps, _ => 1L, stripeShift = 20, maxPerBlock = 512)
+    assert(blocks.forall(_.count <= 512))
+    assert(blocks.map(_.count).sum == 3000)
+    // all in stripe 0 given shift 20
+    assert(blocks.forall(_.stripe == 0))
+  }
+}

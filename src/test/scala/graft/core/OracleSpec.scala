@@ -1,0 +1,193 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import Query._
+
+class OracleSpec extends AnyFunSuite {
+  import Oracle.{Doc, Options, buildIndex, mset, evaluate}
+
+  // stemMode=none so terms are literal; fields carry a numeric slot
+  private val docs = Seq(
+    Doc(1, "apple banana apple", Map("size" -> 10.0), lang = "java"),
+    Doc(2, "banana cherry", Map("size" -> 20.0), lang = "py"),
+    Doc(3, "apple cherry cherry cherry", Map("size" -> 30.0), lang = "java"),
+    Doc(4, "durian apple banana cherry", Map("size" -> 40.0), lang = "scala"),
+    Doc(5, "banana banana banana", Map("size" -> 50.0), lang = "py"))
+  private val idx = buildIndex(docs, stemMode = "none")
+  private val opts = Options()
+
+  private def docIds(q: Query): Seq[Long] =
+    evaluate(Query.simplify(q), idx, opts).keys.toSeq
+
+  test("stats") {
+    assert(idx.stats == StatsRow(5, 16, 3.2, 2, 4))
+  }
+
+  test("term leaf matches and scores by BM25") {
+    val m = evaluate(t("apple"), idx, opts)
+    assert(m.keySet == Set(1L, 3L, 4L))
+    // df=3 → idf_raw=(5-3+.5)/3.5=2.5/3.5<2 → clamp
+    val tw = math.log(2.5 / 3.5 / 2 + 1)
+    // d1: wdf=2, len=3, avg=3.2 → norm=3/3.2=0.9375
+    val d1 = tw * 2 * 2 / (1 * (0.5 + 0.5 * (3 / 3.2)) + 2)
+    assert(math.abs(m(1L) - d1) < 1e-12)
+  }
+
+  test("AND intersects, weight = sum of children") {
+    val m = evaluate(and(t("apple"), t("banana")), idx, opts)
+    assert(m.keySet == Set(1L, 4L))
+    val a = evaluate(t("apple"), idx, opts)
+    val b = evaluate(t("banana"), idx, opts)
+    assert(math.abs(m(1L) - (a(1L) + b(1L))) < 1e-12)
+  }
+
+  test("OR unions, weight = sum of matching children") {
+    val m = evaluate(or(t("apple"), t("durian")), idx, opts)
+    assert(m.keySet == Set(1L, 3L, 4L))
+    val a = evaluate(t("apple"), idx, opts)
+    val d = evaluate(t("durian"), idx, opts)
+    assert(math.abs(m(4L) - (a(4L) + d(4L))) < 1e-12)
+    assert(m(1L) == a(1L))
+  }
+
+  test("AND_NOT subtracts, weight from left") {
+    val m = evaluate(AndNot(t("apple"), t("cherry")), idx, opts)
+    assert(m.keySet == Set(1L))
+    assert(m(1L) == evaluate(t("apple"), idx, opts)(1L))
+  }
+
+  test("XOR keeps exactly-one-side docs") {
+    val m = evaluate(Xor(t("apple"), t("cherry")), idx, opts)
+    assert(m.keySet == Set(1L, 2L)) // 3,4 have both; 1 apple-only; 2 cherry-only
+  }
+
+  test("AND_MAYBE keeps left docs, adds right weight where present") {
+    val m = evaluate(AndMaybe(t("apple"), t("cherry")), idx, opts)
+    assert(m.keySet == Set(1L, 3L, 4L))
+    val a = evaluate(t("apple"), idx, opts)
+    val c = evaluate(t("cherry"), idx, opts)
+    assert(m(1L) == a(1L))
+    assert(math.abs(m(3L) - (a(3L) + c(3L))) < 1e-12)
+  }
+
+  test("FILTER intersects but right adds no weight") {
+    val m = evaluate(Filter(t("apple"), t("cherry")), idx, opts)
+    assert(m.keySet == Set(3L, 4L))
+    assert(m(3L) == evaluate(t("apple"), idx, opts)(3L))
+  }
+
+  test("NEAR within window, any order") {
+    // d3: apple(1) cherry(2..4); d4: durian(1) apple(2) banana(3) cherry(4)
+    assert(docIds(Near(Seq(t("apple"), t("cherry")), 3)) == Seq(3L, 4L))
+    // window 2: d4's apple..cherry distance 2 > 1 → only d3
+    assert(docIds(Near(Seq(t("apple"), t("cherry")), 2)) == Seq(3L))
+    // any order: reversed query order matches the same docs
+    assert(docIds(Near(Seq(t("cherry"), t("apple")), 3)) == Seq(3L, 4L))
+  }
+
+  test("PHRASE requires order") {
+    // d1: apple(1) banana(2) apple(3); d4: ... apple(2) banana(3)
+    assert(docIds(Phrase(Seq(t("apple"), t("banana")), 2)).toSet == Set(1L, 4L))
+    assert(docIds(Phrase(Seq(t("banana"), t("apple")), 2)) == Seq(1L)) // banana(2) apple(3)
+    // wider window allows gap: d3 apple(1)→cherry(2); d4 apple(2)→cherry(4)
+    assert(docIds(Phrase(Seq(t("apple"), t("cherry")), 3)) == Seq(3L, 4L))
+    assert(docIds(Phrase(Seq(t("cherry"), t("apple")), 3)) == Seq())
+  }
+
+  test("VALUE_RANGE / GE / LE on numeric field") {
+    assert(docIds(ValueRange("size", 15.0, 35.0)) == Seq(2L, 3L))
+    assert(docIds(ValueGe("size", 40.0)) == Seq(4L, 5L))
+    assert(docIds(ValueLe("size", 10.0)) == Seq(1L))
+    // weights are zero
+    assert(evaluate(ValueRange("size", 15.0, 35.0), idx, opts).values.forall(_ == 0.0))
+  }
+
+  test("SCALE_WEIGHT multiplies") {
+    val base = evaluate(t("apple"), idx, opts)
+    val scaled = evaluate(ScaleWeight(t("apple"), 2.5), idx, opts)
+    base.foreach { case (d, w) => assert(math.abs(scaled(d) - w * 2.5) < 1e-12) }
+  }
+
+  test("ELITE_SET keeps n best children") {
+    // durian df=1 (rarest → highest bound); apple df=3; banana df=4
+    val m = evaluate(EliteSet(Seq(t("apple"), t("banana"), t("durian")), 1), idx, opts)
+    assert(m.keySet == Set(4L)) // only durian survives
+  }
+
+  test("SYNONYM scores as single pseudo-term") {
+    val m = evaluate(Synonym(Seq(t("durian"), t("cherry"))), idx, opts)
+    // union docs: 2,3,4; df=3, d3 wdf=3, d4 wdf = 1(durian)+1(cherry)=2
+    assert(m.keySet == Set(2L, 3L, 4L))
+    val w = Bm25Weight()
+    val tw = w.termWeight(1, 3, idx.stats)
+    assert(math.abs(m(4L) - w.sumPart(tw, 2, 4, idx.stats)) < 1e-12)
+  }
+
+  test("MatchAll / MatchNothing") {
+    assert(docIds(MatchAll) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(docIds(MatchNothing) == Seq())
+    assert(docIds(and(t("apple"), MatchNothing)) == Seq())
+    assert(docIds(or(t("apple"), MatchNothing)) == docIds(t("apple")))
+  }
+
+  test("mset ranks by weight desc, docId asc; percent of greatest") {
+    val ms = mset(t("banana"), idx, 10, opts)
+    assert(ms.nonEmpty)
+    // d5 has wdf=3 of 3 → highest banana score
+    assert(ms.head.docId == 5L)
+    assert(ms.head.percent == 100)
+    // ranks contiguous from 0, scores non-increasing
+    assert(ms.map(_.rank) == (0 until ms.size).toVector)
+    assert(ms.sliding(2).forall {
+      case Vector(a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId)
+      case _            => true
+    })
+  }
+
+  test("mset pure boolean query orders by docId asc") {
+    val ms = mset(Filter(MatchAll, t("banana")), idx, 10, opts)
+    assert(ms.map(_.docId) == Vector(1L, 2L, 4L, 5L))
+    assert(ms.forall(_.score == 0.0))
+  }
+
+  test("matchdecider filters docs") {
+    val o = opts.copy(decider = Some(d => d.lang == "java"))
+    val ms = mset(t("apple"), idx, 10, o)
+    assert(ms.map(_.docId).toSet == Set(1L, 3L))
+  }
+
+  test("collapse keeps best per key") {
+    val o = opts.copy(collapseKey = Some(_.lang))
+    val ms = mset(t("banana"), idx, 10, o)
+    // banana matches 1(java) 2(py) 4(scala) 5(py); collapse on lang
+    // keeps best-scored per lang
+    val langs = ms.map(i => docs.find(_.docId == i.docId).get.lang)
+    assert(langs.distinct == langs)
+    assert(ms.map(_.docId).contains(5L)) // best py
+  }
+
+  test("paging with first/offset") {
+    val all = mset(t("banana"), idx, 10, opts)
+    val page = mset(t("banana"), idx, 2, opts, first = 1)
+    assert(page == all.slice(1, 3))
+  }
+
+  test("simplify flattens and propagates MatchNothing") {
+    assert(Query.simplify(and(and(t("a"), t("b")), t("c"))) ==
+      And(Seq(t("a"), t("b"), t("c"))))
+    assert(Query.simplify(or(t("a"), MatchNothing)) == t("a"))
+    assert(Query.simplify(and(t("a"), MatchNothing)) == MatchNothing)
+    assert(Query.simplify(AndNot(t("a"), MatchNothing)) == t("a"))
+  }
+
+  test("Z-prefix stemming path: stemmed query term matches variants") {
+    val sdocs = Seq(
+      Doc(1, "running quickly"), Doc(2, "runs fast"), Doc(3, "walked slowly"))
+    val sidx = buildIndex(sdocs, stemMode = "some")
+    // Zrun matches docs 1 and 2 via stemmed index terms
+    val m = evaluate(t("Zrun"), sidx, opts)
+    assert(m.keySet == Set(1L, 2L))
+    // unstemmed positional terms still present
+    assert(evaluate(t("running"), sidx, opts).keySet == Set(1L))
+  }
+}

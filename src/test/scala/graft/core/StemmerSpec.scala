@@ -1,0 +1,76 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Porter2 golden pairs from the published Snowball english samples. */
+class StemmerSpec extends AnyFunSuite {
+
+  private val golden = Seq(
+    // plurals / step 1a
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "tie",
+    "caress" -> "caress", "cats" -> "cat", "flies" -> "fli",
+    "gas" -> "gas", "this" -> "this",
+    // step 1b
+    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+    "motoring" -> "motor", "sing" -> "sing", "hopping" -> "hop",
+    "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+    "failing" -> "fail", "filing" -> "file", "making" -> "make",
+    // step 1c
+    "happy" -> "happi", "sky" -> "sky", "cry" -> "cri",
+    // step 2
+    "relational" -> "relat", "conditional" -> "condit",
+    "rational" -> "ration", "digitizer" -> "digit",
+    "operational" -> "oper", "feudalism" -> "feudal",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "callousness" -> "callous", "formaliti" -> "formal",
+    "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+    // step 3
+    "triplicate" -> "triplic", "formative" -> "format",
+    "formalize" -> "formal", "electriciti" -> "electr",
+    "electrical" -> "electr", "hopeful" -> "hope",
+    "goodness" -> "good",
+    // step 4
+    "revival" -> "reviv", "allowance" -> "allow",
+    "inference" -> "infer", "airliner" -> "airlin",
+    "adjustable" -> "adjust", "defensible" -> "defens",
+    "irritant" -> "irrit", "replacement" -> "replac",
+    "adjustment" -> "adjust", "dependent" -> "depend",
+    "adoption" -> "adopt", "communism" -> "communism",
+    "activate" -> "activ", "angulariti" -> "angular",
+    "homologous" -> "homolog", "effective" -> "effect",
+    "bowdlerize" -> "bowdler",
+    // step 5
+    "probate" -> "probat", "rate" -> "rate", "controll" -> "control",
+    "roll" -> "roll",
+    // exceptions
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die",
+    "lying" -> "lie", "tying" -> "tie", "news" -> "news",
+    "inning" -> "inning", "proceed" -> "proceed",
+    // y handling
+    "yellow" -> "yellow", "syzygy" -> "syzygi",
+    // common programming words (self-consistency pins)
+    "running" -> "run", "parser" -> "parser", "parsing" -> "pars",
+    "tokens" -> "token", "classes" -> "class", "indexed" -> "index",
+    "queries" -> "queri", "functions" -> "function")
+
+  test("porter2 golden pairs") {
+    val failures = golden.flatMap { case (in, want) =>
+      val got = Stemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("short words unchanged") {
+    Seq("a", "is", "be", "of").foreach(w => assert(Stemmer.stem(w) == w))
+  }
+
+  test("non-ascii input passes through") {
+    assert(Stemmer.stem("naïve") == "naïve")
+  }
+
+  test("deterministic: same input same output") {
+    val words = Seq("organization", "nationally", "generously", "generate")
+    words.foreach(w => assert(Stemmer.stem(w) == Stemmer.stem(w)))
+  }
+}

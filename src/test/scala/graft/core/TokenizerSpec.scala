@@ -1,0 +1,65 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite {
+  import Tokenizer.{tokenize, Token}
+
+  private def terms(s: String): Seq[String] = tokenize(s).map(_.term)
+
+  test("basic words, lowercased, positions increment from 1") {
+    assert(tokenize("Hello World") ==
+      Seq(Token("hello", 1), Token("world", 2)))
+  }
+
+  test("underscore is a word character") {
+    assert(terms("snake_case foo_bar_baz") == Seq("snake_case", "foo_bar_baz"))
+  }
+
+  test("trailing + and # kept, up to 3") {
+    assert(terms("c++ c# f##") == Seq("c++", "c#", "f##"))
+    assert(terms("a++++") == Seq("a+++")) // max 3 kept
+  }
+
+  test("infix apostrophe and ampersand") {
+    assert(terms("don't AT&T") == Seq("don't", "at&t"))
+    // leading/trailing not kept
+    assert(terms("'tis rock'") == Seq("tis", "rock"))
+  }
+
+  test("numbers with . and , stay joined") {
+    assert(terms("pi is 3.14 and 1,000,000 wins") ==
+      Seq("pi", "is", "3.14", "and", "1,000,000", "wins"))
+    // dot not between digits splits
+    assert(terms("end. start") == Seq("end", "start"))
+  }
+
+  test("terms longer than 64 bytes are dropped but position not consumed") {
+    val long = "x" * 70
+    val toks = tokenize(s"a $long b")
+    assert(toks == Seq(Token("a", 1), Token("b", 2)))
+  }
+
+  test("unicode letters kept, punctuation splits") {
+    assert(terms("naïve café? yes") == Seq("naïve", "café", "yes"))
+  }
+
+  test("source code tokenization") {
+    assert(terms("def parse_token(x): return x.strip()") ==
+      Seq("def", "parse_token", "x", "return", "x", "strip"))
+  }
+
+  test("indexTerms emits unstemmed positional + Z-prefixed stemmed") {
+    val out = Tokenizer.indexTerms("running fast", Stemmer.stem)
+    assert(out.contains(Token("running", 1)))
+    assert(out.contains(Token("fast", 2)))
+    assert(out.contains(Token("Zrun", 0)))
+    assert(out.contains(Token("Zfast", 0)))
+  }
+
+  test("indexTerms skips Z-terms for stopwords") {
+    val out = Tokenizer.indexTerms("the cat", Stemmer.stem, Set("the"))
+    assert(out.map(_.term).count(_.startsWith("Z")) == 1)
+    assert(out.contains(Token("the", 1))) // unstemmed still indexed
+  }
+}

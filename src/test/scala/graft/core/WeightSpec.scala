@@ -1,0 +1,80 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WeightSpec extends AnyFunSuite {
+  // tiny corpus: d1 "apple banana apple", d2 "banana cherry",
+  // d3 "apple cherry cherry cherry" — N=3, totalLen=9, avgLen=3
+  private val stats = StatsRow(n = 3, totalLen = 9, avgLen = 3.0,
+    minDocLen = 2, maxDocLen = 4)
+  private val w = Bm25Weight() // k1=1, k2=0, k3=1, b=0.5, min_normlen=0.5
+
+  test("termWeight matches hand-computed idf with smoothing clamp") {
+    // term "apple": df=2 → idf_raw = 1.5/2.5 = 0.6 < 2 → 0.6/2+1 = 1.3
+    val tw = w.termWeight(wqf = 1, df = 2, stats)
+    // wqf part: (k3+1)*wqf/(k3+wqf) = 2*1/2 = 1
+    assert(math.abs(tw - math.log(1.3)) < 1e-12)
+  }
+
+  test("termWeight without clamp for rare terms") {
+    // df=0 would be idf_raw = 3.5/0.5 = 7 >= 2 → no clamp
+    val tw = w.termWeight(1, 0, stats)
+    assert(math.abs(tw - math.log(7.0)) < 1e-12)
+  }
+
+  test("wqf > 1 scales by (k3+1)*wqf/(k3+wqf)") {
+    val tw1 = w.termWeight(1, 2, stats)
+    val tw3 = w.termWeight(3, 2, stats)
+    assert(math.abs(tw3 / tw1 - (2.0 * 3 / 4)) < 1e-12)
+  }
+
+  test("sumPart hand-computed") {
+    val tw = math.log(1.3)
+    // d1: wdf=2, len=3 → normlen=1, denom = 1*(0.5+0.5*1)+2 = 3
+    assert(math.abs(w.sumPart(tw, 2, 3, stats) - tw * 2 * 2 / 3.0) < 1e-12)
+    // d3: wdf=1, len=4 → normlen=4/3, denom = 0.5+0.5*4/3+1
+    val denom = 0.5 + 0.5 * (4.0 / 3.0) + 1.0
+    assert(math.abs(w.sumPart(tw, 1, 4, stats) - tw * 2 / denom) < 1e-12)
+  }
+
+  test("min_normlen floor applies for very short docs") {
+    val tw = 1.0
+    // len=1, avg=3 → normlen would be 1/3 < 0.5 → floored to 0.5
+    val denom = 1.0 * ((1 - 0.5) + 0.5 * 0.5) + 1
+    assert(math.abs(w.sumPart(tw, 1, 1, stats) - 2.0 / denom) < 1e-12)
+  }
+
+  test("k1=0 edge: sumPart = termWeight") {
+    val w0 = Bm25Weight(k1 = 0.0)
+    assert(w0.sumPart(0.7, 5, 100, stats) == 0.7)
+  }
+
+  test("k2 extra part") {
+    val w2 = Bm25Weight(k2 = 1.0)
+    // len=3 → normlen=1 → extra = 1*qsize*(1-1)/(1+1) = 0
+    assert(w2.sumExtra(2, 3, stats) == 0.0)
+    // len=1 → normlen=0.5 (floored) → 1*2*(0.5)/(1.5)
+    assert(math.abs(w2.sumExtra(2, 1, stats) - 2 * 0.5 / 1.5) < 1e-12)
+  }
+
+  test("BoolWeight is all zeros") {
+    assert(BoolWeight.termWeight(1, 5, stats) == 0.0)
+    assert(BoolWeight.sumPart(1.0, 3, 3, stats) == 0.0)
+  }
+
+  test("TradWeight shape") {
+    val t = TradWeight(k = 1.0)
+    val tw = t.termWeight(1, 2, stats)
+    assert(math.abs(tw - math.log(1.3)) < 1e-12)
+    // wdf=2, len=3 → norm=1 → tw*2/(1+2)
+    assert(math.abs(t.sumPart(tw, 2, 3, stats) - tw * 2 / 3.0) < 1e-12)
+  }
+
+  test("maxPart is an upper bound over observed sumParts") {
+    val tw = w.termWeight(1, 2, stats)
+    val bound = w.maxPart(tw, maxWdf = 2, minDocLen = 2, stats)
+    Seq((2, 3L), (1, 4L), (1, 2L), (2, 2L)).foreach { case (wdf, len) =>
+      assert(w.sumPart(tw, wdf, len, stats) <= bound + 1e-12)
+    }
+  }
+}
