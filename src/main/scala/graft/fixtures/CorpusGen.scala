@@ -1,0 +1,81 @@
+package graft.fixtures
+
+import graft.core.CorpusRow
+import scala.util.Random
+
+/**
+ * Deterministic synthetic source-code corpus (FIXTURES.md §3).
+ *
+ * Pure function of (seed, nRepos, filesPerRepo): byte-identical output
+ * for equal seeds across runs/JVMs (uses only scala.util.Random with
+ * fixed seeds, no Date/locale). Guarantees:
+ *  (a) Zipf-like term skew — keywords appear in ~all docs (exercises
+ *      salting at build time);
+ *  (b) tokenizer-rule pins: "c++", "don't", "AT&T", "3.14" appear;
+ *  (c) doclen varies ~10× so BM25 length normalization matters.
+ */
+object CorpusGen {
+
+  private val langs = Vector("java", "scala", "py", "c", "none")
+
+  private val keywordsByLang: Map[String, Vector[String]] = Map(
+    "java"  -> Vector("public", "class", "void", "return", "import", "static", "new", "final"),
+    "scala" -> Vector("def", "val", "class", "object", "import", "match", "case", "extends"),
+    "py"    -> Vector("def", "class", "return", "import", "self", "for", "while", "lambda"),
+    "c"     -> Vector("int", "char", "void", "return", "include", "struct", "static", "sizeof"),
+    "none"  -> Vector("the", "and", "for", "with", "this", "that", "from", "into"))
+
+  // fixed 500-word english pool for comments/identifiers
+  private val words: Vector[String] = {
+    val roots = Vector(
+      "parse", "token", "index", "search", "query", "match", "score",
+      "weight", "merge", "split", "build", "cache", "fetch", "store",
+      "write", "read", "scan", "filter", "reduce", "map", "sort",
+      "count", "hash", "node", "tree", "list", "heap", "stack",
+      "graph", "edge", "path", "file", "line", "word", "term", "doc",
+      "page", "rank", "link", "data", "block", "chunk", "byte",
+      "string", "value", "field", "record", "table", "column", "row")
+    val suffixes = Vector("", "er", "ed", "ing", "s", "ation", "able", "ment", "ly", "ity")
+    (for (r <- roots; s <- suffixes) yield r + s).toVector
+  }
+
+  private val specials = Vector("c++", "don't", "AT&T", "3.14", "1,000", "c#")
+
+  /** Deterministic 40-hex pseudo-commit from (repo, fileIdx). */
+  private def commitOf(repo: String, fileIdx: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(s"$repo#$fileIdx".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  def generate(seed: Long = 42L, nRepos: Int = 10, filesPerRepo: Int = 100): Seq[CorpusRow] = {
+    for {
+      r <- 0 until nRepos
+      f <- 0 until filesPerRepo
+    } yield {
+      val repo = f"org/repo-$r%03d"
+      val rnd = new Random(seed ^ (r.toLong << 32) ^ f.toLong)
+      val lang = langs(rnd.nextInt(langs.length))
+      val kw = keywordsByLang(lang)
+      val ext = lang match {
+        case "java" => "java"; case "scala" => "scala"; case "py" => "py"
+        case "c" => "c"; case _ => "txt"
+      }
+      val path = f"src/pkg$r%02d/File$f%04d.$ext"
+      // doclen varies ~10×: 20..200 tokens
+      val nTokens = 20 + rnd.nextInt(181)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nTokens) {
+        val tok =
+          if (rnd.nextInt(100) < 35) kw(rnd.nextInt(kw.length)) // heavy skew
+          else if (rnd.nextInt(100) < 2) specials(rnd.nextInt(specials.length))
+          else words(rnd.nextInt(words.length))
+        sb.append(tok)
+        sb.append(if (i % 12 == 11) "\n" else " ")
+        i += 1
+      }
+      CorpusRow(repo, path, commitOf(repo, f), lang, sb.toString)
+    }
+  }
+}

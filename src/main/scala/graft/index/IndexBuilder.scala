@@ -1,0 +1,287 @@
+package graft.index
+
+import graft.core._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/**
+ * Index build configuration. `configHash` gates stage resume: a stage
+ * is skipped iff its manifest exists AND was written with the same
+ * config hash (SURVEY.md §7 step 7; north rule: resumable build with
+ * per-partition lineage).
+ */
+final case class BuildConfig(
+    indexDir: String,
+    stemMode: String = "some",          // "none" | "some"
+    stopwords: Set[String] = Set.empty,
+    nBuckets: Int = 16,                  // postings directory buckets (hash(termId) % nBuckets)
+    stripeShift: Int = 14,               // docId stripe width = 2^14 = 16384
+    maxPerBlock: Int = 4096,
+    skewDfThreshold: Long = 50000,       // salt terms with df above this
+    saltFactor: Int = 16,                // salted sub-keys per skewed term
+    buildPartitions: Int = 32) {
+  def configHash: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = s"$stemMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor"
+    md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
+}
+
+/** One tokenized (doc, term) row; doclen repeated per row so the
+  * doclens table falls out of the same pass (single tokenize). */
+final case class TermRow(
+    docId: Long, term: String, wdf: Int, doclen: Long,
+    posBytes: Array[Byte])
+
+final case class DocLenRow(stripe: Int, docId: Long, doclen: Long)
+
+/**
+ * Distributed inverted-index build (SURVEY.md §3.2 mapping of the
+ * reference's omindex/WritableDatabase flush pipeline — reference:
+ * xapian-core/api/omdatabase.cc, backends/chert/chert_postlist.cc).
+ *
+ * Stages (each writes `<indexDir>/<table>` + `_manifests/<stage>.json`
+ * and is skipped on resume when the manifest matches the config):
+ *   1. docs0   — deterministic dense 1-based docIds via total order on
+ *                (repo, path, commit); sha256(content) per row.
+ *   2. terms   — tokenize once → TermRow (term, wdf, packed positions,
+ *                doclen); writes dict (term stats + dense termIds) and
+ *                doclens.
+ *   3. postings— TermRow ⋈ dict, explicit repartition by
+ *                hash(termId [+ stripe-salt for skewed terms]), sort,
+ *                pack stripe-aligned vbyte blocks; positions table.
+ *   4. docs    — docs0 + doclen; stats single-row table.
+ *
+ * Scale notes: every shuffle is keyed (range by sort key, hash by
+ * term); skew from stop-word-like terms is split across `saltFactor`
+ * sub-partitions aligned to block stripes, so salted and unsalted
+ * builds emit byte-identical blocks (property-tested).
+ */
+class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
+  import spark.implicits._
+
+  private val dir = cfg.indexDir
+  private def manifestPath(stage: String) =
+    Paths.get(s"$dir/_manifests/$stage.json")
+
+  private def stageDone(stage: String): Boolean = {
+    val p = manifestPath(stage)
+    Files.exists(p) && new String(Files.readAllBytes(p), "UTF-8")
+      .contains(s""""configHash":"${cfg.configHash}"""")
+  }
+
+  private def writeManifest(stage: String, rows: Long, lineage: Seq[(Int, Long, Long)]): Unit = {
+    Files.createDirectories(Paths.get(s"$dir/_manifests"))
+    val lin = lineage.map { case (pid, cnt, bytes) =>
+      s"""{"partition":$pid,"rows":$cnt,"bytes":$bytes}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"stage":"$stage","configHash":"${cfg.configHash}","rows":$rows,"partitions":${lineage.size},"lineage":$lin}"""
+    Files.write(manifestPath(stage), json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Lineage of a written table: per-file row counts + byte sizes. */
+  private def tableLineage(path: String): Seq[(Int, Long, Long)] = {
+    val df = spark.read.parquet(path)
+    df.groupBy(spark_partition_id().as("pid")).count()
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), 0L)).toSeq
+  }
+
+  def build(corpus: Dataset[CorpusRow]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+
+    // ---------- stage 1: docs0 (docId assignment + sha256) ----------
+    if (!stageDone("docs0")) {
+      val sorted = corpus
+        .repartitionByRange(cfg.buildPartitions, $"repo", $"path", $"commit")
+        .sortWithinPartitions($"repo", $"path", $"commit")
+      // pass 1: per-partition counts (ordered partitions → offsets)
+      val counts = sorted.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().sortBy(_._1)
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      // pass 2: assign docId = offset + local index + 1 (1-based, dense)
+      val docs0 = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var i = bOffsets.value.getOrElse(pid, 0L)
+        it.map { r => i += 1; (i, r.repo, r.path, r.commit, r.lang, r.content) }
+      }.toDF("docId", "repo", "path", "commit", "lang", "content")
+        .withColumn("sha256", sha2($"content", 256))
+        .withColumn("stripe", (($"docId" - 1) / lit(1L << cfg.stripeShift)).cast("int"))
+      docs0.write.mode("overwrite").parquet(s"$dir/docs0")
+      writeManifest("docs0", spark.read.parquet(s"$dir/docs0").count(),
+        tableLineage(s"$dir/docs0"))
+    }
+
+    val docs0 = spark.read.parquet(s"$dir/docs0")
+
+    // ---------- stage 2: terms + dict + doclens (single tokenize) ----------
+    if (!stageDone("terms")) {
+      val stem = cfg.stemMode
+      val stop = cfg.stopwords
+      val termRows: Dataset[TermRow] = docs0
+        .select($"docId", $"content").as[(Long, String)]
+        .flatMap { case (docId, content) =>
+          val toks =
+            if (stem == "some") Tokenizer.indexTerms(content, Stemmer.stem, stop)
+            else Tokenizer.tokenize(content)
+          val doclen = toks.count(_.pos > 0).toLong
+          toks.groupBy(_.term).iterator.map { case (term, ts) =>
+            val positions = ts.collect { case t if t.pos > 0 => t.pos }.sorted
+            val wdf = if (positions.nonEmpty) positions.length else ts.size
+            val posBytes =
+              if (positions.nonEmpty) Codec.packPositions(positions)
+              else Array.empty[Byte]
+            TermRow(docId, term, wdf, doclen, posBytes)
+          }
+        }
+      termRows.write.mode("overwrite").parquet(s"$dir/terms")
+      writeManifest("terms", spark.read.parquet(s"$dir/terms").count(),
+        tableLineage(s"$dir/terms"))
+    }
+    val termRows = spark.read.parquet(s"$dir/terms")
+
+    if (!stageDone("doclens")) {
+      termRows.groupBy($"docId").agg(max($"doclen").as("doclen"))
+        .withColumn("stripe", (($"docId" - 1) / lit(1L << cfg.stripeShift)).cast("int"))
+        .select($"stripe", $"docId", $"doclen")
+        .repartitionByRange(cfg.buildPartitions, $"docId")
+        .sortWithinPartitions($"docId")
+        .write.mode("overwrite").parquet(s"$dir/doclens")
+      writeManifest("doclens", spark.read.parquet(s"$dir/doclens").count(),
+        tableLineage(s"$dir/doclens"))
+    }
+
+    if (!stageDone("dict")) {
+      // per-term stats; dense termIds in term order (deterministic)
+      val termStats = termRows.groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"wdf").as("cf"),
+          max($"wdf").as("maxWdf"))
+        .as[(String, Long, Long, Long)]
+      val sorted = termStats
+        .repartitionByRange(cfg.buildPartitions, $"term")
+        .sortWithinPartitions($"term")
+      val counts = sorted.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().sortBy(_._1)
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var i = bOffsets.value.getOrElse(pid, 0L)
+        it.map { case (term, df, cf, maxWdf) =>
+          i += 1; DictRow(term, i, df, cf, maxWdf.toInt)
+        }
+      }.write.mode("overwrite").parquet(s"$dir/dict")
+      writeManifest("dict", spark.read.parquet(s"$dir/dict").count(),
+        tableLineage(s"$dir/dict"))
+    }
+    val dict = spark.read.parquet(s"$dir/dict")
+
+    // ---------- stage 3: postings + positions ----------
+    if (!stageDone("postings")) {
+      val nBuckets = cfg.nBuckets
+      val stripeShift = cfg.stripeShift
+      val maxPerBlock = cfg.maxPerBlock
+      val saltFactor = cfg.saltFactor
+
+      // TermRow ⋈ dict on term (sort-merge at scale; AQE handles join
+      // skew), then the north rule's explicit repartition by term hash
+      // with stripe-aligned salting for skewed terms.
+      val joined = termRows.join(dict.select($"term", $"termId", $"df"), "term")
+        .withColumn("stripe", (($"docId" - 1) / lit(1L << stripeShift)).cast("int"))
+        .withColumn("salt",
+          when($"df" > cfg.skewDfThreshold, pmod($"stripe", lit(saltFactor)))
+            .otherwise(lit(0)))
+      val packed = joined
+        .select($"termId", $"docId", $"wdf", $"doclen", $"posBytes", $"salt")
+        .repartition(cfg.buildPartitions, $"termId", $"salt")
+        .sortWithinPartitions($"termId", $"docId")
+        .as[(Long, Long, Int, Long, Array[Byte], Int)]
+        .mapPartitions { it =>
+          // group consecutive (termId, stripe) runs and pack blocks;
+          // salting never splits a stripe, so output blocks are
+          // independent of salt assignment
+          new Iterator[PostingBlock] {
+            private val buf = it.buffered
+            private var pending: Iterator[PostingBlock] = Iterator.empty
+            private def refill(): Unit = {
+              while (!pending.hasNext && buf.hasNext) {
+                val termId = buf.head._1
+                val ps = Vector.newBuilder[Posting]
+                val lens = scala.collection.mutable.HashMap.empty[Long, Long]
+                while (buf.hasNext && buf.head._1 == termId) {
+                  val (_, did, wdf, dl, _, _) = buf.next()
+                  ps += Posting(did, wdf)
+                  lens(did) = dl
+                }
+                val bucket = Buckets.of(termId, nBuckets)
+                pending = Codec.packBlocks(termId, bucket, ps.result(),
+                  lens, stripeShift, maxPerBlock).iterator
+              }
+            }
+            def hasNext: Boolean = { refill(); pending.hasNext }
+            def next(): PostingBlock = { refill(); pending.next() }
+          }
+        }
+      packed.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/postings")
+      writeManifest("postings", spark.read.parquet(s"$dir/postings").count(),
+        tableLineage(s"$dir/postings"))
+    }
+
+    if (!stageDone("positions")) {
+      val nBuckets = cfg.nBuckets
+      termRows.filter(length($"posBytes") > 0)
+        .join(dict.select($"term", $"termId"), "term")
+        .withColumn("bucket", pmod($"termId", lit(nBuckets)).cast("int"))
+        .select($"termId", $"bucket", $"docId", $"posBytes")
+        .repartition(cfg.buildPartitions, $"termId")
+        .sortWithinPartitions($"termId", $"docId")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/positions")
+      writeManifest("positions", spark.read.parquet(s"$dir/positions").count(),
+        tableLineage(s"$dir/positions"))
+    }
+
+    // ---------- stage 4: docs (with doclen) + stats ----------
+    if (!stageDone("docs")) {
+      val doclens = spark.read.parquet(s"$dir/doclens")
+      docs0.join(doclens.select($"docId", $"doclen"), Seq("docId"), "left")
+        .na.fill(0L, Seq("doclen"))
+        .repartitionByRange(cfg.buildPartitions, $"docId")
+        .sortWithinPartitions($"docId")
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      writeManifest("docs", spark.read.parquet(s"$dir/docs").count(),
+        tableLineage(s"$dir/docs"))
+    }
+
+    if (!stageDone("stats")) {
+      val doclens = spark.read.parquet(s"$dir/doclens")
+      val r = doclens.agg(
+        count(lit(1)).as("n"), sum($"doclen").as("totalLen"),
+        min($"doclen").as("minDocLen"), max($"doclen").as("maxDocLen"))
+        .collect()(0)
+      val n = r.getLong(0)
+      val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val stats = StatsRow(n, total,
+        if (n > 0) total.toDouble / n else 0.0,
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3))
+      Seq(stats).toDS().write.mode("overwrite").parquet(s"$dir/stats")
+      writeManifest("stats", 1L, Seq((0, 1L, 0L)))
+    }
+  }
+}

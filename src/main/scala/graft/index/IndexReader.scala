@@ -1,0 +1,58 @@
+package graft.index
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucket assignment shared by build and query sides (termIds are
+  * dense, so plain modulo spreads them uniformly). */
+object Buckets {
+  def of(termId: Long, n: Int): Int = ((termId % n + n) % n).toInt
+}
+
+/**
+ * Read-side handle over an index directory written by [[IndexBuilder]]:
+ * lazily-loaded global stats and small per-query dict lookups
+ * (the role of Xapian::Database::open + the stats-gathering phase of
+ * MultiMatch — reference: xapian-core/matcher/stats.h; SURVEY.md §3.1).
+ */
+class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 16,
+                  val stripeShift: Int = 14) {
+  import spark.implicits._
+
+  lazy val stats: StatsRow =
+    spark.read.parquet(s"$dir/stats").as[StatsRow].collect()(0)
+
+  def docs: DataFrame = spark.read.parquet(s"$dir/docs")
+  def doclens: DataFrame = spark.read.parquet(s"$dir/doclens")
+  def dict: DataFrame = spark.read.parquet(s"$dir/dict")
+  def postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  def positions: DataFrame = spark.read.parquet(s"$dir/positions")
+
+  /** Dict rows for a set of query terms — a few-row pruned scan
+    * collected to the driver (terms per query are few). */
+  def lookupTerms(terms: Seq[String]): Map[String, DictRow] = {
+    if (terms.isEmpty) return Map.empty
+    dict.filter($"term".isin(terms.distinct: _*))
+      .as[DictRow].collect().map(d => d.term -> d).toMap
+  }
+
+  /** Posting blocks for a set of termIds: bucket-partition pruning +
+    * parquet row-group min/max pruning on termId. */
+  def blocksFor(termIds: Seq[Long]): DataFrame = {
+    if (termIds.isEmpty) return spark.emptyDataFrame
+    val buckets = termIds.map(Buckets.of(_, nBuckets)).distinct
+    postings
+      .filter($"bucket".isin(buckets: _*))
+      .filter($"termId".isin(termIds: _*))
+  }
+
+  /** Positions rows for a set of termIds (same pruning). */
+  def positionsFor(termIds: Seq[Long]): DataFrame = {
+    if (termIds.isEmpty) return spark.emptyDataFrame
+    val buckets = termIds.map(Buckets.of(_, nBuckets)).distinct
+    positions
+      .filter($"bucket".isin(buckets: _*))
+      .filter($"termId".isin(termIds: _*))
+  }
+}

@@ -1,0 +1,286 @@
+package graft.matcher
+
+import graft.core._
+import graft.index.IndexReader
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Match-time options for the Spark matchers (Enquire knobs —
+  * reference: xapian-core/api/omenquire.cc; SURVEY.md §2d). */
+final case class MatchOptions(
+    weight: Weight = Bm25Weight(),
+    /** Column predicate over `docs` columns (MatchDecider analog). */
+    decider: Option[Column] = None,
+    /** docs column to collapse on (best doc per key). */
+    collapseKey: Option[String] = None,
+    percentCutoff: Int = 0,
+    weightCutoff: Double = 0.0,
+    /** "relevance" | "value" | "relevance_then_value" | "value_then_relevance" */
+    sortBy: String = "relevance",
+    sortValue: Option[String] = None,
+    sortValueReverse: Boolean = false)
+
+/**
+ * Declarative matcher: compiles a [[Query]] to a DataFrame plan over
+ * the index tables and lets Catalyst choose the physical strategy
+ * (SURVEY.md §2a Spark mappings — each operator is the documented
+ * join shape; role of the reference's postlist tree,
+ * xapian-core/matcher/multimatch.cc + branch postlists).
+ *
+ * Weighted docid streams are DataFrames (docId, score); ops compose
+ * by joins on docId: AND=inner, OR=union+groupBy-sum,
+ * AND_NOT=left_anti, AND_MAYBE=left_outer, FILTER=left_semi,
+ * XOR=full_outer-exactly-one. Scoring is pure Column arithmetic
+ * (whole-stage codegen'd; no UDF in the hot path).
+ */
+class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
+  private val spark = idx.spark
+  import spark.implicits._
+
+  private val weight = opts.weight
+  private lazy val stats = idx.stats
+
+  /** BM25 sumpart as a Column expression, mirroring the exact
+    * operation order of Bm25Weight.sumPart for float identity. */
+  private def scoreCol(tw: Double, wdf: Column, doclen: Column): Column =
+    weight match {
+      case Bm25Weight(k1, _, _, b, minNorm) =>
+        if (k1 == 0.0) lit(tw)
+        else {
+          val normLen =
+            if (stats.avgLen > 0) greatest(doclen / lit(stats.avgLen), lit(minNorm))
+            else greatest(lit(1.0), lit(minNorm))
+          val denom = lit(k1) * (lit(1.0 - b) + lit(b) * normLen) + wdf
+          lit(tw) * wdf * lit(k1 + 1.0) / denom
+        }
+      case TradWeight(k) =>
+        if (k == 0.0) lit(tw)
+        else {
+          val normLen =
+            if (stats.avgLen > 0) doclen / lit(stats.avgLen) else lit(1.0)
+          lit(tw) * wdf / (lit(k) * normLen + wdf)
+        }
+      case BoolWeight => lit(0.0)
+    }
+
+  private val emptyMatches: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
+
+  /** Decoded postings (docId, wdf) for one term. */
+  private def postingsOf(termId: Long): DataFrame =
+    idx.blocksFor(Seq(termId)).as[PostingBlock]
+      .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf)))
+      .toDF("docId", "wdf")
+
+  private def termLeaf(dict: Map[String, DictRow], t: Query.Term): DataFrame =
+    dict.get(t.term) match {
+      case None => emptyMatches
+      case Some(d) =>
+        val tw = weight.termWeight(t.wqf, d.df, stats)
+        postingsOf(d.termId)
+          .join(idx.doclens.select($"docId", $"doclen"), "docId")
+          .select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
+    }
+
+  /** Compile a query to (docId, score). */
+  def matches(q: Query): DataFrame = {
+    val simplified = Query.simplify(q)
+    val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
+    compile(simplified, dict)
+  }
+
+  /** Terms reachable only via non-weighted sides (Filter/AndNot right). */
+  private def extraTerms(q: Query): Seq[String] = q match {
+    case Query.AndNot(l, r)  => extraTerms(l) ++ r.terms.map(_.term) ++ extraTerms(r)
+    case Query.Filter(l, r)  => extraTerms(l) ++ r.terms.map(_.term) ++ extraTerms(r)
+    case Query.And(cs)       => cs.flatMap(extraTerms)
+    case Query.Or(cs)        => cs.flatMap(extraTerms)
+    case Query.Xor(l, r)     => extraTerms(l) ++ extraTerms(r)
+    case Query.AndMaybe(l, r)=> extraTerms(l) ++ extraTerms(r)
+    case Query.Near(cs, _)   => cs.flatMap(extraTerms)
+    case Query.Phrase(cs, _) => cs.flatMap(extraTerms)
+    case Query.ScaleWeight(s, _) => extraTerms(s)
+    case Query.EliteSet(cs, _)   => cs.flatMap(extraTerms)
+    case Query.Synonym(cs)   => cs.flatMap(extraTerms)
+    case _ => Seq.empty
+  }
+
+  private def compile(q: Query, dict: Map[String, DictRow]): DataFrame = q match {
+    case t: Query.Term => termLeaf(dict, t)
+
+    case Query.And(cs) =>
+      // rarest-first join order (reference: multiandpostlist.cc sorts
+      // children by termfreq ascending; SURVEY.md §4.1) — smallest
+      // stream drives the sort-merge join chain
+      val ordered = cs.sortBy(estimatedDf(_, dict))
+      ordered.map(compile(_, dict)).reduce { (l, r) =>
+        val rr = r.withColumnRenamed("score", "rscore")
+        l.join(rr, "docId")
+          .select($"docId", ($"score" + $"rscore").as("score"))
+      }
+
+    case Query.Or(cs) =>
+      // n-ary union + groupBy-sum: one shuffle for the whole OR
+      cs.map(compile(_, dict)).reduce(_ unionByName _)
+        .groupBy($"docId").agg(sum($"score").as("score"))
+
+    case Query.AndNot(l, r) =>
+      compile(l, dict).join(compile(r, dict), Seq("docId"), "left_anti")
+
+    case Query.Xor(l, r) =>
+      val lf = compile(l, dict)
+      val rf = compile(r, dict).withColumnRenamed("score", "rscore")
+      lf.join(rf, Seq("docId"), "full_outer")
+        .filter($"score".isNull =!= $"rscore".isNull)
+        .select($"docId", coalesce($"score", $"rscore").as("score"))
+
+    case Query.AndMaybe(l, r) =>
+      val rf = compile(r, dict).withColumnRenamed("score", "rscore")
+      compile(l, dict).join(rf, Seq("docId"), "left_outer")
+        .select($"docId", ($"score" + coalesce($"rscore", lit(0.0))).as("score"))
+
+    case Query.Filter(l, r) =>
+      compile(l, dict).join(compile(r, dict), Seq("docId"), "left_semi")
+
+    case Query.Near(cs, w)   => positional(cs, w, ordered = false, dict)
+    case Query.Phrase(cs, w) => positional(cs, w, ordered = true, dict)
+
+    case Query.ValueRange(f, lo, hi) =>
+      idx.docs.filter(col(f) >= lo && col(f) <= hi)
+        .select($"docId", lit(0.0).as("score"))
+    case Query.ValueGe(f, lo) =>
+      idx.docs.filter(col(f) >= lo).select($"docId", lit(0.0).as("score"))
+    case Query.ValueLe(f, hi) =>
+      idx.docs.filter(col(f) <= hi).select($"docId", lit(0.0).as("score"))
+
+    case Query.ScaleWeight(sub, f) =>
+      compile(sub, dict).select($"docId", ($"score" * f).as("score"))
+
+    case Query.EliteSet(cs, n) =>
+      // select n children with highest maxweight bound (dict stats for
+      // term leaves — plain Scala planning, no extra Spark job)
+      val ranked = cs.zipWithIndex.map { case (c, i) =>
+        (c, i, maxWeightBound(c, dict))
+      }.sortBy { case (_, i, b) => (-b, i) }.take(n).sortBy(_._2).map(_._1)
+      compile(Query.Or(ranked), dict)
+
+    case Query.Synonym(cs) =>
+      val terms = cs.flatMap(_.terms).map(_.term).distinct
+      val ids = terms.flatMap(dict.get).map(_.termId)
+      if (ids.isEmpty) emptyMatches
+      else {
+        val union = idx.blocksFor(ids).as[PostingBlock]
+          .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf)))
+          .toDF("docId", "wdf")
+          .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"))
+        val grouped = union.persist()
+        val df = grouped.count() // synonym df = union docset size
+        val tw = weight.termWeight(1, df, stats)
+        grouped.join(idx.doclens.select($"docId", $"doclen"), "docId")
+          .select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
+      }
+
+    case Query.MatchAll =>
+      idx.docs.select($"docId", lit(0.0).as("score"))
+    case Query.MatchNothing => emptyMatches
+  }
+
+  private def estimatedDf(q: Query, dict: Map[String, DictRow]): Long = q match {
+    case Query.Term(t, _, _) => dict.get(t).map(_.df).getOrElse(0L)
+    case Query.And(cs)  => if (cs.isEmpty) 0L else cs.map(estimatedDf(_, dict)).min
+    case Query.Or(cs)   => cs.map(estimatedDf(_, dict)).sum
+    case other          => other.terms.map(t => estimatedDf(t, dict)).sum
+  }
+
+  private def maxWeightBound(q: Query, dict: Map[String, DictRow]): Double = q match {
+    case Query.Term(t, wqf, _) =>
+      dict.get(t) match {
+        case None => 0.0
+        case Some(d) =>
+          val tw = weight.termWeight(wqf, d.df, stats)
+          weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
+      }
+    case other =>
+      // rare non-term child: evaluate and take the max (one small job)
+      val df = compile(other, dict)
+      val r = df.agg(max($"score")).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** NEAR/PHRASE: AND + positional window filter over packed positions. */
+  private def positional(cs: Seq[Query], window: Int, ordered: Boolean,
+                         dict: Map[String, DictRow]): DataFrame = {
+    val terms = cs.map {
+      case Query.Term(t, _, _) => t
+      case other => throw new IllegalArgumentException(
+        s"NEAR/PHRASE children must be terms, got: ${other.describe}")
+    }
+    val ids = terms.map(t => dict.get(t).map(_.termId).getOrElse(-1L))
+    if (ids.contains(-1L)) return emptyMatches
+    val anded = compile(Query.And(cs), dict)
+    // positions for the i-th child as column pos_i (bucket+termId pruned)
+    val withPos = ids.zipWithIndex.foldLeft(anded) { case (df, (tid, i)) =>
+      val p = idx.positionsFor(Seq(tid))
+        .select($"docId", $"posBytes".as(s"pos_$i"))
+      df.join(p, "docId")
+    }
+    val posCols = ids.indices.map(i => col(s"pos_$i"))
+    val matchUdf = udf { (arrs: Seq[Array[Byte]]) =>
+      Oracle.windowMatch(arrs.map(Codec.unpackPositions), window, ordered)
+    }
+    withPos.filter(matchUdf(array(posCols: _*)))
+      .select($"docId", $"score")
+  }
+
+  /** Ranked page: the reference's Enquire::get_mset(first, k). */
+  def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
+    var m = matches(q)
+    // MatchDecider / collapse / value sorts need docs columns
+    val needsDocs = opts.decider.nonEmpty || opts.collapseKey.nonEmpty ||
+      opts.sortValue.nonEmpty
+    if (needsDocs) {
+      m = m.join(idx.docs.drop("content"), "docId")
+      opts.decider.foreach(p => m = m.filter(p))
+    }
+    opts.collapseKey.foreach { key =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key)).orderBy($"score".desc, $"docId".asc)
+      m = m.withColumn("_rn", row_number().over(w)).filter($"_rn" === 1).drop("_rn")
+    }
+    if (opts.weightCutoff > 0.0) m = m.filter($"score" >= opts.weightCutoff)
+    val sortCols: Seq[Column] = opts.sortBy match {
+      case "relevance" => Seq($"score".desc, $"docId".asc)
+      case "value" =>
+        val v = col(opts.sortValue.get)
+        Seq(if (opts.sortValueReverse) v.desc else v.asc, $"docId".asc)
+      case "relevance_then_value" =>
+        val v = col(opts.sortValue.get)
+        Seq($"score".desc, if (opts.sortValueReverse) v.desc else v.asc, $"docId".asc)
+      case "value_then_relevance" =>
+        val v = col(opts.sortValue.get)
+        Seq(if (opts.sortValueReverse) v.desc else v.asc, $"score".desc, $"docId".asc)
+    }
+    // TakeOrderedAndProject: per-partition top-(first+k) + driver merge
+    val top = m.orderBy(sortCols: _*).select($"docId", $"score")
+      .limit(first + k).collect()
+    // greatest attained weight: free from the page under relevance
+    // order; needs one extra agg under value sorts
+    val greatest: Double =
+      if (opts.sortBy == "relevance")
+        top.headOption.map(_.getDouble(1)).getOrElse(0.0)
+      else m.agg(max($"score")).collect()(0) match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    def pct(w: Double): Int =
+      if (greatest <= 0.0) 0
+      else math.max(1, math.min(100, (100.0 * w / greatest).toInt))
+    val items = top.map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(i => opts.percentCutoff == 0 || pct(i._2) >= opts.percentCutoff)
+    items.slice(first, first + k).zipWithIndex.map {
+      case ((did, s), r) => MSetItem(r + first, did, s, pct(s))
+    }.toSeq
+  }
+}

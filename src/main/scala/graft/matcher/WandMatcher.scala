@@ -1,0 +1,199 @@
+package graft.matcher
+
+import graft.core._
+import graft.index.IndexReader
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/**
+ * Block-max WAND top-k path (the reference's maxweight-pruned
+ * MultiMatch loop — reference: xapian-core/matcher/multimatch.cc +
+ * docs/matcherdesign.rst; SURVEY.md §4.1): supports weighted
+ * OR-of-terms / single-term queries, the BM25 hot path the north star
+ * names explicitly.
+ *
+ * Distribution shape = the reference's sharded search (§3.3): each
+ * docId stripe is an independent sub-match running a document-at-a-time
+ * WAND over decoded blocks with per-block upper bounds; stripe-local
+ * top-k results merge on the driver via TakeOrdered. The only data
+ * shuffled is posting blocks for the query's terms plus the doclens of
+ * the stripes they touch — never the whole index.
+ */
+class WandMatcher(idx: IndexReader, weight: Weight = Bm25Weight()) {
+  private val spark = idx.spark
+  import spark.implicits._
+
+  private lazy val stats = idx.stats
+
+  /** True if the WAND path can answer q (OR of term leaves / a term). */
+  def supports(q: Query): Boolean = Query.simplify(q) match {
+    case _: Query.Term => true
+    case Query.Or(cs)  => cs.forall(_.isInstanceOf[Query.Term])
+    case _             => false
+  }
+
+  def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
+    val terms: Seq[Query.Term] = Query.simplify(q) match {
+      case t: Query.Term => Seq(t)
+      case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
+      case other => throw new IllegalArgumentException(
+        s"WAND path supports OR-of-terms only, got: ${other.describe}")
+    }
+    val dict = idx.lookupTerms(terms.map(_.term))
+    val tws: Map[Long, Double] = terms.flatMap { t =>
+      dict.get(t.term).map(d => d.termId -> weight.termWeight(t.wqf, d.df, stats))
+    }.toMap
+    if (tws.isEmpty) return Seq.empty
+    val termIds = tws.keys.toSeq.sorted
+    val need = first + k
+
+    val blocks = idx.blocksFor(termIds).as[PostingBlock]
+    // stripes actually touched (metadata-cheap distinct over blocks)
+    val stripes = blocks.select($"stripe").distinct()
+      .as[Int].collect().toSeq
+    if (stripes.isEmpty) return Seq.empty
+    val doclens = idx.doclens.filter($"stripe".isin(stripes: _*))
+      .select($"stripe", $"docId", $"doclen").as[(Int, Long, Long)]
+
+    val bTws = spark.sparkContext.broadcast(tws)
+    val w = weight
+    val st = stats
+
+    // per-stripe sub-match: cogroup blocks with that stripe's doclens
+    val local = blocks.groupByKey(_.stripe)
+      .cogroup(doclens.groupByKey(_._1)) { (stripe, bs, dls) =>
+        val lens = new mutable.LongMap[Long]()
+        dls.foreach { case (_, did, len) => lens(did) = len }
+        WandMatcher.stripeTopK(bs.toSeq, bTws.value, lens, w, st, need)
+      }
+
+    // driver merge (TakeOrderedAndProject over tiny per-stripe lists)
+    val top = local.toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(need).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val greatest = top.headOption.map(_._2).getOrElse(0.0)
+    def pct(s: Double): Int =
+      if (greatest <= 0.0) 0
+      else math.max(1, math.min(100, (100.0 * s / greatest).toInt))
+    top.slice(first, need).zipWithIndex.map {
+      case ((did, s), r) => MSetItem(r + first, did, s, pct(s))
+    }.toSeq
+  }
+}
+
+object WandMatcher {
+
+  /** Cursor over one term's blocks within a stripe (sorted by docId),
+    * decoding lazily, exposing a block-max upper bound. */
+  private final class Cursor(
+      val termId: Long, val termWeight: Double,
+      blocks: IndexedSeq[PostingBlock], w: Weight, stats: StatsRow) {
+    private var bi = 0
+    private var decoded: Array[Posting] = _
+    private var pi = 0
+    var exhausted: Boolean = blocks.isEmpty
+    if (!exhausted) decode()
+
+    private def decode(): Unit = { decoded = Codec.unpackBlock(blocks(bi)); pi = 0 }
+
+    def curDoc: Long = decoded(pi).docId
+    def curWdf: Int = decoded(pi).wdf
+    /** Upper bound of this term's contribution in the CURRENT block. */
+    def blockUB: Double = {
+      val b = blocks(bi)
+      w.maxPart(termWeight, b.maxWdf, b.minDocLen, stats)
+    }
+
+    def next(): Unit = {
+      pi += 1
+      if (pi >= decoded.length) {
+        bi += 1
+        if (bi >= blocks.length) exhausted = true else decode()
+      }
+    }
+
+    /** Advance to the first posting with docId >= target. */
+    def skipTo(target: Long): Unit = {
+      // skip whole blocks via header ranges (the chert chunk-seek analog)
+      while (!exhausted && blocks(bi).lastDocId < target) {
+        bi += 1
+        if (bi >= blocks.length) { exhausted = true; return } else decode()
+      }
+      if (exhausted) return
+      // binary search within the decoded block
+      var lo = pi; var hi = decoded.length - 1
+      if (decoded(lo).docId >= target) return
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (decoded(mid).docId < target) lo = mid + 1 else hi = mid
+      }
+      pi = lo
+      if (decoded(pi).docId < target) next()
+    }
+  }
+
+  /** Document-at-a-time WAND with block-max bounds over one stripe. */
+  def stripeTopK(
+      blocks: Seq[PostingBlock],
+      termWeights: Map[Long, Double],
+      doclen: mutable.LongMap[Long],
+      w: Weight,
+      stats: StatsRow,
+      k: Int): Iterator[(Long, Double)] = {
+    val cursors: Array[Cursor] = blocks.groupBy(_.termId).iterator.map {
+      case (tid, bs) =>
+        new Cursor(tid, termWeights(tid),
+          bs.sortBy(_.firstDocId).toIndexedSeq, w, stats)
+    }.toArray
+    // min-heap of the k best (score asc, docId desc → evict smallest
+    // score / largest docId first, matching weight-desc docId-asc rank)
+    implicit val ord: Ordering[(Long, Double)] =
+      Ordering.by { case (did, s) => (-s, did) }
+    val heap = mutable.PriorityQueue.empty[(Long, Double)]
+    var theta = Double.NegativeInfinity
+
+    val active = mutable.ArrayBuffer[Cursor](cursors.filterNot(_.exhausted).toSeq: _*)
+    while (active.nonEmpty) {
+      // sort by current docId (few terms — cheap)
+      val sorted = active.sortBy(_.curDoc)
+      // pivot: first index where the cumulative block-max UB exceeds θ
+      var acc = 0.0
+      var pivotIdx = -1
+      var i = 0
+      while (pivotIdx < 0 && i < sorted.length) {
+        acc += sorted(i).blockUB
+        if (acc > theta) pivotIdx = i
+        i += 1
+      }
+      if (pivotIdx < 0) {
+        active.clear() // no doc can beat θ — prune the rest of the stripe
+      } else {
+        val pivotDoc = sorted(pivotIdx).curDoc
+        if (sorted.head.curDoc == pivotDoc) {
+          // fully score pivotDoc
+          var score = 0.0
+          val len = doclen.getOrElse(pivotDoc, 0L)
+          sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
+            score += w.sumPart(c.termWeight, c.curWdf, len, stats)
+          }
+          // advance all cursors positioned at pivotDoc
+          sorted.foreach { c => if (!c.exhausted && c.curDoc == pivotDoc) c.next() }
+          if (heap.size < k) {
+            heap.enqueue((pivotDoc, score))
+            if (heap.size == k) theta = heap.head._2
+          } else if (score > theta ||
+                     (score == theta && pivotDoc < heap.head._1)) {
+            heap.dequeue(); heap.enqueue((pivotDoc, score))
+            theta = heap.head._2
+          }
+        } else {
+          // advance the lagging cursors up to the pivot
+          sorted.takeWhile(_.curDoc < pivotDoc).foreach(_.skipTo(pivotDoc))
+        }
+        active.filterInPlace(!_.exhausted)
+      }
+    }
+    heap.dequeueAll.reverseIterator // best-first
+  }
+}

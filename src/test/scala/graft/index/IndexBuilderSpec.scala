@@ -1,0 +1,155 @@
+package graft.index
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class IndexBuilderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = CorpusGen.generate(seed = 42, nRepos = 3, filesPerRepo = 20)
+  private lazy val tmp = Files.createTempDirectory("graft-idx").toString
+  private val cfg = BuildConfig(indexDir = "", stemMode = "none",
+    nBuckets = 4, stripeShift = 5, maxPerBlock = 16,
+    skewDfThreshold = 10, saltFactor = 4, buildPartitions = 4)
+
+  private lazy val idxDir = {
+    val d = s"$tmp/idx"
+    new IndexBuilder(spark, cfg.copy(indexDir = d))
+      .build(spark.createDataset(corpus))
+    d
+  }
+
+  // scalar oracle over the same corpus with the same docId order
+  private lazy val oracleIdx = {
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    Oracle.buildIndex(
+      sorted.zipWithIndex.map { case (c, i) =>
+        Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+      }, stemMode = "none")
+  }
+
+  test("docIds are dense, 1-based, ordered by (repo, path, commit)") {
+    val docs = spark.read.parquet(s"$idxDir/docs")
+      .select("docId", "repo", "path", "commit")
+      .orderBy("docId").collect()
+    assert(docs.map(_.getLong(0)).toSeq == (1L to corpus.size).toSeq)
+    val keys = docs.map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(keys.toSeq == keys.toSeq.sorted)
+  }
+
+  test("per-row content sha256 equality corpus vs index (BASELINE invariant)") {
+    val fromIdx = spark.read.parquet(s"$idxDir/docs")
+      .select("repo", "path", "sha256").as[(String, String, String)]
+      .collect().map { case (r, p, s) => (r, p) -> s }.toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    corpus.foreach { c =>
+      val want = md.digest(c.content.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(fromIdx((c.repo, c.path)) == want, s"${c.repo}/${c.path}")
+    }
+  }
+
+  test("doclens match oracle") {
+    val got = spark.read.parquet(s"$idxDir/doclens")
+      .select("docId", "doclen").as[(Long, Long)].collect().toMap
+    oracleIdx.docLen.foreach { case (d, l) =>
+      assert(got(d) == l, s"doc $d")
+    }
+  }
+
+  test("stats match oracle") {
+    val got = spark.read.parquet(s"$idxDir/stats").as[StatsRow].collect()(0)
+    assert(got == oracleIdx.stats)
+  }
+
+  test("dict df/cf/maxWdf match oracle; termIds dense in term order") {
+    val dict = spark.read.parquet(s"$idxDir/dict").as[DictRow]
+      .collect().sortBy(_.termId)
+    assert(dict.map(_.termId).toSeq == (1L to dict.length).toSeq)
+    assert(dict.map(_.term).toSeq == dict.map(_.term).toSeq.sorted)
+    dict.foreach { d =>
+      val pl = oracleIdx.postings(d.term)
+      assert(d.df == pl.size, s"df of ${d.term}")
+      assert(d.cf == pl.map(_._2.toLong).sum, s"cf of ${d.term}")
+      assert(d.maxWdf == pl.map(_._2).max, s"maxWdf of ${d.term}")
+    }
+  }
+
+  test("decoded postings match oracle for every term") {
+    val dict = spark.read.parquet(s"$idxDir/dict").as[DictRow]
+      .collect().map(d => d.termId -> d.term).toMap
+    val blocks = spark.read.parquet(s"$idxDir/postings")
+      .as[PostingBlock].collect()
+      .groupBy(_.termId).view.mapValues(_.sortBy(_.firstDocId)).toMap
+    assert(blocks.keySet.map(dict) == oracleIdx.postings.keySet)
+    blocks.foreach { case (tid, bs) =>
+      val got = bs.flatMap(Codec.unpackBlock).map(p => (p.docId, p.wdf)).toSeq
+      val want = oracleIdx.postings(dict(tid)).map { case (d, w, _) => (d, w) }
+      assert(got == want, s"term ${dict(tid)}")
+      // block metadata is exact
+      bs.foreach { b =>
+        val dec = Codec.unpackBlock(b)
+        assert(b.maxWdf == dec.map(_.wdf).max)
+        assert(b.count == dec.length)
+        assert(b.bucket == Buckets.of(tid, cfg.nBuckets))
+        assert(((b.firstDocId - 1) >> cfg.stripeShift).toInt == b.stripe)
+        assert(((b.lastDocId - 1) >> cfg.stripeShift).toInt == b.stripe)
+      }
+    }
+  }
+
+  test("positions decode to oracle positions") {
+    val dict = spark.read.parquet(s"$idxDir/dict").as[DictRow]
+      .collect().map(d => d.termId -> d.term).toMap
+    val pos = spark.read.parquet(s"$idxDir/positions")
+      .select("termId", "docId", "posBytes").as[(Long, Long, Array[Byte])]
+      .collect()
+    assert(pos.nonEmpty)
+    pos.foreach { case (tid, did, bytes) =>
+      val got = Codec.unpackPositions(bytes).toSeq
+      val want = oracleIdx.postings(dict(tid))
+        .find(_._1 == did).get._3.toSeq
+      assert(got == want, s"term ${dict(tid)} doc $did")
+    }
+  }
+
+  test("salting invariance: aggressive salt config yields identical blocks") {
+    val d2 = s"$tmp/idx-salted"
+    // skewDfThreshold=0 salts EVERY term
+    new IndexBuilder(spark, cfg.copy(indexDir = d2, skewDfThreshold = 0,
+      saltFactor = 8)).build(spark.createDataset(corpus))
+    def key(dir: String) = spark.read.parquet(s"$dir/postings")
+      .as[PostingBlock].collect()
+      .map(b => (b.termId, b.firstDocId, b.lastDocId, b.count, b.maxWdf,
+        b.minDocLen, b.bytes.toSeq))
+      .sortBy(t => (t._1, t._2))
+    assert(key(idxDir).toSeq == key(d2).toSeq)
+  }
+
+  test("resume: rebuilding with same config skips completed stages (idempotent)") {
+    val before = spark.read.parquet(s"$idxDir/docs")
+      .select("docId", "sha256").as[(Long, String)].collect().sortBy(_._1)
+    // delete one downstream table + its manifest → only it rebuilds
+    val statsDir = new java.io.File(s"$idxDir/stats")
+    statsDir.listFiles().foreach(_.delete()); statsDir.delete()
+    new java.io.File(s"$idxDir/_manifests/stats.json").delete()
+    new IndexBuilder(spark, cfg.copy(indexDir = idxDir))
+      .build(spark.createDataset(corpus))
+    val stats = spark.read.parquet(s"$idxDir/stats").as[StatsRow].collect()(0)
+    assert(stats == oracleIdx.stats)
+    val after = spark.read.parquet(s"$idxDir/docs")
+      .select("docId", "sha256").as[(Long, String)].collect().sortBy(_._1)
+    assert(before.toSeq == after.toSeq)
+  }
+
+  test("manifests carry config hash and row counts") {
+    val m = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idxDir/_manifests/postings.json")), "UTF-8")
+    assert(m.contains("configHash"))
+    assert(m.contains("\"lineage\":["))
+  }
+}
