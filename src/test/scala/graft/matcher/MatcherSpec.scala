@@ -1,0 +1,140 @@
+package graft.matcher
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import Query._
+
+/**
+ * Three-way rank identity (SURVEY.md §5, apitest analog): for every
+ * operator and query, the Dataset path and (where supported) the WAND
+ * path must reproduce the scalar oracle's MSet — ranks exact, scores
+ * within 1e-9, ties broken by docId.
+ */
+class MatcherSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val corpus = CorpusGen.generate(seed = 7, nRepos = 4, filesPerRepo = 25)
+  private lazy val env = {
+    val dir = Files.createTempDirectory("graft-match").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 4, stripeShift = 5, maxPerBlock = 16,
+      skewDfThreshold = 20, saltFactor = 4, buildPartitions = 4)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val odocs = sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }
+    (reader, Oracle.buildIndex(odocs, stemMode = "none"), odocs)
+  }
+  private lazy val (reader, oracleIdx, oracleDocs) = env
+
+  private def assertSame(got: Seq[MSetItem], want: Seq[MSetItem], tag: String): Unit = {
+    assert(got.map(_.docId) == want.map(_.docId),
+      s"$tag docIds: got ${got.map(_.docId)}, want ${want.map(_.docId)}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9, s"$tag doc ${g.docId} score")
+      assert(g.rank == w.rank, s"$tag rank")
+    }
+  }
+
+  private def check(q: Query, k: Int = 10, tag: String = ""): Unit = {
+    val name = if (tag.nonEmpty) tag else q.describe
+    val want = Oracle.mset(q, oracleIdx, k)
+    val got = new DatasetMatcher(reader).mset(q, k)
+    assertSame(got, want, s"dataset:$name")
+    val wand = new WandMatcher(reader)
+    if (wand.supports(q)) assertSame(wand.mset(q, k), want, s"wand:$name")
+  }
+
+  // pick terms with interesting df spread from the corpus
+  private def commonTerm = "def"      // keyword, high df
+  private def midTerm    = "parse"    // pool word
+  private def rareTerm   = "c++"      // special token
+
+  test("single term")      { check(t(commonTerm)); check(t(midTerm)); check(t(rareTerm)) }
+  test("term with wqf > 1"){ check(Term(midTerm, wqf = 3)) }
+  test("OR of two")        { check(or(t(midTerm), t(rareTerm))) }
+  test("OR of four")       { check(or(t(commonTerm), t(midTerm), t(rareTerm), t("token"))) }
+  test("AND")              { check(and(t(commonTerm), t(midTerm))) }
+  test("AND of three")     { check(and(t(commonTerm), t(midTerm), t("token"))) }
+  test("AND_NOT")          { check(AndNot(t(midTerm), t(commonTerm))) }
+  test("XOR")              { check(Xor(t(midTerm), t("token"))) }
+  test("AND_MAYBE")        { check(AndMaybe(t(midTerm), t(commonTerm))) }
+  test("FILTER")           { check(Filter(t(midTerm), t(commonTerm))) }
+  test("SCALE_WEIGHT")     { check(ScaleWeight(or(t(midTerm), t("token")), 2.5)) }
+  test("ELITE_SET")        { check(EliteSet(Seq(t(commonTerm), t(midTerm), t(rareTerm), t("token")), 2)) }
+  test("SYNONYM")          { check(Synonym(Seq(t(midTerm), t("token")))) }
+  test("NEAR")             { check(Near(Seq(t(commonTerm), t(midTerm)), 5)) }
+  test("PHRASE")           { check(Phrase(Seq(t(commonTerm), t(midTerm)), 5)) }
+  test("nested boolean")   {
+    check(AndNot(or(t(midTerm), t("token")), and(t(commonTerm), t("index"))))
+  }
+  test("missing term behaves as MatchNothing") {
+    check(or(t(midTerm), t("zzz_not_a_term")))
+    check(and(t(midTerm), t("zzz_not_a_term")))
+  }
+  test("MatchAll is docId-ascending boolean") { check(MatchAll, k = 15) }
+
+  test("paging: first/offset") {
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 5, Oracle.Options(), first = 3)
+    val got = new DatasetMatcher(reader).mset(q, 5, first = 3)
+    assertSame(got, want, "paging")
+    val wand = new WandMatcher(reader)
+    assertSame(wand.mset(q, 5, first = 3), want, "paging-wand")
+  }
+
+  test("matchdecider (lang filter)") {
+    import org.apache.spark.sql.functions.col
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 10,
+      Oracle.Options(decider = Some(_.lang == "java")))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(decider = Some(col("lang") === "java"))).mset(q, 10)
+    assertSame(got, want, "decider")
+  }
+
+  test("collapse on lang keeps best per key") {
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 10,
+      Oracle.Options(collapseKey = Some(_.lang)))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(collapseKey = Some("lang"))).mset(q, 10)
+    assertSame(got, want, "collapse")
+  }
+
+  test("percent values match oracle") {
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 10)
+    val got = new DatasetMatcher(reader).mset(q, 10)
+    assert(got.map(_.percent) == want.map(_.percent))
+  }
+
+  test("stemmed corpus end-to-end: Z-terms rank-identical") {
+    val dir = Files.createTempDirectory("graft-stem").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "some",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4)
+    val small = corpus.take(40)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(small)
+    }
+    val r2 = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = small.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }, stemMode = "some")
+    val q = or(t("Z" + Stemmer.stem("parsing")), t("Z" + Stemmer.stem("token")))
+    val want = Oracle.mset(q, oidx, 10)
+    assertSame(new DatasetMatcher(r2).mset(q, 10), want, "stemmed-dataset")
+    assertSame(new WandMatcher(r2).mset(q, 10), want, "stemmed-wand")
+  }
+}
