@@ -28,6 +28,7 @@ sealed trait Query extends Product with Serializable {
     case Query.ScaleWeight(q, f)  => s"$f * ${q.describe}"
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
+    case Query.Wildcard(p)        => s"$p*"
     case Query.MatchAll           => "<alldocuments>"
     case Query.MatchNothing       => ""
   }
@@ -79,6 +80,10 @@ object Query {
   final case class EliteSet(children: Seq[Query], n: Int) extends Query
   /** Like OR but scored as a single pseudo-term (combined wdf). */
   final case class Synonym(children: Seq[Query]) extends Query
+  /** Wildcard leaf (`prefix*`): expanded against the term dictionary
+    * into an OR of matching terms before evaluation
+    * (graft.queryparser.QueryParser.expandWildcard). */
+  final case class Wildcard(prefix: String) extends Query
   case object MatchAll extends Query
   case object MatchNothing extends Query
 
@@ -152,6 +157,36 @@ object Query {
         case many   => Synonym(many)
       }
     case other => other
+  }
+
+  /**
+   * Expand [[Query.Wildcard]] leaves against the term dictionary into
+   * an OR of matching terms (the 1.2-era parser behavior — reference:
+   * xapian-core/queryparser/queryparser_internal.cc FLAG_WILDCARD).
+   * `lookup` returns dictionary terms with the given prefix; an empty
+   * expansion is MatchNothing.
+   */
+  def expandWildcards(q: Query, lookup: String => Seq[String]): Query = {
+    def walk(q: Query): Query = q match {
+      case Wildcard(p) =>
+        val ts = lookup(p).sorted
+        if (ts.isEmpty) MatchNothing
+        else if (ts.size == 1) Term(ts.head)
+        else Or(ts.map(Term(_)))
+      case And(cs)        => And(cs.map(walk))
+      case Or(cs)         => Or(cs.map(walk))
+      case AndNot(l, r)   => AndNot(walk(l), walk(r))
+      case Xor(l, r)      => Xor(walk(l), walk(r))
+      case AndMaybe(l, r) => AndMaybe(walk(l), walk(r))
+      case Filter(l, r)   => Filter(walk(l), walk(r))
+      case Near(cs, w)    => Near(cs.map(walk), w)
+      case Phrase(cs, w)  => Phrase(cs.map(walk), w)
+      case ScaleWeight(s, f) => ScaleWeight(walk(s), f)
+      case EliteSet(cs, n)   => EliteSet(cs.map(walk), n)
+      case Synonym(cs)       => Synonym(cs.map(walk))
+      case other => other
+    }
+    simplify(walk(q))
   }
 }
 

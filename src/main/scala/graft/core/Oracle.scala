@@ -201,6 +201,10 @@ object Oracle {
       case Query.MatchAll =>
         sortedMap(idx.docs.keys.toSeq.map(_ -> 0.0))
 
+      case w: Query.Wildcard =>
+        evaluate(Query.expandWildcards(w,
+          p => idx.postings.keys.filter(_.startsWith(p)).toSeq), idx, opts)
+
       case Query.MatchNothing => new mutable.LinkedHashMap
     }
   }

@@ -37,6 +37,12 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
       .as[DictRow].collect().map(d => d.term -> d).toMap
   }
 
+  /** Dictionary terms starting with `prefix` (wildcard expansion) —
+    * a pruned dict scan; StartsWith pushes down to the parquet reader. */
+  def termsWithPrefix(prefix: String): Seq[String] =
+    dict.filter($"term".startsWith(prefix)).select($"term")
+      .as[String].collect().toSeq
+
   /** Posting blocks for a set of termIds: bucket-partition pruning +
     * parquet row-group min/max pruning on termId. */
   def blocksFor(termIds: Seq[Long]): DataFrame = {

@@ -86,9 +86,28 @@ class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
 
   /** Compile a query to (docId, score). */
   def matches(q: Query): DataFrame = {
-    val simplified = Query.simplify(q)
+    val expanded =
+      if (hasWildcard(q)) Query.expandWildcards(q, idx.termsWithPrefix)
+      else q
+    val simplified = Query.simplify(expanded)
     val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
     compile(simplified, dict)
+  }
+
+  private def hasWildcard(q: Query): Boolean = q match {
+    case _: Query.Wildcard   => true
+    case Query.And(cs)       => cs.exists(hasWildcard)
+    case Query.Or(cs)        => cs.exists(hasWildcard)
+    case Query.AndNot(l, r)  => hasWildcard(l) || hasWildcard(r)
+    case Query.Xor(l, r)     => hasWildcard(l) || hasWildcard(r)
+    case Query.AndMaybe(l, r)=> hasWildcard(l) || hasWildcard(r)
+    case Query.Filter(l, r)  => hasWildcard(l) || hasWildcard(r)
+    case Query.Near(cs, _)   => cs.exists(hasWildcard)
+    case Query.Phrase(cs, _) => cs.exists(hasWildcard)
+    case Query.ScaleWeight(s, _) => hasWildcard(s)
+    case Query.EliteSet(cs, _)   => cs.exists(hasWildcard)
+    case Query.Synonym(cs)   => cs.exists(hasWildcard)
+    case _ => false
   }
 
   /** Terms reachable only via non-weighted sides (Filter/AndNot right). */
@@ -185,6 +204,8 @@ class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
     case Query.MatchAll =>
       idx.docs.select($"docId", lit(0.0).as("score"))
     case Query.MatchNothing => emptyMatches
+    case w: Query.Wildcard => // expanded in matches(); unreachable here
+      compile(Query.expandWildcards(w, idx.termsWithPrefix), dict)
   }
 
   private def estimatedDf(q: Query, dict: Map[String, DictRow]): Long = q match {

@@ -1,0 +1,336 @@
+package graft.queryparser
+
+import graft.core.{Query, Stemmer, Tokenizer}
+
+/**
+ * Quest-style query-string parser → [[graft.core.Query]] ADT.
+ *
+ * Re-expresses the reference's QueryParser grammar (reference:
+ * xapian-core/queryparser/queryparser.lemony + queryparser_internal.cc;
+ * SURVEY.md §3.1) as a hand-written recursive-descent parser. Frozen
+ * spec (SURVEY.md §0 — the reference mount is empty; these rules are
+ * the specification this engine is tested against):
+ *
+ *  - Boolean operators are UPPERCASE only: `AND`, `OR`, `NOT`, `XOR`,
+ *    `AND NOT`, `NEAR`, `NEAR/n`, `ADJ`, `ADJ/n`; parentheses group.
+ *  - Precedence (loosest→tightest): OR < XOR < AND = NOT < NEAR/ADJ.
+ *    `a AND b NOT c` parses as `(a AND b) AND_NOT c` (left-assoc).
+ *  - A run of terms without operators combines with `defaultOp`
+ *    (OR by default, as in the reference).
+ *  - `+term` / `-term`: plus-terms are required — the group becomes
+ *    `(AND of plus) AND_MAYBE (defaultOp of rest)`; minus-terms are
+ *    excluded via AND_NOT of their OR.
+ *  - `"quoted phrase"` → Phrase(terms, window = #terms), unstemmed.
+ *  - `NEAR` / `ADJ` children are unstemmed term leaves; default
+ *    window = 10 when no `/n` is given.
+ *  - `field:value` uses `prefixes` (probabilistic: term becomes
+ *    `<P>value`, stemmed as usual) or `boolPrefixes` (boolean filter:
+ *    same-field values OR together, different fields AND, and the
+ *    combined filter applies as OP_FILTER — zero weight).
+ *  - `wild*` → Wildcard marker, expanded against the term dictionary
+ *    at match time into an OR of matching terms (1.2-era behavior).
+ *  - Under stemMode="some", probabilistic terms become `Z`-prefixed
+ *    stemmed terms, EXCEPT: terms inside phrases/NEAR/ADJ, wildcards,
+ *    boolean-prefix terms, and words starting with an uppercase
+ *    letter (proper-noun heuristic, as in the reference).
+ *  - Repeated identical probabilistic terms accumulate wqf.
+ *  - Stopwords are dropped from probabilistic term runs (not from
+ *    phrases or prefixed terms).
+ */
+object QueryParser {
+
+  final case class Config(
+      defaultOp: String = "or", // "or" | "and"
+      stemMode: String = "some", // "none" | "some"
+      stopwords: Set[String] = Set.empty,
+      prefixes: Map[String, String] = Map.empty,
+      boolPrefixes: Map[String, String] = Map.empty)
+
+  /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
+  val Wildcard = Query.Wildcard
+
+  // ---------------- lexer ----------------
+
+  private sealed trait Tok
+  private case object LP extends Tok
+  private case object RP extends Tok
+  private case object AndT extends Tok
+  private case object OrT extends Tok
+  private case object NotT extends Tok
+  private case object XorT extends Tok
+  private final case class NearT(window: Int, ordered: Boolean) extends Tok
+  private case object PlusT extends Tok
+  private case object MinusT extends Tok
+  private final case class Quoted(text: String) extends Tok
+  private final case class Word(field: Option[String], text: String, wild: Boolean) extends Tok
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    def isWordStart(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '(' => out += LP; i += 1
+        case ')' => out += RP; i += 1
+        case '"' =>
+          val j = s.indexOf('"', i + 1)
+          val end = if (j < 0) n else j
+          out += Quoted(s.substring(i + 1, end))
+          i = if (j < 0) n else j + 1
+        case '+' if i + 1 < n && isWordStart(s.charAt(i + 1)) =>
+          out += PlusT; i += 1
+        case '-' if i + 1 < n && isWordStart(s.charAt(i + 1)) =>
+          out += MinusT; i += 1
+        case c if isWordStart(c) =>
+          // consume a word: letters/digits/_/./,/'/&/+/#, stop at space or paren
+          var j = i
+          while (j < n && !s.charAt(j).isWhitespace &&
+                 s.charAt(j) != '(' && s.charAt(j) != ')' &&
+                 s.charAt(j) != '"') j += 1
+          var w = s.substring(i, j)
+          i = j
+          w match {
+            case "AND" => out += AndT
+            case "OR"  => out += OrT
+            case "NOT" => out += NotT
+            case "XOR" => out += XorT
+            case "NEAR" => out += NearT(10, ordered = false)
+            case "ADJ"  => out += NearT(10, ordered = true)
+            case _ if w.startsWith("NEAR/") && w.drop(5).forall(_.isDigit) && w.length > 5 =>
+              out += NearT(w.drop(5).toInt, ordered = false)
+            case _ if w.startsWith("ADJ/") && w.drop(4).forall(_.isDigit) && w.length > 4 =>
+              out += NearT(w.drop(4).toInt, ordered = true)
+            case _ =>
+              // field:value ?
+              val ci = w.indexOf(':')
+              val (field, rest) =
+                if (ci > 0 && w.take(ci).forall(ch => ch.isLetter || ch == '_'))
+                  (Some(w.take(ci)), w.drop(ci + 1))
+                else (None, w)
+              val wild = rest.endsWith("*")
+              val text = if (wild) rest.dropRight(1) else rest
+              if (text.nonEmpty) out += Word(field, text, wild)
+          }
+        case _ => i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---------------- parser ----------------
+
+  private final class P(toks: Vector[Tok], cfg: Config) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def advance(): Tok = { val t = toks(pos); pos += 1; t }
+
+    def parseQuery(): Query = {
+      if (toks.isEmpty) return Query.MatchNothing
+      val q = parseOr()
+      Query.simplify(accumulateWqf(q))
+    }
+
+    private def parseOr(): Query = {
+      var acc = Vector(parseXor())
+      while (peek.contains(OrT)) { advance(); acc :+= parseXor() }
+      if (acc.size == 1) acc.head else Query.Or(acc)
+    }
+
+    private def parseXor(): Query = {
+      var acc = parseAndLevel()
+      while (peek.contains(XorT)) { advance(); acc = Query.Xor(acc, parseAndLevel()) }
+      acc
+    }
+
+    private def parseAndLevel(): Query = {
+      var acc = parseProbGroup()
+      var go = true
+      while (go) {
+        peek match {
+          case Some(AndT) =>
+            advance()
+            if (peek.contains(NotT)) { advance(); acc = Query.AndNot(acc, parseProbGroup()) }
+            else acc = Query.And(Seq(acc, parseProbGroup()))
+          case Some(NotT) =>
+            advance(); acc = Query.AndNot(acc, parseProbGroup())
+          case _ => go = false
+        }
+      }
+      acc
+    }
+
+    /** A run of primaries without explicit boolean operators:
+      * +/- handling, boolean-prefix filters, defaultOp for the rest. */
+    private def parseProbGroup(): Query = {
+      final case class Item(q: Query, plus: Boolean, minus: Boolean, boolField: Option[String])
+      var items = Vector.empty[Item]
+      var go = true
+      while (go) {
+        peek match {
+          case Some(PlusT) =>
+            advance()
+            primaryOpt(stemmed = true).foreach(q => items :+= Item(q, plus = true, minus = false, None))
+          case Some(MinusT) =>
+            advance()
+            primaryOpt(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = true, None))
+          case Some(_: Quoted) | Some(LP) =>
+            parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
+          case Some(Word(f, _, _)) if f.exists(cfg.boolPrefixes.contains) =>
+            val Word(Some(field), text, wild) = advance(): @unchecked
+            val term = cfg.boolPrefixes(field) + text.toLowerCase
+            val q = if (wild) Wildcard(term) else Query.Term(term)
+            items :+= Item(q, plus = false, minus = false, Some(field))
+          case Some(_: Word) =>
+            parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
+          case _ => go = false
+        }
+      }
+      if (items.isEmpty) return Query.MatchNothing
+
+      val plus = items.filter(_.plus).map(_.q)
+      val minus = items.filter(_.minus).map(_.q)
+      val boolItems = items.filter(i => !i.plus && !i.minus && i.boolField.nonEmpty)
+      val prob = items.filter(i => !i.plus && !i.minus && i.boolField.isEmpty).map(_.q)
+
+      val probQ: Query =
+        if (prob.isEmpty) Query.MatchNothing
+        else if (prob.size == 1) prob.head
+        else if (cfg.defaultOp == "and") Query.And(prob)
+        else Query.Or(prob)
+
+      var result: Query =
+        if (plus.nonEmpty) {
+          val andPlus = if (plus.size == 1) plus.head else Query.And(plus)
+          if (probQ == Query.MatchNothing) andPlus
+          else Query.AndMaybe(andPlus, probQ)
+        } else probQ
+
+      if (boolItems.nonEmpty) {
+        // same field → OR; different fields → AND; whole thing is a filter
+        val byField = boolItems.groupBy(_.boolField.get).toSeq.sortBy(_._1)
+        val filt = byField.map { case (_, is) =>
+          if (is.size == 1) is.head.q else Query.Or(is.map(_.q))
+        } match {
+          case Seq(one) => one
+          case many     => Query.And(many)
+        }
+        result =
+          if (result == Query.MatchNothing) filt // pure boolean query
+          else Query.Filter(result, filt)
+      }
+      if (minus.nonEmpty) {
+        val m = if (minus.size == 1) minus.head else Query.Or(minus)
+        result =
+          if (result == Query.MatchNothing) Query.MatchNothing
+          else Query.AndNot(result, m)
+      }
+      result
+    }
+
+    /** primary (NEAR/ADJ primary)* — positional chains bind tightest.
+      * Children of NEAR/ADJ are unstemmed (positions are only stored
+      * for unstemmed terms): on seeing the operator, the left primary
+      * is re-parsed unstemmed from its saved position. */
+    private def parsePrimaryChain(stemmed: Boolean): Option[Query] = {
+      val leftStart = pos
+      var left = primaryOpt(stemmed)
+      if (peek.exists(_.isInstanceOf[NearT]) && stemmed) {
+        val after = pos
+        pos = leftStart
+        left = primaryOpt(stemmed = false)
+        pos = after
+      }
+      while (peek.exists(_.isInstanceOf[NearT])) {
+        val NearT(w, ordered) = advance(): @unchecked
+        val right = primaryOpt(stemmed = false)
+        (left, right) match {
+          case (Some(l), Some(r)) =>
+            val children = flattenPositional(l) ++ flattenPositional(r)
+            left = Some(
+              if (ordered) Query.Phrase(children, w) else Query.Near(children, w))
+          case (None, r) => left = r
+          case (l, None) => // dangling operator: keep left
+        }
+      }
+      left
+    }
+
+    private def flattenPositional(q: Query): Seq[Query] = q match {
+      case Query.Near(cs, _)   => cs
+      case Query.Phrase(cs, _) => cs
+      case other               => Seq(other)
+    }
+
+    private def primaryOpt(stemmed: Boolean): Option[Query] = peek match {
+      case Some(LP) =>
+        advance()
+        val q = parseOr()
+        if (peek.contains(RP)) advance()
+        Some(q)
+      case Some(Quoted(text)) =>
+        advance()
+        val terms = Tokenizer.tokenize(text).map(t => Query.Term(t.term))
+        if (terms.isEmpty) None
+        else if (terms.size == 1) Some(terms.head)
+        else Some(Query.Phrase(terms, terms.size))
+      case Some(Word(field, text, wild)) =>
+        advance()
+        val prefix = field.flatMap(cfg.prefixes.get)
+          .orElse(field.flatMap(cfg.boolPrefixes.get))
+          .getOrElse("")
+        val toks = Tokenizer.tokenize(text)
+        val raw = if (toks.nonEmpty) toks.head.term else text.toLowerCase
+        if (wild) Some(Wildcard(prefix + raw))
+        else if (cfg.stopwords.contains(raw) && field.isEmpty) None
+        else {
+          val noStem = !stemmed || cfg.stemMode == "none" || prefix.nonEmpty ||
+            (text.nonEmpty && text.charAt(0).isUpper)
+          val term =
+            if (noStem) prefix + raw
+            else "Z" + Stemmer.stem(raw)
+          Some(Query.Term(term))
+        }
+      case _ => None
+    }
+  }
+
+  /** Merge duplicate probabilistic term leaves' wqf within the same
+    * n-ary OR/AND group (the reference accumulates wqf per distinct
+    * term; SURVEY.md §3.1). */
+  private def accumulateWqf(q: Query): Query = q match {
+    case Query.Or(cs) =>
+      Query.Or(mergeTerms(cs.map(accumulateWqf)))
+    case Query.And(cs) =>
+      Query.And(mergeTerms(cs.map(accumulateWqf)))
+    case Query.AndNot(l, r)   => Query.AndNot(accumulateWqf(l), accumulateWqf(r))
+    case Query.Xor(l, r)      => Query.Xor(accumulateWqf(l), accumulateWqf(r))
+    case Query.AndMaybe(l, r) => Query.AndMaybe(accumulateWqf(l), accumulateWqf(r))
+    case Query.Filter(l, r)   => Query.Filter(accumulateWqf(l), accumulateWqf(r))
+    case other => other
+  }
+
+  /** Accumulate wqf of duplicate terms, keeping each child at the
+    * position of its first occurrence. */
+  private def mergeTerms(cs: Seq[Query]): Seq[Query] = {
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    cs.foreach {
+      case Query.Term(t, wqf, _) => counts(t) = counts.getOrElse(t, 0) + wqf
+      case _                     =>
+    }
+    val emitted = scala.collection.mutable.Set.empty[String]
+    cs.flatMap {
+      case Query.Term(t, _, _) =>
+        if (emitted.add(t)) Some(Query.Term(t, counts(t))) else None
+      case other => Some(other)
+    }
+  }
+
+  def parse(query: String, cfg: Config = Config()): Query =
+    new P(lex(query), cfg).parseQuery()
+
+  /** See [[graft.core.Query.expandWildcards]]. */
+  def expandWildcard(q: Query, lookup: String => Seq[String]): Query =
+    Query.expandWildcards(q, lookup)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import graft.matcher.{DatasetMatcher, WandMatcher}
+import graft.queryparser.QueryParser
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/**
+ * quest-style end-to-end: query string → parser → matcher, three-way
+ * rank-identical (scalar oracle / Dataset path / WAND path) on a
+ * stemmed index (role of the reference's examples/quest.cc smoke —
+ * SURVEY.md §5 "quest smoke" row).
+ */
+class EndToEndSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val corpus = CorpusGen.generate(seed = 11, nRepos = 4, filesPerRepo = 30)
+  private val pcfg = QueryParser.Config(stemMode = "some")
+
+  private lazy val env = {
+    val dir = Files.createTempDirectory("graft-e2e").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "some",
+      nBuckets = 4, stripeShift = 6, maxPerBlock = 64, buildPartitions = 4)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }, stemMode = "some")
+    (reader, oidx)
+  }
+  private lazy val (reader, oracleIdx) = env
+
+  private def check(queryString: String, k: Int = 10): Unit = {
+    val parsed = QueryParser.parse(queryString, pcfg)
+    // oracle expands wildcards from its own postings map
+    val want = Oracle.mset(parsed, oracleIdx, k)
+    val got = new DatasetMatcher(reader).mset(parsed, k)
+    assert(got.map(_.docId) == want.map(_.docId),
+      s"<$queryString> docIds: got ${got.map(_.docId)}, want ${want.map(_.docId)}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9, s"<$queryString> doc ${g.docId}")
+    }
+    val wand = new WandMatcher(reader)
+    val expanded = Query.expandWildcards(parsed, reader.termsWithPrefix)
+    if (wand.supports(expanded)) {
+      val wres = wand.mset(expanded, k)
+      assert(wres.map(_.docId) == want.map(_.docId), s"<$queryString> wand docIds")
+      wres.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g.score - w.score) < 1e-9, s"<$queryString> wand score")
+      }
+    }
+  }
+
+  test("single term")            { check("parse") }
+  test("default-OP OR run")      { check("parse token merge") }
+  test("explicit AND")           { check("parse AND token") }
+  test("AND NOT")                { check("parse NOT def") }
+  test("XOR")                    { check("parse XOR token") }
+  test("love/hate (+/-)")        { check("+parse token -def") }
+  test("quoted phrase")          { check("\"parse token\"") }
+  test("NEAR with window")       { check("parse NEAR/8 token") }
+  test("ADJ")                    { check("parse ADJ/8 token") }
+  test("wildcard expansion")     { check("pars*") }
+  test("wildcard in boolean")    { check("pars* AND token") }
+  test("parenthesized")          { check("(parse OR token) AND merge") }
+  test("repeated term wqf")      { check("parse parse token") }
+  test("uppercase unstemmed")    { check("Parse token") }
+  test("special tokens")         { check("c++ don't") }
+}

@@ -1,0 +1,117 @@
+package graft.queryparser
+
+import graft.core.Query
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * queryparsertest-style golden table: querystring → Query.describe
+ * (role of the reference's tests/queryparsertest.cc rows, which map
+ * query strings to Xapian::Query::get_description()).
+ */
+class QueryParserSpec extends AnyFunSuite {
+
+  private val cfg = QueryParser.Config()
+  private val noStem = QueryParser.Config(stemMode = "none")
+
+  private def p(q: String, c: QueryParser.Config = cfg): String =
+    QueryParser.parse(q, c).describe
+
+  // (query, expected describe) — stemMode="some" unless noted
+  val goldens: Seq[(String, String)] = Seq(
+    "love" -> "Zlove",
+    "love hate" -> "(Zlove OR Zhate)",
+    "hate hate" -> "Zhate#2",
+    "love AND hate" -> "(Zlove AND Zhate)",
+    "love OR hate" -> "(Zlove OR Zhate)",
+    "love XOR hate" -> "(Zlove XOR Zhate)",
+    "love NOT hate" -> "(Zlove AND_NOT Zhate)",
+    "love AND NOT hate" -> "(Zlove AND_NOT Zhate)",
+    "a AND b NOT c" -> "((Za AND Zb) AND_NOT Zc)",
+    "a OR b AND c" -> "(Za OR (Zb AND Zc))",
+    "(a OR b) AND c" -> "((Za OR Zb) AND Zc)",
+    "a XOR b OR c" -> "((Za XOR Zb) OR Zc)",
+    "+love hate" -> "(Zlove AND_MAYBE Zhate)",
+    "+love +war hate" -> "((Zlove AND Zwar) AND_MAYBE Zhate)",
+    "love -hate" -> "(Zlove AND_NOT Zhate)",
+    "+love hate -spam" -> "((Zlove AND_MAYBE Zhate) AND_NOT Zspam)",
+    "\"parse token\"" -> "(parse PHRASE 2 token)",
+    "\"one two three\"" -> "(one PHRASE 3 two PHRASE 3 three)",
+    "parse NEAR token" -> "(parse NEAR 10 token)",
+    "parse NEAR/3 token" -> "(parse NEAR 3 token)",
+    "parse ADJ/4 token" -> "(parse PHRASE 4 token)",
+    "a NEAR/3 b NEAR/3 c" -> "(a NEAR 3 b NEAR 3 c)",
+    "Paris" -> "paris",
+    "love Paris" -> "(Zlove OR paris)",
+    "" -> "",
+    "()" -> "")
+
+  goldens.foreach { case (q, expected) =>
+    test(s"parse: <$q>") { assert(p(q) === expected) }
+  }
+
+  test("stemMode none leaves terms raw") {
+    assert(p("loving hated", noStem) === "(loving OR hated)")
+  }
+
+  test("probabilistic prefix maps field to term prefix, unstemmed") {
+    val c = QueryParser.Config(prefixes = Map("title" -> "S"))
+    assert(p("title:parser", c) === "Sparser")
+  }
+
+  test("boolean prefix becomes a zero-weight filter") {
+    val c = QueryParser.Config(boolPrefixes = Map("lang" -> "L"))
+    assert(p("parser lang:java", c) === "(Zparser FILTER Ljava)")
+  }
+
+  test("same boolean field ORs, different fields AND") {
+    val c = QueryParser.Config(boolPrefixes = Map("lang" -> "L", "repo" -> "R"))
+    assert(p("parser lang:java lang:scala repo:core", c) ===
+      "(Zparser FILTER ((Ljava OR Lscala) AND Rcore))")
+  }
+
+  test("pure boolean query is the filter itself") {
+    val c = QueryParser.Config(boolPrefixes = Map("lang" -> "L"))
+    assert(p("lang:java", c) === "Ljava")
+  }
+
+  test("stopwords dropped from probabilistic runs") {
+    val c = QueryParser.Config(stopwords = Set("the", "of"))
+    assert(p("the parser of tokens", c) === "(Zparser OR Ztoken)")
+  }
+
+  test("stopwords kept inside phrases") {
+    val c = QueryParser.Config(stopwords = Set("the"))
+    assert(p("\"the parser\"", c) === "(the PHRASE 2 parser)")
+  }
+
+  test("defaultOp and") {
+    val c = QueryParser.Config(defaultOp = "and")
+    assert(p("love hate war", c) === "(Zlove AND Zhate AND Zwar)")
+  }
+
+  test("wildcard leaf + expansion") {
+    val q = QueryParser.parse("par*")
+    assert(q === QueryParser.Wildcard("par"))
+    val expanded = QueryParser.expandWildcard(q,
+      prefix => Seq("parse", "parser", "part").filter(_.startsWith(prefix)))
+    assert(expanded.describe === "(parse OR parser OR part)")
+    val none = QueryParser.expandWildcard(q, _ => Seq.empty)
+    assert(none === Query.MatchNothing)
+  }
+
+  test("wildcard under NEAR expands before positional eval") {
+    val q = QueryParser.parse("tok* NEAR/5 parse")
+    val expanded = QueryParser.expandWildcard(q,
+      p => Seq("token").filter(_.startsWith(p)))
+    assert(expanded.describe === "(token NEAR 5 parse)")
+  }
+
+  test("NEAR children are unstemmed on both sides") {
+    // "loving" would stem to Zlove as a plain term; inside NEAR it stays raw
+    assert(p("loving NEAR/2 hated") === "(loving NEAR 2 hated)")
+  }
+
+  test("wqf accumulates across AND groups too") {
+    assert(p("love AND love") === "Zlove#2")
+  }
+}
