@@ -1,24 +1,106 @@
 package graft
+
+import graft.core._
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import graft.matcher.{DatasetMatcher, WandMatcher}
+import graft.queryparser.QueryParser
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Headline benchmark (driver contract): one JSON line on stdout.
+ *
+ * Phases timed on SPARK_GRAFT_SF_DIR (default sf0.1):
+ *   index_build — fresh (non-resumed) inverted-index build over the
+ *                 `documents` table: the north rule's docs/sec.
+ *   query_wand  — quest top-10 set on the block-max WAND path.
+ *   query_ds    — same queries on the declarative Dataset path.
+ *   pipeline    — dedup minhash + ANN top-k + sessionization sweep.
+ *
+ * Extra keys docs_per_sec / queries_per_sec carry the throughput
+ * numbers compared against BASELINE.md; graft.Scaling produces the
+ * local[8]-vs-local[32] efficiency evidence.
+ */
 object Bench {
+
+  /** Fixed quest query set over the documents vocabulary. */
+  val questQueries: Seq[String] = Seq(
+    "data", "stream", "query AND batch", "data OR stream OR query",
+    "window AND NOT small", "\"data stream\"", "data NEAR/5 query",
+    "big fast table", "+data stream -batch", "s*",
+    "hash XOR merge", "scan filter sort", "row OR column OR table",
+    "agg AND group", "value", "join AND key")
+
+  private val pcfg = QueryParser.Config(stemMode = "none")
+
+  def buildIndex(spark: SparkSession, sfDir: String, tag: String,
+                 partitions: Int): (IndexReader, Long, Double) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-bench-$tag").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      tokenizerMode = "simple", nBuckets = 16, stripeShift = 8,
+      buildPartitions = partitions)
+    val corpus = EntrySupport.corpus(spark, sfDir).as[CorpusRow]
+    val nDocs = corpus.count()
+    val t0 = System.nanoTime()
+    new IndexBuilder(spark, cfg).build(corpus)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift), nDocs, sec)
+  }
+
+  def runQueries(idx: IndexReader, wandOnly: Boolean): Int = {
+    val ds = new DatasetMatcher(idx)
+    val wand = new WandMatcher(idx)
+    var n = 0
+    questQueries.foreach { qs =>
+      val parsed = QueryParser.parse(qs, pcfg)
+      val expanded = Query.expandWildcards(parsed, idx.termsWithPrefix)
+      if (wandOnly) {
+        if (wand.supports(expanded)) { wand.mset(expanded, 10); n += 1 }
+      } else { ds.mset(expanded, 10); n += 1 }
+    }
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (idx, nDocs, buildSec) = buildIndex(spark, sfDir, "main", cpus.toInt)
+    val (nWand, wandSec) = time(runQueries(idx, wandOnly = true))
+    val (nDs, dsSec) = time(runQueries(idx, wandOnly = false))
+
+    val (_, pipeSec) = time {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.pipeline.DedupOps.minhash(docs).count()
+      val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      graft.pipeline.AnnOps.bruteForceTopK(emb, q, 10, Some(0L)).count()
+      graft.pipeline.EventOps.sessionize(ev).count()
+    }
+
+    val total = buildSec + wandSec + dsSec + pipeSec
+    val qps = (nWand + nDs) / (wandSec + dsSec)
+    val dps = nDocs / buildSec
+    println(
+      s"""{"metric":"graft_bench_total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":{"index_build":${f"$buildSec%.3f"},"query_wand":${f"$wandSec%.3f"},"query_ds":${f"$dsSec%.3f"},"pipeline":${f"$pipeSec%.3f"}},""" +
+      s""""sf":"$sfDir","n_docs":$nDocs,"docs_per_sec":${f"$dps%.1f"},""" +
+      s""""n_queries":${nWand + nDs},"queries_per_sec":${f"$qps%.2f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,327 @@
+package graft
+
+/**
+ * DuckDB-dialect oracle SQL for SparkEntry.queries. Each statement
+ * recomputes, from the raw `documents`/`embeddings`/`events` parquet
+ * tables, exactly what the engine computes through its index — same
+ * tokenizer (lower + split on non-[a-z0-9]), same BM25 formula
+ * (SURVEY.md §4.3, k1=1 b=0.5 k3=1, wqf=1 ⇒ termweight = idf), same
+ * rounding (4 decimals for scores, 6 for similarities) and the same
+ * deterministic ordering, so result sets hash-match.
+ */
+object EntrySql {
+
+  private def in(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Shared CTE prefix: tokenize, doclen, collection stats, tf/df/
+    * termweight/sumpart over the query terms (or a LIKE prefix for
+    * wildcard). */
+  def prefix(terms: Seq[String], like: Option[String] = None): String = {
+    val filt = like match {
+      case Some(p) => s"term LIKE '$p%'"
+      case None    => s"term IN ${in(terms)}"
+    }
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM documents) AS avglen),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM tok WHERE $filt GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (SELECT term, ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
+                 THEN (s.n - df + 0.5) / (df + 0.5) / 2 + 1
+                 ELSE (s.n - df + 0.5) / (df + 0.5) END) AS tw
+      FROM df, stats s),
+sp AS (SELECT tf.doc_id, tf.term,
+              w.tw * tf.wdf * 2.0 / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + tf.wdf) AS part
+       FROM tf JOIN w USING(term) JOIN doclen dl ON dl.doc_id = tf.doc_id, stats s)"""
+  }
+
+  private def scored = ",\nscored AS (SELECT doc_id, sum(part) AS raw FROM sp GROUP BY doc_id)"
+
+  private def agg(l: Seq[String], r: Seq[String]) =
+    s""",
+agg AS (SELECT doc_id,
+    sum(CASE WHEN term IN ${in(l)} THEN part END) AS rawl,
+    sum(CASE WHEN term IN ${in(r)} THEN part END) AS rawr
+  FROM sp GROUP BY doc_id)"""
+
+  def term(t: String): String =
+    prefix(Seq(t)) +
+      "\nSELECT doc_id, round(sum(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
+
+  def orTopk(ts: Seq[String], k: Int): String =
+    prefix(ts) + scored +
+      s"\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"
+
+  def and2(l: String, r: String): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      "\nSELECT doc_id, round(rawl + rawr, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NOT NULL ORDER BY doc_id"
+
+  def andNot(l: Seq[String], r: Seq[String]): String =
+    prefix(l ++ r) + agg(l, r) +
+      "\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY doc_id"
+
+  def xor2(l: String, r: String): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      "\nSELECT doc_id, round(coalesce(rawl, rawr), 4) AS score FROM agg WHERE (rawl IS NULL) <> (rawr IS NULL) ORDER BY doc_id"
+
+  def andMaybe(l: String, r: String): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      "\nSELECT doc_id, round(rawl + coalesce(rawr, 0), 4) AS score FROM agg WHERE rawl IS NOT NULL ORDER BY doc_id"
+
+  def filter2(l: String, r: String): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      "\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NOT NULL ORDER BY doc_id"
+
+  def phrase2(l: String, r: String): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      s"""
+SELECT a.doc_id, round(rawl + rawr, 4) AS score
+FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+WHERE rawl IS NOT NULL AND rawr IS NOT NULL
+  AND ' ' || lower(d.text) || ' ' LIKE '% $l $r %'
+ORDER BY a.doc_id"""
+
+  def wildcardTopk(p: String, k: Int): String =
+    prefix(Seq.empty, like = Some(p)) + scored +
+      s"\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"
+
+  def scale(ts: Seq[String], factor: Double): String =
+    prefix(ts) + scored +
+      s"\nSELECT doc_id, round(raw * $factor, 4) AS score FROM scored ORDER BY doc_id"
+
+  def synonym(ts: Seq[String]): String =
+    prefix(ts) +
+      s""",
+u AS (SELECT doc_id, sum(wdf) AS wdf FROM tf GROUP BY doc_id),
+du AS (SELECT count(*)::DOUBLE AS df FROM u),
+wu AS (SELECT ln(CASE WHEN (s.n - du.df + 0.5) / (du.df + 0.5) < 2
+            THEN (s.n - du.df + 0.5) / (du.df + 0.5) / 2 + 1
+            ELSE (s.n - du.df + 0.5) / (du.df + 0.5) END) AS tw
+       FROM du, stats s)
+SELECT u.doc_id,
+       round(wu.tw * u.wdf * 2.0 / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + u.wdf), 4) AS score
+FROM u JOIN doclen dl ON dl.doc_id = u.doc_id, wu, stats s
+ORDER BY u.doc_id"""
+
+  def elite(ts: Seq[String], n: Int): String =
+    prefix(ts) +
+      s""",
+bounds AS (SELECT term, max(wdf) AS mw FROM tf GROUP BY term),
+minl AS (SELECT min(len)::DOUBLE AS ml FROM doclen),
+bnd AS (SELECT b.term,
+        w.tw * b.mw * 2.0 / ((0.5 + 0.5 * greatest(m.ml / s.avglen, 0.5)) + b.mw) AS ub
+        FROM bounds b JOIN w USING(term), minl m, stats s),
+pick AS (SELECT term FROM bnd ORDER BY ub DESC, term LIMIT $n)
+SELECT doc_id, round(sum(part), 4) AS score FROM sp
+WHERE term IN (SELECT term FROM pick)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  val tokOnly: String =
+    """WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id)"""
+
+  def valueRangeDoclen(lo: Int, hi: Int): String =
+    tokOnly + s"\nSELECT doc_id FROM doclen WHERE len BETWEEN $lo AND $hi ORDER BY doc_id"
+
+  def deciderTopk(ts: Seq[String], lang: String, k: Int): String =
+    prefix(ts) + scored +
+      s"""
+SELECT s.doc_id, round(s.raw, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = '$lang'
+ORDER BY round(s.raw, 4) DESC, s.doc_id LIMIT $k"""
+
+  def collapseByLang(ts: Seq[String]): String =
+    prefix(ts) + scored +
+      """,
+ranked AS (SELECT s.doc_id, s.raw, d.lang,
+           row_number() OVER (PARTITION BY d.lang ORDER BY s.raw DESC, s.doc_id) AS rn
+           FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
+  val statsSql: String =
+    tokOnly + """
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+       (SELECT coalesce(sum(len), 0) FROM doclen)::BIGINT AS total_len,
+       round((SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avg_len,
+       (SELECT min(len) FROM doclen)::BIGINT AS min_len,
+       (SELECT max(len) FROM doclen)::BIGINT AS max_len"""
+
+  val dictSql: String =
+    """WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tfa AS (SELECT doc_id, term, count(*)::BIGINT AS wdf FROM tok GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(wdf)::BIGINT AS cf, max(wdf)::BIGINT AS max_wdf
+FROM tfa GROUP BY term ORDER BY term"""
+
+  val sha256Sql: String =
+    "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id"
+
+  val doclenSql: String =
+    tokOnly + """
+SELECT d.doc_id, coalesce(l.len, 0)::BIGINT AS doclen
+FROM documents d LEFT JOIN doclen l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+  // ---------------- training-data pipeline oracles ----------------
+
+  val exactDedupSql: String =
+    """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents ORDER BY doc_id"""
+
+  private def minhashCols(seeds: Int, k: Int): String =
+    (0 until seeds).map(s =>
+      s"list_min(list_transform(range(1, length(text) - ${k - 2}), i -> md5('$s' || substr(text, i, $k)))) AS h$s")
+      .mkString(",\n       ")
+
+  def minhashSql(seeds: Int = 4, k: Int = 8): String =
+    s"""SELECT doc_id,
+       ${minhashCols(seeds, k)}
+FROM documents ORDER BY doc_id"""
+
+  def lshPairsSql(seeds: Int = 4, k: Int = 8, prefixLen: Int = 2): String = {
+    val bandSelects = (0 until seeds).map(s =>
+      s"SELECT doc_id, '$s:' || substr(h$s, 1, $prefixLen) AS band FROM sig WHERE h$s IS NOT NULL")
+      .mkString("\n UNION ALL ")
+    s"""WITH sig AS (
+  SELECT doc_id,
+       ${minhashCols(seeds, k)}
+  FROM documents
+),
+bands AS (
+ $bandSelects
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  def jaccardAdjacentSql(k: Int = 8): String =
+    s"""WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - ${k - 2}), i -> substr(text, i, $k))) AS s
+  FROM documents
+),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+SELECT doc_a, doc_b,
+       round(CASE WHEN len(sa) + len(sb) - len(list_intersect(sa, sb)) = 0 THEN 0
+             ELSE len(list_intersect(sa, sb))::DOUBLE /
+                  (len(sa) + len(sb) - len(list_intersect(sa, sb))) END, 6) AS jaccard
+FROM p ORDER BY doc_a"""
+
+  def annTopkSql(k: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+      FROM f JOIN q USING(i) GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
+WHERE vec_id <> 0
+ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
+
+  def ivfAssignSql(nCentroids: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+cen AS (SELECT vec_id AS cid, v, i FROM f WHERE vec_id < $nCentroids),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cen GROUP BY cid),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM f GROUP BY vec_id),
+dots AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN cen c USING(i) GROUP BY 1, 2),
+cos AS (SELECT d.vec_id, d.cid, round(d.dot / (vn.n * cn.n), 9) AS c9
+        FROM dots d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cid = d.cid),
+ranked AS (SELECT vec_id, cid, c9,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c9 DESC, cid) AS rn FROM cos)
+SELECT vec_id, cid::INT AS centroid_id, round(c9, 6) AS cosine
+FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+
+  val tokensSql: String =
+    """SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents ORDER BY doc_id"""
+
+  def qualitySql(stopwords: Seq[String]): String =
+    s"""WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+         length(text) AS nch,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+         length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS ws
+  FROM documents
+),
+tokx AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+         FROM documents WHERE length(trim(text)) > 0),
+rep AS (SELECT doc_id, max(c)::DOUBLE AS mr
+        FROM (SELECT doc_id, tk, count(*) AS c FROM tokx GROUP BY 1, 2) GROUP BY doc_id),
+stopc AS (SELECT doc_id, count(*)::DOUBLE AS ns FROM tokx WHERE tk IN ${in(stopwords)} GROUP BY doc_id)
+SELECT b.doc_id,
+       b.nch::BIGINT AS n_chars,
+       b.ntok::BIGINT AS n_tokens,
+       round(CASE WHEN b.ntok > 0 THEN (b.nch - b.ws)::DOUBLE / b.ntok ELSE 0 END, 6) AS avg_token_len,
+       round(b.alpha::DOUBLE / greatest(b.nch, 1), 6) AS alpha_ratio,
+       round(b.dig::DOUBLE / greatest(b.nch, 1), 6) AS digit_ratio,
+       round(coalesce(s.ns, 0) / greatest(b.ntok, 1), 6) AS stopword_ratio,
+       round(CASE WHEN b.ntok > 0 THEN coalesce(r.mr, 0) / b.ntok ELSE 0 END, 6) AS max_rep_ratio
+FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id LEFT JOIN stopc s ON s.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
+  def winnowSql(k: Int = 8, w: Int = 5): String =
+    s"""WITH g AS (
+  SELECT doc_id, text,
+         list_transform(range(1, length(text) - ${k - 2}), i -> md5(substr(text, i, $k))) AS grams
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < ${k + w - 1} THEN NULL
+              ELSE list_distinct(list_transform(range(1, length(text) - ${k + w - 3}),
+                                 j -> list_min(grams[j:j + ${w - 1}]))) END AS fps
+  FROM g
+)
+SELECT doc_id,
+       CASE WHEN fps IS NULL THEN 0 ELSE len(fps) END::BIGINT AS n_fp,
+       list_min(fps) AS min_fp
+FROM m ORDER BY doc_id"""
+
+  val hourlySql: String =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def sessionsSql(gapSeconds: Long): String =
+    s"""WITH x AS (SELECT user_id, event_id, ts, value, floor(epoch(ts))::BIGINT AS es FROM events),
+b AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > $gapSeconds THEN 1 ELSE 0 END AS brk
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+SELECT user_id, sid::BIGINT AS session_seq, min(es)::BIGINT AS start_epoch,
+       max(es)::BIGINT AS end_epoch, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val revenueSql: String =
+    """SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1"""
+
+  val topOrdersSql: String =
+    """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10"""
+}

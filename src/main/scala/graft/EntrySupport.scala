@@ -1,0 +1,87 @@
+package graft
+
+import graft.core._
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import graft.matcher.{DatasetMatcher, MatchOptions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Glue between the driver's `documents` table
+ * (sfDir/documents.parquet: doc_id, text, lang, source, n_chars) and the engine: shapes it into the input_hint corpus
+ * schema, builds a resumable index with the SQL-reproducible
+ * "simple" tokenizer (so the driver's DuckDB oracle can regenerate
+ * identical term statistics), and exposes DataFrame-producing query
+ * helpers whose outputs are engine-portable (doc_id + rounded
+ * score).
+ */
+object EntrySupport {
+  import scala.collection.concurrent.TrieMap
+  private val cache = TrieMap.empty[String, IndexReader]
+
+  /** documents parquet → input_hint corpus shape. docId order is the
+    * engine's global (repo, path, commit) sort; `path` encodes the
+    * original doc_id (zero-padded) so results map back losslessly. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        coalesce(col("source"), lit("corpus")).as("repo"),
+        lpad(col("doc_id").cast("string"), 10, "0").as("path"),
+        md5(col("text")).as("commit"),
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("text"), lit("")).as("content"))
+
+  /** Build (or resume) the entry index for a scale dir; cached per
+    * JVM. The index lands under target/ so repeated driver runs
+    * resume from the stage manifests instead of rebuilding. */
+  def reader(spark: SparkSession, sfDir: String): IndexReader =
+    cache.getOrElseUpdate(sfDir, {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = new java.io.File(s"target/graft-entry-index/$name").getAbsolutePath
+      val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+        tokenizerMode = "simple", nBuckets = 16, stripeShift = 8,
+        buildPartitions = 8)
+      import spark.implicits._
+      new IndexBuilder(spark, cfg).build(corpus(spark, sfDir).as[CorpusRow])
+      new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    })
+
+  /** docId → original doc_id mapping (path carries the id). */
+  def docIds(idx: IndexReader): DataFrame =
+    idx.docs.select(col("docId"), col("path").cast("long").as("doc_id"),
+      col("lang"))
+
+  /** Full match set of a query as (doc_id, score) — score rounded to
+    * 4 decimals so an independent engine reproduces it bit-exactly. */
+  def matchDf(spark: SparkSession, sfDir: String, q: Query,
+              opts: MatchOptions = MatchOptions()): DataFrame = {
+    val idx = reader(spark, sfDir)
+    new DatasetMatcher(idx, opts).matches(q)
+      .join(docIds(idx), "docId")
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Top-k page ordered by (rounded score desc, doc_id asc) — the
+    * rounding makes the cut deterministic across engines. */
+  def topkDf(spark: SparkSession, sfDir: String, q: Query, k: Int,
+             langFilter: Option[String] = None): DataFrame = {
+    val idx = reader(spark, sfDir)
+    val m = new DatasetMatcher(idx).matches(q).join(docIds(idx), "docId")
+    val f = langFilter.map(l => m.where(col("lang") === l)).getOrElse(m)
+    f.select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Collapse: best doc per `lang` (reference collapser analog),
+    * emitted docId-ascending. */
+  def collapseDf(spark: SparkSession, sfDir: String, q: Query): DataFrame = {
+    val idx = reader(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)
+    new DatasetMatcher(idx).matches(q).join(docIds(idx), "docId")
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"))
+  }
+}

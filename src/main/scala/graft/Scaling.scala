@@ -1,0 +1,78 @@
+package graft
+
+import graft.core._
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scaling-efficiency evidence for the north rule's two-cluster-size
+ * criterion (BASELINE.json: throughput scaling efficiency ≥ 0.8
+ * between N and 4N executors). No real cluster exists in this
+ * sandbox, so the sanctioned proxy is the same job at two parallelism
+ * levels: local[8] vs local[32] over the identical input
+ * (the FIXTURES.md bench corpus, 100k synthetic source files).
+ *
+ * Prints one JSON line per run plus a final efficiency line; numbers
+ * are recorded in BASELINE.md.
+ */
+object Scaling {
+
+  private def run(cpus: Int, nRepos: Int, filesPerRepo: Int): (Long, Double, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = spark.createDataset(
+      CorpusGenSeqHolder.corpus(nRepos, filesPerRepo))
+      .repartition(cpus * 2)
+    val nDocs = corpus.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-scale-$cpus").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "some",
+      nBuckets = 16, stripeShift = 10, buildPartitions = cpus * 2)
+    val t0 = System.nanoTime()
+    new IndexBuilder(spark, cfg).build(corpus)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val idx = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val t1 = System.nanoTime()
+    val nQ = Bench.runQueries(idx, wandOnly = true) +
+      Bench.runQueries(idx, wandOnly = false)
+    val querySec = (System.nanoTime() - t1) / 1e9
+
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    (nDocs, nDocs / buildSec, nQ / querySec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRepos = if (args.length > 0) args(0).toInt else 50
+    val filesPerRepo = if (args.length > 1) args(1).toInt else 2000
+    val (n8, build8, q8) = run(8, nRepos, filesPerRepo)
+    println(f"""{"cpus":8,"n_docs":$n8,"build_docs_per_sec":$build8%.1f,"queries_per_sec":$q8%.2f}""")
+    val (n32, build32, q32) = run(32, nRepos, filesPerRepo)
+    println(f"""{"cpus":32,"n_docs":$n32,"build_docs_per_sec":$build32%.1f,"queries_per_sec":$q32%.2f}""")
+    val effB = (build32 / build8) / 4.0
+    val effQ = (q32 / q8) / 4.0
+    println(f"""{"scaling_efficiency_build":$effB%.3f,"scaling_efficiency_query":$effQ%.3f}""")
+  }
+}
+
+/** Generates the bench corpus once (driver-side) for both runs. */
+private object CorpusGenSeqHolder {
+  private var cached: Option[(Int, Int, Seq[CorpusRow])] = None
+  def corpus(nRepos: Int, filesPerRepo: Int): Seq[CorpusRow] = synchronized {
+    cached match {
+      case Some((r, f, c)) if r == nRepos && f == filesPerRepo => c
+      case _ =>
+        val c = graft.fixtures.CorpusGen.generate(42L, nRepos, filesPerRepo)
+        cached = Some((nRepos, filesPerRepo, c))
+        c
+    }
+  }
+}

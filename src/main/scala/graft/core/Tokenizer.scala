@@ -119,6 +119,33 @@ object Tokenizer {
     out.toIndexedSeq
   }
 
+  /**
+   * Oracle-reproducible "simple" mode: lowercase, split on runs of
+   * non-[a-z0-9], 1-based positions, no stemming. Exists so external
+   * SQL engines (the driver's DuckDB harness) can regenerate the
+   * exact same term stream with `string_split_regex(lower(text),
+   * '[^a-z0-9]+')` — used by BuildConfig(tokenizerMode = "simple").
+   */
+  def simpleTokenize(text: String): IndexedSeq[Token] = {
+    val out = new ArrayBuffer[Token]()
+    var pos = 0
+    var i = 0
+    val n = text.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c = text.charAt(i)
+      val lc =
+        if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else 0.toChar
+      if (lc != 0) sb.append(lc)
+      else if (sb.length > 0) { pos += 1; out += Token(sb.toString, pos); sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) { pos += 1; out += Token(sb.toString, pos) }
+    out.toIndexedSeq
+  }
+
   /** Default stopword list (a small, fixed english set). */
   val defaultStopwords: Set[String] = Set(
     "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",

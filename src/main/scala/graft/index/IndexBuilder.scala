@@ -15,6 +15,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 final case class BuildConfig(
     indexDir: String,
     stemMode: String = "some",          // "none" | "some"
+    tokenizerMode: String = "xapian",   // "xapian" | "simple" (SQL-reproducible)
     stopwords: Set[String] = Set.empty,
     nBuckets: Int = 16,                  // postings directory buckets (hash(termId) % nBuckets)
     stripeShift: Int = 14,               // docId stripe width = 2^14 = 16384
@@ -24,7 +25,7 @@ final case class BuildConfig(
     buildPartitions: Int = 32) {
   def configHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val s = s"$stemMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
+    val s = s"$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
       s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
@@ -127,12 +128,14 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     // ---------- stage 2: terms + dict + doclens (single tokenize) ----------
     if (!stageDone("terms")) {
       val stem = cfg.stemMode
+      val tokMode = cfg.tokenizerMode
       val stop = cfg.stopwords
       val termRows: Dataset[TermRow] = docs0
         .select($"docId", $"content").as[(Long, String)]
         .flatMap { case (docId, content) =>
           val toks =
-            if (stem == "some") Tokenizer.indexTerms(content, Stemmer.stem, stop)
+            if (tokMode == "simple") Tokenizer.simpleTokenize(content)
+            else if (stem == "some") Tokenizer.indexTerms(content, Stemmer.stem, stop)
             else Tokenizer.tokenize(content)
           val doclen = toks.count(_.pos > 0).toLong
           toks.groupBy(_.term).iterator.map { case (term, ts) =>
@@ -269,7 +272,9 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     }
 
     if (!stageDone("stats")) {
-      val doclens = spark.read.parquet(s"$dir/doclens")
+      // aggregate over docs (doclen filled with 0 for token-less docs):
+      // N must count EVERY document, not just those with postings
+      val doclens = spark.read.parquet(s"$dir/docs").select($"docId", $"doclen")
       val r = doclens.agg(
         count(lit(1)).as("n"), sum($"doclen").as("totalLen"),
         min($"doclen").as("minDocLen"), max($"doclen").as("maxDocLen"))

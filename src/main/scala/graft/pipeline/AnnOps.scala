@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate/exact nearest-neighbor search over an embedding column
+ * (`embedding: Array[Float]`).
+ *
+ * Scale design: the query vector (or small centroid table) is a
+ * broadcast; per-row dot products are `aggregate(zip_with(...))`
+ * higher-order expressions inside whole-stage codegen — no UDF, no
+ * shuffle. Brute-force top-k ends in TakeOrderedAndProject (per-
+ * partition top-k + driver merge). The IVF path adds one hash
+ * shuffle keyed by centroid id, turning global search into
+ * bucket-local search — the 100 TB path: centroids broadcast,
+ * vectors partitioned by nearest centroid, probes touch only
+ * matching partitions.
+ *
+ * Input schema: (vec_id: Long, embedding: Array[Float], ...).
+ */
+object AnnOps {
+
+  /** Dot product of an embedding column with a literal query vector,
+    * accumulated in Double in element order (SQL-reproducible). */
+  private def dotLit(emb: Column, q: Seq[Float]): Column =
+    aggregate(
+      zip_with(emb, typedLit(q), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(emb: Column): Column =
+    sqrt(aggregate(emb, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity of every vector to the literal query vector. */
+  def cosineToQuery(vecs: DataFrame, query: Seq[Float]): DataFrame = {
+    val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    vecs.select(col("vec_id"),
+      (dotLit(col("embedding"), query) / (norm(col("embedding")) * lit(qn)))
+        .as("cosine"))
+  }
+
+  /** Brute-force exact top-k by cosine: the correctness baseline.
+    * Plans as scan → per-row score → TakeOrderedAndProject. */
+  def bruteForceTopK(vecs: DataFrame, query: Seq[Float], k: Int,
+                     excludeId: Option[Long] = None): DataFrame = {
+    val scored = cosineToQuery(vecs, query)
+    val base = excludeId.map(id => scored.where(col("vec_id") =!= id)).getOrElse(scored)
+    base
+      .orderBy(round(col("cosine"), 6).desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF assignment: nearest centroid (by cosine) per vector. The
+    * centroid list is tiny and becomes a broadcast of literal
+    * vectors; assignment is per-row, no shuffle. Ties break on the
+    * lower centroid id. */
+  def ivfAssign(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      val qn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+      struct(
+        round(dotLit(col("embedding"), cvec) / (norm(col("embedding")) * lit(qn)), 9)
+          .as("cos"),
+        lit(-cid).as("negid"))
+    }
+    // array_max over (cos, -cid) structs = highest cosine, lowest id on ties
+    val best = array_max(array(scored: _*))
+    vecs.select(col("vec_id"),
+      (-best.getField("negid")).cast("int").as("centroid_id"),
+      round(best.getField("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-probed ANN search: assign vectors to centroids once (in
+    * practice a precomputed, partitioned table), search only the
+    * `nprobe` centroids closest to the query. Returns the exact
+    * top-k within the probed buckets. */
+  def ivfSearch(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val probeIds = centroids
+      .map { case (cid, cvec) =>
+        val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+        val dot = cvec.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (cid, dot / (cn * qn))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nprobe).map(_._1).toSet
+    val assigned = ivfAssign(vecs, centroids).select("vec_id", "centroid_id")
+    bruteForceTopK(
+      vecs.join(assigned.where(col("centroid_id").isin(probeIds.toSeq: _*)), "vec_id"),
+      query, k)
+  }
+}

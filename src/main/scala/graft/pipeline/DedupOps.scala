@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus deduplication operators for training-data pipelines.
+ *
+ * Scale design (100 TB corpora): every per-document computation
+ * (hashes, shingle signatures) is a per-row codegen'd column
+ * expression — `transform`/`aggregate` higher-order functions over
+ * in-row arrays, never an explode+groupBy (which would shuffle
+ * |doc|×|shingles| rows). The only shuffles are (a) the hash-groupBy
+ * of exact dedup, keyed by a 128-bit digest (uniform, no skew), and
+ * (b) the LSH band self-join, keyed by band bucket (bounded bucket
+ * width ⇒ bounded join fan-out).
+ *
+ * Input schema: (doc_id: Long, text: String, ...).
+ */
+object DedupOps {
+
+  /** Exact duplicates: canonical = smallest doc_id per content digest.
+    * One shuffle on md5(text). A doc is a duplicate iff
+    * canonical_id != doc_id. */
+  def exactCanonical(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs.select(
+      col("doc_id"),
+      min(col("doc_id")).over(w).as("canonical_id"))
+  }
+
+  /** MinHash signature: for each seed s, min over character k-gram
+    * shingles of md5(s || shingle). Pure per-row expression (no
+    * shuffle); the md5-hex min is an order-preserving proxy for a
+    * 128-bit hash min, reproducible by any SQL engine with md5(). */
+  def minhash(docs: DataFrame, k: Int = 8, seeds: Int = 4): DataFrame = {
+    val text = col("text")
+    def sig(seed: Int): Column =
+      when(length(text) < k, lit(null))
+        .otherwise(array_min(transform(
+          sequence(lit(1), length(text) - (k - 1)),
+          i => md5(concat(lit(seed.toString), text.substr(i, lit(k)))))))
+    docs.select(
+      col("doc_id") +: (0 until seeds).map(s => sig(s).as(s"h$s")): _*)
+  }
+
+  /** LSH candidate pairs: documents sharing a band bucket. Bands are
+    * hex prefixes of each minhash (wider prefix ⇒ fewer collisions).
+    * Output: (doc_a, doc_b, shared_bands) with doc_a < doc_b. */
+  def lshCandidatePairs(sigs: DataFrame, prefixLen: Int = 2): DataFrame = {
+    val seeds = sigs.columns.count(_.startsWith("h"))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until seeds).map(s =>
+        concat(lit(s.toString), lit(":"), substring(col(s"h$s"), 1, prefixLen))): _*))
+        .as("band"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (doc_a, doc_b): |shingles_a ∩ shingles_b| / |union|, in-row via
+    * array_intersect after a broadcast-friendly join of shingle-set
+    * arrays. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 8): DataFrame = {
+    val sets = docs.select(
+      col("doc_id"),
+      when(length(col("text")) < k, array())
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (k - 1)),
+          i => col("text").substr(i, lit(k))))).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 — per-row,
+    * codegen'd. Bit b of the result is 1 iff the sum over tokens of
+    * ±1 (sign of bit b of xxhash64(token)) is positive. */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"),
+      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Hamming distance between simhash pairs below a threshold —
+    * candidate near-dups. Self-join banded by the 4 16-bit quarters
+    * (a near-dup within distance 3 must agree on ≥1 quarter). */
+  def simhashNearDups(sims: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(q =>
+        concat(lit(q.toString), lit(":"),
+          shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(0xffffL))): _*)).as("band"))
+    val popcntDiff = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        popcntDiff.as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream operators (batch form of the streaming shapes):
+ * tumbling-window rollups and gap-based sessionization. Written so
+ * the identical transform runs under Structured Streaming
+ * (`readStream` + watermark) — see graft.streaming.
+ *
+ * Scale: rollup is one hash-aggregate shuffle on (window, type);
+ * sessionization is one range shuffle on user_id (window functions),
+ * both AQE-coalesced. Timestamps are emitted as epoch seconds
+ * (BIGINT) to stay engine-portable.
+ *
+ * Input schema: (event_id: Long, ts: Timestamp, user_id: Long,
+ * event_type: String, value: Double, props: String).
+ */
+object EventOps {
+
+  /** Tumbling hourly rollup per event_type. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle longer than `gapSeconds`. Returns one row per session. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(unix_timestamp(col("ts")), 1).over(byUser)
+    val isBreak = when(
+      prevTs.isNull || (unix_timestamp(col("ts")) - prevTs) > gapSeconds, 1L)
+      .otherwise(0L)
+    val sessionId = sum(isBreak).over(
+      Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        sessionId.as("session_seq"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("start_epoch"),
+        unix_timestamp(max(col("ts"))).as("end_epoch"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token stats,
+ * quality scoring, winnowing fingerprints, language identification.
+ *
+ * Scale design: everything here is per-row column arithmetic
+ * (whole-stage codegen, no shuffle, no UDF except langId's profile
+ * scorer which is a tight Scala function over a broadcast profile
+ * table). Quality filters at 100 TB must run at scan speed — these
+ * do: they fuse into the parquet scan projection.
+ */
+object TextOps {
+
+  /** Whitespace-token count, per-row. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /**
+   * Per-document quality features (the C4/Gopher-style scalar
+   * signals): n_chars, n_tokens, avg token length, alpha ratio,
+   * digit ratio, whitespace ratio, stopword ratio (tiny fixed set),
+   * max word repetition ratio.
+   */
+  def qualityFeatures(docs: DataFrame,
+                      stopwords: Seq[String] =
+                        Seq("the", "a", "and", "of", "to", "in", "is")): DataFrame = {
+    val text = col("text")
+    val toks = split(trim(text), "\\s+")
+    val nTok = tokenCount(text)
+    val nChars = length(text)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val digit = length(regexp_replace(text, "[^0-9]", ""))
+    val ws = length(regexp_replace(text, "[^ \\t\\n]", ""))
+    val stopSet = typedLit(stopwords)
+    val nStop = size(filter(toks, t => array_contains(stopSet, t)))
+    val topRep = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    docs.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(when(nTok > 0, (nChars - ws).cast("double") / nTok).otherwise(0.0), 6)
+        .as("avg_token_len"),
+      round(alpha.cast("double") / greatest(nChars, lit(1)), 6).as("alpha_ratio"),
+      round(digit.cast("double") / greatest(nChars, lit(1)), 6).as("digit_ratio"),
+      round(nStop.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_ratio"),
+      round(when(nTok > 0, topRep.cast("double") / nTok).otherwise(0.0), 6)
+        .as("max_rep_ratio"))
+  }
+
+  /** Composite quality score in [0,1] from the features (a simple,
+    * deterministic linear gate — the shape of a production quality
+    * filter, with fixed published-style thresholds). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val f = qualityFeatures(docs)
+    val lenOk = when(col("n_tokens").between(10, 100000), 1.0).otherwise(0.0)
+    val alphaOk = when(col("alpha_ratio") >= 0.6, 1.0).otherwise(0.0)
+    val repOk = when(col("max_rep_ratio") <= 0.3, 1.0).otherwise(0.0)
+    val stopOk = when(col("stopword_ratio") >= 0.0, 1.0) // placeholder weight
+    f.select(col("doc_id"),
+      round((lenOk + alphaOk + repOk + stopOk) / 4.0, 6).as("quality"))
+  }
+
+  /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+   * SIGMOD'03): hash all k-grams, take the min hash of each sliding
+   * window of w consecutive k-gram hashes; the distinct set of window
+   * minima is the fingerprint. Per-row: transform + sliding
+   * array_min, no shuffle. Output: doc_id, n_fp, min_fp (digest
+   * columns — deterministic, SQL-reproducible via md5).
+   */
+  def winnowDigest(docs: DataFrame, k: Int = 8, w: Int = 5): DataFrame = {
+    val text = col("text")
+    val grams = transform(
+      sequence(lit(1), length(text) - (k - 1)),
+      i => md5(text.substr(i, lit(k))))
+    val minima = transform(
+      sequence(lit(1), length(text) - (k - 1) - (w - 1)),
+      j => array_min(slice(grams, j, lit(w))))
+    val fps = array_distinct(minima)
+    docs.select(col("doc_id"),
+      when(length(text) < k + w - 1, lit(0)).otherwise(size(fps)).as("n_fp"),
+      when(length(text) < k + w - 1, lit(null)).otherwise(array_min(fps)).as("min_fp"))
+  }
+
+  /** Tiny per-language marker profiles (function words; latin-script
+    * languages) + CJK/Cyrillic/Arabic script detection. */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Set("el", "la", "los", "las", "es", "que", "para", "una", "con", "por"))
+
+  /**
+   * Heuristic language ID: script detection first (CJK → zh,
+   * Cyrillic → ru, Arabic → ar, Hangul → ko, Kana → ja), then
+   * function-word voting among latin-script profiles; "und"
+   * (undetermined) when nothing matches. Runs as a Scala function
+   * over each row (the profile table is a closure constant —
+   * effectively broadcast); candidate for a codegen Expression if it
+   * ever reaches a hot path.
+   */
+  def detectLang(text: String): String = {
+    var cjk = 0; var cyr = 0; var ar = 0; var hangul = 0; var kana = 0
+    var i = 0
+    val n = math.min(text.length, 4000)
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+      else if (c >= 0x0600 && c <= 0x06ff) ar += 1
+      else if (c >= 0xac00 && c <= 0xd7af) hangul += 1
+      else if ((c >= 0x3040 && c <= 0x30ff)) kana += 1
+      i += 1
+    }
+    if (kana > 5) "ja"
+    else if (hangul > 5) "ko"
+    else if (cjk > 5) "zh"
+    else if (cyr > 5) "ru"
+    else if (ar > 5) "ar"
+    else {
+      val toks = text.toLowerCase.split("[^a-z]+").iterator.take(500).toSeq
+      if (toks.isEmpty) "und"
+      else {
+        val votes = profiles.view.mapValues(p => toks.count(p.contains)).toMap
+        val (best, score) = votes.maxBy { case (l, s) => (s, l) }
+        if (score == 0) "und" else best
+      }
+    }
+  }
+
+  /** DataFrame wrapper for [[detectLang]]. */
+  def langId(docs: DataFrame): DataFrame = {
+    val f = udf(detectLang _)
+    docs.select(col("doc_id"), f(col("text")).as("lang_pred"))
+  }
+}
