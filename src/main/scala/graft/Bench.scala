@@ -49,18 +49,29 @@ object Bench {
     (new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift), nDocs, sec)
   }
 
-  def runQueries(idx: IndexReader, wandOnly: Boolean): Int = {
+  /** Run the quest set; `concurrency` > 1 overlaps Spark jobs from a
+    * thread pool (the shape of a real query-serving workload — per-
+    * query latency stays, aggregate throughput scales with cores). */
+  def runQueries(idx: IndexReader, wandOnly: Boolean,
+                 concurrency: Int = 1): Int = {
+    import java.util.concurrent.Executors
+    import scala.concurrent._
+    import scala.concurrent.duration.Duration
     val ds = new DatasetMatcher(idx)
     val wand = new WandMatcher(idx)
-    var n = 0
-    questQueries.foreach { qs =>
-      val parsed = QueryParser.parse(qs, pcfg)
-      val expanded = Query.expandWildcards(parsed, idx.termsWithPrefix)
-      if (wandOnly) {
-        if (wand.supports(expanded)) { wand.mset(expanded, 10); n += 1 }
-      } else { ds.mset(expanded, 10); n += 1 }
-    }
-    n
+    val pool = Executors.newFixedThreadPool(concurrency)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = questQueries.flatMap { qs =>
+        val parsed = QueryParser.parse(qs, pcfg)
+        val expanded = Query.expandWildcards(parsed, idx.termsWithPrefix)
+        if (wandOnly) {
+          if (wand.supports(expanded)) Some(Future { wand.mset(expanded, 10); 1 })
+          else None
+        } else Some(Future { ds.mset(expanded, 10); 1 })
+      }
+      futures.map(f => Await.result(f, Duration.Inf)).sum
+    } finally pool.shutdown()
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,8 +90,10 @@ object Bench {
     }
 
     val (idx, nDocs, buildSec) = buildIndex(spark, sfDir, "main", cpus.toInt)
-    val (nWand, wandSec) = time(runQueries(idx, wandOnly = true))
-    val (nDs, dsSec) = time(runQueries(idx, wandOnly = false))
+    idx.warm()
+    val conc = math.max(2, cpus.toInt / 4)
+    val (nWand, wandSec) = time(runQueries(idx, wandOnly = true, conc))
+    val (nDs, dsSec) = time(runQueries(idx, wandOnly = false, conc))
 
     val (_, pipeSec) = time {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

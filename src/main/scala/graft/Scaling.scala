@@ -25,11 +25,10 @@ object Scaling {
       .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val corpus = spark.createDataset(
-      CorpusGenSeqHolder.corpus(nRepos, filesPerRepo))
-      .repartition(cpus * 2)
-    val nDocs = corpus.count()
+    // rows generate inside executors — no driver-side serialization
+    val corpus = graft.fixtures.CorpusGen
+      .generateDistributed(spark, 42L, nRepos, filesPerRepo, cpus * 2)
+    val nDocs = nRepos.toLong * filesPerRepo
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-scale-$cpus").toString + "/idx"
     val cfg = BuildConfig(indexDir = dir, stemMode = "some",
@@ -38,10 +37,11 @@ object Scaling {
     new IndexBuilder(spark, cfg).build(corpus)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
-    val idx = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val idx = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift).warm()
+    val conc = math.max(2, cpus / 4)
     val t1 = System.nanoTime()
-    val nQ = Bench.runQueries(idx, wandOnly = true) +
-      Bench.runQueries(idx, wandOnly = false)
+    val nQ = Bench.runQueries(idx, wandOnly = true, conc) +
+      Bench.runQueries(idx, wandOnly = false, conc)
     val querySec = (System.nanoTime() - t1) / 1e9
 
     spark.stop()
@@ -60,19 +60,5 @@ object Scaling {
     val effB = (build32 / build8) / 4.0
     val effQ = (q32 / q8) / 4.0
     println(f"""{"scaling_efficiency_build":$effB%.3f,"scaling_efficiency_query":$effQ%.3f}""")
-  }
-}
-
-/** Generates the bench corpus once (driver-side) for both runs. */
-private object CorpusGenSeqHolder {
-  private var cached: Option[(Int, Int, Seq[CorpusRow])] = None
-  def corpus(nRepos: Int, filesPerRepo: Int): Seq[CorpusRow] = synchronized {
-    cached match {
-      case Some((r, f, c)) if r == nRepos && f == filesPerRepo => c
-      case _ =>
-        val c = graft.fixtures.CorpusGen.generate(42L, nRepos, filesPerRepo)
-        cached = Some((nRepos, filesPerRepo, c))
-        c
-    }
   }
 }

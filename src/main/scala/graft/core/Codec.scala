@@ -41,14 +41,17 @@ object Codec {
     }
   }
 
-  /** Pack sorted postings as (docIdDelta, wdf)* with delta vs `base`. */
+  /** Pack sorted postings as (docIdDelta, wdf, doclen)* with delta vs
+    * `base`. Carrying doclen in-block costs ~1 byte/posting and makes
+    * scoring join-free (SURVEY.md §4.2). */
   def packPostings(postings: Seq[Posting], base: Long): Array[Byte] = {
-    val out = new ByteArrayOutputStream(postings.size * 3)
+    val out = new ByteArrayOutputStream(postings.size * 4)
     var prev = base
     postings.foreach { p =>
       require(p.docId > prev, s"postings must be strictly increasing: ${p.docId} after $prev")
       writeVLong(out, p.docId - prev)
       writeVLong(out, p.wdf.toLong)
+      writeVLong(out, p.doclen)
       prev = p.docId
     }
     out.toByteArray
@@ -62,7 +65,7 @@ object Codec {
     var i = 0
     while (i < count) {
       prev += r.readVLong()
-      out(i) = Posting(prev, r.readVLong().toInt)
+      out(i) = Posting(prev, r.readVLong().toInt, r.readVLong())
       i += 1
     }
     out
@@ -105,7 +108,6 @@ object Codec {
       termId: Long,
       bucket: Int,
       postings: Seq[Posting],
-      docLen: Long => Long,
       stripeShift: Int,
       maxPerBlock: Int = 4096): Seq[PostingBlock] = {
     val blocks = Seq.newBuilder[PostingBlock]
@@ -119,8 +121,7 @@ object Codec {
       while (j < arr.length && j - i < maxPerBlock &&
              ((arr(j).docId - 1) >> stripeShift).toInt == stripe) {
         if (arr(j).wdf > maxWdf) maxWdf = arr(j).wdf
-        val dl = docLen(arr(j).docId)
-        if (dl < minLen) minLen = dl
+        if (arr(j).doclen < minLen) minLen = arr(j).doclen
         j += 1
       }
       val slice = arr.slice(i, j)

@@ -247,8 +247,11 @@ final case class StatsRow(
     minDocLen: Long,
     maxDocLen: Long)
 
-/** A single decoded posting. */
-final case class Posting(docId: Long, wdf: Int)
+/** A single decoded posting. doclen rides inside the posting (as the
+  * reference's chert postlist table interleaves doclens — reference:
+  * backends/chert/chert_postlist.cc) so scoring never joins a
+  * separate doclens table. */
+final case class Posting(docId: Long, wdf: Int, doclen: Long = 0L)
 
 /** One ranked result. */
 final case class MSetItem(rank: Int, docId: Long, score: Double, percent: Int)

@@ -48,34 +48,50 @@ object CorpusGen {
       .map(b => f"${b & 0xff}%02x").mkString
   }
 
-  def generate(seed: Long = 42L, nRepos: Int = 10, filesPerRepo: Int = 100): Seq[CorpusRow] = {
-    for {
-      r <- 0 until nRepos
-      f <- 0 until filesPerRepo
-    } yield {
-      val repo = f"org/repo-$r%03d"
-      val rnd = new Random(seed ^ (r.toLong << 32) ^ f.toLong)
-      val lang = langs(rnd.nextInt(langs.length))
-      val kw = keywordsByLang(lang)
-      val ext = lang match {
-        case "java" => "java"; case "scala" => "scala"; case "py" => "py"
-        case "c" => "c"; case _ => "txt"
-      }
-      val path = f"src/pkg$r%02d/File$f%04d.$ext"
-      // doclen varies ~10×: 20..200 tokens
-      val nTokens = 20 + rnd.nextInt(181)
-      val sb = new StringBuilder
-      var i = 0
-      while (i < nTokens) {
-        val tok =
-          if (rnd.nextInt(100) < 35) kw(rnd.nextInt(kw.length)) // heavy skew
-          else if (rnd.nextInt(100) < 2) specials(rnd.nextInt(specials.length))
-          else words(rnd.nextInt(words.length))
-        sb.append(tok)
-        sb.append(if (i % 12 == 11) "\n" else " ")
-        i += 1
-      }
-      CorpusRow(repo, path, commitOf(repo, f), lang, sb.toString)
+  /** One deterministic row — pure function of (seed, r, f), so rows
+    * generate identically on the driver or inside executors. */
+  def row(seed: Long, r: Int, f: Int): CorpusRow = {
+    val repo = f"org/repo-$r%03d"
+    val rnd = new Random(seed ^ (r.toLong << 32) ^ f.toLong)
+    val lang = langs(rnd.nextInt(langs.length))
+    val kw = keywordsByLang(lang)
+    val ext = lang match {
+      case "java" => "java"; case "scala" => "scala"; case "py" => "py"
+      case "c" => "c"; case _ => "txt"
     }
+    val path = f"src/pkg$r%02d/File$f%04d.$ext"
+    // doclen varies ~10×: 20..200 tokens
+    val nTokens = 20 + rnd.nextInt(181)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nTokens) {
+      val tok =
+        if (rnd.nextInt(100) < 35) kw(rnd.nextInt(kw.length)) // heavy skew
+        else if (rnd.nextInt(100) < 2) specials(rnd.nextInt(specials.length))
+        else words(rnd.nextInt(words.length))
+      sb.append(tok)
+      sb.append(if (i % 12 == 11) "\n" else " ")
+      i += 1
+    }
+    CorpusRow(repo, path, commitOf(repo, f), lang, sb.toString)
+  }
+
+  def generate(seed: Long = 42L, nRepos: Int = 10, filesPerRepo: Int = 100): Seq[CorpusRow] =
+    for { r <- 0 until nRepos; f <- 0 until filesPerRepo }
+      yield row(seed, r, f)
+
+  /** Executor-side generation — the bench-scale path: no driver
+    * serialization of the corpus, rows materialize inside tasks. */
+  def generateDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      seed: Long, nRepos: Int, filesPerRepo: Int,
+      partitions: Int): org.apache.spark.sql.Dataset[CorpusRow] = {
+    import spark.implicits._
+    spark.range(0, nRepos.toLong * filesPerRepo, 1, partitions)
+      .map { i =>
+        val r = (i / filesPerRepo).toInt
+        val f = (i % filesPerRepo).toInt
+        row(seed, r, f)
+      }
   }
 }

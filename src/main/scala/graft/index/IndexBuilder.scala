@@ -1,7 +1,6 @@
 package graft.index
 
 import graft.core._
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -22,11 +21,13 @@ final case class BuildConfig(
     maxPerBlock: Int = 4096,
     skewDfThreshold: Long = 50000,       // salt terms with df above this
     saltFactor: Int = 16,                // salted sub-keys per skewed term
-    buildPartitions: Int = 32) {
+    buildPartitions: Int = 32,
+    docIdBase: Long = 0L) {              // first docId - 1 (segment appends)
   def configHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val s = s"$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor"
+    // leading token = on-disk format version; bump on codec change
+    val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -74,6 +75,12 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       .contains(s""""configHash":"${cfg.configHash}"""")
   }
 
+  /** Close a stage: lineage from parquet footers, rows = their sum. */
+  private def finishStage(stage: String): Unit = {
+    val lin = tableLineage(s"$dir/$stage")
+    writeManifest(stage, lin.map(_._2).sum, lin)
+  }
+
   private def writeManifest(stage: String, rows: Long, lineage: Seq[(Int, Long, Long)]): Unit = {
     Files.createDirectories(Paths.get(s"$dir/_manifests"))
     val lin = lineage.map { case (pid, cnt, bytes) =>
@@ -85,12 +92,29 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  /** Lineage of a written table: per-file row counts + byte sizes. */
+  /** Lineage of a written table: per-file row counts (parquet footer
+    * metadata) + byte sizes, straight from the filesystem — zero
+    * extra Spark jobs per stage. */
   private def tableLineage(path: String): Seq[(Int, Long, Long)] = {
-    val df = spark.read.parquet(path)
-    df.groupBy(spark_partition_id().as("pid")).count()
-      .collect().sortBy(_.getInt(0))
-      .map(r => (r.getInt(0), r.getLong(1), 0L)).toSeq
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.getPath)
+      .zipWithIndex
+      .map { case (f, i) =>
+        val rows =
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally r.close()
+          } catch { case _: Throwable => -1L }
+        (i, rows, f.length())
+      }
   }
 
   def build(corpus: Dataset[CorpusRow]): Unit = {
@@ -98,29 +122,28 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
 
     // ---------- stage 1: docs0 (docId assignment + sha256) ----------
     if (!stageDone("docs0")) {
-      val sorted = corpus
-        .repartitionByRange(cfg.buildPartitions, $"repo", $"path", $"commit")
-        .sortWithinPartitions($"repo", $"path", $"commit")
-      // pass 1: per-partition counts (ordered partitions → offsets)
-      val counts = sorted.mapPartitions { it =>
-        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-      }.collect().sortBy(_._1)
-      val offsets: Map[Int, Long] = {
-        var acc = 0L
-        counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
-      }
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      // pass 2: assign docId = offset + local index + 1 (1-based, dense)
-      val docs0 = sorted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var i = bOffsets.value.getOrElse(pid, 0L)
-        it.map { r => i += 1; (i, r.repo, r.path, r.commit, r.lang, r.content) }
-      }.toDF("docId", "repo", "path", "commit", "lang", "content")
+      // Deterministic dense 1-based docIds from the global
+      // (repo, path, commit) order. This MUST go through one RDD
+      // lineage: sortByKey fixes its RangePartitioner boundaries
+      // eagerly (single sampling pass), and zipWithIndex's count and
+      // assignment passes then see identical partitioning. The
+      // DataFrame equivalent (repartitionByRange + two executions)
+      // re-samples boundaries per execution and corrupts ids — the
+      // one place RDD use is forced (SURVEY.md §7 risks).
+      val base = cfg.docIdBase
+      val docs0 = corpus.rdd
+        .keyBy(c => (c.repo, c.path, c.commit))
+        .sortByKey(ascending = true, numPartitions = cfg.buildPartitions)
+        .values
+        .zipWithIndex()
+        .map { case (r, i) =>
+          (base + i + 1, r.repo, r.path, r.commit, r.lang, r.content)
+        }
+        .toDF("docId", "repo", "path", "commit", "lang", "content")
         .withColumn("sha256", sha2($"content", 256))
         .withColumn("stripe", (($"docId" - 1) / lit(1L << cfg.stripeShift)).cast("int"))
       docs0.write.mode("overwrite").parquet(s"$dir/docs0")
-      writeManifest("docs0", spark.read.parquet(s"$dir/docs0").count(),
-        tableLineage(s"$dir/docs0"))
+      finishStage("docs0")
     }
 
     val docs0 = spark.read.parquet(s"$dir/docs0")
@@ -148,8 +171,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
           }
         }
       termRows.write.mode("overwrite").parquet(s"$dir/terms")
-      writeManifest("terms", spark.read.parquet(s"$dir/terms").count(),
-        tableLineage(s"$dir/terms"))
+      finishStage("terms")
     }
     val termRows = spark.read.parquet(s"$dir/terms")
 
@@ -160,36 +182,28 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
         .repartitionByRange(cfg.buildPartitions, $"docId")
         .sortWithinPartitions($"docId")
         .write.mode("overwrite").parquet(s"$dir/doclens")
-      writeManifest("doclens", spark.read.parquet(s"$dir/doclens").count(),
-        tableLineage(s"$dir/doclens"))
+      finishStage("doclens")
     }
 
     if (!stageDone("dict")) {
-      // per-term stats; dense termIds in term order (deterministic)
-      val termStats = termRows.groupBy($"term")
+      // per-term stats; dense termIds in term order. Same
+      // single-lineage sortByKey + zipWithIndex pattern as docs0
+      // (two DataFrame executions would re-sample range boundaries).
+      termRows.groupBy($"term")
         .agg(count(lit(1)).as("df"), sum($"wdf").as("cf"),
           max($"wdf").as("maxWdf"))
         .as[(String, Long, Long, Long)]
-      val sorted = termStats
-        .repartitionByRange(cfg.buildPartitions, $"term")
-        .sortWithinPartitions($"term")
-      val counts = sorted.mapPartitions { it =>
-        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-      }.collect().sortBy(_._1)
-      val offsets: Map[Int, Long] = {
-        var acc = 0L
-        counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
-      }
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      sorted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var i = bOffsets.value.getOrElse(pid, 0L)
-        it.map { case (term, df, cf, maxWdf) =>
-          i += 1; DictRow(term, i, df, cf, maxWdf.toInt)
+        .rdd
+        .keyBy(_._1)
+        .sortByKey(ascending = true, numPartitions = cfg.buildPartitions)
+        .values
+        .zipWithIndex()
+        .map { case ((term, df, cf, maxWdf), i) =>
+          DictRow(term, i + 1, df, cf, maxWdf.toInt)
         }
-      }.write.mode("overwrite").parquet(s"$dir/dict")
-      writeManifest("dict", spark.read.parquet(s"$dir/dict").count(),
-        tableLineage(s"$dir/dict"))
+        .toDS()
+        .write.mode("overwrite").parquet(s"$dir/dict")
+      finishStage("dict")
     }
     val dict = spark.read.parquet(s"$dir/dict")
 
@@ -224,15 +238,13 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
               while (!pending.hasNext && buf.hasNext) {
                 val termId = buf.head._1
                 val ps = Vector.newBuilder[Posting]
-                val lens = scala.collection.mutable.HashMap.empty[Long, Long]
                 while (buf.hasNext && buf.head._1 == termId) {
                   val (_, did, wdf, dl, _, _) = buf.next()
-                  ps += Posting(did, wdf)
-                  lens(did) = dl
+                  ps += Posting(did, wdf, dl)
                 }
                 val bucket = Buckets.of(termId, nBuckets)
                 pending = Codec.packBlocks(termId, bucket, ps.result(),
-                  lens, stripeShift, maxPerBlock).iterator
+                  stripeShift, maxPerBlock).iterator
               }
             }
             def hasNext: Boolean = { refill(); pending.hasNext }
@@ -241,8 +253,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
         }
       packed.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/postings")
-      writeManifest("postings", spark.read.parquet(s"$dir/postings").count(),
-        tableLineage(s"$dir/postings"))
+      finishStage("postings")
     }
 
     if (!stageDone("positions")) {
@@ -255,8 +266,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
         .sortWithinPartitions($"termId", $"docId")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/positions")
-      writeManifest("positions", spark.read.parquet(s"$dir/positions").count(),
-        tableLineage(s"$dir/positions"))
+      finishStage("positions")
     }
 
     // ---------- stage 4: docs (with doclen) + stats ----------
@@ -267,8 +277,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
         .repartitionByRange(cfg.buildPartitions, $"docId")
         .sortWithinPartitions($"docId")
         .write.mode("overwrite").parquet(s"$dir/docs")
-      writeManifest("docs", spark.read.parquet(s"$dir/docs").count(),
-        tableLineage(s"$dir/docs"))
+      finishStage("docs")
     }
 
     if (!stageDone("stats")) {

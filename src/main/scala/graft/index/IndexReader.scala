@@ -11,23 +11,53 @@ object Buckets {
 }
 
 /**
+ * What the matchers need from an index — implemented by a single
+ * on-disk index ([[IndexReader]]) and by a union of segment indexes
+ * ([[MultiIndexReader]], the role of Xapian's multi-database:
+ * reference xapian-core/backends/multi/ + matcher/stats.h global
+ * stats gathering).
+ */
+trait Index {
+  def spark: SparkSession
+  def stats: StatsRow
+  def docs: DataFrame
+  def doclens: DataFrame
+  /** Aggregated per-term stats for the query's terms, keyed by a
+    * handle-scoped termId usable with blocksFor/positionsFor. */
+  def lookupTerms(terms: Seq[String]): Map[String, DictRow]
+  def blocksFor(termIds: Seq[Long]): DataFrame
+  def positionsFor(termIds: Seq[Long]): DataFrame
+  def termsWithPrefix(prefix: String): Seq[String]
+}
+
+/**
  * Read-side handle over an index directory written by [[IndexBuilder]]:
  * lazily-loaded global stats and small per-query dict lookups
  * (the role of Xapian::Database::open + the stats-gathering phase of
  * MultiMatch — reference: xapian-core/matcher/stats.h; SURVEY.md §3.1).
  */
 class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 16,
-                  val stripeShift: Int = 14) {
+                  val stripeShift: Int = 14) extends Index {
   import spark.implicits._
 
   lazy val stats: StatsRow =
     spark.read.parquet(s"$dir/stats").as[StatsRow].collect()(0)
 
-  def docs: DataFrame = spark.read.parquet(s"$dir/docs")
-  def doclens: DataFrame = spark.read.parquet(s"$dir/doclens")
-  def dict: DataFrame = spark.read.parquet(s"$dir/dict")
-  def postings: DataFrame = spark.read.parquet(s"$dir/postings")
-  def positions: DataFrame = spark.read.parquet(s"$dir/positions")
+  lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
+  lazy val doclens: DataFrame = spark.read.parquet(s"$dir/doclens")
+  lazy val dict: DataFrame = spark.read.parquet(s"$dir/dict")
+  lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  lazy val positions: DataFrame = spark.read.parquet(s"$dir/positions")
+
+  /** Pin the small metadata tables (dict) in executor memory for
+    * repeated-query workloads — the chert B-tree block cache analog.
+    * Postings stay on disk (columnar scans with pushdown). */
+  def warm(): this.type = {
+    dict.persist()
+    stats // force
+    dict.count()
+    this
+  }
 
   /** Dict rows for a set of query terms — a few-row pruned scan
     * collected to the driver (terms per query are few). */

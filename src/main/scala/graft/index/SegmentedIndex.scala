@@ -1,0 +1,193 @@
+package graft.index
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+/**
+ * Union view over segment indexes — the role of Xapian's
+ * multi-database search (reference: xapian-core/backends/multi/,
+ * matcher/stats.h): collection statistics are aggregated across ALL
+ * segments before any scoring (the reference's two-phase
+ * stats-then-match shape), while postings stay segment-local.
+ *
+ * Per-segment termIds are private to each segment; lookupTerms hands
+ * out handle-scoped canonical ids and blocksFor/positionsFor
+ * translate them per segment (a tiny literal map inside the scan
+ * projection — no extra shuffle).
+ */
+class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
+    extends Index {
+  require(segments.nonEmpty, "MultiIndexReader needs at least one segment")
+
+  lazy val stats: StatsRow = {
+    val ss = segments.map(_.stats)
+    val n = ss.map(_.n).sum
+    val total = ss.map(_.totalLen).sum
+    StatsRow(n, total,
+      if (n > 0) total.toDouble / n else 0.0,
+      ss.filter(_.n > 0).map(_.minDocLen).reduceOption(_ min _).getOrElse(0L),
+      ss.map(_.maxDocLen).reduceOption(_ max _).getOrElse(0L))
+  }
+
+  def docs: DataFrame = segments.map(_.docs).reduce(_ unionByName _)
+  def doclens: DataFrame = segments.map(_.doclens).reduce(_ unionByName _)
+
+  private val nextCanonical = new AtomicLong(1L)
+  /** canonical termId → (segment index, segment-local termId) */
+  private val mapping =
+    scala.collection.concurrent.TrieMap.empty[Long, Seq[(Int, Long)]]
+
+  def lookupTerms(terms: Seq[String]): Map[String, DictRow] = {
+    if (terms.isEmpty) return Map.empty
+    val perSeg: Seq[Map[String, DictRow]] = segments.map(_.lookupTerms(terms))
+    terms.distinct.flatMap { t =>
+      val hits = perSeg.zipWithIndex.flatMap { case (m, i) =>
+        m.get(t).map(d => (i, d))
+      }
+      if (hits.isEmpty) None
+      else {
+        val cid = nextCanonical.getAndIncrement()
+        mapping(cid) = hits.map { case (i, d) => (i, d.termId) }
+        Some(t -> DictRow(t, cid,
+          hits.map(_._2.df).sum, hits.map(_._2.cf).sum,
+          hits.map(_._2.maxWdf).max))
+      }
+    }.toMap
+  }
+
+  private def translated(
+      canonicalIds: Seq[Long],
+      fetch: (IndexReader, Seq[Long]) => DataFrame): DataFrame = {
+    val parts = segments.zipWithIndex.flatMap { case (seg, i) =>
+      val pairs = canonicalIds.flatMap { cid =>
+        mapping.getOrElse(cid, Seq.empty).collect {
+          case (si, real) if si == i => (real, cid)
+        }
+      }
+      if (pairs.isEmpty) None
+      else {
+        val df = fetch(seg, pairs.map(_._1))
+        val m = typedLit(pairs.toMap)
+        Some(df.withColumn("termId", element_at(m, col("termId"))))
+      }
+    }
+    if (parts.isEmpty) spark.emptyDataFrame
+    else parts.reduce(_ unionByName _)
+  }
+
+  def blocksFor(termIds: Seq[Long]): DataFrame =
+    translated(termIds, (s, ids) => s.blocksFor(ids))
+
+  def positionsFor(termIds: Seq[Long]): DataFrame =
+    translated(termIds, (s, ids) => s.positionsFor(ids))
+
+  def termsWithPrefix(prefix: String): Seq[String] =
+    segments.flatMap(_.termsWithPrefix(prefix)).distinct
+}
+
+/**
+ * Append-only segmented index: each append builds an independent
+ * segment with a contiguous docId range — the reference's
+ * WritableDatabase flush batches (reference:
+ * xapian-core/api/omdatabase.cc, XAPIAN_FLUSH_THRESHOLD;
+ * SURVEY.md §3.2). `compact()` merges all segments into one
+ * (the xapian-compact analog, docids renumbered by the global sort).
+ *
+ * The manifest (segments.txt) records (dir, docIdBase, nDocs) per
+ * segment plus the last applied streaming batchId, making streamed
+ * appends idempotent under Structured Streaming's batch replay.
+ */
+class SegmentedIndex(
+    spark: SparkSession,
+    val baseDir: String,
+    stemMode: String = "some",
+    tokenizerMode: String = "xapian",
+    nBuckets: Int = 16,
+    stripeShift: Int = 8,
+    buildPartitions: Int = 8) {
+
+  final case class SegmentInfo(dir: String, base: Long, nDocs: Long)
+
+  private def manifest = Paths.get(s"$baseDir/segments.txt")
+
+  def listSegments(): (Seq[SegmentInfo], Long) = {
+    if (!Files.exists(manifest)) return (Seq.empty, -1L)
+    val lines = new String(Files.readAllBytes(manifest), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    val last = lines.head.stripPrefix("lastBatch=").toLong
+    val segs = lines.tail.map { l =>
+      val Array(d, b, n) = l.split("\\|")
+      SegmentInfo(d, b.toLong, n.toLong)
+    }.toSeq
+    (segs, last)
+  }
+
+  private def writeManifest(segs: Seq[SegmentInfo], lastBatch: Long): Unit = {
+    Files.createDirectories(Paths.get(baseDir))
+    val body = (s"lastBatch=$lastBatch" +:
+      segs.map(s => s"${s.dir}|${s.base}|${s.nDocs}")).mkString("\n")
+    val tmp = Paths.get(s"$baseDir/segments.txt.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append a batch as a new segment. `batchId` gates idempotent
+    * replay (a batch at or below the recorded id is a no-op). */
+  def append(corpus: Dataset[CorpusRow], batchId: Long = Long.MinValue): Unit =
+    synchronized {
+      val (segs, last) = listSegments()
+      if (batchId != Long.MinValue && batchId <= last) return
+      if (corpus.isEmpty) {
+        writeManifest(segs, math.max(last, batchId)); return
+      }
+      val base = segs.lastOption.map(s => s.base + s.nDocs).getOrElse(0L)
+      val dir = f"$baseDir/seg-${segs.size}%05d"
+      val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
+        tokenizerMode = tokenizerMode, nBuckets = nBuckets,
+        stripeShift = stripeShift, buildPartitions = buildPartitions,
+        docIdBase = base)
+      new IndexBuilder(spark, cfg).build(corpus)
+      val nDocs = spark.read.parquet(s"$dir/docs").count()
+      writeManifest(segs :+ SegmentInfo(dir, base, nDocs),
+        math.max(last, if (batchId == Long.MinValue) last else batchId))
+    }
+
+  /** Open the current segment set for search. */
+  def reader(): Index = {
+    val (segs, _) = listSegments()
+    require(segs.nonEmpty, s"no segments in $baseDir")
+    val readers = segs.map(s =>
+      new IndexReader(spark, s.dir, nBuckets, stripeShift))
+    if (readers.size == 1) readers.head
+    else new MultiIndexReader(spark, readers)
+  }
+
+  /** Merge all segments into a single fresh index (docids renumbered
+    * by the global (repo, path, commit) sort — as xapian-compact
+    * renumbers when merging; reference: xapian-core/bin/
+    * xapian-compact.cc). Returns the compacted reader; the manifest
+    * then points at the single merged segment. */
+  def compact(): Index = synchronized {
+    import spark.implicits._
+    val (segs, last) = listSegments()
+    require(segs.nonEmpty, s"no segments in $baseDir")
+    val union = segs.map { s =>
+      spark.read.parquet(s"${s.dir}/docs0")
+        .select($"repo", $"path", $"commit", $"lang", $"content")
+    }.reduce(_ unionByName _).as[CorpusRow]
+    val gen = segs.size
+    val dir = f"$baseDir/compact-$gen%05d"
+    val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
+      tokenizerMode = tokenizerMode, nBuckets = nBuckets,
+      stripeShift = stripeShift, buildPartitions = buildPartitions)
+    new IndexBuilder(spark, cfg).build(union)
+    val nDocs = spark.read.parquet(s"$dir/docs").count()
+    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)
+    new IndexReader(spark, dir, nBuckets, stripeShift)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.matcher
 
 import graft.core._
-import graft.index.IndexReader
+import graft.index.Index
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,7 +34,7 @@ final case class MatchOptions(
  * XOR=full_outer-exactly-one. Scoring is pure Column arithmetic
  * (whole-stage codegen'd; no UDF in the hot path).
  */
-class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
+class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   private val spark = idx.spark
   import spark.implicits._
 
@@ -68,11 +68,13 @@ class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("docId", LongType), StructField("score", DoubleType))))
 
-  /** Decoded postings (docId, wdf) for one term. */
+  /** Decoded postings (docId, wdf, doclen) for one term — doclen
+    * rides in-block, so a term leaf is a pruned scan + decode with NO
+    * join (the chert postlist's interleaved doclens). */
   private def postingsOf(termId: Long): DataFrame =
     idx.blocksFor(Seq(termId)).as[PostingBlock]
-      .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf)))
-      .toDF("docId", "wdf")
+      .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf, p.doclen)))
+      .toDF("docId", "wdf", "doclen")
 
   private def termLeaf(dict: Map[String, DictRow], t: Query.Term): DataFrame =
     dict.get(t.term) match {
@@ -80,7 +82,6 @@ class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
       case Some(d) =>
         val tw = weight.termWeight(t.wqf, d.df, stats)
         postingsOf(d.termId)
-          .join(idx.doclens.select($"docId", $"doclen"), "docId")
           .select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
     }
 
@@ -191,14 +192,14 @@ class DatasetMatcher(idx: IndexReader, opts: MatchOptions = MatchOptions()) {
       if (ids.isEmpty) emptyMatches
       else {
         val union = idx.blocksFor(ids).as[PostingBlock]
-          .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf)))
-          .toDF("docId", "wdf")
-          .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"))
+          .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf, p.doclen)))
+          .toDF("docId", "wdf", "doclen")
+          .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"),
+            max($"doclen").as("doclen"))
         val grouped = union.persist()
         val df = grouped.count() // synonym df = union docset size
         val tw = weight.termWeight(1, df, stats)
-        grouped.join(idx.doclens.select($"docId", $"doclen"), "docId")
-          .select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
+        grouped.select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
       }
 
     case Query.MatchAll =>

@@ -1,7 +1,7 @@
 package graft.matcher
 
 import graft.core._
-import graft.index.IndexReader
+import graft.index.Index
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -19,7 +19,7 @@ import scala.collection.mutable
  * shuffled is posting blocks for the query's terms plus the doclens of
  * the stripes they touch — never the whole index.
  */
-class WandMatcher(idx: IndexReader, weight: Weight = Bm25Weight()) {
+class WandMatcher(idx: Index, weight: Weight = Bm25Weight()) {
   private val spark = idx.spark
   import spark.implicits._
 
@@ -48,23 +48,15 @@ class WandMatcher(idx: IndexReader, weight: Weight = Bm25Weight()) {
     val need = first + k
 
     val blocks = idx.blocksFor(termIds).as[PostingBlock]
-    // stripes actually touched (metadata-cheap distinct over blocks)
-    val stripes = blocks.select($"stripe").distinct()
-      .as[Int].collect().toSeq
-    if (stripes.isEmpty) return Seq.empty
-    val doclens = idx.doclens.filter($"stripe".isin(stripes: _*))
-      .select($"stripe", $"docId", $"doclen").as[(Int, Long, Long)]
-
     val bTws = spark.sparkContext.broadcast(tws)
     val w = weight
     val st = stats
 
-    // per-stripe sub-match: cogroup blocks with that stripe's doclens
+    // per-stripe sub-match over decoded blocks; doclens ride inside
+    // the postings, so the only data moved is the query's blocks
     val local = blocks.groupByKey(_.stripe)
-      .cogroup(doclens.groupByKey(_._1)) { (stripe, bs, dls) =>
-        val lens = new mutable.LongMap[Long]()
-        dls.foreach { case (_, did, len) => lens(did) = len }
-        WandMatcher.stripeTopK(bs.toSeq, bTws.value, lens, w, st, need)
+      .flatMapGroups { (_, bs) =>
+        WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need)
       }
 
     // driver merge (TakeOrderedAndProject over tiny per-stripe lists)
@@ -99,6 +91,7 @@ object WandMatcher {
 
     def curDoc: Long = decoded(pi).docId
     def curWdf: Int = decoded(pi).wdf
+    def curLen: Long = decoded(pi).doclen
     /** Upper bound of this term's contribution in the CURRENT block. */
     def blockUB: Double = {
       val b = blocks(bi)
@@ -137,7 +130,6 @@ object WandMatcher {
   def stripeTopK(
       blocks: Seq[PostingBlock],
       termWeights: Map[Long, Double],
-      doclen: mutable.LongMap[Long],
       w: Weight,
       stats: StatsRow,
       k: Int): Iterator[(Long, Double)] = {
@@ -171,9 +163,9 @@ object WandMatcher {
       } else {
         val pivotDoc = sorted(pivotIdx).curDoc
         if (sorted.head.curDoc == pivotDoc) {
-          // fully score pivotDoc
+          // fully score pivotDoc (doclen decoded from the posting)
           var score = 0.0
-          val len = doclen.getOrElse(pivotDoc, 0L)
+          val len = sorted.head.curLen
           sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
             score += w.sumPart(c.termWeight, c.curWdf, len, stats)
           }

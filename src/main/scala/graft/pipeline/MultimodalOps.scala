@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata for an opaque media payload. */
+final case class MediaMeta(
+    mime: String,
+    width: Int,        // images/video
+    height: Int,
+    sampleRate: Int,   // audio
+    nFrames: Int)      // video/audio frames
+
+/** One media row: opaque binary payload + typed metadata. */
+final case class MediaRow(
+    doc_id: Long,
+    kind: String, // "image" | "audio" | "video"
+    payload: Array[Byte],
+    meta: MediaMeta)
+
+/** Extracted feature vector per media item. */
+final case class MediaFeature(doc_id: Long, kind: String, feature: Array[Float])
+
+/**
+ * Multimodal-column plumbing for training-data pipelines: media
+ * travel as opaque `binary` columns with a typed metadata struct;
+ * decode / feature-extract / frame-sample run batched per partition
+ * (the Scala analog of `mapInPandas` — one JVM-side loop per
+ * partition, vectorizable batch shape, no per-row UDF dispatch).
+ *
+ * ==== STUB NOTICE ====
+ * No image/audio codec libraries exist in this container, so
+ * [[decodeStub]] is a clearly-marked deterministic fake (payload
+ * bytes → pseudo-pixels). The Spark-side contract — schema,
+ * partitioning, batch iteration, feature shapes — is real and
+ * tested; swapping in a real decoder changes only the function body.
+ *
+ * Scale notes: payloads partition by size via
+ * `spark.sql.files.maxPartitionBytes`; feature extraction is
+ * shuffle-free (mapPartitions); downstream ANN over the features
+ * reuses AnnOps.
+ */
+object MultimodalOps {
+
+  /** Deterministic synthetic media table derived from a documents
+    * table — payload = UTF-8 bytes of the text, metadata derived from
+    * lengths. Lets the pipeline run end-to-end with no external data. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val kind = element_at(
+      typedLit(Seq("image", "audio", "video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(
+      col("doc_id"),
+      kind.as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        concat(lit("x-graft/"), kind).as("mime"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (length(col("text")) / 100 + 1).cast("int").as("nFrames")).as("meta"))
+  }
+
+  /**
+   * STUB decoder: maps payload bytes deterministically into `dim`
+   * pseudo-samples in [-1, 1). A real implementation would decode
+   * JPEG/PCM/frames here; the signature (bytes + meta → float batch)
+   * is the real contract.
+   */
+  def decodeStub(payload: Array[Byte], meta: MediaMeta, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // deterministic FNV-ish state
+    var i = 0
+    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Batched per-partition decode + feature extraction (mean-pooled
+    * windows of the decoded samples) — the mapInPandas shape. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val decoded = decodeStub(m.payload, m.meta, dim * 4)
+        val pooled = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0.0f
+          var j = 0
+          while (j < 4) { s += decoded(i * 4 + j); j += 1 }
+          pooled(i) = s / 4.0f
+          i += 1
+        }
+        MediaFeature(m.doc_id, m.kind, pooled)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one output row per kept frame
+    * index (every `everyN`-th frame) — pure column expressions, the
+    * explode stays bounded by nFrames/everyN. */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("doc_id"), col("meta"),
+        explode(sequence(lit(0), col("meta.nFrames") - 1, lit(everyN)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("meta.width"), col("meta.height"))
+
+  /** Metadata-only resize (the real pixel op lives behind the stub):
+    * scales width/height, payload untouched. */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h).cast("double"))
+    media.withColumn("meta",
+      struct(col("meta.mime"),
+        ceil(w * scale).cast("int").as("width"),
+        ceil(h * scale).cast("int").as("height"),
+        col("meta.sampleRate"), col("meta.nFrames")))
+  }
+}

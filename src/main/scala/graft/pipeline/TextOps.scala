@@ -84,7 +84,8 @@ object TextOps {
       j => array_min(slice(grams, j, lit(w))))
     val fps = array_distinct(minima)
     docs.select(col("doc_id"),
-      when(length(text) < k + w - 1, lit(0)).otherwise(size(fps)).as("n_fp"),
+      when(length(text) < k + w - 1, lit(0)).otherwise(size(fps))
+        .cast("long").as("n_fp"),
       when(length(text) < k + w - 1, lit(null)).otherwise(array_min(fps)).as("min_fp"))
   }
 

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.core.CorpusRow
+import graft.index.SegmentedIndex
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Structured Streaming surfaces.
+ *
+ * Incremental indexing: the reference's WritableDatabase accumulates
+ * documents and flushes every XAPIAN_FLUSH_THRESHOLD docs
+ * (SURVEY.md §3.2); here each streaming micro-batch flushes as one
+ * index segment via [[SegmentedIndex.append]], idempotent under batch
+ * replay (the segment manifest records the last applied batchId).
+ * Search unions segments (MultiIndexReader); compact() folds them.
+ *
+ * Event analytics: the same batch transforms of
+ * graft.pipeline.EventOps expressed as streaming aggregations with
+ * watermarks.
+ */
+object StreamOps {
+
+  /** Start streaming corpus ingestion into a segmented index. */
+  def startIngest(corpusStream: Dataset[CorpusRow], seg: SegmentedIndex,
+                  checkpointDir: String): StreamingQuery =
+    corpusStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CorpusRow], batchId: Long) =>
+        seg.append(batch, batchId)
+      }
+      .start()
+
+  /** Streaming tumbling-hour rollup per event_type (streaming form of
+    * EventOps.hourlyRollup). Late events beyond the watermark drop. */
+  def hourlyRollupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming gap sessionization via session_window (the built-in
+    * state-store path for EventOps.sessionize semantics). */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_epoch"),
+        unix_timestamp(col("session_window.end")).as("end_epoch"),
+        col("n_events"), col("sum_value"))
+}

@@ -32,7 +32,7 @@ class CodecSpec extends AnyFunSuite {
       var id = 0L
       val ps = List.fill(rnd.nextInt(100)) {
         id += 1 + rnd.nextInt(1000)
-        Posting(id, 1 + rnd.nextInt(500))
+        Posting(id, 1 + rnd.nextInt(500), rnd.nextInt(100000).toLong)
       }
       val bytes = Codec.packPostings(ps, 0L)
       val back = Codec.unpackPostings(bytes, 0L, ps.size)
@@ -51,23 +51,22 @@ class CodecSpec extends AnyFunSuite {
 
   test("packBlocks respects stripe boundaries and block-max metadata") {
     // stripeShift 4 → stripes of 16 docIds: [1..16], [17..32], ...
-    val ps = (1L to 100L by 3).map(d => Posting(d, (d % 7).toInt + 1))
-    val lens = ps.map(p => p.docId -> (p.docId * 10)).toMap
-    val blocks = Codec.packBlocks(42L, 0, ps, lens, stripeShift = 4)
+    val ps = (1L to 100L by 3).map(d => Posting(d, (d % 7).toInt + 1, d * 10))
+    val blocks = Codec.packBlocks(42L, 0, ps, stripeShift = 4)
     blocks.foreach { b =>
       assert(((b.firstDocId - 1) >> 4).toInt == b.stripe)
       assert(((b.lastDocId - 1) >> 4).toInt == b.stripe)
       val decoded = Codec.unpackBlock(b)
       assert(decoded.length == b.count)
       assert(decoded.map(_.wdf).max == b.maxWdf)
-      assert(decoded.map(p => lens(p.docId)).min == b.minDocLen)
+      assert(decoded.map(_.doclen).min == b.minDocLen)
     }
     assert(blocks.flatMap(Codec.unpackBlock).toList == ps.toList)
   }
 
   test("packBlocks honors maxPerBlock within a stripe") {
     val ps = (1L to 3000L).map(d => Posting(d, 1))
-    val blocks = Codec.packBlocks(1L, 0, ps, _ => 1L, stripeShift = 20, maxPerBlock = 512)
+    val blocks = Codec.packBlocks(1L, 0, ps, stripeShift = 20, maxPerBlock = 512)
     assert(blocks.forall(_.count <= 512))
     assert(blocks.map(_.count).sum == 3000)
     // all in stripe 0 given shift 20

@@ -1,0 +1,114 @@
+package graft.index
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.matcher.{DatasetMatcher, WandMatcher}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import Query._
+
+/**
+ * Multi-segment search must equal the scalar oracle over the union
+ * corpus (with docIds assigned per-segment, in append order), and
+ * compaction must equal a single-shot build — the reference's
+ * multi-database + xapian-compact semantics (SURVEY.md §2b).
+ */
+class SegmentedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val all = CorpusGen.generate(seed = 21, nRepos = 4, filesPerRepo = 20)
+  private val batches = Seq(all.take(30), all.slice(30, 55), all.drop(55))
+
+  private lazy val env = {
+    val baseDir = Files.createTempDirectory("graft-seg").toString
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    import spark.implicits._
+    batches.foreach(b => seg.append(spark.createDataset(b)))
+    // oracle: per-segment (repo,path,commit) sort, contiguous id ranges
+    var next = 1L
+    val odocs = batches.flatMap { b =>
+      b.sortBy(c => (c.repo, c.path, c.commit)).map { c =>
+        val d = Oracle.Doc(next, c.content, Map.empty, c.lang); next += 1; d
+      }
+    }
+    (seg, Oracle.buildIndex(odocs, stemMode = "none"))
+  }
+  private lazy val (seg, oracleIdx) = env
+
+  private def check(idx: Index, q: Query, tag: String, k: Int = 10): Unit = {
+    val want = Oracle.mset(q, oracleIdx, k)
+    val got = new DatasetMatcher(idx).mset(q, k)
+    assert(got.map(_.docId) == want.map(_.docId),
+      s"$tag ${q.describe}: got ${got.map(_.docId)}, want ${want.map(_.docId)}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9, s"$tag score doc ${g.docId}")
+    }
+    val wand = new WandMatcher(idx)
+    if (wand.supports(q)) {
+      val wr = wand.mset(q, k)
+      assert(wr.map(_.docId) == want.map(_.docId), s"$tag wand ${q.describe}")
+    }
+  }
+
+  test("segments have contiguous docId ranges") {
+    val (segs, _) = seg.listSegments()
+    assert(segs.size === 3)
+    assert(segs.map(_.nDocs) === Seq(30L, 25L, 25L))
+    assert(segs.map(_.base) === Seq(0L, 30L, 55L))
+  }
+
+  test("multi-segment global stats aggregate before scoring") {
+    val idx = seg.reader()
+    assert(idx.stats.n === oracleIdx.stats.n)
+    assert(idx.stats.totalLen === oracleIdx.stats.totalLen)
+    assert(math.abs(idx.stats.avgLen - oracleIdx.stats.avgLen) < 1e-12)
+  }
+
+  test("multi-segment search rank-identical to oracle") {
+    val idx = seg.reader()
+    check(idx, t("parse"), "multi")
+    check(idx, or(t("parse"), t("token")), "multi")
+    check(idx, and(t("def"), t("parse")), "multi")
+    check(idx, AndNot(t("parse"), t("def")), "multi")
+    check(idx, Phrase(Seq(t("def"), t("parse")), 5), "multi")
+    check(idx, Query.Wildcard("par"), "multi")
+  }
+
+  test("streamed replay of an already-applied batch is a no-op") {
+    import spark.implicits._
+    val baseDir2 = Files.createTempDirectory("graft-seg2").toString
+    val seg2 = new SegmentedIndex(spark, baseDir2, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    seg2.append(spark.createDataset(batches.head), batchId = 0L)
+    seg2.append(spark.createDataset(batches.head), batchId = 0L) // replay
+    val (segs2, last2) = seg2.listSegments()
+    assert(segs2.size === 1 && last2 === 0L)
+    seg2.append(spark.createDataset(batches(1)), batchId = 1L)
+    assert(seg2.listSegments()._1.size === 2)
+  }
+
+  test("compact merges to one segment, rank-identical to fresh build") {
+    // compaction renumbers docids by the global sort — compare to an
+    // oracle over the globally-sorted union
+    val baseDir3 = Files.createTempDirectory("graft-seg3").toString
+    val seg3 = new SegmentedIndex(spark, baseDir3, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    import spark.implicits._
+    batches.foreach(b => seg3.append(spark.createDataset(b)))
+    val compacted = seg3.compact()
+    assert(seg3.listSegments()._1.size === 1)
+    val sortedAll = all.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sortedAll.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }, stemMode = "none")
+    val q = or(t("parse"), t("token"))
+    val want = Oracle.mset(q, oidx, 10)
+    val got = new DatasetMatcher(compacted).mset(q, 10)
+    assert(got.map(_.docId) == want.map(_.docId))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "an image payload body here"),
+    (1L, "an audio payload body here"),
+    (2L, "a video payload body here with more text " * 5),
+    (3L, "another image body")).toDF("doc_id", "text")
+
+  test("syntheticMedia: schema has binary payload + typed metadata") {
+    val m = MultimodalOps.syntheticMedia(docs)
+    val f = m.schema("payload")
+    assert(f.dataType.typeName === "binary")
+    assert(m.schema("meta").dataType.typeName === "struct")
+    val kinds = m.select("kind").as[String].collect().toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures: deterministic, fixed dim, batch path") {
+    val media = MultimodalOps.syntheticMedia(docs).as[MediaRow]
+    val f1 = MultimodalOps.extractFeatures(media, dim = 16).collect()
+      .sortBy(_.doc_id)
+    val f2 = MultimodalOps.extractFeatures(media, dim = 16).collect()
+      .sortBy(_.doc_id)
+    assert(f1.length === 4)
+    assert(f1.forall(_.feature.length === 16))
+    f1.zip(f2).foreach { case (a, b) => assert(a.feature.toSeq === b.feature.toSeq) }
+    // distinct payloads produce distinct features
+    assert(f1(0).feature.toSeq !== f1(1).feature.toSeq)
+  }
+
+  test("features feed the ANN path") {
+    val media = MultimodalOps.syntheticMedia(docs).as[MediaRow]
+    val feats = MultimodalOps.extractFeatures(media, dim = 16)
+      .toDF().select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    val q = feats.where(col("vec_id") === 0).head().getSeq[Float](1).toSeq
+    val top = AnnOps.bruteForceTopK(feats, q, 2, excludeId = None).collect()
+    assert(top.head.getLong(0) === 0L && top.head.getDouble(1) === 1.0)
+  }
+
+  test("sampleFrames keeps every Nth frame of video rows only") {
+    val media = MultimodalOps.syntheticMedia(docs)
+    val nFrames = media.where(col("kind") === "video")
+      .select(col("meta.nFrames")).as[Int].head()
+    val frames = MultimodalOps.sampleFrames(media, everyN = 2)
+    assert(frames.select("doc_id").distinct().as[Long].collect().toSeq === Seq(2L))
+    assert(frames.count() === ((nFrames + 1) / 2).toLong)
+    val idxs = frames.select("frame_idx").as[Int].collect().sorted
+    assert(idxs.forall(_ % 2 == 0))
+  }
+
+  test("resizeMeta scales dimensions, preserves payload") {
+    val media = MultimodalOps.syntheticMedia(docs)
+    val resized = MultimodalOps.resizeMeta(media, maxSide = 16)
+    val dims = resized.select(col("meta.width"), col("meta.height")).collect()
+    assert(dims.forall(r => r.getInt(0) <= 16 && r.getInt(1) <= 16))
+    val payloadsBefore = media.select("payload").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val payloadsAfter = resized.select("payload").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(payloadsBefore.toSeq === payloadsAfter.toSeq)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the training-data pipeline operators (the
+  * cross-engine value checks live in the driver harness via
+  * SparkEntry.oracleSql; these pin semantics with hand-built inputs). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("exactCanonical groups identical texts under the min doc_id") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa")
+    val m = DedupOps.exactCanonical(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("minhash: identical texts identical sigs; short text null") {
+    val d = docs(1L -> "the quick brown fox jumps", 2L -> "the quick brown fox jumps",
+      3L -> "a totally different document body", 4L -> "short")
+    val rows = DedupOps.minhash(d).orderBy("doc_id").collect()
+    assert(rows(0).toSeq.drop(1) === rows(1).toSeq.drop(1))
+    assert(rows(0).toSeq.drop(1) !== rows(2).toSeq.drop(1))
+    assert(rows(3).isNullAt(1)) // length < k ⇒ null signature
+  }
+
+  test("lsh candidates contain exact duplicates with all bands shared") {
+    val d = docs(1L -> "the quick brown fox jumps over", 2L -> "the quick brown fox jumps over",
+      3L -> "completely unrelated text here zzz")
+    val pairs = DedupOps.lshCandidatePairs(DedupOps.minhash(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, n) => a == 1L && b == 2L && n == 4L })
+  }
+
+  test("ngramJaccard: identical = 1, disjoint = 0") {
+    val d = docs(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "0123456789")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = DedupOps.ngramJaccard(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("simhash: identical texts equal, near texts close, far texts far") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> base, 2L -> base,
+      3L -> (base + " extra"), 4L -> "entirely different words about spark sql engines")
+    val m = DedupOps.simhash64(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) === m(2L))
+    assert(dist(m(1L), m(3L)) < dist(m(1L), m(4L)))
+  }
+
+  test("simhashNearDups finds the identical pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> base, 2L -> base, 3L -> "entirely different words about engines")
+    val nd = DedupOps.simhashNearDups(DedupOps.simhash64(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.contains((1L, 2L)))
+    assert(!nd.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("bruteForceTopK: orthonormal basis vectors rank by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = AnnOps.bruteForceTopK(vecs, Seq(1f, 0f, 0f), 3, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(top(0)._2 === 1.0)
+    assert(top(2)._2 === 0.0)
+  }
+
+  test("ivfAssign picks nearest centroid; ivfSearch finds in-bucket hits") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), // the two "centroid" vectors
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.7f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val assign = AnnOps.ivfAssign(vecs, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+    val hits = AnnOps.ivfSearch(vecs, cents, Seq(1f, 0f), 2, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(hits.toSeq === Seq(0L, 2L))
+  }
+
+  test("qualityFeatures on a known string") {
+    val d = docs(1L -> "aa bb aa 12")
+    val r = TextOps.qualityFeatures(d).collect()(0)
+    assert(r.getLong(1) === 11L)  // n_chars
+    assert(r.getLong(2) === 4L)   // n_tokens
+    assert(r.getDouble(3) === 2.0) // avg token len: (11-3)/4
+    assert(math.abs(r.getDouble(5) - 0.181818) < 1e-6) // digit_ratio 2/11
+    assert(r.getDouble(7) === 0.5) // "aa" twice of 4
+  }
+
+  test("winnowDigest: shared text shares fingerprints, short text empty") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "tiny")
+    val rows = TextOps.winnowDigest(d).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) > 0 && rows(0).getLong(1) === rows(1).getLong(1))
+    assert(rows(0).getString(2) === rows(1).getString(2))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
+  }
+
+  test("detectLang: scripts and function words") {
+    assert(TextOps.detectLang("the cat is on the mat and this is fine") === "en")
+    assert(TextOps.detectLang("der hund ist nicht mit der katze und das ist gut") === "de")
+    assert(TextOps.detectLang("le chat est dans la maison et il est pour une chose") === "fr")
+    assert(TextOps.detectLang("el perro es una cosa que las casas con los gatos para") === "es")
+    assert(TextOps.detectLang("这是一个中文测试文档里面有很多汉字") === "zh")
+    assert(TextOps.detectLang("это русский текст для проверки языка") === "ru")
+    assert(TextOps.detectLang("12345 67890 !!!") === "und")
+  }
+
+  test("hourlyRollup buckets by hour and type") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.0, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), 1L, "click", 2.0, ""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 1L, "click", 4.0, ""),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2L, "view", 8.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.hourlyRollup(ev).orderBy("hour_epoch", "event_type").collect()
+    assert(r.length === 3)
+    assert(r(0).getString(1) === "click" && r(0).getLong(2) === 2L && r(0).getDouble(3) === 3.0)
+    assert(r(1).getString(1) === "view" && r(1).getLong(2) === 1L)
+    assert(r(2).getString(1) === "click" && r(2).getLong(2) === 1L && r(2).getDouble(3) === 4.0)
+  }
+
+  test("sessionize splits on the idle gap") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, ""),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "a", 1.0, ""),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "a", 1.0, ""), // > 30 min gap → new session
+      (4L, ts("2024-01-01 10:00:00"), 2L, "a", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.sessionize(ev).orderBy("user_id", "session_seq").collect()
+    assert(r.length === 3)
+    assert(r(0).getLong(0) === 1L && r(0).getLong(4) === 2L) // user 1 session 1: 2 events
+    assert(r(1).getLong(0) === 1L && r(1).getLong(4) === 1L)
+    assert(r(2).getLong(0) === 2L && r(2).getLong(4) === 1L)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.SegmentedIndex
+import graft.matcher.DatasetMatcher
+import graft.pipeline.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import Query._
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming corpus ingestion: micro-batches become segments, search matches oracle") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = CorpusGen.generate(seed = 33, nRepos = 3, filesPerRepo = 15)
+    val batches = Seq(all.take(20), all.slice(20, 35), all.drop(35))
+
+    val baseDir = Files.createTempDirectory("graft-stream").toString
+    val seg = new SegmentedIndex(spark, s"$baseDir/idx", stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    val stream = MemoryStream[CorpusRow]
+    val query = StreamOps.startIngest(stream.toDS(), seg, s"$baseDir/ckpt")
+    try {
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val (segs, _) = seg.listSegments()
+    assert(segs.size === 3)
+    assert(segs.map(_.nDocs).sum === all.size.toLong)
+
+    // oracle over per-batch sorted, contiguous id ranges
+    var next = 1L
+    val odocs = batches.flatMap { b =>
+      b.sortBy(c => (c.repo, c.path, c.commit)).map { c =>
+        val d = Oracle.Doc(next, c.content, Map.empty, c.lang); next += 1; d
+      }
+    }
+    val oidx = Oracle.buildIndex(odocs, stemMode = "none")
+    val q = or(t("parse"), t("token"))
+    val want = Oracle.mset(q, oidx, 10)
+    val got = new DatasetMatcher(seg.reader()).mset(q, 10)
+    assert(got.map(_.docId) == want.map(_.docId))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9)
+    }
+  }
+
+  test("streaming hourly rollup (complete mode) equals the batch rollup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, ""),
+      (2L, ts("2024-01-01 10:55:00"), 1L, "click", 2.0, ""),
+      (3L, ts("2024-01-01 11:05:00"), 1L, "click", 4.0, ""),
+      (4L, ts("2024-01-01 10:10:00"), 2L, "view", 8.0, ""))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = stream.toDS()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = StreamOps.hourlyRollupStream(events)
+    val query = agg.writeStream.format("memory").queryName("rollup")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("rollup")
+      .orderBy("hour_epoch", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventOps.hourlyRollup(rows.toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("hour_epoch", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming session_window groups by idle gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, ""),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "a", 1.0, ""),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "a", 1.0, ""))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = stream.toDS()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = StreamOps.sessionizeStream(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      // a far-future event advances the watermark so the user-1
+      // sessions finalize and emit under append mode
+      stream.addData((4L, ts("2024-01-01 20:00:00"), 2L, "a", 1.0, ""))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("sessions").where("user_id = 1")
+      .orderBy("start_epoch").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(3) === 2L) // first session: 2 events
+    assert(out(1).getLong(3) === 1L)
+  }
+}
