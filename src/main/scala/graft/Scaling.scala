@@ -1,6 +1,5 @@
 package graft
 
-import graft.core._
 import graft.index.{BuildConfig, IndexBuilder, IndexReader}
 import org.apache.spark.sql.SparkSession
 
@@ -9,23 +8,56 @@ import org.apache.spark.sql.SparkSession
  * criterion (BASELINE.json: throughput scaling efficiency ≥ 0.8
  * between N and 4N executors). No real cluster exists in this
  * sandbox, so the sanctioned proxy is the same job at two parallelism
- * levels: local[8] vs local[32] over the identical input
- * (the FIXTURES.md bench corpus, 100k synthetic source files).
+ * levels — local[8] vs local[32] — over identical input (the
+ * FIXTURES.md bench corpus, generated deterministically inside
+ * executors).
  *
- * Prints one JSON line per run plus a final efficiency line; numbers
- * are recorded in BASELINE.md.
+ * Each level runs in its OWN JVM (separate `runMain` invocations,
+ * the spark-submit-per-cluster-size shape): `runMain graft.Scaling 8`
+ * then `runMain graft.Scaling 32`; each prints one JSON line. An
+ * untimed warmup build+query pass precedes measurement so JIT/codegen
+ * compilation doesn't bias the first phase.
+ *
+ * Small-file read coalescing would cap scan parallelism at this data
+ * size (the whole corpus is ~100 MB of parquet — one default 128 MB
+ * split), so the session pins maxPartitionBytes/openCostInBytes down;
+ * at real scale the files outgrow the split size and this is moot.
  */
 object Scaling {
 
-  private def run(cpus: Int, nRepos: Int, filesPerRepo: Int): (Long, Double, Double) = {
+  def run(cpus: Int, nRepos: Int, filesPerRepo: Int): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // rows generate inside executors — no driver-side serialization
+
+    // Aggregate executor CPU time — the sandbox host throttles CPU
+    // erratically (see BASELINE.md), so wall-clock alone conflates
+    // code scaling with hypervisor noise; cpu-seconds per doc is the
+    // throttle-independent work measure.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+      })
+
+    // untimed JIT/codegen warmup
+    val warmDir = java.nio.file.Files
+      .createTempDirectory(s"graft-warm-$cpus").toString + "/idx"
+    new IndexBuilder(spark, BuildConfig(indexDir = warmDir,
+      stemMode = "some", stripeShift = 10, buildPartitions = cpus))
+      .build(graft.fixtures.CorpusGen.generateDistributed(spark, 7L, 2, 500, cpus))
+    Bench.runQueries(
+      new IndexReader(spark, warmDir, 16, 10).warm(), wandOnly = false, 2)
+
+    // timed build
     val corpus = graft.fixtures.CorpusGen
       .generateDistributed(spark, 42L, nRepos, filesPerRepo, cpus * 2)
     val nDocs = nRepos.toLong * filesPerRepo
@@ -33,32 +65,30 @@ object Scaling {
       .createTempDirectory(s"graft-scale-$cpus").toString + "/idx"
     val cfg = BuildConfig(indexDir = dir, stemMode = "some",
       nBuckets = 16, stripeShift = 10, buildPartitions = cpus * 2)
+    val cpu0 = cpuNs.get()
     val t0 = System.nanoTime()
     new IndexBuilder(spark, cfg).build(corpus)
     val buildSec = (System.nanoTime() - t0) / 1e9
+    val buildCpuSec = (cpuNs.get() - cpu0) / 1e9
 
+    // timed queries (concurrent, FIFO scheduler)
     val idx = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift).warm()
     val conc = math.max(2, cpus / 4)
     val t1 = System.nanoTime()
-    val nQ = Bench.runQueries(idx, wandOnly = true, conc) +
-      Bench.runQueries(idx, wandOnly = false, conc)
+    val nQ = (1 to 3).map { _ =>
+      Bench.runQueries(idx, wandOnly = true, conc) +
+        Bench.runQueries(idx, wandOnly = false, conc)
+    }.sum
     val querySec = (System.nanoTime() - t1) / 1e9
 
+    println(f"""{"cpus":$cpus,"n_docs":$nDocs,"build_sec":$buildSec%.1f,"build_docs_per_sec":${nDocs / buildSec}%.1f,"build_cpu_sec":$buildCpuSec%.1f,"cpu_util":${buildCpuSec / (buildSec * cpus)}%.3f,"n_queries":$nQ,"queries_per_sec":${nQ / querySec}%.2f}""")
     spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    (nDocs, nDocs / buildSec, nQ / querySec)
   }
 
   def main(args: Array[String]): Unit = {
-    val nRepos = if (args.length > 0) args(0).toInt else 50
-    val filesPerRepo = if (args.length > 1) args(1).toInt else 2000
-    val (n8, build8, q8) = run(8, nRepos, filesPerRepo)
-    println(f"""{"cpus":8,"n_docs":$n8,"build_docs_per_sec":$build8%.1f,"queries_per_sec":$q8%.2f}""")
-    val (n32, build32, q32) = run(32, nRepos, filesPerRepo)
-    println(f"""{"cpus":32,"n_docs":$n32,"build_docs_per_sec":$build32%.1f,"queries_per_sec":$q32%.2f}""")
-    val effB = (build32 / build8) / 4.0
-    val effQ = (q32 / q8) / 4.0
-    println(f"""{"scaling_efficiency_build":$effB%.3f,"scaling_efficiency_query":$effQ%.3f}""")
+    val cpus = if (args.length > 0) args(0).toInt else 32
+    val nRepos = if (args.length > 1) args(1).toInt else 50
+    val filesPerRepo = if (args.length > 2) args(2).toInt else 2000
+    run(cpus, nRepos, filesPerRepo)
   }
 }

@@ -117,11 +117,25 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       }
   }
 
+  /** Per-stage wall times of the last build (stage → seconds) —
+    * build metrics for the lineage/metrics requirement. */
+  val stageSeconds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  private def timed[A](stage: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    stageSeconds(stage) = sec
+    if (sys.env.contains("GRAFT_BUILD_VERBOSE"))
+      System.err.println(f"[graft-build] $stage: $sec%.2fs")
+    a
+  }
+
   def build(corpus: Dataset[CorpusRow]): Unit = {
     Files.createDirectories(Paths.get(dir))
 
     // ---------- stage 1: docs0 (docId assignment + sha256) ----------
-    if (!stageDone("docs0")) {
+    if (!stageDone("docs0")) timed("docs0") {
       // Deterministic dense 1-based docIds from the global
       // (repo, path, commit) order. This MUST go through one RDD
       // lineage: sortByKey fixes its RangePartitioner boundaries
@@ -149,7 +163,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     val docs0 = spark.read.parquet(s"$dir/docs0")
 
     // ---------- stage 2: terms + dict + doclens (single tokenize) ----------
-    if (!stageDone("terms")) {
+    if (!stageDone("terms")) timed("terms") {
       val stem = cfg.stemMode
       val tokMode = cfg.tokenizerMode
       val stop = cfg.stopwords
@@ -175,17 +189,17 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     }
     val termRows = spark.read.parquet(s"$dir/terms")
 
-    if (!stageDone("doclens")) {
+    if (!stageDone("doclens")) timed("doclens") {
+      // one hash aggregate; no ordering requirement on this table
+      // (readers filter on stripe/docId with parquet pushdown)
       termRows.groupBy($"docId").agg(max($"doclen").as("doclen"))
         .withColumn("stripe", (($"docId" - 1) / lit(1L << cfg.stripeShift)).cast("int"))
         .select($"stripe", $"docId", $"doclen")
-        .repartitionByRange(cfg.buildPartitions, $"docId")
-        .sortWithinPartitions($"docId")
         .write.mode("overwrite").parquet(s"$dir/doclens")
       finishStage("doclens")
     }
 
-    if (!stageDone("dict")) {
+    if (!stageDone("dict")) timed("dict") {
       // per-term stats; dense termIds in term order. Same
       // single-lineage sortByKey + zipWithIndex pattern as docs0
       // (two DataFrame executions would re-sample range boundaries).
@@ -207,70 +221,78 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     }
     val dict = spark.read.parquet(s"$dir/dict")
 
-    // ---------- stage 3: postings + positions ----------
-    if (!stageDone("postings")) {
+    // ---------- stage 3: postings + positions (ONE shuffle) ----------
+    if (!stageDone("postings") || !stageDone("positions")) {
       val nBuckets = cfg.nBuckets
       val stripeShift = cfg.stripeShift
       val maxPerBlock = cfg.maxPerBlock
       val saltFactor = cfg.saltFactor
 
-      // TermRow ⋈ dict on term (sort-merge at scale; AQE handles join
-      // skew), then the north rule's explicit repartition by term hash
-      // with stripe-aligned salting for skewed terms.
-      val joined = termRows.join(dict.select($"term", $"termId", $"df"), "term")
+      // TermRow ⋈ broadcast(dict) — the dict is tiny relative to the
+      // term stream (at 10^12-file scale, still ≪ postings; shard the
+      // dict join only if it ever outgrows broadcast) — then the
+      // north rule's explicit repartition by term hash with
+      // stripe-aligned salting for skewed terms. The shuffled+sorted
+      // result is persisted once and feeds BOTH the postings packer
+      // and the positions table — one wide shuffle, two writes.
+      val joined = termRows
+        .join(broadcast(dict.select($"term", $"termId", $"df")), "term")
         .withColumn("stripe", (($"docId" - 1) / lit(1L << stripeShift)).cast("int"))
         .withColumn("salt",
           when($"df" > cfg.skewDfThreshold, pmod($"stripe", lit(saltFactor)))
             .otherwise(lit(0)))
-      val packed = joined
+      val shuffled = joined
         .select($"termId", $"docId", $"wdf", $"doclen", $"posBytes", $"salt")
         .repartition(cfg.buildPartitions, $"termId", $"salt")
         .sortWithinPartitions($"termId", $"docId")
-        .as[(Long, Long, Int, Long, Array[Byte], Int)]
-        .mapPartitions { it =>
-          // group consecutive (termId, stripe) runs and pack blocks;
-          // salting never splits a stripe, so output blocks are
-          // independent of salt assignment
-          new Iterator[PostingBlock] {
-            private val buf = it.buffered
-            private var pending: Iterator[PostingBlock] = Iterator.empty
-            private def refill(): Unit = {
-              while (!pending.hasNext && buf.hasNext) {
-                val termId = buf.head._1
-                val ps = Vector.newBuilder[Posting]
-                while (buf.hasNext && buf.head._1 == termId) {
-                  val (_, did, wdf, dl, _, _) = buf.next()
-                  ps += Posting(did, wdf, dl)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+      if (!stageDone("postings")) timed("postings") {
+        val packed = shuffled
+          .as[(Long, Long, Int, Long, Array[Byte], Int)]
+          .mapPartitions { it =>
+            // group consecutive (termId, stripe) runs and pack blocks;
+            // salting never splits a stripe, so output blocks are
+            // independent of salt assignment
+            new Iterator[PostingBlock] {
+              private val buf = it.buffered
+              private var pending: Iterator[PostingBlock] = Iterator.empty
+              private def refill(): Unit = {
+                while (!pending.hasNext && buf.hasNext) {
+                  val termId = buf.head._1
+                  val ps = Vector.newBuilder[Posting]
+                  while (buf.hasNext && buf.head._1 == termId) {
+                    val (_, did, wdf, dl, _, _) = buf.next()
+                    ps += Posting(did, wdf, dl)
+                  }
+                  val bucket = Buckets.of(termId, nBuckets)
+                  pending = Codec.packBlocks(termId, bucket, ps.result(),
+                    stripeShift, maxPerBlock).iterator
                 }
-                val bucket = Buckets.of(termId, nBuckets)
-                pending = Codec.packBlocks(termId, bucket, ps.result(),
-                  stripeShift, maxPerBlock).iterator
               }
+              def hasNext: Boolean = { refill(); pending.hasNext }
+              def next(): PostingBlock = { refill(); pending.next() }
             }
-            def hasNext: Boolean = { refill(); pending.hasNext }
-            def next(): PostingBlock = { refill(); pending.next() }
           }
-        }
-      packed.write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$dir/postings")
-      finishStage("postings")
+        packed.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/postings")
+        finishStage("postings")
+      }
+
+      if (!stageDone("positions")) timed("positions") {
+        shuffled.filter(length($"posBytes") > 0)
+          .withColumn("bucket", pmod($"termId", lit(nBuckets)).cast("int"))
+          .select($"termId", $"bucket", $"docId", $"posBytes")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/positions")
+        finishStage("positions")
+      }
+      shuffled.unpersist()
     }
 
-    if (!stageDone("positions")) {
-      val nBuckets = cfg.nBuckets
-      termRows.filter(length($"posBytes") > 0)
-        .join(dict.select($"term", $"termId"), "term")
-        .withColumn("bucket", pmod($"termId", lit(nBuckets)).cast("int"))
-        .select($"termId", $"bucket", $"docId", $"posBytes")
-        .repartition(cfg.buildPartitions, $"termId")
-        .sortWithinPartitions($"termId", $"docId")
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$dir/positions")
-      finishStage("positions")
-    }
 
     // ---------- stage 4: docs (with doclen) + stats ----------
-    if (!stageDone("docs")) {
+    if (!stageDone("docs")) timed("docs") {
       val doclens = spark.read.parquet(s"$dir/doclens")
       docs0.join(doclens.select($"docId", $"doclen"), Seq("docId"), "left")
         .na.fill(0L, Seq("doclen"))
@@ -280,7 +302,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       finishStage("docs")
     }
 
-    if (!stageDone("stats")) {
+    if (!stageDone("stats")) timed("stats") {
       // aggregate over docs (doclen filled with 0 for token-less docs):
       // N must count EVERY document, not just those with postings
       val doclens = spark.read.parquet(s"$dir/docs").select($"docId", $"doclen")

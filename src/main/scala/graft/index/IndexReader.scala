@@ -28,6 +28,12 @@ trait Index {
   def blocksFor(termIds: Seq[Long]): DataFrame
   def positionsFor(termIds: Seq[Long]): DataFrame
   def termsWithPrefix(prefix: String): Seq[String]
+  /** Per-document term lists (docId, term, wdf) — the termlist-table
+    * analog, used by relevance-feedback expansion. */
+  def termLists: DataFrame
+  /** Aggregated dictionary (term, df, cf, maxWdf) without segment-
+    * local termIds — for dictionary-wide operations (spelling). */
+  def dictTable: DataFrame
 }
 
 /**
@@ -48,6 +54,10 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
   lazy val dict: DataFrame = spark.read.parquet(s"$dir/dict")
   lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
   lazy val positions: DataFrame = spark.read.parquet(s"$dir/positions")
+  lazy val termLists: DataFrame =
+    spark.read.parquet(s"$dir/terms").select($"docId", $"term", $"wdf")
+  lazy val dictTable: DataFrame =
+    dict.select($"term", $"df", $"cf", $"maxWdf")
 
   /** Pin the small metadata tables (dict) in executor memory for
     * repeated-query workloads — the chert B-tree block cache analog.

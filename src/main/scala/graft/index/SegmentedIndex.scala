@@ -86,6 +86,15 @@ class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
 
   def termsWithPrefix(prefix: String): Seq[String] =
     segments.flatMap(_.termsWithPrefix(prefix)).distinct
+
+  def termLists: DataFrame =
+    segments.map(_.termLists).reduce(_ unionByName _)
+
+  def dictTable: DataFrame =
+    segments.map(_.dictTable).reduce(_ unionByName _)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
+        max(col("maxWdf")).as("maxWdf"))
 }
 
 /**

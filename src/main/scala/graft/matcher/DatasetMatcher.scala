@@ -168,12 +168,12 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.Phrase(cs, w) => positional(cs, w, ordered = true, dict)
 
     case Query.ValueRange(f, lo, hi) =>
-      idx.docs.filter(col(f) >= lo && col(f) <= hi)
+      idx.docs.filter(geLit(f, lo) && leLit(f, hi))
         .select($"docId", lit(0.0).as("score"))
     case Query.ValueGe(f, lo) =>
-      idx.docs.filter(col(f) >= lo).select($"docId", lit(0.0).as("score"))
+      idx.docs.filter(geLit(f, lo)).select($"docId", lit(0.0).as("score"))
     case Query.ValueLe(f, hi) =>
-      idx.docs.filter(col(f) <= hi).select($"docId", lit(0.0).as("score"))
+      idx.docs.filter(leLit(f, hi)).select($"docId", lit(0.0).as("score"))
 
     case Query.ScaleWeight(sub, f) =>
       compile(sub, dict).select($"docId", ($"score" * f).as("score"))
@@ -208,6 +208,20 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case w: Query.Wildcard => // expanded in matches(); unreachable here
       compile(Query.expandWildcards(w, idx.termsWithPrefix), dict)
   }
+
+  /** Range predicates with the literal adapted to the column's own
+    * type: a Double literal against an integral column would wrap the
+    * column in a cast and block parquet min/max pushdown (the slot-
+    * bound pruning of chert_values.cc would be lost). */
+  private def isIntegral(f: String): Boolean =
+    idx.docs.schema.find(_.name == f).map(_.dataType.typeName)
+      .exists(t => t == "long" || t == "integer" || t == "short" || t == "byte")
+
+  private def geLit(f: String, lo: Double): Column =
+    if (isIntegral(f)) col(f) >= math.ceil(lo).toLong else col(f) >= lo
+
+  private def leLit(f: String, hi: Double): Column =
+    if (isIntegral(f)) col(f) <= math.floor(hi).toLong else col(f) <= hi
 
   private def estimatedDf(q: Query, dict: Map[String, DictRow]): Long = q match {
     case Query.Term(t, _, _) => dict.get(t).map(_.df).getOrElse(0L)
@@ -255,6 +269,13 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     withPos.filter(matchUdf(array(posCols: _*)))
       .select($"docId", $"score")
   }
+
+  /** MatchSpy analog (reference: xapian-core/api/matchspy.cc —
+    * ValueCountMatchSpy): histogram of a docs column over the full
+    * matched set. One hash aggregate over the matches. */
+  def facetSpy(q: Query, keyCol: String): DataFrame =
+    matches(q).join(idx.docs, "docId")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("facet_count"))
 
   /** Ranked page: the reference's Enquire::get_mset(first, k). */
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {

@@ -1,0 +1,84 @@
+package graft.matcher
+
+import graft.core._
+import graft.index.Index
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Relevance-feedback term expansion — the reference's
+ * Enquire::get_eset over an RSet (reference: xapian-core/matcher/
+ * expand.cc + expandweight.cc; SURVEY.md §2c ESet row).
+ *
+ * Frozen spec (reference mount empty — SURVEY.md §0): terms of the
+ * relevant documents are ranked by the Robertson/Sparck-Jones
+ * term-selection value
+ *
+ *   w(t) = ln( ((r+0.5) * (N-n-R+r+0.5)) / ((n-r+0.5) * (R-r+0.5)) )
+ *   expandWeight(t) = r * w(t)
+ *
+ * with r = relevant docs containing t, R = |RSet|, n = df(t),
+ * N = collection size. Ties break on the term string ascending.
+ *
+ * Plan shape: the per-doc term lists live in the index's `terms`
+ * table (the termlist-table analog); the RSet is a handful of ids →
+ * partition-pruned scan, aggregate r, broadcast-join the dict rows
+ * for df, rank, limit k. No full-postings pass.
+ */
+object Expand {
+
+  def rsjWeight(r: Long, big_r: Long, n: Long, big_n: Long): Double = {
+    val rd = r.toDouble; val R = big_r.toDouble
+    val nd = n.toDouble; val N = big_n.toDouble
+    math.log(((rd + 0.5) * (N - nd - R + rd + 0.5)) /
+      ((nd - rd + 0.5) * (R - rd + 0.5)))
+  }
+
+  /** ESet as a DataFrame (term, expand_weight), best first. */
+  def eset(idx: Index, rset: Seq[Long], k: Int,
+           excludeTerms: Set[String] = Set.empty): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val bigN = idx.stats.n
+    val bigR = rset.distinct.size.toLong
+    val inRset = idx.termLists
+      .filter($"docId".isin(rset.distinct: _*))
+      .groupBy($"term").agg(count(lit(1)).as("r"))
+    val terms = inRset.as[(String, Long)].collect()
+      .filterNot { case (t, _) => excludeTerms.contains(t) }
+    if (terms.isEmpty)
+      return Seq.empty[(String, Double)].toDF("term", "expand_weight")
+    val dict = idx.lookupTerms(terms.map(_._1))
+    val weighted = terms.flatMap { case (t, r) =>
+      dict.get(t).map { d =>
+        (t, r * rsjWeight(r, bigR, d.df, bigN))
+      }
+    }
+    weighted.sortBy { case (t, w) => (-w, t) }.take(k)
+      .toSeq.toDF("term", "expand_weight")
+  }
+}
+
+/**
+ * Spelling suggestion — the reference's Database::get_spelling_
+ * suggestion (reference: xapian-core/api/editdistance.cc + chert
+ * spelling table). Candidates come from the term dictionary,
+ * prefiltered by length window (|len(t)-len(w)| <= maxDist — an edit
+ * bound the reference also exploits), then ranked by
+ * (edit distance asc, collection frequency desc, term asc).
+ * levenshtein() is a codegen'd built-in; the dict scan prunes on the
+ * pushed length filter.
+ */
+object SpellSuggest {
+  def suggest(idx: Index, word: String, maxDist: Int = 2, k: Int = 1): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    idx.dictTable
+      .filter(abs(length($"term") - lit(word.length)) <= maxDist)
+      .withColumn("dist", levenshtein($"term", lit(word)))
+      .filter($"dist" <= maxDist && $"term" =!= word)
+      .orderBy($"dist".asc, $"cf".desc, $"term".asc)
+      .limit(k)
+      .select($"term", $"dist", $"cf")
+  }
+}

@@ -19,7 +19,13 @@ import scala.collection.mutable
  * shuffled is posting blocks for the query's terms plus the doclens of
  * the stripes they touch — never the whole index.
  */
-class WandMatcher(idx: Index, weight: Weight = Bm25Weight()) {
+class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
+                  /** Σ df at or below which the query's blocks are
+                    * collected and matched driver-side — one scan
+                    * job, no shuffle (the reference's single-node
+                    * matcher). Above it, the per-stripe distributed
+                    * path runs. */
+                  localDfThreshold: Long = 1L << 20) {
   private val spark = idx.spark
   import spark.implicits._
 
@@ -48,22 +54,36 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight()) {
     val need = first + k
 
     val blocks = idx.blocksFor(termIds).as[PostingBlock]
-    val bTws = spark.sparkContext.broadcast(tws)
     val w = weight
     val st = stats
+    val totalDf = terms.flatMap(t => dict.get(t.term)).map(_.df).sum
 
-    // per-stripe sub-match over decoded blocks; doclens ride inside
-    // the postings, so the only data moved is the query's blocks
-    val local = blocks.groupByKey(_.stripe)
-      .flatMapGroups { (_, bs) =>
-        WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need)
+    val top: Array[(Long, Double)] =
+      if (totalDf <= localDfThreshold) {
+        // small query: one scan job, WAND runs on the driver per
+        // stripe — no shuffle at all
+        val collected = blocks.collect()
+        collected.groupBy(_.stripe).iterator
+          .flatMap { case (_, bs) =>
+            WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need)
+          }
+          .toArray
+          .sortBy { case (did, s) => (-s, did) }
+          .take(need)
+      } else {
+        // big query: per-stripe sub-matches on executors, then
+        // TakeOrderedAndProject merge; the only data shuffled is the
+        // query's blocks (doclens ride inside the postings)
+        val bTws = spark.sparkContext.broadcast(tws)
+        blocks.groupByKey(_.stripe)
+          .flatMapGroups { (_, bs) =>
+            WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need)
+          }
+          .toDF("docId", "score")
+          .orderBy($"score".desc, $"docId".asc)
+          .limit(need).collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
       }
-
-    // driver merge (TakeOrderedAndProject over tiny per-stripe lists)
-    val top = local.toDF("docId", "score")
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(need).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
     val greatest = top.headOption.map(_._2).getOrElse(0.0)
     def pct(s: Double): Int =
       if (greatest <= 0.0) 0

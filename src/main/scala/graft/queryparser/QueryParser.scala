@@ -44,7 +44,13 @@ object QueryParser {
       stemMode: String = "some", // "none" | "some"
       stopwords: Set[String] = Set.empty,
       prefixes: Map[String, String] = Map.empty,
-      boolPrefixes: Map[String, String] = Map.empty)
+      boolPrefixes: Map[String, String] = Map.empty,
+      /** Numeric range fields (the ValueRangeProcessor analog —
+        * reference: xapian-core/api/valuerangeproc.cc):
+        * `field:lo..hi` / `field:lo..` / `field:..hi` becomes a
+        * VALUE_RANGE / VALUE_GE / VALUE_LE filter on the mapped docs
+        * column. */
+      rangeFields: Map[String, String] = Map.empty)
 
   /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
   val Wildcard = Query.Wildcard
@@ -177,6 +183,18 @@ object QueryParser {
             primaryOpt(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = true, None))
           case Some(_: Quoted) | Some(LP) =>
             parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
+          case Some(Word(f, text, _)) if f.exists(cfg.rangeFields.contains) &&
+              text.contains("..") =>
+            val Word(Some(field), t, _) = advance(): @unchecked
+            val col = cfg.rangeFields(field)
+            val i = t.indexOf("..")
+            val lo = t.substring(0, i)
+            val hi = t.substring(i + 2)
+            val q =
+              if (lo.nonEmpty && hi.nonEmpty) Query.ValueRange(col, lo.toDouble, hi.toDouble)
+              else if (lo.nonEmpty) Query.ValueGe(col, lo.toDouble)
+              else Query.ValueLe(col, hi.toDouble)
+            items :+= Item(q, plus = false, minus = false, Some(field))
           case Some(Word(f, _, _)) if f.exists(cfg.boolPrefixes.contains) =>
             val Word(Some(field), text, wild) = advance(): @unchecked
             val term = cfg.boolPrefixes(field) + text.toLowerCase

@@ -1,0 +1,83 @@
+package graft.matcher
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import Query._
+
+class ExpandSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val corpus = CorpusGen.generate(seed = 5, nRepos = 3, filesPerRepo = 20)
+  private lazy val env = {
+    val dir = Files.createTempDirectory("graft-exp").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }, stemMode = "none")
+    (reader, oidx)
+  }
+  private lazy val (reader, oracleIdx) = env
+
+  test("eset ranks terms by RSJ weight, matching a scalar recompute") {
+    val rset = Seq(1L, 2L, 3L, 4L)
+    val got = Expand.eset(reader, rset, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+
+    // scalar expectation straight from the oracle's postings map
+    val bigN = oracleIdx.stats.n
+    val bigR = rset.size.toLong
+    val want = oracleIdx.postings.toSeq.flatMap { case (t, pl) =>
+      val r = pl.count(p => rset.contains(p._1)).toLong
+      if (r == 0) None
+      else Some((t, r * Expand.rsjWeight(r, bigR, pl.size.toLong, bigN)))
+    }.sortBy { case (t, w) => (-w, t) }.take(10)
+
+    assert(got.map(_._1).toSeq === want.map(_._1))
+    got.zip(want).foreach { case ((_, gw), (_, ww)) =>
+      assert(math.abs(gw - ww) < 1e-9)
+    }
+  }
+
+  test("eset excludes given query terms") {
+    val rset = Seq(1L, 2L)
+    val all = Expand.eset(reader, rset, 5).collect().map(_.getString(0)).toSet
+    val top = all.head
+    val without = Expand.eset(reader, rset, 5, excludeTerms = Set(top))
+      .collect().map(_.getString(0)).toSet
+    assert(!without.contains(top))
+  }
+
+  test("spelling suggestion finds a close dictionary term") {
+    // "parse" is in the corpus pool; misspell it
+    val s = SpellSuggest.suggest(reader, "parze", maxDist = 1, k = 3).collect()
+    assert(s.nonEmpty)
+    assert(s.head.getString(0) === "parse")
+    assert(s.head.getInt(1) === 1)
+  }
+
+  test("spelling suggestion never returns the word itself") {
+    val s = SpellSuggest.suggest(reader, "parse", maxDist = 2, k = 5).collect()
+    assert(!s.map(_.getString(0)).contains("parse"))
+  }
+
+  test("facetSpy counts matches per key, matching oracle") {
+    val q = or(t("parse"), t("token"))
+    val got = new DatasetMatcher(reader).facetSpy(q, "lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = Oracle.evaluate(Query.simplify(q), oracleIdx, Oracle.Options())
+    val want = m.keys.toSeq.map(d => oracleIdx.docs(d).lang)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+  }
+}

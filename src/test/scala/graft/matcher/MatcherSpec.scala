@@ -51,7 +51,12 @@ class MatcherSpec extends AnyFunSuite {
     val got = new DatasetMatcher(reader).mset(q, k)
     assertSame(got, want, s"dataset:$name")
     val wand = new WandMatcher(reader)
-    if (wand.supports(q)) assertSame(wand.mset(q, k), want, s"wand:$name")
+    if (wand.supports(q)) {
+      assertSame(wand.mset(q, k), want, s"wand:$name")
+      // force the distributed per-stripe path too
+      val wandDist = new WandMatcher(reader, localDfThreshold = 0L)
+      assertSame(wandDist.mset(q, k), want, s"wand-dist:$name")
+    }
   }
 
   // pick terms with interesting df spread from the corpus
@@ -109,6 +114,46 @@ class MatcherSpec extends AnyFunSuite {
     val got = new DatasetMatcher(reader,
       MatchOptions(collapseKey = Some("lang"))).mset(q, 10)
     assertSame(got, want, "collapse")
+  }
+
+  test("weight cutoff drops low scorers") {
+    val q = or(t(midTerm), t("token"))
+    val full = Oracle.mset(q, oracleIdx, 50)
+    val cut = full(full.size / 2).score
+    val want = Oracle.mset(q, oracleIdx, 50, Oracle.Options(weightCutoff = cut))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(weightCutoff = cut)).mset(q, 50)
+    assertSame(got, want, "weight-cutoff")
+    assert(got.size < full.size)
+  }
+
+  test("percent cutoff drops low percents") {
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 50, Oracle.Options(percentCutoff = 60))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(percentCutoff = 60)).mset(q, 50)
+    assertSame(got, want, "percent-cutoff")
+  }
+
+  test("sort by value (doclen asc), ties by docId") {
+    val q = or(t(midTerm), t("token"))
+    val matched = Oracle.evaluate(Query.simplify(q), oracleIdx, Oracle.Options())
+    val want = matched.keys.toSeq
+      .sortBy(d => (oracleIdx.docLen(d), d)).take(10)
+    val got = new DatasetMatcher(reader,
+      MatchOptions(sortBy = "value", sortValue = Some("doclen"))).mset(q, 10)
+    assert(got.map(_.docId).toSeq === want)
+  }
+
+  test("sort by value then relevance (doclen desc)") {
+    val q = or(t(midTerm), t("token"))
+    val matched = Oracle.evaluate(Query.simplify(q), oracleIdx, Oracle.Options())
+    val want = matched.toSeq
+      .sortBy { case (d, s) => (-oracleIdx.docLen(d), -s, d) }.take(10).map(_._1)
+    val got = new DatasetMatcher(reader,
+      MatchOptions(sortBy = "value_then_relevance",
+        sortValue = Some("doclen"), sortValueReverse = true)).mset(q, 10)
+    assert(got.map(_.docId).toSeq === want)
   }
 
   test("percent values match oracle") {

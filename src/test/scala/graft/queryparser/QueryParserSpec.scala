@@ -114,4 +114,13 @@ class QueryParserSpec extends AnyFunSuite {
   test("wqf accumulates across AND groups too") {
     assert(p("love AND love") === "Zlove#2")
   }
+
+  test("numeric range field becomes a VALUE_RANGE filter") {
+    val c = QueryParser.Config(rangeFields = Map("len" -> "doclen"))
+    assert(p("parser len:40..60", c) ===
+      "(Zparser FILTER VALUE_RANGE doclen 40.0 60.0)")
+    assert(p("len:40..", c) === "VALUE_GE doclen 40.0")
+    assert(p("len:..60", c) === "VALUE_LE doclen 60.0")
+    assert(p("len:40..60", c) === "VALUE_RANGE doclen 40.0 60.0")
+  }
 }
