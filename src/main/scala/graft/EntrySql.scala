@@ -175,6 +175,52 @@ SELECT d.doc_id, coalesce(l.len, 0)::BIGINT AS doclen
 FROM documents d LEFT JOIN doclen l ON l.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
+  /** MatchSpy facet histogram: lang counts over docs matching `term`. */
+  def facetSql(term: String): String =
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '$term')
+SELECT d.lang, count(*)::BIGINT AS facet_count
+FROM m JOIN documents d USING(doc_id)
+GROUP BY d.lang ORDER BY d.lang"""
+
+  /** Spelling suggestion: dictionary terms within edit distance,
+    * ranked (dist asc, cf desc, term asc). */
+  def spellSql(word: String, maxDist: Int, k: Int): String =
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+d AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term)
+SELECT term, levenshtein(term, '$word')::BIGINT AS dist, cf
+FROM d
+WHERE abs(length(term) - ${word.length}) <= $maxDist
+  AND levenshtein(term, '$word') <= $maxDist AND term <> '$word'
+ORDER BY dist, cf DESC, term LIMIT $k"""
+
+  /** RSJ relevance-feedback expansion over RSet = doc_id < rsetSize. */
+  def esetSql(rsetSize: Int, k: Int): String =
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tfa AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::DOUBLE AS n FROM tfa GROUP BY term),
+rq AS (SELECT term, count(*)::DOUBLE AS r FROM tfa WHERE doc_id < $rsetSize GROUP BY term),
+consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS big_n, $rsetSize::DOUBLE AS big_r)
+SELECT term,
+       round(r * ln(((r + 0.5) * (c.big_n - n - c.big_r + r + 0.5)) /
+                    ((n - r + 0.5) * (c.big_r - r + 0.5))), 6) AS expand_weight
+FROM rq JOIN dfq USING(term), consts c
+ORDER BY r * ln(((r + 0.5) * (c.big_n - n - c.big_r + r + 0.5)) /
+                ((n - r + 0.5) * (c.big_r - r + 0.5))) DESC, term
+LIMIT $k"""
+
   // ---------------- training-data pipeline oracles ----------------
 
   val exactDedupSql: String =

@@ -109,6 +109,26 @@ object SparkEntry {
         .select(col("path").cast("long").as("doc_id"), col("doclen").cast("long"))
         .orderBy("doc_id")),
 
+    "ft_facet" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      new graft.matcher.DatasetMatcher(idx)
+        .facetSpy(t("data"), "lang")
+        .select(col("lang"), col("facet_count").cast("long"))
+        .orderBy("lang")
+    }),
+    "ft_spell" -> ((s, d) =>
+      graft.matcher.SpellSuggest.suggest(EntrySupport.reader(s, d),
+        "strem", maxDist = 1, k = 3)
+        .select(col("term"), col("dist").cast("long"), col("cf").cast("long"))),
+    "ft_eset" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      // RSet: the documents with original doc_id 0..9
+      val rset = idx.docs.where(col("path").cast("long") < 10)
+        .select(col("docId")).collect().map(_.getLong(0)).toSeq
+      graft.matcher.Expand.eset(idx, rset, k = 10)
+        .select(col("term"), round(col("expand_weight"), 6).as("expand_weight"))
+    }),
+
     // ---------- training-data pipeline: dedup ----------
     "dd_exact" -> ((s, d) =>
       DedupOps.exactCanonical(documents(s, d)).orderBy("doc_id")),
@@ -197,6 +217,9 @@ object SparkEntry {
     "ft_dict" -> EntrySql.dictSql,
     "ft_sha256" -> EntrySql.sha256Sql,
     "ft_doclen" -> EntrySql.doclenSql,
+    "ft_facet" -> EntrySql.facetSql("data"),
+    "ft_spell" -> EntrySql.spellSql("strem", 1, 3),
+    "ft_eset" -> EntrySql.esetSql(10, 10),
     "dd_exact" -> EntrySql.exactDedupSql,
     "dd_minhash" -> EntrySql.minhashSql(),
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),
