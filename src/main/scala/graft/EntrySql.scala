@@ -343,6 +343,19 @@ SELECT doc_id,
        list_min(fps) AS min_fp
 FROM m ORDER BY doc_id"""
 
+  /** Frame sampling of the synthetic "video" media rows (doc_id ≡ 2
+    * mod 3): every `everyN`-th frame of nFrames = len/100 + 1. */
+  def framesSql(everyN: Int): String =
+    s"""WITH v AS (
+  SELECT doc_id, (length(text) // 100 + 1) AS nf,
+         (doc_id % 64 + 16)::BIGINT AS width,
+         (doc_id % 48 + 16)::BIGINT AS height
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, unnest(generate_series(0, nf - 1, $everyN))::BIGINT AS frame_idx,
+       width, height
+FROM v ORDER BY doc_id, frame_idx"""
+
   val hourlySql: String =
     """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value

@@ -167,6 +167,21 @@ object SparkEntry {
     "ta_langid" -> ((s, d) =>
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
 
+    // ---------- training-data pipeline: multimodal columns ----------
+    "mm_features" -> ((s, d) => {
+      import graft.pipeline.{MultimodalOps, MediaRow}
+      import s.implicits._
+      MultimodalOps.extractFeatures(
+        MultimodalOps.syntheticMedia(documents(s, d)).as[MediaRow])
+        .toDF().orderBy("doc_id")
+    }),
+    "mm_frames" -> ((s, d) =>
+      graft.pipeline.MultimodalOps
+        .sampleFrames(graft.pipeline.MultimodalOps.syntheticMedia(documents(s, d)), everyN = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long"),
+          col("width").cast("long"), col("height").cast("long"))
+        .orderBy("doc_id", "frame_idx")),
+
     // ---------- events: window rollup + sessionization ----------
     "ev_hourly" -> ((s, d) =>
       EventOps.hourlyRollup(events(s, d)).orderBy("hour_epoch", "event_type")),
@@ -231,6 +246,8 @@ object SparkEntry {
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
     // ta_langid: heuristic profile scorer → rows-only
+    // mm_features: decode stub not SQL-expressible → rows-only
+    "mm_frames" -> EntrySql.framesSql(2),
     "ev_hourly" -> EntrySql.hourlySql,
     "ev_sessions" -> EntrySql.sessionsSql(1800L),
     "rel_revenue" -> EntrySql.revenueSql,

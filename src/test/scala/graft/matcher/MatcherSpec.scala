@@ -116,6 +116,26 @@ class MatcherSpec extends AnyFunSuite {
     assertSame(got, want, "collapse")
   }
 
+  test("TradWeight scheme rank-identical to oracle") {
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = TradWeight()))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(weight = TradWeight())).mset(q, 10)
+    assertSame(got, want, "trad")
+    val wand = new WandMatcher(reader, weight = TradWeight())
+    assertSame(wand.mset(q, 10), want, "trad-wand")
+  }
+
+  test("BoolWeight: every match scores zero, docId order") {
+    val q = or(t(midTerm), t("token"))
+    val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = BoolWeight))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(weight = BoolWeight)).mset(q, 10)
+    assertSame(got, want, "bool")
+    assert(got.forall(_.score == 0.0))
+    assert(got.map(_.docId) == got.map(_.docId).sorted)
+  }
+
   test("weight cutoff drops low scorers") {
     val q = or(t(midTerm), t("token"))
     val full = Oracle.mset(q, oracleIdx, 50)
