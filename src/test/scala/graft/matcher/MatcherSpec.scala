@@ -79,6 +79,8 @@ class MatcherSpec extends AnyFunSuite {
   test("SYNONYM")          { check(Synonym(Seq(t(midTerm), t("token")))) }
   test("NEAR")             { check(Near(Seq(t(commonTerm), t(midTerm)), 5)) }
   test("PHRASE")           { check(Phrase(Seq(t(commonTerm), t(midTerm)), 5)) }
+  test("NEAR of three")    { check(Near(Seq(t(commonTerm), t(midTerm), t("token")), 12)) }
+  test("PHRASE of three")  { check(Phrase(Seq(t(commonTerm), t(midTerm), t("token")), 12)) }
   test("nested boolean")   {
     check(AndNot(or(t(midTerm), t("token")), and(t(commonTerm), t("index"))))
   }
