@@ -72,7 +72,7 @@ object Codec {
   }
 
   /** Pack sorted positive positions (delta, first vs 0). */
-  def packPositions(positions: Seq[Int]): Array[Byte] = {
+  def packPositions(positions: collection.Seq[Int]): Array[Byte] = {
     val out = new ByteArrayOutputStream(positions.size * 2)
     writeVLong(out, positions.size.toLong)
     var prev = 0L

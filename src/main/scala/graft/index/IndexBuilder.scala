@@ -174,14 +174,26 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
             if (tokMode == "simple") Tokenizer.simpleTokenize(content)
             else if (stem == "some") Tokenizer.indexTerms(content, Stemmer.stem, stop)
             else Tokenizer.tokenize(content)
-          val doclen = toks.count(_.pos > 0).toLong
-          toks.groupBy(_.term).iterator.map { case (term, ts) =>
-            val positions = ts.collect { case t if t.pos > 0 => t.pos }.sorted
-            val wdf = if (positions.nonEmpty) positions.length else ts.size
-            val posBytes =
-              if (positions.nonEmpty) Codec.packPositions(positions)
-              else Array.empty[Byte]
-            TermRow(docId, term, wdf, doclen, posBytes)
+          // single accumulation pass (hot path: runs once per corpus
+          // byte); positions arrive in increasing order from the
+          // tokenizer, so no per-term sort is needed
+          val positional = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          val posless = scala.collection.mutable.LinkedHashMap
+            .empty[String, Int]
+          var doclen = 0L
+          toks.foreach { t =>
+            if (t.pos > 0) {
+              doclen += 1
+              positional.getOrElseUpdate(t.term,
+                new scala.collection.mutable.ArrayBuffer[Int](4)) += t.pos
+            } else posless.update(t.term, posless.getOrElse(t.term, 0) + 1)
+          }
+          val dl = doclen
+          positional.iterator.map { case (term, ps) =>
+            TermRow(docId, term, ps.length, dl, Codec.packPositions(ps))
+          } ++ posless.iterator.map { case (term, c) =>
+            TermRow(docId, term, c, dl, Array.empty[Byte])
           }
         }
       termRows.write.mode("overwrite").parquet(s"$dir/terms")
