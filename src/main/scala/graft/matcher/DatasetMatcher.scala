@@ -196,8 +196,14 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           .toDF("docId", "wdf", "doclen")
           .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"),
             max($"doclen").as("doclen"))
+        // synonym df = union docset size; cache only for the count,
+        // then release (keeping it pinned would leak executor memory
+        // across queries — the recompute at action time is one
+        // pruned-scan decode)
         val grouped = union.persist()
-        val df = grouped.count() // synonym df = union docset size
+        val df =
+          try grouped.count()
+          finally grouped.unpersist(blocking = false)
         val tw = weight.termWeight(1, df, stats)
         grouped.select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
       }

@@ -146,6 +146,28 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(before.toSeq == after.toSeq)
   }
 
+  test("empty corpus builds an empty but queryable index") {
+    val d = s"$tmp/idx-empty"
+    new IndexBuilder(spark, cfg.copy(indexDir = d))
+      .build(spark.createDataset(Seq.empty[CorpusRow]))
+    val r = new IndexReader(spark, d, cfg.nBuckets, cfg.stripeShift)
+    assert(r.stats.n == 0L)
+    val res = new graft.matcher.DatasetMatcher(r).mset(Query.Term("anything"), 5)
+    assert(res.isEmpty)
+    assert(new graft.matcher.WandMatcher(r).mset(Query.Term("x"), 5).isEmpty)
+  }
+
+  test("single-doc corpus round-trips") {
+    val d = s"$tmp/idx-one"
+    val one = Seq(CorpusRow("r", "p", "c", "none", "hello world hello"))
+    new IndexBuilder(spark, cfg.copy(indexDir = d))
+      .build(spark.createDataset(one))
+    val r = new IndexReader(spark, d, cfg.nBuckets, cfg.stripeShift)
+    assert(r.stats.n == 1L && r.stats.totalLen == 3L)
+    val res = new graft.matcher.DatasetMatcher(r).mset(Query.Term("hello"), 5)
+    assert(res.map(_.docId) == Seq(1L))
+  }
+
   test("manifests carry config hash and row counts") {
     val m = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$idxDir/_manifests/postings.json")), "UTF-8")
