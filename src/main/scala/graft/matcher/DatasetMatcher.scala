@@ -44,22 +44,26 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   /** BM25 sumpart as a Column expression, mirroring the exact
     * operation order of Bm25Weight.sumPart for float identity. */
   private def scoreCol(tw: Double, wdf: Column, doclen: Column): Column =
+    scoreColOf(lit(tw), wdf, doclen)
+
+  /** Same, with the termweight itself a Column (multi-term scans). */
+  private def scoreColOf(tw: Column, wdf: Column, doclen: Column): Column =
     weight match {
       case Bm25Weight(k1, _, _, b, minNorm) =>
-        if (k1 == 0.0) lit(tw)
+        if (k1 == 0.0) tw
         else {
           val normLen =
             if (stats.avgLen > 0) greatest(doclen / lit(stats.avgLen), lit(minNorm))
             else greatest(lit(1.0), lit(minNorm))
           val denom = lit(k1) * (lit(1.0 - b) + lit(b) * normLen) + wdf
-          lit(tw) * wdf * lit(k1 + 1.0) / denom
+          tw * wdf * lit(k1 + 1.0) / denom
         }
       case TradWeight(k) =>
-        if (k == 0.0) lit(tw)
+        if (k == 0.0) tw
         else {
           val normLen =
             if (stats.avgLen > 0) doclen / lit(stats.avgLen) else lit(1.0)
-          lit(tw) * wdf / (lit(k) * normLen + wdf)
+          tw * wdf / (lit(k) * normLen + wdf)
         }
       case BoolWeight => lit(0.0)
     }
@@ -141,8 +145,31 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           .select($"docId", ($"score" + $"rscore").as("score"))
       }
 
+    case Query.Or(cs)
+        if cs.forall(_.isInstanceOf[Query.Term]) &&
+           cs.map { case Query.Term(t, _, _) => t }.distinct.size == cs.size =>
+      // OR of distinct term leaves (the quest default-op shape): ONE
+      // multi-term blocks scan, termweights as a broadcast map
+      // literal, one hash aggregate — instead of N scans + union
+      val entries = cs.collect { case t: Query.Term => t }.flatMap { t =>
+        dict.get(t.term).map(d =>
+          d.termId -> weight.termWeight(t.wqf, d.df, stats))
+      }
+      if (entries.isEmpty) emptyMatches
+      else {
+        val twMap = typedLit(entries.toMap)
+        idx.blocksFor(entries.map(_._1)).as[PostingBlock]
+          .flatMap(b => Codec.unpackBlock(b)
+            .map(p => (b.termId, p.docId, p.wdf, p.doclen)))
+          .toDF("termId", "docId", "wdf", "doclen")
+          .select($"docId",
+            scoreColOf(element_at(twMap, $"termId"), $"wdf", $"doclen")
+              .as("score"))
+          .groupBy($"docId").agg(sum($"score").as("score"))
+      }
+
     case Query.Or(cs) =>
-      // n-ary union + groupBy-sum: one shuffle for the whole OR
+      // general n-ary union + groupBy-sum: one shuffle for the whole OR
       cs.map(compile(_, dict)).reduce(_ unionByName _)
         .groupBy($"docId").agg(sum($"score").as("score"))
 
