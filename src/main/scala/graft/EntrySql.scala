@@ -86,6 +86,25 @@ WHERE rawl IS NOT NULL AND rawr IS NOT NULL
   AND ' ' || lower(d.text) || ' ' LIKE '% $l $r %'
 ORDER BY a.doc_id"""
 
+  /** NEAR window: both terms present with some pair of positions
+    * within `window-1` of each other (token positions come from the
+    * positional zip of unnest with a range list). */
+  def near2(l: String, r: String, window: Int): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      s""",
+pos AS (SELECT doc_id,
+          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+          unnest(range(1, len(string_split_regex(lower(text), '[^a-z0-9]+')) + 1)) AS i
+        FROM documents),
+pa AS (SELECT doc_id, i FROM pos WHERE term = '$l'),
+pb AS (SELECT doc_id, i FROM pos WHERE term = '$r'),
+nr AS (SELECT DISTINCT a.doc_id FROM pa a JOIN pb b
+       ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= ${window - 1})
+SELECT g.doc_id, round(rawl + rawr, 4) AS score
+FROM agg g JOIN nr USING(doc_id)
+WHERE rawl IS NOT NULL AND rawr IS NOT NULL
+ORDER BY g.doc_id"""
+
   def wildcardTopk(p: String, k: Int): String =
     prefix(Seq.empty, like = Some(p)) + scored +
       s"\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"

@@ -220,7 +220,7 @@ object SparkEntry {
     "ft_andmaybe" -> EntrySql.andMaybe("data", "stream"),
     "ft_filter" -> EntrySql.filter2("data", "stream"),
     "ft_phrase" -> EntrySql.phrase2("data", "stream"),
-    // ft_near: positional window not SQL-expressible → rows-only
+    "ft_near" -> EntrySql.near2("data", "stream", 5),
     "ft_wildcard" -> EntrySql.wildcardTopk("s", 10),
     "ft_scale" -> EntrySql.scale(Seq("data", "query"), 2.5),
     "ft_synonym" -> EntrySql.synonym(Seq("data", "stream")),

@@ -21,6 +21,12 @@ final case class MatchOptions(
     sortValue: Option[String] = None,
     sortValueReverse: Boolean = false)
 
+object DatasetMatcher {
+  /** Σ df at or below which an AND-of-terms compiles to one
+    * multi-term scan instead of the rarest-first join chain. */
+  val SingleScanDfBound: Long = 1L << 20
+}
+
 /**
  * Declarative matcher: compiles a [[Query]] to a DataFrame plan over
  * the index tables and lets Catalyst choose the physical strategy
@@ -133,6 +139,37 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
 
   private def compile(q: Query, dict: Map[String, DictRow]): DataFrame = q match {
     case t: Query.Term => termLeaf(dict, t)
+
+    case Query.And(cs)
+        if cs.forall(_.isInstanceOf[Query.Term]) &&
+           cs.map { case Query.Term(t, _, _) => t }.distinct.size == cs.size &&
+           cs.flatMap { case Query.Term(t, _, _) => dict.get(t) }
+             .map(_.df).sum <= DatasetMatcher.SingleScanDfBound =>
+      // small AND of distinct terms: one multi-term scan + one hash
+      // aggregate keeping docs matched by every term. Above the df
+      // bound the rarest-first join chain below wins (it scans only
+      // the small lists — at web scale an AND with one stop-word-like
+      // term must not scan that term's full postings).
+      val terms = cs.collect { case t: Query.Term => t }
+      val entries = terms.flatMap { t =>
+        dict.get(t.term).map(d =>
+          d.termId -> weight.termWeight(t.wqf, d.df, stats))
+      }
+      if (entries.size < terms.size) emptyMatches // some term missing
+      else {
+        val twMap = typedLit(entries.toMap)
+        idx.blocksFor(entries.map(_._1)).as[PostingBlock]
+          .flatMap(b => Codec.unpackBlock(b)
+            .map(p => (b.termId, p.docId, p.wdf, p.doclen)))
+          .toDF("termId", "docId", "wdf", "doclen")
+          .select($"docId", $"termId",
+            scoreColOf(element_at(twMap, $"termId"), $"wdf", $"doclen")
+              .as("score"))
+          .groupBy($"docId")
+          .agg(sum($"score").as("score"), count(lit(1)).as("_nt"))
+          .where($"_nt" === entries.size)
+          .select($"docId", $"score")
+      }
 
     case Query.And(cs) =>
       // rarest-first join order (reference: multiandpostlist.cc sorts
