@@ -29,6 +29,7 @@ sealed trait Query extends Product with Serializable {
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
     case Query.Wildcard(p)        => s"$p*"
+    case Query.External(n)        => s"EXTERNAL $n"
     case Query.MatchAll           => "<alldocuments>"
     case Query.MatchNothing       => ""
   }
@@ -84,6 +85,11 @@ object Query {
     * into an OR of matching terms before evaluation
     * (graft.queryparser.QueryParser.expandWildcard). */
   final case class Wildcard(prefix: String) extends Query
+  /** External weighted docid stream — the Xapian::PostingSource UDx
+    * (reference: xapian-core/api/postingsource.cc): the matcher
+    * resolves `name` against user-supplied (docId, weight) data
+    * (MatchOptions.externalSources / Oracle.Options.externalSources). */
+  final case class External(name: String) extends Query
   case object MatchAll extends Query
   case object MatchNothing extends Query
 

@@ -24,6 +24,7 @@ object Oracle {
       stemMode: String = "some", // "none" | "some"
       stopwords: Set[String] = Set.empty,
       decider: Option[Doc => Boolean] = None,
+      externalSources: Map[String, Seq[(Long, Double)]] = Map.empty,
       collapseKey: Option[Doc => String] = None,
       percentCutoff: Int = 0,
       weightCutoff: Double = 0.0)
@@ -204,6 +205,10 @@ object Oracle {
       case w: Query.Wildcard =>
         evaluate(Query.expandWildcards(w,
           p => idx.postings.keys.filter(_.startsWith(p)).toSeq), idx, opts)
+
+      case Query.External(name) =>
+        sortedMap(opts.externalSources.getOrElse(name, Seq.empty)
+          .filter { case (d, _) => idx.docs.contains(d) })
 
       case Query.MatchNothing => new mutable.LinkedHashMap
     }

@@ -12,6 +12,9 @@ final case class MatchOptions(
     weight: Weight = Bm25Weight(),
     /** Column predicate over `docs` columns (MatchDecider analog). */
     decider: Option[Column] = None,
+    /** Named external (docId, score) streams — PostingSource analog;
+      * resolved by Query.External leaves. */
+    externalSources: Map[String, DataFrame] = Map.empty,
     /** docs column to collapse on (best doc per key). */
     collapseKey: Option[String] = None,
     percentCutoff: Int = 0,
@@ -277,6 +280,17 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.MatchNothing => emptyMatches
     case w: Query.Wildcard => // expanded in matches(); unreachable here
       compile(Query.expandWildcards(w, idx.termsWithPrefix), dict)
+
+    case Query.External(name) =>
+      opts.externalSources.get(name) match {
+        case None => emptyMatches
+        case Some(df) =>
+          // restrict to known docs (a PostingSource may only emit
+          // docids of the database it is opened against)
+          df.select(col(df.columns(0)).cast("long").as("docId"),
+              col(df.columns(1)).cast("double").as("score"))
+            .join(idx.docs.select($"docId"), "docId")
+      }
   }
 
   /** Range predicates with the literal adapted to the column's own

@@ -118,6 +118,30 @@ class MatcherSpec extends AnyFunSuite {
     assertSame(got, want, "collapse")
   }
 
+  test("external posting source (PostingSource analog) composes with terms") {
+    import spark.implicits._
+    // weight = doclen/100 for even docIds — a ValueWeight-style source
+    val src = oracleIdx.docLen.toSeq.filter(_._1 % 2 == 0)
+      .map { case (d, l) => (d, l / 100.0) }
+    val opts = MatchOptions(externalSources =
+      Map("boost" -> src.toDF("docId", "score")))
+    val oopts = Oracle.Options(externalSources = Map("boost" -> src))
+    for (q <- Seq(
+        Query.External("boost"): Query,
+        AndMaybe(t(midTerm), Query.External("boost")),
+        or(t(midTerm), Query.External("boost")),
+        Filter(Query.External("boost"), t(commonTerm)))) {
+      val want = Oracle.mset(q, oracleIdx, 10, oopts)
+      val got = new DatasetMatcher(reader, opts).mset(q, 10)
+      assertSame(got, want, s"external:${q.describe}")
+    }
+  }
+
+  test("unknown external source matches nothing") {
+    val got = new DatasetMatcher(reader).mset(Query.External("nope"), 5)
+    assert(got.isEmpty)
+  }
+
   test("TradWeight scheme rank-identical to oracle") {
     val q = or(t(midTerm), t("token"))
     val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = TradWeight()))
