@@ -38,8 +38,6 @@ final case class TermRow(
     docId: Long, term: String, wdf: Int, doclen: Long,
     posBytes: Array[Byte])
 
-final case class DocLenRow(stripe: Int, docId: Long, doclen: Long)
-
 /**
  * Distributed inverted-index build (SURVEY.md §3.2 mapping of the
  * reference's omindex/WritableDatabase flush pipeline — reference:
