@@ -64,7 +64,7 @@ object Bench {
     try {
       val futures = questQueries.flatMap { qs =>
         val parsed = QueryParser.parse(qs, pcfg)
-        val expanded = Query.expandWildcards(parsed, idx.termsWithPrefix)
+        val expanded = Query.expandWildcards(parsed, p => idx.termsWithPrefix(p))
         if (wandOnly) {
           if (wand.supports(expanded)) Some(Future { wand.mset(expanded, 10); 1 })
           else None

@@ -251,15 +251,20 @@ FROM documents ORDER BY doc_id"""
       s"list_min(list_transform(range(1, length(text) - ${k - 2}), i -> md5('$s' || substr(text, i, $k)))) AS h$s")
       .mkString(",\n       ")
 
-  def minhashSql(seeds: Int = 4, k: Int = 8): String =
+  def minhashSql(seeds: Int = 12, k: Int = 8): String =
     s"""SELECT doc_id,
        ${minhashCols(seeds, k)}
 FROM documents ORDER BY doc_id"""
 
-  def lshPairsSql(seeds: Int = 4, k: Int = 8, prefixLen: Int = 2): String = {
-    val bandSelects = (0 until seeds).map(s =>
-      s"SELECT doc_id, '$s:' || substr(h$s, 1, $prefixLen) AS band FROM sig WHERE h$s IS NOT NULL")
-      .mkString("\n UNION ALL ")
+  /** b×r full-signature banding (see DedupOps.lshCandidatePairs):
+    * band key = md5 of the band index + all r minhashes, `||`
+    * null-propagating like Spark's concat. */
+  def lshPairsSql(seeds: Int = 12, k: Int = 8, rowsPerBand: Int = 2): String = {
+    val bandSelects = (0 until seeds / rowsPerBand).map { b =>
+      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      s"SELECT doc_id, md5('$b:' || ${hs.mkString(" || ")}) AS band FROM sig " +
+        s"WHERE ${hs.map(h => s"$h IS NOT NULL").mkString(" AND ")}"
+    }.mkString("\n UNION ALL ")
     s"""WITH sig AS (
   SELECT doc_id,
        ${minhashCols(seeds, k)}
@@ -272,6 +277,34 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  /** SimHash oracle: md5-derived 64-bit token hashes, per-bit ±1
+    * votes, recombined into the same 16-nibble hex digest as
+    * DedupOps.simhash. Docs with no tokens get the all-zero digest
+    * (vote 0 → bit 0 on both sides). */
+  val simhashSql: String =
+    """WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM documents, unnest(string_split_regex(text, '\s+')) AS u(t) WHERE t <> ''
+),
+nib AS (
+  SELECT doc_id, d, strpos('0123456789abcdef', substr(md5(tok), d, 1)) - 1 AS v
+  FROM toks, unnest(range(1, 17)) AS r(d)
+),
+agg AS (
+  SELECT doc_id, d,
+     (CASE WHEN sum(CASE WHEN v % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END) +
+     (CASE WHEN sum(CASE WHEN (v // 2) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 2 ELSE 0 END) +
+     (CASE WHEN sum(CASE WHEN (v // 4) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 4 ELSE 0 END) +
+     (CASE WHEN sum(CASE WHEN (v // 8) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 8 ELSE 0 END) AS nv
+  FROM nib GROUP BY doc_id, d
+),
+hexs AS (
+  SELECT doc_id, string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY d) AS simhash
+  FROM agg GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.simhash, '0000000000000000') AS simhash
+FROM documents d LEFT JOIN hexs h USING(doc_id) ORDER BY d.doc_id"""
 
   def jaccardAdjacentSql(k: Int = 8): String =
     s"""WITH sh AS (
@@ -361,6 +394,58 @@ SELECT doc_id,
        CASE WHEN fps IS NULL THEN 0 ELSE len(fps) END::BIGINT AS n_fp,
        list_min(fps) AS min_fp
 FROM m ORDER BY doc_id"""
+
+  /**
+   * Multimodal feature extraction oracle: replays
+   * [[graft.pipeline.MultimodalOps.decodeStub]] + the 4-sample mean
+   * pooling of `extractFeatures` in pure SQL. The stub's state is a
+   * 64-bit LCG; mod-2^64 arithmetic runs on HUGEINT with a split
+   * multiply (a full 64×64 product can exceed HUGEINT's 2^127-1),
+   * and each of the j pooled inputs uses the j-step composition of
+   * the LCG (h_j = A^j·h + C_j, constants precomputed here via JVM
+   * Long wraparound = exact mod 2^64). FLOAT casts reproduce the
+   * JVM's float32 rounding at each step.
+   */
+  def mmFeaturesSql(nPooled: Int): String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    val A = 6364136223846793005L
+    val B = 1442695040888963407L
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    // (aj * h) % 2^64, HUGEINT-safe: split h into 32-bit halves
+    def mulMod(aj: Long, h: String) =
+      s"(((${u(aj)}::HUGEINT * ($h % 4294967296::HUGEINT)) + " +
+        s"(((${u(aj)}::HUGEINT * ($h // 4294967296::HUGEINT)) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT)) % $M)"
+    val nDecoded = nPooled * 4
+    val (ajs, cjs) = {
+      val as = Array.ofDim[Long](nDecoded); val cs = Array.ofDim[Long](nDecoded)
+      var a = 1L; var c = 0L
+      (0 until nDecoded).foreach { j =>
+        val a2 = a * A; val c2 = c * A + B // Long wraparound = mod 2^64
+        a = a2; c = c2; as(j) = a; cs(j) = c
+      }
+      (as, cs)
+    }
+    val outs = (0 until nDecoded).map { j =>
+      val hj = s"((${mulMod(ajs(j), "h")} + ${u(cjs(j))}::HUGEINT) % $M)"
+      s"CAST(($hj // 2048::HUGEINT)::DOUBLE / 9007199254740992.0 * 2.0 - 1.0 AS FLOAT) AS o$j"
+    }
+    val pools = (0 until nPooled).map { i =>
+      val Seq(a0, a1, a2, a3) = (0 until 4).map(j => s"o${4 * i + j}")
+      s"round(CAST(CAST(CAST(CAST($a0+$a1 AS FLOAT)+$a2 AS FLOAT)+$a3 AS FLOAT)/4.0 AS FLOAT)::DOUBLE, 5) AS f$i"
+    }
+    s"""WITH folded AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(1125899906842597::HUGEINT,
+        list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1))::HUGEINT)),
+      (acc, x) -> (acc*31 + x) % $M) AS h
+  FROM documents),
+o AS (SELECT doc_id, ${outs.mkString(",\n       ")} FROM folded)
+SELECT o.doc_id, (['image','audio','video'])[(o.doc_id % 3 + 1)] AS kind,
+       ${pools.mkString(",\n       ")}
+FROM o ORDER BY o.doc_id"""
+  }
 
   /** Frame sampling of the synthetic "video" media rows (doc_id ≡ 2
     * mod 3): every `everyN`-th frame of nFrames = len/100 + 1. */

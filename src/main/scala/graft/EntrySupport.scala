@@ -40,7 +40,11 @@ object EntrySupport {
       val dir = new java.io.File(s"target/graft-entry-index/$name").getAbsolutePath
       val cfg = BuildConfig(indexDir = dir, stemMode = "none",
         tokenizerMode = "simple", nBuckets = 16, stripeShift = 8,
-        buildPartitions = 8)
+        buildPartitions = 8,
+        // registered at build so ft_synonym scores from the synonym
+        // table (no query-time counting job); values are identical to
+        // the ad-hoc path — the table stores the exact union df
+        synonyms = Map("syn_data_stream" -> Seq("data", "stream")))
       import spark.implicits._
       new IndexBuilder(spark, cfg).build(corpus(spark, sfDir).as[CorpusRow])
       new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)

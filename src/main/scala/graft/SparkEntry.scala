@@ -146,7 +146,7 @@ object SparkEntry {
       DedupOps.ngramJaccard(docs, pairs).orderBy("doc_a")
     }),
     "dd_simhash" -> ((s, d) =>
-      DedupOps.simhash64(documents(s, d)).orderBy("doc_id")),
+      DedupOps.simhash(documents(s, d)).orderBy("doc_id")),
 
     // ---------- training-data pipeline: similarity search ----------
     "ann_topk" -> ((s, d) =>
@@ -168,12 +168,19 @@ object SparkEntry {
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
 
     // ---------- training-data pipeline: multimodal columns ----------
+    // Emits the first 4 pooled feature dims as rounded scalar columns
+    // (array columns are not hashable by the driver's pandas compare).
     "mm_features" -> ((s, d) => {
       import graft.pipeline.{MultimodalOps, MediaRow}
       import s.implicits._
-      MultimodalOps.extractFeatures(
-        MultimodalOps.syntheticMedia(documents(s, d)).as[MediaRow])
-        .toDF().orderBy("doc_id")
+      val feats = MultimodalOps.extractFeatures(
+        MultimodalOps.syntheticMedia(documents(s, d)).as[MediaRow]).toDF()
+      feats.select(
+        col("doc_id") +: col("kind") +:
+          (0 until 4).map(i =>
+            round(element_at(col("feature"), i + 1).cast("double"), 5)
+              .as(s"f$i")): _*)
+        .orderBy("doc_id")
     }),
     "mm_frames" -> ((s, d) =>
       graft.pipeline.MultimodalOps
@@ -239,14 +246,14 @@ object SparkEntry {
     "dd_minhash" -> EntrySql.minhashSql(),
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),
     "dd_jaccard_adj" -> EntrySql.jaccardAdjacentSql(),
-    // dd_simhash: xxhash64 not available in the oracle → rows-only
+    "dd_simhash" -> EntrySql.simhashSql,
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
     // ta_langid: heuristic profile scorer → rows-only
-    // mm_features: decode stub not SQL-expressible → rows-only
+    "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),
     "mm_frames" -> EntrySql.framesSql(2),
     "ev_hourly" -> EntrySql.hourlySql,
     "ev_sessions" -> EntrySql.sessionsSql(1800L),

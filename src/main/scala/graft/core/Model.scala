@@ -165,28 +165,69 @@ object Query {
     case other => other
   }
 
+  /** A wildcard expanded past `maxExpansion` dictionary terms — the
+    * upstream WildcardError analog. At web-scale dictionaries an
+    * uncapped `s*` would collect an unbounded slice onto the driver
+    * and build a million-child OR; erroring is the defined behavior. */
+  final case class WildcardError(prefix: String, max: Int)
+      extends RuntimeException(
+        s"wildcard '$prefix*' expands to more than $max terms")
+
   /**
    * Expand [[Query.Wildcard]] leaves against the term dictionary into
    * an OR of matching terms (the 1.2-era parser behavior — reference:
    * xapian-core/queryparser/queryparser_internal.cc FLAG_WILDCARD).
    * `lookup` returns dictionary terms with the given prefix; an empty
-   * expansion is MatchNothing.
+   * expansion is MatchNothing. An expansion of more than
+   * `maxExpansion` terms throws [[WildcardError]] (callers push
+   * `maxExpansion + 1` as a LIMIT into the dictionary scan, so the
+   * driver never materializes more than the cap).
+   *
+   * A wildcard under NEAR/PHRASE expands into an OR of per-variant
+   * positional nodes (one per combination of per-child expansions) —
+   * the positional matchers require term leaves, and a doc matching
+   * several variants sums their weights (frozen spec; the scalar
+   * oracle shares this exact rewrite). The variant count is capped by
+   * the same `maxExpansion`.
    */
-  def expandWildcards(q: Query, lookup: String => Seq[String]): Query = {
+  def expandWildcards(q: Query, lookup: String => Seq[String],
+                      maxExpansion: Int = Int.MaxValue): Query = {
+    def expandLeaf(p: String): Query = {
+      val ts = lookup(p).sorted
+      if (ts.size > maxExpansion) throw WildcardError(p, maxExpansion)
+      if (ts.isEmpty) MatchNothing
+      else if (ts.size == 1) Term(ts.head)
+      else Or(ts.map(Term(_)))
+    }
+    def positional(cs: Seq[Query], mk: Seq[Query] => Query): Query = {
+      val walked = cs.map(walk)
+      if (walked.contains(MatchNothing)) return MatchNothing
+      val choices: Seq[Seq[Query]] = walked.map {
+        case Or(inner) => inner
+        case other     => Seq(other)
+      }
+      val total = choices.foldLeft(1L)((a, c) => math.min(a * c.size, Long.MaxValue))
+      if (total == 1L) mk(walked)
+      else if (total > maxExpansion)
+        throw WildcardError(cs.collect { case Wildcard(p) => p }.mkString(","),
+          maxExpansion)
+      else {
+        val variants = choices.foldLeft(Seq(Seq.empty[Query])) { (acc, c) =>
+          acc.flatMap(prefix => c.map(prefix :+ _))
+        }
+        Or(variants.map(mk))
+      }
+    }
     def walk(q: Query): Query = q match {
-      case Wildcard(p) =>
-        val ts = lookup(p).sorted
-        if (ts.isEmpty) MatchNothing
-        else if (ts.size == 1) Term(ts.head)
-        else Or(ts.map(Term(_)))
+      case Wildcard(p)    => expandLeaf(p)
       case And(cs)        => And(cs.map(walk))
       case Or(cs)         => Or(cs.map(walk))
       case AndNot(l, r)   => AndNot(walk(l), walk(r))
       case Xor(l, r)      => Xor(walk(l), walk(r))
       case AndMaybe(l, r) => AndMaybe(walk(l), walk(r))
       case Filter(l, r)   => Filter(walk(l), walk(r))
-      case Near(cs, w)    => Near(cs.map(walk), w)
-      case Phrase(cs, w)  => Phrase(cs.map(walk), w)
+      case Near(cs, w)    => positional(cs, Near(_, w))
+      case Phrase(cs, w)  => positional(cs, Phrase(_, w))
       case ScaleWeight(s, f) => ScaleWeight(walk(s), f)
       case EliteSet(cs, n)   => EliteSet(cs.map(walk), n)
       case Synonym(cs)       => Synonym(cs.map(walk))
@@ -244,6 +285,12 @@ final case class PositionsRow(
     bucket: Int,
     docId: Long,
     posBytes: Array[Byte])
+
+/** Build-time synonym group stats (chert keeps synonym tables on
+  * disk — reference: backends/chert/chert_synonym.cc): df = exact
+  * union docset size, cf = Σ wdf, maxWdf = max per-doc combined wdf.
+  * Lets Query.Synonym score without a query-time counting job. */
+final case class SynGroupRow(group: String, df: Long, cf: Long, maxWdf: Int)
 
 /** Collection-wide stats (single row). */
 final case class StatsRow(

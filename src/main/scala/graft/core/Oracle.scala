@@ -27,7 +27,8 @@ object Oracle {
       externalSources: Map[String, Seq[(Long, Double)]] = Map.empty,
       collapseKey: Option[Doc => String] = None,
       percentCutoff: Int = 0,
-      weightCutoff: Double = 0.0)
+      weightCutoff: Double = 0.0,
+      wildcardMaxExpansion: Int = 100000)
 
   final case class Index(
       postings: Map[String, Vector[(Long, Int, Array[Int])]], // term -> (docId, wdf, positions) sorted by docId
@@ -204,7 +205,8 @@ object Oracle {
 
       case w: Query.Wildcard =>
         evaluate(Query.expandWildcards(w,
-          p => idx.postings.keys.filter(_.startsWith(p)).toSeq), idx, opts)
+          p => idx.postings.keys.filter(_.startsWith(p)).toSeq,
+          opts.wildcardMaxExpansion), idx, opts)
 
       case Query.External(name) =>
         sortedMap(opts.externalSources.getOrElse(name, Seq.empty)
@@ -214,9 +216,22 @@ object Oracle {
     }
   }
 
-  /** Upper bound of the weight any doc can get from q (for ELITE_SET). */
-  private def maxWeightBound(q: Query, idx: Index, opts: Options): Double =
-    q match {
+  /**
+   * Upper bound of the weight any doc can get from q (ELITE_SET child
+   * selection). COMPOSITIONAL over per-term stats — never evaluates a
+   * subquery (the reference selects elite children from postlist
+   * maxweight bounds, localsubmatch.cc, not from exact maxima; the
+   * Spark matcher computes the identical formula from dict stats, so
+   * selection is never a planning-time Spark job). Frozen spec:
+   * AND/OR/NEAR/PHRASE/AND_MAYBE sum child bounds, AND_NOT/FILTER
+   * take the left, XOR the max, SCALE multiplies; SYNONYM bounds the
+   * pseudo-term with df_lower = max child df (union df ≥ any child's)
+   * and wdf_upper = Σ child maxWdf; EXTERNAL uses the source's exact
+   * max (a PostingSource declares its maxweight); value ranges /
+   * MatchAll are weightless.
+   */
+  private def maxWeightBound(q: Query, idx: Index, opts: Options): Double = {
+    def b(q: Query): Double = q match {
       case Query.Term(t, wqf, _) =>
         idx.postings.get(t) match {
           case None => 0.0
@@ -225,10 +240,32 @@ object Oracle {
             val maxWdf = pl.map(_._2).max
             opts.weight.maxPart(tw, maxWdf, idx.stats.minDocLen, idx.stats)
         }
-      case other =>
-        val m = evaluate(other, idx, opts)
-        if (m.isEmpty) 0.0 else m.values.max
+      case Query.And(cs)        => cs.map(b).sum
+      case Query.Or(cs)         => cs.map(b).sum
+      case Query.AndNot(l, _)   => b(l)
+      case Query.Filter(l, _)   => b(l)
+      case Query.Xor(l, r)      => math.max(b(l), b(r))
+      case Query.AndMaybe(l, r) => b(l) + b(r)
+      case Query.Near(cs, _)    => cs.map(b).sum
+      case Query.Phrase(cs, _)  => cs.map(b).sum
+      case Query.ScaleWeight(s, f) => f * b(s)
+      case Query.EliteSet(cs, n) => cs.map(b).sorted.reverse.take(n).sum
+      case Query.Synonym(cs) =>
+        val pls = cs.flatMap(_.terms).map(_.term).distinct
+          .flatMap(idx.postings.get)
+        if (pls.isEmpty) 0.0
+        else {
+          val tw = opts.weight.termWeight(1, pls.map(_.size).max.toLong, idx.stats)
+          val maxWdf = pls.map(_.map(_._2).max).sum
+          opts.weight.maxPart(tw, maxWdf, idx.stats.minDocLen, idx.stats)
+        }
+      case Query.External(name) =>
+        opts.externalSources.getOrElse(name, Seq.empty)
+          .map(_._2).maxOption.getOrElse(0.0)
+      case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
     }
+    b(q)
+  }
 
   /**
    * True if one position can be chosen from each list such that
@@ -281,8 +318,24 @@ object Oracle {
 
   def mset(q: Query, idx: Index, k: Int, opts: Options = Options(),
            first: Int = 0): Vector[MSetItem] = {
-    val simplified = Query.simplify(q)
-    val m = evaluate(simplified, idx, opts)
+    // expand wildcards up front (matches the Spark matcher's
+    // matches() pre-pass — a wildcard nested under NEAR/PHRASE must
+    // become positional variants before positional evaluation)
+    val simplified = Query.expandWildcards(Query.simplify(q),
+      p => idx.postings.keys.filter(_.startsWith(p)).toSeq,
+      opts.wildcardMaxExpansion)
+    var m = evaluate(simplified, idx, opts)
+    // BM25 k2 part: per-matched-doc extra, added once at match level
+    // (reference: bm25weight.cc get_sumextra; query size = Σ wqf)
+    if (opts.weight.needsExtra) {
+      val querySize = simplified.terms.map(_.wqf).sum
+      val withExtra = new mutable.LinkedHashMap[Long, Double]
+      m.foreach { case (did, w) =>
+        withExtra(did) = w +
+          opts.weight.sumExtra(querySize, idx.docLen(did), idx.stats)
+      }
+      m = withExtra
+    }
     val filtered = opts.decider match {
       case Some(dec) => m.filter { case (did, _) => dec(idx.docs(did)) }
       case None      => m

@@ -16,6 +16,9 @@ sealed trait Weight extends Serializable {
   def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double
   /** Per-document extra part (independent of matching terms). */
   def sumExtra(querySize: Int, doclen: Long, stats: StatsRow): Double = 0.0
+  /** True iff sumExtra can be non-zero — matchers then join doclen
+    * into the scored stream and add it per matched doc. */
+  def needsExtra: Boolean = false
   /** Upper bound of sumPart given term bounds — for WAND pruning. */
   def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double
 }
@@ -57,6 +60,8 @@ final case class Bm25Weight(
       if (stats.avgLen > 0) doclen / stats.avgLen else 1.0, minNormLen)
     k2 * querySize * (1.0 - normLen) / (1.0 + normLen)
   }
+
+  override def needsExtra: Boolean = k2 != 0.0
 
   def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double =
     sumPart(termWt, maxWdf, minDocLen, stats)

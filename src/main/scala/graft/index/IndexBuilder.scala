@@ -22,12 +22,20 @@ final case class BuildConfig(
     skewDfThreshold: Long = 50000,       // salt terms with df above this
     saltFactor: Int = 16,                // salted sub-keys per skewed term
     buildPartitions: Int = 32,
-    docIdBase: Long = 0L) {              // first docId - 1 (segment appends)
+    docIdBase: Long = 0L,                // first docId - 1 (segment appends)
+    /** Registered synonym groups (group → member terms): union stats
+      * precomputed at build so Query.Synonym needs no query-time
+      * counting job (the chert synonym-table analog). */
+    synonyms: Map[String, Seq[String]] = Map.empty) {
   def configHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // leading token = on-disk format version; bump on codec change
+    val syn =
+      if (synonyms.isEmpty) "" // keeps pre-synonym hashes stable
+      else "|syn=" + synonyms.toSeq.sortBy(_._1)
+        .map { case (g, ts) => g + ":" + ts.sorted.mkString("+") }.mkString(",")
     val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase"
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -230,6 +238,25 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       finishStage("dict")
     }
     val dict = spark.read.parquet(s"$dir/dict")
+
+    // ---------- stage 2b: registered synonym-group stats ----------
+    if (cfg.synonyms.nonEmpty && !stageDone("syngroups")) timed("syngroups") {
+      val mapping = cfg.synonyms.toSeq
+        .flatMap { case (g, ts) => ts.map(t => (g, t)) }
+        .toDF("group", "term")
+      // one keyed aggregate over the term stream (mapping broadcast):
+      // per-doc combined wdf, then union df / cf / max combined wdf
+      termRows.join(broadcast(mapping), "term")
+        .groupBy($"group", $"docId")
+        .agg(sum($"wdf").cast("int").as("wdf"))
+        .groupBy($"group")
+        .agg(count(lit(1)).as("df"), sum($"wdf").cast("long").as("cf"),
+          max($"wdf").as("maxWdf"))
+        .as[SynGroupRow]
+        .write.mode("overwrite").parquet(s"$dir/syngroups")
+      mapping.write.mode("overwrite").parquet(s"$dir/synmembers")
+      finishStage("syngroups")
+    }
 
     // ---------- stage 3: postings + positions (ONE shuffle) ----------
     if (!stageDone("postings") || !stageDone("positions")) {

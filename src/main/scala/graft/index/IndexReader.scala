@@ -27,13 +27,21 @@ trait Index {
   def lookupTerms(terms: Seq[String]): Map[String, DictRow]
   def blocksFor(termIds: Seq[Long]): DataFrame
   def positionsFor(termIds: Seq[Long]): DataFrame
-  def termsWithPrefix(prefix: String): Seq[String]
+  /** Dictionary terms starting with `prefix`, at most `limit` of them
+    * (the LIMIT is pushed into the dict scan — wildcard expansion
+    * fetches cap+1 to detect overflow without ever collecting an
+    * unbounded dictionary slice to the driver). */
+  def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String]
   /** Per-document term lists (docId, term, wdf) — the termlist-table
     * analog, used by relevance-feedback expansion. */
   def termLists: DataFrame
   /** Aggregated dictionary (term, df, cf, maxWdf) without segment-
     * local termIds — for dictionary-wide operations (spelling). */
   def dictTable: DataFrame
+  /** Build-time stats for a registered synonym group whose member set
+    * equals `terms` exactly — lets OP_SYNONYM score without a
+    * query-time union-count job. None → ad-hoc (counted) synonym. */
+  def synonymGroup(terms: Set[String]): Option[SynGroupRow] = None
 }
 
 /**
@@ -69,6 +77,30 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
     this
   }
 
+  /** Registered synonym groups: (member set → build-time stats).
+    * Tiny table (one row per registered group), loaded once per
+    * handle; existence checked through the Hadoop FS API so HDFS/S3
+    * index dirs work. */
+  private lazy val synGroups: Seq[(Set[String], SynGroupRow)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/syngroups")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val members = spark.read.parquet(s"$dir/synmembers")
+        .as[(String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val stats = spark.read.parquet(s"$dir/syngroups").as[SynGroupRow]
+        .collect().map(g => g.group -> g).toMap
+      // groups registered but matching no docs have no stats row: df=0
+      members.toSeq.map { case (g, ts) =>
+        ts -> stats.getOrElse(g, SynGroupRow(g, 0L, 0L, 0))
+      }
+    }
+  }
+
+  override def synonymGroup(terms: Set[String]): Option[SynGroupRow] =
+    synGroups.find(_._1 == terms).map(_._2)
+
   /** Dict rows for a set of query terms — a few-row pruned scan
     * collected to the driver (terms per query are few). */
   def lookupTerms(terms: Seq[String]): Map[String, DictRow] = {
@@ -78,10 +110,13 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
   }
 
   /** Dictionary terms starting with `prefix` (wildcard expansion) —
-    * a pruned dict scan; StartsWith pushes down to the parquet reader. */
-  def termsWithPrefix(prefix: String): Seq[String] =
-    dict.filter($"term".startsWith(prefix)).select($"term")
-      .as[String].collect().toSeq
+    * a pruned dict scan; StartsWith pushes down to the parquet reader
+    * and the limit plans as CollectLimit (early-exit scan). */
+  def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String] = {
+    val base = dict.filter($"term".startsWith(prefix)).select($"term")
+    val capped = if (limit == Int.MaxValue) base else base.limit(limit)
+    capped.as[String].collect().toSeq
+  }
 
   /** Posting blocks for a set of termIds: bucket-partition pruning +
     * parquet row-group min/max pruning on termId. */

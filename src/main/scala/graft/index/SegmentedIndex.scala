@@ -84,8 +84,10 @@ class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
   def positionsFor(termIds: Seq[Long]): DataFrame =
     translated(termIds, (s, ids) => s.positionsFor(ids))
 
-  def termsWithPrefix(prefix: String): Seq[String] =
-    segments.flatMap(_.termsWithPrefix(prefix)).distinct
+  def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String] = {
+    val merged = segments.flatMap(_.termsWithPrefix(prefix, limit)).distinct
+    if (limit == Int.MaxValue) merged else merged.take(limit)
+  }
 
   def termLists: DataFrame =
     segments.map(_.termLists).reduce(_ unionByName _)
@@ -95,6 +97,18 @@ class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
       .groupBy(col("term"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"),
         max(col("maxWdf")).as("maxWdf"))
+
+  /** Segment docId ranges are disjoint, so a group's union df/cf sum
+    * across segments (and maxWdf is the max) — but only when EVERY
+    * segment registered the same member set; otherwise the missing
+    * segments' contribution is unknown and the matcher must fall back
+    * to the ad-hoc (counted) synonym path. */
+  override def synonymGroup(terms: Set[String]): Option[SynGroupRow] = {
+    val hits = segments.flatMap(_.synonymGroup(terms))
+    if (hits.size != segments.size) None
+    else Some(SynGroupRow(hits.head.group,
+      hits.map(_.df).sum, hits.map(_.cf).sum, hits.map(_.maxWdf).max))
+  }
 }
 
 /**

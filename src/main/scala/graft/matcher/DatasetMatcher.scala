@@ -22,7 +22,10 @@ final case class MatchOptions(
     /** "relevance" | "value" | "relevance_then_value" | "value_then_relevance" */
     sortBy: String = "relevance",
     sortValue: Option[String] = None,
-    sortValueReverse: Boolean = false)
+    sortValueReverse: Boolean = false,
+    /** Wildcard expansion cap (upstream max_expansion analog);
+      * exceeding it throws [[graft.core.Query.WildcardError]]. */
+    wildcardMaxExpansion: Int = 100000)
 
 object DatasetMatcher {
   /** Σ df at or below which an AND-of-terms compiles to one
@@ -100,8 +103,11 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
 
   /** Compile a query to (docId, score). */
   def matches(q: Query): DataFrame = {
+    val cap = opts.wildcardMaxExpansion
+    val fetch = if (cap >= Int.MaxValue - 1) Int.MaxValue else cap + 1
     val expanded =
-      if (hasWildcard(q)) Query.expandWildcards(q, idx.termsWithPrefix)
+      if (hasWildcard(q))
+        Query.expandWildcards(q, p => idx.termsWithPrefix(p, fetch), cap)
       else q
     val simplified = Query.simplify(expanded)
     val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
@@ -263,23 +269,29 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           .toDF("docId", "wdf", "doclen")
           .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"),
             max($"doclen").as("doclen"))
-        // synonym df = union docset size; cache only for the count,
-        // then release (keeping it pinned would leak executor memory
-        // across queries — the recompute at action time is one
-        // pruned-scan decode)
-        val grouped = union.persist()
-        val df =
-          try grouped.count()
-          finally grouped.unpersist(blocking = false)
+        val df = idx.synonymGroup(terms.toSet) match {
+          // registered group: exact union df from the build-time
+          // synonym table — NO query-time counting job
+          case Some(g) => g.df
+          case None =>
+            // ad-hoc synonym: df = union docset size; cache only for
+            // the count, then release (keeping it pinned would leak
+            // executor memory across queries — the recompute at
+            // action time is one pruned-scan decode)
+            val grouped = union.persist()
+            try grouped.count()
+            finally grouped.unpersist(blocking = false)
+        }
         val tw = weight.termWeight(1, df, stats)
-        grouped.select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
+        union.select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
       }
 
     case Query.MatchAll =>
       idx.docs.select($"docId", lit(0.0).as("score"))
     case Query.MatchNothing => emptyMatches
     case w: Query.Wildcard => // expanded in matches(); unreachable here
-      compile(Query.expandWildcards(w, idx.termsWithPrefix), dict)
+      compile(Query.expandWildcards(w, p => idx.termsWithPrefix(p),
+        opts.wildcardMaxExpansion), dict)
 
     case Query.External(name) =>
       opts.externalSources.get(name) match {
@@ -314,6 +326,13 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case other          => other.terms.map(t => estimatedDf(t, dict)).sum
   }
 
+  /** ELITE_SET child bound — compositional over dict stats, NO Spark
+    * job at planning time (mirror of Oracle.maxWeightBound's frozen
+    * formula; the reference likewise composes postlist maxweight
+    * bounds, localsubmatch.cc). External sources are the one
+    * exception: a PostingSource declares its own maxweight, and ours
+    * comes from a one-row agg over the (small, user-supplied) source
+    * frame. */
   private def maxWeightBound(q: Query, dict: Map[String, DictRow]): Double = q match {
     case Query.Term(t, wqf, _) =>
       dict.get(t) match {
@@ -322,11 +341,32 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           val tw = weight.termWeight(wqf, d.df, stats)
           weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
       }
-    case other =>
-      // rare non-term child: evaluate and take the max (one small job)
-      val df = compile(other, dict)
-      val r = df.agg(max($"score")).collect()(0)
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    case Query.And(cs)        => cs.map(maxWeightBound(_, dict)).sum
+    case Query.Or(cs)         => cs.map(maxWeightBound(_, dict)).sum
+    case Query.AndNot(l, _)   => maxWeightBound(l, dict)
+    case Query.Filter(l, _)   => maxWeightBound(l, dict)
+    case Query.Xor(l, r)      => math.max(maxWeightBound(l, dict), maxWeightBound(r, dict))
+    case Query.AndMaybe(l, r) => maxWeightBound(l, dict) + maxWeightBound(r, dict)
+    case Query.Near(cs, _)    => cs.map(maxWeightBound(_, dict)).sum
+    case Query.Phrase(cs, _)  => cs.map(maxWeightBound(_, dict)).sum
+    case Query.ScaleWeight(s, f) => f * maxWeightBound(s, dict)
+    case Query.EliteSet(cs, n) =>
+      cs.map(maxWeightBound(_, dict)).sorted.reverse.take(n).sum
+    case Query.Synonym(cs) =>
+      val ds = cs.flatMap(_.terms).map(_.term).distinct.flatMap(dict.get)
+      if (ds.isEmpty) 0.0
+      else {
+        val tw = weight.termWeight(1, ds.map(_.df).max, stats)
+        weight.maxPart(tw, ds.map(_.maxWdf).sum, stats.minDocLen, stats)
+      }
+    case Query.External(name) =>
+      opts.externalSources.get(name) match {
+        case None => 0.0
+        case Some(df) =>
+          val r = df.agg(max(col(df.columns(1)).cast("double"))).collect()(0)
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+    case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
   }
 
   /** NEAR/PHRASE: AND + positional window filter over packed positions. */
@@ -361,14 +401,30 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     matches(q).join(idx.docs, "docId")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("facet_count"))
 
+  /** BM25 k2 per-doc extra as a Column (0 for every other weight). */
+  private def sumExtraCol(querySize: Int, doclen: Column): Column =
+    weight match {
+      case Bm25Weight(_, k2, _, _, minNorm) if k2 != 0.0 =>
+        val normLen =
+          if (stats.avgLen > 0) greatest(doclen / lit(stats.avgLen), lit(minNorm))
+          else greatest(lit(1.0), lit(minNorm))
+        lit(k2) * lit(querySize.toDouble) * (lit(1.0) - normLen) / (lit(1.0) + normLen)
+      case _ => lit(0.0)
+    }
+
   /** Ranked page: the reference's Enquire::get_mset(first, k). */
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
     var m = matches(q)
-    // MatchDecider / collapse / value sorts need docs columns
+    // MatchDecider / collapse / value sorts / k2 extra need docs columns
     val needsDocs = opts.decider.nonEmpty || opts.collapseKey.nonEmpty ||
-      opts.sortValue.nonEmpty
+      opts.sortValue.nonEmpty || weight.needsExtra
     if (needsDocs) {
       m = m.join(idx.docs.drop("content"), "docId")
+      if (weight.needsExtra) {
+        val querySize = Query.simplify(q).terms.map(_.wqf).sum
+        m = m.withColumn("score",
+          $"score" + sumExtraCol(querySize, $"doclen"))
+      }
       opts.decider.foreach(p => m = m.filter(p))
     }
     opts.collapseKey.foreach { key =>

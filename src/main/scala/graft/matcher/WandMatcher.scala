@@ -46,12 +46,17 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         s"WAND path supports OR-of-terms only, got: ${other.describe}")
     }
     val dict = idx.lookupTerms(terms.map(_.term))
+    // duplicate term leaves ACCUMULATE: sumPart is linear in the
+    // termweight, so summing per-leaf termweights per termId scores
+    // each posting once with the combined weight — identical to the
+    // oracle/Dataset paths summing each duplicate's contribution
     val tws: Map[Long, Double] = terms.flatMap { t =>
       dict.get(t.term).map(d => d.termId -> weight.termWeight(t.wqf, d.df, stats))
-    }.toMap
+    }.groupBy(_._1).map { case (tid, xs) => tid -> xs.map(_._2).sum }
     if (tws.isEmpty) return Seq.empty
     val termIds = tws.keys.toSeq.sorted
     val need = first + k
+    val querySize = terms.map(_.wqf).sum
 
     val blocks = idx.blocksFor(termIds).as[PostingBlock]
     val w = weight
@@ -65,7 +70,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         val collected = blocks.collect()
         collected.groupBy(_.stripe).iterator
           .flatMap { case (_, bs) =>
-            WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need)
+            WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize)
           }
           .toArray
           .sortBy { case (did, s) => (-s, did) }
@@ -77,7 +82,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         val bTws = spark.sparkContext.broadcast(tws)
         blocks.groupByKey(_.stripe)
           .flatMapGroups { (_, bs) =>
-            WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need)
+            WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need, querySize)
           }
           .toDF("docId", "score")
           .orderBy($"score".desc, $"docId".asc)
@@ -146,13 +151,20 @@ object WandMatcher {
     }
   }
 
-  /** Document-at-a-time WAND with block-max bounds over one stripe. */
+  /** Document-at-a-time WAND with block-max bounds over one stripe.
+    * `querySize` (Σ wqf) feeds the BM25 k2 per-doc extra: scored docs
+    * get `sumExtra(querySize, doclen)` added, and the pivot bound
+    * starts from the extra's upper bound (attained at the global
+    * minimum doclen) so pruning stays admissible for k2 ≠ 0. */
   def stripeTopK(
       blocks: Seq[PostingBlock],
       termWeights: Map[Long, Double],
       w: Weight,
       stats: StatsRow,
-      k: Int): Iterator[(Long, Double)] = {
+      k: Int,
+      querySize: Int = 0): Iterator[(Long, Double)] = {
+    val maxExtra =
+      if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0
     val cursors: Array[Cursor] = blocks.groupBy(_.termId).iterator.map {
       case (tid, bs) =>
         new Cursor(tid, termWeights(tid),
@@ -170,7 +182,8 @@ object WandMatcher {
       // sort by current docId (few terms — cheap)
       val sorted = active.sortBy(_.curDoc)
       // pivot: first index where the cumulative block-max UB exceeds θ
-      var acc = 0.0
+      // (seeded with the k2 extra's upper bound — 0 when k2 = 0)
+      var acc = maxExtra
       var pivotIdx = -1
       var i = 0
       while (pivotIdx < 0 && i < sorted.length) {
@@ -189,6 +202,7 @@ object WandMatcher {
           sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
             score += w.sumPart(c.termWeight, c.curWdf, len, stats)
           }
+          if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
           // advance all cursors positioned at pivotDoc
           sorted.foreach { c => if (!c.exhausted && c.curDoc == pivotDoc) c.next() }
           if (heap.size < k) {

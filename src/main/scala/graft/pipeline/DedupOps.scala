@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
  * in-row arrays, never an explode+groupBy (which would shuffle
  * |doc|×|shingles| rows). The only shuffles are (a) the hash-groupBy
  * of exact dedup, keyed by a 128-bit digest (uniform, no skew), and
- * (b) the LSH band self-join, keyed by band bucket (bounded bucket
- * width ⇒ bounded join fan-out).
+ * (b) the LSH band self-join, keyed by FULL-signature band digests —
+ * bucket width is proportional to true-duplicate density (two docs
+ * share a band iff all r minhashes in it agree), so join fan-out
+ * stays bounded at any corpus size.
  *
  * Input schema: (doc_id: Long, text: String, ...).
  */
@@ -33,8 +35,10 @@ object DedupOps {
   /** MinHash signature: for each seed s, min over character k-gram
     * shingles of md5(s || shingle). Pure per-row expression (no
     * shuffle); the md5-hex min is an order-preserving proxy for a
-    * 128-bit hash min, reproducible by any SQL engine with md5(). */
-  def minhash(docs: DataFrame, k: Int = 8, seeds: Int = 4): DataFrame = {
+    * 128-bit hash min, reproducible by any SQL engine with md5().
+    * 12 seeds feed 6 bands × 2 rows in [[lshCandidatePairs]]
+    * (collision probability j^2 per band for Jaccard j). */
+  def minhash(docs: DataFrame, k: Int = 8, seeds: Int = 12): DataFrame = {
     val text = col("text")
     def sig(seed: Int): Column =
       when(length(text) < k, lit(null))
@@ -45,16 +49,28 @@ object DedupOps {
       col("doc_id") +: (0 until seeds).map(s => sig(s).as(s"h$s")): _*)
   }
 
-  /** LSH candidate pairs: documents sharing a band bucket. Bands are
-    * hex prefixes of each minhash (wider prefix ⇒ fewer collisions).
-    * Output: (doc_a, doc_b, shared_bands) with doc_a < doc_b. */
-  def lshCandidatePairs(sigs: DataFrame, prefixLen: Int = 2): DataFrame = {
+  /** LSH candidate pairs: the standard b-bands × r-rows scheme. A
+    * band key is the md5 of the band index plus ALL r minhashes of
+    * the band, so two docs collide on a band only when the whole
+    * band's signature agrees — the bucket count grows with the
+    * corpus (≈ one bucket per distinct band signature), keeping
+    * per-bucket width ∝ true-duplicate density instead of the fixed
+    * 256-buckets-per-seed prefix scheme that degenerates to all-pairs
+    * at scale. Output: (doc_a, doc_b, shared_bands), doc_a < doc_b. */
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
     val seeds = sigs.columns.count(_.startsWith("h"))
+    require(seeds % rowsPerBand == 0,
+      s"seeds ($seeds) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val nBands = seeds / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      // concat propagates null: a doc too short for minhash joins nothing
+      md5(concat(lit(s"$b:") +: hs: _*))
+    }
     val banded = sigs.select(
       col("doc_id"),
-      explode(array((0 until seeds).map(s =>
-        concat(lit(s.toString), lit(":"), substring(col(s"h$s"), 1, prefixLen))): _*))
-        .as("band"))
+      explode(array(bandCols: _*)).as("band"))
+      .where(col("band").isNotNull)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -82,37 +98,60 @@ object DedupOps {
         round(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens using xxhash64 — per-row,
-    * codegen'd. Bit b of the result is 1 iff the sum over tokens of
-    * ±1 (sign of bit b of xxhash64(token)) is positive. */
-  def simhash64(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+  /** 64-bit SimHash over whitespace tokens, emitted as a 16-char hex
+    * digest. The token hash is the first 16 hex chars of md5(token)
+    * (portable to any engine with md5 — the point of not using
+    * xxhash64 here); bit b of nibble d is 1 iff the ±1 vote sum over
+    * tokens of that bit is positive. ONE `aggregate` pass with a
+    * 64-slot array accumulator (not 64 scans of the token array) —
+    * per-row, codegen'd, shuffle-free. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    // per token: 16 nibble values of the md5-derived 64-bit hash
+    val nibs = transform(toks, t =>
+      transform(sequence(lit(1), lit(16)),
+        d => conv(md5(t).substr(d, lit(1)), 16, 10).cast("int")))
+    // ±1 vote per bit; bit k of nibble v = (v div 2^k) mod 2
+    def signs(nib: Column): Column =
+      flatten(transform(nib, v =>
+        array((0 until 4).map { k =>
+          val bit = pmod((v / lit(1 << k)).cast("int"), lit(2))
+          (bit * 2 - 1)
+        }: _*)))
+    val votes = aggregate(nibs,
+      array_repeat(lit(0), 64),
+      (acc, nib) => zip_with(acc, signs(nib), (a, s) => a + s))
+    // recombine votes into hex: nibble d = Σ_k (vote_{4(d-1)+k} > 0) << k
+    def hexChar(v: Column): Column = lit("0123456789abcdef").substr(v + 1, lit(1))
+    val hexCols = (1 to 16).map { d =>
+      val v = (0 until 4).map { k =>
+        when(element_at(col("_votes"), (d - 1) * 4 + k + 1) > 0, lit(1 << k))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      hexChar(v)
     }
-    docs.select(col("doc_id"),
-      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    docs.select(col("doc_id"), votes.as("_votes"))
+      .select(col("doc_id"), concat(hexCols: _*).as("simhash"))
   }
 
   /** Hamming distance between simhash pairs below a threshold —
-    * candidate near-dups. Self-join banded by the 4 16-bit quarters
+    * candidate near-dups. Self-join banded by the 4 hex quarters
     * (a near-dup within distance 3 must agree on ≥1 quarter). */
   def simhashNearDups(sims: DataFrame, maxDist: Int = 3): DataFrame = {
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(q =>
-        concat(lit(q.toString), lit(":"),
-          shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(0xffffL))): _*)).as("band"))
-    val popcntDiff = {
-      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
-      bit_count(x)
-    }
+        concat(lit(s"$q:"), col("simhash").substr(q * 4 + 1, 4))): _*)).as("band"))
+    // per-nibble XOR popcount via a 16-entry lookup
+    val popLut = typedLit(Seq(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4))
+    val dist = (1 to 16).map { d =>
+      val va = conv(col("a.simhash").substr(d, 1), 16, 10).cast("int")
+      val vb = conv(col("b.simhash").substr(d, 1), 16, 10).cast("int")
+      element_at(popLut, va.bitwiseXOR(vb) + 1)
+    }.reduce(_ + _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        popcntDiff.as("dist"))
+        dist.as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
   }

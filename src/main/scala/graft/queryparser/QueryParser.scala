@@ -104,9 +104,14 @@ object QueryParser {
             case "XOR" => out += XorT
             case "NEAR" => out += NearT(10, ordered = false)
             case "ADJ"  => out += NearT(10, ordered = true)
-            case _ if w.startsWith("NEAR/") && w.drop(5).forall(_.isDigit) && w.length > 5 =>
+            // toIntOption guards overflow ("NEAR/99999999999"): a
+            // non-parseable window falls through to the plain-word
+            // case — garbage query strings must never throw
+            case _ if w.startsWith("NEAR/") && w.length > 5 && w.drop(5).forall(_.isDigit) &&
+                w.drop(5).toIntOption.isDefined =>
               out += NearT(w.drop(5).toInt, ordered = false)
-            case _ if w.startsWith("ADJ/") && w.drop(4).forall(_.isDigit) && w.length > 4 =>
+            case _ if w.startsWith("ADJ/") && w.length > 4 && w.drop(4).forall(_.isDigit) &&
+                w.drop(4).toIntOption.isDefined =>
               out += NearT(w.drop(4).toInt, ordered = true)
             case _ =>
               // field:value ?
@@ -184,7 +189,9 @@ object QueryParser {
           case Some(_: Quoted) | Some(LP) =>
             parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
           case Some(Word(f, text, _)) if f.exists(cfg.rangeFields.contains) &&
-              text.contains("..") =>
+              text.contains("..") && rangeBoundsParse(text) =>
+            // non-numeric bounds (len:abc..def) fail rangeBoundsParse
+            // and fall through to the plain-word case — never throw
             val Word(Some(field), t, _) = advance(): @unchecked
             val col = cfg.rangeFields(field)
             val i = t.indexOf("..")
@@ -312,6 +319,17 @@ object QueryParser {
         }
       case _ => None
     }
+  }
+
+  /** True iff every present bound of a `lo..hi` range parses as a
+    * Double (the lexer must not throw on garbage). */
+  private def rangeBoundsParse(text: String): Boolean = {
+    val i = text.indexOf("..")
+    val lo = text.substring(0, i)
+    val hi = text.substring(i + 2)
+    (lo.isEmpty || lo.toDoubleOption.isDefined) &&
+      (hi.isEmpty || hi.toDoubleOption.isDefined) &&
+      (lo.nonEmpty || hi.nonEmpty)
   }
 
   /** Merge duplicate probabilistic term leaves' wqf within the same

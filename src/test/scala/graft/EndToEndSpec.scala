@@ -48,7 +48,7 @@ class EndToEndSpec extends AnyFunSuite {
       assert(math.abs(g.score - w.score) < 1e-9, s"<$queryString> doc ${g.docId}")
     }
     val wand = new WandMatcher(reader)
-    val expanded = Query.expandWildcards(parsed, reader.termsWithPrefix)
+    val expanded = Query.expandWildcards(parsed, p => reader.termsWithPrefix(p))
     if (wand.supports(expanded)) {
       val wres = wand.mset(expanded, k)
       assert(wres.map(_.docId) == want.map(_.docId), s"<$queryString> wand docIds")
@@ -69,6 +69,13 @@ class EndToEndSpec extends AnyFunSuite {
   test("ADJ")                    { check("parse ADJ/8 token") }
   test("wildcard expansion")     { check("pars*") }
   test("wildcard in boolean")    { check("pars* AND token") }
+  test("multi-expansion wildcard under NEAR (OR of variants)") {
+    // "par*" must hit >1 dictionary term for this to exercise the
+    // variant rewrite (ADVICE round 1: this used to throw)
+    assert(reader.termsWithPrefix("par").size > 1)
+    check("par* NEAR/6 token")
+    check("par* ADJ/6 token")
+  }
   test("parenthesized")          { check("(parse OR token) AND merge") }
   test("repeated term wqf")      { check("parse parse token") }
   test("uppercase unstemmed")    { check("Parse token") }

@@ -1,0 +1,111 @@
+package graft.index
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.matcher.DatasetMatcher
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/**
+ * Build-time synonym groups (VERDICT round 1 item 6): a registered
+ * group's union df comes from the build-time synonym table, so the
+ * matcher plans OP_SYNONYM without a query-time counting job — and
+ * scores exactly match the ad-hoc (counted) path, because the table
+ * stores the exact union df.
+ */
+class SynonymGroupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val corpus = CorpusGen.generate(seed = 23, nRepos = 3, filesPerRepo = 15)
+  private val group = Seq("parse", "token")
+
+  private def build(dir: String, syn: Map[String, Seq[String]]): IndexReader = {
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4, synonyms = syn)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+  }
+
+  private lazy val registered = build(
+    Files.createTempDirectory("graft-syn-reg").toString + "/idx",
+    Map("g" -> group))
+  private lazy val adhoc = build(
+    Files.createTempDirectory("graft-syn-adhoc").toString + "/idx",
+    Map.empty)
+
+  private val q = Query.Synonym(group.map(Query.Term(_)))
+
+  test("registered group stats equal the exact ad-hoc union stats") {
+    val g = registered.synonymGroup(group.toSet)
+    assert(g.nonEmpty, "group not registered")
+    // exact union df recomputed naively from the oracle index
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content)
+    }, stemMode = "none")
+    val union = group.flatMap(t =>
+      oidx.postings.getOrElse(t, Vector.empty).map(_._1)).distinct
+    assert(g.get.df === union.size.toLong)
+    // unregistered member set → None (falls back to ad-hoc)
+    assert(registered.synonymGroup(Set("parse")).isEmpty)
+    assert(adhoc.synonymGroup(group.toSet).isEmpty)
+  }
+
+  test("registered and ad-hoc paths score identically") {
+    val a = new DatasetMatcher(registered).mset(q, 20)
+    val b = new DatasetMatcher(adhoc).mset(q, 20)
+    assert(a.map(_.docId) === b.map(_.docId))
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x.score - y.score) < 1e-12) }
+  }
+
+  test("registered synonym plans without a query-time count job") {
+    def jobsDuring(idx: IndexReader): Int = {
+      idx.stats // force stats load outside the measured window
+      idx.lookupTerms(group) // warm nothing — each call is a job; just exercise
+      val sc = spark.sparkContext
+      val tag = s"syn-jobs-${System.nanoTime()}"
+      sc.setJobGroup(tag, tag)
+      try {
+        new DatasetMatcher(idx).matches(q) // plan only — no action on the result
+        // statusTracker is fed async; poll briefly for settlement
+        val deadline = System.currentTimeMillis() + 3000
+        var n = sc.statusTracker.getJobIdsForGroup(tag).length
+        var prev = -1
+        while (System.currentTimeMillis() < deadline && n != prev) {
+          prev = n; Thread.sleep(200)
+          n = sc.statusTracker.getJobIdsForGroup(tag).length
+        }
+        n
+      } finally sc.clearJobGroup()
+    }
+    val regJobs = jobsDuring(registered)
+    val adhocJobs = jobsDuring(adhoc)
+    // both run the dict lookup (1 job); only the ad-hoc path adds the
+    // union count job
+    assert(regJobs < adhocJobs,
+      s"registered path ran $regJobs jobs vs ad-hoc $adhocJobs")
+    assert(regJobs === 1, s"registered planning ran $regJobs jobs (want dict lookup only)")
+  }
+
+  test("ELITE_SET with non-term children: selection is compositional (no planning jobs)") {
+    val elite = Query.EliteSet(Seq(
+      Query.And(Seq(Query.Term("def"), Query.Term("parse"))),
+      Query.Term("token"),
+      Query.Or(Seq(Query.Term("merge"), Query.Term("index")))), 2)
+    // three-way identity: oracle shares the compositional bound formula
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content)
+    }, stemMode = "none")
+    val want = Oracle.mset(elite, oidx, 10)
+    val got = new DatasetMatcher(adhoc).mset(elite, 10)
+    assert(got.map(_.docId) === want.map(_.docId))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9) }
+  }
+}

@@ -142,6 +142,44 @@ class MatcherSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("BM25 k2 != 0: per-doc sumExtra wired through all three paths") {
+    val w = Bm25Weight(k2 = 1.0)
+    for (q <- Seq(
+        t(midTerm): Query,
+        or(t(midTerm), t("token")),
+        or(t(commonTerm), Term(midTerm, wqf = 2), t(rareTerm)),
+        and(t(commonTerm), t(midTerm)))) {
+      val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = w))
+      // the extra term must actually move scores vs the k2=0 default
+      val got = new DatasetMatcher(reader, MatchOptions(weight = w)).mset(q, 10)
+      assertSame(got, want, s"k2-dataset:${q.describe}")
+      val wand = new WandMatcher(reader, weight = w)
+      if (wand.supports(q)) {
+        assertSame(wand.mset(q, 10), want, s"k2-wand:${q.describe}")
+        val wandDist = new WandMatcher(reader, weight = w, localDfThreshold = 0L)
+        assertSame(wandDist.mset(q, 10), want, s"k2-wand-dist:${q.describe}")
+      }
+    }
+    // sanity: k2 changes the scores (the wiring is not a no-op)
+    val k0 = Oracle.mset(t(midTerm), oracleIdx, 5)
+    val k1 = Oracle.mset(t(midTerm), oracleIdx, 5, Oracle.Options(weight = w))
+    assert(k0.zip(k1).exists { case (a, b) => math.abs(a.score - b.score) > 1e-9 })
+  }
+
+  test("duplicate term leaves in OR: WAND accumulates termweights") {
+    for (q <- Seq(
+        or(t(midTerm), t(midTerm)): Query,
+        or(t(midTerm), t("token"), t(midTerm)))) {
+      val want = Oracle.mset(q, oracleIdx, 10)
+      assertSame(new DatasetMatcher(reader).mset(q, 10), want, s"dup-ds:${q.describe}")
+      val wand = new WandMatcher(reader)
+      assert(wand.supports(q))
+      assertSame(wand.mset(q, 10), want, s"dup-wand:${q.describe}")
+      assertSame(new WandMatcher(reader, localDfThreshold = 0L).mset(q, 10),
+        want, s"dup-wand-dist:${q.describe}")
+    }
+  }
+
   test("TradWeight scheme rank-identical to oracle") {
     val q = or(t(midTerm), t("token"))
     val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = TradWeight()))

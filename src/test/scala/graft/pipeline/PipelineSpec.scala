@@ -36,7 +36,29 @@ class PipelineSpec extends AnyFunSuite {
       3L -> "completely unrelated text here zzz")
     val pairs = DedupOps.lshCandidatePairs(DedupOps.minhash(d))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(pairs.exists { case (a, b, n) => a == 1L && b == 2L && n == 4L })
+    assert(pairs.exists { case (a, b, n) => a == 1L && b == 2L && n == 6L })
+  }
+
+  test("lsh banding stays sparse on a distinct corpus (no pair explosion)") {
+    // 200 distinct pseudo-random docs + 3 planted duplicate pairs: the
+    // full-signature band keys must recall the dups while emitting far
+    // fewer candidates than n²/2 (the prefix-bucket scheme this
+    // replaced emitted 84% of all pairs at 500 docs).
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "table", "query", "spark", "index", "merge", "shard", "token", "block")
+    val base = (0 until 200).map { i =>
+      i.toLong -> Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val withDups = base ++ Seq(200L -> base(0)._2, 201L -> base(1)._2, 202L -> base(2)._2)
+    val d = withDups.toDF("doc_id", "text")
+    val pairs = DedupOps.lshCandidatePairs(DedupOps.minhash(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = withDups.size
+    assert(pairs.length < n * (n - 1) / 2 / 20,
+      s"candidate explosion: ${pairs.length} of ${n * (n - 1) / 2} pairs")
+    assert(pairs.contains((0L, 200L)) && pairs.contains((1L, 201L)) &&
+      pairs.contains((2L, 202L)))
   }
 
   test("ngramJaccard: identical = 1, disjoint = 0") {
@@ -52,8 +74,12 @@ class PipelineSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base,
       3L -> (base + " extra"), 4L -> "entirely different words about spark sql engines")
-    val m = DedupOps.simhash64(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val m = DedupOps.simhash(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // hex-digest hamming distance (bit level)
+    def dist(a: String, b: String) = a.zip(b).map { case (x, y) =>
+      Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+    }.sum
+    assert(m(1L).length === 16 && m(1L).forall(c => "0123456789abcdef".contains(c)))
     assert(m(1L) === m(2L))
     assert(dist(m(1L), m(3L)) < dist(m(1L), m(4L)))
   }
@@ -61,7 +87,7 @@ class PipelineSpec extends AnyFunSuite {
   test("simhashNearDups finds the identical pair") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> base, 2L -> base, 3L -> "entirely different words about engines")
-    val nd = DedupOps.simhashNearDups(DedupOps.simhash64(d))
+    val nd = DedupOps.simhashNearDups(DedupOps.simhash(d))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nd.contains((1L, 2L)))
     assert(!nd.exists { case (a, b) => b == 3L || a == 3L })

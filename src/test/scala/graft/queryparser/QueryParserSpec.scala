@@ -106,6 +106,52 @@ class QueryParserSpec extends AnyFunSuite {
     assert(expanded.describe === "(token NEAR 5 parse)")
   }
 
+  test("multi-term wildcard under NEAR becomes OR of positional variants") {
+    val q = QueryParser.parse("par* NEAR/3 token")
+    val dict = Seq("parse", "parser", "token")
+    val expanded = QueryParser.expandWildcard(q, p => dict.filter(_.startsWith(p)))
+    assert(expanded.describe ===
+      "((parse NEAR 3 token) OR (parser NEAR 3 token))")
+    // two wildcards: cartesian product of variants
+    val q2 = QueryParser.parse("par* ADJ/2 tok*")
+    val expanded2 = QueryParser.expandWildcard(q2, p => dict.filter(_.startsWith(p)))
+    assert(expanded2.describe ===
+      "((parse PHRASE 2 token) OR (parser PHRASE 2 token))")
+    // a no-match wildcard kills the positional node
+    val none = QueryParser.expandWildcard(q, p => Seq("token").filter(_.startsWith(p)))
+    assert(none === Query.MatchNothing)
+  }
+
+  test("wildcard expansion cap errors deterministically (WildcardError)") {
+    val q = QueryParser.parse("pa*")
+    val dict = Seq("pad", "pan", "par", "pat")
+    intercept[Query.WildcardError] {
+      Query.expandWildcards(q, p => dict.filter(_.startsWith(p)), maxExpansion = 3)
+    }
+    // at the cap, expansion succeeds
+    val ok = Query.expandWildcards(q, p => dict.filter(_.startsWith(p)), maxExpansion = 4)
+    assert(ok.describe === "(pad OR pan OR par OR pat)")
+    // variant explosion under NEAR is capped too
+    val qn = QueryParser.parse("pa* NEAR/3 pa*")
+    intercept[Query.WildcardError] {
+      Query.expandWildcards(qn, p => dict.filter(_.startsWith(p)), maxExpansion = 8)
+    }
+  }
+
+  test("garbage query strings never throw") {
+    val weird = Seq(
+      "NEAR/99999999999 token", "a NEAR/99999999999 b", "ADJ/12345678901 x",
+      "len:abc..def parser", "len:..", "len:1e999..z", "((((", "\"unterminated",
+      "+ - ( ) ..", "a..b:c")
+    val c = QueryParser.Config(rangeFields = Map("len" -> "doclen"))
+    weird.foreach { s =>
+      val q = QueryParser.parse(s, c) // must not throw
+      assert(q != null)
+    }
+    // overflow window falls back to a plain word, not an exception
+    assert(p("a NEAR/99999999999 b", noStem).nonEmpty)
+  }
+
   test("NEAR children are unstemmed on both sides") {
     // "loving" would stem to Zlove as a plain term; inside NEAR it stays raw
     assert(p("loving NEAR/2 hated") === "(loving NEAR 2 hated)")
