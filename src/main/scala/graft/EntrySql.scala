@@ -140,6 +140,22 @@ SELECT doc_id, round(sum(part), 4) AS score FROM sp
 WHERE term IN (SELECT term FROM pick)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** MSet match-count metadata for an OR query (Dataset path: exact
+    * count, so lower = estimated = upper) + the compositional
+    * max-possible BM25 bound (Σ per-term maxPart at min doclen). */
+  def mcountSql(ts: Seq[String]): String =
+    prefix(ts) +
+      s""",
+bounds AS (SELECT term, max(wdf) AS mw FROM tf GROUP BY term),
+minl AS (SELECT min(len)::DOUBLE AS ml FROM doclen),
+bnd AS (SELECT b.term,
+        w.tw * b.mw * 2.0 / ((0.5 + 0.5 * greatest(m.ml / s.avglen, 0.5)) + b.mw) AS ub
+        FROM bounds b JOIN w USING(term), minl m, stats s),
+cnt AS (SELECT count(DISTINCT doc_id)::BIGINT AS c FROM tf)
+SELECT c AS matches_lower, c AS matches_estimated, c AS matches_upper,
+       round((SELECT sum(ub) FROM bnd), 4) AS max_possible
+FROM cnt"""
+
   val tokOnly: String =
     """WITH tok AS (
   SELECT doc_id, t.term AS term

@@ -82,11 +82,25 @@ object SparkEntry {
     "ft_value_range" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.ValueRange("doclen", 40, 60))
         .select("doc_id").orderBy("doc_id")),
+    "ft_value_range_str" -> ((s, d) =>
+      EntrySupport.matchDf(s, d,
+        Query.ValueRangeS("lang", Some("de"), Some("es")))
+        .select("doc_id").orderBy("doc_id")),
     "ft_decider" -> ((s, d) =>
       EntrySupport.topkDf(s, d, Query.Or(Seq(t("data"), t("query"))), 10,
         langFilter = Some("en"))),
     "ft_collapse" -> ((s, d) =>
       EntrySupport.collapseDf(s, d, t("data"))),
+    "ft_mcount" -> ((s, d) => {
+      import s.implicits._
+      val page = new graft.matcher.DatasetMatcher(EntrySupport.reader(s, d))
+        .msetPage(Query.Or(Seq(t("data"), t("stream"), t("query"))), 10)
+      Seq((page.matchesLowerBound, page.matchesEstimated,
+        page.matchesUpperBound,
+        math.rint(page.maxPossible * 1e4) / 1e4))
+        .toDF("matches_lower", "matches_estimated", "matches_upper",
+          "max_possible")
+    }),
     "ft_stats" -> ((s, d) => {
       val st = EntrySupport.reader(s, d).stats
       import s.implicits._
@@ -233,8 +247,11 @@ object SparkEntry {
     "ft_synonym" -> EntrySql.synonym(Seq("data", "stream")),
     "ft_elite" -> EntrySql.elite(Seq("batch", "data", "query", "stream"), 2),
     "ft_value_range" -> EntrySql.valueRangeDoclen(40, 60),
+    "ft_value_range_str" ->
+      "SELECT doc_id FROM documents WHERE lang >= 'de' AND lang <= 'es' ORDER BY doc_id",
     "ft_decider" -> EntrySql.deciderTopk(Seq("data", "query"), "en", 10),
     "ft_collapse" -> EntrySql.collapseByLang(Seq("data")),
+    "ft_mcount" -> EntrySql.mcountSql(Seq("data", "stream", "query")),
     "ft_stats" -> EntrySql.statsSql,
     "ft_dict" -> EntrySql.dictSql,
     "ft_sha256" -> EntrySql.sha256Sql,

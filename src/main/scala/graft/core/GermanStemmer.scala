@@ -1,0 +1,135 @@
+package graft.core
+
+/**
+ * German Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/german/stemmer.html).
+ * Plays the role of the reference's generated german stemmer
+ * (reference: xapian-core/languages/german.sbl — SURVEY.md §2e says
+ * ~15 Snowball languages; english + german exercise the multi-
+ * language plumbing, further languages are additive).
+ *
+ * Only lowercase input is expected (the tokenizer lowercases first).
+ * With the reference mount empty (SURVEY.md §0), the golden outputs
+ * in StemmerSpec are hand-traced from the published algorithm and
+ * frozen as this engine's spec.
+ */
+object GermanStemmer {
+
+  private val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'ä', 'ö', 'ü')
+  // valid s-ending / st-ending consonants (st excludes r)
+  private val sEnding = Set('b', 'd', 'f', 'g', 'h', 'k', 'l', 'm', 'n', 'r', 't')
+  private val stEnding = sEnding - 'r'
+
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  def stem(input: String): String = {
+    if (input.isEmpty) return input
+    if (!input.forall(c => (c >= 'a' && c <= 'z') || c == 'ä' || c == 'ö' ||
+        c == 'ü' || c == 'ß')) return input
+    var w = input.replace("ß", "ss")
+    if (w.length <= 2) return unmark(w)
+
+    // mark u/y between vowels as consonants (upper case)
+    val sb = new StringBuilder(w)
+    var i = 1
+    while (i < sb.length - 1) {
+      val c = sb(i)
+      if ((c == 'u' || c == 'y') && isVowel(sb(i - 1)) && isVowel(sb(i + 1)))
+        sb(i) = (c - 32).toChar // 'U' / 'Y' — uppercase ⇒ consonant
+      i += 1
+    }
+    w = sb.toString
+
+    // R1 / R2: region after the first non-vowel following a vowel
+    // (R2 computed within R1); R1 start is adjusted to >= 3
+    def regionAfterVC(s: String, from: Int): Int = {
+      var i = from
+      while (i < s.length && !isVowel(s(i))) i += 1
+      while (i < s.length && isVowel(s(i))) i += 1
+      if (i < s.length) i + 1 else s.length
+    }
+    val r1raw = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1raw)
+    val r1 = math.max(r1raw, math.min(3, w.length))
+
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // ---- Step 1: longest of (a) em/ern/er, (b) e/en/es, (c) s
+    var done = false
+    for (suf <- Seq("ern", "em", "er", "en", "es", "e", "s") if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        val groupB = suf == "en" || suf == "es" || suf == "e"
+        val condition = suf != "s" ||
+          (w.length >= 2 && sEnding(w(w.length - 2)))
+        if (condition && inR1(suf.length)) {
+          w = w.dropRight(suf.length)
+          // Verhältnisse → verhältnis: after a group-(b) deletion a
+          // trailing "niss" loses its final s (no region condition)
+          if (groupB && w.endsWith("niss")) w = w.dropRight(1)
+        }
+      }
+    }
+
+    // ---- Step 2: longest of en/er/est, st (valid st-ending, itself
+    // preceded by >= 3 letters)
+    done = false
+    for (suf <- Seq("est", "en", "er", "st") if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        val condition = suf != "st" ||
+          (w.length >= 3 && stEnding(w(w.length - 3)) && w.length - 2 >= 4)
+        if (condition && inR1(suf.length)) w = w.dropRight(suf.length)
+      }
+    }
+
+    // ---- Step 3: d-suffixes (longest match, then chained deletions)
+    done = false
+    for (suf <- Seq("keit", "lich", "heit", "isch", "end", "ung", "ig", "ik")
+         if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        suf match {
+          case "end" | "ung" =>
+            if (inR2(suf.length)) {
+              w = w.dropRight(suf.length)
+              if (w.endsWith("ig") && inR2(2) &&
+                  !(w.length >= 3 && w(w.length - 3) == 'e'))
+                w = w.dropRight(2)
+            }
+          case "ig" | "ik" | "isch" =>
+            if (inR2(suf.length) &&
+                !(w.length > suf.length && w(w.length - suf.length - 1) == 'e'))
+              w = w.dropRight(suf.length)
+          case "lich" | "heit" =>
+            if (inR2(suf.length)) {
+              w = w.dropRight(suf.length)
+              if ((w.endsWith("er") || w.endsWith("en")) && inR1(2))
+                w = w.dropRight(2)
+            }
+          case "keit" =>
+            if (inR2(suf.length)) {
+              w = w.dropRight(suf.length)
+              if (w.endsWith("lich") && inR2(4)) w = w.dropRight(4)
+              else if (w.endsWith("ig") && inR2(2)) w = w.dropRight(2)
+            }
+          case _ =>
+        }
+      }
+    }
+
+    unmark(w)
+  }
+
+  /** Lower the consonant marks and strip umlauts. */
+  private def unmark(w: String): String =
+    w.map {
+      case 'U' => 'u'
+      case 'Y' => 'y'
+      case 'ä' => 'a'
+      case 'ö' => 'o'
+      case 'ü' => 'u'
+      case c   => c
+    }
+}

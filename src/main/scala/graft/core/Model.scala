@@ -25,6 +25,8 @@ sealed trait Query extends Product with Serializable {
     case Query.ValueRange(f, lo, hi) => s"VALUE_RANGE $f $lo $hi"
     case Query.ValueGe(f, lo)     => s"VALUE_GE $f $lo"
     case Query.ValueLe(f, hi)     => s"VALUE_LE $f $hi"
+    case Query.ValueRangeS(f, lo, hi) =>
+      s"VALUE_RANGE_S $f ${lo.getOrElse("")}..${hi.getOrElse("")}"
     case Query.ScaleWeight(q, f)  => s"$f * ${q.describe}"
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
@@ -75,6 +77,11 @@ object Query {
   final case class ValueRange(field: String, lo: Double, hi: Double) extends Query
   final case class ValueGe(field: String, lo: Double) extends Query
   final case class ValueLe(field: String, hi: Double) extends Query
+  /** String-typed value range (Xapian value slots are byte strings —
+    * reference: api/sortable-serialise.cc, StringValueRangeProcessor):
+    * lexicographic bounds, either side open via None; weight 0. */
+  final case class ValueRangeS(field: String, lo: Option[String],
+                               hi: Option[String]) extends Query
   /** Multiply subquery weights by factor >= 0. */
   final case class ScaleWeight(q: Query, factor: Double) extends Query
   /** OR over only the n highest-maxweight children. */
@@ -308,3 +315,25 @@ final case class Posting(docId: Long, wdf: Int, doclen: Long = 0L)
 
 /** One ranked result. */
 final case class MSetItem(rank: Int, docId: Long, score: Double, percent: Int)
+
+/**
+ * A ranked page plus the reference MSet's match-count metadata
+ * (reference: api/omenquire.cc get_matches_lower_bound /
+ * _estimated / _upper_bound and get_max_possible). Frozen spec for
+ * the counts: matching documents after MatchDecider and weight
+ * cutoff, before collapse and percent cutoff. The Dataset path and
+ * the oracle return the exact count for all three; the WAND path
+ * returns bounds from per-term stats (lower = max term df, upper =
+ * min(Σ df, N), estimated = independence-model union size clamped to
+ * the bounds) without scanning past its pruning frontier.
+ * `maxPossible` is the compositional maxweight bound (the same
+ * formula ELITE_SET selection uses); `maxAttained` is the greatest
+ * weight actually seen.
+ */
+final case class MSetPage(
+    items: Seq[MSetItem],
+    matchesLowerBound: Long,
+    matchesEstimated: Long,
+    matchesUpperBound: Long,
+    maxPossible: Double,
+    maxAttained: Double)

@@ -17,7 +17,9 @@ object Oracle {
       docId: Long,
       content: String,
       fields: Map[String, Double] = Map.empty,
-      lang: String = "")
+      lang: String = "",
+      /** String-typed value slots (for ValueRangeS). */
+      svals: Map[String, String] = Map.empty)
 
   final case class Options(
       weight: Weight = Bm25Weight(),
@@ -37,13 +39,14 @@ object Oracle {
       stats: StatsRow)
 
   def buildIndex(docs: Seq[Doc], stemMode: String = "some",
-                 stopwords: Set[String] = Set.empty): Index = {
+                 stopwords: Set[String] = Set.empty,
+                 stemLang: String = "en"): Index = {
     val post = mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Int, Array[Int])]]
     val docLen = mutable.Map.empty[Long, Long]
     docs.sortBy(_.docId).foreach { d =>
       val toks =
         if (stemMode == "some")
-          Tokenizer.indexTerms(d.content, Stemmer.stem, stopwords)
+          Tokenizer.indexTerms(d.content, Stemmer.forDoc(stemLang, d.lang), stopwords)
         else Tokenizer.tokenize(d.content)
       // doclen = number of positional tokens (the document's length in words)
       val positional = toks.filter(_.pos > 0)
@@ -171,6 +174,12 @@ object Oracle {
       case Query.ValueLe(f, hi) =>
         sortedMap(idx.docs.values.toSeq
           .filter(d => d.fields.get(f).exists(_ <= hi)).map(_.docId -> 0.0))
+
+      case Query.ValueRangeS(f, lo, hi) =>
+        sortedMap(idx.docs.values.toSeq
+          .filter(d => d.svals.get(f).exists(v =>
+            lo.forall(v >= _) && hi.forall(v <= _)))
+          .map(_.docId -> 0.0))
 
       case Query.ScaleWeight(sub, f) =>
         val m = evaluate(sub, idx, opts)
@@ -317,7 +326,14 @@ object Oracle {
   }
 
   def mset(q: Query, idx: Index, k: Int, opts: Options = Options(),
-           first: Int = 0): Vector[MSetItem] = {
+           first: Int = 0): Vector[MSetItem] =
+    msetPage(q, idx, k, opts, first).items.toVector
+
+  /** Ranked page with the MSet match-count metadata (see
+    * [[graft.core.MSetPage]] for the frozen count spec — the oracle
+    * is exact: lower = estimated = upper). */
+  def msetPage(q: Query, idx: Index, k: Int, opts: Options = Options(),
+               first: Int = 0): MSetPage = {
     // expand wildcards up front (matches the Spark matcher's
     // matches() pre-pass — a wildcard nested under NEAR/PHRASE must
     // become positional variants before positional evaluation)
@@ -340,6 +356,12 @@ object Oracle {
       case Some(dec) => m.filter { case (did, _) => dec(idx.docs(did)) }
       case None      => m
     }
+    // exact match count: after decider and weight cutoff, before
+    // collapse and percent cutoff (MSetPage's frozen spec)
+    val matchCount =
+      if (opts.weightCutoff > 0.0)
+        filtered.count { case (_, w) => w >= opts.weightCutoff }.toLong
+      else filtered.size.toLong
     var items = filtered.toVector
       .sortBy { case (did, w) => (-w, did) }
     opts.collapseKey.foreach { keyFn =>
@@ -357,8 +379,10 @@ object Oracle {
       else math.max(1, math.min(100, (100.0 * w / greatest).toInt))
     if (opts.percentCutoff > 0)
       items = items.filter(i => pct(i._2) >= opts.percentCutoff)
-    items.slice(first, first + k).zipWithIndex.map {
+    val page = items.slice(first, first + k).zipWithIndex.map {
       case ((did, w), r) => MSetItem(r + first, did, w, pct(w))
     }
+    MSetPage(page, matchCount, matchCount, matchCount,
+      maxWeightBound(simplified, idx, opts), greatest)
   }
 }

@@ -10,6 +10,22 @@ package graft.core
  */
 object Stemmer {
 
+  /** Stemmer for a language code ("en"/"english", "de"/"german",
+    * "none"); unknown codes fall back to english (the reference's
+    * default Xapian::Stem language). */
+  def forLang(lang: String): String => String = lang match {
+    case "de" | "german"  => GermanStemmer.stem
+    case "none" | ""      => identity
+    case _                => stem
+  }
+
+  /** Per-document stemmer under langid-gated stemming: stemLang
+    * "auto" dispatches on the document's lang column (populated by
+    * the corpus or by TextOps.langId), anything else is a fixed
+    * language for the whole corpus. */
+  def forDoc(stemLang: String, docLang: String): String => String =
+    if (stemLang == "auto") forLang(docLang) else forLang(stemLang)
+
   private val exceptions1: Map[String, String] = Map(
     "skis" -> "ski", "skies" -> "sky", "dying" -> "die",
     "lying" -> "lie", "tying" -> "tie", "idly" -> "idl",

@@ -14,6 +14,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 final case class BuildConfig(
     indexDir: String,
     stemMode: String = "some",          // "none" | "some"
+    /** Stemmer language under stemMode="some": "en", "de", or "auto"
+      * (per-document dispatch on the corpus lang column — langid-
+      * gated stemming). */
+    stemLang: String = "en",
     tokenizerMode: String = "xapian",   // "xapian" | "simple" (SQL-reproducible)
     stopwords: Set[String] = Set.empty,
     nBuckets: Int = 16,                  // postings directory buckets (hash(termId) % nBuckets)
@@ -34,8 +38,9 @@ final case class BuildConfig(
       if (synonyms.isEmpty) "" // keeps pre-synonym hashes stable
       else "|syn=" + synonyms.toSeq.sortBy(_._1)
         .map { case (g, ts) => g + ":" + ts.sorted.mkString("+") }.mkString(",")
+    val slang = if (stemLang == "en") "" else s"|stemLang=$stemLang"
     val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn"
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -100,27 +105,33 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
 
   /** Lineage of a written table: per-file row counts (parquet footer
     * metadata) + byte sizes, straight from the filesystem — zero
-    * extra Spark jobs per stage. */
+    * extra Spark jobs per stage. Listed through the Hadoop FS API so
+    * index dirs on HDFS/S3 work, not just local paths (the 100 TB
+    * deployment target stores indexes on distributed storage). */
   private def tableLineage(path: String): Seq[(Int, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(new java.io.File(path))
-      .filter(f => f.getName.endsWith(".parquet"))
-      .sortBy(_.getPath)
-      .zipWithIndex
-      .map { case (f, i) =>
-        val rows =
-          try {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-            finally r.close()
-          } catch { case _: Throwable => -1L }
-        (i, rows, f.length())
-      }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f
+    }
+    files.sortBy(_.getPath.toString).zipWithIndex.map { case (f, i) =>
+      val rows =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        } catch { case _: Throwable => -1L }
+      (i, rows, f.getLen)
+    }.toSeq
   }
 
   /** Per-stage wall times of the last build (stage → seconds) —
@@ -171,14 +182,16 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     // ---------- stage 2: terms + dict + doclens (single tokenize) ----------
     if (!stageDone("terms")) timed("terms") {
       val stem = cfg.stemMode
+      val stemLang = cfg.stemLang
       val tokMode = cfg.tokenizerMode
       val stop = cfg.stopwords
       val termRows: Dataset[TermRow] = docs0
-        .select($"docId", $"content").as[(Long, String)]
-        .flatMap { case (docId, content) =>
+        .select($"docId", $"lang", $"content").as[(Long, String, String)]
+        .flatMap { case (docId, lang, content) =>
           val toks =
             if (tokMode == "simple") Tokenizer.simpleTokenize(content)
-            else if (stem == "some") Tokenizer.indexTerms(content, Stemmer.stem, stop)
+            else if (stem == "some")
+              Tokenizer.indexTerms(content, Stemmer.forDoc(stemLang, lang), stop)
             else Tokenizer.tokenize(content)
           // single accumulation pass (hot path: runs once per corpus
           // byte); positions arrive in increasing order from the

@@ -36,6 +36,13 @@ class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
   def doclens: DataFrame = segments.map(_.doclens).reduce(_ unionByName _)
 
   private val nextCanonical = new AtomicLong(1L)
+  /** term string → its canonical id, assigned once per term for the
+    * life of the handle — repeat lookups of the same term reuse the
+    * id, so both maps stay bounded by the vocabulary actually
+    * touched (not by query count), and two canonical ids can never
+    * alias the same segment-local termId in one blocksFor call. */
+  private val termCanonical =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
   /** canonical termId → (segment index, segment-local termId) */
   private val mapping =
     scala.collection.concurrent.TrieMap.empty[Long, Seq[(Int, Long)]]
@@ -49,7 +56,7 @@ class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
       }
       if (hits.isEmpty) None
       else {
-        val cid = nextCanonical.getAndIncrement()
+        val cid = termCanonical.getOrElseUpdate(t, nextCanonical.getAndIncrement())
         mapping(cid) = hits.map { case (i, d) => (i, d.termId) }
         Some(t -> DictRow(t, cid,
           hits.map(_._2.df).sum, hits.map(_._2.cf).sum,

@@ -101,8 +101,9 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           .select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
     }
 
-  /** Compile a query to (docId, score). */
-  def matches(q: Query): DataFrame = {
+  /** Wildcard-expand + simplify + dict-lookup + compile — the shared
+    * front half of matches()/mset()/msetPage(). */
+  private def compiled(q: Query): (Query, Map[String, DictRow], DataFrame) = {
     val cap = opts.wildcardMaxExpansion
     val fetch = if (cap >= Int.MaxValue - 1) Int.MaxValue else cap + 1
     val expanded =
@@ -111,8 +112,11 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       else q
     val simplified = Query.simplify(expanded)
     val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
-    compile(simplified, dict)
+    (simplified, dict, compile(simplified, dict))
   }
+
+  /** Compile a query to (docId, score). */
+  def matches(q: Query): DataFrame = compiled(q)._3
 
   private def hasWildcard(q: Query): Boolean = q match {
     case _: Query.Wildcard   => true
@@ -248,6 +252,13 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.ValueLe(f, hi) =>
       idx.docs.filter(leLit(f, hi)).select($"docId", lit(0.0).as("score"))
 
+    case Query.ValueRangeS(f, lo, hi) =>
+      // lexicographic bounds on a string column — plain predicates,
+      // pushed to the parquet scan like the numeric ranges
+      val conds = lo.map(col(f) >= _).toSeq ++ hi.map(col(f) <= _).toSeq
+      idx.docs.filter(conds.reduceOption(_ && _).getOrElse(lit(true)))
+        .select($"docId", lit(0.0).as("score"))
+
     case Query.ScaleWeight(sub, f) =>
       compile(sub, dict).select($"docId", ($"score" * f).as("score"))
 
@@ -369,7 +380,13 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
   }
 
-  /** NEAR/PHRASE: AND + positional window filter over packed positions. */
+  /** NEAR/PHRASE: AND + positional window filter over packed
+    * positions. ALL children's positions come from ONE bucket+termId
+    * pruned scan, grouped per doc into a termId→posBytes map — one
+    * shuffle + one join regardless of arity (was one join per child).
+    * The k-pointer window sweep reuses the oracle's exact
+    * windowMatch; a child term with no positions row (position-less
+    * Z-terms) never matches positionally, as in the oracle. */
   private def positional(cs: Seq[Query], window: Int, ordered: Boolean,
                          dict: Map[String, DictRow]): DataFrame = {
     val terms = cs.map {
@@ -380,17 +397,18 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     val ids = terms.map(t => dict.get(t).map(_.termId).getOrElse(-1L))
     if (ids.contains(-1L)) return emptyMatches
     val anded = compile(Query.And(cs), dict)
-    // positions for the i-th child as column pos_i (bucket+termId pruned)
-    val withPos = ids.zipWithIndex.foldLeft(anded) { case (df, (tid, i)) =>
-      val p = idx.positionsFor(Seq(tid))
-        .select($"docId", $"posBytes".as(s"pos_$i"))
-      df.join(p, "docId")
+    val posMap = idx.positionsFor(ids.distinct)
+      .groupBy($"docId")
+      .agg(map_from_entries(collect_list(struct($"termId", $"posBytes")))
+        .as("_pos"))
+    val qids = ids // child order (duplicates kept — "a PHRASE a")
+    val matchUdf = udf { (m: Map[Long, Array[Byte]]) =>
+      val lists = qids.map(tid =>
+        m.get(tid).map(Codec.unpackPositions).getOrElse(Array.empty[Int]))
+      lists.forall(_.nonEmpty) && Oracle.windowMatch(lists, window, ordered)
     }
-    val posCols = ids.indices.map(i => col(s"pos_$i"))
-    val matchUdf = udf { (arrs: Seq[Array[Byte]]) =>
-      Oracle.windowMatch(arrs.map(Codec.unpackPositions), window, ordered)
-    }
-    withPos.filter(matchUdf(array(posCols: _*)))
+    anded.join(posMap, "docId")
+      .filter(matchUdf($"_pos"))
       .select($"docId", $"score")
   }
 
@@ -400,6 +418,15 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   def facetSpy(q: Query, keyCol: String): DataFrame =
     matches(q).join(idx.docs, "docId")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("facet_count"))
+
+  /** Generic MatchSpy (the custom-MatchSpy surface of
+    * api/matchspy.cc): arbitrary user aggregation expressions —
+    * including custom typed Aggregators lifted with
+    * `functions.udaf(...)` — evaluated over every matched document
+    * (docs columns + score). Plans as one hash aggregate over the
+    * matched set; facetSpy is the ValueCountMatchSpy special case. */
+  def spy(q: Query, first: Column, rest: Column*): DataFrame =
+    matches(q).join(idx.docs, "docId").agg(first, rest: _*)
 
   /** BM25 k2 per-doc extra as a Column (0 for every other weight). */
   private def sumExtraCol(querySize: Int, doclen: Column): Column =
@@ -412,10 +439,10 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       case _ => lit(0.0)
     }
 
-  /** Ranked page: the reference's Enquire::get_mset(first, k). */
-  def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
-    var m = matches(q)
-    // MatchDecider / collapse / value sorts / k2 extra need docs columns
+  /** The post-compile half shared by mset/msetPage: docs-column join
+    * (decider / collapse / value sorts / k2 extra), decider filter. */
+  private def withDocCols(q: Query, m0: DataFrame): DataFrame = {
+    var m = m0
     val needsDocs = opts.decider.nonEmpty || opts.collapseKey.nonEmpty ||
       opts.sortValue.nonEmpty || weight.needsExtra
     if (needsDocs) {
@@ -427,6 +454,12 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       }
       opts.decider.foreach(p => m = m.filter(p))
     }
+    m
+  }
+
+  /** Collapse/cutoffs/top-k page; returns (items, greatest attained). */
+  private def pageFrom(m0: DataFrame, k: Int, first: Int): (Seq[MSetItem], Double) = {
+    var m = m0
     opts.collapseKey.foreach { key =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key)).orderBy($"score".desc, $"docId".asc)
@@ -462,8 +495,32 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       else math.max(1, math.min(100, (100.0 * w / greatest).toInt))
     val items = top.map(r => (r.getLong(0), r.getDouble(1)))
       .filter(i => opts.percentCutoff == 0 || pct(i._2) >= opts.percentCutoff)
-    items.slice(first, first + k).zipWithIndex.map {
+    (items.slice(first, first + k).zipWithIndex.map {
       case ((did, s), r) => MSetItem(r + first, did, s, pct(s))
-    }.toSeq
+    }.toSeq, greatest)
+  }
+
+  /** Ranked page: the reference's Enquire::get_mset(first, k). */
+  def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
+    val (simplified, _, m0) = compiled(q)
+    pageFrom(withDocCols(simplified, m0), k, first)._1
+  }
+
+  /** Ranked page + MSet match-count metadata ([[graft.core.MSetPage]]
+    * frozen spec). The exact count (lower = estimated = upper here)
+    * and the true max attained come from ONE extra aggregate on the
+    * already-built matches plan; maxPossible is the compositional
+    * dict-stats bound (no extra job). */
+  def msetPage(q: Query, k: Int, first: Int = 0): MSetPage = {
+    val (simplified, dict, m0) = compiled(q)
+    val m = withDocCols(simplified, m0)
+    val counted =
+      if (opts.weightCutoff > 0.0) m.filter($"score" >= opts.weightCutoff) else m
+    val r = counted.agg(count(lit(1)), max($"score")).collect()(0)
+    val cnt = r.getLong(0)
+    val attained = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+    val (items, _) = pageFrom(m, k, first)
+    MSetPage(items, cnt, cnt, cnt,
+      maxWeightBound(simplified, dict), attained)
   }
 }

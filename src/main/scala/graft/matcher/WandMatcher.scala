@@ -38,6 +38,43 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     case _             => false
   }
 
+  /** Ranked page + MSet count metadata WITHOUT scanning past the
+    * pruning frontier: the counts are bounds from per-term dict stats
+    * (MSetPage frozen spec — lower = max term df: every posting of
+    * any single term matches an OR; upper = min(Σ df, N); estimated =
+    * independence-model union size N·(1 − Π(1 − dfᵢ/N)) clamped to
+    * the bounds, the multimatch.cc estimate shape). maxPossible is
+    * the same compositional bound the Dataset path uses. */
+  def msetPage(q: Query, k: Int, first: Int = 0): MSetPage = {
+    val terms: Seq[Query.Term] = Query.simplify(q) match {
+      case t: Query.Term => Seq(t)
+      case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
+      case other => throw new IllegalArgumentException(
+        s"WAND path supports OR-of-terms only, got: ${other.describe}")
+    }
+    val dict = idx.lookupTerms(terms.map(_.term))
+    val items = mset(q, k, first)
+    val dfs = terms.map(_.term).distinct.flatMap(dict.get).map(_.df)
+    if (dfs.isEmpty)
+      return MSetPage(items, 0L, 0L, 0L, 0.0, 0.0)
+    val n = stats.n
+    val lower = dfs.max
+    val upper = math.min(dfs.sum, n)
+    val est0 = n.toDouble *
+      (1.0 - dfs.map(df => 1.0 - df.toDouble / n).product)
+    val est = math.max(lower, math.min(upper, math.round(est0)))
+    val maxPossible = terms.flatMap { t =>
+      dict.get(t.term).map { d =>
+        val tw = weight.termWeight(t.wqf, d.df, stats)
+        weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
+      }
+    }.sum
+    val attained =
+      if (first == 0) items.headOption.map(_.score).getOrElse(0.0)
+      else mset(q, 1, 0).headOption.map(_.score).getOrElse(0.0)
+    MSetPage(items, lower, est, upper, maxPossible, attained)
+  }
+
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
     val terms: Seq[Query.Term] = Query.simplify(q) match {
       case t: Query.Term => Seq(t)

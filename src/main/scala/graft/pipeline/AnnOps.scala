@@ -71,12 +71,18 @@ object AnnOps {
       round(best.getField("cos"), 6).as("cosine"))
   }
 
-  /** IVF-probed ANN search: assign vectors to centroids once (in
-    * practice a precomputed, partitioned table), search only the
-    * `nprobe` centroids closest to the query. Returns the exact
-    * top-k within the probed buckets. */
+  /** IVF-probed ANN search: search only the `nprobe` centroids
+    * closest to the query; exact top-k within the probed buckets.
+    *
+    * `assigned` is the (vec_id, centroid_id) assignment table. AT
+    * SCALE THIS MUST BE THE PRECOMPUTED TABLE — built once with
+    * [[ivfAssign]], written out partitioned by centroid_id so a probe
+    * reads only matching partitions — because recomputing it scans
+    * every vector per query. When omitted (small test data only) the
+    * assignment is derived inline. */
   def ivfSearch(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])],
-                query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+                query: Seq[Float], k: Int, nprobe: Int,
+                assigned: Option[DataFrame] = None): DataFrame = {
     val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
     val probeIds = centroids
       .map { case (cid, cvec) =>
@@ -86,9 +92,11 @@ object AnnOps {
       }
       .sortBy { case (cid, cos) => (-cos, cid) }
       .take(nprobe).map(_._1).toSet
-    val assigned = ivfAssign(vecs, centroids).select("vec_id", "centroid_id")
+    val assign = assigned.getOrElse(
+      ivfAssign(vecs, centroids).select("vec_id", "centroid_id"))
     bruteForceTopK(
-      vecs.join(assigned.where(col("centroid_id").isin(probeIds.toSeq: _*)), "vec_id"),
+      vecs.join(assign.select(col("vec_id"), col("centroid_id"))
+        .where(col("centroid_id").isin(probeIds.toSeq: _*)), "vec_id"),
       query, k)
   }
 }

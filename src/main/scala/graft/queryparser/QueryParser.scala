@@ -42,6 +42,10 @@ object QueryParser {
   final case class Config(
       defaultOp: String = "or", // "or" | "and"
       stemMode: String = "some", // "none" | "some"
+      /** Stemmer language for probabilistic terms ("en", "de"). The
+        * parser stems with ONE configured language, as the reference
+        * QueryParser holds one Xapian::Stem. */
+      stemLang: String = "en",
       stopwords: Set[String] = Set.empty,
       prefixes: Map[String, String] = Map.empty,
       boolPrefixes: Map[String, String] = Map.empty,
@@ -50,7 +54,11 @@ object QueryParser {
         * `field:lo..hi` / `field:lo..` / `field:..hi` becomes a
         * VALUE_RANGE / VALUE_GE / VALUE_LE filter on the mapped docs
         * column. */
-      rangeFields: Map[String, String] = Map.empty)
+      rangeFields: Map[String, String] = Map.empty,
+      /** String-typed range fields (StringValueRangeProcessor
+        * analog): `field:a..f` → lexicographic VALUE_RANGE_S on the
+        * mapped docs column. */
+      strRangeFields: Map[String, String] = Map.empty)
 
   /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
   val Wildcard = Query.Wildcard
@@ -202,6 +210,15 @@ object QueryParser {
               else if (lo.nonEmpty) Query.ValueGe(col, lo.toDouble)
               else Query.ValueLe(col, hi.toDouble)
             items :+= Item(q, plus = false, minus = false, Some(field))
+          case Some(Word(f, text, _)) if f.exists(cfg.strRangeFields.contains) &&
+              text.contains("..") && text != ".." =>
+            val Word(Some(field), t, _) = advance(): @unchecked
+            val col = cfg.strRangeFields(field)
+            val i = t.indexOf("..")
+            val lo = Option(t.substring(0, i)).filter(_.nonEmpty)
+            val hi = Option(t.substring(i + 2)).filter(_.nonEmpty)
+            items :+= Item(Query.ValueRangeS(col, lo, hi),
+              plus = false, minus = false, Some(field))
           case Some(Word(f, _, _)) if f.exists(cfg.boolPrefixes.contains) =>
             val Word(Some(field), text, wild) = advance(): @unchecked
             val term = cfg.boolPrefixes(field) + text.toLowerCase
@@ -314,7 +331,7 @@ object QueryParser {
             (text.nonEmpty && text.charAt(0).isUpper)
           val term =
             if (noStem) prefix + raw
-            else "Z" + Stemmer.stem(raw)
+            else "Z" + Stemmer.forLang(cfg.stemLang)(raw)
           Some(Query.Term(term))
         }
       case _ => None

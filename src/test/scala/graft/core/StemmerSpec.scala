@@ -73,4 +73,46 @@ class StemmerSpec extends AnyFunSuite {
     val words = Seq("organization", "nationally", "generously", "generate")
     words.foreach(w => assert(Stemmer.stem(w) == Stemmer.stem(w)))
   }
+
+  // German golden pairs hand-traced from the published Snowball
+  // german algorithm (the reference mount is empty — SURVEY.md §0 —
+  // so these traces ARE the frozen spec; regenerate from the
+  // reference's generated german.sbl output if the mount appears).
+  private val germanGolden = Seq(
+    // step 1 (a): em / ern / er
+    "aufeinander" -> "aufeinand", "bücher" -> "buch", "häuser" -> "haus",
+    // step 1 (b): e / en / es + niss rule
+    "katzen" -> "katz", "laufen" -> "lauf", "jungen" -> "jung",
+    "singen" -> "sing", "gesungen" -> "gesung", "aufgabe" -> "aufgab",
+    "gerne" -> "gern", "bleiben" -> "bleib", "arbeiten" -> "arbeit",
+    "mädchen" -> "madch", "verhältnisse" -> "verhaltnis",
+    // ß → ss
+    "größe" -> "gross",
+    // u between vowels is a consonant (R1 shifts left)
+    "bauen" -> "bau", "mauer" -> "mau",
+    // step 2: est/en/er + st with valid st-ending
+    "feinsten" -> "fein",
+    // step 3 d-suffixes
+    "bedeutung" -> "bedeut", "elektrisch" -> "elektr",
+    "möglichkeit" -> "moglich",
+    // region guards keep short stems intact
+    "tagung" -> "tagung", "schönheit" -> "schonheit",
+    "freundlich" -> "freundlich", "läuft" -> "lauft")
+
+  test("german golden pairs") {
+    val failures = germanGolden.flatMap { case (in, want) =>
+      val got = GermanStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("language dispatch: forLang / forDoc") {
+    assert(Stemmer.forLang("de")("katzen") === "katz")
+    assert(Stemmer.forLang("en")("running") === "run")
+    assert(Stemmer.forLang("none")("running") === "running")
+    assert(Stemmer.forDoc("auto", "de")("katzen") === "katz")
+    assert(Stemmer.forDoc("auto", "en")("running") === "run")
+    assert(Stemmer.forDoc("de", "en")("katzen") === "katz") // fixed lang wins
+  }
 }

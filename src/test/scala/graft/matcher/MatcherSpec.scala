@@ -30,7 +30,8 @@ class MatcherSpec extends AnyFunSuite {
     val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
     val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
     val odocs = sorted.zipWithIndex.map { case (c, i) =>
-      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang,
+        svals = Map("lang" -> c.lang, "repo" -> c.repo))
     }
     (reader, Oracle.buildIndex(odocs, stemMode = "none"), odocs)
   }
@@ -180,6 +181,46 @@ class MatcherSpec extends AnyFunSuite {
     }
   }
 
+  test("MSet match-count estimates: dataset exact, WAND bounds contain exact") {
+    for (q <- Seq(
+        t(midTerm): Query,
+        or(t(commonTerm), t(midTerm), t(rareTerm)),
+        and(t(commonTerm), t(midTerm)))) {
+      val want = Oracle.msetPage(q, oracleIdx, 10)
+      val got = new DatasetMatcher(reader).msetPage(q, 10)
+      // dataset path: exact count, equal to the oracle's
+      assert(got.matchesLowerBound === want.matchesLowerBound, s"${q.describe} lower")
+      assert(got.matchesEstimated === want.matchesEstimated, s"${q.describe} est")
+      assert(got.matchesUpperBound === want.matchesUpperBound, s"${q.describe} upper")
+      assert(math.abs(got.maxPossible - want.maxPossible) < 1e-9, s"${q.describe} maxPossible")
+      assert(math.abs(got.maxAttained - want.maxAttained) < 1e-9, s"${q.describe} attained")
+      assert(got.items.map(_.docId) === want.items.map(_.docId))
+      val wand = new WandMatcher(reader)
+      if (wand.supports(q)) {
+        val wp = wand.msetPage(q, 10)
+        val exact = want.matchesEstimated
+        assert(wp.matchesLowerBound <= exact && exact <= wp.matchesUpperBound,
+          s"${q.describe} wand bounds [${wp.matchesLowerBound},${wp.matchesUpperBound}] ∌ $exact")
+        assert(wp.matchesEstimated >= wp.matchesLowerBound &&
+          wp.matchesEstimated <= wp.matchesUpperBound)
+        assert(math.abs(wp.maxPossible - want.maxPossible) < 1e-9)
+        assert(wp.items.map(_.docId) === want.items.map(_.docId))
+        assert(math.abs(wp.maxAttained - want.maxAttained) < 1e-9)
+      }
+    }
+    // decider + cutoff: counts follow the frozen spec (after decider
+    // and weight cutoff, before collapse/percent)
+    val q = or(t(midTerm), t("token"))
+    val cut = Oracle.mset(q, oracleIdx, 50)(10).score
+    val oo = Oracle.Options(decider = Some(_.lang == "java"), weightCutoff = cut)
+    val want = Oracle.msetPage(q, oracleIdx, 10, oo)
+    val got = new DatasetMatcher(reader, MatchOptions(
+      decider = Some(org.apache.spark.sql.functions.col("lang") === "java"),
+      weightCutoff = cut)).msetPage(q, 10)
+    assert(got.matchesEstimated === want.matchesEstimated)
+    assert(math.abs(got.maxAttained - want.maxAttained) < 1e-9)
+  }
+
   test("TradWeight scheme rank-identical to oracle") {
     val q = or(t(midTerm), t("token"))
     val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = TradWeight()))
@@ -247,6 +288,43 @@ class MatcherSpec extends AnyFunSuite {
     assert(got.map(_.percent) == want.map(_.percent))
   }
 
+  test("string value range (lexicographic slots) three-way") {
+    val langs = oracleDocs.map(_.lang).distinct.sorted
+    val lo = langs.head
+    val hi = langs(langs.size / 2)
+    check(Query.ValueRangeS("lang", Some(lo), Some(hi)), k = 20)
+    check(Query.ValueRangeS("lang", Some(lo), None), k = 20)
+    check(Query.ValueRangeS("lang", None, Some(hi)), k = 20)
+    // as a boolean filter side
+    check(Filter(t(midTerm), Query.ValueRangeS("lang", Some(lo), Some(hi))))
+  }
+
+  test("generic MatchSpy: custom Aggregator over matched docs") {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.functions.{udaf, count => cnt, sum => fsum, col => fcol, lit => flit}
+    // a user aggregation the built-ins don't provide: doclen sum of
+    // squares (for variance) — typed Aggregator lifted via udaf
+    object SumSq extends Aggregator[Long, Long, Long] {
+      def zero = 0L
+      def reduce(b: Long, a: Long): Long = b + a * a
+      def merge(a: Long, b: Long): Long = a + b
+      def finish(r: Long): Long = r
+      def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+    }
+    val q = or(t(midTerm), t("token"))
+    val row = new DatasetMatcher(reader)
+      .spy(q, cnt(flit(1)).as("n"), fsum(fcol("doclen")).as("s"),
+        udaf(SumSq).apply(fcol("doclen")).as("ss"))
+      .collect()(0)
+    // oracle expectation
+    val matched = Oracle.evaluate(Query.simplify(q), oracleIdx, Oracle.Options()).keys.toSeq
+    val lens = matched.map(oracleIdx.docLen)
+    assert(row.getLong(0) === lens.size.toLong)
+    assert(row.getLong(1) === lens.sum)
+    assert(row.getLong(2) === lens.map(l => l * l).sum)
+  }
+
   test("stemmed corpus end-to-end: Z-terms rank-identical") {
     val dir = Files.createTempDirectory("graft-stem").toString + "/idx"
     val cfg = BuildConfig(indexDir = dir, stemMode = "some",
@@ -265,5 +343,70 @@ class MatcherSpec extends AnyFunSuite {
     val want = Oracle.mset(q, oidx, 10)
     assertSame(new DatasetMatcher(r2).mset(q, 10), want, "stemmed-dataset")
     assertSame(new WandMatcher(r2).mset(q, 10), want, "stemmed-wand")
+  }
+
+  test("german-stemmed corpus three-way (stemLang=de)") {
+    val dir = Files.createTempDirectory("graft-stem-de").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "some", stemLang = "de",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4)
+    // german-ish corpus: reuse code corpus + a few german sentences
+    val german = Seq(
+      "die katzen laufen gerne in den häusern",
+      "bücher über die bedeutung der arbeiten",
+      "möglichkeit einer schönen tagung im jungen frühling",
+      "wir singen und bleiben bei der größe der aufgabe",
+      "der feinsten mauer fehlt die elektrische freundlichkeit")
+    val small = corpus.take(20) ++ german.zipWithIndex.map { case (s, i) =>
+      CorpusRow("de-repo", f"de-$i%04d", s"c$i", "de", s)
+    }
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(small)
+    }
+    val r2 = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = small.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }, stemMode = "some", stemLang = "de")
+    val q = or(t("Z" + GermanStemmer.stem("katzen")),
+      t("Z" + GermanStemmer.stem("laufen")),
+      t("Z" + GermanStemmer.stem("bücher")))
+    val want = Oracle.mset(q, oidx, 10)
+    assert(want.nonEmpty, "german Z-terms found nothing — stemmer not applied?")
+    assertSame(new DatasetMatcher(r2).mset(q, 10), want, "de-dataset")
+    assertSame(new WandMatcher(r2).mset(q, 10), want, "de-wand")
+  }
+
+  test("langid-gated stemming (stemLang=auto): per-doc stemmer by lang column") {
+    val dir = Files.createTempDirectory("graft-stem-auto").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "some", stemLang = "auto",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4)
+    val mixed = Seq(
+      CorpusRow("r", "0001", "c1", "de", "die katzen laufen gerne"),
+      CorpusRow("r", "0002", "c2", "de", "bücher über katzen und häuser"),
+      CorpusRow("r", "0003", "c3", "en", "the cats are running quickly"),
+      CorpusRow("r", "0004", "c4", "en", "books about cats and houses"))
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(mixed)
+    }
+    val r2 = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = mixed.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }, stemMode = "some", stemLang = "auto")
+    // german docs carry german Z-stems, english docs english Z-stems
+    for (q <- Seq(
+        t("Z" + GermanStemmer.stem("katzen")): Query, // Zkatz → de docs only
+        t("Z" + Stemmer.stem("running")),             // Zrun → en doc only
+        or(t("Zkatz"), t("Zrun")))) {
+      val want = Oracle.mset(q, oidx, 10)
+      assert(want.nonEmpty, s"${q.describe} matched nothing")
+      assertSame(new DatasetMatcher(r2).mset(q, 10), want, s"auto:${q.describe}")
+    }
+    // the english stem of "katzen" (no change) must NOT appear as a
+    // Z-term of the german docs (proves per-doc gating, not global en)
+    assert(Oracle.mset(t("Zkatzen"), oidx, 10).isEmpty)
+    assert(new DatasetMatcher(r2).mset(t("Zkatzen"), 10).isEmpty)
   }
 }

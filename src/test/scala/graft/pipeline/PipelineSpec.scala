@@ -117,6 +117,11 @@ class PipelineSpec extends AnyFunSuite {
     val hits = AnnOps.ivfSearch(vecs, cents, Seq(1f, 0f), 2, nprobe = 1)
       .collect().map(_.getLong(0))
     assert(hits.toSeq === Seq(0L, 2L))
+    // the scale path: precomputed assignment table (no per-query scan)
+    val precomputed = AnnOps.ivfAssign(vecs, cents).select("vec_id", "centroid_id")
+    val hits2 = AnnOps.ivfSearch(vecs, cents, Seq(1f, 0f), 2, nprobe = 1,
+      assigned = Some(precomputed)).collect().map(_.getLong(0))
+    assert(hits2.toSeq === Seq(0L, 2L))
   }
 
   test("qualityFeatures on a known string") {
