@@ -1,0 +1,229 @@
+package graft.core
+
+/**
+ * Spanish Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/spanish/stemmer.html).
+ * Plays the role of the reference's generated spanish stemmer
+ * (reference: xapian-core/languages/spanish.sbl — SURVEY.md §2e).
+ *
+ * Only lowercase input is expected. As with the german stemmer, the
+ * reference mount is empty (SURVEY.md §0), so the StemmerSpec golden
+ * outputs are hand-traced from the published algorithm and frozen as
+ * this engine's spec.
+ */
+object SpanishStemmer {
+
+  private val vowels = Set('a', 'e', 'i', 'o', 'u', 'á', 'é', 'í', 'ó', 'ú', 'ü')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private def unaccent(c: Char): Char = c match {
+    case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+    case 'ó' => 'o'; case 'ú' => 'u'; case x => x
+  }
+
+  /** Standard R-region: position after the first non-vowel following
+    * a vowel, scanning from `from`. */
+  private def regionAfterVC(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  /** RV per the Romance-language definition. */
+  private def rvOf(w: String): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (!isVowel(w(1))) {
+      // second letter is a consonant: after the next following vowel
+      var i = 2
+      while (i < n && !isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (isVowel(w(0)) && isVowel(w(1))) {
+      // first two letters are vowels: after the next consonant
+      var i = 2
+      while (i < n && isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else {
+      // consonant-vowel start: after the third letter
+      3
+    }
+  }
+
+  // step-1 suffix groups: (suffixes, group id). Longest match across
+  // ALL groups wins; the group id selects the deletion rule.
+  private val step1Groups: Seq[(String, Int)] = {
+    val g0 = Seq("amientos", "imientos", "amiento", "imiento", "anzas",
+      "ismos", "ables", "ibles", "istas", "anza", "icos", "icas", "ismo",
+      "able", "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa")
+    val g1 = Seq("aciones", "adoras", "adores", "ancias", "adora",
+      "ación", "antes", "ancia", "ador", "ante")
+    val g2 = Seq("logías", "logía")
+    val g3 = Seq("uciones", "ución")
+    val g4 = Seq("encias", "encia")
+    val g5 = Seq("amente")
+    val g6 = Seq("mente")
+    val g7 = Seq("idades", "idad")
+    val g8 = Seq("ivas", "ivos", "iva", "ivo")
+    (g0.map(_ -> 0) ++ g1.map(_ -> 1) ++ g2.map(_ -> 2) ++ g3.map(_ -> 3) ++
+      g4.map(_ -> 4) ++ g5.map(_ -> 5) ++ g6.map(_ -> 6) ++ g7.map(_ -> 7) ++
+      g8.map(_ -> 8)).sortBy { case (s, _) => -s.length }
+  }
+
+  private val step2bGu = Seq("emos", "éis", "en", "es")
+  private val step2bPlain = Seq(
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos",
+    "aríais", "eríais", "iríais", "ierais", "ieseis", "asteis", "isteis",
+    "áramos", "ásemos", "ábamos", "aseis", "abais", "arais", "íamos",
+    "arían", "arías", "aréis", "erían", "erías", "eréis",
+    "irían", "irías", "iréis", "ieran", "iesen", "ieron", "iendo",
+    "ieras", "ieses", "aremos", "eremos", "iremos", "íais",
+    "arán", "arás", "aría", "erán", "erás", "ería", "irán", "irás",
+    "iría", "iera", "iese", "aste", "iste", "aban", "aran", "asen",
+    "aron", "ando", "abas", "adas", "idas", "aras", "ases",
+    "ados", "idos", "amos", "imos", "ían", "ías", "áis",
+    "ará", "aré", "erá", "eré", "irá", "iré", "aba", "ada", "ida",
+    "ara", "ase", "ado", "ido", "ió",
+    "ía", "ad", "ed", "id", "an", "ar", "er", "ir", "as", "ís")
+  private val step2bAll =
+    (step2bGu.map(_ -> true) ++ step2bPlain.map(_ -> false))
+      .sortBy { case (s, _) => -s.length }
+
+  private val step2a = Seq("yeron", "yendo", "yamos", "yais", "yan",
+    "yen", "yas", "yes", "ya", "ye", "yo", "yó").sortBy(-_.length)
+
+  def stem(input: String): String = {
+    if (input.isEmpty) return input
+    if (!input.forall(c => (c >= 'a' && c <= 'z') || vowels(c) || c == 'ñ' || c == 'ç'))
+      return input
+    var w = input
+    if (w.length <= 2) return w.map(unaccent)
+
+    // region positions refer to the original word; suffix-only
+    // deletions keep them valid throughout
+    val rv = rvOf(w)
+    val r1 = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1)
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rv
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // ---- Step 0: attached pronoun after a gerund/infinitive marker
+    val pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+      "los", "nos", "me", "se", "la", "le", "lo")
+    val preAccented = Seq("iéndo", "ándo", "ár", "ér", "ír")
+    val prePlain = Seq("iendo", "ando", "ar", "er", "ir")
+    var done = false
+    for (p <- pronouns if !done) {
+      if (w.endsWith(p)) {
+        done = true
+        val stemPart = w.dropRight(p.length)
+        val hitA = preAccented.find(stemPart.endsWith)
+        val hitB = prePlain.find(stemPart.endsWith)
+        if (hitA.exists(a => stemPart.length - a.length >= rv))
+          w = stemPart.map(unaccent) // ándo→ando etc. (final unaccent anyway)
+        else if (hitB.exists(b => stemPart.length - b.length >= rv))
+          w = stemPart
+        else if (stemPart.endsWith("yendo") &&
+                 stemPart.length > 5 && stemPart(stemPart.length - 6) == 'u')
+          w = stemPart
+      }
+    }
+
+    // ---- Step 1: standard suffix removal (longest match, one shot)
+    var removed1 = false
+    done = false
+    for ((suf, gi) <- step1Groups if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        val regionOk = if (gi == 5) inR1(suf.length) else inR2(suf.length)
+        if (regionOk) {
+          removed1 = true
+          w = w.dropRight(suf.length)
+          gi match {
+            case 1 => // ador family: chained ic
+              if (w.endsWith("ic") && inR2(2)) w = w.dropRight(2)
+            case 2 => w = w + "log"  // logía → log
+            case 3 => w = w + "u"    // ución → u
+            case 4 => w = w + "ente" // encia → ente
+            case 5 => // amente: iv (then at), else os/ic/ad
+              if (w.endsWith("iv") && inR2(2)) {
+                w = w.dropRight(2)
+                if (w.endsWith("at") && inR2(2)) w = w.dropRight(2)
+              } else {
+                var d = false
+                for (p <- Seq("os", "ic", "ad") if !d)
+                  if (w.endsWith(p) && inR2(2)) { w = w.dropRight(2); d = true }
+              }
+            case 6 => // mente: ante / able / ible
+              var d = false
+              for (p <- Seq("ante", "able", "ible") if !d)
+                if (w.endsWith(p) && inR2(p.length)) {
+                  w = w.dropRight(p.length); d = true
+                }
+            case 7 => // idad: abil / ic / iv
+              var d = false
+              for (p <- Seq("abil", "ic", "iv") if !d)
+                if (w.endsWith(p) && inR2(p.length)) {
+                  w = w.dropRight(p.length); d = true
+                }
+            case 8 => // iva/ivo: chained at
+              if (w.endsWith("at") && inR2(2)) w = w.dropRight(2)
+            case _ =>
+          }
+        }
+      }
+    }
+
+    // ---- Step 2a: y-verb suffixes (only if step 1 fired nothing);
+    // requires the preceding u ("construyeron" → "constru")
+    var removed2a = false
+    if (!removed1) {
+      done = false
+      for (suf <- step2a if !done) {
+        if (w.endsWith(suf) && inRV(suf.length) &&
+            w.length > suf.length && w(w.length - suf.length - 1) == 'u') {
+          done = true; removed2a = true
+          w = w.dropRight(suf.length)
+        }
+      }
+    }
+
+    // ---- Step 2b: other verb suffixes
+    if (!removed1 && !removed2a) {
+      done = false
+      for ((suf, isGu) <- step2bAll if !done) {
+        if (w.endsWith(suf)) {
+          done = true
+          if (inRV(suf.length)) {
+            w = w.dropRight(suf.length)
+            if (isGu && w.endsWith("gu")) w = w.dropRight(1)
+          }
+        }
+      }
+    }
+
+    // ---- Step 3: residual suffix
+    done = false
+    for (suf <- Seq("os", "a", "o", "á", "í", "ó") if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        if (inRV(suf.length)) w = w.dropRight(suf.length)
+      }
+    }
+    if (!done) {
+      for (suf <- Seq("e", "é") if !done) {
+        if (w.endsWith(suf)) {
+          done = true
+          if (inRV(suf.length)) {
+            w = w.dropRight(suf.length)
+            // gu with the u in RV loses the u ("llegué" → "lleg")
+            if (w.endsWith("gu") && w.length - 1 >= rv) w = w.dropRight(1)
+          }
+        }
+      }
+    }
+
+    w.map(unaccent)
+  }
+}

@@ -15,6 +15,7 @@ object Stemmer {
     * default Xapian::Stem language). */
   def forLang(lang: String): String => String = lang match {
     case "de" | "german"  => GermanStemmer.stem
+    case "es" | "spanish" => SpanishStemmer.stem
     case "none" | ""      => identity
     case _                => stem
   }

@@ -27,6 +27,11 @@ final case class BuildConfig(
     saltFactor: Int = 16,                // salted sub-keys per skewed term
     buildPartitions: Int = 32,
     docIdBase: Long = 0L,                // first docId - 1 (segment appends)
+    /** Dict sizes above this skip the broadcast hint on the
+      * termRows ⋈ dict join (stage 3) and let the planner shuffle-
+      * join instead — a 10^12-file corpus vocabulary exceeds any
+      * executor's broadcast budget. */
+    broadcastDictMaxTerms: Long = 20L * 1000 * 1000,
     /** Registered synonym groups (group → member terms): union stats
       * precomputed at build so Query.Synonym needs no query-time
       * counting job (the chert synonym-table analog). */
@@ -278,15 +283,28 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       val maxPerBlock = cfg.maxPerBlock
       val saltFactor = cfg.saltFactor
 
-      // TermRow ⋈ broadcast(dict) — the dict is tiny relative to the
-      // term stream (at 10^12-file scale, still ≪ postings; shard the
-      // dict join only if it ever outgrows broadcast) — then the
-      // north rule's explicit repartition by term hash with
+      // TermRow ⋈ dict — broadcast when the vocabulary fits (the
+      // common case: dict ≪ postings), with an explicit shuffle-join
+      // fallback above broadcastDictMaxTerms (web-scale vocabularies
+      // exceed the broadcast budget; the join key is `term`, uniform
+      // after the dict's own hash, so the fallback is skew-safe).
+      // Dict size comes from the dict stage manifest — no extra job.
+      // Then the north rule's explicit repartition by term hash with
       // stripe-aligned salting for skewed terms. The shuffled+sorted
       // result is persisted once and feeds BOTH the postings packer
       // and the positions table — one wide shuffle, two writes.
+      val dictRows: Long = {
+        val m = manifestPath("dict")
+        if (Files.exists(m)) {
+          val txt = new String(Files.readAllBytes(m), "UTF-8")
+          """"rows":(\d+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toLong).getOrElse(0L)
+        } else 0L
+      }
+      val dictSide = dict.select($"term", $"termId", $"df")
       val joined = termRows
-        .join(broadcast(dict.select($"term", $"termId", $"df")), "term")
+        .join(if (dictRows > cfg.broadcastDictMaxTerms) dictSide
+              else broadcast(dictSide), "term")
         .withColumn("stripe", (($"docId" - 1) / lit(1L << stripeShift)).cast("int"))
         .withColumn("salt",
           when($"df" > cfg.skewDfThreshold, pmod($"stripe", lit(saltFactor)))

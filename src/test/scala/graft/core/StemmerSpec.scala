@@ -107,6 +107,39 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Spanish golden pairs hand-traced from the published Snowball
+  // spanish algorithm (same frozen-spec caveat as the german table).
+  private val spanishGolden = Seq(
+    // step 3 residual vowels
+    "gatos" -> "gat", "guerra" -> "guerr", "única" -> "unic",
+    "lógica" -> "logic",
+    // step 2b verb suffixes
+    "casas" -> "cas", "corriendo" -> "corr", "comieron" -> "com",
+    "viviendo" -> "viv", "atacado" -> "atac",
+    "librerías" -> "libr", // longest 2b match is "erías", not "ías"
+    "biología" -> "biolog", "técnicas" -> "tecnic",
+    // step 2a (y-verbs after u)
+    "construyeron" -> "constru",
+    // step 1 standard suffixes
+    "programación" -> "program", "felizmente" -> "feliz",
+    "rápidamente" -> "rapid", "capacidades" -> "capac",
+    "distribución" -> "distribu",
+    "diferencia" -> "diferent", // encia→ente, then step 3 strips the e
+    // step 0 attached pronoun after gerund
+    "levantándose" -> "levant",
+    // step 3 gu rule
+    "llegué" -> "lleg",
+    // untouched
+    "nacional" -> "nacional")
+
+  test("spanish golden pairs") {
+    val failures = spanishGolden.flatMap { case (in, want) =>
+      val got = SpanishStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")

@@ -130,6 +130,20 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(key(idxDir).toSeq == key(d2).toSeq)
   }
 
+  test("shuffle-join dict fallback yields identical blocks to broadcast") {
+    val d2 = s"$tmp/idx-shufflejoin"
+    // broadcastDictMaxTerms=0 forces the non-broadcast join path a
+    // web-scale vocabulary would take
+    new IndexBuilder(spark, cfg.copy(indexDir = d2, broadcastDictMaxTerms = 0L))
+      .build(spark.createDataset(corpus))
+    def key(dir: String) = spark.read.parquet(s"$dir/postings")
+      .as[PostingBlock].collect()
+      .map(b => (b.termId, b.firstDocId, b.lastDocId, b.count, b.maxWdf,
+        b.minDocLen, b.bytes.toSeq))
+      .sortBy(t => (t._1, t._2))
+    assert(key(idxDir).toSeq == key(d2).toSeq)
+  }
+
   test("resume: rebuilding with same config skips completed stages (idempotent)") {
     val before = spark.read.parquet(s"$idxDir/docs")
       .select("docId", "sha256").as[(Long, String)].collect().sortBy(_._1)
