@@ -97,6 +97,12 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     writeManifest(stage, lin.map(_._2).sum, lin)
   }
 
+  /** Record an externally-written stage table (merge-based compaction
+    * writes docs0/terms itself, then lets build() run the remaining
+    * stages); lineage is computed from the written files exactly as
+    * for internally-built stages. */
+  private[index] def recordStage(stage: String): Unit = finishStage(stage)
+
   private def writeManifest(stage: String, rows: Long, lineage: Seq[(Int, Long, Long)]): Unit = {
     Files.createDirectories(Paths.get(s"$dir/_manifests"))
     val lin = lineage.map { case (pid, cnt, bytes) =>

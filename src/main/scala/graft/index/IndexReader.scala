@@ -101,12 +101,26 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
   override def synonymGroup(terms: Set[String]): Option[SynGroupRow] =
     synGroups.find(_._1 == terms).map(_._2)
 
+  /** Driver-side dict cache (term → row, with negative entries): the
+    * index dir is immutable for the life of the handle, so repeated
+    * queries over a warm vocabulary skip the lookup job entirely.
+    * Bounded by the vocabulary actually queried. */
+  private val dictCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[DictRow]]
+
   /** Dict rows for a set of query terms — a few-row pruned scan
-    * collected to the driver (terms per query are few). */
+    * collected to the driver (terms per query are few), cached per
+    * handle so repeat terms cost no Spark job. */
   def lookupTerms(terms: Seq[String]): Map[String, DictRow] = {
     if (terms.isEmpty) return Map.empty
-    dict.filter($"term".isin(terms.distinct: _*))
-      .as[DictRow].collect().map(d => d.term -> d).toMap
+    val distinct = terms.distinct
+    val misses = distinct.filterNot(dictCache.contains)
+    if (misses.nonEmpty) {
+      val fetched = dict.filter($"term".isin(misses: _*))
+        .as[DictRow].collect().map(d => d.term -> d).toMap
+      misses.foreach(t => dictCache.put(t, fetched.get(t)))
+    }
+    distinct.flatMap(t => dictCache(t).map(t -> _)).toMap
   }
 
   /** Dictionary terms starting with `prefix` (wildcard expansion) —

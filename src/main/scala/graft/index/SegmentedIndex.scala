@@ -197,11 +197,104 @@ class SegmentedIndex(
     else new MultiIndexReader(spark, readers)
   }
 
-  /** Merge all segments into a single fresh index (docids renumbered
-    * by the global (repo, path, commit) sort — as xapian-compact
-    * renumbers when merging; reference: xapian-core/bin/
-    * xapian-compact.cc). Returns the compacted reader; the manifest
-    * then points at the single merged segment. */
+  /**
+   * Merge-based compaction — the actual xapian-compact shape
+   * (reference: xapian-core/bin/xapian-compact.cc merges posting
+   * tables without re-indexing documents): decode the segments'
+   * posting blocks and position rows, remap docIds to the global
+   * (repo, path, commit) order, and feed the merged term stream
+   * through the standard downstream build stages (dict, postings
+   * re-pack, docs, stats). Tokenization — the most expensive build
+   * stage at corpus scale — never runs; the result is
+   * value-identical to [[compact]]'s full rebuild (tested), because
+   * the segments were produced by the same tokenizer config.
+   *
+   * Scale shape: one docId-keyed shuffle to remap ids + the standard
+   * term-hash shuffle to re-pack; content bytes move once (docs
+   * table), not through the tokenizer.
+   */
+  def compactMerged(): Index = synchronized {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (segs, last) = listSegments()
+    require(segs.nonEmpty, s"no segments in $baseDir")
+    val readers = segs.map(s =>
+      new IndexReader(spark, s.dir, nBuckets, stripeShift))
+    val gen = segs.size
+    val dir = f"$baseDir/compactm-$gen%05d"
+    val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
+      tokenizerMode = tokenizerMode, nBuckets = nBuckets,
+      stripeShift = stripeShift, buildPartitions = buildPartitions)
+    val builder = new IndexBuilder(spark, cfg)
+    Files.createDirectories(Paths.get(dir))
+
+    // ---- stage docs0: renumber docIds over the union (single RDD
+    // lineage, as in the fresh build) + keep the old→new mapping
+    val docs0union = segs.map(s => spark.read.parquet(s"${s.dir}/docs0")
+        .select($"docId", $"repo", $"path", $"commit", $"lang",
+          $"content", $"sha256"))
+      .reduce(_ unionByName _)
+    val reassigned = docs0union
+      .as[(Long, String, String, String, String, String, String)]
+      .rdd
+      .keyBy(r => (r._2, r._3, r._4))
+      .sortByKey(ascending = true, numPartitions = buildPartitions)
+      .values
+      .zipWithIndex()
+      .map { case ((old, repo, path, commit, lang, content, sha), i) =>
+        (old, i + 1, repo, path, commit, lang, content, sha)
+      }
+      .toDF("oldDocId", "docId", "repo", "path", "commit", "lang",
+        "content", "sha256")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    reassigned
+      .select($"docId", $"repo", $"path", $"commit", $"lang",
+        $"content", $"sha256")
+      .withColumn("stripe",
+        (($"docId" - 1) / lit(1L << stripeShift)).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/docs0")
+    builder.recordStage("docs0")
+
+    // ---- stage terms: decoded postings ⋈ dict (term strings) ⋈
+    // positions, docIds remapped — the TermRow stream WITHOUT
+    // tokenization
+    val mapping = reassigned.select($"oldDocId", $"docId".as("newDocId"))
+    val parts = readers.map { r =>
+      val dictNames = r.dict.select($"termId", $"term")
+      val decoded = r.postings.as[PostingBlock]
+        .flatMap(b => Codec.unpackBlock(b)
+          .map(p => (b.termId, p.docId, p.wdf, p.doclen)))
+        .toDF("termId", "oldDocId", "wdf", "doclen")
+      val pos = r.positions
+        .select($"termId", $"docId".as("oldDocId"), $"posBytes")
+      decoded.join(dictNames, "termId")
+        .join(pos, Seq("termId", "oldDocId"), "left")
+        .select($"term", $"oldDocId", $"wdf", $"doclen",
+          coalesce($"posBytes", typedLit(Array.empty[Byte])).as("posBytes"))
+    }
+    parts.reduce(_ unionByName _)
+      .join(mapping, "oldDocId")
+      .select($"newDocId".as("docId"), $"term", $"wdf", $"doclen", $"posBytes")
+      .write.mode("overwrite").parquet(s"$dir/terms")
+    builder.recordStage("terms")
+    reassigned.unpersist(blocking = false)
+
+    // ---- remaining stages (dict, postings re-pack, positions, docs,
+    // stats) run exactly as in a fresh build; docs0/terms are marked
+    // done so the corpus argument is never touched
+    builder.build(spark.emptyDataset[CorpusRow])
+    val nDocs = spark.read.parquet(s"$dir/docs").count()
+    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)
+    new IndexReader(spark, dir, nBuckets, stripeShift)
+  }
+
+  /** Merge all segments into a single fresh index by re-indexing the
+    * stored documents (docids renumbered by the global
+    * (repo, path, commit) sort — xapian-compact also renumbers;
+    * reference: xapian-core/bin/xapian-compact.cc). Prefer
+    * [[compactMerged]] at scale (no re-tokenization). Returns the
+    * compacted reader; the manifest then points at the single merged
+    * segment. */
   def compact(): Index = synchronized {
     import spark.implicits._
     val (segs, last) = listSegments()

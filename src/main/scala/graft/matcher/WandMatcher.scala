@@ -25,17 +25,41 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
                     * job, no shuffle (the reference's single-node
                     * matcher). Above it, the per-stripe distributed
                     * path runs. */
-                  localDfThreshold: Long = 1L << 20) {
+                  localDfThreshold: Long = 1L << 20,
+                  /** Max queries allowed on the driver-local path at
+                    * once: beyond it, concurrent queries take the
+                    * distributed path even when small, so a serving
+                    * workload never serializes WAND loops on the
+                    * driver (round-1 review watch item). */
+                  maxLocalConcurrency: Int = 4) {
   private val spark = idx.spark
   import spark.implicits._
 
   private lazy val stats = idx.stats
 
-  /** True if the WAND path can answer q (OR of term leaves / a term). */
+  /** True if the WAND path can answer q: a term, a weighted OR of
+    * term leaves, or an ELITE_SET of term leaves (which reduces to an
+    * OR of the selected children before matching). */
   def supports(q: Query): Boolean = Query.simplify(q) match {
-    case _: Query.Term => true
-    case Query.Or(cs)  => cs.forall(_.isInstanceOf[Query.Term])
-    case _             => false
+    case _: Query.Term        => true
+    case Query.Or(cs)         => cs.forall(_.isInstanceOf[Query.Term])
+    case Query.EliteSet(cs, _)=> cs.forall(_.isInstanceOf[Query.Term])
+    case _                    => false
+  }
+
+  /** ELITE_SET(terms, n) → OR of the n best children by the same
+    * compositional bound the Dataset matcher and oracle use. */
+  private def reduceElite(cs: Seq[Query], n: Int): Query = {
+    val terms = cs.collect { case t: Query.Term => t }
+    val dict = idx.lookupTerms(terms.map(_.term))
+    val ranked = terms.zipWithIndex.map { case (t, i) =>
+      val b = dict.get(t.term).map { d =>
+        val tw = weight.termWeight(t.wqf, d.df, stats)
+        weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
+      }.getOrElse(0.0)
+      (t, i, b)
+    }.sortBy { case (_, i, b) => (-b, i) }.take(n).sortBy(_._2).map(_._1)
+    Query.Or(ranked)
   }
 
   /** Ranked page + MSet count metadata WITHOUT scanning past the
@@ -46,12 +70,8 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     * the bounds, the multimatch.cc estimate shape). maxPossible is
     * the same compositional bound the Dataset path uses. */
   def msetPage(q: Query, k: Int, first: Int = 0): MSetPage = {
-    val terms: Seq[Query.Term] = Query.simplify(q) match {
-      case t: Query.Term => Seq(t)
-      case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
-      case other => throw new IllegalArgumentException(
-        s"WAND path supports OR-of-terms only, got: ${other.describe}")
-    }
+    val terms = termsOf(q)
+    if (terms.isEmpty) return MSetPage(Seq.empty, 0L, 0L, 0L, 0.0, 0.0)
     val dict = idx.lookupTerms(terms.map(_.term))
     val items = mset(q, k, first)
     val dfs = terms.map(_.term).distinct.flatMap(dict.get).map(_.df)
@@ -75,13 +95,24 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     MSetPage(items, lower, est, upper, maxPossible, attained)
   }
 
+  /** The query's term leaves on the WAND path (elite sets reduce to
+    * their selected children first). */
+  private def termsOf(q: Query): Seq[Query.Term] = Query.simplify(q) match {
+    case t: Query.Term => Seq(t)
+    case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
+    case Query.EliteSet(cs, n) if cs.forall(_.isInstanceOf[Query.Term]) =>
+      reduceElite(cs, n) match {
+        case Query.Or(sel) => sel.map(_.asInstanceOf[Query.Term])
+        case t: Query.Term => Seq(t)
+        case _             => Seq.empty
+      }
+    case other => throw new IllegalArgumentException(
+      s"WAND path supports OR-of-terms only, got: ${other.describe}")
+  }
+
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
-    val terms: Seq[Query.Term] = Query.simplify(q) match {
-      case t: Query.Term => Seq(t)
-      case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
-      case other => throw new IllegalArgumentException(
-        s"WAND path supports OR-of-terms only, got: ${other.describe}")
-    }
+    val terms = termsOf(q)
+    if (terms.isEmpty) return Seq.empty
     val dict = idx.lookupTerms(terms.map(_.term))
     // duplicate term leaves ACCUMULATE: sumPart is linear in the
     // termweight, so summing per-leaf termweights per termId scores
@@ -100,18 +131,24 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val st = stats
     val totalDf = terms.flatMap(t => dict.get(t.term)).map(_.df).sum
 
+    // driver-local only while few queries are in flight: under serving
+    // concurrency the distributed path keeps the driver free
+    val local = totalDf <= localDfThreshold &&
+      WandMatcher.tryAcquireLocal(maxLocalConcurrency)
     val top: Array[(Long, Double)] =
-      if (totalDf <= localDfThreshold) {
+      if (local) {
         // small query: one scan job, WAND runs on the driver per
         // stripe — no shuffle at all
-        val collected = blocks.collect()
-        collected.groupBy(_.stripe).iterator
-          .flatMap { case (_, bs) =>
-            WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize)
-          }
-          .toArray
-          .sortBy { case (did, s) => (-s, did) }
-          .take(need)
+        try {
+          val collected = blocks.collect()
+          collected.groupBy(_.stripe).iterator
+            .flatMap { case (_, bs) =>
+              WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize)
+            }
+            .toArray
+            .sortBy { case (did, s) => (-s, did) }
+            .take(need)
+        } finally WandMatcher.releaseLocal()
       } else {
         // big query: per-stripe sub-matches on executors, then
         // TakeOrderedAndProject merge; the only data shuffled is the
@@ -137,6 +174,17 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
 }
 
 object WandMatcher {
+
+  /** In-flight driver-local WAND matches across all matcher handles
+    * in this JVM (the driver). */
+  private val localInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[matcher] def tryAcquireLocal(max: Int): Boolean = {
+    val v = localInFlight.incrementAndGet()
+    if (v > max) { localInFlight.decrementAndGet(); false } else true
+  }
+
+  private[matcher] def releaseLocal(): Unit = localInFlight.decrementAndGet()
 
   /** Cursor over one term's blocks within a stripe (sorted by docId),
     * decoding lazily, exposing a block-max upper bound. */

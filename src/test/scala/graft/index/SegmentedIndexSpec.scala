@@ -111,4 +111,51 @@ class SegmentedIndexSpec extends AnyFunSuite {
       assert(math.abs(g.score - w.score) < 1e-9)
     }
   }
+
+  test("compactMerged (no re-tokenize) is table-identical to the rebuild compact") {
+    import spark.implicits._
+    // two independent segment sets over the same batches
+    def mkSeg(): SegmentedIndex = {
+      val d = Files.createTempDirectory("graft-segm").toString
+      val s = new SegmentedIndex(spark, d, stemMode = "none",
+        stripeShift = 5, buildPartitions = 4)
+      batches.foreach(b => s.append(spark.createDataset(b)))
+      s
+    }
+    val merged = mkSeg().compactMerged().asInstanceOf[IndexReader]
+    val rebuilt = mkSeg().compact().asInstanceOf[IndexReader]
+
+    // docs: identical (docId, sha256, doclen, lang)
+    def docsKey(r: IndexReader) = r.docs
+      .select($"docId", $"sha256", $"doclen", $"lang")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(docsKey(merged) === docsKey(rebuilt))
+
+    // dict: identical term stats and ids
+    def dictKey(r: IndexReader) = r.dict.as[DictRow].collect()
+      .sortBy(_.termId).toSeq
+    assert(dictKey(merged) === dictKey(rebuilt))
+
+    // postings: identical decoded content per term
+    def postKey(r: IndexReader) = r.postings.as[PostingBlock].collect()
+      .flatMap(b => Codec.unpackBlock(b)
+        .map(p => (b.termId, p.docId, p.wdf, p.doclen)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(postKey(merged) === postKey(rebuilt))
+
+    // positions: identical per (termId, docId)
+    def posKey(r: IndexReader) = r.positions
+      .select($"termId", $"docId", $"posBytes")
+      .as[(Long, Long, Array[Byte])].collect()
+      .map { case (t, d, b) => (t, d, Codec.unpackPositions(b).toSeq) }
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(posKey(merged) === posKey(rebuilt))
+
+    // stats identical; search identical
+    assert(merged.stats === rebuilt.stats)
+    val q = or(t("parse"), t("token"))
+    val a = new DatasetMatcher(merged).mset(q, 10)
+    val b = new DatasetMatcher(rebuilt).mset(q, 10)
+    assert(a === b)
+  }
 }

@@ -85,11 +85,12 @@ class SynonymGroupSpec extends AnyFunSuite {
     }
     val regJobs = jobsDuring(registered)
     val adhocJobs = jobsDuring(adhoc)
-    // both run the dict lookup (1 job); only the ad-hoc path adds the
-    // union count job
+    // the dict lookup was warmed (and is cached per handle) before
+    // the measured window; only the ad-hoc path adds the union count
+    // job during planning
     assert(regJobs < adhocJobs,
       s"registered path ran $regJobs jobs vs ad-hoc $adhocJobs")
-    assert(regJobs === 1, s"registered planning ran $regJobs jobs (want dict lookup only)")
+    assert(regJobs === 0, s"registered planning ran $regJobs jobs (want none)")
   }
 
   test("ELITE_SET with non-term children: selection is compositional (no planning jobs)") {
