@@ -322,6 +322,74 @@ hexs AS (
 SELECT d.doc_id, coalesce(h.simhash, '0000000000000000') AS simhash
 FROM documents d LEFT JOIN hexs h USING(doc_id) ORDER BY d.doc_id"""
 
+  /** Composed near-dup pipeline oracle: minhash → full-signature
+    * bands → distinct candidates → exact shingle Jaccard ≥ τ
+    * (thresholded on the 6-decimal rounding, matching the Spark op). */
+  def nearDupSql(minJaccard: Double = 0.8, seeds: Int = 12, k: Int = 8,
+                 rowsPerBand: Int = 2): String = {
+    val bandSelects = (0 until seeds / rowsPerBand).map { b =>
+      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      s"SELECT doc_id, md5('$b:' || ${hs.mkString(" || ")}) AS band FROM sig " +
+        s"WHERE ${hs.map(h => s"$h IS NOT NULL").mkString(" AND ")}"
+    }.mkString("\n UNION ALL ")
+    s"""WITH sig AS (
+  SELECT doc_id,
+       ${minhashCols(seeds, k)}
+  FROM documents
+),
+bands AS (
+ $bandSelects
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id,
+         CASE WHEN length(text) < $k THEN []
+              ELSE list_distinct(list_transform(range(1, length(text) - ${k - 2}),
+                                 i -> substr(text, i, $k))) END AS s
+       FROM documents),
+j AS (SELECT doc_a, doc_b,
+        round(CASE WHEN len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) = 0 THEN 0
+              ELSE len(list_intersect(sa.s, sb.s))::DOUBLE /
+                   (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) END, 6) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $minJaccard
+ORDER BY doc_a, doc_b"""
+  }
+
+  /** Embedding-cosine near-dup oracle: sign-random-projection bits
+    * from the SAME literal hyperplanes as the Spark op, banded, then
+    * exact cosine ≥ threshold over distinct candidates. */
+  def embDupSql(planes: Seq[Seq[Double]], rowsPerBand: Int,
+                minCosine: Double): String = {
+    val dim = planes.head.size
+    def dotPlane(p: Seq[Double]) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+        s"embedding[i]::DOUBLE * ([${p.mkString(", ")}])[i]))"
+    val bitExprs = planes.map(p =>
+      s"CASE WHEN ${dotPlane(p)} > 0 THEN '1' ELSE '0' END")
+    val nBands = planes.size / rowsPerBand
+    val bandSelects = (0 until nBands).map(b =>
+      s"SELECT vec_id, md5('$b:' || substr(b1, ${b * rowsPerBand + 1}, $rowsPerBand)) AS band FROM bits")
+      .mkString("\n UNION ALL ")
+    s"""WITH bits AS (
+  SELECT vec_id, concat(${bitExprs.mkString(",\n    ")}) AS b1
+  FROM embeddings
+),
+bands AS (
+ $bandSelects
+),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id),
+cos AS (SELECT vec_a, vec_b,
+         list_sum(list_transform(range(1, ${dim + 1}), i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+         (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
+          sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS c
+        FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a
+                  JOIN embeddings eb ON eb.vec_id = cand.vec_b)
+SELECT vec_a, vec_b, round(c, 6) AS cosine FROM cos WHERE c >= $minCosine
+ORDER BY vec_a, vec_b"""
+  }
+
   def jaccardAdjacentSql(k: Int = 8): String =
     s"""WITH sh AS (
   SELECT doc_id,

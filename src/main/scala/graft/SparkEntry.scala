@@ -48,6 +48,10 @@ object SparkEntry {
 
   private val qualityStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Deterministic hyperplanes shared by the dd_embdup query and its
+    * oracle SQL (literal on both sides). */
+  private val embPlanes = AnnOps.randomPlanes(nPlanes = 24, dim = 64, seed = 7L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- inverted-index / matcher operators (SURVEY.md §2a) ----------
     "ft_term" -> ((s, d) =>
@@ -161,6 +165,13 @@ object SparkEntry {
     }),
     "dd_simhash" -> ((s, d) =>
       DedupOps.simhash(documents(s, d)).orderBy("doc_id")),
+    "dd_neardup" -> ((s, d) =>
+      DedupOps.nearDupPairs(documents(s, d), minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")),
+    "dd_embdup" -> ((s, d) =>
+      DedupOps.embeddingNearDups(embeddings(s, d), embPlanes,
+        rowsPerBand = 4, minCosine = 0.35)
+        .orderBy("vec_a", "vec_b")),
 
     // ---------- training-data pipeline: similarity search ----------
     "ann_topk" -> ((s, d) =>
@@ -264,6 +275,8 @@ object SparkEntry {
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),
     "dd_jaccard_adj" -> EntrySql.jaccardAdjacentSql(),
     "dd_simhash" -> EntrySql.simhashSql,
+    "dd_neardup" -> EntrySql.nearDupSql(0.8),
+    "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ta_tokens" -> EntrySql.tokensSql,

@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
  */
 object AnnOps {
 
+  /** Deterministic pseudo-random hyperplanes for sign-random-
+    * projection LSH (values in [-1, 1), 64-bit LCG from `seed`) —
+    * generated once on the driver and inlined as literals into both
+    * the Spark expression and the SQL oracle. */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    var h = seed
+    def next(): Double = {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
   /** Dot product of an embedding column with a literal query vector,
     * accumulated in Double in element order (SQL-reproducible). */
   private def dotLit(emb: Column, q: Seq[Float]): Column =

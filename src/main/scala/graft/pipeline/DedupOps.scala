@@ -134,6 +134,68 @@ object DedupOps {
       .select(col("doc_id"), concat(hexCols: _*).as("simhash"))
   }
 
+  /** The composed near-duplicate pipeline: MinHash signatures →
+    * full-signature LSH candidate pairs → exact n-gram Jaccard
+    * verification ≥ `minJaccard`. This is the end-to-end shape a
+    * 100 TB dedup run uses — candidates bounded by banding, the
+    * quadratic verify step only over candidates. Output:
+    * (doc_a, doc_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.8,
+                   k: Int = 8, seeds: Int = 12,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val cand = lshCandidatePairs(minhash(docs, k, seeds), rowsPerBand)
+      .select(col("doc_a"), col("doc_b"))
+    ngramJaccard(docs, cand, k)
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH
+    * (sign-random-projection): bit j = sign(planes(j) · v); band keys
+    * over `rowsPerBand`-bit groups; exact cosine verification ≥
+    * `minCosine` over candidates only. Planes are deterministic
+    * literals (see [[AnnOps.randomPlanes]]) broadcast inside the
+    * expression — signature computation is per-row codegen, and the
+    * only shuffle is the band self-join. Result is the approximate
+    * operator's defined output (candidates ∩ threshold): pairs the
+    * banding misses are misses, as in any LSH dedup. */
+  def embeddingNearDups(vecs: DataFrame, planes: Seq[Seq[Double]],
+                        rowsPerBand: Int = 4,
+                        minCosine: Double = 0.35): DataFrame = {
+    require(planes.nonEmpty && planes.size % rowsPerBand == 0,
+      s"planes (${planes.size}) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val emb = col("embedding")
+    def dotPlane(p: Seq[Double]): Column =
+      aggregate(zip_with(emb, typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    val bits = concat(planes.map(p =>
+      when(dotPlane(p) > 0, lit("1")).otherwise(lit("0"))): _*)
+    val nBands = planes.size / rowsPerBand
+    val bandCols = (0 until nBands).map(b =>
+      md5(concat(lit(s"$b:"),
+        substring(col("_bits"), b * rowsPerBand + 1, rowsPerBand))))
+    val banded = vecs.select(col("vec_id"), emb.as("_emb"), bits.as("_bits"))
+      .select(col("vec_id"), col("_emb"),
+        explode(array(bandCols: _*)).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a._emb").as("ea"), col("b._emb").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def norm(a: Column): Column =
+      sqrt(aggregate(a, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+    cand
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+          .as("_cos"))
+      .where(col("_cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("_cos"), 6).as("cosine"))
+  }
+
   /** Hamming distance between simhash pairs below a threshold —
     * candidate near-dups. Self-join banded by the 4 hex quarters
     * (a near-dup within distance 3 must agree on ≥1 quarter). */

@@ -61,6 +61,37 @@ class PipelineSpec extends AnyFunSuite {
       pairs.contains((2L, 202L)))
   }
 
+  test("nearDupPairs: composed pipeline finds planted near-dups only") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps going"
+    val d = docs(
+      1L -> base,
+      2L -> base, // exact dup
+      3L -> (base + "!"), // near dup
+      4L -> "a completely different text about spark query engines",
+      5L -> "yet another unrelated piece of writing entirely")
+    val pairs = DedupOps.nearDupPairs(d, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+
+  test("embeddingNearDups: identical vectors pair, orthogonal don't") {
+    val planes = AnnOps.randomPlanes(nPlanes = 8, dim = 4, seed = 3L)
+    val vecs = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, Seq(1f, 0.1f, 0f, 0f)),  // identical → cosine 1
+      (3L, Seq(0.99f, 0.12f, 0.01f, 0f)), // near
+      (4L, Seq(0f, 0f, 1f, 0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val nd = DedupOps.embeddingNearDups(vecs, planes, rowsPerBand = 2,
+      minCosine = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(nd.contains((1L, 2L)) && nd((1L, 2L)) === 1.0)
+    assert(nd.contains((1L, 3L)))
+    assert(!nd.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("ngramJaccard: identical = 1, disjoint = 0") {
     val d = docs(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "0123456789")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
