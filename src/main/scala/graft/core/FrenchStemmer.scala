@@ -1,0 +1,296 @@
+package graft.core
+
+/**
+ * French Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/french/stemmer.html).
+ * Plays the role of the reference's generated french stemmer
+ * (reference: xapian-core/languages/french.sbl — SURVEY.md §2e).
+ *
+ * Control flow mirrors french.sbl: standard_suffix OR i_verb_suffix
+ * OR verb_suffix (the amment/emment/ment rewrites "fail" on purpose
+ * so the verb steps run on the rewritten word); if any succeeded,
+ * final Y→i / ç→c; otherwise the residual suffix step; then
+ * undouble + unaccent. Golden outputs in StemmerSpec are hand-traced
+ * (the reference mount is empty — SURVEY.md §0) and frozen as spec.
+ */
+object FrenchStemmer {
+
+  private val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'â', 'à', 'ë',
+    'é', 'ê', 'è', 'ï', 'î', 'ô', 'û', 'ù')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private val allowed = vowels ++ ('a' to 'z') + 'ç' + 'œ'
+
+  def stem(input: String): String = {
+    if (input.isEmpty) return input
+    if (!input.forall(allowed)) return input
+    if (input.length <= 2) return input
+
+    // ---- prelude: mark u/i between vowels, y next to a vowel, and
+    // u after q as consonants (upper case); single left-to-right pass
+    // over the evolving buffer (marked chars test as consonants)
+    val sb = new StringBuilder(input)
+    var i = 0
+    while (i < sb.length) {
+      val c = sb(i)
+      val prevV = i > 0 && isVowel(sb(i - 1))
+      val nextV = i + 1 < sb.length && isVowel(sb(i + 1))
+      if ((c == 'u' || c == 'i') && prevV && nextV) sb(i) = (c - 32).toChar
+      else if (c == 'y' && (prevV || nextV)) sb(i) = 'Y'
+      else if (c == 'u' && i > 0 && sb(i - 1) == 'q') sb(i) = 'U'
+      i += 1
+    }
+    var w = sb.toString
+
+    // ---- regions
+    def regionAfterVC(s: String, from: Int): Int = {
+      var i = from
+      while (i < s.length && !isVowel(s(i))) i += 1
+      while (i < s.length && isVowel(s(i))) i += 1
+      if (i < s.length) i + 1 else s.length
+    }
+    val rv: Int = {
+      if (w.startsWith("par") || w.startsWith("col") || w.startsWith("tap")) 3
+      else if (w.length > 2 && isVowel(w(0)) && isVowel(w(1))) 3
+      else {
+        // after the first vowel not at the beginning
+        var i = 1
+        while (i < w.length && !isVowel(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      }
+    }
+    val r1 = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1)
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rv
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+    // char position p (0-based) lies in RV
+    def posInRV(p: Int): Boolean = p >= rv
+
+    // ---- step 1: standard suffixes. Returns true iff the step
+    // SUCCEEDED (the ment-family rewrites return false by design).
+    def standardSuffix(): Boolean = {
+      val sufs: Seq[String] = Seq(
+        "issements", "issement", "atrices", "amment", "emment",
+        "atrice", "ateurs", "ations", "logies", "usions", "utions",
+        "ements", "ements", "ances", "iqUes", "ismes", "ables",
+        "istes", "ateur", "ation", "logie", "usion", "ution",
+        "ences", "ments", "ement", "ités", "ance", "iqUe", "isme",
+        "able", "iste", "ence", "eaux", "euses", "ités", "ment",
+        "eux", "ité", "euse", "aux", "ifs", "ives", "if", "ive")
+        .distinct.sortBy(-_.length)
+      var matched: Option[String] = None
+      var k = 0
+      while (matched.isEmpty && k < sufs.length) {
+        if (w.endsWith(sufs(k))) matched = Some(sufs(k))
+        k += 1
+      }
+      matched match {
+        case None => false
+        case Some(suf) =>
+          val n = suf.length
+          suf match {
+            case "ance" | "iqUe" | "isme" | "able" | "iste" | "eux" |
+                 "ances" | "iqUes" | "ismes" | "ables" | "istes" =>
+              if (inR2(n)) { w = w.dropRight(n); true } else false
+            case "atrice" | "ateur" | "ation" | "atrices" | "ateurs" | "ations" =>
+              if (inR2(n)) {
+                w = w.dropRight(n)
+                if (w.endsWith("ic")) {
+                  if (inR2(2)) w = w.dropRight(2)
+                  else w = w.dropRight(2) + "iqU"
+                }
+                true
+              } else false
+            case "logie" | "logies" =>
+              if (inR2(n)) { w = w.dropRight(n) + "log"; true } else false
+            case "usion" | "ution" | "usions" | "utions" =>
+              if (inR2(n)) { w = w.dropRight(n) + "u"; true } else false
+            case "ence" | "ences" =>
+              if (inR2(n)) { w = w.dropRight(n) + "ent"; true } else false
+            case "ement" | "ements" =>
+              if (inRV(n)) {
+                w = w.dropRight(n)
+                if (w.endsWith("iv") && inR2(2)) {
+                  w = w.dropRight(2)
+                  if (w.endsWith("at") && inR2(2)) w = w.dropRight(2)
+                } else if (w.endsWith("eus")) {
+                  if (inR2(3)) w = w.dropRight(3)
+                  else if (inR1(3)) w = w.dropRight(3) + "eux"
+                } else if (w.endsWith("abl") && inR2(3)) w = w.dropRight(3)
+                else if (w.endsWith("iqU") && inR2(3)) w = w.dropRight(3)
+                else if (w.endsWith("ièr") && inRV(3)) w = w.dropRight(3) + "i"
+                else if (w.endsWith("Ièr") && inRV(3)) w = w.dropRight(3) + "i"
+                true
+              } else false
+            case "ité" | "ités" =>
+              if (inR2(n)) {
+                w = w.dropRight(n)
+                if (w.endsWith("abil")) {
+                  if (inR2(4)) w = w.dropRight(4) else w = w.dropRight(4) + "abl"
+                } else if (w.endsWith("ic")) {
+                  if (inR2(2)) w = w.dropRight(2) else w = w.dropRight(2) + "iqU"
+                } else if (w.endsWith("iv") && inR2(2)) w = w.dropRight(2)
+                true
+              } else false
+            case "if" | "ive" | "ifs" | "ives" =>
+              if (inR2(n)) {
+                w = w.dropRight(n)
+                if (w.endsWith("at") && inR2(2)) {
+                  w = w.dropRight(2)
+                  if (w.endsWith("ic")) {
+                    if (inR2(2)) w = w.dropRight(2)
+                    else w = w.dropRight(2) + "iqU"
+                  }
+                }
+                true
+              } else false
+            case "eaux" =>
+              w = w.dropRight(4) + "eau"; true
+            case "aux" =>
+              if (inR1(3)) { w = w.dropRight(3) + "al"; true } else false
+            case "euse" | "euses" =>
+              if (inR2(n)) { w = w.dropRight(n); true }
+              else if (inR1(n)) { w = w.dropRight(n) + "eux"; true }
+              else false
+            case "issement" | "issements" =>
+              if (inR1(n) && w.length > n && !isVowel(w(w.length - n - 1))) {
+                w = w.dropRight(n); true
+              } else false
+            // the ment family rewrites/deletes but reports FAILURE so
+            // the verb-suffix steps run on the result (french.sbl)
+            case "amment" =>
+              if (inRV(n)) w = w.dropRight(n) + "ant"
+              false
+            case "emment" =>
+              if (inRV(n)) w = w.dropRight(n) + "ent"
+              false
+            case "ment" | "ments" =>
+              if (w.length > n && isVowel(w(w.length - n - 1)) &&
+                  posInRV(w.length - n - 1))
+                w = w.dropRight(n)
+              false
+            case _ => false
+          }
+      }
+    }
+
+    // ---- step 2a: i-verb suffixes (suffix and preceding non-vowel
+    // both inside RV)
+    def iVerbSuffix(): Boolean = {
+      val sufs = Seq("issaIent", "issantes", "iraIent", "issante",
+        "issants", "issions", "irions", "issais", "issait", "issant",
+        "issent", "issiez", "issons", "irais", "irait", "irent",
+        "iriez", "irons", "iront", "isses", "issez", "îmes", "îtes",
+        "irai", "iras", "irez", "isse", "ira", "ies", "ir", "is",
+        "it", "ie", "ît", "i").sortBy(-_.length)
+      var k = 0
+      while (k < sufs.length) {
+        val suf = sufs(k)
+        if (w.endsWith(suf) && inRV(suf.length) &&
+            w.length > suf.length && !isVowel(w(w.length - suf.length - 1)) &&
+            posInRV(w.length - suf.length - 1)) {
+          w = w.dropRight(suf.length)
+          return true
+        }
+        k += 1
+      }
+      false
+    }
+
+    // ---- step 2b: other verb suffixes (confined to RV)
+    def verbSuffix(): Boolean = {
+      val ions = Seq("ions")
+      val erGroup = Seq("eraIent", "erions", "èrent", "erais", "erait",
+        "eriez", "erons", "eront", "erai", "eras", "erez", "iez",
+        "era", "ées", "er", "ez", "ée", "és", "é")
+      val aGroup = Seq("assions", "assiez", "assent", "aIent", "antes",
+        "asses", "âmes", "âtes", "ante", "ants", "asse", "ais",
+        "ait", "ant", "ât", "ai", "as", "a")
+      val all = (ions.map(_ -> 0) ++ erGroup.map(_ -> 1) ++ aGroup.map(_ -> 2))
+        .sortBy { case (s, _) => -s.length }
+      var k = 0
+      while (k < all.length) {
+        val (suf, g) = all(k)
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          g match {
+            case 0 =>
+              if (inR2(suf.length)) { w = w.dropRight(suf.length); return true }
+              else return false
+            case 1 =>
+              w = w.dropRight(suf.length); return true
+            case 2 =>
+              w = w.dropRight(suf.length)
+              if (w.endsWith("e") && posInRV(w.length - 1)) w = w.dropRight(1)
+              return true
+          }
+        }
+        k += 1
+      }
+      false
+    }
+
+    // ---- step 4: residual suffix (only when nothing else fired)
+    def residualSuffix(): Unit = {
+      if (w.endsWith("s") && w.length >= 2 &&
+          !"aiouès".contains(w(w.length - 2)))
+        w = w.dropRight(1)
+      val sufs = Seq("Ière", "ière", "Ier", "ier", "ion", "ë", "e")
+        .sortBy(-_.length)
+      var k = 0
+      var done = false
+      while (!done && k < sufs.length) {
+        val suf = sufs(k)
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          done = true
+          suf match {
+            case "ion" =>
+              if (inR2(3) && w.length > 3 &&
+                  (w(w.length - 4) == 's' || w(w.length - 4) == 't') &&
+                  posInRV(w.length - 4))
+                w = w.dropRight(3)
+            case "ier" | "ière" | "Ier" | "Ière" =>
+              w = w.dropRight(suf.length) + "i"
+            case "e" => w = w.dropRight(1)
+            case "ë" =>
+              if (w.endsWith("guë")) w = w.dropRight(1)
+            case _ =>
+          }
+        }
+        k += 1
+      }
+    }
+
+    var ok = standardSuffix()
+    if (!ok) ok = iVerbSuffix()
+    if (!ok) ok = verbSuffix()
+    if (ok) {
+      // step 3: tidy the final letter
+      if (w.endsWith("Y")) w = w.dropRight(1) + "i"
+      else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    } else residualSuffix()
+
+    // ---- undouble: enn/onn/ett/ell/eill lose the final letter
+    if (Seq("enn", "onn", "ett", "ell", "eill").exists(w.endsWith))
+      w = w.dropRight(1)
+
+    // ---- unaccent: é/è followed by only non-vowels at the end → e
+    {
+      var j = w.length - 1
+      var nonV = 0
+      while (j >= 0 && !isVowel(w(j)) && w(j) != 'é' && w(j) != 'è') {
+        nonV += 1; j -= 1
+      }
+      if (nonV >= 1 && j >= 0 && (w(j) == 'é' || w(j) == 'è'))
+        w = w.substring(0, j) + 'e' + w.substring(j + 1)
+    }
+
+    // postlude: lower the consonant marks
+    w.map {
+      case 'U' => 'u'
+      case 'I' => 'i'
+      case 'Y' => 'y'
+      case c   => c
+    }
+  }
+}

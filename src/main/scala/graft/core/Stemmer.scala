@@ -16,6 +16,7 @@ object Stemmer {
   def forLang(lang: String): String => String = lang match {
     case "de" | "german"  => GermanStemmer.stem
     case "es" | "spanish" => SpanishStemmer.stem
+    case "fr" | "french"  => FrenchStemmer.stem
     case "none" | ""      => identity
     case _                => stem
   }

@@ -58,7 +58,13 @@ object QueryParser {
       /** String-typed range fields (StringValueRangeProcessor
         * analog): `field:a..f` → lexicographic VALUE_RANGE_S on the
         * mapped docs column. */
-      strRangeFields: Map[String, String] = Map.empty)
+      strRangeFields: Map[String, String] = Map.empty,
+      /** Date range fields (DateValueRangeProcessor analog —
+        * reference: xapian-core/api/valuerangeproc.cc): bounds in
+        * ISO `yyyy-mm-dd` or `dd/mm/yyyy` normalize to ISO strings,
+        * whose lexicographic order is chronological, and become a
+        * VALUE_RANGE_S on the mapped docs column. */
+      dateRangeFields: Map[String, String] = Map.empty)
 
   /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
   val Wildcard = Query.Wildcard
@@ -210,6 +216,15 @@ object QueryParser {
               else if (lo.nonEmpty) Query.ValueGe(col, lo.toDouble)
               else Query.ValueLe(col, hi.toDouble)
             items :+= Item(q, plus = false, minus = false, Some(field))
+          case Some(Word(f, text, _)) if f.exists(cfg.dateRangeFields.contains) &&
+              text.contains("..") && dateBoundsParse(text) =>
+            val Word(Some(field), t, _) = advance(): @unchecked
+            val col = cfg.dateRangeFields(field)
+            val i = t.indexOf("..")
+            val lo = parseDate(t.substring(0, i))
+            val hi = parseDate(t.substring(i + 2))
+            items :+= Item(Query.ValueRangeS(col, lo, hi),
+              plus = false, minus = false, Some(field))
           case Some(Word(f, text, _)) if f.exists(cfg.strRangeFields.contains) &&
               text.contains("..") && text != ".." =>
             val Word(Some(field), t, _) = advance(): @unchecked
@@ -336,6 +351,28 @@ object QueryParser {
         }
       case _ => None
     }
+  }
+
+  private val IsoDate = """(\d{4})-(\d{1,2})-(\d{1,2})""".r
+  private val DmyDate = """(\d{1,2})/(\d{1,2})/(\d{4})""".r
+
+  /** A date bound normalized to ISO (lexicographic = chronological);
+    * None for an empty (open) bound. Accepts ISO yyyy-mm-dd and the
+    * reference DateValueRangeProcessor's dd/mm/yyyy. */
+  private def parseDate(s: String): Option[String] = s match {
+    case "" => None
+    case IsoDate(y, m, d) => Some(f"$y-${m.toInt}%02d-${d.toInt}%02d")
+    case DmyDate(d, m, y) => Some(f"$y-${m.toInt}%02d-${d.toInt}%02d")
+    case _ => None
+  }
+
+  private def dateBoundsParse(text: String): Boolean = {
+    val i = text.indexOf("..")
+    val lo = text.substring(0, i)
+    val hi = text.substring(i + 2)
+    (lo.isEmpty || parseDate(lo).isDefined) &&
+      (hi.isEmpty || parseDate(hi).isDefined) &&
+      (lo.nonEmpty || hi.nonEmpty)
   }
 
   /** True iff every present bound of a `lo..hi` range parses as a

@@ -140,12 +140,46 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // French golden pairs hand-traced from the published Snowball
+  // french algorithm (same frozen-spec caveat as german/spanish).
+  private val frenchGolden = Seq(
+    // plurals / residual suffixes
+    "chats" -> "chat", "voitures" -> "voitur", "franchise" -> "franchis",
+    "actrices" -> "actric", "conditions" -> "condit",
+    // aux / eaux
+    "chevaux" -> "cheval", "nationaux" -> "national", "beaux" -> "beau",
+    // step 1 standard suffixes
+    "nationale" -> "national", "organisation" -> "organis",
+    "continuité" -> "continu", "heureuse" -> "heureux",
+    "heureusement" -> "heureux", "logiquement" -> "logiqu",
+    "commencement" -> "commenc", "grandement" -> "grand",
+    "différence" -> "différent", "évidemment" -> "évident",
+    "majestueux" -> "majestu",
+    // verb suffixes (2a / 2b) + marked-consonant handling
+    "finissait" -> "fin", "mangeais" -> "mang", "parlerez" -> "parl",
+    "librairie" -> "librair", "payer" -> "pai", "ennuyé" -> "ennui",
+    "mangeaient" -> "mang", "première" -> "premi",
+    // -ent (3rd person plural) is deliberately NOT in the verb lists
+    "mangent" -> "mangent")
+
+  test("french golden pairs") {
+    val failures = frenchGolden.flatMap { case (in, want) =>
+      val got = FrenchStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")
+    assert(Stemmer.forLang("es")("gatos") === "gat")
+    assert(Stemmer.forLang("fr")("chevaux") === "cheval")
     assert(Stemmer.forLang("none")("running") === "running")
     assert(Stemmer.forDoc("auto", "de")("katzen") === "katz")
     assert(Stemmer.forDoc("auto", "en")("running") === "run")
+    assert(Stemmer.forDoc("auto", "fr")("payer") === "pai")
+    assert(Stemmer.forDoc("auto", "es")("corriendo") === "corr")
     assert(Stemmer.forDoc("de", "en")("katzen") === "katz") // fixed lang wins
   }
 }

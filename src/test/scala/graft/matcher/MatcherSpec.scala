@@ -385,7 +385,9 @@ class MatcherSpec extends AnyFunSuite {
       CorpusRow("r", "0001", "c1", "de", "die katzen laufen gerne"),
       CorpusRow("r", "0002", "c2", "de", "bücher über katzen und häuser"),
       CorpusRow("r", "0003", "c3", "en", "the cats are running quickly"),
-      CorpusRow("r", "0004", "c4", "en", "books about cats and houses"))
+      CorpusRow("r", "0004", "c4", "en", "books about cats and houses"),
+      CorpusRow("r", "0005", "c5", "fr", "les chevaux mangeaient dans les librairies"),
+      CorpusRow("r", "0006", "c6", "es", "los gatos corriendo en las casas"))
     new IndexBuilder(spark, cfg).build {
       import spark.implicits._
       spark.createDataset(mixed)
@@ -399,7 +401,9 @@ class MatcherSpec extends AnyFunSuite {
     for (q <- Seq(
         t("Z" + GermanStemmer.stem("katzen")): Query, // Zkatz → de docs only
         t("Z" + Stemmer.stem("running")),             // Zrun → en doc only
-        or(t("Zkatz"), t("Zrun")))) {
+        t("Z" + FrenchStemmer.stem("chevaux")),       // Zcheval → fr doc only
+        t("Z" + SpanishStemmer.stem("gatos")),        // Zgat → es doc only
+        or(t("Zkatz"), t("Zrun"), t("Zcheval"), t("Zgat")))) {
       val want = Oracle.mset(q, oidx, 10)
       assert(want.nonEmpty, s"${q.describe} matched nothing")
       assertSame(new DatasetMatcher(r2).mset(q, 10), want, s"auto:${q.describe}")

@@ -161,6 +161,26 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("love AND love") === "Zlove#2")
   }
 
+  test("string range field becomes a lexicographic VALUE_RANGE_S filter") {
+    val c = QueryParser.Config(strRangeFields = Map("lang" -> "lang"))
+    assert(p("parser lang:de..fr", c) ===
+      "(Zparser FILTER VALUE_RANGE_S lang de..fr)")
+    assert(p("lang:de..", c) === "VALUE_RANGE_S lang de..")
+    assert(p("lang:..fr", c) === "VALUE_RANGE_S lang ..fr")
+  }
+
+  test("date range field normalizes to ISO and becomes VALUE_RANGE_S") {
+    val c = QueryParser.Config(dateRangeFields = Map("date" -> "commit_date"))
+    assert(p("parser date:2024-01-01..2024-06-30", c) ===
+      "(Zparser FILTER VALUE_RANGE_S commit_date 2024-01-01..2024-06-30)")
+    // dd/mm/yyyy (the reference DateValueRangeProcessor default)
+    assert(p("date:01/02/2024..31/12/2024", c) ===
+      "VALUE_RANGE_S commit_date 2024-02-01..2024-12-31")
+    assert(p("date:1/2/2024..", c) === "VALUE_RANGE_S commit_date 2024-02-01..")
+    // garbage dates never throw, fall back to a plain word
+    assert(QueryParser.parse("date:xx..yy", c) != null)
+  }
+
   test("numeric range field becomes a VALUE_RANGE filter") {
     val c = QueryParser.Config(rangeFields = Map("len" -> "doclen"))
     assert(p("parser len:40..60", c) ===
