@@ -167,6 +167,30 @@ doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id)"""
   def valueRangeDoclen(lo: Int, hi: Int): String =
     tokOnly + s"\nSELECT doc_id FROM doclen WHERE len BETWEEN $lo AND $hi ORDER BY doc_id"
 
+  /** ValueWeight posting source under AND_MAYBE: BM25(term) + scale ×
+    * doclen slot (doclen = simple-tokenizer token count, the same
+    * doclen CTE). */
+  def valueWeightDoclen(term: String, scale: Double): String =
+    prefix(Seq(term)) + scored +
+      s"""
+SELECT s.doc_id, round(s.raw + $scale * dl.len, 4) AS score
+FROM scored s JOIN doclen dl ON dl.doc_id = s.doc_id
+ORDER BY s.doc_id"""
+
+  /** ValueMap posting source under AND_MAYBE: BM25(term) + mapped
+    * lang-slot weight (unmapped / null langs take the default — the
+    * engine's corpus shaping coalesces null lang to 'und'). */
+  def valueMapLang(term: String, mapping: Seq[(String, Double)],
+                   default: Double): String = {
+    val cases = mapping.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    prefix(Seq(term)) + scored +
+      s"""
+SELECT s.doc_id,
+       round(s.raw + CASE d.lang $cases ELSE $default END, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.doc_id"""
+  }
+
   def deciderTopk(ts: Seq[String], lang: String, k: Int): String =
     prefix(ts) + scored +
       s"""

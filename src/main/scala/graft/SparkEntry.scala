@@ -93,6 +93,20 @@ object SparkEntry {
     "ft_decider" -> ((s, d) =>
       EntrySupport.topkDf(s, d, Query.Or(Seq(t("data"), t("query"))), 10,
         langFilter = Some("en"))),
+    // ValueWeightPostingSource analog: BM25("data") blended with the
+    // doclen slot (AND_MAYBE keeps the term's matchset, slot adds weight)
+    "ft_valuewt" -> ((s, d) =>
+      EntrySupport.matchDf(s, d,
+        Query.AndMaybe(t("data"),
+          Query.ScaleWeight(Query.ValueWeight("doclen"), 0.01)))
+        .orderBy("doc_id")),
+    // ValueMapPostingSource analog: lang slot mapped to boost weights,
+    // unmapped langs at the default
+    "ft_valuemap" -> ((s, d) =>
+      EntrySupport.matchDf(s, d,
+        Query.AndMaybe(t("data"),
+          Query.ValueMap("lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)))
+        .orderBy("doc_id")),
     "ft_collapse" -> ((s, d) =>
       EntrySupport.collapseDf(s, d, t("data"))),
     "ft_mcount" -> ((s, d) => {
@@ -261,6 +275,9 @@ object SparkEntry {
     "ft_value_range_str" ->
       "SELECT doc_id FROM documents WHERE lang >= 'de' AND lang <= 'es' ORDER BY doc_id",
     "ft_decider" -> EntrySql.deciderTopk(Seq("data", "query"), "en", 10),
+    "ft_valuewt" -> EntrySql.valueWeightDoclen("data", 0.01),
+    "ft_valuemap" -> EntrySql.valueMapLang("data",
+      Seq("en" -> 0.5, "de" -> 0.25), 0.1),
     "ft_collapse" -> EntrySql.collapseByLang(Seq("data")),
     "ft_mcount" -> EntrySql.mcountSql(Seq("data", "stream", "query")),
     "ft_stats" -> EntrySql.statsSql,

@@ -32,6 +32,9 @@ sealed trait Query extends Product with Serializable {
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
     case Query.Wildcard(p)        => s"$p*"
     case Query.External(n)        => s"EXTERNAL $n"
+    case Query.ValueWeight(f)     => s"VALUE_WEIGHT $f"
+    case Query.FixedWeight(w)     => s"FIXED_WEIGHT $w"
+    case Query.ValueMap(f, _, d)  => s"VALUE_MAP $f default=$d"
     case Query.MatchAll           => "<alldocuments>"
     case Query.MatchNothing       => ""
   }
@@ -97,6 +100,22 @@ object Query {
     * resolves `name` against user-supplied (docId, weight) data
     * (MatchOptions.externalSources / Oracle.Options.externalSources). */
   final case class External(name: String) extends Query
+  /** Concrete PostingSource: every doc with a numeric value in slot
+    * `field` matches, weighted by that value (reference:
+    * xapian-core/api/postingsource.cc ValueWeightPostingSource; its
+    * DecreasingValueWeight variant is a docid-order read optimization
+    * with identical semantics, subsumed by the columnar scan). Scale
+    * by wrapping in [[ScaleWeight]]. */
+  final case class ValueWeight(field: String) extends Query
+  /** Concrete PostingSource: all docs at a constant weight
+    * (FixedWeightPostingSource) — the weighted MatchAll used to blend
+    * a floor weight into rankings. */
+  final case class FixedWeight(w: Double) extends Query
+  /** Concrete PostingSource: docs with a string value in slot `field`
+    * match, weighted by `mapping(value)` (or `default` for unmapped
+    * values — ValueMapPostingSource semantics: unmapped still match). */
+  final case class ValueMap(field: String, mapping: Map[String, Double],
+                            default: Double) extends Query
   case object MatchAll extends Query
   case object MatchNothing extends Query
 

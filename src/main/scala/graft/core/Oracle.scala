@@ -221,6 +221,18 @@ object Oracle {
         sortedMap(opts.externalSources.getOrElse(name, Seq.empty)
           .filter { case (d, _) => idx.docs.contains(d) })
 
+      case Query.ValueWeight(f) =>
+        sortedMap(idx.docs.values.toSeq
+          .flatMap(d => d.fields.get(f).map(d.docId -> _)))
+
+      case Query.FixedWeight(w) =>
+        sortedMap(idx.docs.keys.toSeq.map(_ -> w))
+
+      case Query.ValueMap(f, mapping, default) =>
+        sortedMap(idx.docs.values.toSeq
+          .flatMap(d => d.svals.get(f)
+            .map(v => d.docId -> mapping.getOrElse(v, default))))
+
       case Query.MatchNothing => new mutable.LinkedHashMap
     }
   }
@@ -271,6 +283,13 @@ object Oracle {
       case Query.External(name) =>
         opts.externalSources.getOrElse(name, Seq.empty)
           .map(_._2).maxOption.getOrElse(0.0)
+      case Query.ValueWeight(f) =>
+        // slot upper bound — the value_upper_bound per-slot stat the
+        // reference backend keeps (chert_values.cc)
+        idx.docs.values.flatMap(_.fields.get(f)).maxOption.getOrElse(0.0)
+      case Query.FixedWeight(w) => w
+      case Query.ValueMap(_, mapping, default) =>
+        (mapping.values.toSeq :+ default).max
       case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
     }
     b(q)

@@ -42,6 +42,26 @@ trait Index {
     * equals `terms` exactly — lets OP_SYNONYM score without a
     * query-time union-count job. None → ad-hoc (counted) synonym. */
   def synonymGroup(terms: Set[String]): Option[SynGroupRow] = None
+
+  private val valueBoundCache =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Upper bound of a numeric docs column — the per-slot
+    * value_upper_bound stat the reference backend persists (reference:
+    * xapian-core/backends/chert/chert_values.cc), used as the
+    * maxweight of a ValueWeight posting source. One column-pruned agg
+    * per field per handle (the index dir is immutable for the life of
+    * the handle), cached thereafter — never a per-query job. */
+  def valueUpperBound(field: String): Double =
+    valueBoundCache.getOrElseUpdate(field, {
+      if (!docs.schema.exists(_.name == field)) 0.0
+      else {
+        val r = docs.agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col(field)
+            .cast("double"))).collect()(0)
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+    })
 }
 
 /**

@@ -314,6 +314,25 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
               col(df.columns(1)).cast("double").as("score"))
             .join(idx.docs.select($"docId"), "docId")
       }
+
+    // Concrete posting sources (reference: api/postingsource.cc) —
+    // all three compile to a pruned scan of the docs table: score is
+    // plain Column arithmetic, the null-filter pushes to parquet, and
+    // only (docId, slot) columns are read.
+    case Query.ValueWeight(f) =>
+      idx.docs.filter(col(f).isNotNull)
+        .select($"docId", col(f).cast("double").as("score"))
+
+    case Query.FixedWeight(w) =>
+      idx.docs.select($"docId", lit(w).as("score"))
+
+    case Query.ValueMap(f, mapping, default) =>
+      // map lookup as a broadcast map literal (unmapped values still
+      // match, at the default weight — ValueMapPostingSource contract)
+      idx.docs.filter(col(f).isNotNull)
+        .select($"docId",
+          coalesce(element_at(typedLit(mapping), col(f).cast("string")),
+            lit(default)).as("score"))
   }
 
   /** Range predicates with the literal adapted to the column's own
@@ -377,6 +396,10 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           val r = df.agg(max(col(df.columns(1)).cast("double"))).collect()(0)
           if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       }
+    case Query.ValueWeight(f) => idx.valueUpperBound(f)
+    case Query.FixedWeight(w) => w
+    case Query.ValueMap(_, mapping, default) =>
+      (mapping.values.toSeq :+ default).max
     case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
   }
 

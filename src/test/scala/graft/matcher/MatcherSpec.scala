@@ -143,6 +143,54 @@ class MatcherSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  // oracle index with doclen exposed as a numeric value slot (the
+  // engine's docs table always carries doclen as a column)
+  private lazy val oracleIdxV = oracleIdx.copy(docs = oracleIdx.docs.map {
+    case (id, d) => id -> d.copy(fields = Map("doclen" -> oracleIdx.docLen(id).toDouble))
+  })
+
+  test("ValueWeight posting source: weight = slot value, composes with terms") {
+    for (q <- Seq(
+        Query.ValueWeight("doclen"): Query,
+        AndMaybe(t(midTerm), ScaleWeight(Query.ValueWeight("doclen"), 0.01)),
+        or(t(midTerm), ScaleWeight(Query.ValueWeight("doclen"), 0.01)),
+        Filter(Query.ValueWeight("doclen"), t(commonTerm)))) {
+      val want = Oracle.mset(q, oracleIdxV, 10)
+      val got = new DatasetMatcher(reader).mset(q, 10)
+      assertSame(got, want, s"valuewt:${q.describe}")
+    }
+  }
+
+  test("FixedWeight posting source: constant-weight MatchAll") {
+    for (q <- Seq(
+        Query.FixedWeight(0.5): Query,
+        or(t(midTerm), Query.FixedWeight(0.5)),
+        AndMaybe(t(midTerm), Query.FixedWeight(2.0)))) {
+      val want = Oracle.mset(q, oracleIdxV, 10)
+      val got = new DatasetMatcher(reader).mset(q, 10)
+      assertSame(got, want, s"fixedwt:${q.describe}")
+    }
+  }
+
+  test("ValueMap posting source: mapped string slot, default for unmapped") {
+    val vm = Query.ValueMap("lang", Map("java" -> 2.0, "py" -> 1.0), 0.25)
+    for (q <- Seq(vm: Query, AndMaybe(t(midTerm), vm), or(t(midTerm), vm))) {
+      val want = Oracle.mset(q, oracleIdx, 10)
+      val got = new DatasetMatcher(reader).mset(q, 10)
+      assertSame(got, want, s"valuemap:${q.describe}")
+    }
+  }
+
+  test("ELITE_SET selects over posting-source maxweight bounds without evaluating") {
+    // ValueWeight's bound (slot upper bound) and FixedWeight's (w)
+    // must rank against term bounds identically in oracle and Dataset
+    val q = EliteSet(Seq(t(commonTerm), ScaleWeight(Query.ValueWeight("doclen"), 0.01),
+      t(rareTerm), Query.FixedWeight(0.05)), 2)
+    val want = Oracle.mset(q, oracleIdxV, 10)
+    val got = new DatasetMatcher(reader).mset(q, 10)
+    assertSame(got, want, "elite-vw")
+  }
+
   test("BM25 k2 != 0: per-doc sumExtra wired through all three paths") {
     val w = Bm25Weight(k2 = 1.0)
     for (q <- Seq(
