@@ -1,0 +1,212 @@
+package graft.core
+
+/**
+ * Italian Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/italian/stemmer.html).
+ * Plays the role of the reference's generated italian stemmer
+ * (reference: xapian-core/languages/italian.sbl — SURVEY.md §2e).
+ *
+ * Only lowercase input is expected. As with the other non-english
+ * stemmers, the reference mount is empty (SURVEY.md §0), so the
+ * StemmerSpec golden outputs are hand-traced from the published
+ * algorithm and frozen as this engine's spec.
+ */
+object ItalianStemmer {
+
+  // vowels AFTER the prelude: marked I/U are consonants
+  private val vowels = Set('a', 'e', 'i', 'o', 'u', 'à', 'è', 'ì', 'ò', 'ù')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  /** Prelude: acute accents become grave; u after q and i/u between
+    * vowels are marked as consonants (U/I). */
+  private def prelude(input: String): String = {
+    val s = input.map {
+      case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+      case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+    }
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == 'u' && i > 0 && s(i - 1) == 'q') b += 'U'
+      else if ((c == 'i' || c == 'u') && i > 0 && i < s.length - 1 &&
+               isVowel(s(i - 1)) && isVowel(s(i + 1)))
+        b += (if (c == 'i') 'I' else 'U')
+      else b += c
+      i += 1
+    }
+    b.toString
+  }
+
+  private def regionAfterVC(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  /** RV per the Romance-language definition. */
+  private def rvOf(w: String): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (!isVowel(w(1))) {
+      var i = 2
+      while (i < n && !isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (isVowel(w(0)) && isVowel(w(1))) {
+      var i = 2
+      while (i < n && isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else 3
+  }
+
+  private val pronouns = Seq("gliela", "gliele", "glieli", "glielo",
+    "gliene", "sene", "mela", "mele", "meli", "melo", "mene", "tela",
+    "tele", "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+    "cene", "vela", "vele", "veli", "velo", "vene", "gli", "ci", "la",
+    "le", "li", "lo", "mi", "ne", "si", "ti", "vi").sortBy(-_.length)
+
+  // step-1 suffix groups; longest match across ALL groups wins, the
+  // group id selects the deletion rule
+  private val step1Groups: Seq[(String, Int)] = {
+    val g0 = Seq("atrice", "atrici", "abile", "abili", "ibile", "ibili",
+      "mente", "anza", "anze", "iche", "ichi", "ismo", "ismi", "ista",
+      "iste", "isti", "istà", "istè", "istì", "ante", "anti", "ico",
+      "ici", "ica", "ice", "oso", "osi", "osa", "ose")
+    val g1 = Seq("azione", "azioni", "atore", "atori")
+    val g2 = Seq("logia", "logie")
+    val g3 = Seq("uzione", "uzioni", "usione", "usioni")
+    val g4 = Seq("enza", "enze")
+    val g5 = Seq("amento", "amenti", "imento", "imenti")
+    val g6 = Seq("amente")
+    val g7 = Seq("ità")
+    val g8 = Seq("ivo", "ivi", "iva", "ive")
+    (g0.map(_ -> 0) ++ g1.map(_ -> 1) ++ g2.map(_ -> 2) ++ g3.map(_ -> 3) ++
+      g4.map(_ -> 4) ++ g5.map(_ -> 5) ++ g6.map(_ -> 6) ++ g7.map(_ -> 7) ++
+      g8.map(_ -> 8)).sortBy { case (s, _) => -s.length }
+  }
+
+  private val step2 = Seq("erebbero", "irebbero", "assero", "assimo",
+    "eranno", "erebbe", "eremmo", "ereste", "eresti", "essero", "iranno",
+    "irebbe", "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "issimo", "arono", "avamo", "avano", "avate", "eremo", "erete",
+    "erono", "evamo", "evano", "evate", "iremo", "irete", "irono",
+    "ivamo", "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo",
+    "enda", "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo",
+    "immo", "irai", "irei", "isca", "isce", "isci", "isco", "isse",
+    "issi", "ano", "are", "ata", "ate", "ati", "ato", "ava", "avi",
+    "avo", "erà", "ere", "erò", "ete", "eva", "evi", "evo", "irà",
+    "ire", "irò", "ita", "ite", "iti", "ito", "iva", "ivi", "ivo",
+    "ono", "uta", "ute", "uti", "uto").sortBy(-_.length)
+
+  def stem(input: String): String = {
+    if (input.isEmpty) return input
+    if (!input.forall(c => (c >= 'a' && c <= 'z') || vowels(c) ||
+        "áéíóú".contains(c)))
+      return input
+    var w = prelude(input)
+    if (w.length <= 2) return w.toLowerCase
+
+    val rv = rvOf(w)
+    val r1 = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1)
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rv
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // ---- Step 0: attached pronoun after a gerund/infinitive marker,
+    // the marker itself in RV; ando/endo delete the pronoun,
+    // ar/er/ir replace it with e (guardarli → guardare)
+    var done = false
+    for (p <- pronouns if !done) {
+      if (w.endsWith(p)) {
+        done = true
+        val stemPart = w.dropRight(p.length)
+        if (Seq("ando", "endo").exists(m =>
+            stemPart.endsWith(m) && stemPart.length - 4 >= rv))
+          w = stemPart
+        else if (Seq("ar", "er", "ir").exists(m =>
+            stemPart.endsWith(m) && stemPart.length - 2 >= rv))
+          w = stemPart + "e"
+      }
+    }
+
+    // ---- Step 1: standard suffix removal (longest match, one shot)
+    var removed1 = false
+    done = false
+    for ((suf, gi) <- step1Groups if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        val regionOk = gi match {
+          case 5 => inRV(suf.length)
+          case 6 => inR1(suf.length)
+          case _ => inR2(suf.length)
+        }
+        if (regionOk) {
+          removed1 = true
+          w = w.dropRight(suf.length)
+          gi match {
+            case 1 => // azione/atore family: chained ic
+              if (w.endsWith("ic") && inR2(2)) w = w.dropRight(2)
+            case 2 => w = w + "log" // logia → log
+            case 3 => w = w + "u"   // uzione → u
+            case 4 => w = w + "ente" // enza → ente
+            case 6 => // amente: iv (then at), else os/ic/abil
+              if (w.endsWith("iv") && inR2(2)) {
+                w = w.dropRight(2)
+                if (w.endsWith("at") && inR2(2)) w = w.dropRight(2)
+              } else {
+                var d = false
+                for (p <- Seq("abil", "os", "ic") if !d)
+                  if (w.endsWith(p) && inR2(p.length)) {
+                    w = w.dropRight(p.length); d = true
+                  }
+              }
+            case 7 => // ità: abil / ic / iv
+              var d = false
+              for (p <- Seq("abil", "ic", "iv") if !d)
+                if (w.endsWith(p) && inR2(p.length)) {
+                  w = w.dropRight(p.length); d = true
+                }
+            case 8 => // ivo/iva: chained at (then ic)
+              if (w.endsWith("at") && inR2(2)) {
+                w = w.dropRight(2)
+                if (w.endsWith("ic") && inR2(2)) w = w.dropRight(2)
+              }
+            case _ =>
+          }
+        }
+      }
+    }
+
+    // ---- Step 2: verb suffixes (only if step 1 fired nothing);
+    // the search is LIMITED to RV (setlimit tomark pV): the longest
+    // suffix lying entirely within RV wins
+    if (!removed1) {
+      done = false
+      for (suf <- step2 if !done) {
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          done = true
+          w = w.dropRight(suf.length)
+        }
+      }
+    }
+
+    // ---- Step 3a: final vowel (and a preceding i), each in RV
+    done = false
+    for (suf <- Seq("a", "e", "i", "o", "à", "è", "ì", "ò") if !done) {
+      if (w.endsWith(suf) && inRV(1)) {
+        done = true
+        w = w.dropRight(1)
+        if (w.endsWith("i") && inRV(1)) w = w.dropRight(1)
+      }
+    }
+
+    // ---- Step 3b: ch → c, gh → g in RV
+    if ((w.endsWith("ch") || w.endsWith("gh")) && inRV(2))
+      w = w.dropRight(1)
+
+    // postlude: unmark I/U
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+  }
+}

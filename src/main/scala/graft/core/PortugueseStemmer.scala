@@ -1,0 +1,195 @@
+package graft.core
+
+/**
+ * Portuguese Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/portuguese/stemmer.html).
+ * Plays the role of the reference's generated portuguese stemmer
+ * (reference: xapian-core/languages/portuguese.sbl — SURVEY.md §2e).
+ *
+ * Only lowercase input is expected. As with the other non-english
+ * stemmers, the reference mount is empty (SURVEY.md §0), so the
+ * StemmerSpec golden outputs are hand-traced from the published
+ * algorithm and frozen as this engine's spec.
+ *
+ * The prelude maps the nasal vowels ã/õ to the two-char sequences
+ * a~/o~ (as the published algorithm does), so suffixes like "ção"
+ * are matched as "ça~o"; the postlude maps them back.
+ */
+object PortugueseStemmer {
+
+  private val vowels =
+    Set('a', 'e', 'i', 'o', 'u', 'á', 'é', 'í', 'ó', 'ú', 'â', 'ê', 'ô')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private def regionAfterVC(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  /** RV per the Romance-language definition. */
+  private def rvOf(w: String): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (!isVowel(w(1))) {
+      var i = 2
+      while (i < n && !isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (isVowel(w(0)) && isVowel(w(1))) {
+      var i = 2
+      while (i < n && isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else 3
+  }
+
+  // step-1 suffix groups (on the a~/o~ transformed form); longest
+  // match across ALL groups wins, group id selects the rule
+  private val step1Groups: Seq[(String, Int)] = {
+    val g0 = Seq("amentos", "imentos", "amento", "imento", "adoras",
+      "adores", "aço~es", "ismos", "istas", "adora", "aça~o", "antes",
+      "ância", "ezas", "icos", "icas", "ismo", "ável", "ível", "ista",
+      "osos", "osas", "ador", "ante", "eza", "ico", "ica", "oso", "osa")
+    val g1 = Seq("logias", "logia")
+    val g2 = Seq("uço~es", "uça~o")
+    val g3 = Seq("ências", "ência")
+    val g4 = Seq("amente")
+    val g5 = Seq("mente")
+    val g6 = Seq("idades", "idade")
+    val g7 = Seq("ivas", "ivos", "iva", "ivo")
+    val g8 = Seq("iras", "ira")
+    (g0.map(_ -> 0) ++ g1.map(_ -> 1) ++ g2.map(_ -> 2) ++ g3.map(_ -> 3) ++
+      g4.map(_ -> 4) ++ g5.map(_ -> 5) ++ g6.map(_ -> 6) ++ g7.map(_ -> 7) ++
+      g8.map(_ -> 8)).sortBy { case (s, _) => -s.length }
+  }
+
+  private val step2 = Seq(
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+    "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+    "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+    "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+    "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+    "er", "ir", "as", "es", "is", "eu", "iu", "ou").sortBy(-_.length)
+
+  def stem(input: String): String = {
+    if (input.isEmpty) return input
+    if (!input.forall(c => (c >= 'a' && c <= 'z') || vowels(c) ||
+        c == 'ã' || c == 'õ' || c == 'ç' || c == 'à' || c == 'ü' || c == 'ñ'))
+      return input
+    var w = input.flatMap {
+      case 'ã' => "a~"; case 'õ' => "o~"; case c => c.toString
+    }
+    if (w.length <= 2) return postlude(w)
+
+    val rv = rvOf(w)
+    val r1 = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1)
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rv
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // ---- Step 1: standard suffix removal (longest match, one shot)
+    var altered = false
+    var done = false
+    for ((suf, gi) <- step1Groups if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        gi match {
+          case 0 if inR2(suf.length) =>
+            w = w.dropRight(suf.length); altered = true
+          case 1 if inR2(suf.length) =>
+            w = w.dropRight(suf.length) + "log"; altered = true
+          case 2 if inR2(suf.length) =>
+            w = w.dropRight(suf.length) + "u"; altered = true
+          case 3 if inR2(suf.length) =>
+            w = w.dropRight(suf.length) + "ente"; altered = true
+          case 4 if inR1(suf.length) => // amente
+            w = w.dropRight(suf.length); altered = true
+            if (w.endsWith("iv") && inR2(2)) {
+              w = w.dropRight(2)
+              if (w.endsWith("at") && inR2(2)) w = w.dropRight(2)
+            } else {
+              var d = false
+              for (p <- Seq("os", "ic", "ad") if !d)
+                if (w.endsWith(p) && inR2(2)) { w = w.dropRight(2); d = true }
+            }
+          case 5 if inR2(suf.length) => // mente
+            w = w.dropRight(suf.length); altered = true
+            var d = false
+            for (p <- Seq("ante", "avel", "ível") if !d)
+              if (w.endsWith(p) && inR2(p.length)) {
+                w = w.dropRight(p.length); d = true
+              }
+          case 6 if inR2(suf.length) => // idade(s)
+            w = w.dropRight(suf.length); altered = true
+            var d = false
+            for (p <- Seq("abil", "ic", "iv") if !d)
+              if (w.endsWith(p) && inR2(p.length)) {
+                w = w.dropRight(p.length); d = true
+              }
+          case 7 if inR2(suf.length) => // iva/ivo
+            w = w.dropRight(suf.length); altered = true
+            if (w.endsWith("at") && inR2(2)) w = w.dropRight(2)
+          case 8 if inRV(suf.length) && // (e)ira(s) → (e)ir
+              w.length > suf.length &&
+              w(w.length - suf.length - 1) == 'e' =>
+            w = w.dropRight(suf.length) + "ir"; altered = true
+          case _ =>
+        }
+      }
+    }
+
+    // ---- Step 2: verb suffixes (only if step 1 did not fire);
+    // search limited to RV: longest suffix lying entirely in RV wins
+    if (!altered) {
+      done = false
+      for (suf <- step2 if !done) {
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          done = true; altered = true
+          w = w.dropRight(suf.length)
+        }
+      }
+    }
+
+    // ---- Step 3 (if 1 or 2 altered): delete i preceded by c, in RV
+    if (altered) {
+      if (w.endsWith("i") && inRV(1) && w.length > 1 &&
+          w(w.length - 2) == 'c')
+        w = w.dropRight(1)
+    } else {
+      // ---- Step 4 (neither altered): residual suffix
+      done = false
+      for (suf <- Seq("os", "a", "i", "o", "á", "í", "ó") if !done) {
+        if (w.endsWith(suf)) {
+          done = true
+          if (inRV(suf.length)) w = w.dropRight(suf.length)
+        }
+      }
+    }
+
+    // ---- Step 5 (always): final e/é/ê in RV; then gu/ci lose the
+    // u/i when in RV; ç → c
+    if ((w.endsWith("e") || w.endsWith("é") || w.endsWith("ê")) && inRV(1)) {
+      w = w.dropRight(1)
+      if ((w.endsWith("gu") || w.endsWith("ci")) && inRV(1))
+        w = w.dropRight(1)
+    } else if (w.endsWith("ç")) {
+      w = w.dropRight(1) + "c"
+    }
+
+    postlude(w)
+  }
+
+  private def postlude(w: String): String =
+    w.replace("a~", "ã").replace("o~", "õ")
+}

@@ -14,11 +14,13 @@ object Stemmer {
     * "none"); unknown codes fall back to english (the reference's
     * default Xapian::Stem language). */
   def forLang(lang: String): String => String = lang match {
-    case "de" | "german"  => GermanStemmer.stem
-    case "es" | "spanish" => SpanishStemmer.stem
-    case "fr" | "french"  => FrenchStemmer.stem
-    case "none" | ""      => identity
-    case _                => stem
+    case "de" | "german"     => GermanStemmer.stem
+    case "es" | "spanish"    => SpanishStemmer.stem
+    case "fr" | "french"     => FrenchStemmer.stem
+    case "it" | "italian"    => ItalianStemmer.stem
+    case "pt" | "portuguese" => PortugueseStemmer.stem
+    case "none" | ""         => identity
+    case _                   => stem
   }
 
   /** Per-document stemmer under langid-gated stemming: stemLang

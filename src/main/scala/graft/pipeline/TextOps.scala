@@ -95,7 +95,9 @@ object TextOps {
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "this"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
-    "es" -> Set("el", "la", "los", "las", "es", "que", "para", "una", "con", "por"))
+    "es" -> Set("el", "la", "los", "las", "es", "que", "para", "una", "con", "por"),
+    "it" -> Set("il", "gli", "che", "di", "per", "non", "sono", "della", "questo", "anche"),
+    "pt" -> Set("o", "os", "do", "da", "em", "uma", "com", "para", "mais", "como"))
 
   /**
    * Heuristic language ID: script detection first (CJK → zh,

@@ -170,11 +170,64 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Italian golden pairs hand-traced from the published Snowball
+  // italian algorithm (same frozen-spec caveat as german/spanish).
+  private val italianGolden = Seq(
+    // step 2 verb suffixes
+    "abbandonata" -> "abbandon", "abbandonato" -> "abbandon",
+    "parlando" -> "parl", "vivere" -> "viv",
+    // step 1 standard suffixes
+    "caratteristiche" -> "caratterist", "organizzazione" -> "organizz",
+    "felicità" -> "felic", "evidentemente" -> "evident",
+    "distribuzione" -> "distribu",
+    // step 0 attached pronoun (ar + li → are, then verb step)
+    "guardarli" -> "guard",
+    // step 3a residual vowel (+ preceding i)
+    "pronto" -> "pront", "condizione" -> "condizion",
+    "nazionale" -> "nazional",
+    // prelude: u after q is a consonant (region shifts)
+    "qualità" -> "qualit",
+    // step 3b: ch → c in RV
+    "crocchi" -> "crocc")
+
+  test("italian golden pairs") {
+    val failures = italianGolden.flatMap { case (in, want) =>
+      val got = ItalianStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Portuguese golden pairs hand-traced from the published Snowball
+  // portuguese algorithm (same frozen-spec caveat).
+  private val portugueseGolden = Seq(
+    // step 2 verb suffixes
+    "falando" -> "fal", "dizer" -> "diz", "biologia" -> "biolog",
+    "crianças" -> "crianc", // ç → c in step 5
+    // step 1 standard suffixes
+    "admirável" -> "admir", "felicidade" -> "felic",
+    // R2 guards: amento/ição fail R2, residual/verb steps fire instead
+    "pensamento" -> "pensament",
+    // step 4 residual suffix + step 5 final e
+    "bonita" -> "bonit", "quente" -> "quent",
+    // nasal vowel prelude round-trip (ã survives as ã)
+    "amanhã" -> "amanhã")
+
+  test("portuguese golden pairs") {
+    val failures = portugueseGolden.flatMap { case (in, want) =>
+      val got = PortugueseStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")
     assert(Stemmer.forLang("es")("gatos") === "gat")
     assert(Stemmer.forLang("fr")("chevaux") === "cheval")
+    assert(Stemmer.forLang("it")("parlando") === "parl")
+    assert(Stemmer.forLang("pt")("falando") === "fal")
     assert(Stemmer.forLang("none")("running") === "running")
     assert(Stemmer.forDoc("auto", "de")("katzen") === "katz")
     assert(Stemmer.forDoc("auto", "en")("running") === "run")

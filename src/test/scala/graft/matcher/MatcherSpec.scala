@@ -435,7 +435,9 @@ class MatcherSpec extends AnyFunSuite {
       CorpusRow("r", "0003", "c3", "en", "the cats are running quickly"),
       CorpusRow("r", "0004", "c4", "en", "books about cats and houses"),
       CorpusRow("r", "0005", "c5", "fr", "les chevaux mangeaient dans les librairies"),
-      CorpusRow("r", "0006", "c6", "es", "los gatos corriendo en las casas"))
+      CorpusRow("r", "0006", "c6", "es", "los gatos corriendo en las casas"),
+      CorpusRow("r", "0007", "c7", "it", "il gatto parlando della nazionale"),
+      CorpusRow("r", "0008", "c8", "pt", "as criancas falando nas casas"))
     new IndexBuilder(spark, cfg).build {
       import spark.implicits._
       spark.createDataset(mixed)
@@ -451,7 +453,9 @@ class MatcherSpec extends AnyFunSuite {
         t("Z" + Stemmer.stem("running")),             // Zrun → en doc only
         t("Z" + FrenchStemmer.stem("chevaux")),       // Zcheval → fr doc only
         t("Z" + SpanishStemmer.stem("gatos")),        // Zgat → es doc only
-        or(t("Zkatz"), t("Zrun"), t("Zcheval"), t("Zgat")))) {
+        t("Z" + ItalianStemmer.stem("parlando")),     // Zparl → it doc only
+        t("Z" + PortugueseStemmer.stem("falando")),   // Zfal → pt doc only
+        or(t("Zkatz"), t("Zrun"), t("Zcheval"), t("Zgat"), t("Zparl"), t("Zfal")))) {
       val want = Oracle.mset(q, oidx, 10)
       assert(want.nonEmpty, s"${q.describe} matched nothing")
       assertSame(new DatasetMatcher(r2).mset(q, 10), want, s"auto:${q.describe}")
