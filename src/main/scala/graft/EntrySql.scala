@@ -199,6 +199,23 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE d.lang = '$lang'
 ORDER BY round(s.raw, 4) DESC, s.doc_id LIMIT $k"""
 
+  /** Snippet with a full-length budget over the top-k AND page: the
+    * window is the whole token content, so the snippet is the text
+    * trimmed of non-token edges with every query-term occurrence
+    * wrapped in <b></b>. */
+  def snippetTopk(l: String, r: String, k: Int): String =
+    prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
+      s""",
+topk AS (SELECT doc_id FROM agg
+         WHERE rawl IS NOT NULL AND rawr IS NOT NULL
+         ORDER BY round(rawl + rawr, 4) DESC, doc_id LIMIT $k)
+SELECT t.doc_id,
+       regexp_replace(
+         regexp_replace(d.text, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g'),
+         '\\b($l|$r)\\b', '<b>\\1</b>', 'g') AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY t.doc_id"""
+
   def collapseByLang(ts: Seq[String]): String =
     prefix(ts) + scored +
       """,

@@ -109,6 +109,19 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ft_collapse" -> ((s, d) =>
       EntrySupport.collapseDf(s, d, t("data"))),
+    // MSet::snippet analog: top-5 AND page with every query-term
+    // occurrence highlighted (full-budget window ⇒ SQL-reproducible;
+    // sub-budget window selection is covered by SnippetSpec goldens)
+    "ft_snippet" -> ((s, d) => {
+      import graft.core.Snippets
+      val q = Query.And(Seq(t("data"), t("stream")))
+      val m = new graft.matcher.DatasetMatcher(EntrySupport.reader(s, d))
+      val top = EntrySupport.topkDf(s, d, q, 5)
+      val joined = top.join(
+        documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      m.withSnippets(joined, "text", q, Snippets.Config(length = 1 << 20))
+        .select("doc_id", "snippet").orderBy("doc_id")
+    }),
     "ft_mcount" -> ((s, d) => {
       import s.implicits._
       val page = new graft.matcher.DatasetMatcher(EntrySupport.reader(s, d))
@@ -279,6 +292,7 @@ object SparkEntry {
     "ft_valuemap" -> EntrySql.valueMapLang("data",
       Seq("en" -> 0.5, "de" -> 0.25), 0.1),
     "ft_collapse" -> EntrySql.collapseByLang(Seq("data")),
+    "ft_snippet" -> EntrySql.snippetTopk("data", "stream", 5),
     "ft_mcount" -> EntrySql.mcountSql(Seq("data", "stream", "query")),
     "ft_stats" -> EntrySql.statsSql,
     "ft_dict" -> EntrySql.dictSql,

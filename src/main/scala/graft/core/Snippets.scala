@@ -1,0 +1,122 @@
+package graft.core
+
+/**
+ * Snippet generation — the MSet::snippet analog (reference:
+ * xapian-core/api/mset.cc Xapian::MSet::snippet; SURVEY.md §2d). With
+ * the reference mount empty the exact window-selection heuristics
+ * cannot be diffed, so this is a frozen clean spec with the same
+ * surface and intent:
+ *
+ *  - the text is tokenized by the SAME scanner as indexing
+ *    ([[Tokenizer.tokenizeSpans]]), so a term matches the snippet
+ *    exactly when it matched the index;
+ *  - a token is "relevant" if its form — or its stem, when a stemmer
+ *    is supplied — carries a weight in `termWeights` (the caller
+ *    passes the query's termweights, typically from the dict);
+ *  - the selected window is the contiguous token run whose RAW text
+ *    slice fits `length` chars and maximizes (Σ weight of relevant
+ *    tokens, then number of DISTINCT relevant terms); ties prefer
+ *    the earliest window — one O(n) two-pointer sweep;
+ *  - relevant tokens inside the window are wrapped in
+ *    `hlStart`/`hlEnd`; `omit` ("...") marks a clipped start/end;
+ *  - with no relevant token anywhere, the snippet is the leading
+ *    window of the text (what the reference shows for a
+ *    non-matching document summary).
+ */
+object Snippets {
+
+  final case class Config(
+      length: Int = 500,
+      hlStart: String = "<b>",
+      hlEnd: String = "</b>",
+      omit: String = "...",
+      /** Stemmer used to match text tokens against stemmed query
+        * terms (None = surface forms only). */
+      stem: Option[String => String] = None)
+
+  /** Weight of a token under the query: surface form first, then
+    * stemmed form (Z-prefixed terms are how the index stores stems,
+    * so both spellings are accepted in `termWeights`). */
+  private def weightOf(term: String, tw: Map[String, Double],
+                       stem: Option[String => String]): Double =
+    tw.get(term).orElse(stem.flatMap { f =>
+      val s = f(term)
+      tw.get(s).orElse(tw.get("Z" + s))
+    }).getOrElse(0.0)
+
+  def snippet(text: String, termWeights: Map[String, Double],
+              cfg: Config = Config()): String = {
+    if (text.isEmpty) return ""
+    val spans = Tokenizer.tokenizeSpans(text)
+    if (spans.isEmpty)
+      return clip(text, 0, math.min(text.length, cfg.length), cfg, Seq.empty)
+
+    val w = spans.map(s => weightOf(s.term, termWeights, cfg.stem)).toArray
+
+    // two-pointer sweep over token windows whose raw slice fits the
+    // char budget; track (Σweight, distinct relevant terms) maxima
+    var bestS = 0; var bestE = 0 // token index range [s, e)
+    var bestW = -1.0; var bestD = -1
+    var s = 0; var e = 0
+    var sumW = 0.0
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    while (s < spans.length) {
+      // expand e while the raw slice [spans(s).start, spans(e).end)
+      // stays within budget
+      while (e < spans.length &&
+             spans(e).end - spans(s).start <= cfg.length) {
+        sumW += w(e)
+        if (w(e) > 0) counts(spans(e).term) = counts.getOrElse(spans(e).term, 0) + 1
+        e += 1
+      }
+      val dist = counts.size
+      if (e > s && (sumW > bestW || (sumW == bestW && dist > bestD))) {
+        bestW = sumW; bestD = dist; bestS = s; bestE = e
+      }
+      // advance s (only un-count w(s) if it was ever counted, i.e.
+      // the window actually contained token s)
+      if (e > s) {
+        sumW -= w(s)
+        if (w(s) > 0) {
+          val c = counts(spans(s).term) - 1
+          if (c == 0) counts.remove(spans(s).term) else counts(spans(s).term) = c
+        }
+      }
+      s += 1
+      if (e < s) e = s
+    }
+
+    // budget smaller than any single token: raw leading clip
+    if (bestE == 0)
+      return clip(text, 0, math.min(text.length, cfg.length), cfg, Seq.empty)
+
+    val winStart = spans(bestS).start
+    val winEnd = spans(bestE - 1).end
+    // truncation is judged against token CONTENT bounds: clipping off
+    // only leading/trailing non-word chars is not an elision
+    clip(text, winStart, winEnd, cfg,
+      spans.slice(bestS, bestE).filter(sp =>
+        weightOf(sp.term, termWeights, cfg.stem) > 0),
+      contentStart = spans.head.start, contentEnd = spans.last.end)
+  }
+
+  /** Render text[from, to) with highlights and ellipsis markers. */
+  private def clip(text: String, from: Int, to: Int, cfg: Config,
+                   hls: Seq[Tokenizer.Span],
+                   contentStart: Int = 0, contentEnd: Int = -1): String = {
+    val cEnd = if (contentEnd < 0) text.length else contentEnd
+    val sb = new StringBuilder
+    if (from > contentStart) sb ++= cfg.omit
+    var cur = from
+    hls.foreach { sp =>
+      sb ++= text.substring(cur, sp.start)
+      sb ++= cfg.hlStart
+      sb ++= text.substring(sp.start, sp.end)
+      sb ++= cfg.hlEnd
+      cur = sp.end
+    }
+    sb ++= text.substring(cur, to)
+    if (to < cEnd) sb ++= cfg.omit
+    sb.toString
+  }
+}

@@ -25,6 +25,11 @@ object Tokenizer {
 
   final case class Token(term: String, pos: Int)
 
+  /** A token plus its [start, end) character span in the source text
+    * (for snippet highlighting — the reference's MSet::snippet walks
+    * the raw text the same way its TermGenerator does). */
+  final case class Span(term: String, pos: Int, start: Int, end: Int)
+
   private def isWordChar(cp: Int): Boolean = {
     val t = Character.getType(cp)
     t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
@@ -41,8 +46,13 @@ object Tokenizer {
     Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER
 
   /** Tokenize into (term, 1-based position) pairs. */
-  def tokenize(text: String): IndexedSeq[Token] = {
-    val out = new ArrayBuffer[Token]()
+  def tokenize(text: String): IndexedSeq[Token] =
+    tokenizeSpans(text).map(s => Token(s.term, s.pos))
+
+  /** Tokenize keeping the [start, end) character span of each term —
+    * the same scan as [[tokenize]] (that method delegates here). */
+  def tokenizeSpans(text: String): IndexedSeq[Span] = {
+    val out = new ArrayBuffer[Span]()
     val n = text.length
     var i = 0
     var pos = 0
@@ -51,6 +61,7 @@ object Tokenizer {
       val cp = text.codePointAt(i)
       if (isWordChar(cp)) {
         // consume a word
+        val startIdx = i
         sb.setLength(0)
         var lastWasDigit = false
         var continue = true
@@ -88,7 +99,7 @@ object Tokenizer {
         val term = sb.toString
         if (term.getBytes("UTF-8").length <= MaxTermBytes) {
           pos += 1
-          out += Token(term, pos)
+          out += Span(term, pos, startIdx, i)
         }
       } else {
         i += Character.charCount(cp)

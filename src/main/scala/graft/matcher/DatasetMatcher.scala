@@ -335,6 +335,32 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
             lit(default)).as("score"))
   }
 
+  /** The query's termweights (term → weight), for snippet
+    * highlighting — one cached dict lookup, no matching job. */
+  def termWeightsOf(q: Query): Map[String, Double] = {
+    val ts = q.terms
+    if (ts.isEmpty) return Map.empty
+    val dict = idx.lookupTerms(ts.map(_.term))
+    ts.groupBy(_.term).flatMap { case (t, leaves) =>
+      dict.get(t).map(d =>
+        t -> weight.termWeight(leaves.map(_.wqf).sum, d.df, stats))
+    }
+  }
+
+  /** MSet::snippet analog over a (docId, text) frame: adds a
+    * highlighted best-window snippet column for the query's terms
+    * (see [[graft.core.Snippets]] for the frozen window spec). The
+    * termweight map is tiny (query terms only) and ships in the UDF
+    * closure; the UDF itself is per-row text work that no built-in
+    * expresses — the same justification as windowMatch. */
+  def withSnippets(df: DataFrame, textCol: String, q: Query,
+                   cfg: Snippets.Config = Snippets.Config(),
+                   outCol: String = "snippet"): DataFrame = {
+    val tw = termWeightsOf(q)
+    val fn = udf((t: String) => Snippets.snippet(Option(t).getOrElse(""), tw, cfg))
+    df.withColumn(outCol, fn(col(textCol)))
+  }
+
   /** Range predicates with the literal adapted to the column's own
     * type: a Double literal against an integral column would wrap the
     * column in a cast and block parquet min/max pushdown (the slot-

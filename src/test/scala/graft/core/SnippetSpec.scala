@@ -1,0 +1,73 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frozen-spec goldens for Snippets (MSet::snippet analog). */
+class SnippetSpec extends AnyFunSuite {
+  private def snip(text: String, tw: Map[String, Double], len: Int,
+                   stem: Option[String => String] = None): String =
+    Snippets.snippet(text, tw, Snippets.Config(length = len, stem = stem))
+
+  test("whole text fits: every occurrence highlighted, no ellipses") {
+    assert(snip("the data flows as a data stream", Map("data" -> 1.0), 100) ===
+      "the <b>data</b> flows as a <b>data</b> stream")
+  }
+
+  test("window clips both sides with ellipses") {
+    val text = "aaa bbb ccc target ddd eee fff"
+    // budget 14 chars: earliest max-weight window is "bbb ccc target"
+    assert(snip(text, Map("target" -> 1.0), 14) ===
+      "...bbb ccc <b>target</b>...")
+  }
+
+  test("max-weight window wins over earlier lighter window") {
+    val text = "one hit here then hit hit close together at the end"
+    // the two adjacent hits outweigh the single early one
+    val s = snip(text, Map("hit" -> 1.0), 22)
+    assert(s.contains("<b>hit</b> <b>hit</b>"), s)
+  }
+
+  test("tie on weight prefers more distinct terms") {
+    val text = "alpha alpha filler filler filler filler alpha beta zz"
+    val s = snip(text, Map("alpha" -> 1.0, "beta" -> 1.0), 13)
+    assert(s === "...<b>alpha</b> <b>beta</b> zz", s)
+  }
+
+  test("no matching term: leading clip with trailing ellipsis") {
+    assert(snip("plain words only here", Map("zzz" -> 1.0), 11) ===
+      "plain words...")
+  }
+
+  test("stemmed query terms highlight surface forms") {
+    val s = snip("the runner was running fast", Map("Zrun" -> 1.0), 100,
+      stem = Some(Stemmer.stem))
+    assert(s === "the runner was <b>running</b> fast", s)
+  }
+
+  test("trailing punctuation is not an elision") {
+    assert(snip("data at the end.", Map("data" -> 1.0), 100) ===
+      "<b>data</b> at the end")
+  }
+
+  test("weights bias the window to the heavier term") {
+    val text = "light light light filler filler filler filler heavy"
+    val s = snip(text, Map("light" -> 0.1, "heavy" -> 10.0), 12)
+    assert(s.contains("<b>heavy</b>"), s)
+    assert(!s.contains("<b>light</b>"), s)
+  }
+
+  test("empty text and budget smaller than any token") {
+    assert(snip("", Map("x" -> 1.0), 10) === "")
+    assert(snip("unsplittable", Map("x" -> 1.0), 4) === "unsp...")
+  }
+
+  test("stripped snippet is a substring of the source text") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    for (len <- Seq(10, 20, 35, 200)) {
+      val s = snip(text, Map("fox" -> 1.0, "dog" -> 0.5), len)
+      val bare = s.replace("<b>", "").replace("</b>", "").replace("...", "")
+      assert(text.contains(bare), s"len=$len: '$bare' not in text")
+      assert(bare.length <= len, s"len=$len: window exceeds budget")
+    }
+  }
+}
