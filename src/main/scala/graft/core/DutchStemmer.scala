@@ -1,0 +1,146 @@
+package graft.core
+
+/**
+ * Dutch Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/dutch/stemmer.html). Plays
+ * the role of the reference's generated dutch stemmer (reference:
+ * xapian-core/languages/dutch.sbl — SURVEY.md §2e). Reference mount
+ * empty (SURVEY.md §0): the StemmerSpec golden outputs are
+ * hand-traced from the published algorithm and frozen as this
+ * engine's spec.
+ *
+ * Marked consonants: the prelude upper-cases initial y, y after a
+ * vowel, and i between vowels (I/Y are consonants for region and
+ * grouping purposes); the postlude lowercases them again.
+ */
+object DutchStemmer {
+
+  private val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'è')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private def unaccent(c: Char): Char = c match {
+    case 'ä' | 'á' => 'a'
+    case 'ë' | 'é' => 'e'
+    case 'ï' | 'í' => 'i'
+    case 'ö' | 'ó' => 'o'
+    case 'ü' | 'ú' => 'u'
+    case x => x
+  }
+
+  private def alphabet(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || c == 'è' ||
+      "äëïöüáéíóú".indexOf(c.toInt) >= 0
+
+  /** Region start after the first non-vowel following a vowel. */
+  private def regionAfterVC(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  /** kk / dd / tt lose a letter after en/e removal. */
+  private def undouble(w: String): String =
+    if (w.endsWith("kk") || w.endsWith("dd") || w.endsWith("tt"))
+      w.dropRight(1)
+    else w
+
+  /** en-suffix removal shared by step 1 and step 3a: preceded by a
+    * non-vowel and not by the literal gem. */
+  private def validEn(w: String, sufLen: Int): Boolean = {
+    val stem = w.dropRight(sufLen)
+    stem.nonEmpty && !isVowel(stem.last) && !stem.endsWith("gem")
+  }
+
+  def stem(input: String): String = {
+    if (input.length <= 2 || !input.forall(alphabet)) return input
+    var w = input.map(unaccent)
+
+    // prelude: mark consonant y/i
+    val sb = new StringBuilder(w)
+    if (sb(0) == 'y') sb(0) = 'Y'
+    var i = 1
+    while (i < sb.length) {
+      if (sb(i) == 'y' && isVowel(sb(i - 1))) sb(i) = 'Y'
+      else if (sb(i) == 'i' && i + 1 < sb.length &&
+               isVowel(sb(i - 1)) && isVowel(sb(i + 1))) sb(i) = 'I'
+      i += 1
+    }
+    w = sb.toString
+
+    // regions: R2 from the unadjusted R1; R1 then pushed to >= 3
+    val r1raw = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1raw)
+    val r1 = math.max(r1raw, math.min(3, w.length))
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // ---- step 1 (longest of heden / ene / en / se / s)
+    if (w.endsWith("heden")) {
+      if (inR1(5)) w = w.dropRight(5) + "heid"
+    } else if (w.endsWith("ene")) {
+      if (inR1(3) && validEn(w, 3)) w = undouble(w.dropRight(3))
+    } else if (w.endsWith("en")) {
+      if (inR1(2) && validEn(w, 2)) w = undouble(w.dropRight(2))
+    } else if (w.endsWith("se")) {
+      // valid s-ending: a non-vowel other than j
+      val p = if (w.length >= 3) w(w.length - 3) else 'a'
+      if (inR1(2) && !isVowel(p) && p != 'j') w = w.dropRight(2)
+    } else if (w.endsWith("s")) {
+      val p = if (w.length >= 2) w(w.length - 2) else 'a'
+      if (inR1(1) && !isVowel(p) && p != 'j') w = w.dropRight(1)
+    }
+
+    // ---- step 2: final e after a non-vowel
+    var eFound = false
+    if (w.endsWith("e") && inR1(1) &&
+        w.length >= 2 && !isVowel(w(w.length - 2))) {
+      eFound = true
+      w = undouble(w.dropRight(1))
+    }
+
+    // ---- step 3a: heid (not after c), then the en treatment again
+    if (w.endsWith("heid") && inR2(4) &&
+        w.length >= 5 && w(w.length - 5) != 'c') {
+      w = w.dropRight(4)
+      if (w.endsWith("en") && inR1(2) && validEn(w, 2))
+        w = undouble(w.dropRight(2))
+    }
+
+    // ---- step 3b: d-suffixes (longest of end/ing/ig/lijk/baar/bar)
+    if (w.endsWith("end") || w.endsWith("ing")) {
+      if (inR2(3)) {
+        w = w.dropRight(3)
+        if (w.endsWith("ig") && inR2(2) &&
+            (w.length < 3 || w(w.length - 3) != 'e')) w = w.dropRight(2)
+        else w = undouble(w)
+      }
+    } else if (w.endsWith("lijk")) {
+      if (inR2(4)) {
+        w = w.dropRight(4)
+        // repeat step 2
+        if (w.endsWith("e") && w.length - 1 >= r1 &&
+            w.length >= 2 && !isVowel(w(w.length - 2)))
+          w = undouble(w.dropRight(1))
+      }
+    } else if (w.endsWith("baar")) {
+      if (inR2(4)) w = w.dropRight(4)
+    } else if (w.endsWith("ig")) {
+      if (inR2(2) && (w.length < 3 || w(w.length - 3) != 'e'))
+        w = w.dropRight(2)
+    } else if (w.endsWith("bar")) {
+      if (inR2(3) && eFound) w = w.dropRight(3)
+    }
+
+    // ---- step 4: undouble vowel in C VV D (D any non-vowel but I)
+    if (w.length >= 4) {
+      val n = w.length
+      val d = w(n - 1); val v2 = w(n - 2); val v1 = w(n - 3); val c = w(n - 4)
+      if (!isVowel(d) && d != 'I' && !isVowel(c) &&
+          v1 == v2 && (v1 == 'a' || v1 == 'e' || v1 == 'o' || v1 == 'u'))
+        w = w.substring(0, n - 2) + d
+    }
+
+    w.map(ch => if (ch == 'I') 'i' else if (ch == 'Y') 'y' else ch)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.core
+
+/**
+ * Russian Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/russian/stemmer.html). Plays
+ * the role of the reference's generated russian stemmer (reference:
+ * xapian-core/languages/russian.sbl — SURVEY.md §2e). Reference mount
+ * empty (SURVEY.md §0): the StemmerSpec golden outputs are
+ * hand-traced from the published algorithm and frozen as this
+ * engine's spec.
+ *
+ * All endings are removed only when they lie entirely within RV (the
+ * region after the first vowel); group-1 endings additionally require
+ * a preceding а/я, which remains part of the stem.
+ */
+object RussianStemmer {
+
+  private val vowels = Set('а', 'е', 'и', 'о', 'у', 'ы', 'э', 'ю', 'я')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private def alphabet(c: Char): Boolean = (c >= 'а' && c <= 'я') || c == 'ё'
+
+  private def regionAfterVC(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  // ending lists; group-1 entries (needA = true) require а/я before
+  // the suffix. Sorted longest-first within each category.
+  private val perfGerund = (
+    Seq("вшись", "вши", "в").map(_ -> true) ++
+      Seq("ившись", "ывшись", "ивши", "ывши", "ив", "ыв").map(_ -> false))
+    .sortBy { case (s, _) => -s.length }
+
+  private val adjective = Seq(
+    "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+    "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею").sortBy(-_.length)
+
+  private val participle = (
+    Seq("ем", "нн", "вш", "ющ", "щ").map(_ -> true) ++
+      Seq("ивш", "ывш", "ующ").map(_ -> false))
+    .sortBy { case (s, _) => -s.length }
+
+  private val verb = (
+    Seq("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло",
+      "но", "ет", "ют", "ны", "ть", "ешь", "нно").map(_ -> true) ++
+      Seq("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+        "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено",
+        "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь",
+        "ую", "ю").map(_ -> false))
+    .sortBy { case (s, _) => -s.length }
+
+  private val noun = Seq(
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+    "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+    "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+    "ья", "я").sortBy(-_.length)
+
+  private val superlative = Seq("ейше", "ейш")
+
+  def stem(input: String): String = {
+    if (input.isEmpty || !input.forall(alphabet)) return input
+    var w = input.replace('ё', 'е')
+    if (w.length <= 2) return w
+
+    // RV: after the first vowel; R2 via the standard double scan
+    val n0 = w.length
+    var rv = 0
+    while (rv < n0 && !isVowel(w(rv))) rv += 1
+    rv = if (rv < n0) rv + 1 else n0
+    val r1 = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1)
+
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rv
+    // the а/я test character must itself lie within the RV limit
+    // (Snowball's setlimit restricts it); this is load-bearing:
+    // странный keeps its stem-н pair because the а sits before RV
+    def precededAYa(sufLen: Int): Boolean = {
+      val i = w.length - sufLen - 1
+      i >= rv && (w(i) == 'а' || w(i) == 'я')
+    }
+
+    /** Remove the longest fitting ending from a (suffix, needA) list;
+      * true if one was removed. */
+    def drop(list: Seq[(String, Boolean)]): Boolean =
+      list.find { case (s, needA) =>
+        w.endsWith(s) && inRV(s.length) && (!needA || precededAYa(s.length))
+      } match {
+        case Some((s, _)) => w = w.dropRight(s.length); true
+        case None => false
+      }
+    def dropPlain(list: Seq[String]): Boolean =
+      list.find(s => w.endsWith(s) && inRV(s.length)) match {
+        case Some(s) => w = w.dropRight(s.length); true
+        case None => false
+      }
+
+    // ---- step 1
+    if (!drop(perfGerund)) {
+      if (w.endsWith("ся") && inRV(2)) w = w.dropRight(2)
+      else if (w.endsWith("сь") && inRV(2)) w = w.dropRight(2)
+      // adjectival = adjective, optionally preceded by a participle
+      if (dropPlain(adjective)) drop(participle)
+      else if (!drop(verb)) dropPlain(noun)
+    }
+
+    // ---- step 2: trailing и
+    if (w.endsWith("и") && inRV(1)) w = w.dropRight(1)
+
+    // ---- step 3: derivational ость/ост entirely in R2
+    if (w.endsWith("ость") && w.length - 4 >= r2) w = w.dropRight(4)
+    else if (w.endsWith("ост") && w.length - 3 >= r2) w = w.dropRight(3)
+
+    // ---- step 4: нн → н; or superlative then нн → н; or final ь.
+    // Both н of the pair must lie within RV (same setlimit rule).
+    def unNN(): Unit =
+      if (w.endsWith("нн") && w.length - 2 >= rv) w = w.dropRight(1)
+    if (w.endsWith("нн") && w.length - 2 >= rv) unNN()
+    else if (superlative.exists(s => w.endsWith(s) && inRV(s.length))) {
+      w = w.dropRight(if (w.endsWith("ейше")) 4 else 3)
+      unNN()
+    } else if (w.endsWith("ь") && inRV(1)) w = w.dropRight(1)
+
+    w
+  }
+}

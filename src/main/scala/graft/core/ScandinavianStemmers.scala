@@ -1,0 +1,195 @@
+package graft.core
+
+/**
+ * Swedish, Norwegian and Danish Snowball stemmers, implemented in
+ * Scala from the published algorithms
+ * (snowballstem.org/algorithms/{swedish,norwegian,danish}/stemmer.html).
+ * They play the role of the reference's generated stemmers
+ * (reference: xapian-core/languages/{swedish,norwegian,danish}.sbl —
+ * SURVEY.md §2e). As with the other non-english stemmers, the
+ * reference mount is empty (SURVEY.md §0), so the StemmerSpec golden
+ * outputs are hand-traced from the published algorithms and frozen as
+ * this engine's spec.
+ *
+ * Shared structure: a single R1 region whose start is pushed to at
+ * least position 3, and suffix lists matched Snowball-`setlimit`
+ * style — the matched suffix must lie entirely within R1, and the
+ * longest suffix that BOTH matches textually and fits in R1 wins
+ * (unlike the Romance steps, shorter suffixes are fallback
+ * candidates when a longer textual match does not fit the region).
+ * Side conditions (the valid s-ending test) inspect characters
+ * outside R1, as the reference's `among` actions run without the
+ * limit.
+ */
+private[core] abstract class NordicStemmer {
+  protected def vowels: Set[Char]
+  protected def alphabet(c: Char): Boolean
+
+  protected final def isVowel(c: Char): Boolean = vowels(c)
+
+  /** R1 start: after the first non-vowel following a vowel, but never
+    * before position 3. */
+  protected final def r1of(w: String): Int = {
+    var i = 0
+    while (i < w.length && !isVowel(w(i))) i += 1
+    while (i < w.length && isVowel(w(i))) i += 1
+    val r1 = if (i < w.length) i + 1 else w.length
+    math.max(r1, math.min(3, w.length))
+  }
+
+  /** Longest suffix from `sufs` (pre-sorted desc by length) that
+    * matches `w` and lies entirely within R1. */
+  protected final def longestInR1(w: String, r1: Int,
+                                  sufs: Seq[String]): Option[String] =
+    sufs.find(s => w.endsWith(s) && w.length - s.length >= r1)
+}
+
+/** Swedish Snowball stemmer (frozen-spec; see [[NordicStemmer]]). */
+object SwedishStemmer extends NordicStemmer {
+  protected val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'ä', 'å', 'ö')
+  protected def alphabet(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || c == 'ä' || c == 'å' || c == 'ö'
+
+  private val step1 = (Seq(
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast").map(_ -> false) :+ ("s" -> true)).sortBy { case (s, _) => -s.length }
+
+  private val sEnding = Set('b', 'c', 'd', 'f', 'g', 'h', 'j', 'k',
+    'l', 'm', 'n', 'o', 'p', 'r', 't', 'v', 'y')
+
+  private val step2 = Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+  private val step3 = Seq("lig", "ig", "els", "löst", "fullt")
+    .sortBy(-_.length)
+
+  def stem(input: String): String = {
+    if (input.length <= 2 || !input.forall(alphabet)) return input
+    var w = input
+    var r1 = r1of(w)
+
+    // step 1: delete the longest fitting suffix; bare s only after a
+    // valid s-ending
+    step1.find { case (s, isS) =>
+      w.endsWith(s) && w.length - s.length >= r1 &&
+        (!isS || (w.length >= 2 && sEnding(w(w.length - 2))))
+    }.foreach { case (s, _) => w = w.dropRight(s.length) }
+
+    // step 2: shorten a final double/hard consonant pair
+    if (step2.exists(s => w.endsWith(s) && w.length - 2 >= r1))
+      w = w.dropRight(1)
+
+    // step 3: residual derivational suffixes
+    longestInR1(w, r1, step3).foreach {
+      case "löst"  => w = w.dropRight(1)
+      case "fullt" => w = w.dropRight(1)
+      case s        => w = w.dropRight(s.length)
+    }
+    w
+  }
+}
+
+/** Norwegian Snowball stemmer (frozen-spec; see [[NordicStemmer]]). */
+object NorwegianStemmer extends NordicStemmer {
+  protected val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'æ', 'å', 'ø')
+  protected def alphabet(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || c == 'æ' || c == 'å' || c == 'ø'
+
+  // action: 0 = delete, 1 = s-ending-gated delete, 2 = replace by "er"
+  private val step1 = (Seq(
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het",
+    "ast").map(_ -> 0) ++ Seq("s" -> 1, "erte" -> 2, "ert" -> 2))
+    .sortBy { case (s, _) => -s.length }
+
+  private val sEnding = Set('b', 'c', 'd', 'f', 'g', 'h', 'j', 'l',
+    'm', 'n', 'o', 'p', 'r', 't', 'v', 'y', 'z')
+
+  /** s after one of the plain endings, or after a k itself not
+    * preceded by a vowel. */
+  private def validS(w: String): Boolean =
+    w.length >= 2 && {
+      val c = w(w.length - 2)
+      sEnding(c) ||
+        (c == 'k' && (w.length < 3 || !isVowel(w(w.length - 3))))
+    }
+
+  private val step3 = Seq("leg", "eleg", "ig", "eig", "lig", "elig",
+    "els", "lov", "elov", "slov", "hetslov").sortBy(-_.length)
+
+  def stem(input: String): String = {
+    if (input.length <= 2 || !input.forall(alphabet)) return input
+    var w = input
+    var r1 = r1of(w)
+
+    step1.find { case (s, act) =>
+      w.endsWith(s) && w.length - s.length >= r1 && (act != 1 || validS(w))
+    }.foreach { case (s, act) =>
+      w = if (act == 2) w.dropRight(s.length) + "er" else w.dropRight(s.length)
+    }
+
+    // step 2: dt / vt lose the t
+    if ((w.endsWith("dt") || w.endsWith("vt")) && w.length - 2 >= r1)
+      w = w.dropRight(1)
+
+    longestInR1(w, r1, step3).foreach(s => w = w.dropRight(s.length))
+    w
+  }
+}
+
+/** Danish Snowball stemmer (frozen-spec; see [[NordicStemmer]]). */
+object DanishStemmer extends NordicStemmer {
+  protected val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'æ', 'å', 'ø')
+  protected def alphabet(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || c == 'æ' || c == 'å' || c == 'ø'
+
+  private val step1 = (Seq(
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et",
+    "eret").map(_ -> false) :+ ("s" -> true))
+    .sortBy { case (s, _) => -s.length }
+
+  private val sEnding = Set('a', 'b', 'c', 'd', 'f', 'g', 'h', 'j',
+    'k', 'l', 'm', 'n', 'o', 'p', 'r', 't', 'v', 'y', 'z', 'å')
+
+  private val pairs = Seq("gd", "dt", "gt", "kt")
+
+  /** Step 2 / the consonant-pair check rerun by step 3. */
+  private def dropPair(w: String, r1: Int): String =
+    if (pairs.exists(s => w.endsWith(s) && w.length - 2 >= r1))
+      w.dropRight(1)
+    else w
+
+  private val step3 = Seq("ig", "lig", "elig", "els").sortBy(-_.length)
+
+  def stem(input: String): String = {
+    if (input.length <= 2 || !input.forall(alphabet)) return input
+    var w = input
+    var r1 = r1of(w)
+
+    step1.find { case (s, isS) =>
+      w.endsWith(s) && w.length - s.length >= r1 &&
+        (!isS || (w.length >= 2 && sEnding(w(w.length - 2))))
+    }.foreach { case (s, _) => w = w.dropRight(s.length) }
+
+    w = dropPair(w, r1)
+
+    // step 3: igst loses st unconditionally, then suffix + pair rerun
+    if (w.endsWith("igst")) w = w.dropRight(2)
+    if (w.endsWith("løst") && w.length - 4 >= r1) w = w.dropRight(1)
+    else longestInR1(w, r1, step3).foreach { s =>
+      w = dropPair(w.dropRight(s.length), r1)
+    }
+
+    // step 4 undouble: final consonant in R1 preceded by its twin
+    if (w.length >= 2 && w.length - 1 >= r1 &&
+        !isVowel(w.last) && w(w.length - 2) == w.last)
+      w = w.dropRight(1)
+    w
+  }
+}

@@ -19,6 +19,11 @@ object Stemmer {
     case "fr" | "french"     => FrenchStemmer.stem
     case "it" | "italian"    => ItalianStemmer.stem
     case "pt" | "portuguese" => PortugueseStemmer.stem
+    case "sv" | "swedish"    => SwedishStemmer.stem
+    case "no" | "nb" | "norwegian" => NorwegianStemmer.stem
+    case "da" | "danish"     => DanishStemmer.stem
+    case "nl" | "dutch"      => DutchStemmer.stem
+    case "ru" | "russian"    => RussianStemmer.stem
     case "none" | ""         => identity
     case _                   => stem
   }

@@ -221,6 +221,141 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Swedish golden pairs hand-traced from the published Snowball
+  // swedish algorithm (same frozen-spec caveat).
+  private val swedishGolden = Seq(
+    // step 1 (a) suffixes
+    "jackor" -> "jack", "optimisten" -> "optimist",
+    "svenskarna" -> "svensk", "flickorna" -> "flick",
+    "bilens" -> "bil", "klokast" -> "klok", "dagens" -> "dag",
+    "följande" -> "följ", "klokheten" -> "klok", "sökande" -> "sök",
+    "myndigheterna" -> "mynd", // heterna, then step-3 ig
+    "möjligheternas" -> "möjlighet", // ernas; het survives step 3
+    // step 1 (b): s after a valid s-ending
+    "husets" -> "huset", "svenskars" -> "svenskar",
+    // R1 min-3 fallback to a shorter fitting suffix
+    "hände" -> "händ",
+    // step 2 consonant pair
+    "byggt" -> "bygg", "möjligt" -> "möj", // gt, then lig
+    // step 3
+    "betydelse" -> "betyd", "verksamhet" -> "verksam",
+    "frihetslöst" -> "frihetslös",
+    // region guards
+    "fullt" -> "fullt")
+
+  test("swedish golden pairs") {
+    val failures = swedishGolden.flatMap { case (in, want) =>
+      val got = SwedishStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Norwegian golden pairs hand-traced from the published Snowball
+  // norwegian algorithm (same frozen-spec caveat).
+  private val norwegianGolden = Seq(
+    // step 1 (a)
+    "bilene" -> "bil", "huset" -> "hus", "hustruene" -> "hustru",
+    "mulighetene" -> "mul", // hetene, then step-3 ig (lig misses R1)
+    "sikkerhetens" -> "sikker", "forskningens" -> "forskning",
+    "lærerens" -> "lærer", "kastet" -> "kast", "åpnet" -> "åpn",
+    // erte/ert → er
+    "servert" -> "server",
+    // fallback when the longest textual match misses R1
+    "smerte" -> "smert",
+    // s-ending rules incl. the k-not-after-vowel case
+    "hans" -> "han", "folks" -> "folk", "maks" -> "maks",
+    // step 3
+    "naturlig" -> "natur",
+    // untouched
+    "vakrest" -> "vakrest", "billigst" -> "billigst")
+
+  test("norwegian golden pairs") {
+    val failures = norwegianGolden.flatMap { case (in, want) =>
+      val got = NorwegianStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Danish golden pairs hand-traced from the published Snowball
+  // danish algorithm (same frozen-spec caveat).
+  private val danishGolden = Seq(
+    // step 1
+    "indtagelse" -> "indtag", // e, then step-3 els
+    "undersøgelse" -> "undersøg", "bilens" -> "bil",
+    "barnets" -> "barn", "huset" -> "hus", "vores" -> "vor",
+    // step 2 consonant pair + step 3 rerun of it
+    "mærkeligt" -> "mærk", // gt, then elig
+    // igst → ig, then ig (pair gt misses R1 afterwards)
+    "vigtigst" -> "vigt",
+    // step 4 undouble
+    "bestemmelse" -> "bestem", "kattens" -> "kat",
+    // s-ending guard: e is not a valid s-ending, fallback to es
+    "hus" -> "hus")
+
+  test("danish golden pairs") {
+    val failures = danishGolden.flatMap { case (in, want) =>
+      val got = DanishStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Dutch golden pairs hand-traced from the published Snowball dutch
+  // algorithm (same frozen-spec caveat).
+  private val dutchGolden = Seq(
+    // step 1 en/ene (undouble only covers kk/dd/tt), gem guard
+    "opheffen" -> "opheff", "bitten" -> "bit",
+    "gemeenten" -> "gemeent", "gemen" -> "gemen", "haren" -> "har",
+    // marked consonants: i between vowels, y after a vowel
+    "koeien" -> "koei", "royaal" -> "royal",
+    // step 2 + 3b lijk repeating step 2
+    "lichamelijk" -> "licham", "lelijke" -> "lelijk",
+    // heden → heid, then step 3a strips heid + en
+    "gelegenheden" -> "geleg", "kleinigheid" -> "kleinig",
+    // step 3b ing / ig / baar
+    "vergaderingen" -> "vergader", "aanwezig" -> "aanwez",
+    "handig" -> "handig", "onaanvaardbaar" -> "onaanvaard",
+    // step 4 undouble vowel
+    "maan" -> "man", "brood" -> "brod")
+
+  test("dutch golden pairs") {
+    val failures = dutchGolden.flatMap { case (in, want) =>
+      val got = DutchStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Russian golden pairs hand-traced from the published Snowball
+  // russian algorithm (same frozen-spec caveat).
+  private val russianGolden = Seq(
+    // nouns
+    "книгами" -> "книг", "книги" -> "книг", "жизнью" -> "жизн",
+    "люди" -> "люд", "технологии" -> "технолог",
+    // adjectives / adjectival with participle
+    "красивый" -> "красив", "большие" -> "больш",
+    "делавший" -> "дела",
+    // the RV limit keeps the stem-н of странный out of the
+    // participle rule; step 4 undoubles instead
+    "странный" -> "стран",
+    // verbs / gerunds / reflexive
+    "читала" -> "чита", "читая" -> "чит", "прочитав" -> "прочита",
+    "остановился" -> "останов", "сказано" -> "сказа",
+    // derivational ость in R2 (and not when R2 is short)
+    "возможность" -> "возможн", "важность" -> "важност",
+    // superlative + ё → е
+    "добрейший" -> "добр", "ёлка" -> "елк")
+
+  test("russian golden pairs") {
+    val failures = russianGolden.flatMap { case (in, want) =>
+      val got = RussianStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")

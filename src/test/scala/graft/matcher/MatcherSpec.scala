@@ -437,7 +437,12 @@ class MatcherSpec extends AnyFunSuite {
       CorpusRow("r", "0005", "c5", "fr", "les chevaux mangeaient dans les librairies"),
       CorpusRow("r", "0006", "c6", "es", "los gatos corriendo en las casas"),
       CorpusRow("r", "0007", "c7", "it", "il gatto parlando della nazionale"),
-      CorpusRow("r", "0008", "c8", "pt", "as criancas falando nas casas"))
+      CorpusRow("r", "0008", "c8", "pt", "as criancas falando nas casas"),
+      CorpusRow("r", "0009", "c9", "sv", "flickorna i myndigheterna är följande"),
+      CorpusRow("r", "0010", "ca", "no", "bilene til lærerens forskningens hus"),
+      CorpusRow("r", "0011", "cb", "da", "undersøgelse af barnets bestemmelse"),
+      CorpusRow("r", "0012", "cc", "nl", "de koeien in de vergaderingen zijn aanwezig"),
+      CorpusRow("r", "0013", "cd", "ru", "книги и технологии большие"))
     new IndexBuilder(spark, cfg).build {
       import spark.implicits._
       spark.createDataset(mixed)
@@ -455,7 +460,13 @@ class MatcherSpec extends AnyFunSuite {
         t("Z" + SpanishStemmer.stem("gatos")),        // Zgat → es doc only
         t("Z" + ItalianStemmer.stem("parlando")),     // Zparl → it doc only
         t("Z" + PortugueseStemmer.stem("falando")),   // Zfal → pt doc only
-        or(t("Zkatz"), t("Zrun"), t("Zcheval"), t("Zgat"), t("Zparl"), t("Zfal")))) {
+        t("Z" + SwedishStemmer.stem("flickorna")),    // Zflick → sv doc only
+        t("Z" + NorwegianStemmer.stem("bilene")),     // Zbil → no doc only
+        t("Z" + DanishStemmer.stem("undersøgelse")),  // Zundersøg → da doc only
+        t("Z" + DutchStemmer.stem("koeien")),         // Zkoei → nl doc only
+        t("Z" + RussianStemmer.stem("книги")),        // Zкниг → ru doc only
+        or(t("Zkatz"), t("Zrun"), t("Zcheval"), t("Zgat"), t("Zparl"), t("Zfal"),
+          t("Zflick"), t("Zbil"), t("Zundersøg"), t("Zkoei"), t("Zкниг")))) {
       val want = Oracle.mset(q, oidx, 10)
       assert(want.nonEmpty, s"${q.describe} matched nothing")
       assertSame(new DatasetMatcher(r2).mset(q, 10), want, s"auto:${q.describe}")
