@@ -31,6 +31,7 @@ sealed trait Query extends Product with Serializable {
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
     case Query.Wildcard(p)        => s"$p*"
+    case Query.SynonymOf(t, wqf)  => if (wqf == 1) s"~$t" else s"~$t#$wqf"
     case Query.External(n)        => s"EXTERNAL $n"
     case Query.ValueWeight(f)     => s"VALUE_WEIGHT $f"
     case Query.FixedWeight(w)     => s"FIXED_WEIGHT $w"
@@ -95,6 +96,13 @@ object Query {
     * into an OR of matching terms before evaluation
     * (graft.queryparser.QueryParser.expandWildcard). */
   final case class Wildcard(prefix: String) extends Query
+  /** Parse-time synonym marker (`~term`, the FLAG_SYNONYM /
+    * FLAG_AUTO_SYNONYMS analog — reference: xapian-core/queryparser/
+    * queryparser_internal.cc): expanded against the index's
+    * registered synonym groups into OP_SYNONYM(term, members...)
+    * before evaluation ([[Query.expandSynonyms]]); a term with no
+    * registered synonyms degrades to the plain term leaf. */
+  final case class SynonymOf(term: String, wqf: Int = 1) extends Query
   /** External weighted docid stream — the Xapian::PostingSource UDx
     * (reference: xapian-core/api/postingsource.cc): the matcher
     * resolves `name` against user-supplied (docId, weight) data
@@ -246,6 +254,7 @@ object Query {
     }
     def walk(q: Query): Query = q match {
       case Wildcard(p)    => expandLeaf(p)
+      case SynonymOf(t, wqf) => SynonymOf(t, wqf) // expanded separately
       case And(cs)        => And(cs.map(walk))
       case Or(cs)         => Or(cs.map(walk))
       case AndNot(l, r)   => AndNot(walk(l), walk(r))
@@ -258,6 +267,43 @@ object Query {
       case EliteSet(cs, n)   => EliteSet(cs.map(walk), n)
       case Synonym(cs)       => Synonym(cs.map(walk))
       case other => other
+    }
+    simplify(walk(q))
+  }
+
+  /**
+   * Expand [[Query.SynonymOf]] markers against the index's registered
+   * synonym groups (the FLAG_SYNONYM / FLAG_AUTO_SYNONYMS behavior —
+   * reference: queryparser_internal.cc): `~t` becomes
+   * OP_SYNONYM(t, members...) when `lookup(t)` is non-empty, else the
+   * plain term. Under NEAR/PHRASE (where only term leaves are legal)
+   * the marker degrades to its plain term — positional synonym
+   * matching is not part of the reference surface either.
+   */
+  def expandSynonyms(q: Query, lookup: String => Seq[String]): Query = {
+    def leaf(t: String, wqf: Int): Query = {
+      val members = lookup(t)
+      if (members.isEmpty) Term(t, wqf)
+      else Synonym((t +: members).distinct.map(Term(_, wqf)))
+    }
+    def walk(q: Query): Query = q match {
+      case SynonymOf(t, wqf) => leaf(t, wqf)
+      case And(cs)        => And(cs.map(walk))
+      case Or(cs)         => Or(cs.map(walk))
+      case AndNot(l, r)   => AndNot(walk(l), walk(r))
+      case Xor(l, r)      => Xor(walk(l), walk(r))
+      case AndMaybe(l, r) => AndMaybe(walk(l), walk(r))
+      case Filter(l, r)   => Filter(walk(l), walk(r))
+      case Near(cs, w)    => Near(cs.map(dePositional), w)
+      case Phrase(cs, w)  => Phrase(cs.map(dePositional), w)
+      case ScaleWeight(s, f) => ScaleWeight(walk(s), f)
+      case EliteSet(cs, n)   => EliteSet(cs.map(walk), n)
+      case Synonym(cs)       => Synonym(cs.map(walk))
+      case other => other
+    }
+    def dePositional(q: Query): Query = q match {
+      case SynonymOf(t, wqf) => Term(t, wqf)
+      case other             => other
     }
     simplify(walk(q))
   }

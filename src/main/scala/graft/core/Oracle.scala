@@ -30,7 +30,10 @@ object Oracle {
       collapseKey: Option[Doc => String] = None,
       percentCutoff: Int = 0,
       weightCutoff: Double = 0.0,
-      wildcardMaxExpansion: Int = 100000)
+      wildcardMaxExpansion: Int = 100000,
+      /** Registered synonym groups (key term → members) for
+        * [[Query.SynonymOf]] expansion. */
+      synonyms: Map[String, Seq[String]] = Map.empty)
 
   final case class Index(
       postings: Map[String, Vector[(Long, Int, Array[Int])]], // term -> (docId, wdf, positions) sorted by docId
@@ -217,6 +220,10 @@ object Oracle {
           p => idx.postings.keys.filter(_.startsWith(p)).toSeq,
           opts.wildcardMaxExpansion), idx, opts)
 
+      case s: Query.SynonymOf =>
+        evaluate(Query.expandSynonyms(s,
+          t => opts.synonyms.getOrElse(t, Seq.empty)), idx, opts)
+
       case Query.External(name) =>
         sortedMap(opts.externalSources.getOrElse(name, Seq.empty)
           .filter { case (d, _) => idx.docs.contains(d) })
@@ -356,7 +363,9 @@ object Oracle {
     // expand wildcards up front (matches the Spark matcher's
     // matches() pre-pass — a wildcard nested under NEAR/PHRASE must
     // become positional variants before positional evaluation)
-    val simplified = Query.expandWildcards(Query.simplify(q),
+    val simplified = Query.expandWildcards(
+      Query.expandSynonyms(Query.simplify(q),
+        t => opts.synonyms.getOrElse(t, Seq.empty)),
       p => idx.postings.keys.filter(_.startsWith(p)).toSeq,
       opts.wildcardMaxExpansion)
     var m = evaluate(simplified, idx, opts)

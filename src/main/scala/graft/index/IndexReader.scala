@@ -42,6 +42,11 @@ trait Index {
     * equals `terms` exactly — lets OP_SYNONYM score without a
     * query-time union-count job. None → ad-hoc (counted) synonym. */
   def synonymGroup(terms: Set[String]): Option[SynGroupRow] = None
+  /** Members of the synonym group registered under `key` (the chert
+    * synonym-table lookup keyed by term — reference:
+    * backends/chert/chert_synonym.cc), for parse-time `~term`
+    * expansion. Empty → no registered synonyms. */
+  def synonymsOf(key: String): Seq[String] = Seq.empty
 
   private val valueBoundCache =
     scala.collection.concurrent.TrieMap.empty[String, Double]
@@ -101,7 +106,7 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
     * Tiny table (one row per registered group), loaded once per
     * handle; existence checked through the Hadoop FS API so HDFS/S3
     * index dirs work. */
-  private lazy val synGroups: Seq[(Set[String], SynGroupRow)] = {
+  private lazy val synGroups: Seq[(String, Set[String], SynGroupRow)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/syngroups")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -113,13 +118,16 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
         .collect().map(g => g.group -> g).toMap
       // groups registered but matching no docs have no stats row: df=0
       members.toSeq.map { case (g, ts) =>
-        ts -> stats.getOrElse(g, SynGroupRow(g, 0L, 0L, 0))
+        (g, ts, stats.getOrElse(g, SynGroupRow(g, 0L, 0L, 0)))
       }
     }
   }
 
   override def synonymGroup(terms: Set[String]): Option[SynGroupRow] =
-    synGroups.find(_._1 == terms).map(_._2)
+    synGroups.find(_._2 == terms).map(_._3)
+
+  override def synonymsOf(key: String): Seq[String] =
+    synGroups.find(_._1 == key).map(_._2.toSeq.sorted).getOrElse(Seq.empty)
 
   /** Driver-side dict cache (term → row, with negative entries): the
     * index dir is immutable for the life of the handle, so repeated

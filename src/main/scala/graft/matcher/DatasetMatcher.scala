@@ -106,10 +106,13 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   private def compiled(q: Query): (Query, Map[String, DictRow], DataFrame) = {
     val cap = opts.wildcardMaxExpansion
     val fetch = if (cap >= Int.MaxValue - 1) Int.MaxValue else cap + 1
-    val expanded =
-      if (hasWildcard(q))
-        Query.expandWildcards(q, p => idx.termsWithPrefix(p, fetch), cap)
+    val withSyn =
+      if (hasSynonymOf(q)) Query.expandSynonyms(q, idx.synonymsOf)
       else q
+    val expanded =
+      if (hasWildcard(withSyn))
+        Query.expandWildcards(withSyn, p => idx.termsWithPrefix(p, fetch), cap)
+      else withSyn
     val simplified = Query.simplify(expanded)
     val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
     (simplified, dict, compile(simplified, dict))
@@ -117,6 +120,22 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
 
   /** Compile a query to (docId, score). */
   def matches(q: Query): DataFrame = compiled(q)._3
+
+  private def hasSynonymOf(q: Query): Boolean = q match {
+    case _: Query.SynonymOf  => true
+    case Query.And(cs)       => cs.exists(hasSynonymOf)
+    case Query.Or(cs)        => cs.exists(hasSynonymOf)
+    case Query.AndNot(l, r)  => hasSynonymOf(l) || hasSynonymOf(r)
+    case Query.Xor(l, r)     => hasSynonymOf(l) || hasSynonymOf(r)
+    case Query.AndMaybe(l, r)=> hasSynonymOf(l) || hasSynonymOf(r)
+    case Query.Filter(l, r)  => hasSynonymOf(l) || hasSynonymOf(r)
+    case Query.Near(cs, _)   => cs.exists(hasSynonymOf)
+    case Query.Phrase(cs, _) => cs.exists(hasSynonymOf)
+    case Query.ScaleWeight(s, _) => hasSynonymOf(s)
+    case Query.EliteSet(cs, _)   => cs.exists(hasSynonymOf)
+    case Query.Synonym(cs)   => cs.exists(hasSynonymOf)
+    case _ => false
+  }
 
   private def hasWildcard(q: Query): Boolean = q match {
     case _: Query.Wildcard   => true

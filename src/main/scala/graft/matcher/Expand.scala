@@ -70,6 +70,18 @@ object Expand {
  * pushed length filter.
  */
 object SpellSuggest {
+  /** The QueryParser FLAG_SPELLING_CORRECTION surface: the query
+    * string with unknown plain words replaced by their best
+    * dictionary suggestion, or None when every word is known (or has
+    * no suggestion within `maxDist`). One dict lookup gates each
+    * word; only unknown words pay a suggestion scan. */
+  def correctQueryString(idx: Index, raw: String,
+                         maxDist: Int = 2): Option[String] =
+    graft.queryparser.QueryParser.corrected(raw, w =>
+      if (idx.lookupTerms(Seq(w)).nonEmpty) None
+      else suggest(idx, w, maxDist, 1).collect().headOption
+        .map(_.getString(0)))
+
   def suggest(idx: Index, word: String, maxDist: Int = 2, k: Int = 1): DataFrame = {
     val spark = idx.spark
     import spark.implicits._

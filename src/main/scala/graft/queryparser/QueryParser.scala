@@ -64,7 +64,13 @@ object QueryParser {
         * ISO `yyyy-mm-dd` or `dd/mm/yyyy` normalize to ISO strings,
         * whose lexicographic order is chronological, and become a
         * VALUE_RANGE_S on the mapped docs column. */
-      dateRangeFields: Map[String, String] = Map.empty)
+      dateRangeFields: Map[String, String] = Map.empty,
+      /** FLAG_AUTO_SYNONYMS analog: every probabilistic term leaf
+        * becomes a [[graft.core.Query.SynonymOf]] marker, expanded
+        * against the index's registered synonym groups at match time
+        * (a term with no registered synonyms degrades to the plain
+        * term). `~term` syntax (FLAG_SYNONYM) is always available. */
+      autoSynonyms: Boolean = false)
 
   /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
   val Wildcard = Query.Wildcard
@@ -81,6 +87,7 @@ object QueryParser {
   private final case class NearT(window: Int, ordered: Boolean) extends Tok
   private case object PlusT extends Tok
   private case object MinusT extends Tok
+  private case object TildeT extends Tok
   private final case class Quoted(text: String) extends Tok
   private final case class Word(field: Option[String], text: String, wild: Boolean) extends Tok
 
@@ -103,6 +110,8 @@ object QueryParser {
           out += PlusT; i += 1
         case '-' if i + 1 < n && isWordStart(s.charAt(i + 1)) =>
           out += MinusT; i += 1
+        case '~' if i + 1 < n && isWordStart(s.charAt(i + 1)) =>
+          out += TildeT; i += 1
         case c if isWordStart(c) =>
           // consume a word: letters/digits/_/./,/'/&/+/#, stop at space or paren
           var j = i
@@ -200,7 +209,7 @@ object QueryParser {
           case Some(MinusT) =>
             advance()
             primaryOpt(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = true, None))
-          case Some(_: Quoted) | Some(LP) =>
+          case Some(_: Quoted) | Some(LP) | Some(TildeT) =>
             parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
           case Some(Word(f, text, _)) if f.exists(cfg.rangeFields.contains) &&
               text.contains("..") && rangeBoundsParse(text) =>
@@ -321,6 +330,19 @@ object QueryParser {
     }
 
     private def primaryOpt(stemmed: Boolean): Option[Query] = peek match {
+      case Some(TildeT) =>
+        // FLAG_SYNONYM: ~term matches the term OR its registered
+        // synonyms (unstemmed, like the reference's synonym-table
+        // lookup); a dangling ~ falls through to whatever follows
+        advance()
+        peek match {
+          case Some(Word(_, text, wild)) if !wild =>
+            advance()
+            val toks = Tokenizer.tokenize(text)
+            val raw = if (toks.nonEmpty) toks.head.term else text.toLowerCase
+            Some(Query.SynonymOf(raw))
+          case _ => primaryOpt(stemmed)
+        }
       case Some(LP) =>
         advance()
         val q = parseOr()
@@ -347,7 +369,11 @@ object QueryParser {
           val term =
             if (noStem) prefix + raw
             else "Z" + Stemmer.forLang(cfg.stemLang)(raw)
-          Some(Query.Term(term))
+          // positional (NEAR/ADJ) children re-parse with
+          // stemmed=false and must stay plain term leaves
+          if (cfg.autoSynonyms && field.isEmpty && stemmed)
+            Some(Query.SynonymOf(term))
+          else Some(Query.Term(term))
         }
       case _ => None
     }
@@ -406,19 +432,65 @@ object QueryParser {
   private def mergeTerms(cs: Seq[Query]): Seq[Query] = {
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     cs.foreach {
-      case Query.Term(t, wqf, _) => counts(t) = counts.getOrElse(t, 0) + wqf
-      case _                     =>
+      case Query.Term(t, wqf, _)  => counts(t) = counts.getOrElse(t, 0) + wqf
+      case Query.SynonymOf(t, wqf)=> counts("~" + t) = counts.getOrElse("~" + t, 0) + wqf
+      case _                      =>
     }
     val emitted = scala.collection.mutable.Set.empty[String]
     cs.flatMap {
       case Query.Term(t, _, _) =>
         if (emitted.add(t)) Some(Query.Term(t, counts(t))) else None
+      case Query.SynonymOf(t, _) =>
+        if (emitted.add("~" + t)) Some(Query.SynonymOf(t, counts("~" + t))) else None
       case other => Some(other)
     }
   }
 
   def parse(query: String, cfg: Config = Config()): Query =
     new P(lex(query), cfg).parseQuery()
+
+  private val operatorWords = Set("AND", "OR", "NOT", "XOR", "NEAR", "ADJ")
+
+  /**
+   * FLAG_SPELLING_CORRECTION analog (reference: queryparser/
+   * queryparser_internal.cc → QueryParser::get_corrected_query_string):
+   * rebuild the query string with each plain word replaced by
+   * `suggest(word)`'s result, preserving spacing, quotes, operators
+   * and markers verbatim. Words that are operators, field-prefixed,
+   * wildcards or range expressions are never corrected. Returns None
+   * when no word changed (the reference returns an empty string
+   * then). The caller's `suggest` is responsible for "is this word
+   * already in the dictionary" (see
+   * [[graft.matcher.SpellSuggest.correctQueryString]]).
+   */
+  def corrected(query: String,
+                suggest: String => Option[String]): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = query.length
+    var changed = false
+    def isWordStart(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = query.charAt(i)
+      if (isWordStart(c)) {
+        var j = i
+        while (j < n && !query.charAt(j).isWhitespace &&
+               query.charAt(j) != '(' && query.charAt(j) != ')' &&
+               query.charAt(j) != '"') j += 1
+        val w = query.substring(i, j)
+        val skip = operatorWords.contains(w) ||
+          w.startsWith("NEAR/") || w.startsWith("ADJ/") ||
+          w.contains(':') || w.contains('*') || w.contains("..")
+        val fixed = if (skip) w else suggest(w.toLowerCase) match {
+          case Some(s) if s != w.toLowerCase => changed = true; s
+          case _ => w
+        }
+        sb ++= fixed
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    if (changed) Some(sb.toString) else None
+  }
 
   /** See [[graft.core.Query.expandWildcards]]. */
   def expandWildcard(q: Query, lookup: String => Seq[String]): Query =

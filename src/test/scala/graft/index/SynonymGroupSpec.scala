@@ -30,9 +30,11 @@ class SynonymGroupSpec extends AnyFunSuite {
     new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
   }
 
+  // "g" exercises group-name keys; "parse" keys a group by one of its
+  // own members (the chert synonym-table shape `~parse` relies on)
   private lazy val registered = build(
     Files.createTempDirectory("graft-syn-reg").toString + "/idx",
-    Map("g" -> group))
+    Map("g" -> group, "parse" -> group))
   private lazy val adhoc = build(
     Files.createTempDirectory("graft-syn-adhoc").toString + "/idx",
     Map.empty)
@@ -91,6 +93,33 @@ class SynonymGroupSpec extends AnyFunSuite {
     assert(regJobs < adhocJobs,
       s"registered path ran $regJobs jobs vs ad-hoc $adhocJobs")
     assert(regJobs === 0, s"registered planning ran $regJobs jobs (want none)")
+  }
+
+  test("parse-time ~term expands against registered synonyms (oracle identity)") {
+    import graft.queryparser.QueryParser
+    val q = QueryParser.parse("~parse", QueryParser.Config(stemMode = "none"))
+    assert(q === Query.SynonymOf("parse"))
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val oidx = Oracle.buildIndex(sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content)
+    }, stemMode = "none")
+    val want = Oracle.mset(q, oidx, 20,
+      Oracle.Options(stemMode = "none", synonyms = Map("parse" -> group)))
+    assert(want.nonEmpty)
+    // scores identical to the explicit OP_SYNONYM over the group
+    assert(want === Oracle.mset(Query.Synonym(group.map(Query.Term(_))),
+      oidx, 20, Oracle.Options(stemMode = "none")))
+    val got = new DatasetMatcher(registered).mset(q, 20)
+    assert(got.map(_.docId) === want.map(_.docId))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9) }
+  }
+
+  test("~term with no registered synonyms degrades to the plain term") {
+    val m = new DatasetMatcher(adhoc)
+    val a = m.mset(Query.SynonymOf("parse"), 20)
+    val b = m.mset(Query.Term("parse"), 20)
+    assert(a === b)
   }
 
   test("ELITE_SET with non-term children: selection is compositional (no planning jobs)") {

@@ -71,6 +71,15 @@ class ExpandSpec extends AnyFunSuite {
     assert(!s.map(_.getString(0)).contains("parse"))
   }
 
+  test("corrected query string replaces only unknown words") {
+    val got = SpellSuggest.correctQueryString(reader, "parze AND token", maxDist = 1)
+    assert(got === Some("parse AND token"))
+    // all-known query → None (the reference returns empty string)
+    assert(SpellSuggest.correctQueryString(reader, "parse AND token") === None)
+    // hopeless garbage beyond maxDist → untouched
+    assert(SpellSuggest.correctQueryString(reader, "qqqqqqqqqq", maxDist = 1) === None)
+  }
+
   test("facetSpy counts matches per key, matching oracle") {
     val q = or(t("parse"), t("token"))
     val got = new DatasetMatcher(reader).facetSpy(q, "lang").collect()

@@ -189,4 +189,53 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("len:..60", c) === "VALUE_LE doclen 60.0")
     assert(p("len:40..60", c) === "VALUE_RANGE doclen 40.0 60.0")
   }
+
+  test("~term is a synonym marker (FLAG_SYNONYM), unstemmed") {
+    assert(p("~parse") === "~parse")
+    assert(p("data ~parse") === "(Zdata OR ~parse)")
+    assert(p("~Parse AND token") === "(~parse AND Ztoken)")
+    // duplicate markers accumulate wqf like plain terms
+    assert(p("~parse ~parse") === "~parse#2")
+    // dangling ~ never throws
+    assert(QueryParser.parse("~ ~") === Query.MatchNothing)
+    assert(p("~\"a b\"") === "(a PHRASE 2 b)")
+  }
+
+  test("autoSynonyms wraps probabilistic terms (FLAG_AUTO_SYNONYMS)") {
+    val c = QueryParser.Config(autoSynonyms = true)
+    assert(p("data stream", c) === "(~Zdata OR ~Zstream)")
+    // boolean-prefixed and positional terms stay plain
+    val cb = QueryParser.Config(autoSynonyms = true,
+      boolPrefixes = Map("lang" -> "L"))
+    assert(p("data lang:en", cb) === "(~Zdata FILTER Len)")
+    assert(p("\"data stream\"", c) === "(data PHRASE 2 stream)")
+    assert(p("data NEAR/3 stream", c) === "(data NEAR 3 stream)")
+  }
+
+  test("SynonymOf expansion: registered members OR degrade-to-term") {
+    val lookup = Map("parse" -> Seq("parse", "token"))
+      .withDefaultValue(Seq.empty)
+    assert(Query.expandSynonyms(Query.SynonymOf("parse"), lookup).describe ===
+      "(SYNONYM parse token)")
+    assert(Query.expandSynonyms(Query.SynonymOf("data"), lookup) ===
+      Query.Term("data"))
+    // under NEAR the marker degrades to its plain term
+    assert(Query.expandSynonyms(
+      Query.Near(Seq(Query.SynonymOf("parse"), Query.Term("x")), 3),
+      lookup).describe === "(parse NEAR 3 x)")
+  }
+
+  test("corrected query string (FLAG_SPELLING_CORRECTION)") {
+    val sugg = Map("parserr" -> "parser", "tokn" -> "token")
+    val f = (w: String) => sugg.get(w)
+    assert(QueryParser.corrected("parserr AND tokn", f) ===
+      Some("parser AND token"))
+    // operators, fields, wildcards, ranges untouched; spacing kept
+    assert(QueryParser.corrected("parserr  (lang:tokn OR tokn*)", f) ===
+      Some("parser  (lang:tokn OR tokn*)"))
+    assert(QueryParser.corrected("\"parserr tokn\"", f) ===
+      Some("\"parser token\""))
+    assert(QueryParser.corrected("parser AND token", f) === None)
+    assert(QueryParser.corrected("len:40..60", f) === None)
+  }
 }
