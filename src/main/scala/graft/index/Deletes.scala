@@ -1,0 +1,103 @@
+package graft.index
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deletion-aware view over an index — the WritableDatabase
+ * delete_document / replace_document analog (reference:
+ * xapian-core/api/omdatabase.cc). The reference applies deletes to
+ * its B-trees at flush; rewriting immutable parquet segments per
+ * delete would not survive 100 TB, so this engine uses the
+ * tombstone shape instead: [[SegmentedIndex.delete]] records
+ * tombstones, this wrapper masks them exactly at query time, and
+ * compaction physically drops them.
+ *
+ * Exactness contract (the rank-identity tests rely on it): scores
+ * against a tombstoned index equal scores against an index that
+ * never contained the deleted docs. That requires adjusting
+ * df/cf (per queried term) and N/totalLen/avgLen — all derived once
+ * per handle from one pruned scan of the deleted docs' term lists —
+ * not just masking postings. minDocLen/maxDocLen and maxWdf are left
+ * as (admissible) bounds: they only feed WAND/elite pruning, never a
+ * score.
+ *
+ * The deleted-id set is bounded by the tombstone backlog between
+ * compactions (operationally small); it ships in task closures, and
+ * only posting blocks whose [firstDocId, lastDocId] range overlaps a
+ * deleted id pay an unpack→filter→repack.
+ */
+class DeletionAwareIndex(val inner: Index, val deletedIds: Set[Long])
+    extends Index {
+  require(deletedIds.nonEmpty, "use the inner index when nothing is deleted")
+
+  val spark: SparkSession = inner.spark
+  private val delSeq = deletedIds.toSeq
+
+  /** (doclen sum, count) of deleted docs + per-term (df, cf) deltas —
+    * one pruned scan each, once per handle. */
+  private lazy val deletedDoclens: Seq[Long] = {
+    import spark.implicits._
+    inner.doclens.filter($"docId".isin(delSeq: _*))
+      .select($"doclen").as[Long].collect().toSeq
+  }
+  private lazy val termDeltas: Map[String, (Long, Long)] = {
+    import spark.implicits._
+    inner.termLists.filter(col("docId").isin(delSeq: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("wdf")).cast("long").as("cf"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, df, cf) => t -> (df, cf) }.toMap
+  }
+
+  lazy val stats: StatsRow = {
+    val s = inner.stats
+    val n = s.n - deletedDoclens.size
+    val total = s.totalLen - deletedDoclens.sum
+    StatsRow(n, total, if (n > 0) total.toDouble / n else 0.0,
+      s.minDocLen, s.maxDocLen)
+  }
+
+  def docs: DataFrame = inner.docs.filter(!col("docId").isin(delSeq: _*))
+  def doclens: DataFrame = inner.doclens.filter(!col("docId").isin(delSeq: _*))
+  def termLists: DataFrame = inner.termLists.filter(!col("docId").isin(delSeq: _*))
+  def dictTable: DataFrame = inner.dictTable
+
+  def lookupTerms(terms: Seq[String]): Map[String, DictRow] =
+    inner.lookupTerms(terms).flatMap { case (t, d) =>
+      val (ddf, dcf) = termDeltas.getOrElse(t, (0L, 0L))
+      if (d.df - ddf <= 0) None
+      else Some(t -> d.copy(df = d.df - ddf, cf = d.cf - dcf))
+    }
+
+  def blocksFor(termIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val del = deletedIds
+    inner.blocksFor(termIds).as[PostingBlock].flatMap { b =>
+      if (!del.exists(id => id >= b.firstDocId && id <= b.lastDocId)) Some(b)
+      else {
+        val remaining = Codec.unpackBlock(b).filterNot(p => del(p.docId))
+        if (remaining.isEmpty) None
+        else Some(b.copy(
+          firstDocId = remaining.head.docId,
+          lastDocId = remaining.last.docId,
+          count = remaining.length,
+          maxWdf = remaining.map(_.wdf).max,
+          minDocLen = remaining.map(_.doclen).min,
+          bytes = Codec.packPostings(remaining.toSeq, remaining.head.docId - 1)))
+      }
+    }.toDF()
+  }
+
+  def positionsFor(termIds: Seq[Long]): DataFrame =
+    inner.positionsFor(termIds).filter(!col("docId").isin(delSeq: _*))
+
+  def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String] =
+    inner.termsWithPrefix(prefix, limit)
+
+  /** Registered group stats count tombstoned docs; fall back to the
+    * exact ad-hoc (counted) synonym path while deletes are pending. */
+  override def synonymGroup(terms: Set[String]): Option[SynGroupRow] = None
+  override def synonymsOf(key: String): Seq[String] = inner.synonymsOf(key)
+}

@@ -187,14 +187,90 @@ class SegmentedIndex(
         math.max(last, if (batchId == Long.MinValue) last else batchId))
     }
 
-  /** Open the current segment set for search. */
+  // ---------------- deletes (WritableDatabase::delete_document /
+  // replace_document analog; see graft.index.DeletionAwareIndex) ----
+
+  /** A tombstone: natural document key + the segment count at delete
+    * time (a later re-append of the same key is NOT deleted). */
+  final case class Tombstone(repo: String, path: String, commit: String,
+                             uptoSeg: Int)
+
+  private def deletesFile = Paths.get(s"$baseDir/deletes.txt")
+
+  def listDeletes(): Seq[Tombstone] = {
+    if (!Files.exists(deletesFile)) return Seq.empty
+    new String(Files.readAllBytes(deletesFile), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq.map { l =>
+        val Array(r, p, c, u) = l.split("\\|", -1)
+        Tombstone(r, p, c, u.toInt)
+      }
+  }
+
+  private def writeDeletes(ts: Seq[Tombstone]): Unit = {
+    Files.createDirectories(Paths.get(baseDir))
+    val tmp = Paths.get(s"$baseDir/deletes.txt.tmp")
+    Files.write(tmp,
+      ts.map(t => s"${t.repo}|${t.path}|${t.commit}|${t.uptoSeg}")
+        .mkString("\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, deletesFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Tombstone documents by natural key; takes effect on the next
+    * [[reader]]() and is applied physically by compaction. */
+  def delete(keys: Seq[(String, String, String)]): Unit = synchronized {
+    if (keys.isEmpty) return
+    val (segs, _) = listSegments()
+    writeDeletes(listDeletes() ++ keys.map { case (r, p, c) =>
+      Tombstone(r, p, c, segs.size)
+    })
+  }
+
+  /** Replace documents: tombstone the incoming keys in existing
+    * segments, then append the batch as a new segment (the
+    * replace_document(unique_term, doc) shape; the replacement gets a
+    * fresh docId, unlike the reference which reuses one — documented
+    * divergence, ids here are derived not user-visible). */
+  def replace(corpus: Dataset[CorpusRow], batchId: Long = Long.MinValue): Unit =
+    synchronized {
+      val keys = corpus.select(col("repo"), col("path"), col("commit"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      delete(keys)
+      append(corpus, batchId)
+    }
+
+  /** Resolve pending tombstones to docIds, per segment-scope (one
+    * key-pruned scan of each affected segment's docs table). */
+  private def resolveDeletedIds(segs: Seq[SegmentInfo]): Set[Long] = {
+    val ts = listDeletes()
+    if (ts.isEmpty) return Set.empty
+    import spark.implicits._
+    segs.zipWithIndex.flatMap { case (s, i) =>
+      val applicable = ts.filter(_.uptoSeg > i)
+      if (applicable.isEmpty) Seq.empty
+      else {
+        val keys = applicable.map(t => s"${t.repo}\u0000${t.path}\u0000${t.commit}")
+        spark.read.parquet(s"${s.dir}/docs")
+          .filter(concat_ws("\u0000", col("repo"), col("path"), col("commit"))
+            .isin(keys: _*))
+          .select(col("docId")).as[Long].collect().toSeq
+      }
+    }.toSet
+  }
+
+  /** Open the current segment set for search (tombstones masked). */
   def reader(): Index = {
     val (segs, _) = listSegments()
     require(segs.nonEmpty, s"no segments in $baseDir")
     val readers = segs.map(s =>
       new IndexReader(spark, s.dir, nBuckets, stripeShift))
-    if (readers.size == 1) readers.head
-    else new MultiIndexReader(spark, readers)
+    val base: Index =
+      if (readers.size == 1) readers.head
+      else new MultiIndexReader(spark, readers)
+    val deleted = resolveDeletedIds(segs)
+    if (deleted.isEmpty) base else new DeletionAwareIndex(base, deleted)
   }
 
   /**
@@ -229,11 +305,16 @@ class SegmentedIndex(
     Files.createDirectories(Paths.get(dir))
 
     // ---- stage docs0: renumber docIds over the union (single RDD
-    // lineage, as in the fresh build) + keep the old→new mapping
+    // lineage, as in the fresh build) + keep the old→new mapping.
+    // Tombstoned docs are dropped here; their postings fall out of
+    // the merge via the inner mapping join below.
+    val deleted = resolveDeletedIds(segs)
     val docs0union = segs.map(s => spark.read.parquet(s"${s.dir}/docs0")
         .select($"docId", $"repo", $"path", $"commit", $"lang",
           $"content", $"sha256"))
       .reduce(_ unionByName _)
+      .filter(if (deleted.isEmpty) lit(true)
+              else !$"docId".isin(deleted.toSeq: _*))
     val reassigned = docs0union
       .as[(Long, String, String, String, String, String, String)]
       .rdd
@@ -285,6 +366,7 @@ class SegmentedIndex(
     builder.build(spark.emptyDataset[CorpusRow])
     val nDocs = spark.read.parquet(s"$dir/docs").count()
     writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)
+    if (Files.exists(deletesFile)) Files.delete(deletesFile)
     new IndexReader(spark, dir, nBuckets, stripeShift)
   }
 
@@ -299,10 +381,14 @@ class SegmentedIndex(
     import spark.implicits._
     val (segs, last) = listSegments()
     require(segs.nonEmpty, s"no segments in $baseDir")
+    val deleted = resolveDeletedIds(segs)
     val union = segs.map { s =>
       spark.read.parquet(s"${s.dir}/docs0")
-        .select($"repo", $"path", $"commit", $"lang", $"content")
-    }.reduce(_ unionByName _).as[CorpusRow]
+        .select($"docId", $"repo", $"path", $"commit", $"lang", $"content")
+    }.reduce(_ unionByName _)
+      .filter(if (deleted.isEmpty) lit(true)
+              else !$"docId".isin(deleted.toSeq: _*))
+      .drop("docId").as[CorpusRow]
     val gen = segs.size
     val dir = f"$baseDir/compact-$gen%05d"
     val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
@@ -311,6 +397,7 @@ class SegmentedIndex(
     new IndexBuilder(spark, cfg).build(union)
     val nDocs = spark.read.parquet(s"$dir/docs").count()
     writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)
+    if (Files.exists(deletesFile)) Files.delete(deletesFile)
     new IndexReader(spark, dir, nBuckets, stripeShift)
   }
 }

@@ -121,6 +121,23 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   /** Compile a query to (docId, score). */
   def matches(q: Query): DataFrame = compiled(q)._3
 
+  /** Enquire::get_matching_terms analog (reference:
+    * xapian-core/api/omenquire.cc): the query's terms occurring in
+    * document `docId`, in query order (weighted terms first, then
+    * filter-only terms — frozen spec). Wildcards/synonym markers are
+    * expanded first; the check is ONE docId+term-pruned scan of the
+    * term-lists table, not a matching job. */
+  def matchingTerms(q: Query, docId: Long): Seq[String] = {
+    val (simplified, _, _) = compiled(q)
+    val qterms =
+      (simplified.terms.map(_.term) ++ extraTerms(simplified)).distinct
+    if (qterms.isEmpty) return Seq.empty
+    val present = idx.termLists
+      .filter(col("docId") === docId && col("term").isin(qterms: _*))
+      .select("term").collect().map(_.getString(0)).toSet
+    qterms.filter(present)
+  }
+
   private def hasSynonymOf(q: Query): Boolean = q match {
     case _: Query.SynonymOf  => true
     case Query.And(cs)       => cs.exists(hasSynonymOf)

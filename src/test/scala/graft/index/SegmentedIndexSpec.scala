@@ -158,4 +158,79 @@ class SegmentedIndexSpec extends AnyFunSuite {
     val b = new DatasetMatcher(rebuilt).mset(q, 10)
     assert(a === b)
   }
+
+  test("delete masks docs exactly: scores equal a never-contained oracle") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-seg-del").toString
+    val s = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    val b1 = all.take(30); val b2 = all.slice(30, 55)
+    s.append(spark.createDataset(b1)); s.append(spark.createDataset(b2))
+
+    // victims span both segments
+    val victims = (b1.take(3) ++ b2.take(2)).map(c => (c.repo, c.path, c.commit))
+    s.delete(victims)
+    val rdr = s.reader()
+    assert(rdr.isInstanceOf[DeletionAwareIndex])
+
+    // oracle over the SURVIVING docs at their ORIGINAL (gappy) ids —
+    // exactly "an index that never contained the deleted docs"
+    val dead = victims.toSet
+    var next = 1L
+    val odocs = Seq(b1, b2).flatMap { b =>
+      b.sortBy(c => (c.repo, c.path, c.commit)).map { c =>
+        val d = Oracle.Doc(next, c.content, Map.empty, c.lang); next += 1; (c, d)
+      }
+    }.collect { case (c, d) if !dead((c.repo, c.path, c.commit)) => d }
+    val oidx = Oracle.buildIndex(odocs, stemMode = "none")
+    assert(rdr.stats === oidx.stats.copy(
+      minDocLen = rdr.stats.minDocLen, maxDocLen = rdr.stats.maxDocLen))
+
+    for (q <- Seq(t("parse"): Query, or(t("parse"), t("token")),
+        Query.And(Seq(t("def"), t("parse"))), Query.MatchAll)) {
+      val want = Oracle.mset(q, oidx, 15)
+      val got = new DatasetMatcher(rdr).mset(q, 15)
+      assert(got.map(_.docId) === want.map(_.docId), s"ds ${q.describe}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g.score - w.score) < 1e-9, s"ds ${q.describe}") }
+      val wm = new WandMatcher(rdr)
+      if (wm.supports(q)) {
+        val gw = wm.mset(q, 15)
+        assert(gw.map(_.docId) === want.map(_.docId), s"wand ${q.describe}")
+      }
+    }
+
+    // replace: new content for an old key matches; old content is gone
+    val victim = b1.head
+    val marker = "zzreplacedmarker"
+    s.replace(spark.createDataset(Seq(
+      victim.copy(content = s"$marker $marker fresh content"))))
+    val rdr2 = s.reader()
+    val hits = new DatasetMatcher(rdr2).mset(t(marker), 5)
+    assert(hits.size === 1)
+    // the replacement rides the freshly appended segment, past both
+    // original segments' id ranges (and is NOT caught by the
+    // segment-scoped tombstone on its own key)
+    assert(hits.head.docId > 55L)
+
+    // compaction physically drops tombstones and clears them
+    val compacted = s.compactMerged()
+    assert(s.listDeletes().isEmpty)
+    val total = Seq(b1, b2).map(_.size).sum
+    // 5 tombstoned docs dropped, 1 replacement appended
+    assert(compacted.stats.n === total - dead.size + 1)
+    assert(new DatasetMatcher(compacted).mset(t(marker), 5).size === 1)
+    // renumbered-oracle rank identity after compaction
+    val survivors = (b1 ++ b2).filterNot(c => dead((c.repo, c.path, c.commit))) :+
+      victim.copy(content = s"$marker $marker fresh content")
+    val odocs2 = survivors.sortBy(c => (c.repo, c.path, c.commit))
+      .zipWithIndex.map { case (c, i) => Oracle.Doc(i + 1L, c.content, Map.empty, c.lang) }
+    val oidx2 = Oracle.buildIndex(odocs2, stemMode = "none")
+    val q2 = or(t("parse"), t("token"))
+    val want2 = Oracle.mset(q2, oidx2, 10)
+    val got2 = new DatasetMatcher(compacted).mset(q2, 10)
+    assert(got2.map(_.docId) === want2.map(_.docId))
+    got2.zip(want2).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9) }
+  }
 }

@@ -476,4 +476,26 @@ class MatcherSpec extends AnyFunSuite {
     assert(Oracle.mset(t("Zkatzen"), oidx, 10).isEmpty)
     assert(new DatasetMatcher(r2).mset(t("Zkatzen"), 10).isEmpty)
   }
+
+  test("matchingTerms returns the query terms present in a doc, query order") {
+    val q = or(t("parse"), t("zzznosuchterm"), t("token"))
+    val m = new DatasetMatcher(reader)
+    val top = m.mset(q, 3)
+    assert(top.nonEmpty)
+    for (item <- top) {
+      val got = m.matchingTerms(q, item.docId)
+      // oracle recompute from the scalar index's postings
+      val want = Seq("parse", "zzznosuchterm", "token").filter(tm =>
+        oracleIdx.postings.getOrElse(tm, Vector.empty).exists(_._1 == item.docId))
+      assert(got === want, s"doc ${item.docId}")
+      assert(!got.contains("zzznosuchterm"))
+    }
+    // filter-side terms are reported too (frozen spec: after weighted)
+    val fq = Query.Filter(t("parse"), t("token"))
+    val both = m.matches(fq).select("docId").collect().map(_.getLong(0))
+    if (both.nonEmpty) {
+      val mt = m.matchingTerms(fq, both.head)
+      assert(mt === Seq("parse", "token"))
+    }
+  }
 }
