@@ -16,19 +16,21 @@ object EntrySql {
   /** Shared CTE prefix: tokenize, doclen, collection stats, tf/df/
     * termweight/sumpart over the query terms (or a LIKE prefix for
     * wildcard). */
-  def prefix(terms: Seq[String], like: Option[String] = None): String = {
+  def prefix(terms: Seq[String], like: Option[String] = None,
+             docsRel: String = "documents"): String = {
     val filt = like match {
       case Some(p) => s"term LIKE '$p%'"
       case None    => s"term IN ${in(terms)}"
     }
-    s"""WITH tok AS (
+    s"""WITH corpus AS (SELECT * FROM $docsRel),
+tok AS (
   SELECT doc_id, t.term AS term
-  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
   WHERE t.term <> ''
 ),
 doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                 (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM documents) AS avglen),
+stats AS (SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n,
+                 (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM corpus) AS avglen),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM tok WHERE $filt GROUP BY doc_id, term),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 w AS (SELECT term, ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
@@ -51,6 +53,14 @@ agg AS (SELECT doc_id,
 
   def term(t: String): String =
     prefix(Seq(t)) +
+      "\nSELECT doc_id, round(sum(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
+
+  /** BM25 term query over a corpus with every doc_id divisible by
+    * `mod` tombstoned: stats AND df recomputed over the survivors —
+    * the DeletionAwareIndex exactness contract, in SQL. */
+  def termDeleted(t: String, mod: Int): String =
+    prefix(Seq(t),
+      docsRel = s"(SELECT * FROM documents WHERE doc_id % $mod <> 0)") +
       "\nSELECT doc_id, round(sum(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
 
   def orTopk(ts: Seq[String], k: Int): String =
@@ -519,6 +529,47 @@ SELECT doc_id,
        CASE WHEN fps IS NULL THEN 0 ELSE len(fps) END::BIGINT AS n_fp,
        list_min(fps) AS min_fp
 FROM m ORDER BY doc_id"""
+
+  /**
+   * Language-ID oracle: replays [[graft.pipeline.TextOps.detectLang]]
+   * in pure SQL, generated from the SAME profile table. Script
+   * detection = per-range codepoint counts over the first 4000 chars;
+   * latin path = function-word occurrence counts over the first 500
+   * `[^a-z]+`-split tokens of the whole lowered text; the winner is
+   * maxBy (score, lang) — expressed as an ascending struct sort whose
+   * LAST element is the max, reproducing the lexicographically-last
+   * tiebreak exactly.
+   */
+  def langIdSql: String = {
+    val profiles = graft.pipeline.TextOps.profiles
+    val langs = profiles.keys.toSeq.sorted
+    val langCols = langs.map { l =>
+      val words = profiles(l).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$words], x))) AS c_$l"
+    }.mkString(",\n    ")
+    val structs = langs.map(l => s"{'s': c_$l, 'l': '$l'}").mkString(", ")
+    val allZero = langs.map(l => s"c_$l=0").mkString(" AND ")
+    s"""WITH base AS (
+  SELECT doc_id, substr(text, 1, 4000) AS head,
+         list_slice(string_split_regex(lower(text), '[^a-z]+'), 1, 500) AS toks
+  FROM documents),
+counts AS (
+  SELECT doc_id,
+    length(regexp_replace(head, '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS kana,
+    length(regexp_replace(head, '[^\\x{ac00}-\\x{d7af}]', '', 'g')) AS hangul,
+    length(regexp_replace(head, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+    length(regexp_replace(head, '[^\\x{0400}-\\x{04ff}]', '', 'g')) AS cyr,
+    length(regexp_replace(head, '[^\\x{0600}-\\x{06ff}]', '', 'g')) AS ar,
+    $langCols
+  FROM base)
+SELECT doc_id,
+  CASE WHEN kana > 5 THEN 'ja' WHEN hangul > 5 THEN 'ko'
+       WHEN cjk > 5 THEN 'zh' WHEN cyr > 5 THEN 'ru' WHEN ar > 5 THEN 'ar'
+       WHEN $allZero THEN 'und'
+       ELSE list_sort([$structs])[${langs.size}].l
+  END AS lang_pred
+FROM counts ORDER BY doc_id"""
+  }
 
   /**
    * Multimodal feature extraction oracle: replays

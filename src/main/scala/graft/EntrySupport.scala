@@ -44,7 +44,10 @@ object EntrySupport {
         // registered at build so ft_synonym scores from the synonym
         // table (no query-time counting job); values are identical to
         // the ad-hoc path — the table stores the exact union df
-        synonyms = Map("syn_data_stream" -> Seq("data", "stream")))
+        // "data" keys the same group by one of its own members, the
+        // shape parse-time ~data resolves against
+        synonyms = Map("syn_data_stream" -> Seq("data", "stream"),
+          "data" -> Seq("data", "stream")))
       import spark.implicits._
       new IndexBuilder(spark, cfg).build(corpus(spark, sfDir).as[CorpusRow])
       new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)

@@ -80,6 +80,26 @@ object SparkEntry {
         Query.ScaleWeight(Query.Or(Seq(t("data"), t("query"))), 2.5)).orderBy("doc_id")),
     "ft_synonym" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.Synonym(Seq(t("data"), t("stream")))).orderBy("doc_id")),
+    // parse-time ~term (FLAG_SYNONYM): expands against the build-time
+    // group keyed "data" into the same OP_SYNONYM as ft_synonym
+    "ft_syn_parse" -> ((s, d) =>
+      EntrySupport.matchDf(s, d,
+        graft.queryparser.QueryParser.parse("~data",
+          graft.queryparser.QueryParser.Config(stemMode = "none")))
+        .orderBy("doc_id")),
+    // WritableDatabase::delete_document analog: docs with
+    // doc_id % 7 == 0 tombstoned; stats/df adjust exactly
+    "ft_deleted" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      val dead = EntrySupport.docIds(idx)
+        .filter(col("doc_id") % 7 === 0)
+        .select("docId").collect().map(_.getLong(0)).toSet
+      val del = new graft.index.DeletionAwareIndex(idx, dead)
+      new graft.matcher.DatasetMatcher(del).matches(t("data"))
+        .join(EntrySupport.docIds(idx), "docId")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
     "ft_elite" -> ((s, d) =>
       EntrySupport.matchDf(s, d,
         Query.EliteSet(Seq(t("batch"), t("data"), t("query"), t("stream")), 2)).orderBy("doc_id")),
@@ -283,6 +303,8 @@ object SparkEntry {
     "ft_wildcard" -> EntrySql.wildcardTopk("s", 10),
     "ft_scale" -> EntrySql.scale(Seq("data", "query"), 2.5),
     "ft_synonym" -> EntrySql.synonym(Seq("data", "stream")),
+    "ft_syn_parse" -> EntrySql.synonym(Seq("data", "stream")),
+    "ft_deleted" -> EntrySql.termDeleted("data", 7),
     "ft_elite" -> EntrySql.elite(Seq("batch", "data", "query", "stream"), 2),
     "ft_value_range" -> EntrySql.valueRangeDoclen(40, 60),
     "ft_value_range_str" ->
@@ -313,7 +335,7 @@ object SparkEntry {
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
-    // ta_langid: heuristic profile scorer → rows-only
+    "ta_langid" -> EntrySql.langIdSql,
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),
     "mm_frames" -> EntrySql.framesSql(2),
     "ev_hourly" -> EntrySql.hourlySql,

@@ -90,8 +90,10 @@ object TextOps {
   }
 
   /** Tiny per-language marker profiles (function words; latin-script
-    * languages) + CJK/Cyrillic/Arabic script detection. */
-  private val profiles: Map[String, Set[String]] = Map(
+    * languages) + CJK/Cyrillic/Arabic script detection. Exposed so
+    * the gate's DuckDB oracle SQL (EntrySql.langIdSql) is generated
+    * from the SAME table — one source of truth. */
+  val profiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "this"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
