@@ -23,6 +23,11 @@ final case class MatchOptions(
     sortBy: String = "relevance",
     sortValue: Option[String] = None,
     sortValueReverse: Boolean = false,
+    /** Multi-key value sort — the MultiValueKeyMaker analog
+      * (reference: xapian-core/api/keymaker.cc): (docs column,
+      * reverse?) pairs, most significant first. When non-empty it
+      * replaces sortValue/sortValueReverse in the value-sort modes. */
+    sortKeys: Seq[(String, Boolean)] = Seq.empty,
     /** Wildcard expansion cap (upstream max_expansion analog);
       * exceeding it throws [[graft.core.Query.WildcardError]]. */
     wildcardMaxExpansion: Int = 100000)
@@ -529,7 +534,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   private def withDocCols(q: Query, m0: DataFrame): DataFrame = {
     var m = m0
     val needsDocs = opts.decider.nonEmpty || opts.collapseKey.nonEmpty ||
-      opts.sortValue.nonEmpty || weight.needsExtra
+      opts.sortValue.nonEmpty || opts.sortKeys.nonEmpty || weight.needsExtra
     if (needsDocs) {
       m = m.join(idx.docs.drop("content"), "docId")
       if (weight.needsExtra) {
@@ -551,17 +556,22 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       m = m.withColumn("_rn", row_number().over(w)).filter($"_rn" === 1).drop("_rn")
     }
     if (opts.weightCutoff > 0.0) m = m.filter($"score" >= opts.weightCutoff)
+    // the value key list: explicit multi-key (MultiValueKeyMaker)
+    // wins over the single sortValue slot
+    def valueCols: Seq[Column] = {
+      val keys =
+        if (opts.sortKeys.nonEmpty) opts.sortKeys
+        else opts.sortValue.map(v => (v, opts.sortValueReverse)).toSeq
+      keys.map { case (c, rev) => if (rev) col(c).desc else col(c).asc }
+    }
     val sortCols: Seq[Column] = opts.sortBy match {
       case "relevance" => Seq($"score".desc, $"docId".asc)
       case "value" =>
-        val v = col(opts.sortValue.get)
-        Seq(if (opts.sortValueReverse) v.desc else v.asc, $"docId".asc)
+        valueCols :+ $"docId".asc
       case "relevance_then_value" =>
-        val v = col(opts.sortValue.get)
-        Seq($"score".desc, if (opts.sortValueReverse) v.desc else v.asc, $"docId".asc)
+        ($"score".desc +: valueCols) :+ $"docId".asc
       case "value_then_relevance" =>
-        val v = col(opts.sortValue.get)
-        Seq(if (opts.sortValueReverse) v.desc else v.asc, $"score".desc, $"docId".asc)
+        (valueCols :+ $"score".desc) :+ $"docId".asc
     }
     // TakeOrderedAndProject: per-partition top-(first+k) + driver merge
     val top = m.orderBy(sortCols: _*).select($"docId", $"score")

@@ -329,6 +329,18 @@ class MatcherSpec extends AnyFunSuite {
     assert(got.map(_.docId).toSeq === want)
   }
 
+  test("multi-key value sort (MultiValueKeyMaker analog): lang asc, doclen desc") {
+    val q = or(t(midTerm), t("token"))
+    val matched = Oracle.evaluate(Query.simplify(q), oracleIdx, Oracle.Options())
+    val langOf = oracleDocs.map(d => d.docId -> d.svals("lang")).toMap
+    val want = matched.keys.toSeq
+      .sortBy(d => (langOf(d), -oracleIdx.docLen(d), d)).take(10)
+    val got = new DatasetMatcher(reader,
+      MatchOptions(sortBy = "value",
+        sortKeys = Seq(("lang", false), ("doclen", true)))).mset(q, 10)
+    assert(got.map(_.docId).toSeq === want)
+  }
+
   test("percent values match oracle") {
     val q = or(t(midTerm), t("token"))
     val want = Oracle.mset(q, oracleIdx, 10)
