@@ -530,6 +530,40 @@ SELECT doc_id,
        list_min(fps) AS min_fp
 FROM m ORDER BY doc_id"""
 
+  /** Gopher-repetition oracle: replays
+    * [[graft.pipeline.TextOps.repetitionSignals]] (duplicate-line
+    * fractions via list ops, top word-bigram via the same
+    * explode → count → row_number shape). */
+  def repetitionSql: String =
+    """WITH base AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+    length(text)::BIGINT AS n_chars
+  FROM documents),
+linestats AS (
+  SELECT doc_id,
+    len(lines)::BIGINT AS n_lines,
+    CASE WHEN len(lines)=0 THEN 0.0 ELSE (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+    list_sum(list_transform(lines, x -> length(x))) AS line_chars,
+    list_sum(list_transform(lines, x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END)) AS dup_chars
+  FROM base),
+words AS (
+  SELECT doc_id, n_chars, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM base),
+bg AS (
+  SELECT doc_id, n_chars, unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS bigram
+  FROM words),
+cnts AS (SELECT doc_id, n_chars, bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY ALL),
+top AS (SELECT doc_id, bigram, cnt, n_chars,
+        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn FROM cnts)
+SELECT l.doc_id, l.n_lines,
+  round(l.dup_line_frac, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce(l.line_chars,0)=0 THEN 0.0 ELSE l.dup_chars / CAST(l.line_chars AS DOUBLE) END, 6) AS dup_line_char_frac,
+  coalesce(t.bigram, '') AS top_bigram,
+  round(coalesce(t.cnt * (length(t.bigram) - 1) / CAST(greatest(t.n_chars, 1) AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM linestats l LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+ORDER BY doc_id"""
+
   /**
    * Language-ID oracle: replays [[graft.pipeline.TextOps.detectLang]]
    * in pure SQL, generated from the SAME profile table. Script

@@ -238,6 +238,8 @@ object SparkEntry {
       TextOps.winnowDigest(documents(s, d)).orderBy("doc_id")),
     "ta_langid" -> ((s, d) =>
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
+    "ta_repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(documents(s, d)).orderBy("doc_id")),
 
     // ---------- training-data pipeline: multimodal columns ----------
     // Emits the first 4 pooled feature dims as rounded scalar columns
@@ -336,6 +338,7 @@ object SparkEntry {
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
     "ta_langid" -> EntrySql.langIdSql,
+    "ta_repetition" -> EntrySql.repetitionSql,
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),
     "mm_frames" -> EntrySql.framesSql(2),
     "ev_hourly" -> EntrySql.hourlySql,

@@ -139,6 +139,76 @@ object TextOps {
     }
   }
 
+  /**
+   * Gopher-style repetition signals (Rae et al. 2021, "Scaling
+   * Language Models: ... Gopher", §A1.1 repetition filters):
+   *
+   *  - `dup_line_frac` — fraction of (trimmed, non-empty) lines that
+   *    are duplicates of another line: (n − n_distinct) / n;
+   *  - `dup_line_char_frac` — fraction of line characters sitting in
+   *    lines occurring more than once;
+   *  - `top_bigram` / `top_bigram_frac` — the most frequent word
+   *    2-gram (ties: lexicographically first) and the fraction of the
+   *    document's characters its occurrences cover
+   *    (count × wordchars / n_chars).
+   *
+   * Scale shape: line stats are per-row array arithmetic (fused into
+   * the scan; the inner filter is O(lines²) per row, bounded by line
+   * counts). The top-bigram pass is explode → (doc_id, bigram)
+   * hash-aggregate → per-doc max — one keyed shuffle, linear in
+   * corpus token count, the same shape at any scale.
+   */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+      .withColumn("lines",
+        expr("filter(transform(split(text, '\n'), x -> trim(x)), x -> x <> '')"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("dup_line_frac",
+        expr("""CASE WHEN size(lines) = 0 THEN 0.0
+                ELSE (size(lines) - size(array_distinct(lines)))
+                     / CAST(size(lines) AS DOUBLE) END"""))
+      .withColumn("line_chars",
+        expr("aggregate(lines, 0L, (a, x) -> a + length(x))"))
+      .withColumn("dup_chars",
+        expr("""aggregate(lines, 0L, (a, x) ->
+                a + IF(size(filter(lines, y -> y = x)) > 1, length(x), 0L))"""))
+      .withColumn("dup_line_char_frac",
+        expr("""CASE WHEN line_chars = 0 THEN 0.0
+                ELSE dup_chars / CAST(line_chars AS DOUBLE) END"""))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val bigrams = base.select(col("doc_id"), col("n_chars"),
+        expr("""filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')""")
+          .as("words"))
+      .select(col("doc_id"), col("n_chars"), explode(
+        expr("""CASE WHEN size(words) < 2 THEN array()
+                ELSE transform(sequence(0, size(words) - 2),
+                     i -> concat(element_at(words, i + 1), ' ',
+                                 element_at(words, i + 2))) END"""))
+        .as("bigram"))
+    val counts = bigrams.groupBy(col("doc_id"), col("n_chars"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    val top = counts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"),
+        (col("cnt") * (length(col("bigram")) - 1) /
+          greatest(col("n_chars"), lit(1L)).cast("double"))
+          .as("top_bigram_frac"))
+
+    base.select(col("doc_id"), col("n_lines"),
+        round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** DataFrame wrapper for [[detectLang]]. */
   def langId(docs: DataFrame): DataFrame = {
     val f = udf(detectLang _)

@@ -214,4 +214,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).getLong(0) === 1L && r(1).getLong(4) === 1L)
     assert(r(2).getLong(0) === 2L && r(2).getLong(4) === 1L)
   }
+
+  test("repetitionSignals: dup-line fractions and top bigram") {
+    val text = "the cat sat\nthe dog ran\nthe cat sat\n\n  \nunique line"
+    val d = docs(1L -> text, 2L -> "single", 3L -> "")
+    val r = TextOps.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+
+    val r1 = r(1L)
+    assert(r1.getLong(1) === 4L) // 4 non-empty trimmed lines
+    // "the cat sat" repeats: 1 of 4 lines is a duplicate
+    assert(math.abs(r1.getDouble(2) - 0.25) < 1e-9)
+    // chars in duplicated lines = 2*11 of (11+11+11+11) total
+    assert(math.abs(r1.getDouble(3) - 22.0 / 44.0) < 1e-9)
+    // "cat sat" and "the cat" both occur twice; lexicographic
+    // tiebreak picks "cat sat"
+    assert(r1.getString(4) === "cat sat")
+    assert(math.abs(r1.getDouble(5) - 2.0 * 6 / text.length) < 1e-6) // col rounds to 6dp
+
+    val r2 = r(2L) // one word: no bigram
+    assert(r2.getLong(1) === 1L && r2.getString(4) === "" &&
+      r2.getDouble(5) === 0.0)
+
+    val r3 = r(3L) // empty text: all-zero signals
+    assert(r3.getLong(1) === 0L && r3.getDouble(2) === 0.0 &&
+      r3.getDouble(3) === 0.0 && r3.getDouble(5) === 0.0)
+  }
 }
