@@ -35,7 +35,22 @@ final case class BuildConfig(
     /** Registered synonym groups (group → member terms): union stats
       * precomputed at build so Query.Synonym needs no query-time
       * counting job (the chert synonym-table analog). */
-    synonyms: Map[String, Seq[String]] = Map.empty) {
+    synonyms: Map[String, Seq[String]] = Map.empty,
+    /** false = TermGenerator::index_text_without_positions analog
+      * (reference: xapian-core/queryparser/termgenerator.cc): wdf and
+      * doclen are kept, the positions table is empty, and NEAR/PHRASE
+      * match nothing — the upstream behavior against documents
+      * indexed without positional data. Cuts the dominant index-size
+      * component for corpora that never run positional queries. */
+    storePositions: Boolean = true,
+    /** Metadata columns indexed as position-less boolean terms
+      * (omindex's add_boolean_term shape — reference:
+      * xapian-applications/omega/omindex.cc): corpus column name
+      * ("repo" | "path" | "commit" | "lang") → term prefix. Terms get
+      * wdf 0 (as add_boolean_term does) and contribute nothing to
+      * doclen, so they are weightless filters — exactly what
+      * QueryParser boolPrefixes emit. */
+    fieldPrefixes: Map[String, String] = Map.empty) {
   def configHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // leading token = on-disk format version; bump on codec change
@@ -44,8 +59,13 @@ final case class BuildConfig(
       else "|syn=" + synonyms.toSeq.sortBy(_._1)
         .map { case (g, ts) => g + ":" + ts.sorted.mkString("+") }.mkString(",")
     val slang = if (stemLang == "en") "" else s"|stemLang=$stemLang"
+    val nopos = if (storePositions) "" else "|nopos"
+    val fps =
+      if (fieldPrefixes.isEmpty) ""
+      else "|fp=" + fieldPrefixes.toSeq.sorted
+        .map { case (c, p) => s"$c:$p" }.mkString(",")
     val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang"
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -196,7 +216,8 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       val stemLang = cfg.stemLang
       val tokMode = cfg.tokenizerMode
       val stop = cfg.stopwords
-      val termRows: Dataset[TermRow] = docs0
+      val keepPos = cfg.storePositions
+      val termRows0: Dataset[TermRow] = docs0
         .select($"docId", $"lang", $"content").as[(Long, String, String)]
         .flatMap { case (docId, lang, content) =>
           val toks =
@@ -221,10 +242,30 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
           }
           val dl = doclen
           positional.iterator.map { case (term, ps) =>
-            TermRow(docId, term, ps.length, dl, Codec.packPositions(ps))
+            TermRow(docId, term, ps.length, dl,
+              if (keepPos) Codec.packPositions(ps) else Array.empty[Byte])
           } ++ posless.iterator.map { case (term, c) =>
             TermRow(docId, term, c, dl, Array.empty[Byte])
           }
+        }
+      // boolean metadata terms (wdf 0, no positions, no doclen part)
+      val termRows: Dataset[TermRow] =
+        if (cfg.fieldPrefixes.isEmpty) termRows0
+        else {
+          val fp = cfg.fieldPrefixes.toSeq.sortBy(_._1)
+          val metaRows = docs0
+            .select($"docId", $"repo", $"path", $"commit", $"lang")
+            .as[(Long, String, String, String, String)]
+            .flatMap { case (docId, repo, path, commit, lang) =>
+              val cols = Map("repo" -> repo, "path" -> path,
+                "commit" -> commit, "lang" -> lang)
+              fp.flatMap { case (c, pre) =>
+                cols.get(c).filter(_.nonEmpty).map(v =>
+                  TermRow(docId, pre + v.toLowerCase, 0, 0L,
+                    Array.empty[Byte]))
+              }
+            }
+          termRows0.unionByName(metaRows)
         }
       termRows.write.mode("overwrite").parquet(s"$dir/terms")
       finishStage("terms")

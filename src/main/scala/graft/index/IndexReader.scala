@@ -86,7 +86,33 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
   lazy val doclens: DataFrame = spark.read.parquet(s"$dir/doclens")
   lazy val dict: DataFrame = spark.read.parquet(s"$dir/dict")
   lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
-  lazy val positions: DataFrame = spark.read.parquet(s"$dir/positions")
+  /** Positions table; a positions-free build
+    * (BuildConfig.storePositions = false) writes no files, so absent
+    * data reads as an empty table and NEAR/PHRASE match nothing (the
+    * reference's behavior for documents indexed without positions). */
+  lazy val positions: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (hasFiles) spark.read.parquet(s"$dir/positions")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("termId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("docId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("posBytes",
+          org.apache.spark.sql.types.BinaryType))))
+  }
   lazy val termLists: DataFrame =
     spark.read.parquet(s"$dir/terms").select($"docId", $"term", $"wdf")
   lazy val dictTable: DataFrame =

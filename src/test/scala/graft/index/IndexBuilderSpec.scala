@@ -188,4 +188,54 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(m.contains("configHash"))
     assert(m.contains("\"lineage\":["))
   }
+
+  test("storePositions=false: term scores unchanged, NEAR/PHRASE match nothing") {
+    import graft.matcher.DatasetMatcher
+    val d = s"$tmp/idx-nopos"
+    new IndexBuilder(spark, cfg.copy(indexDir = d, storePositions = false))
+      .build(spark.createDataset(corpus))
+    val r = new IndexReader(spark, d, cfg.nBuckets, cfg.stripeShift)
+    val full = new DatasetMatcher(new IndexReader(spark, idxDir, cfg.nBuckets, cfg.stripeShift))
+    val nopos = new DatasetMatcher(r)
+    // non-positional scoring identical (wdf/doclen/df untouched)
+    val q = Query.Or(Seq(Query.Term("parse"), Query.Term("token")))
+    assert(nopos.mset(q, 10) === full.mset(q, 10))
+    // positional queries silently match nothing (upstream behavior
+    // for documents indexed without positional data)
+    val nq = Query.Near(Seq(Query.Term("def"), Query.Term("parse")), 5)
+    assert(full.mset(nq, 10).nonEmpty ==
+      Oracle.mset(nq, oracleIdx, 10).nonEmpty)
+    assert(nopos.mset(nq, 10).isEmpty)
+  }
+
+  test("fieldPrefixes index boolean metadata terms (omindex shape)") {
+    import graft.matcher.{DatasetMatcher, MatchOptions}
+    import graft.queryparser.QueryParser
+    val d = s"$tmp/idx-fp"
+    new IndexBuilder(spark,
+      cfg.copy(indexDir = d, fieldPrefixes = Map("lang" -> "L", "repo" -> "P")))
+      .build(spark.createDataset(corpus))
+    val r = new IndexReader(spark, d, cfg.nBuckets, cfg.stripeShift)
+    // boolean terms are in the dict with wdf 0 and df = docs per lang
+    val langs = corpus.groupBy(_.lang).view.mapValues(_.size).toMap
+    for ((lang, n) <- langs) {
+      val row = r.lookupTerms(Seq("L" + lang))("L" + lang)
+      assert(row.df === n.toLong, s"L$lang df")
+      assert(row.maxWdf === 0)
+    }
+    // lang:x parses to a weightless filter whose results equal the
+    // column-decider path, scores included
+    val pc = QueryParser.Config(stemMode = "none",
+      boolPrefixes = Map("lang" -> "L"))
+    val someLang = corpus.head.lang
+    val viaTerm = new DatasetMatcher(r)
+      .mset(QueryParser.parse(s"parse lang:$someLang", pc), 20)
+    val viaDecider = new DatasetMatcher(r, MatchOptions(
+      decider = Some(org.apache.spark.sql.functions.col("lang") === someLang)))
+      .mset(Query.Term("parse"), 20)
+    assert(viaTerm === viaDecider)
+    // doclen/stats untouched by the extra weightless terms
+    val plain = new IndexReader(spark, idxDir, cfg.nBuckets, cfg.stripeShift)
+    assert(r.stats === plain.stats)
+  }
 }
