@@ -226,6 +226,15 @@ object SparkEntry {
         excludeId = Some(0L))),
     "ann_ivf" -> ((s, d) =>
       AnnOps.ivfAssign(embeddings(s, d), centroids(s, d, 8)).orderBy("vec_id")),
+    // IVF-probed search over the PRECOMPUTED assignment table (the
+    // scale path: probes read only matching centroid partitions)
+    "ann_ivf_search" -> ((s, d) => {
+      val cs = centroids(s, d, 8)
+      val assigned = AnnOps.ivfAssign(embeddings(s, d), cs)
+        .select("vec_id", "centroid_id")
+      AnnOps.ivfSearch(embeddings(s, d), cs, queryVec(s, d), 10,
+        nprobe = 3, assigned = Some(assigned))
+    }),
 
     // ---------- training-data pipeline: text analysis ----------
     "ta_tokens" -> ((s, d) =>
@@ -334,6 +343,7 @@ object SparkEntry {
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
+    "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),

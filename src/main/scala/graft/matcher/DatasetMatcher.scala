@@ -92,10 +92,20 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   /** Decoded postings (docId, wdf, doclen) for one term — doclen
     * rides in-block, so a term leaf is a pruned scan + decode with NO
     * join (the chert postlist's interleaved doclens). */
+  /** Blocks → decoded (…, docId, wdf, doclen) via the codegen'd
+    * [[graft.plans.UnpackPostings]] expression: scan → decode → score
+    * stays one WholeStageCodegen span (a typed flatMap would plan
+    * Deserialize/MapPartitions/Serialize and split it). */
+  private def decodeBlocks(blocks: DataFrame,
+                           keepTermId: Boolean): DataFrame = {
+    graft.plans.UnpackPostings.register(spark)
+    val gen = expr("inline(unpack_postings(bytes, firstDocId, count))")
+    if (keepTermId) blocks.select($"termId", gen)
+    else blocks.select(gen)
+  }
+
   private def postingsOf(termId: Long): DataFrame =
-    idx.blocksFor(Seq(termId)).as[PostingBlock]
-      .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf, p.doclen)))
-      .toDF("docId", "wdf", "doclen")
+    decodeBlocks(idx.blocksFor(Seq(termId)), keepTermId = false)
 
   private def termLeaf(dict: Map[String, DictRow], t: Query.Term): DataFrame =
     dict.get(t.term) match {
@@ -212,10 +222,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       if (entries.size < terms.size) emptyMatches // some term missing
       else {
         val twMap = typedLit(entries.toMap)
-        idx.blocksFor(entries.map(_._1)).as[PostingBlock]
-          .flatMap(b => Codec.unpackBlock(b)
-            .map(p => (b.termId, p.docId, p.wdf, p.doclen)))
-          .toDF("termId", "docId", "wdf", "doclen")
+        decodeBlocks(idx.blocksFor(entries.map(_._1)), keepTermId = true)
           .select($"docId", $"termId",
             scoreColOf(element_at(twMap, $"termId"), $"wdf", $"doclen")
               .as("score"))
@@ -249,10 +256,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       if (entries.isEmpty) emptyMatches
       else {
         val twMap = typedLit(entries.toMap)
-        idx.blocksFor(entries.map(_._1)).as[PostingBlock]
-          .flatMap(b => Codec.unpackBlock(b)
-            .map(p => (b.termId, p.docId, p.wdf, p.doclen)))
-          .toDF("termId", "docId", "wdf", "doclen")
+        decodeBlocks(idx.blocksFor(entries.map(_._1)), keepTermId = true)
           .select($"docId",
             scoreColOf(element_at(twMap, $"termId"), $"wdf", $"doclen")
               .as("score"))
@@ -316,9 +320,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       val ids = terms.flatMap(dict.get).map(_.termId)
       if (ids.isEmpty) emptyMatches
       else {
-        val union = idx.blocksFor(ids).as[PostingBlock]
-          .flatMap(b => Codec.unpackBlock(b).map(p => (p.docId, p.wdf, p.doclen)))
-          .toDF("docId", "wdf", "doclen")
+        val union = decodeBlocks(idx.blocksFor(ids), keepTermId = false)
           .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"),
             max($"doclen").as("doclen"))
         val df = idx.synonymGroup(terms.toSet) match {

@@ -103,7 +103,10 @@ object AnnOps {
         val dot = cvec.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
         (cid, dot / (cn * qn))
       }
-      .sortBy { case (cid, cos) => (-cos, cid) }
+      // 9-decimal rounding before ranking, like ivfAssign: keeps the
+      // probe choice independent of float summation order (and SQL-
+      // reproducible)
+      .sortBy { case (cid, cos) => (-math.round(cos * 1e9), cid) }
       .take(nprobe).map(_._1).toSet
     val assign = assigned.getOrElse(
       ivfAssign(vecs, centroids).select("vec_id", "centroid_id"))

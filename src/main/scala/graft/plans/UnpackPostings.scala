@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.core.Codec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expression decoding a packed posting block
+ * (delta+vbyte `bytes`, see [[graft.core.Codec]]) into an array of
+ * (docId, wdf, doclen) structs, exploded with the built-in `inline`.
+ *
+ * Why an Expression and not the typed `flatMap` it replaces: a
+ * Dataset flatMap plans as DeserializeToObject → MapPartitions →
+ * SerializeFromObject, which SPLITS whole-stage codegen and churns
+ * one PostingBlock object per block plus one Posting per entry. This
+ * expression keeps scan → decode → score → aggregate in ONE
+ * WholeStageCodegen span (`doGenCode` emits a call to the static
+ * decoder, which writes unsafe-row-convertible structs straight from
+ * the bytes). The role model is the reference's posting-chunk cursor
+ * (reference: xapian-core/backends/chert/chert_postlist.cc) — decode
+ * happens inside the scan, not in a separate operator.
+ */
+case class UnpackPostings(bytesE: Expression, firstE: Expression,
+                          countE: Expression) extends TernaryExpression {
+  override def first: Expression = bytesE
+  override def second: Expression = firstE
+  override def third: Expression = countE
+
+  override def dataType: DataType = UnpackPostings.schema
+  override def prettyName: String = "unpack_postings"
+
+  override protected def nullSafeEval(b: Any, f: Any, c: Any): Any =
+    UnpackPostings.decode(b.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[Long], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f, c) =>
+      s"${ev.value} = graft.plans.UnpackPostings.decode($b, $f, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(bytesE = newFirst, firstE = newSecond, countE = newThird)
+}
+
+object UnpackPostings {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("docId", LongType, nullable = false),
+    StructField("wdf", IntegerType, nullable = false),
+    StructField("doclen", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Static decoder shared by eval and generated code; mirrors
+    * [[Codec.unpackBlock]] exactly (property-tested). */
+  def decode(bytes: Array[Byte], firstDocId: Long, count: Int): ArrayData = {
+    val r = new Codec.Reader(bytes)
+    val out = new Array[Any](count)
+    var prev = firstDocId - 1 // pack-time delta base
+    var i = 0
+    while (i < count) {
+      prev += r.readVLong()
+      val wdf = r.readVLong().toInt
+      val dl = r.readVLong()
+      out(i) = new GenericInternalRow(Array[Any](prev, wdf, dl))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Register `unpack_postings` with the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unpack_postings",
+      exprs => UnpackPostings(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+}

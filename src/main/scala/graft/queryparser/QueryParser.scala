@@ -65,6 +65,12 @@ object QueryParser {
         * whose lexicographic order is chronological, and become a
         * VALUE_RANGE_S on the mapped docs column. */
       dateRangeFields: Map[String, String] = Map.empty,
+      /** FLAG_PURE_NOT analog: allow queries that are pure negations
+        * (`NOT x`, `-hate`) by matching against all documents minus
+        * the negated set (<alldocuments> AND_NOT x). Off by default —
+        * the reference also requires the flag, because a pure NOT is
+        * a full-corpus scan. */
+      pureNot: Boolean = false,
       /** FLAG_AUTO_SYNONYMS analog: every probabilistic term leaf
         * becomes a [[graft.core.Query.SynonymOf]] marker, expanded
         * against the index's registered synonym groups at match time
@@ -182,13 +188,17 @@ object QueryParser {
       var acc = parseProbGroup()
       var go = true
       while (go) {
+        // a NOT with an empty left side is a pure negation: legal
+        // only under pureNot, where it negates against all documents
+        def notLeft(l: Query): Query =
+          if (l == Query.MatchNothing && cfg.pureNot) Query.MatchAll else l
         peek match {
           case Some(AndT) =>
             advance()
-            if (peek.contains(NotT)) { advance(); acc = Query.AndNot(acc, parseProbGroup()) }
+            if (peek.contains(NotT)) { advance(); acc = Query.AndNot(notLeft(acc), parseProbGroup()) }
             else acc = Query.And(Seq(acc, parseProbGroup()))
           case Some(NotT) =>
-            advance(); acc = Query.AndNot(acc, parseProbGroup())
+            advance(); acc = Query.AndNot(notLeft(acc), parseProbGroup())
           case _ => go = false
         }
       }
@@ -289,7 +299,10 @@ object QueryParser {
       if (minus.nonEmpty) {
         val m = if (minus.size == 1) minus.head else Query.Or(minus)
         result =
-          if (result == Query.MatchNothing) Query.MatchNothing
+          if (result == Query.MatchNothing)
+            // pure hate-terms: all documents minus them (FLAG_PURE_NOT)
+            if (cfg.pureNot) Query.AndNot(Query.MatchAll, m)
+            else Query.MatchNothing
           else Query.AndNot(result, m)
       }
       result

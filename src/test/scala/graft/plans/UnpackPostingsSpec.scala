@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.core.{Codec, Posting}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The UnpackPostings expression must equal Codec.unpackBlock on
+  * arbitrary blocks, and must keep the decode inside whole-stage
+  * codegen (no object-path Deserialize/MapPartitions split). */
+class UnpackPostingsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def randomBlocks(seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 20).flatMap { t =>
+      val n = 1 + rnd.nextInt(200)
+      var did = rnd.nextInt(50).toLong
+      val ps = (1 to n).map { _ =>
+        did += 1 + rnd.nextInt(1000)
+        Posting(did, 1 + rnd.nextInt(100), 1 + rnd.nextInt(5000))
+      }
+      Codec.packBlocks(t.toLong, bucket = 0, ps, stripeShift = 10,
+        maxPerBlock = 64)
+    }
+  }
+
+  test("expression decode equals Codec.unpackBlock on random blocks") {
+    import spark.implicits._
+    val blocks = randomBlocks(4242L)
+    val want = blocks.flatMap(b => Codec.unpackBlock(b)
+      .map(p => (b.termId, p.docId, p.wdf, p.doclen))).sorted
+    UnpackPostings.register(spark)
+    val got = spark.createDataset(blocks).toDF()
+      .select($"termId",
+        org.apache.spark.sql.functions
+          .expr("inline(unpack_postings(bytes, firstDocId, count))"))
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    assert(got === want)
+  }
+
+  test("decode plans inside WholeStageCodegen (no typed-object split)") {
+    import spark.implicits._
+    val blocks = randomBlocks(7L)
+    UnpackPostings.register(spark)
+    val df = spark.createDataset(blocks).toDF()
+      .select(org.apache.spark.sql.functions
+        .expr("inline(unpack_postings(bytes, firstDocId, count))"))
+      .groupBy($"docId")
+      .agg(org.apache.spark.sql.functions.sum($"wdf"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    // the "*(n)" prefix marks whole-stage-codegen membership: decode
+    // fuses with the projection and partial aggregate in one stage
+    assert(plan.contains("*(1) Generate inline(unpack_postings"), plan)
+  }
+}

@@ -190,6 +190,17 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("len:40..60", c) === "VALUE_RANGE doclen 40.0 60.0")
   }
 
+  test("pure NOT requires the pureNot flag (FLAG_PURE_NOT)") {
+    assert(QueryParser.parse("NOT hate", noStem) === Query.MatchNothing)
+    assert(QueryParser.parse("-hate", noStem) === Query.MatchNothing)
+    val pn = QueryParser.Config(stemMode = "none", pureNot = true)
+    assert(p("NOT hate", pn) === "(<alldocuments> AND_NOT hate)")
+    assert(p("-hate", pn) === "(<alldocuments> AND_NOT hate)")
+    assert(p("-love -hate", pn) === "(<alldocuments> AND_NOT (love OR hate))")
+    // a non-pure NOT is unchanged by the flag
+    assert(p("love NOT hate", pn) === "(love AND_NOT hate)")
+  }
+
   test("~term is a synonym marker (FLAG_SYNONYM), unstemmed") {
     assert(p("~parse") === "~parse")
     assert(p("data ~parse") === "(Zdata OR ~parse)")
