@@ -57,7 +57,11 @@ object DedupOps {
     * per-bucket width ∝ true-duplicate density instead of the fixed
     * 256-buckets-per-seed prefix scheme that degenerates to all-pairs
     * at scale. Output: (doc_a, doc_b, shared_bands), doc_a < doc_b. */
-  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+  /** (doc_id, band) rows from a minhash signature frame:
+    * full-signature b×r band digests (bucket width tracks true
+    * duplicate density — the scale-safe banding). Shared by the
+    * batch pair join and the streaming per-band state op. */
+  def bandedKeys(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
     val seeds = sigs.columns.count(_.startsWith("h"))
     require(seeds % rowsPerBand == 0,
       s"seeds ($seeds) must be a multiple of rowsPerBand ($rowsPerBand)")
@@ -67,10 +71,14 @@ object DedupOps {
       // concat propagates null: a doc too short for minhash joins nothing
       md5(concat(lit(s"$b:") +: hs: _*))
     }
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
       .where(col("band").isNotNull)
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    val banded = bandedKeys(sigs, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))

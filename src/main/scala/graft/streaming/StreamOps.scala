@@ -58,4 +58,57 @@ object StreamOps {
         unix_timestamp(col("session_window.start")).as("start_epoch"),
         unix_timestamp(col("session_window.end")).as("end_epoch"),
         col("n_events"), col("sum_value"))
+
+  /** Shared per-key claim state: the first doc_id ever seen under a
+    * key owns it forever (custom KeyValueGroupedDataset state via
+    * flatMapGroupsWithState — a grow-only claim registry is not
+    * expressible as a built-in streaming aggregate, since later
+    * batches must read the original owner, not re-aggregate).
+    * Within a batch the smallest doc_id claims, for determinism.
+    * State is one Long per distinct key — bounded by corpus
+    * cardinality, partitioned by the state store. */
+  private def claimByKey(
+      keyed: Dataset[(Long, String)],
+      emitOwner: Boolean): Dataset[(Long, Long, String)] = {
+    import keyed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    keyed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.distinct.sorted
+          val owner = if (state.exists) state.get else {
+            state.update(ids.head); ids.head
+          }
+          ids.iterator
+            .filter(id => emitOwner || id != owner)
+            .map(id => (id, owner, key))
+      }
+  }
+
+  /** Streaming exact dedup: every document maps to the first-ever
+    * document with identical text (md5 canonical), across
+    * micro-batches — the streaming form of DedupOps.exactCanonical.
+    * Emits (doc_id, canonical_id, content_key). */
+  def exactDedupStream(docs: DataFrame): Dataset[(Long, Long, String)] =
+    claimByKey(
+      docs.select(col("doc_id").cast("long"), md5(col("text")))
+        .as(Encoders.product[(Long, String)]),
+      emitOwner = true)
+
+  /** Streaming near-duplicate candidates: incoming documents MinHash
+    * into b×r LSH band digests (DedupOps.bandedKeys — stateless
+    * per-row exprs, streaming-safe); a document sharing ANY band with
+    * an earlier one emits (doc_id, owner_id, band). The batch
+    * verifier (DedupOps.ngramJaccard) confirms candidates downstream,
+    * exactly as in the batch pipeline. */
+  def nearDupCandidatesStream(docs: DataFrame, k: Int = 8,
+                              seeds: Int = 12,
+                              rowsPerBand: Int = 2): Dataset[(Long, Long, String)] = {
+    val banded = graft.pipeline.DedupOps.bandedKeys(
+      graft.pipeline.DedupOps.minhash(docs, k, seeds), rowsPerBand)
+      .select(col("doc_id").cast("long"), col("band"))
+    claimByKey(banded.as(Encoders.product[(Long, String)]),
+      emitOwner = false)
+  }
 }

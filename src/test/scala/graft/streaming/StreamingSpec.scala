@@ -107,4 +107,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0).getLong(3) === 2L) // first session: 2 events
     assert(out(1).getLong(3) === 1L)
   }
+
+  test("streaming exact dedup: canonical owner persists across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val out = StreamOps.exactDedupStream(docs)
+    val query = out.toDF("doc_id", "canonical_id", "content_key")
+      .writeStream.format("memory").queryName("exdedup")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "aaa"), (2L, "bbb"))
+      query.processAllAvailable()
+      stream.addData((3L, "aaa"), (4L, "ccc"), (5L, "bbb"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val m = spark.table("exdedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 2L))
+  }
+
+  test("streaming near-dup candidates: later duplicates pair to the first owner") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val long1 = "the quick brown fox jumps over the lazy dog " * 4
+    val long2 = "a completely different document about spark indexes " * 4
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val out = StreamOps.nearDupCandidatesStream(docs)
+    val query = out.toDF("doc_id", "owner_id", "band")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      stream.addData((10L, long1), (20L, long2))
+      query.processAllAvailable()
+      stream.addData((30L, long1), (40L, "tiny")) // dup of 10, one unrelated
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    // doc 30 pairs to owner 10 (all its bands were claimed in batch 1);
+    // nothing else pairs to anything
+    assert(rows.toSeq === Seq((30L, 10L)))
+  }
 }
