@@ -273,6 +273,24 @@ SELECT d.lang, count(*)::BIGINT AS facet_count
 FROM m JOIN documents d USING(doc_id)
 GROUP BY d.lang ORDER BY d.lang"""
 
+  /** Multi-facet oracle: the same matched set counted per facet
+    * dimension; `repo` replays EntrySupport.corpus's
+    * coalesce(source, 'corpus'). */
+  def multiFacetSql(term: String): String =
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '$term'),
+j AS (SELECT d.lang, coalesce(d.source, 'corpus') AS repo
+      FROM m JOIN documents d USING(doc_id))
+SELECT facet, value, count(*)::BIGINT AS facet_count FROM (
+  SELECT 'lang' AS facet, lang AS value FROM j
+  UNION ALL
+  SELECT 'repo' AS facet, repo AS value FROM j)
+GROUP BY facet, value ORDER BY facet, value"""
+
   /** Spelling suggestion: dictionary terms within edit distance,
     * ranked (dist asc, cf desc, term asc). */
   def spellSql(word: String, maxDist: Int, k: Int): String =
@@ -703,6 +721,21 @@ FROM v ORDER BY doc_id, frame_idx"""
     """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Sliding-window oracle: each event expands into
+    * windowSec/slideSec epoch-aligned window starts (exactly Spark's
+    * `window(ts, w, s)` assignment, computed in microseconds). */
+  def slidingSql(windowSec: Long, slideSec: Long): String = {
+    val n = windowSec / slideSec
+    val slideUs = slideSec * 1000000L
+    s"""WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events),
+w AS (SELECT event_type, value,
+        (us // $slideUs) * $slideSec - i.i * $slideSec AS win_epoch
+      FROM e, unnest(range(0, $n)) AS i(i))
+SELECT win_epoch::BIGINT AS win_epoch, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 
   def sessionsSql(gapSeconds: Long): String =
     s"""WITH x AS (SELECT user_id, event_id, ts, value, floor(epoch(ts))::BIGINT AS es FROM events),

@@ -181,6 +181,13 @@ object SparkEntry {
         .select(col("lang"), col("facet_count").cast("long"))
         .orderBy("lang")
     }),
+    "ft_facet_multi" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      new graft.matcher.DatasetMatcher(idx)
+        .multiFacetSpy(t("data"), Seq("lang", "repo"))
+        .select(col("facet"), col("value"), col("facet_count").cast("long"))
+        .orderBy("facet", "value")
+    }),
     "ft_spell" -> ((s, d) =>
       graft.matcher.SpellSuggest.suggest(EntrySupport.reader(s, d),
         "strem", maxDist = 1, k = 3)
@@ -277,6 +284,8 @@ object SparkEntry {
       EventOps.hourlyRollup(events(s, d)).orderBy("hour_epoch", "event_type")),
     "ev_sessions" -> ((s, d) =>
       EventOps.sessionize(events(s, d)).orderBy("user_id", "session_seq")),
+    "ev_sliding" -> ((s, d) =>
+      EventOps.slidingCounts(events(s, d)).orderBy("win_epoch", "event_type")),
 
     // ---------- relational joins (broadcast dims) ----------
     "rel_revenue" -> ((s, d) => {
@@ -332,6 +341,7 @@ object SparkEntry {
     "ft_sha256" -> EntrySql.sha256Sql,
     "ft_doclen" -> EntrySql.doclenSql,
     "ft_facet" -> EntrySql.facetSql("data"),
+    "ft_facet_multi" -> EntrySql.multiFacetSql("data"),
     "ft_spell" -> EntrySql.spellSql("strem", 1, 3),
     "ft_eset" -> EntrySql.esetSql(10, 10),
     "dd_exact" -> EntrySql.exactDedupSql,
@@ -353,6 +363,7 @@ object SparkEntry {
     "mm_frames" -> EntrySql.framesSql(2),
     "ev_hourly" -> EntrySql.hourlySql,
     "ev_sessions" -> EntrySql.sessionsSql(1800L),
+    "ev_sliding" -> EntrySql.slidingSql(3600L, 900L),
     "rel_revenue" -> EntrySql.revenueSql,
     "rel_top_orders" -> EntrySql.topOrdersSql)
 }

@@ -511,6 +511,21 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     matches(q).join(idx.docs, "docId")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("facet_count"))
 
+  /** Several facet dimensions in ONE pass over the matched set (the
+    * Enquire::add_matchspy-several-spies shape — the reference runs
+    * all registered spies per matched doc): each match explodes into
+    * (facet, value) pairs, one hash aggregate counts them all. */
+  def multiFacetSpy(q: Query, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    val pairs = explode(array(keyCols.map(k =>
+      struct(lit(k).as("facet"), col(k).cast("string").as("value"))): _*))
+    matches(q).join(idx.docs, "docId")
+      .select(pairs.as("p"))
+      .select(col("p.facet").as("facet"), col("p.value").as("value"))
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("facet_count"))
+  }
+
   /** Generic MatchSpy (the custom-MatchSpy surface of
     * api/matchspy.cc): arbitrary user aggregation expressions —
     * including custom typed Aggregators lifted with

@@ -30,6 +30,23 @@ object EventOps {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Sliding-window rollup: overlapping windows of `windowSec`
+    * sliding every `slideSec` (epoch-aligned, the Spark `window()`
+    * assignment: each event lands in windowSec/slideSec windows).
+    * One keyed hash aggregate after the built-in window expansion —
+    * the same shape streaming or batch, any scale. */
+  def slidingCounts(events: DataFrame, windowSec: Long = 3600L,
+                    slideSec: Long = 900L): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapSeconds`. Returns one row per session. */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
