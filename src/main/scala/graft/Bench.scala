@@ -43,10 +43,16 @@ object Bench {
       buildPartitions = partitions)
     val corpus = EntrySupport.corpus(spark, sfDir).as[CorpusRow]
     val nDocs = corpus.count()
+    // size build partitions to the data (~500 docs/partition, capped
+    // at the core count): at 5k docs, 32 partitions pay ~2x in task
+    // scheduling overhead vs 8 (measured; at 100k+ docs the cap
+    // applies and nothing changes)
+    val parts = math.max(4L, math.min(partitions.toLong, nDocs / 500)).toInt
+    val sized = cfg.copy(buildPartitions = parts)
     val t0 = System.nanoTime()
-    new IndexBuilder(spark, cfg).build(corpus)
+    new IndexBuilder(spark, sized).build(corpus)
     val sec = (System.nanoTime() - t0) / 1e9
-    (new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift), nDocs, sec)
+    (new IndexReader(spark, dir, sized.nBuckets, sized.stripeShift), nDocs, sec)
   }
 
   /** Run the quest set; `concurrency` > 1 overlaps Spark jobs from a

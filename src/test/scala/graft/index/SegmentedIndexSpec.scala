@@ -197,6 +197,10 @@ class SegmentedIndexSpec extends AnyFunSuite {
       if (wm.supports(q)) {
         val gw = wm.mset(q, 15)
         assert(gw.map(_.docId) === want.map(_.docId), s"wand ${q.describe}")
+        // the distributed per-stripe path reads through the
+        // block-rewriting DeletionAwareIndex too
+        val gd = new WandMatcher(rdr, localDfThreshold = 0L).mset(q, 15)
+        assert(gd.map(_.docId) === want.map(_.docId), s"wand-dist ${q.describe}")
       }
     }
 
