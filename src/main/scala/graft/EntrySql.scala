@@ -525,12 +525,16 @@ d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
 SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
 ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
 
-  val tokensSql: String =
-    """SELECT doc_id,
+  val tokensSql: String = {
+    // DuckDB '…' strings keep backslashes literal; only quotes escape
+    val p = graft.pipeline.TextOps.BpeishPattern.replace("'", "''")
+    s"""SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+            ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '$p'))::BIGINT AS n_bpeish,
        length(text)::BIGINT AS n_chars
 FROM documents ORDER BY doc_id"""
+  }
 
   def qualitySql(stopwords: Seq[String]): String =
     s"""WITH base AS (

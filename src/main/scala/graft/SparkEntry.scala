@@ -247,6 +247,7 @@ object SparkEntry {
     "ta_tokens" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpeish"),
         length(col("text")).cast("long").as("n_chars")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       TextOps.qualityFeatures(documents(s, d), qualityStopwords).orderBy("doc_id")),

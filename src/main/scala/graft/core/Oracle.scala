@@ -33,7 +33,10 @@ object Oracle {
       wildcardMaxExpansion: Int = 100000,
       /** Registered synonym groups (key term → members) for
         * [[Query.SynonymOf]] expansion. */
-      synonyms: Map[String, Seq[String]] = Map.empty)
+      synonyms: Map[String, Seq[String]] = Map.empty,
+      /** Enquire::set_docid_order(DESCENDING) analog: flip docId
+        * tie-breaks in the final ranking. */
+      docIdOrderDesc: Boolean = false)
 
   final case class Index(
       postings: Map[String, Vector[(Long, Int, Array[Int])]], // term -> (docId, wdf, positions) sorted by docId
@@ -390,8 +393,9 @@ object Oracle {
       if (opts.weightCutoff > 0.0)
         filtered.count { case (_, w) => w >= opts.weightCutoff }.toLong
       else filtered.size.toLong
+    val didSign = if (opts.docIdOrderDesc) -1L else 1L
     var items = filtered.toVector
-      .sortBy { case (did, w) => (-w, did) }
+      .sortBy { case (did, w) => (-w, didSign * did) }
     opts.collapseKey.foreach { keyFn =>
       val seen = mutable.Set.empty[String]
       items = items.filter { case (did, _) =>

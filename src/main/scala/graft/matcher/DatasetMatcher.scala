@@ -23,6 +23,11 @@ final case class MatchOptions(
     sortBy: String = "relevance",
     sortValue: Option[String] = None,
     sortValueReverse: Boolean = false,
+    /** Enquire::set_docid_order(DESCENDING) analog: docId tie-breaks
+      * in the final ranking flip to descending (pure-boolean queries
+      * then return docids descending). Collapse's internal best-pick
+      * keeps ascending ties — documented frozen spec. */
+    docIdOrderDesc: Boolean = false,
     /** Multi-key value sort — the MultiValueKeyMaker analog
       * (reference: xapian-core/api/keymaker.cc): (docs column,
       * reverse?) pairs, most significant first. When non-empty it
@@ -581,14 +586,15 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
         else opts.sortValue.map(v => (v, opts.sortValueReverse)).toSeq
       keys.map { case (c, rev) => if (rev) col(c).desc else col(c).asc }
     }
+    val didTie = if (opts.docIdOrderDesc) $"docId".desc else $"docId".asc
     val sortCols: Seq[Column] = opts.sortBy match {
-      case "relevance" => Seq($"score".desc, $"docId".asc)
+      case "relevance" => Seq($"score".desc, didTie)
       case "value" =>
-        valueCols :+ $"docId".asc
+        valueCols :+ didTie
       case "relevance_then_value" =>
-        ($"score".desc +: valueCols) :+ $"docId".asc
+        ($"score".desc +: valueCols) :+ didTie
       case "value_then_relevance" =>
-        (valueCols :+ $"score".desc) :+ $"docId".asc
+        (valueCols :+ $"score".desc) :+ didTie
     }
     // TakeOrderedAndProject: per-partition top-(first+k) + driver merge
     val top = m.orderBy(sortCols: _*).select($"docId", $"score")

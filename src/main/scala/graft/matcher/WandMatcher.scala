@@ -31,7 +31,11 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
                     * distributed path even when small, so a serving
                     * workload never serializes WAND loops on the
                     * driver (round-1 review watch item). */
-                  maxLocalConcurrency: Int = 4) {
+                  maxLocalConcurrency: Int = 4,
+                  /** Enquire::set_docid_order(DESCENDING) analog —
+                    * docId tie-breaks flip (matching the Dataset
+                    * matcher's MatchOptions.docIdOrderDesc). */
+                  docIdOrderDesc: Boolean = false) {
   private val spark = idx.spark
   import spark.implicits._
 
@@ -122,6 +126,9 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       dict.get(t.term).map(d => d.termId -> weight.termWeight(t.wqf, d.df, stats))
     }.groupBy(_._1).map { case (tid, xs) => tid -> xs.map(_._2).sum }
     if (tws.isEmpty) return Seq.empty
+    // local copies: the executor closure must not capture `this`
+    val didSign: Int = if (docIdOrderDesc) -1 else 1
+    val dSign: Int = didSign
     val termIds = tws.keys.toSeq.sorted
     val need = first + k
     val querySize = terms.map(_.wqf).sum
@@ -143,10 +150,10 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
           val collected = blocks.collect()
           collected.groupBy(_.stripe).iterator
             .flatMap { case (_, bs) =>
-              WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize)
+              WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize, didSign)
             }
             .toArray
-            .sortBy { case (did, s) => (-s, did) }
+            .sortBy { case (did, s) => (-s, didSign * did) }
             .take(need)
         } finally WandMatcher.releaseLocal()
       } else {
@@ -156,10 +163,11 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         val bTws = spark.sparkContext.broadcast(tws)
         blocks.groupByKey(_.stripe)
           .flatMapGroups { (_, bs) =>
-            WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need, querySize)
+            WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need, querySize, dSign)
           }
           .toDF("docId", "score")
-          .orderBy($"score".desc, $"docId".asc)
+          .orderBy($"score".desc,
+            if (docIdOrderDesc) $"docId".desc else $"docId".asc)
           .limit(need).collect()
           .map(r => (r.getLong(0), r.getDouble(1)))
       }
@@ -247,7 +255,9 @@ object WandMatcher {
       w: Weight,
       stats: StatsRow,
       k: Int,
-      querySize: Int = 0): Iterator[(Long, Double)] = {
+      querySize: Int = 0,
+      /** +1 = docId-ascending ties (default), -1 = descending. */
+      didSign: Int = 1): Iterator[(Long, Double)] = {
     val maxExtra =
       if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0
     val cursors: Array[Cursor] = blocks.groupBy(_.termId).iterator.map {
@@ -258,7 +268,7 @@ object WandMatcher {
     // min-heap of the k best (score asc, docId desc → evict smallest
     // score / largest docId first, matching weight-desc docId-asc rank)
     implicit val ord: Ordering[(Long, Double)] =
-      Ordering.by { case (did, s) => (-s, did) }
+      Ordering.by { case (did, s) => (-s, didSign * did) }
     val heap = mutable.PriorityQueue.empty[(Long, Double)]
     var theta = Double.NegativeInfinity
 
@@ -294,7 +304,8 @@ object WandMatcher {
             heap.enqueue((pivotDoc, score))
             if (heap.size == k) theta = heap.head._2
           } else if (score > theta ||
-                     (score == theta && pivotDoc < heap.head._1)) {
+                     (score == theta &&
+                      didSign * pivotDoc < didSign * heap.head._1)) {
             heap.dequeue(); heap.enqueue((pivotDoc, score))
             theta = heap.head._2
           }

@@ -20,6 +20,19 @@ object TextOps {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** GPT-2-style pretokenizer pattern (plain alternation — no
+    * lookarounds, so Java regex and DuckDB's RE2 agree): English
+    * contraction tails, space-prefixed letter / digit / punctuation
+    * runs, residual whitespace runs. The match count approximates a
+    * BPE tokenizer's pretoken count — the budget unit training-data
+    * pipelines meter documents by. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** Per-row BPE-ish pretoken count (codegen'd regexp_count). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
+
   /**
    * Per-document quality features (the C4/Gopher-style scalar
    * signals): n_chars, n_tokens, avg token length, alpha ratio,

@@ -341,6 +341,26 @@ class MatcherSpec extends AnyFunSuite {
     assert(got.map(_.docId).toSeq === want)
   }
 
+  test("docid_order DESCENDING flips tie-breaks on all three paths") {
+    // boolean all-zero-weight query: pure docid ordering, descending
+    val wantAll = Oracle.mset(MatchAll, oracleIdx, 15,
+      Oracle.Options(docIdOrderDesc = true))
+    assert(wantAll.map(_.docId) ===
+      (oracleIdx.stats.n to (oracleIdx.stats.n - 14) by -1).toSeq)
+    val gotAll = new DatasetMatcher(reader,
+      MatchOptions(docIdOrderDesc = true)).mset(MatchAll, 15)
+    assertSame(gotAll, wantAll, "desc-all")
+    // weighted query: rank identity incl. flipped ties, both WAND paths
+    val q = or(t(midTerm), t("token"), t(commonTerm))
+    val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(docIdOrderDesc = true))
+    assertSame(new DatasetMatcher(reader,
+      MatchOptions(docIdOrderDesc = true)).mset(q, 10), want, "desc-ds")
+    assertSame(new WandMatcher(reader, docIdOrderDesc = true).mset(q, 10),
+      want, "desc-wand")
+    assertSame(new WandMatcher(reader, localDfThreshold = 0L,
+      docIdOrderDesc = true).mset(q, 10), want, "desc-wand-dist")
+  }
+
   test("percent values match oracle") {
     val q = or(t(midTerm), t("token"))
     val want = Oracle.mset(q, oracleIdx, 10)
