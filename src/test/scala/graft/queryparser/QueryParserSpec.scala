@@ -190,6 +190,26 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("len:40..60", c) === "VALUE_RANGE doclen 40.0 60.0")
   }
 
+  test("parser total on 500 random garbage strings (never throws)") {
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet =
+      "abcXYZ019 ()\"*+-~:._/\\äж\t\n" + "AND OR NOT XOR NEAR ADJ"
+    val cfgs = Seq(cfg, noStem,
+      QueryParser.Config(stemMode = "none", pureNot = true,
+        autoSynonyms = true, boolPrefixes = Map("lang" -> "L"),
+        rangeFields = Map("len" -> "doclen"),
+        strRangeFields = Map("repo" -> "repo"),
+        dateRangeFields = Map("date" -> "commit_date")))
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(40)
+      val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val c = cfgs(rnd.nextInt(cfgs.size))
+      val q = QueryParser.parse(s, c) // must not throw
+      assert(q != null)
+      q.describe // and the tree must be renderable
+    }
+  }
+
   test("pure NOT requires the pureNot flag (FLAG_PURE_NOT)") {
     assert(QueryParser.parse("NOT hate", noStem) === Query.MatchNothing)
     assert(QueryParser.parse("-hate", noStem) === Query.MatchNothing)
