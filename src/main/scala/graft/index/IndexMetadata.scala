@@ -1,0 +1,73 @@
+package graft.index
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+
+/**
+ * User metadata on an index — the WritableDatabase::set_metadata /
+ * Database::get_metadata / metadata_keys surface (reference:
+ * xapian-core/backends/chert/chert_database.cc metadata table:
+ * arbitrary byte-string KV pairs riding the postlist B-tree under a
+ * reserved prefix). Here: one JSON-lines file per index dir
+ * (`metadata.tsv`, key TAB base64(value)), rewritten atomically
+ * through the Hadoop FS API so HDFS/S3 index dirs work. Metadata is
+ * driver-side, tiny, and read lazily — never a Spark job.
+ */
+object IndexMetadata {
+
+  private def file(dir: String) = new Path(s"$dir/metadata.tsv")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    file(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def enc(v: String): String =
+    java.util.Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))
+  private def dec(v: String): String =
+    new String(java.util.Base64.getDecoder.decode(v), StandardCharsets.UTF_8)
+
+  private def readAll(spark: SparkSession, dir: String): Map[String, String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(file(dir))) return Map.empty
+    val in = f.open(file(dir))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          dec(l.substring(0, i)) -> dec(l.substring(i + 1))
+        }.toMap
+    } finally in.close()
+  }
+
+  private def writeAll(spark: SparkSession, dir: String,
+                       m: Map[String, String]): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new Path(s"$dir/metadata.tsv.tmp")
+    val out = f.create(tmp, true)
+    try {
+      val body = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }.mkString("\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    f.delete(file(dir), false)
+    if (!f.rename(tmp, file(dir)))
+      throw new java.io.IOException(s"rename failed for ${file(dir)}")
+  }
+
+  /** set_metadata: empty value deletes the key (as upstream). */
+  def set(spark: SparkSession, dir: String, key: String, value: String): Unit =
+    synchronized {
+      require(key.nonEmpty, "empty metadata keys are invalid (upstream rule)")
+      val m = readAll(spark, dir)
+      writeAll(spark, dir,
+        if (value.isEmpty) m - key else m + (key -> value))
+    }
+
+  /** get_metadata: missing keys read as the empty string (upstream). */
+  def get(spark: SparkSession, dir: String, key: String): String =
+    readAll(spark, dir).getOrElse(key, "")
+
+  /** metadata_keys with optional prefix, sorted. */
+  def keys(spark: SparkSession, dir: String, prefix: String = ""): Seq[String] =
+    readAll(spark, dir).keys.filter(_.startsWith(prefix)).toSeq.sorted
+}

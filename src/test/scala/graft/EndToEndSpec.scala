@@ -80,4 +80,63 @@ class EndToEndSpec extends AnyFunSuite {
   test("repeated term wqf")      { check("parse parse token") }
   test("uppercase unstemmed")    { check("Parse token") }
   test("special tokens")         { check("c++ don't") }
+
+  test("user journey: synonyms + prefixes + snippets + correction + delete + compact") {
+    import graft.index.{SegmentedIndex, IndexMetadata}
+    import graft.matcher.SpellSuggest
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+
+    val base = Files.createTempDirectory("graft-journey").toString
+    val seg = new SegmentedIndex(spark, base, stemMode = "none",
+      stripeShift = 6, buildPartitions = 4)
+    seg.append(spark.createDataset(corpus.take(60)))
+    seg.append(spark.createDataset(corpus.drop(60)))
+    val idx = seg.reader()
+    val pc = QueryParser.Config(stemMode = "none",
+      boolPrefixes = Map("lang" -> "L"))
+
+    // 1. query + page + snippet over the top hits
+    val q = QueryParser.parse("parse OR token", pc)
+    val m = new DatasetMatcher(idx)
+    val page = m.msetPage(q, 5)
+    assert(page.items.nonEmpty && page.matchesEstimated >= page.items.size)
+    val docsText = spark.createDataset(
+      corpus.take(60).sortBy(c => (c.repo, c.path, c.commit)).zipWithIndex
+        .map { case (c, i) => (i + 1L, c.content) })
+      .toDF("docId", "text")
+    val tdf = spark.createDataset(page.items.map(i => (i.docId, i.score)))
+      .toDF("docId", "score").join(docsText, Seq("docId"), "inner")
+    val snips = m.withSnippets(tdf, "text", q, Snippets.Config(length = 80))
+      .select("snippet").as[String].collect()
+    assert(snips.forall(_.contains("<b>")))
+
+    // 2. spelling correction round-trips into a working query
+    val corrected = SpellSuggest.correctQueryString(idx, "parze AND tokn", maxDist = 1)
+    assert(corrected === Some("parse AND token"))
+    assert(m.mset(QueryParser.parse(corrected.get, pc), 3).nonEmpty)
+
+    // 3. matching terms of the top hit
+    val mt = m.matchingTerms(q, page.items.head.docId)
+    assert(mt.nonEmpty && mt.forall(Set("parse", "token")))
+
+    // 4. delete the top hit by natural key; it vanishes from results
+    val top = page.items.head.docId
+    val key = idx.docs.filter(col("docId") === top)
+      .select("repo", "path", "commit").collect()(0)
+    seg.delete(Seq((key.getString(0), key.getString(1), key.getString(2))))
+    val afterDelete = new DatasetMatcher(seg.reader()).mset(q, 5)
+    assert(!afterDelete.map(_.docId).contains(top))
+
+    // 5. compact applies the delete physically; results stable
+    val compacted = seg.compactMerged()
+    assert(compacted.stats.n === corpus.size - 1)
+    assert(new DatasetMatcher(compacted).mset(q, 5).nonEmpty)
+
+    // 6. metadata rides the compacted index dir
+    IndexMetadata.set(spark, compacted.asInstanceOf[graft.index.IndexReader].dir,
+      "journey", "done")
+    assert(IndexMetadata.get(spark,
+      compacted.asInstanceOf[graft.index.IndexReader].dir, "journey") === "done")
+  }
 }

@@ -238,4 +238,23 @@ class IndexBuilderSpec extends AnyFunSuite {
     val plain = new IndexReader(spark, idxDir, cfg.nBuckets, cfg.stripeShift)
     assert(r.stats === plain.stats)
   }
+
+  test("index metadata KV (set_metadata/get_metadata/metadata_keys)") {
+    val d = idxDir // piggyback on the built index dir
+    IndexMetadata.set(spark, d, "ui:title", "code search")
+    IndexMetadata.set(spark, d, "ui:lang", "en")
+    IndexMetadata.set(spark, d, "rev", "abc123")
+    assert(IndexMetadata.get(spark, d, "ui:title") === "code search")
+    assert(IndexMetadata.get(spark, d, "missing") === "") // upstream default
+    assert(IndexMetadata.keys(spark, d) === Seq("rev", "ui:lang", "ui:title"))
+    assert(IndexMetadata.keys(spark, d, "ui:") === Seq("ui:lang", "ui:title"))
+    // empty value deletes; keys/values may hold tabs and newlines
+    IndexMetadata.set(spark, d, "rev", "")
+    assert(IndexMetadata.keys(spark, d) === Seq("ui:lang", "ui:title"))
+    IndexMetadata.set(spark, d, "weird\tkey", "line1\nline2\tend")
+    assert(IndexMetadata.get(spark, d, "weird\tkey") === "line1\nline2\tend")
+    intercept[IllegalArgumentException] {
+      IndexMetadata.set(spark, d, "", "x")
+    }
+  }
 }
