@@ -1,0 +1,65 @@
+package graft.index
+
+import graft.core.Codec
+import org.apache.spark.sql.functions._
+
+/**
+ * Index inspection — the xapian-delve CLI surface (reference:
+ * xapian-core/bin/xapian-delve.cc): collection summary, a document's
+ * term list, a term's postings (with positions). Each call is one
+ * pruned scan; intended for diagnostics, so results collect to the
+ * driver like delve prints to stdout.
+ */
+object Delve {
+
+  /** `delve <db>`: doc count, average/total length, vocabulary size,
+    * metadata keys. */
+  def summary(idx: Index, dir: Option[String] = None): String = {
+    val s = idx.stats
+    val vocab = idx.dictTable.count()
+    val meta = dir.map(d =>
+      IndexMetadata.keys(idx.spark, d).mkString(", ")).getOrElse("")
+    f"""number of documents = ${s.n}
+average document length = ${s.avgLen}%.4f
+document length lower bound = ${s.minDocLen}
+document length upper bound = ${s.maxDocLen}
+total length = ${s.totalLen}
+distinct terms = $vocab""" +
+      (if (meta.nonEmpty) s"\nmetadata keys = $meta" else "")
+  }
+
+  /** `delve -r <docid>`: the document's terms with wdf, sorted. */
+  def termList(idx: Index, docId: Long): Seq[(String, Int)] =
+    idx.termLists.filter(col("docId") === docId)
+      .select(col("term"), col("wdf").cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .sortBy(_._1).toSeq
+
+  /** `delve -t <term>`: the term's postings (docId, wdf, doclen),
+    * decoded from the pruned blocks, docId order. */
+  def postingList(idx: Index, term: String): Seq[(Long, Int, Long)] = {
+    idx.lookupTerms(Seq(term)).get(term) match {
+      case None => Seq.empty
+      case Some(d) =>
+        implicit val enc: org.apache.spark.sql.Encoder[graft.core.PostingBlock] =
+          org.apache.spark.sql.Encoders.product[graft.core.PostingBlock]
+        idx.blocksFor(Seq(d.termId)).as[graft.core.PostingBlock]
+          .collect().toSeq.sortBy(_.firstDocId)
+          .flatMap(b => Codec.unpackBlock(b))
+          .map(p => (p.docId, p.wdf, p.doclen))
+          .sortBy(_._1)
+    }
+  }
+
+  /** `delve -t term -r docid`: positions of a term in a document. */
+  def positions(idx: Index, term: String, docId: Long): Seq[Int] =
+    idx.lookupTerms(Seq(term)).get(term) match {
+      case None => Seq.empty
+      case Some(d) =>
+        idx.positionsFor(Seq(d.termId))
+          .filter(col("docId") === docId)
+          .select(col("posBytes")).collect().headOption
+          .map(r => Codec.unpackPositions(r.getAs[Array[Byte]](0)).toSeq)
+          .getOrElse(Seq.empty)
+    }
+}

@@ -257,4 +257,31 @@ class IndexBuilderSpec extends AnyFunSuite {
       IndexMetadata.set(spark, d, "", "x")
     }
   }
+
+  test("Delve inspection matches the oracle index (xapian-delve analog)") {
+    val r = new IndexReader(spark, idxDir, cfg.nBuckets, cfg.stripeShift)
+    // summary carries the exact collection stats
+    val s = Delve.summary(r, Some(idxDir))
+    assert(s.contains(s"number of documents = ${oracleIdx.stats.n}"))
+    assert(s.contains(s"total length = ${oracleIdx.stats.totalLen}"))
+    // term list of doc 1 = oracle's posting membership for doc 1
+    val tl = Delve.termList(r, 1L).toMap
+    val wantTl = oracleIdx.postings.collect {
+      case (t, ps) if ps.exists(_._1 == 1L) =>
+        t -> ps.find(_._1 == 1L).get._2
+    }
+    assert(tl === wantTl)
+    // posting list of a term = oracle postings (docId, wdf)
+    val pl = Delve.postingList(r, "parse").map(p => (p._1, p._2))
+    val wantPl = oracleIdx.postings.getOrElse("parse", Vector.empty)
+      .map(p => (p._1, p._2))
+    assert(pl === wantPl.toSeq)
+    // positions of the term in its first doc
+    if (wantPl.nonEmpty) {
+      val did = wantPl.head._1
+      val wantPos = oracleIdx.postings("parse").find(_._1 == did).get._3.toSeq
+      assert(Delve.positions(r, "parse", did) === wantPos)
+    }
+    assert(Delve.postingList(r, "zzz_nope") === Seq.empty)
+  }
 }
