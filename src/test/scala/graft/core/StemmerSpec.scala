@@ -228,6 +228,7 @@ class StemmerSpec extends AnyFunSuite {
     "jackor" -> "jack", "optimisten" -> "optimist",
     "svenskarna" -> "svensk", "flickorna" -> "flick",
     "bilens" -> "bil", "klokast" -> "klok", "dagens" -> "dag",
+    "flickor" -> "flick",
     "följande" -> "följ", "klokheten" -> "klok", "sökande" -> "sök",
     "myndigheterna" -> "mynd", // heterna, then step-3 ig
     "möjligheternas" -> "möjlighet", // ernas; het survives step 3
@@ -256,6 +257,7 @@ class StemmerSpec extends AnyFunSuite {
   private val norwegianGolden = Seq(
     // step 1 (a)
     "bilene" -> "bil", "huset" -> "hus", "hustruene" -> "hustru",
+    "husene" -> "hus",
     "mulighetene" -> "mul", // hetene, then step-3 ig (lig misses R1)
     "sikkerhetens" -> "sikker", "forskningens" -> "forskning",
     "lærerens" -> "lærer", "kastet" -> "kast", "åpnet" -> "åpn",
@@ -285,6 +287,7 @@ class StemmerSpec extends AnyFunSuite {
     "indtagelse" -> "indtag", // e, then step-3 els
     "undersøgelse" -> "undersøg", "bilens" -> "bil",
     "barnets" -> "barn", "huset" -> "hus", "vores" -> "vor",
+    "huse" -> "hus",
     // step 2 consonant pair + step 3 rerun of it
     "mærkeligt" -> "mærk", // gt, then elig
     // igst → ig, then ig (pair gt misses R1 afterwards)
@@ -306,7 +309,7 @@ class StemmerSpec extends AnyFunSuite {
   // algorithm (same frozen-spec caveat).
   private val dutchGolden = Seq(
     // step 1 en/ene (undouble only covers kk/dd/tt), gem guard
-    "opheffen" -> "opheff", "bitten" -> "bit",
+    "opheffen" -> "opheff", "bitten" -> "bit", "katten" -> "kat",
     "gemeenten" -> "gemeent", "gemen" -> "gemen", "haren" -> "har",
     // marked consonants: i between vowels, y after a vowel
     "koeien" -> "koei", "royaal" -> "royal",
@@ -336,7 +339,7 @@ class StemmerSpec extends AnyFunSuite {
     "люди" -> "люд", "технологии" -> "технолог",
     // adjectives / adjectival with participle
     "красивый" -> "красив", "большие" -> "больш",
-    "делавший" -> "дела",
+    "делавший" -> "дела", "читающий" -> "чита",
     // the RV limit keeps the stem-н of странный out of the
     // participle rule; step 4 undoubles instead
     "странный" -> "стран",
