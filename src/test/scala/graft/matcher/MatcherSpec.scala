@@ -509,6 +509,29 @@ class MatcherSpec extends AnyFunSuite {
     assert(new DatasetMatcher(r2).mset(t("Zkatzen"), 10).isEmpty)
   }
 
+  test("DeletionAwareIndex equals a gappy oracle for random delete sets") {
+    val rnd = new scala.util.Random(99)
+    val n = oracleIdx.stats.n
+    for (trial <- 1 to 3) {
+      val del = (1L to n).filter(_ => rnd.nextDouble() < 0.15).toSet
+      assert(del.nonEmpty && del.size < n)
+      val rd = new graft.index.DeletionAwareIndex(reader, del)
+      val oidx2 = Oracle.buildIndex(
+        oracleDocs.filterNot(d => del(d.docId)), stemMode = "none")
+      for (q <- Seq(
+          or(t(midTerm), t("token"), t(commonTerm)),
+          and(t(commonTerm), t(midTerm)),
+          AndNot(t(midTerm), t(commonTerm)))) {
+        val want = Oracle.mset(q, oidx2, 10)
+        assertSame(new DatasetMatcher(rd).mset(q, 10), want,
+          s"del$trial:${q.describe}")
+        val wm = new WandMatcher(rd)
+        if (wm.supports(q))
+          assertSame(wm.mset(q, 10), want, s"delw$trial:${q.describe}")
+      }
+    }
+  }
+
   test("matchingTerms returns the query terms present in a doc, query order") {
     val q = or(t("parse"), t("zzznosuchterm"), t("token"))
     val m = new DatasetMatcher(reader)
