@@ -1,0 +1,45 @@
+package graft.matcher
+
+import graft.core.Query
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Docs-column predicates for value-slot filter queries, with literals
+ * adapted to the column's own type so parquet min/max pruning
+ * survives (the chert_values.cc slot-bound pruning analog). Shared by
+ * the Dataset matcher's compile cases and the WAND path's filtered
+ * matching; boolean combinations of plain value predicates compose.
+ */
+private[matcher] object ValuePredicate {
+
+  private def isIntegral(docs: DataFrame, f: String): Boolean =
+    docs.schema.find(_.name == f).map(_.dataType.typeName)
+      .exists(t => t == "long" || t == "integer" || t == "short" || t == "byte")
+
+  private def ge(docs: DataFrame, f: String, lo: Double): Column =
+    if (isIntegral(docs, f)) col(f) >= math.ceil(lo).toLong else col(f) >= lo
+
+  private def le(docs: DataFrame, f: String, hi: Double): Column =
+    if (isIntegral(docs, f)) col(f) <= math.floor(hi).toLong else col(f) <= hi
+
+  /** Some(predicate) iff `q` is a pure value-slot filter (range
+    * leaves, MatchAll, and AND/OR combinations thereof). */
+  def of(q: Query, docs: DataFrame): Option[Column] = q match {
+    case Query.ValueRange(f, lo, hi) => Some(ge(docs, f, lo) && le(docs, f, hi))
+    case Query.ValueGe(f, lo)        => Some(ge(docs, f, lo))
+    case Query.ValueLe(f, hi)        => Some(le(docs, f, hi))
+    case Query.ValueRangeS(f, lo, hi) =>
+      val lower = lo.map(col(f) >= lit(_))
+      val upper = hi.map(col(f) <= lit(_))
+      Some((lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(lit(true)))
+    case Query.MatchAll => Some(lit(true))
+    case Query.And(cs) =>
+      val ps = cs.map(of(_, docs))
+      if (ps.forall(_.isDefined)) Some(ps.flatten.reduce(_ && _)) else None
+    case Query.Or(cs) =>
+      val ps = cs.map(of(_, docs))
+      if (ps.forall(_.isDefined)) Some(ps.flatten.reduce(_ || _)) else None
+    case _ => None
+  }
+}

@@ -42,9 +42,20 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   private lazy val stats = idx.stats
 
   /** True if the WAND path can answer q: a term, a weighted OR of
-    * term leaves, or an ELITE_SET of term leaves (which reduces to an
-    * OR of the selected children before matching). */
+    * term leaves, an ELITE_SET of term leaves (which reduces to an OR
+    * of the selected children before matching), or any of those under
+    * an OP_FILTER whose right side is a pure value-slot predicate
+    * (the classic filtered top-k; the filter is applied INSIDE the
+    * per-stripe WAND loop, never after the cut). */
   def supports(q: Query): Boolean = Query.simplify(q) match {
+    case Query.Filter(l, r) =>
+      weightedShape(Query.simplify(l)) &&
+        ValuePredicate.of(r, idx.docs).isDefined &&
+        idx.docs.schema.exists(_.name == "stripe")
+    case s => weightedShape(s)
+  }
+
+  private def weightedShape(s: Query): Boolean = s match {
     case _: Query.Term        => true
     case Query.Or(cs)         => cs.forall(_.isInstanceOf[Query.Term])
     case Query.EliteSet(cs, _)=> cs.forall(_.isInstanceOf[Query.Term])
@@ -82,7 +93,12 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     if (dfs.isEmpty)
       return MSetPage(items, 0L, 0L, 0L, 0.0, 0.0)
     val n = stats.n
-    val lower = dfs.max
+    // an OP_FILTER can exclude every posting, so the unfiltered
+    // "max df" lower bound is only valid for bare weighted shapes
+    val isFiltered = Query.simplify(q) match {
+      case _: Query.Filter => true; case _ => false
+    }
+    val lower = if (isFiltered) 0L else dfs.max
     val upper = math.min(dfs.sum, n)
     val est0 = n.toDouble *
       (1.0 - dfs.map(df => 1.0 - df.toDouble / n).product)
@@ -102,6 +118,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   /** The query's term leaves on the WAND path (elite sets reduce to
     * their selected children first). */
   private def termsOf(q: Query): Seq[Query.Term] = Query.simplify(q) match {
+    case Query.Filter(l, _) => termsOf(l)
     case t: Query.Term => Seq(t)
     case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
     case Query.EliteSet(cs, n) if cs.forall(_.isInstanceOf[Query.Term]) =>
@@ -115,6 +132,12 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   }
 
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
+    // OP_FILTER: the boolean side becomes a per-stripe allowed-id set
+    val filterPred: Option[org.apache.spark.sql.Column] =
+      Query.simplify(q) match {
+        case Query.Filter(_, r) => ValuePredicate.of(r, idx.docs)
+        case _ => None
+      }
     val terms = termsOf(q)
     if (terms.isEmpty) return Seq.empty
     val dict = idx.lookupTerms(terms.map(_.term))
@@ -139,8 +162,10 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val totalDf = terms.flatMap(t => dict.get(t.term)).map(_.df).sum
 
     // driver-local only while few queries are in flight: under serving
-    // concurrency the distributed path keeps the driver free
-    val local = totalDf <= localDfThreshold &&
+    // concurrency the distributed path keeps the driver free.
+    // Filtered queries always run distributed: the allowed-id set is
+    // corpus-sized in the worst case and must never collect.
+    val local = filterPred.isEmpty && totalDf <= localDfThreshold &&
       WandMatcher.tryAcquireLocal(maxLocalConcurrency)
     val top: Array[(Long, Double)] =
       if (local) {
@@ -161,10 +186,32 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         // TakeOrderedAndProject merge; the only data shuffled is the
         // query's blocks (doclens ride inside the postings)
         val bTws = spark.sparkContext.broadcast(tws)
-        blocks.groupByKey(_.stripe)
-          .flatMapGroups { (_, bs) =>
-            WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need, querySize, dSign)
-          }
+        val grouped = blocks.groupByKey(_.stripe)
+        val perStripe = filterPred match {
+          case None =>
+            grouped.flatMapGroups { (_, bs) =>
+              WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
+                querySize, dSign)
+            }
+          case Some(pred) =>
+            // allowed ids move ONCE, keyed by the same stripe as the
+            // blocks (docs carries the build-time stripe column), so
+            // the filter check is a per-stripe sorted-array lookup
+            // inside the WAND loop — no post-cut filtering
+            val allowed = idx.docs.filter(pred)
+              .select($"stripe".cast("int"), $"docId")
+              .as[(Int, Long)]
+            grouped.cogroup(allowed.groupByKey(_._1)) { (_, bs, as) =>
+              val arr = as.map(_._2).toArray
+              if (arr.isEmpty) Iterator.empty
+              else {
+                java.util.Arrays.sort(arr)
+                WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
+                  querySize, dSign, arr)
+              }
+            }
+        }
+        perStripe
           .toDF("docId", "score")
           .orderBy($"score".desc,
             if (docIdOrderDesc) $"docId".desc else $"docId".asc)
@@ -257,7 +304,9 @@ object WandMatcher {
       k: Int,
       querySize: Int = 0,
       /** +1 = docId-ascending ties (default), -1 = descending. */
-      didSign: Int = 1): Iterator[(Long, Double)] = {
+      didSign: Int = 1,
+      /** Sorted allowed docIds (OP_FILTER right side) — null = all. */
+      allowed: Array[Long] = null): Iterator[(Long, Double)] = {
     val maxExtra =
       if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0
     val cursors: Array[Cursor] = blocks.groupBy(_.termId).iterator.map {
@@ -291,24 +340,30 @@ object WandMatcher {
       } else {
         val pivotDoc = sorted(pivotIdx).curDoc
         if (sorted.head.curDoc == pivotDoc) {
-          // fully score pivotDoc (doclen decoded from the posting)
-          var score = 0.0
-          val len = sorted.head.curLen
-          sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
-            score += w.sumPart(c.termWeight, c.curWdf, len, stats)
+          // filtered-out pivots advance without scoring (BoolWeight
+          // side: zero weight, pure membership)
+          val ok = allowed == null ||
+            java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0
+          if (ok) {
+            // fully score pivotDoc (doclen decoded from the posting)
+            var score = 0.0
+            val len = sorted.head.curLen
+            sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
+              score += w.sumPart(c.termWeight, c.curWdf, len, stats)
+            }
+            if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
+            if (heap.size < k) {
+              heap.enqueue((pivotDoc, score))
+              if (heap.size == k) theta = heap.head._2
+            } else if (score > theta ||
+                       (score == theta &&
+                        didSign * pivotDoc < didSign * heap.head._1)) {
+              heap.dequeue(); heap.enqueue((pivotDoc, score))
+              theta = heap.head._2
+            }
           }
-          if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
           // advance all cursors positioned at pivotDoc
           sorted.foreach { c => if (!c.exhausted && c.curDoc == pivotDoc) c.next() }
-          if (heap.size < k) {
-            heap.enqueue((pivotDoc, score))
-            if (heap.size == k) theta = heap.head._2
-          } else if (score > theta ||
-                     (score == theta &&
-                      didSign * pivotDoc < didSign * heap.head._1)) {
-            heap.dequeue(); heap.enqueue((pivotDoc, score))
-            theta = heap.head._2
-          }
         } else {
           // advance the lagging cursors up to the pivot
           sorted.takeWhile(_.curDoc < pivotDoc).foreach(_.skipTo(pivotDoc))

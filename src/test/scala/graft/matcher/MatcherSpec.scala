@@ -509,6 +509,30 @@ class MatcherSpec extends AnyFunSuite {
     assert(new DatasetMatcher(r2).mset(t("Zkatzen"), 10).isEmpty)
   }
 
+  test("OP_FILTER with value predicates runs on the WAND path (in-loop filter)") {
+    val q = Filter(or(t(midTerm), t("token"), t(commonTerm)),
+      Query.ValueRange("doclen", 40, 120))
+    val wand = new WandMatcher(reader)
+    assert(wand.supports(q))
+    val want = Oracle.mset(q, oracleIdxV, 10)
+    assert(want.nonEmpty)
+    assertSame(new DatasetMatcher(reader).mset(q, 10), want, "filter-ds")
+    assertSame(wand.mset(q, 10), want, "filter-wand")
+    // string-slot filter
+    val qs = Filter(or(t(midTerm), t("token")),
+      Query.ValueRangeS("lang", Some("a"), Some("m")))
+    val want2 = Oracle.mset(qs, oracleIdx, 10)
+    assert(want2.nonEmpty)
+    assertSame(wand.mset(qs, 10), want2, "filter-wand-s")
+    // all-excluding filter: empty page, honest lower bound
+    val qe = Filter(t(midTerm), Query.ValueRangeS("lang", Some("zz"), Some("zzz")))
+    assert(wand.mset(qe, 10).isEmpty)
+    val page = wand.msetPage(qe, 10)
+    assert(page.items.isEmpty && page.matchesLowerBound === 0L)
+    // non-value filters stay off the WAND path
+    assert(!wand.supports(Filter(t(midTerm), t(commonTerm))))
+  }
+
   test("DeletionAwareIndex equals a gappy oracle for random delete sets") {
     val rnd = new scala.util.Random(99)
     val n = oracleIdx.stats.n
