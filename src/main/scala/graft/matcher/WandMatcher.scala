@@ -52,8 +52,25 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       weightedShape(Query.simplify(l)) &&
         ValuePredicate.of(r, idx.docs).isDefined &&
         idx.docs.schema.exists(_.name == "stripe")
+    case Query.AndMaybe(l, r) =>
+      weightedShape(Query.simplify(l)) && valueWeightShape(r).isDefined &&
+        idx.docs.schema.exists(_.name == "stripe")
     case s => weightedShape(s)
   }
+
+  /** AND_MAYBE right sides the WAND loop can blend in: a ValueWeight
+    * posting source, optionally scaled — Some((weight column, its
+    * admissible upper bound)). The bound comes from the cached
+    * per-slot value_upper_bound stat, never a planning job. */
+  private def valueWeightShape(r: Query): Option[(org.apache.spark.sql.Column, Double)] =
+    r match {
+      case Query.ValueWeight(f) if idx.docs.schema.exists(_.name == f) =>
+        Some((col(f).cast("double"), idx.valueUpperBound(f)))
+      case Query.ScaleWeight(Query.ValueWeight(f), fac)
+          if fac >= 0 && idx.docs.schema.exists(_.name == f) =>
+        Some((col(f).cast("double") * fac, idx.valueUpperBound(f) * fac))
+      case _ => None
+    }
 
   private def weightedShape(s: Query): Boolean = s match {
     case _: Query.Term        => true
@@ -108,7 +125,11 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         val tw = weight.termWeight(t.wqf, d.df, stats)
         weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
       }
-    }.sum
+    }.sum + (Query.simplify(q) match {
+      // the AND_MAYBE blend can add up to the slot's upper bound
+      case Query.AndMaybe(_, r) => valueWeightShape(r).map(_._2).getOrElse(0.0)
+      case _ => 0.0
+    })
     val attained =
       if (first == 0) items.headOption.map(_.score).getOrElse(0.0)
       else mset(q, 1, 0).headOption.map(_.score).getOrElse(0.0)
@@ -119,6 +140,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     * their selected children first). */
   private def termsOf(q: Query): Seq[Query.Term] = Query.simplify(q) match {
     case Query.Filter(l, _) => termsOf(l)
+    case Query.AndMaybe(l, _) => termsOf(l)
     case t: Query.Term => Seq(t)
     case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
     case Query.EliteSet(cs, n) if cs.forall(_.isInstanceOf[Query.Term]) =>
@@ -132,12 +154,14 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   }
 
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
-    // OP_FILTER: the boolean side becomes a per-stripe allowed-id set
-    val filterPred: Option[org.apache.spark.sql.Column] =
-      Query.simplify(q) match {
-        case Query.Filter(_, r) => ValuePredicate.of(r, idx.docs)
-        case _ => None
-      }
+    // OP_FILTER: the boolean side becomes a per-stripe allowed-id
+    // set; AND_MAYBE: the value-weight side becomes a per-stripe
+    // (docId, weight) stream blended inside the loop
+    val (filterPred, rightExtra) = Query.simplify(q) match {
+      case Query.Filter(_, r)   => (ValuePredicate.of(r, idx.docs), None)
+      case Query.AndMaybe(_, r) => (None, valueWeightShape(r))
+      case _                    => (None, None)
+    }
     val terms = termsOf(q)
     if (terms.isEmpty) return Seq.empty
     val dict = idx.lookupTerms(terms.map(_.term))
@@ -165,7 +189,8 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     // concurrency the distributed path keeps the driver free.
     // Filtered queries always run distributed: the allowed-id set is
     // corpus-sized in the worst case and must never collect.
-    val local = filterPred.isEmpty && totalDf <= localDfThreshold &&
+    val local = filterPred.isEmpty && rightExtra.isEmpty &&
+      totalDf <= localDfThreshold &&
       WandMatcher.tryAcquireLocal(maxLocalConcurrency)
     val top: Array[(Long, Double)] =
       if (local) {
@@ -187,13 +212,27 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
         // query's blocks (doclens ride inside the postings)
         val bTws = spark.sparkContext.broadcast(tws)
         val grouped = blocks.groupByKey(_.stripe)
-        val perStripe = filterPred match {
-          case None =>
+        val perStripe = (filterPred, rightExtra) match {
+          case (None, Some((wCol, bound))) =>
+            // value-weight blend: (docId, w) rows move once, keyed by
+            // the blocks' stripe; scoring adds the doc's entry and the
+            // pivot accumulator is seeded with the slot's upper bound
+            val rights = idx.docs
+              .select($"stripe".cast("int"), $"docId", wCol.as("w"))
+              .as[(Int, Long, Double)]
+            grouped.cogroup(rights.groupByKey(_._1)) { (_, bs, rs) =>
+              val pairs = rs.map(r => (r._2, r._3)).toArray
+              java.util.Arrays.sort(pairs, Ordering.by((p: (Long, Double)) => p._1))
+              WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
+                querySize, dSign, null, pairs.map(_._1), pairs.map(_._2),
+                bound)
+            }
+          case (None, None) =>
             grouped.flatMapGroups { (_, bs) =>
               WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
                 querySize, dSign)
             }
-          case Some(pred) =>
+          case (Some(pred), _) =>
             // allowed ids move ONCE, keyed by the same stripe as the
             // blocks (docs carries the build-time stripe column), so
             // the filter check is a per-stripe sorted-array lookup
@@ -306,9 +345,15 @@ object WandMatcher {
       /** +1 = docId-ascending ties (default), -1 = descending. */
       didSign: Int = 1,
       /** Sorted allowed docIds (OP_FILTER right side) — null = all. */
-      allowed: Array[Long] = null): Iterator[(Long, Double)] = {
-    val maxExtra =
-      if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0
+      allowed: Array[Long] = null,
+      /** AND_MAYBE right side: sorted docIds + parallel weights of
+        * the value-weight stream, and its admissible upper bound
+        * (seeds the pivot accumulator so pruning stays correct). */
+      extraIds: Array[Long] = null,
+      extraWs: Array[Double] = null,
+      extraBound: Double = 0.0): Iterator[(Long, Double)] = {
+    val maxExtra = extraBound +
+      (if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0)
     val cursors: Array[Cursor] = blocks.groupBy(_.termId).iterator.map {
       case (tid, bs) =>
         new Cursor(tid, termWeights(tid),
@@ -352,6 +397,10 @@ object WandMatcher {
               score += w.sumPart(c.termWeight, c.curWdf, len, stats)
             }
             if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
+            if (extraIds != null) {
+              val j = java.util.Arrays.binarySearch(extraIds, pivotDoc)
+              if (j >= 0) score += extraWs(j)
+            }
             if (heap.size < k) {
               heap.enqueue((pivotDoc, score))
               if (heap.size == k) theta = heap.head._2

@@ -533,6 +533,25 @@ class MatcherSpec extends AnyFunSuite {
     assert(!wand.supports(Filter(t(midTerm), t(commonTerm))))
   }
 
+  test("AND_MAYBE with a value-weight side runs on the WAND path (blended)") {
+    val wand = new WandMatcher(reader)
+    for (q <- Seq(
+        AndMaybe(or(t(midTerm), t("token")),
+          ScaleWeight(Query.ValueWeight("doclen"), 0.01)): Query,
+        AndMaybe(t(commonTerm), Query.ValueWeight("doclen")))) {
+      assert(wand.supports(q), q.describe)
+      val want = Oracle.mset(q, oracleIdxV, 10)
+      assert(want.nonEmpty)
+      assertSame(new DatasetMatcher(reader).mset(q, 10), want, s"am-ds:${q.describe}")
+      assertSame(wand.mset(q, 10), want, s"am-wand:${q.describe}")
+      // the blend's upper bound rides maxPossible
+      val page = wand.msetPage(q, 10)
+      assert(page.maxPossible >= page.maxAttained)
+    }
+    // non-value right sides stay off the WAND path
+    assert(!wand.supports(AndMaybe(t(midTerm), t(commonTerm))))
+  }
+
   test("DeletionAwareIndex equals a gappy oracle for random delete sets") {
     val rnd = new scala.util.Random(99)
     val n = oracleIdx.stats.n
