@@ -564,7 +564,10 @@ class MatcherSpec extends AnyFunSuite {
       for (q <- Seq(
           or(t(midTerm), t("token"), t(commonTerm)),
           and(t(commonTerm), t(midTerm)),
-          AndNot(t(midTerm), t(commonTerm)))) {
+          AndNot(t(midTerm), t(commonTerm)),
+          // deletes compose with the in-loop WAND filter
+          Filter(or(t(midTerm), t("token")),
+            Query.ValueRangeS("lang", Some("a"), Some("m"))))) {
         val want = Oracle.mset(q, oidx2, 10)
         assertSame(new DatasetMatcher(rd).mset(q, 10), want,
           s"del$trial:${q.describe}")
