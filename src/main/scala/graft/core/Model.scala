@@ -31,7 +31,7 @@ sealed trait Query extends Product with Serializable {
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
     case Query.Wildcard(p)        => s"$p*"
-    case Query.SynonymOf(t, wqf)  => if (wqf == 1) s"~$t" else s"~$t#$wqf"
+    case Query.SynonymOf(t, wqf, _) => if (wqf == 1) s"~$t" else s"~$t#$wqf"
     case Query.External(n)        => s"EXTERNAL $n"
     case Query.ValueWeight(f)     => s"VALUE_WEIGHT $f"
     case Query.FixedWeight(w)     => s"FIXED_WEIGHT $w"
@@ -101,8 +101,15 @@ object Query {
     * queryparser_internal.cc): expanded against the index's
     * registered synonym groups into OP_SYNONYM(term, members...)
     * before evaluation ([[Query.expandSynonyms]]); a term with no
-    * registered synonyms degrades to the plain term leaf. */
-  final case class SynonymOf(term: String, wqf: Int = 1) extends Query
+    * registered synonyms degrades to the plain term leaf. `term` is
+    * the RAW (unstemmed) lookup key — synonym groups are registered
+    * under raw terms, as upstream's synonym table is; `queryTerm`,
+    * when set, is the processed (stemmed `Z`-prefixed) form the
+    * original token contributes as a leaf — upstream
+    * FLAG_AUTO_SYNONYMS also looks up unstemmed but queries the
+    * stemmed term (queryparser_internal.cc). */
+  final case class SynonymOf(term: String, wqf: Int = 1,
+                             queryTerm: Option[String] = None) extends Query
   /** External weighted docid stream — the Xapian::PostingSource UDx
     * (reference: xapian-core/api/postingsource.cc): the matcher
     * resolves `name` against user-supplied (docId, weight) data
@@ -254,7 +261,7 @@ object Query {
     }
     def walk(q: Query): Query = q match {
       case Wildcard(p)    => expandLeaf(p)
-      case SynonymOf(t, wqf) => SynonymOf(t, wqf) // expanded separately
+      case s: SynonymOf   => s // expanded separately
       case And(cs)        => And(cs.map(walk))
       case Or(cs)         => Or(cs.map(walk))
       case AndNot(l, r)   => AndNot(walk(l), walk(r))
@@ -281,13 +288,16 @@ object Query {
    * matching is not part of the reference surface either.
    */
   def expandSynonyms(q: Query, lookup: String => Seq[String]): Query = {
-    def leaf(t: String, wqf: Int): Query = {
+    def leaf(t: String, wqf: Int, qt: Option[String]): Query = {
+      // lookup is keyed by the RAW term (groups register raw keys);
+      // the original token's own leaf uses its processed form
+      val self = qt.getOrElse(t)
       val members = lookup(t)
-      if (members.isEmpty) Term(t, wqf)
-      else Synonym((t +: members).distinct.map(Term(_, wqf)))
+      if (members.isEmpty) Term(self, wqf)
+      else Synonym((self +: members).distinct.map(Term(_, wqf)))
     }
     def walk(q: Query): Query = q match {
-      case SynonymOf(t, wqf) => leaf(t, wqf)
+      case SynonymOf(t, wqf, qt) => leaf(t, wqf, qt)
       case And(cs)        => And(cs.map(walk))
       case Or(cs)         => Or(cs.map(walk))
       case AndNot(l, r)   => AndNot(walk(l), walk(r))
@@ -302,8 +312,8 @@ object Query {
       case other => other
     }
     def dePositional(q: Query): Query = q match {
-      case SynonymOf(t, wqf) => Term(t, wqf)
-      case other             => other
+      case SynonymOf(t, wqf, qt) => Term(qt.getOrElse(t), wqf)
+      case other                 => other
     }
     simplify(walk(q))
   }

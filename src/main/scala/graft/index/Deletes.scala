@@ -35,16 +35,38 @@ class DeletionAwareIndex(val inner: Index, val deletedIds: Set[Long])
   val spark: SparkSession = inner.spark
   private val delSeq = deletedIds.toSeq
 
+  /** Above this backlog, In-list literals would bloat every plan (a
+    * 10^5-element `isin` is 10^5 expression nodes in each query);
+    * switch to a broadcast (anti/semi) hash join on a tombstone frame
+    * instead — same semantics, one broadcast var, constant plan size. */
+  private val InListThreshold = 1024
+  private lazy val delDf: DataFrame = {
+    import spark.implicits._
+    delSeq.toDF("__delId")
+  }
+
+  /** Drop tombstoned docs from a frame with a `docId` column. */
+  private def maskDeleted(df: DataFrame): DataFrame =
+    if (deletedIds.size <= InListThreshold)
+      df.filter(!col("docId").isin(delSeq: _*))
+    else df.join(broadcast(delDf), df("docId") === delDf("__delId"), "left_anti")
+
+  /** Keep ONLY tombstoned docs (the delta-scan side). */
+  private def onlyDeleted(df: DataFrame): DataFrame =
+    if (deletedIds.size <= InListThreshold)
+      df.filter(col("docId").isin(delSeq: _*))
+    else df.join(broadcast(delDf), df("docId") === delDf("__delId"), "left_semi")
+
   /** (doclen sum, count) of deleted docs + per-term (df, cf) deltas —
     * one pruned scan each, once per handle. */
   private lazy val deletedDoclens: Seq[Long] = {
     import spark.implicits._
-    inner.doclens.filter($"docId".isin(delSeq: _*))
+    onlyDeleted(inner.doclens)
       .select($"doclen").as[Long].collect().toSeq
   }
   private lazy val termDeltas: Map[String, (Long, Long)] = {
     import spark.implicits._
-    inner.termLists.filter(col("docId").isin(delSeq: _*))
+    onlyDeleted(inner.termLists)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("wdf")).cast("long").as("cf"))
       .as[(String, Long, Long)].collect()
@@ -59,9 +81,9 @@ class DeletionAwareIndex(val inner: Index, val deletedIds: Set[Long])
       s.minDocLen, s.maxDocLen)
   }
 
-  def docs: DataFrame = inner.docs.filter(!col("docId").isin(delSeq: _*))
-  def doclens: DataFrame = inner.doclens.filter(!col("docId").isin(delSeq: _*))
-  def termLists: DataFrame = inner.termLists.filter(!col("docId").isin(delSeq: _*))
+  def docs: DataFrame = maskDeleted(inner.docs)
+  def doclens: DataFrame = maskDeleted(inner.doclens)
+  def termLists: DataFrame = maskDeleted(inner.termLists)
   def dictTable: DataFrame = inner.dictTable
 
   def lookupTerms(terms: Seq[String]): Map[String, DictRow] =
@@ -91,13 +113,45 @@ class DeletionAwareIndex(val inner: Index, val deletedIds: Set[Long])
   }
 
   def positionsFor(termIds: Seq[Long]): DataFrame =
-    inner.positionsFor(termIds).filter(!col("docId").isin(delSeq: _*))
+    maskDeleted(inner.positionsFor(termIds))
 
   def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String] =
     inner.termsWithPrefix(prefix, limit)
 
-  /** Registered group stats count tombstoned docs; fall back to the
-    * exact ad-hoc (counted) synonym path while deletes are pending. */
-  override def synonymGroup(terms: Set[String]): Option[SynGroupRow] = None
+  /** Per-group (df, cf) deltas over the tombstoned docs — the synonym
+    * analog of [[termDeltas]]: one lazy pruned scan per HANDLE
+    * covering every registered group at once (join deleted term rows
+    * to the member map, combine per doc, aggregate per group), so a
+    * registered-synonym query on a tombstoned index costs zero
+    * planning jobs after handle warm-up instead of the ad-hoc
+    * union-count job per synonym leaf it previously paid. */
+  private lazy val groupDeltas: Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val groups = inner.synonymGroups
+    if (groups.isEmpty) Map.empty
+    else {
+      val mapping = groups.toSeq
+        .flatMap { case (g, ts) => ts.map(t => (g, t)) }
+        .toDF("group", "term")
+      onlyDeleted(inner.termLists)
+        .join(broadcast(mapping), "term")
+        .groupBy($"group", $"docId")
+        .agg(sum($"wdf").cast("long").as("wdf"))
+        .groupBy($"group")
+        .agg(count(lit(1)).as("df"), sum($"wdf").cast("long").as("cf"))
+        .as[(String, Long, Long)].collect()
+        .map { case (g, df, cf) => g -> (df, cf) }.toMap
+    }
+  }
+
+  /** Registered group stats minus the tombstoned docs' contribution —
+    * exact df/cf (the scored stats); maxWdf stays the inner bound,
+    * which is admissible (it only feeds pruning, never a score). */
+  override def synonymGroup(terms: Set[String]): Option[SynGroupRow] =
+    inner.synonymGroup(terms).map { g =>
+      val (ddf, dcf) = groupDeltas.getOrElse(g.group, (0L, 0L))
+      g.copy(df = math.max(g.df - ddf, 0L), cf = math.max(g.cf - dcf, 0L))
+    }
   override def synonymsOf(key: String): Seq[String] = inner.synonymsOf(key)
+  override def synonymGroups: Map[String, Set[String]] = inner.synonymGroups
 }

@@ -49,9 +49,12 @@ object IndexMetadata {
         .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }.mkString("\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    f.delete(file(dir), false)
-    if (!f.rename(tmp, file(dir)))
-      throw new java.io.IOException(s"rename failed for ${file(dir)}")
+    // single overwriting rename — no delete-then-rename window where a
+    // crash loses all metadata or a concurrent reader sees an empty map
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      file(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, file(dir),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** set_metadata: empty value deletes the key (as upstream). */

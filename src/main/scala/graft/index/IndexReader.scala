@@ -47,6 +47,10 @@ trait Index {
     * backends/chert/chert_synonym.cc), for parse-time `~term`
     * expansion. Empty → no registered synonyms. */
   def synonymsOf(key: String): Seq[String] = Seq.empty
+  /** All registered synonym groups (group key → member set) — lets a
+    * deletion-aware wrapper adjust every group's stats in ONE lazy
+    * scan instead of a counting job per synonym leaf. */
+  def synonymGroups: Map[String, Set[String]] = Map.empty
 
   private val valueBoundCache =
     scala.collection.concurrent.TrieMap.empty[String, Double]
@@ -154,6 +158,9 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
 
   override def synonymsOf(key: String): Seq[String] =
     synGroups.find(_._1 == key).map(_._2.toSeq.sorted).getOrElse(Seq.empty)
+
+  override def synonymGroups: Map[String, Set[String]] =
+    synGroups.map { case (g, ts, _) => g -> ts }.toMap
 
   /** Driver-side dict cache (term → row, with negative entries): the
     * index dir is immutable for the life of the handle, so repeated

@@ -116,6 +116,13 @@ class MultiIndexReader(val spark: SparkSession, val segments: Seq[IndexReader])
     else Some(SynGroupRow(hits.head.group,
       hits.map(_.df).sum, hits.map(_.cf).sum, hits.map(_.maxWdf).max))
   }
+
+  /** Groups usable through [[synonymGroup]]: registered in EVERY
+    * segment with the identical member set. */
+  override def synonymGroups: Map[String, Set[String]] =
+    segments.map(_.synonymGroups).reduce { (a, b) =>
+      a.filter { case (g, ts) => b.get(g).contains(ts) }
+    }
 }
 
 /**
@@ -197,12 +204,23 @@ class SegmentedIndex(
 
   private def deletesFile = Paths.get(s"$baseDir/deletes.txt")
 
+  // natural-key parts are arbitrary strings — base64-encode each so a
+  // '|' or newline inside a key can't corrupt the tombstone log (the
+  // same escaping IndexMetadata uses for its KV file)
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
   def listDeletes(): Seq[Tombstone] = {
     if (!Files.exists(deletesFile)) return Seq.empty
     new String(Files.readAllBytes(deletesFile), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq.map { l =>
-        val Array(r, p, c, u) = l.split("\\|", -1)
-        Tombstone(r, p, c, u.toInt)
+        l.split("\\|", -1) match {
+          case Array(r, p, c, u) => Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
+          case _ => throw new IllegalStateException(
+            s"corrupt tombstone line in $deletesFile: $l")
+        }
       }
   }
 
@@ -210,7 +228,7 @@ class SegmentedIndex(
     Files.createDirectories(Paths.get(baseDir))
     val tmp = Paths.get(s"$baseDir/deletes.txt.tmp")
     Files.write(tmp,
-      ts.map(t => s"${t.repo}|${t.path}|${t.commit}|${t.uptoSeg}")
+      ts.map(t => s"${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}")
         .mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, deletesFile, StandardCopyOption.REPLACE_EXISTING,

@@ -584,6 +584,8 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       val keys =
         if (opts.sortKeys.nonEmpty) opts.sortKeys
         else opts.sortValue.map(v => (v, opts.sortValueReverse)).toSeq
+      require(keys.nonEmpty,
+        s"sortBy=${opts.sortBy} needs sortValue or sortKeys")
       keys.map { case (c, rev) => if (rev) col(c).desc else col(c).asc }
     }
     val didTie = if (opts.docIdOrderDesc) $"docId".desc else $"docId".asc

@@ -217,7 +217,11 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
             // value-weight blend: (docId, w) rows move once, keyed by
             // the blocks' stripe; scoring adds the doc's entry and the
             // pivot accumulator is seeded with the slot's upper bound
+            // null-slot docs are excluded (ValueWeight semantics on
+            // the Dataset path: DatasetMatcher filters isNotNull) —
+            // and a null would blow the non-nullable tuple encoder
             val rights = idx.docs
+              .filter(wCol.isNotNull)
               .select($"stripe".cast("int"), $"docId", wCol.as("w"))
               .as[(Int, Long, Double)]
             grouped.cogroup(rights.groupByKey(_._1)) { (_, bs, rs) =>

@@ -71,10 +71,21 @@ object UnpackPostings {
     new GenericArrayData(out)
   }
 
-  /** Register `unpack_postings` with the session (idempotent). */
+  /** Sessions already holding the registration — keyed by identity so
+    * `createOrReplaceTempFunction` runs once per SparkSession instead
+    * of once per query (the per-call replace spammed a
+    * SimpleFunctionRegistry WARN for every plan built). */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register `unpack_postings` with the session (idempotent,
+    * once per session). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unpack_postings",
-      exprs => UnpackPostings(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "unpack_postings",
+        exprs => UnpackPostings(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    }
 }

@@ -383,9 +383,13 @@ object QueryParser {
             if (noStem) prefix + raw
             else "Z" + Stemmer.forLang(cfg.stemLang)(raw)
           // positional (NEAR/ADJ) children re-parse with
-          // stemmed=false and must stay plain term leaves
+          // stemmed=false and must stay plain term leaves.
+          // auto-synonym markers look up by the RAW token (groups are
+          // registered under raw terms, as upstream's synonym table)
+          // while the token's own leaf keeps its stemmed form
           if (cfg.autoSynonyms && field.isEmpty && stemmed)
-            Some(Query.SynonymOf(term))
+            Some(Query.SynonymOf(raw,
+              queryTerm = if (term == raw) None else Some(term)))
           else Some(Query.Term(term))
         }
       case _ => None
@@ -446,15 +450,15 @@ object QueryParser {
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     cs.foreach {
       case Query.Term(t, wqf, _)  => counts(t) = counts.getOrElse(t, 0) + wqf
-      case Query.SynonymOf(t, wqf)=> counts("~" + t) = counts.getOrElse("~" + t, 0) + wqf
+      case Query.SynonymOf(t, wqf, _) => counts("~" + t) = counts.getOrElse("~" + t, 0) + wqf
       case _                      =>
     }
     val emitted = scala.collection.mutable.Set.empty[String]
     cs.flatMap {
       case Query.Term(t, _, _) =>
         if (emitted.add(t)) Some(Query.Term(t, counts(t))) else None
-      case Query.SynonymOf(t, _) =>
-        if (emitted.add("~" + t)) Some(Query.SynonymOf(t, counts("~" + t))) else None
+      case Query.SynonymOf(t, _, qt) =>
+        if (emitted.add("~" + t)) Some(Query.SynonymOf(t, counts("~" + t), qt)) else None
       case other => Some(other)
     }
   }

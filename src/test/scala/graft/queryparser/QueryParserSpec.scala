@@ -234,11 +234,23 @@ class QueryParserSpec extends AnyFunSuite {
 
   test("autoSynonyms wraps probabilistic terms (FLAG_AUTO_SYNONYMS)") {
     val c = QueryParser.Config(autoSynonyms = true)
-    assert(p("data stream", c) === "(~Zdata OR ~Zstream)")
+    // the marker's key is the RAW token (synonym groups register raw
+    // keys, as upstream's table does) …
+    assert(p("data stream", c) === "(~data OR ~stream)")
+    // … while the token's own leaf stays stemmed: lookup by "data",
+    // query by "Zdata" (upstream queryparser_internal.cc shape)
+    assert(QueryParser.parse("data", c) ===
+      Query.SynonymOf("data", 1, Some("Zdata")))
+    val lookup = Map("data" -> Seq("Zinfo")).withDefaultValue(Seq.empty[String])
+    assert(Query.expandSynonyms(QueryParser.parse("data", c), lookup)
+      .describe === "(SYNONYM Zdata Zinfo)")
+    // …and with no registered group it degrades to the stemmed term
+    assert(Query.expandSynonyms(QueryParser.parse("xyzzy", c), lookup) ===
+      Query.Term("Zxyzzi"))
     // boolean-prefixed and positional terms stay plain
     val cb = QueryParser.Config(autoSynonyms = true,
       boolPrefixes = Map("lang" -> "L"))
-    assert(p("data lang:en", cb) === "(~Zdata FILTER Len)")
+    assert(p("data lang:en", cb) === "(~data FILTER Len)")
     assert(p("\"data stream\"", c) === "(data PHRASE 2 stream)")
     assert(p("data NEAR/3 stream", c) === "(data NEAR 3 stream)")
   }
