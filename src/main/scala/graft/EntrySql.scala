@@ -391,6 +391,48 @@ hexs AS (
 SELECT d.doc_id, coalesce(h.simhash, '0000000000000000') AS simhash
 FROM documents d LEFT JOIN hexs h USING(doc_id) ORDER BY d.doc_id"""
 
+  /** SimHash near-dup oracle. The Spark operator's pigeonhole banding
+    * has COMPLETE recall within the Hamming threshold, so its defined
+    * output is simply "all pairs with distance ≤ maxDist" — the
+    * oracle is the brute-force pairwise distance over the same
+    * simhash digests, no banding to replicate. */
+  def simdupSql(maxDist: Int = 3): String =
+    s"""WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM documents, unnest(string_split_regex(text, '\\s+')) AS u(t) WHERE t <> ''
+),
+nib AS (
+  SELECT doc_id, d, strpos('0123456789abcdef', substr(md5(tok), d, 1)) - 1 AS v
+  FROM toks, unnest(range(1, 17)) AS r(d)
+),
+agg AS (
+  SELECT doc_id, d,
+     (CASE WHEN sum(CASE WHEN v % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END) +
+     (CASE WHEN sum(CASE WHEN (v // 2) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 2 ELSE 0 END) +
+     (CASE WHEN sum(CASE WHEN (v // 4) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 4 ELSE 0 END) +
+     (CASE WHEN sum(CASE WHEN (v // 8) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 8 ELSE 0 END) AS nv
+  FROM nib GROUP BY doc_id, d
+),
+hexs AS (
+  SELECT doc_id, string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY d) AS simhash
+  FROM agg GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id, coalesce(h.simhash, '0000000000000000') AS simhash
+  FROM documents d LEFT JOIN hexs h USING(doc_id)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+),
+dists AS (
+  SELECT doc_a, doc_b,
+     sum(bit_count(xor(strpos('0123456789abcdef', substr(sa, d, 1)) - 1,
+                       strpos('0123456789abcdef', substr(sb, d, 1)) - 1)))::BIGINT AS dist
+  FROM pairs, unnest(range(1, 17)) AS r(d) GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dist FROM dists WHERE dist <= $maxDist ORDER BY 1, 2"""
+
   /** Composed near-dup pipeline oracle: minhash → full-signature
     * bands → distinct candidates → exact shingle Jaccard ≥ τ
     * (thresholded on the 6-decimal rounding, matching the Spark op). */

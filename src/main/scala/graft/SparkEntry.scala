@@ -219,6 +219,12 @@ object SparkEntry {
     }),
     "dd_simhash" -> ((s, d) =>
       DedupOps.simhash(documents(s, d)).orderBy("doc_id")),
+    // simhash near-dup: EXACT all-pairs-within-Hamming-distance
+    // (pigeonhole banding has complete recall, so the oracle is the
+    // brute-force pairwise distance — no banding to replicate)
+    "dd_simdup" -> ((s, d) =>
+      DedupOps.simhashNearDups(DedupOps.simhash(documents(s, d)), maxDist = 3)
+        .orderBy("doc_a", "doc_b")),
     "dd_neardup" -> ((s, d) =>
       DedupOps.nearDupPairs(documents(s, d), minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
@@ -350,6 +356,7 @@ object SparkEntry {
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),
     "dd_jaccard_adj" -> EntrySql.jaccardAdjacentSql(),
     "dd_simhash" -> EntrySql.simhashSql,
+    "dd_simdup" -> EntrySql.simdupSql(3),
     "dd_neardup" -> EntrySql.nearDupSql(0.8),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),

@@ -204,25 +204,64 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"), round(col("_cos"), 6).as("cosine"))
   }
 
-  /** Hamming distance between simhash pairs below a threshold —
-    * candidate near-dups. Self-join banded by the 4 hex quarters
-    * (a near-dup within distance 3 must agree on ≥1 quarter). */
+  /** The 16 simhash hex nibbles split into 6 blocks
+    * (3+3+3+3+2+2 nibbles = 12/12/12/12/8/8 bits), as
+    * (1-based start nibble, nibble count). */
+  private val SimhashBlocks: Seq[(Int, Int)] =
+    Seq((1, 3), (4, 3), (7, 3), (10, 3), (13, 2), (15, 2))
+
+  /** (doc_id, simhash, band) rows for [[simhashNearDups]] — one band
+    * per (B − maxDist)-subset of the 6 simhash blocks (the Manku
+    * et al. WWW'07 pigeonhole scheme): ≤ maxDist bit errors damage at
+    * most maxDist blocks, so every pair within the Hamming threshold
+    * agrees EXACTLY on all blocks of at least one subset and is
+    * guaranteed to meet in that band — candidate recall is complete,
+    * no near-dup is missed. Band keys are md5 digests over the
+    * subset's nibbles, so the bucket key space is the concatenated
+    * blocks' full domain (≥2^32 bits-worth at the default maxDist=3,
+    * C(6,3)=20 bands) — bucket width tracks true near-dup density at
+    * any corpus size, instead of saturating at the 2^16 buckets a
+    * fixed quarter-band scheme allows (where 10^9 docs would pile
+    * ~10^4 docs per bucket and the self-join fans out quadratically). */
+  def simhashBands(sims: DataFrame, maxDist: Int = 3): DataFrame = {
+    val b = SimhashBlocks.size
+    require(maxDist >= 0 && maxDist < b,
+      s"maxDist ($maxDist) must be in [0, ${b - 1}] for the $b-block scheme")
+    val combos = SimhashBlocks.indices.combinations(b - maxDist).toSeq
+    val bandCols = combos.map { idxs =>
+      md5(concat(lit(idxs.mkString(",") + ":") +:
+        idxs.map(i => col("simhash")
+          .substr(SimhashBlocks(i)._1, SimhashBlocks(i)._2)): _*))
+    }
+    sims.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** ALL pairs within Hamming distance `maxDist` of their 64-bit
+    * simhashes — exact within the threshold (candidates from
+    * [[simhashBands]] have complete recall; the in-row nibble-LUT
+    * popcount then verifies the exact distance). The only shuffles
+    * are the band self-join (bounded by true near-dup density, see
+    * [[simhashBands]]) and the candidate dedup. Output:
+    * (doc_a, doc_b, dist), doc_a < doc_b. */
   def simhashNearDups(sims: DataFrame, maxDist: Int = 3): DataFrame = {
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(q =>
-        concat(lit(s"$q:"), col("simhash").substr(q * 4 + 1, 4))): _*)).as("band"))
+    val banded = simhashBands(sims, maxDist)
+    // dedup candidates BEFORE the popcount so the distance is
+    // computed once per pair, not once per shared band
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
     // per-nibble XOR popcount via a 16-entry lookup
     val popLut = typedLit(Seq(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4))
     val dist = (1 to 16).map { d =>
-      val va = conv(col("a.simhash").substr(d, 1), 16, 10).cast("int")
-      val vb = conv(col("b.simhash").substr(d, 1), 16, 10).cast("int")
+      val va = conv(col("sa").substr(d, 1), 16, 10).cast("int")
+      val vb = conv(col("sb").substr(d, 1), 16, 10).cast("int")
       element_at(popLut, va.bitwiseXOR(vb) + 1)
     }.reduce(_ + _)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        dist.as("dist"))
+    cand
+      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
       .where(col("dist") <= maxDist)
-      .distinct()
   }
 }
