@@ -75,6 +75,20 @@ agg AS (SELECT doc_id,
     prefix(l ++ r) + agg(l, r) +
       "\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY doc_id"
 
+  /** Top-k conjunction (the WAND pruned-DAAT AND gate): docs holding
+    * EVERY query term, ranked by the rounded BM25 sum. */
+  def andTopk(ts: Seq[String], k: Int): String =
+    prefix(ts) + s""",
+agg AS (SELECT doc_id, sum(part) AS raw, count(DISTINCT term) AS nt FROM sp GROUP BY doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM agg WHERE nt = ${ts.size}
+ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"""
+
+  /** Top-k AND_NOT (WAND exclusion-stream gate): left-OR matches
+    * minus right-side docs, ranked by the left side's rounded sum. */
+  def andNotTopk(l: Seq[String], r: Seq[String], k: Int): String =
+    prefix(l ++ r) + agg(l, r) +
+      s"\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY round(rawl, 4) DESC, doc_id LIMIT $k"
+
   def xor2(l: String, r: String): String =
     prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
       "\nSELECT doc_id, round(coalesce(rawl, rawr), 4) AS score FROM agg WHERE (rawl IS NULL) <> (rawr IS NULL) ORDER BY doc_id"

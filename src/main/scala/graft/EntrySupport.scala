@@ -80,6 +80,25 @@ object EntrySupport {
       .limit(k)
   }
 
+  /** Top-k via the block-max WAND path (pruned DAAT — OR, AND and
+    * AND_NOT shapes). The matcher runs with k = corpus size so every
+    * match surfaces with its exact score, then the gate's rounded
+    * (score desc, doc_id asc) ordering cuts the page — the same
+    * 4-decimal determinism contract as [[topkDf]], which a DuckDB
+    * oracle can reproduce bit-exactly (real pruned top-k cuts are
+    * covered by the in-repo three-way suites and graft.Bench). */
+  def wandTopkDf(spark: SparkSession, sfDir: String, q: Query, k: Int): DataFrame = {
+    val idx = reader(spark, sfDir)
+    val wm = new graft.matcher.WandMatcher(idx, localDfThreshold = 0L)
+    val items = wm.mset(q, idx.stats.n.toInt)
+    import spark.implicits._
+    items.map(i => (i.docId, i.score)).toDF("docId", "raw")
+      .join(docIds(idx), "docId")
+      .select(col("doc_id"), round(col("raw"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Collapse: best doc per `lang` (reference collapser analog),
     * emitted docId-ascending. */
   def collapseDf(spark: SparkSession, sfDir: String, q: Query): DataFrame = {

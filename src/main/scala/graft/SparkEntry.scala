@@ -60,6 +60,13 @@ object SparkEntry {
       EntrySupport.topkDf(s, d, Query.Or(Seq(t("data"), t("stream"), t("query"))), 10)),
     "ft_and" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.And(Seq(t("data"), t("stream")))).orderBy("doc_id")),
+    // pruned-DAAT conjunction / exclusion stream on the block-max
+    // WAND path (multiandpostlist.cc role — VERDICT r2 item 3)
+    "ft_and_topk" -> ((s, d) =>
+      EntrySupport.wandTopkDf(s, d, Query.And(Seq(t("data"), t("stream"))), 10)),
+    "ft_andnot_topk" -> ((s, d) =>
+      EntrySupport.wandTopkDf(s, d,
+        Query.AndNot(Query.Or(Seq(t("data"), t("stream"))), t("batch")), 10)),
     "ft_andnot" -> ((s, d) =>
       EntrySupport.matchDf(s, d,
         Query.AndNot(Query.Or(Seq(t("data"), t("stream"))), t("batch"))).orderBy("doc_id")),
@@ -321,6 +328,8 @@ object SparkEntry {
     "ft_term" -> EntrySql.term("data"),
     "ft_or_topk" -> EntrySql.orTopk(Seq("data", "stream", "query"), 10),
     "ft_and" -> EntrySql.and2("data", "stream"),
+    "ft_and_topk" -> EntrySql.andTopk(Seq("data", "stream"), 10),
+    "ft_andnot_topk" -> EntrySql.andNotTopk(Seq("data", "stream"), Seq("batch"), 10),
     "ft_andnot" -> EntrySql.andNot(Seq("data", "stream"), Seq("batch")),
     "ft_xor" -> EntrySql.xor2("data", "stream"),
     "ft_andmaybe" -> EntrySql.andMaybe("data", "stream"),

@@ -42,11 +42,14 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   private lazy val stats = idx.stats
 
   /** True if the WAND path can answer q: a term, a weighted OR of
-    * term leaves, an ELITE_SET of term leaves (which reduces to an OR
-    * of the selected children before matching), or any of those under
-    * an OP_FILTER whose right side is a pure value-slot predicate
-    * (the classic filtered top-k; the filter is applied INSIDE the
-    * per-stripe WAND loop, never after the cut). */
+    * term leaves, a pruned-DAAT AND of term leaves, an ELITE_SET of
+    * term leaves (which reduces to an OR of the selected children
+    * before matching), any of those under an OP_AND_NOT whose right
+    * side is a term / OR-of-terms (an in-loop skip stream — the
+    * multiandpostlist.cc role), or any of those under an OP_FILTER
+    * whose right side is a pure value-slot predicate (the classic
+    * filtered top-k; the filter is applied INSIDE the per-stripe WAND
+    * loop, never after the cut). */
   def supports(q: Query): Boolean = Query.simplify(q) match {
     case Query.Filter(l, r) =>
       weightedShape(Query.simplify(l)) &&
@@ -75,8 +78,51 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   private def weightedShape(s: Query): Boolean = s match {
     case _: Query.Term        => true
     case Query.Or(cs)         => cs.forall(_.isInstanceOf[Query.Term])
+    case Query.And(cs)        => cs.forall(_.isInstanceOf[Query.Term])
     case Query.EliteSet(cs, _)=> cs.forall(_.isInstanceOf[Query.Term])
+    case Query.AndNot(l, r)   =>
+      weightedShape(Query.simplify(l)) && pureTerms(Query.simplify(r)).isDefined
     case _                    => false
+  }
+
+  /** AND_NOT right sides the loop can consume as a skip stream: a
+    * term or an OR of terms (the union of their postings is the
+    * exclusion set). */
+  private def pureTerms(s: Query): Option[Seq[Query.Term]] = s match {
+    case t: Query.Term => Some(Seq(t))
+    case Query.Or(cs) if cs.forall(_.isInstanceOf[Query.Term]) =>
+      Some(cs.map(_.asInstanceOf[Query.Term]))
+    case _ => None
+  }
+
+  /** Compiled WAND shape: the scored term leaves, whether they are
+    * conjunctive (every term must match — the pruned-DAAT AND) or
+    * disjunctive (classic WAND OR), plus exclusion terms (AND_NOT
+    * right sides, folded through nesting: (a ANDNOT b) ANDNOT c ≡
+    * a ANDNOT (b OR c)). ELITE_SET reduces to its selected children
+    * here (one dict lookup, no planning job). */
+  private case class WandShape(scored: Seq[Query.Term], conj: Boolean,
+                               excluded: Seq[Query.Term])
+
+  private def shapeOf(s: Query): Option[WandShape] = s match {
+    case t: Query.Term => Some(WandShape(Seq(t), conj = false, Nil))
+    case Query.Or(cs) if cs.forall(_.isInstanceOf[Query.Term]) =>
+      Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = false, Nil))
+    case Query.And(cs) if cs.forall(_.isInstanceOf[Query.Term]) =>
+      Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = true, Nil))
+    case Query.EliteSet(cs, n) if cs.forall(_.isInstanceOf[Query.Term]) =>
+      reduceElite(cs, n) match {
+        case Query.Or(sel) =>
+          Some(WandShape(sel.map(_.asInstanceOf[Query.Term]), conj = false, Nil))
+        case t: Query.Term => Some(WandShape(Seq(t), conj = false, Nil))
+        case _             => None
+      }
+    case Query.AndNot(l, r) =>
+      for {
+        ls <- shapeOf(Query.simplify(l))
+        rt <- pureTerms(Query.simplify(r))
+      } yield ls.copy(excluded = ls.excluded ++ rt)
+    case _ => None
   }
 
   /** ELITE_SET(terms, n) → OR of the n best children by the same
@@ -102,23 +148,49 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     * the bounds, the multimatch.cc estimate shape). maxPossible is
     * the same compositional bound the Dataset path uses. */
   def msetPage(q: Query, k: Int, first: Int = 0): MSetPage = {
-    val terms = termsOf(q)
+    val shape = shapeFor(q)
+    val terms = shape.scored
     if (terms.isEmpty) return MSetPage(Seq.empty, 0L, 0L, 0L, 0.0, 0.0)
-    val dict = idx.lookupTerms(terms.map(_.term))
+    val dict = idx.lookupTerms((terms ++ shape.excluded).map(_.term))
     val items = mset(q, k, first)
     val dfs = terms.map(_.term).distinct.flatMap(dict.get).map(_.df)
     if (dfs.isEmpty)
       return MSetPage(items, 0L, 0L, 0L, 0.0, 0.0)
     val n = stats.n
     // an OP_FILTER can exclude every posting, so the unfiltered
-    // "max df" lower bound is only valid for bare weighted shapes
+    // shape bounds are only valid for bare weighted shapes
     val isFiltered = Query.simplify(q) match {
       case _: Query.Filter => true; case _ => false
     }
-    val lower = if (isFiltered) 0L else dfs.max
-    val upper = math.min(dfs.sum, n)
-    val est0 = n.toDouble *
-      (1.0 - dfs.map(df => 1.0 - df.toDouble / n).product)
+    // scored-shape bounds (the multimatch.cc termfreq estimate
+    // shapes): OR — lower = max df (every posting of any one term
+    // matches), upper = min(Σ df, N), est = independence-model union;
+    // AND — lower = inclusion-exclusion Σ df − (m−1)·N, upper =
+    // min df, est = independence-model intersection N·Π(dfᵢ/N). A
+    // conjunction with a term absent from the dict matches nothing.
+    val m = terms.map(_.term).distinct.size
+    var (lower, upper, est0) =
+      if (shape.conj) {
+        if (dfs.size < m) (0L, 0L, 0.0)
+        else (math.max(0L, dfs.sum - (m - 1).toLong * n),
+          dfs.min,
+          n.toDouble * dfs.map(_.toDouble / n).product)
+      } else {
+        (dfs.max, math.min(dfs.sum, n),
+          n.toDouble * (1.0 - dfs.map(df => 1.0 - df.toDouble / n).product))
+      }
+    // AND_NOT exclusion tightens: lower drops by the exclusion's
+    // upper bound, est scales by (1 − estR/N) — the AndNotPostList
+    // estimate shape (min = max(0, l.min − r.max), max = l.max)
+    val exclDfs = shape.excluded.map(_.term).distinct.flatMap(dict.get).map(_.df)
+    if (exclDfs.nonEmpty) {
+      val upperR = math.min(exclDfs.sum, n)
+      val estR = n.toDouble *
+        (1.0 - exclDfs.map(df => 1.0 - df.toDouble / n).product)
+      lower = math.max(0L, lower - upperR)
+      est0 = est0 * (1.0 - estR / n)
+    }
+    if (isFiltered) lower = 0L
     val est = math.max(lower, math.min(upper, math.round(est0)))
     val maxPossible = terms.flatMap { t =>
       dict.get(t.term).map { d =>
@@ -136,21 +208,16 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     MSetPage(items, lower, est, upper, maxPossible, attained)
   }
 
-  /** The query's term leaves on the WAND path (elite sets reduce to
-    * their selected children first). */
-  private def termsOf(q: Query): Seq[Query.Term] = Query.simplify(q) match {
-    case Query.Filter(l, _) => termsOf(l)
-    case Query.AndMaybe(l, _) => termsOf(l)
-    case t: Query.Term => Seq(t)
-    case Query.Or(cs)  => cs.map(_.asInstanceOf[Query.Term])
-    case Query.EliteSet(cs, n) if cs.forall(_.isInstanceOf[Query.Term]) =>
-      reduceElite(cs, n) match {
-        case Query.Or(sel) => sel.map(_.asInstanceOf[Query.Term])
-        case t: Query.Term => Seq(t)
-        case _             => Seq.empty
-      }
-    case other => throw new IllegalArgumentException(
-      s"WAND path supports OR-of-terms only, got: ${other.describe}")
+  /** The compiled shape under any Filter/AndMaybe wrapper (elite sets
+    * reduce to their selected children — one dict lookup). */
+  private def shapeFor(q: Query): WandShape = {
+    val core = Query.simplify(q) match {
+      case Query.Filter(l, _)   => Query.simplify(l)
+      case Query.AndMaybe(l, _) => Query.simplify(l)
+      case s                    => s
+    }
+    shapeOf(core).getOrElse(throw new IllegalArgumentException(
+      s"WAND path does not support: ${core.describe}"))
   }
 
   def mset(q: Query, k: Int, first: Int = 0): Seq[MSetItem] = {
@@ -162,9 +229,13 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       case Query.AndMaybe(_, r) => (None, valueWeightShape(r))
       case _                    => (None, None)
     }
-    val terms = termsOf(q)
+    val shape = shapeFor(q)
+    val terms = shape.scored
     if (terms.isEmpty) return Seq.empty
-    val dict = idx.lookupTerms(terms.map(_.term))
+    val dict = idx.lookupTerms((terms ++ shape.excluded).map(_.term))
+    // a conjunction with any term absent from the dict matches nothing
+    if (shape.conj && terms.map(_.term).distinct.exists(t => !dict.contains(t)))
+      return Seq.empty
     // duplicate term leaves ACCUMULATE: sumPart is linear in the
     // termweight, so summing per-leaf termweights per termId scores
     // each posting once with the combined weight — identical to the
@@ -173,17 +244,24 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       dict.get(t.term).map(d => d.termId -> weight.termWeight(t.wqf, d.df, stats))
     }.groupBy(_._1).map { case (tid, xs) => tid -> xs.map(_._2).sum }
     if (tws.isEmpty) return Seq.empty
+    // AND_NOT right sides ride the same block scan as the scored
+    // terms; their termIds mark the cursors as a weightless in-loop
+    // skip stream
+    val exclIds: Set[Long] = shape.excluded.map(_.term).distinct
+      .flatMap(dict.get).map(_.termId).toSet
+    val isConj = shape.conj
     // local copies: the executor closure must not capture `this`
     val didSign: Int = if (docIdOrderDesc) -1 else 1
     val dSign: Int = didSign
-    val termIds = tws.keys.toSeq.sorted
+    val termIds = (tws.keys.toSeq ++ exclIds).distinct.sorted
     val need = first + k
     val querySize = terms.map(_.wqf).sum
 
     val blocks = idx.blocksFor(termIds).as[PostingBlock]
     val w = weight
     val st = stats
-    val totalDf = terms.flatMap(t => dict.get(t.term)).map(_.df).sum
+    val totalDf = (terms ++ shape.excluded).flatMap(t => dict.get(t.term))
+      .map(_.df).sum
 
     // driver-local only while few queries are in flight: under serving
     // concurrency the distributed path keeps the driver free.
@@ -200,7 +278,8 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
           val collected = blocks.collect()
           collected.groupBy(_.stripe).iterator
             .flatMap { case (_, bs) =>
-              WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize, didSign)
+              WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize,
+                didSign, conj = isConj, exclIds = exclIds)
             }
             .toArray
             .sortBy { case (did, s) => (-s, didSign * did) }
@@ -229,12 +308,12 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
               java.util.Arrays.sort(pairs, Ordering.by((p: (Long, Double)) => p._1))
               WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
                 querySize, dSign, null, pairs.map(_._1), pairs.map(_._2),
-                bound)
+                bound, conj = isConj, exclIds = exclIds)
             }
           case (None, None) =>
             grouped.flatMapGroups { (_, bs) =>
               WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
-                querySize, dSign)
+                querySize, dSign, conj = isConj, exclIds = exclIds)
             }
           case (Some(pred), _) =>
             // allowed ids move ONCE, keyed by the same stripe as the
@@ -250,7 +329,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
               else {
                 java.util.Arrays.sort(arr)
                 WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
-                  querySize, dSign, arr)
+                  querySize, dSign, arr, conj = isConj, exclIds = exclIds)
               }
             }
         }
@@ -300,6 +379,10 @@ object WandMatcher {
     def curDoc: Long = decoded(pi).docId
     def curWdf: Int = decoded(pi).wdf
     def curLen: Long = decoded(pi).doclen
+    /** Last docId of the CURRENT block (the conjunctive block-max
+      * skip target: no doc ≤ this can beat θ when the cumulative
+      * bound fails). */
+    def curBlockLast: Long = blocks(bi).lastDocId
     /** Upper bound of this term's contribution in the CURRENT block. */
     def blockUB: Double = {
       val b = blocks(bi)
@@ -355,20 +438,134 @@ object WandMatcher {
         * (seeds the pivot accumulator so pruning stays correct). */
       extraIds: Array[Long] = null,
       extraWs: Array[Double] = null,
-      extraBound: Double = 0.0): Iterator[(Long, Double)] = {
+      extraBound: Double = 0.0,
+      /** true = pruned-DAAT conjunction (every scored term must
+        * match — the multiandpostlist.cc role); false = classic
+        * WAND disjunction. */
+      conj: Boolean = false,
+      /** termIds whose postings form an exclusion stream (AND_NOT
+        * right sides): their docs advance as a weightless in-loop
+        * skip list, never scored, never past the cut. */
+      exclIds: scala.collection.Set[Long] = Set.empty): Iterator[(Long, Double)] = {
     val maxExtra = extraBound +
       (if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0)
-    val cursors: Array[Cursor] = blocks.groupBy(_.termId).iterator.map {
-      case (tid, bs) =>
+    val byTerm = blocks.groupBy(_.termId)
+    val cursors: Array[Cursor] = byTerm.iterator.collect {
+      case (tid, bs) if termWeights.contains(tid) =>
         new Cursor(tid, termWeights(tid),
           bs.sortBy(_.firstDocId).toIndexedSeq, w, stats)
     }.toArray
+    val excl: Array[Cursor] = byTerm.iterator.collect {
+      case (tid, bs) if exclIds.contains(tid) =>
+        new Cursor(tid, 0.0, bs.sortBy(_.firstDocId).toIndexedSeq, w, stats)
+    }.toArray
+    // candidates are checked in strictly increasing docId order
+    // within a stripe, so the exclusion cursors only ever move
+    // forward — one merge pass over the right side's postings
+    def isExcluded(doc: Long): Boolean = {
+      var found = false
+      var i = 0
+      while (!found && i < excl.length) {
+        val c = excl(i)
+        if (!c.exhausted) {
+          if (c.curDoc < doc) c.skipTo(doc)
+          if (!c.exhausted && c.curDoc == doc) found = true
+        }
+        i += 1
+      }
+      found
+    }
     // min-heap of the k best (score asc, docId desc → evict smallest
     // score / largest docId first, matching weight-desc docId-asc rank)
     implicit val ord: Ordering[(Long, Double)] =
       Ordering.by { case (did, s) => (-s, didSign * did) }
     val heap = mutable.PriorityQueue.empty[(Long, Double)]
     var theta = Double.NegativeInfinity
+
+    if (conj) {
+      // leapfrog intersection with cumulative block-max early exit:
+      // a conjunction is empty in any stripe missing one of its terms
+      if (cursors.length < termWeights.size || cursors.exists(_.exhausted))
+        return Iterator.empty
+      var done = false
+      while (!done) {
+        // candidate = max current docId across the conjuncts
+        var cand = cursors(0).curDoc
+        var i = 1
+        while (i < cursors.length) {
+          if (cursors(i).curDoc > cand) cand = cursors(i).curDoc
+          i += 1
+        }
+        // leapfrog the lagging cursors up to the candidate
+        var aligned = true
+        i = 0
+        while (!done && i < cursors.length) {
+          val c = cursors(i)
+          if (c.curDoc < cand) {
+            c.skipTo(cand)
+            if (c.exhausted) done = true
+            else if (c.curDoc != cand) aligned = false
+          }
+          i += 1
+        }
+        if (!done && aligned) {
+          // cumulative block-max bound: if θ is unbeatable anywhere in
+          // the currently-open blocks, skip every cursor past the
+          // earliest block end (the BMW conjunctive chunk skip) —
+          // cand ≤ minLast since each cursor sits inside its block
+          var ub = maxExtra
+          var minLast = Long.MaxValue
+          i = 0
+          while (i < cursors.length) {
+            ub += cursors(i).blockUB
+            if (cursors(i).curBlockLast < minLast) minLast = cursors(i).curBlockLast
+            i += 1
+          }
+          if (ub <= theta) {
+            i = 0
+            while (!done && i < cursors.length) {
+              cursors(i).skipTo(minLast + 1)
+              if (cursors(i).exhausted) done = true
+              i += 1
+            }
+          } else {
+            val ok = (allowed == null ||
+              java.util.Arrays.binarySearch(allowed, cand) >= 0) &&
+              !isExcluded(cand)
+            if (ok) {
+              var score = 0.0
+              val len = cursors(0).curLen
+              i = 0
+              while (i < cursors.length) {
+                score += w.sumPart(cursors(i).termWeight, cursors(i).curWdf, len, stats)
+                i += 1
+              }
+              if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
+              if (extraIds != null) {
+                val j = java.util.Arrays.binarySearch(extraIds, cand)
+                if (j >= 0) score += extraWs(j)
+              }
+              if (heap.size < k) {
+                heap.enqueue((cand, score))
+                if (heap.size == k) theta = heap.head._2
+              } else if (score > theta ||
+                         (score == theta &&
+                          didSign * cand < didSign * heap.head._1)) {
+                heap.dequeue(); heap.enqueue((cand, score))
+                theta = heap.head._2
+              }
+            }
+            i = 0
+            while (!done && i < cursors.length) {
+              cursors(i).next()
+              if (cursors(i).exhausted) done = true
+              i += 1
+            }
+          }
+        }
+      }
+      return heap.dequeueAll.reverseIterator
+    }
 
     val active = mutable.ArrayBuffer[Cursor](cursors.filterNot(_.exhausted).toSeq: _*)
     while (active.nonEmpty) {
@@ -390,9 +587,11 @@ object WandMatcher {
         val pivotDoc = sorted(pivotIdx).curDoc
         if (sorted.head.curDoc == pivotDoc) {
           // filtered-out pivots advance without scoring (BoolWeight
-          // side: zero weight, pure membership)
-          val ok = allowed == null ||
-            java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0
+          // side: zero weight, pure membership; AND_NOT side: the
+          // exclusion stream skips in-loop, never after the cut)
+          val ok = (allowed == null ||
+            java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0) &&
+            !isExcluded(pivotDoc)
           if (ok) {
             // fully score pivotDoc (doclen decoded from the posting)
             var score = 0.0
