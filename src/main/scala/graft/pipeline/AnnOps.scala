@@ -96,23 +96,56 @@ object AnnOps {
   def ivfSearch(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])],
                 query: Seq[Float], k: Int, nprobe: Int,
                 assigned: Option[DataFrame] = None): DataFrame = {
+    val probeIds = probeCentroids(centroids, query, nprobe)
+    val assign = assigned.getOrElse(
+      ivfAssign(vecs, centroids).select("vec_id", "centroid_id"))
+    bruteForceTopK(
+      vecs.join(assign.select(col("vec_id"), col("centroid_id"))
+        .where(col("centroid_id").isin(probeIds: _*)), "vec_id"),
+      query, k)
+  }
+
+  /** The `nprobe` centroid ids closest to the query — driver-side
+    * arithmetic over the (tiny) centroid list, no job. 9-decimal
+    * rounding before ranking, like [[ivfAssign]]: keeps the probe
+    * choice independent of float summation order (and SQL-
+    * reproducible). */
+  def probeCentroids(centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
+                     nprobe: Int): Seq[Int] = {
     val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
-    val probeIds = centroids
+    centroids
       .map { case (cid, cvec) =>
         val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
         val dot = cvec.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
         (cid, dot / (cn * qn))
       }
-      // 9-decimal rounding before ranking, like ivfAssign: keeps the
-      // probe choice independent of float summation order (and SQL-
-      // reproducible)
       .sortBy { case (cid, cos) => (-math.round(cos * 1e9), cid) }
-      .take(nprobe).map(_._1).toSet
-    val assign = assigned.getOrElse(
-      ivfAssign(vecs, centroids).select("vec_id", "centroid_id"))
+      .take(nprobe).map(_._1)
+  }
+
+  /** Materialize the IVF index in the inverted-list layout: every
+    * vector stored WITH its embedding, partitioned on disk by its
+    * nearest centroid. This is the 100 TB probe path — a query reads
+    * only the probed centroid partitions (PartitionFilters in the
+    * scan), never the full corpus; assignment is computed exactly
+    * once per index build, not per query. One shuffle-free pass plus
+    * the partitioned write. */
+  def writeIvfIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                    path: String): Unit =
+    vecs.join(ivfAssign(vecs, centroids).select("vec_id", "centroid_id"),
+        "vec_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** IVF-probed search over a [[writeIvfIndex]] index: the
+    * centroid_id predicate prunes to the probed partitions at plan
+    * time, then exact top-k runs inside them. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, centroids: Seq[(Int, Seq[Float])],
+                       query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = probeCentroids(centroids, query, nprobe)
     bruteForceTopK(
-      vecs.join(assign.select(col("vec_id"), col("centroid_id"))
-        .where(col("centroid_id").isin(probeIds.toSeq: _*)), "vec_id"),
+      spark.read.parquet(indexPath)
+        .where(col("centroid_id").isin(probeIds: _*)),
       query, k)
   }
 }
