@@ -1,0 +1,232 @@
+package graft.core
+
+/**
+ * Hungarian Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/hungarian/stemmer.html).
+ * Plays the role of the reference's generated hungarian stemmer
+ * (reference: xapian-core/languages/hungarian.sbl — SURVEY.md §2e).
+ * Golden outputs are verified word-for-word against an independent
+ * compiled Snowball implementation (PostgreSQL 15 `hungarian_stem`) —
+ * see StemmerSpec.
+ *
+ * Only lowercase input is expected (the tokenizer lowercases first).
+ */
+object HungarianStemmer {
+
+  private val vowels = Set('a', 'á', 'e', 'é', 'i', 'í', 'o', 'ó',
+    'ö', 'ő', 'u', 'ú', 'ü', 'ű')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private val digraphs = Seq("dzs", "cs", "dz", "gy", "ly", "ny", "sz",
+    "ty", "zs")
+
+  /** Doubled consonants (the instrumental/factive assimilation
+    * shapes), longest first so "ssz" wins over "zz"/"ss" checks. */
+  private val doubles = Seq("ccs", "ggy", "lly", "nny", "ssz", "tty",
+    "zzs", "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz")
+
+  /** R1: word starts with a vowel → after the first consonant or
+    * digraph; starts with a consonant → after the first vowel. */
+  private def r1of(w: String): Int = {
+    if (w.isEmpty) return 0
+    if (isVowel(w(0))) {
+      var i = 1
+      while (i < w.length && isVowel(w(i))) i += 1
+      if (i >= w.length) return w.length
+      // a digraph at the first consonant counts as one unit
+      digraphs.find(d => w.startsWith(d, i)) match {
+        case Some(d) => math.min(i + d.length, w.length)
+        case None    => i + 1
+      }
+    } else {
+      var i = 1
+      while (i < w.length && !isVowel(w(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+  }
+
+  /** Word (before `sufLen` trailing chars) ends in a double
+    * consonant — returns its length (0 if none). */
+  private def doubleLenBefore(w: String, sufLen: Int): Int = {
+    val head = w.substring(0, w.length - sufLen)
+    doubles.find(head.endsWith).map(_.length).getOrElse(0)
+  }
+
+  /** Remove one half of a trailing double consonant ("kk" → "k",
+    * "ssz" → "sz"). */
+  private def undouble(w: String): String = {
+    val dl = doubles.find(w.endsWith).map(_.length).getOrElse(0)
+    // drop the leading extra letter of the doubled cluster:
+    // "kk" → "k", "ssz" → "sz"
+    if (dl == 0) w
+    else w.substring(0, w.length - dl) + w.substring(w.length - dl + 1)
+  }
+
+  // the big case-ending list (step 2), longest first
+  private val caseSufs: Seq[String] = Seq(
+    "onként", "enként", "anként",
+    "képpen", "képp", "ként",
+    "ban", "ben", "nak", "nek", "val", "vel", "tól", "től",
+    "ról", "ről", "ból", "ből", "hoz", "hez", "höz", "nál", "nél",
+    "ért", "kor",
+    "ba", "be", "ra", "re", "ig", "at", "et", "ot", "öt",
+    "ul", "ül", "vá", "vé", "en", "on", "an", "ön",
+    "n", "t").sortBy(-_.length)
+
+  private def longestMatch(w: String, sufs: Seq[String]): Option[String] =
+    sufs.filter(w.endsWith).sortBy(-_.length).headOption
+
+  def stem(input: String): String = {
+    var w = input
+    if (w.length <= 2) return w
+    val r1 = r1of(w)
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+
+    // ---- step 1: instrumental case (val/vel assimilated onto a
+    // doubled consonant: "busszal" → "busz")
+    for (suf <- longestMatch(w, Seq("al", "el"))) {
+      if (inR1(suf.length) && doubleLenBefore(w, suf.length) > 0)
+        w = undouble(w.dropRight(suf.length))
+    }
+
+    // ---- step 2: case endings — delete, then the v_ending rule: a
+    // final á/é the deletion uncovers becomes a/e, but only when that
+    // character itself lies in R1 ("fában" → "fá" keeps its á because
+    // position 1 is before R1; "kertán" → case deletes n, v_ending
+    // yields "kerta", and the owner step then strips the bare a)
+    for (suf <- longestMatch(w, caseSufs)) {
+      if (inR1(suf.length)) {
+        w = w.dropRight(suf.length)
+        if (w.length - 1 >= r1) {
+          if (w.endsWith("á")) w = w.dropRight(1) + "a"
+          else if (w.endsWith("é")) w = w.dropRight(1) + "e"
+        }
+      }
+    }
+
+    // ---- step 3: special cases án/ánként → a, én → e
+    for (suf <- longestMatch(w, Seq("ánként", "án", "én"))) {
+      if (inR1(suf.length))
+        w = w.dropRight(suf.length) + (if (suf == "én") "e" else "a")
+    }
+
+    // ---- step 4: other cases (astul/estül families)
+    for (suf <- longestMatch(w, Seq("astul", "estül", "ástul", "éstül",
+        "stul", "stül"))) {
+      if (inR1(suf.length)) {
+        w = w.dropRight(suf.length) + (suf match {
+          case "ástul" => "a"; case "éstül" => "e"; case _ => ""
+        })
+      }
+    }
+
+    // ---- step 5: factive case (vá/vé assimilated: "pénzzé" → "pénz")
+    for (suf <- longestMatch(w, Seq("á", "é"))) {
+      if (inR1(suf.length) && doubleLenBefore(w, suf.length) > 0)
+        w = undouble(w.dropRight(suf.length))
+    }
+
+    // ---- step 6: the owned/owner complex. Empirically mapped against
+    // PostgreSQL's compiled Snowball (65+ targeted probes — see
+    // StemmerSpec goldens): one among over the short owned forms where
+    // the áéi-family acts as a "failer" class. If the longest match is
+    // a short form inside R1 it is deleted and the SINGULAR-OWNER step
+    // runs next (path 1 — also taken on no match at all). If the
+    // longest match is an áéi-class suffix, or fails R1, the word
+    // instead takes path 2: singular-owner is SKIPPED, the long owned
+    // among runs ("hozzfrdáéi"→"hozzfrd" keeps its d), and a final
+    // é→e conversion applies at the very end ("céé"→"cée",
+    // "eúaké"→"eúake" — but path-1 "czoúűiéípéoé"→"czoúűiéípé"
+    // keeps its é).
+    val aDeleters = Seq("é", "ké", "aké", "eké", "oké", "öké", "áké",
+      "éké", "éé", "jéé", "éi")
+    val aFailers = Seq("áéi", "ééi", "jáéi", "jééi")
+    val path2: Boolean = longestMatch(w, aDeleters ++ aFailers) match {
+      case Some(suf) if aFailers.contains(suf) => true
+      case Some(suf) if !inR1(suf.length)      => true
+      case Some(suf) => w = w.dropRight(suf.length); false
+      case None      => false
+    }
+
+    if (!path2) {
+      // singular owner suffixes (path 1 only). Deliberately has á→a
+      // but NOT é (probed: "botá"→"bota" but "boté"→"bot" via the
+      // owned é-delete; "botoké"→"bot" shows é must not fire here).
+      val sing: Seq[(String, String)] = Seq(
+        "ünk" -> "", "unk" -> "", "ánk" -> "a", "énk" -> "e", "nk" -> "",
+        "ájuk" -> "a", "éjük" -> "e", "juk" -> "", "jük" -> "",
+        "uk" -> "", "ük" -> "",
+        "ám" -> "a", "ém" -> "e", "om" -> "", "am" -> "", "em" -> "",
+        "m" -> "",
+        "ád" -> "a", "éd" -> "e", "od" -> "", "ad" -> "", "ed" -> "",
+        "öd" -> "", "d" -> "",
+        "ja" -> "", "je" -> "",
+        "a" -> "", "e" -> "", "o" -> "",
+        "á" -> "a")
+      for ((suf, rep) <- sing.sortBy { case (s, _) => -s.length }
+             .find { case (s, _) => w.endsWith(s) }) {
+        if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+      }
+    } else {
+      // long owned forms (path 2 only); Snowball longest-match: an
+      // R1-failing longest match ("ájáéi" matching "jáéi" before R1)
+      // kills the delete attempt with no shorter retry — the
+      // replacement fallback below then gets one chance before the
+      // shared plur-owner step ("ájáéi"→"ája", "újéé"→"úje", but
+      // "káéi"→"káe" falls all the way through to plur-owner's éi→e).
+      val bApplied = longestMatch(w, Seq("jáéi", "jééi", "áéi", "ééi",
+          "jéé", "éé")) match {
+        case Some(suf) if inR1(suf.length) =>
+          w = w.dropRight(suf.length); true
+        case _ => false
+      }
+      if (!bApplied) {
+        val b2: Seq[(String, String)] =
+          Seq("áéi" -> "a", "ééi" -> "e", "éé" -> "e")
+        for ((suf, rep) <- b2.sortBy { case (s, _) => -s.length }
+               .find { case (s, _) => w.endsWith(s) }) {
+          if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+        }
+      }
+    }
+
+    // ---- step 7: plural owner suffixes (both paths; the áéi/ééi/éé
+    // entries catch the j-blocked path-2 failures: "ájáéi"→"ája",
+    // "újéé"→"úje")
+    val plurOwner: Seq[(String, String)] = Seq(
+      "jaim" -> "", "jeim" -> "", "áim" -> "a", "éim" -> "e",
+      "aim" -> "", "eim" -> "", "im" -> "",
+      "jaid" -> "", "jeid" -> "", "áid" -> "a", "éid" -> "e",
+      "aid" -> "", "eid" -> "", "id" -> "",
+      "jai" -> "", "jei" -> "", "ái" -> "a", "éi" -> "e",
+      "ai" -> "", "ei" -> "", "i" -> "",
+      "jaink" -> "", "jeink" -> "", "áink" -> "a", "éink" -> "e",
+      "aink" -> "", "eink" -> "", "ink" -> "",
+      "jaitok" -> "", "jeitek" -> "", "áitok" -> "a", "éitek" -> "e",
+      "aitok" -> "", "eitek" -> "", "itek" -> "",
+      "jeik" -> "", "jaik" -> "", "áik" -> "a", "éik" -> "e",
+      "aik" -> "", "eik" -> "", "ik" -> "")
+    for ((suf, rep) <- plurOwner.sortBy { case (s, _) => -s.length }
+           .find { case (s, _) => w.endsWith(s) }) {
+      if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+    }
+
+    // ---- step 8: plural
+    val plural: Seq[(String, String)] = Seq(
+      "ák" -> "a", "ék" -> "e", "ök" -> "", "ok" -> "", "ek" -> "",
+      "ak" -> "", "k" -> "")
+    for ((suf, rep) <- plural.sortBy { case (s, _) => -s.length }
+           .find { case (s, _) => w.endsWith(s) }) {
+      if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
+    }
+
+    // path-2 epilogue: a still-final é in R1 becomes e ("céé"→"cée";
+    // path-1 words keep theirs). No á counterpart — á-final words can
+    // never enter path 2 (no owned suffix ends in á).
+    if (path2 && w.endsWith("é") && w.length - 1 >= r1)
+      w = w.dropRight(1) + "e"
+
+    w
+  }
+}

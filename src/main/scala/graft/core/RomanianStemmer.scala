@@ -1,0 +1,230 @@
+package graft.core
+
+/**
+ * Romanian Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/romanian/stemmer.html).
+ * Plays the role of the reference's generated romanian stemmer
+ * (reference: xapian-core/languages/romanian.sbl — SURVEY.md §2e).
+ *
+ * Follows the historical cedilla convention of the published
+ * algorithm (ş U+015F, ţ U+0163 are the algorithm letters; the
+ * comma-below forms ș/ț pass through as ordinary consonants), which
+ * is the form the reference's bundled .sbl uses. Golden outputs are
+ * verified word-for-word against an independent compiled Snowball
+ * implementation (PostgreSQL 15 `romanian_stem`) — see StemmerSpec.
+ *
+ * Only lowercase input is expected (the tokenizer lowercases first).
+ */
+object RomanianStemmer {
+
+  private val vowels = Set('a', 'ă', 'â', 'e', 'i', 'î', 'o', 'u')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private def regionAfterVC(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    if (i < s.length) i + 1 else s.length
+  }
+
+  /** RV per the Romance-language definition. */
+  private def rvOf(w: String): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (!isVowel(w(1))) {
+      var i = 2
+      while (i < n && !isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (isVowel(w(0)) && isVowel(w(1))) {
+      var i = 2
+      while (i < n && isVowel(w(i))) i += 1
+      if (i < n) i + 1 else n
+    } else 3
+  }
+
+  // step 1: combining suffixes, replaced repeatedly while in R1
+  private val step1: Seq[(String, String)] = Seq(
+    "abilitate" -> "abil", "abilitati" -> "abil", "abilităi" -> "abil",
+    "abilităţi" -> "abil",
+    "ibilitate" -> "ibil",
+    "ivitate" -> "iv", "ivitati" -> "iv", "ivităi" -> "iv", "ivităţi" -> "iv",
+    "icitate" -> "ic", "icitati" -> "ic", "icităi" -> "ic", "icităţi" -> "ic",
+    "icator" -> "ic", "icatori" -> "ic",
+    "iciv" -> "ic", "icivă" -> "ic", "icive" -> "ic", "icivi" -> "ic",
+    "ical" -> "ic", "icală" -> "ic", "icale" -> "ic", "icali" -> "ic",
+    "ativ" -> "at", "ativă" -> "at", "ative" -> "at", "ativi" -> "at",
+    "aţiune" -> "at", "atoare" -> "at", "ator" -> "at", "atori" -> "at",
+    "ătoare" -> "at", "ător" -> "at", "ători" -> "at",
+    "itiv" -> "it", "itivă" -> "it", "itive" -> "it", "itivi" -> "it",
+    "iţiune" -> "it", "itoare" -> "it", "itor" -> "it", "itori" -> "it"
+  ).sortBy { case (s, _) => -s.length }
+
+  // step 2: standard suffixes, deleted in R2
+  private val step2Del: Seq[String] = Seq(
+    "at", "ata", "ată", "ati", "ate",
+    "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite",
+    "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori",
+    "itate", "itati", "ităi", "ităţi",
+    "iv", "iva", "ive", "ivi", "ivă")
+  private val step2Ist: Seq[String] = Seq(
+    "ism", "isme", "ist", "ista", "iste", "isti", "istă", "işti")
+  private val step2All: Seq[(String, Int)] =
+    (step2Del.map(_ -> 0) ++ Seq("iune" -> 1, "iuni" -> 1) ++
+      step2Ist.map(_ -> 2)).sortBy { case (s, _) => -s.length }
+
+  // step 3 group B: delete if in RV
+  private val step3B: Seq[String] = Seq(
+    "seserăm", "seserăţi", "seseră", "sesem", "sese",
+    "serăm", "serăţi", "seră", "seşi", "sei", "se",
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi")
+  // step 3 group A: delete if preceded (inside RV) by a consonant
+  // or by 'u'
+  private val step3A: Seq[String] = Seq(
+    "aserăm", "aserăţi", "aseră", "asem", "aseşi", "ase",
+    "iserăm", "iserăţi", "iseră", "isem", "iseşi", "ise",
+    "âserăm", "âserăţi", "âseră", "âsem", "âseşi", "âse",
+    "userăm", "userăţi", "useră", "usem", "useşi", "use",
+    "arăm", "arăţi", "ară", "aşi", "are",
+    "irăm", "irăţi", "iră", "işi", "ire",
+    "ârăm", "ârăţi", "âră", "âşi", "âre",
+    "urăm", "urăţi", "ură", "uşi", "ere",
+    "ind", "ând", "indu", "ându",
+    "eze", "ează", "ez", "ezi",
+    "ească", "esc", "eşti", "eşte", "ăsc", "ăşti", "ăşte",
+    "am", "ai", "au", "eam", "eai", "eau", "iam", "iai", "iau",
+    "ui", "âi", "eaţi", "iaţi", "ia", "ie")
+  private val step3All: Seq[(String, Boolean)] =
+    (step3A.map(_ -> true) ++ step3B.map(_ -> false))
+      .sortBy { case (s, _) => -s.length }
+
+  def stem(input: String): String = {
+    var w = input
+    if (w.length <= 2) return w
+
+    // prelude: i/u between vowels are consonants (marked upper-case)
+    val sb = new StringBuilder(w)
+    var i = 1
+    while (i < sb.length - 1) {
+      val c = sb(i)
+      if ((c == 'i' || c == 'u') && isVowel(sb(i - 1)) && isVowel(sb(i + 1)))
+        sb(i) = if (c == 'i') 'I' else 'U'
+      i += 1
+    }
+    w = sb.toString
+
+    val rv = rvOf(w)
+    val r1 = regionAfterVC(w, 0)
+    val r2 = regionAfterVC(w, r1)
+    def inRV(sufLen: Int): Boolean = w.length - sufLen >= rv
+    def inR1(sufLen: Int): Boolean = w.length - sufLen >= r1
+    def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
+
+    // ---- Step 0: plurals and article forms (longest match, in R1)
+    val step0: Seq[(String, String)] = Seq(
+      "ul" -> "", "ului" -> "",
+      "aua" -> "a",
+      "ea" -> "e", "ele" -> "e", "elor" -> "e",
+      "ii" -> "i", "iua" -> "i", "iei" -> "i", "iile" -> "i",
+      "iilor" -> "i", "ilor" -> "i",
+      "ile" -> "i",
+      "atei" -> "at",
+      "aţie" -> "aţi", "aţia" -> "aţi"
+    ).sortBy { case (s, _) => -s.length }
+    var done = false
+    for ((suf, rep) <- step0 if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        val ok = inR1(suf.length) &&
+          // "ile" → "i" unless preceded by "ab" ("abile" keeps its e)
+          !(suf == "ile" && w.dropRight(3).endsWith("ab"))
+        if (ok) w = w.dropRight(suf.length) + rep
+      }
+    }
+
+    // ---- Step 1: combining suffixes, repeated while matching in R1
+    var changed = true
+    var step1Removed = false
+    while (changed) {
+      changed = false
+      var hit = false
+      for ((suf, rep) <- step1 if !hit) {
+        if (w.endsWith(suf)) {
+          hit = true
+          if (inR1(suf.length)) {
+            w = w.dropRight(suf.length) + rep
+            changed = true
+            step1Removed = true
+          }
+        }
+      }
+    }
+
+    // ---- Step 2: standard suffixes (longest match, in R2)
+    var step2Removed = false
+    done = false
+    for ((suf, kind) <- step2All if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        kind match {
+          case 0 =>
+            if (inR2(suf.length)) { w = w.dropRight(suf.length); step2Removed = true }
+          case 1 => // iune/iuni: delete if preceded by ţ, ţ → t
+            if (inR2(suf.length) &&
+                w.length > suf.length && w(w.length - suf.length - 1) == 'ţ') {
+              w = w.dropRight(suf.length + 1) + "t"
+              step2Removed = true
+            }
+          case 2 => // ism family → ist
+            if (inR2(suf.length)) {
+              w = w.dropRight(suf.length) + "ist"
+              step2Removed = true
+            }
+          case _ =>
+        }
+      }
+    }
+
+    // ---- Step 3: verb suffixes (only if steps 1–2 removed nothing),
+    // evaluated inside RV
+    if (!step1Removed && !step2Removed) {
+      done = false
+      for ((suf, needsCons) <- step3All if !done) {
+        // the verb-suffix among runs under setlimit-to-RV: a suffix
+        // reaching past the RV start is INVISIBLE to the matcher, so
+        // the longest suffix that fits inside RV wins (unlike the
+        // R1/R2 amongs, where the region test happens after matching)
+        if (w.endsWith(suf) && inRV(suf.length)) {
+          done = true
+          val deletable =
+            if (!needsCons) true
+            else {
+              // preceded by a consonant or by 'u', and that
+              // preceding character must itself lie INSIDE RV (the
+              // setlimit-to-RV semantics: the whole pattern,
+              // condition included, matches within the region)
+              val p = w.length - suf.length - 1
+              p >= rv && (!isVowel(w(p)) || w(p) == 'u')
+            }
+          if (deletable) w = w.dropRight(suf.length)
+        }
+      }
+    }
+
+    // ---- Step 4: final vowel (in RV)
+    done = false
+    for (suf <- Seq("ie", "a", "e", "i", "ă") if !done) {
+      if (w.endsWith(suf)) {
+        done = true
+        if (inRV(suf.length)) w = w.dropRight(suf.length)
+      }
+    }
+
+    w.map(c => if (c == 'I') 'i' else if (c == 'U') 'u' else c)
+  }
+}

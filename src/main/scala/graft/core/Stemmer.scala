@@ -24,6 +24,8 @@ object Stemmer {
     case "da" | "danish"     => DanishStemmer.stem
     case "nl" | "dutch"      => DutchStemmer.stem
     case "ru" | "russian"    => RussianStemmer.stem
+    case "ro" | "romanian"   => RomanianStemmer.stem
+    case "hu" | "hungarian"  => HungarianStemmer.stem
     case "none" | ""         => identity
     case _                   => stem
   }

@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.core.Stemmer
+
+/**
+ * Stemmer CLI (the reference's `stemtest` / `stem` utility analog —
+ * reference: xapian-core/languages/stemtest.cc): reads one lowercase
+ * word per line on stdin, writes `word<TAB>stem` for the given
+ * language. Used by the golden-table harness that diffs every
+ * language against an independent Snowball implementation.
+ */
+object StemRun {
+  def main(args: Array[String]): Unit = {
+    val lang = args.headOption.getOrElse("en")
+    val f = Stemmer.forLang(lang)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(System.in, "UTF-8"))
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(System.out, "UTF-8"))
+    var line = in.readLine()
+    while (line != null) {
+      val w = line.trim
+      if (w.nonEmpty) out.println(w + "\t" + f(w))
+      line = in.readLine()
+    }
+    out.flush()
+  }
+}

@@ -359,6 +359,55 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Hungarian golden pairs verified word-for-word against PostgreSQL
+  // 15's compiled Snowball hungarian_stem (ts_lexize) — an independent
+  // implementation of the same published algorithm. The full check
+  // harness diffed 35,611 words at 100% agreement; the second block
+  // pins the owned/owner path-split corners (see HungarianStemmer
+  // step-6 comments).
+  private val hungarianGolden = Seq(
+    "házakban" -> "ház", "házát" -> "ház", "kertben" -> "kert",
+    "kertjeim" -> "kert", "busszal" -> "busz", "pénzzé" -> "pénz",
+    "barátaim" -> "barát", "könyveit" -> "könyv", "emberek" -> "ember",
+    "asztalon" -> "asztal", "szépségét" -> "szépség",
+    "legnagyobbak" -> "legnagyobb", "tanároknak" -> "tanár",
+    "városából" -> "város", "gyerekekkel" -> "gyerek",
+    // owned/owner complex corners (PG-probed)
+    "hozzfrdáéi" -> "hozzfrd", "ájáéi" -> "ája", "újéé" -> "úje",
+    "céé" -> "cée", "eúaké" -> "eúake", "bíáméi" -> "bía",
+    "huupoékeéi" -> "huupoe", "gtfsrééi" -> "gtfsrée",
+    "üaőejjáéi" -> "üaőej", "káéi" -> "káe", "ítöühaééi" -> "ítöüha")
+
+  test("hungarian golden pairs") {
+    val failures = hungarianGolden.flatMap { case (in, want) =>
+      val got = HungarianStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // Romanian golden pairs, PG-verified the same way (35,124-word
+  // full-list diff at 100% agreement).
+  private val romanianGolden = Seq(
+    "copiilor" -> "cop", "frumoasă" -> "frumoas",
+    "frumoaselor" -> "frumoas", "lucrurile" -> "lucrur",
+    "acțiunea" -> "acțiun", "națională" -> "național",
+    "muncitorii" -> "muncit", "cântând" -> "cânt",
+    "vorbește" -> "vorbeșt", "românesc" -> "român",
+    "românească" -> "român", "importante" -> "import",
+    "dezvoltarea" -> "dezvolt", "activității" -> "activităț",
+    "studenților" -> "studenț", "făcuse" -> "făcus",
+    "mergeam" -> "merg", "iubire" -> "iubir",
+    "absolutul" -> "absol", "abilității" -> "abilităț")
+
+  test("romanian golden pairs") {
+    val failures = romanianGolden.flatMap { case (in, want) =>
+      val got = RomanianStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")
