@@ -1,0 +1,257 @@
+package graft.core
+
+/**
+ * Finnish Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/finnish/stemmer.html).
+ * Plays the role of the reference's generated finnish stemmer
+ * (reference: xapian-core/languages/finnish.sbl — SURVEY.md §2e).
+ * Golden outputs are verified word-for-word against an independent
+ * compiled Snowball implementation (PostgreSQL 15 `finnish_stem`) —
+ * see StemmerSpec.
+ *
+ * Matching semantics mirror Snowball's region-limited among: a
+ * candidate suffix must lie entirely inside R1 (R2 where stated) to
+ * match at all; guard functions that fail fall back to the next
+ * shorter candidate ("abitten" → "tten"'s vowel-i guard fails →
+ * "ten" deletes), while the illative hVn rules test their harmony
+ * vowel after committing, so a failure aborts the whole step
+ * ("abhin" keeps even its "n").
+ *
+ * Only lowercase input is expected (the tokenizer lowercases first).
+ */
+object FinnishStemmer {
+
+  private val vowels = Set('a', 'e', 'i', 'o', 'u', 'y', 'ä', 'ö')
+  private def isVowel(c: Char): Boolean = vowels(c)
+
+  private val longVowels =
+    Set("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  /** Vowels removed by step-6 tidying rule b. */
+  private val tidyVowels = Set('a', 'ä', 'e', 'i')
+
+  /** Standard R1/R2: after the first non-vowel following a vowel. */
+  private def regionAfter(w: String, from: Int): Int = {
+    var i = from
+    while (i < w.length && !isVowel(w(i))) i += 1
+    while (i < w.length && isVowel(w(i))) i += 1
+    if (i < w.length) i + 1 else w.length
+  }
+
+  def stem(input: String): String = {
+    var w = input
+    if (w.isEmpty) return w
+    val r1 = regionAfter(w, 0)
+    val r2 = regionAfter(w, r1)
+
+    /** Suffix lies entirely within the region starting at `limit`. */
+    def fits(sufLen: Int, limit: Int): Boolean =
+      w.length - sufLen >= limit
+
+    /** The `n` chars just before the suffix. Snowball's
+      * `setlimit tomark p1 for ([substring])` limits only the suffix
+      * MATCHING — guard lookbehinds see the whole word ("ania" loses
+      * its cv-guarded "a" even though the c sits before R1). */
+    def lookbehind(sufLen: Int, n: Int, limit: Int): Option[String] = {
+      val end = w.length - sufLen
+      if (end - n >= 0) Some(w.substring(end - n, end)) else None
+    }
+
+    def endsLongAt(end: Int, limit: Int): Boolean =
+      end - 2 >= limit && longVowels(w.substring(end - 2, end))
+
+    // ---- step 1: particles etc.
+    locally {
+      val parts = Seq("kaan", "kään", "han", "hän", "kin", "sti",
+        "ko", "kö", "pa", "pä").sortBy(-_.length)
+      val it = parts.iterator.filter(s => w.endsWith(s) &&
+        fits(s.length, r1))
+      var done = false
+      while (!done && it.hasNext) {
+        val suf = it.next()
+        if (suf == "sti") {
+          if (fits(suf.length, r2)) { w = w.dropRight(suf.length) }
+          done = true // retry below sti would re-test nothing useful
+        } else {
+          lookbehind(suf.length, 1, r1) match {
+            case Some(p) if p(0) == 'n' || p(0) == 't' || isVowel(p(0)) =>
+              w = w.dropRight(suf.length); done = true
+            case _ => // guard failed: fall back to next shorter
+          }
+        }
+      }
+    }
+
+    // ---- step 2: possessives
+    locally {
+      val poss = Seq("nsa", "nsä", "mme", "nne", "si", "ni",
+        "an", "än", "en").sortBy(-_.length)
+      val it = poss.iterator.filter(s => w.endsWith(s) &&
+        fits(s.length, r1))
+      var done = false
+      while (!done && it.hasNext) {
+        val suf = it.next()
+        val head = w.substring(0, w.length - suf.length)
+        suf match {
+          case "nsa" | "nsä" | "mme" | "nne" =>
+            w = head; done = true
+          case "si" =>
+            // delete when not preceded by k (a k outside R1 is
+            // invisible to the guard, matching Snowball's not-test)
+            if (!lookbehind(suf.length, 1, r1).exists(_ == "k")) {
+              w = head; done = true
+            }
+          case "ni" =>
+            w = head
+            if (w.endsWith("kse")) w = w.dropRight(1) + "i"
+            done = true
+          case "an" =>
+            if (Seq("ta", "ssa", "sta", "lla", "lta", "na").exists(g =>
+                lookbehind(suf.length, g.length, r1).contains(g))) {
+              w = head; done = true
+            }
+          case "än" =>
+            if (Seq("tä", "ssä", "stä", "llä", "ltä", "nä").exists(g =>
+                lookbehind(suf.length, g.length, r1).contains(g))) {
+              w = head; done = true
+            }
+          case "en" =>
+            if (Seq("lle", "ine").exists(g =>
+                lookbehind(suf.length, g.length, r1).contains(g))) {
+              w = head; done = true
+            }
+          case _ =>
+        }
+      }
+    }
+
+    // ---- step 3: case endings
+    // hVn illatives present in the among: han hen hin hon hän hön
+    // (hun/hyn are absent — "aesöuhun" only loses its n). Their
+    // harmony test aborts the step on failure; the Vi/LV guards on
+    // siin/seen/den/tten instead fall back to shorter candidates.
+    var endingRemoved = false
+    locally {
+      val hVn = Set("han", "hen", "hin", "hon", "hän", "hön")
+      // no 'siin' entry: "Xsiin" words always go the bare-n path
+      // (PG-mined: "iäkdisiin" → "iäkdis" even with i before it)
+      // no 'ten' entry either: "naisten" → "naist" via the n path
+      val cases = Seq("seen", "tten",
+        "han", "hen", "hin", "hon", "hän", "hön",
+        "den", "tta", "ttä",
+        "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
+        "lle", "ksi", "ine", "ta", "tä", "na", "nä",
+        "a", "ä", "n").sortBy(-_.length)
+      def remove(sufLen: Int): Unit = {
+        w = w.dropRight(sufLen); endingRemoved = true
+      }
+      val it = cases.iterator.filter(s => w.endsWith(s) &&
+        fits(s.length, r1))
+      var done = false
+      while (!done && it.hasNext) {
+        val suf = it.next()
+        suf match {
+          case s if hVn.contains(s) =>
+            // committed: harmony failure aborts with no fallback
+            if (lookbehind(s.length, 1, r1).exists(_(0) == s(1)))
+              remove(s.length)
+            done = true
+          case "den" | "tten" =>
+            // guard: preceded by Vi (vowel-except-y then i, PG-mined:
+            // "asyitten" only loses "ten") — retry on failure
+            lookbehind(suf.length, 2, r1) match {
+              case Some(p) if p(1) == 'i' && isVowel(p(0)) && p(0) != 'y' =>
+                remove(suf.length); done = true
+              case _ =>
+            }
+          case "seen" =>
+            lookbehind(suf.length, 2, r1) match {
+              case Some(p) if longVowels(p) =>
+                remove(suf.length); done = true
+              case _ =>
+            }
+          case "tta" | "ttä" =>
+            // committed like hVn: a failed e-test aborts the step
+            // ("ittta" keeps its tt via the tidy path instead)
+            if (lookbehind(suf.length, 1, r1).contains("e"))
+              remove(suf.length)
+            done = true
+          case "a" | "ä" =>
+            // preceded by cv (consonant then vowel)
+            lookbehind(suf.length, 2, r1) match {
+              case Some(p) if !isVowel(p(0)) && isVowel(p(1)) =>
+                remove(suf.length); done = true
+              case _ =>
+            }
+          case "n" =>
+            remove(1)
+            // if preceded by LV or ie (inside R1), drop that vowel too
+            if (endsLongAt(w.length, r1) ||
+                (w.length - 2 >= r1 && w.endsWith("ie")))
+              w = w.dropRight(1)
+            done = true
+          case _ =>
+            remove(suf.length); done = true
+        }
+      }
+    }
+
+    // ---- step 4: other endings (in R2)
+    locally {
+      val others = Seq("impi", "impa", "impä", "immi", "imma", "immä",
+        "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä")
+        .sortBy(-_.length)
+      val it = others.iterator.filter(s => w.endsWith(s) &&
+        fits(s.length, r2))
+      var done = false
+      while (!done && it.hasNext) {
+        val suf = it.next()
+        suf match {
+          case "mpi" | "mpa" | "mpä" | "mmi" | "mma" | "mmä" =>
+            if (!lookbehind(suf.length, 2, r2).contains("po")) {
+              w = w.dropRight(suf.length); done = true
+            }
+          case _ =>
+            w = w.dropRight(suf.length); done = true
+        }
+      }
+    }
+
+    // ---- step 5: plurals
+    if (endingRemoved) {
+      if ((w.endsWith("i") || w.endsWith("j")) && w.length - 1 >= r1)
+        w = w.dropRight(1)
+    } else {
+      if (w.endsWith("t") && w.length - 1 >= r1 && w.length >= 2 &&
+          isVowel(w(w.length - 2))) {
+        w = w.dropRight(1)
+        if (w.endsWith("imma") && w.length - 4 >= r2) w = w.dropRight(4)
+        else if (w.endsWith("mma") && w.length - 3 >= r2 &&
+                 !w.substring(0, w.length - 3).endsWith("po"))
+          w = w.dropRight(3)
+      }
+    }
+
+    // ---- step 6: tidying (each test entirely within R1)
+    // a) final long vowel → drop one
+    if (endsLongAt(w.length, r1)) w = w.dropRight(1)
+    // b) final consonant + {a ä e i}, both in R1 → drop the vowel
+    if (w.length - 2 >= r1 && tidyVowels(w.last) &&
+        !isVowel(w(w.length - 2)))
+      w = w.dropRight(1)
+    // c) final oj / uj → drop j
+    if (w.length - 2 >= r1 && (w.endsWith("oj") || w.endsWith("uj")))
+      w = w.dropRight(1)
+    // d) final jo → drop o
+    if (w.length - 2 >= r1 && w.endsWith("jo"))
+      w = w.dropRight(1)
+    // final (word-level, not R1-limited): undouble a trailing double
+    // consonant followed by zero or more vowels ("ölhhy" → "ölhy")
+    var t = w.length - 1
+    while (t >= 0 && isVowel(w(t))) t -= 1
+    if (t >= 1 && !isVowel(w(t)) && w(t - 1) == w(t))
+      w = w.substring(0, t) + w.substring(t + 1)
+
+    w
+  }
+}

@@ -26,6 +26,7 @@ object Stemmer {
     case "ru" | "russian"    => RussianStemmer.stem
     case "ro" | "romanian"   => RomanianStemmer.stem
     case "hu" | "hungarian"  => HungarianStemmer.stem
+    case "fi" | "finnish"    => FinnishStemmer.stem
     case "none" | ""         => identity
     case _                   => stem
   }

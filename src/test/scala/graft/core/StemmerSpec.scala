@@ -408,6 +408,31 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Finnish golden pairs, PG-verified (35,309-word full-list diff at
+  // 100% agreement). The second block pins the among mechanics:
+  // region-limited matching, guard fallback, hVn/tta commit-aborts.
+  private val finnishGolden = Seq(
+    "taloissa" -> "talo", "talojen" -> "talo", "taloon" -> "talo",
+    "kaupungissa" -> "kaupung", "kaupunkien" -> "kaupunk",
+    "järjestelmässä" -> "järjestelm",
+    "opiskelijoiden" -> "opiskelij", "suomalaisten" -> "suomalaist",
+    "nopeasti" -> "nopeast", "tietokoneella" -> "tietokon",
+    "lapsille" -> "laps", "maahan" -> "maaha", "työhön" -> "työhö",
+    "huoneeseen" -> "huone", "naisten" -> "naist",
+    "edellytyksenä" -> "edellytyks", "kysymyksiä" -> "kysymyks",
+    // among-mechanics corners (PG-probed)
+    "abhin" -> "abhin", "aesöuhun" -> "aesöuhu", "ittta" -> "itt",
+    "asyitten" -> "asyit", "eahin" -> "eah", "nyccn" -> "nyc",
+    "ölhhyhan" -> "ölhy")
+
+  test("finnish golden pairs") {
+    val failures = finnishGolden.flatMap { case (in, want) =>
+      val got = FinnishStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")
