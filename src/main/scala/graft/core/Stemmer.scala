@@ -27,6 +27,7 @@ object Stemmer {
     case "ro" | "romanian"   => RomanianStemmer.stem
     case "hu" | "hungarian"  => HungarianStemmer.stem
     case "fi" | "finnish"    => FinnishStemmer.stem
+    case "tr" | "turkish"    => TurkishStemmer.stem
     case "none" | ""         => identity
     case _                   => stem
   }

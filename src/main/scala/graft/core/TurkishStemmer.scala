@@ -1,0 +1,486 @@
+package graft.core
+
+/**
+ * Turkish Snowball stemmer, implemented in Scala from the published
+ * algorithm (snowballstem.org/algorithms/turkish/stemmer.html).
+ * Plays the role of the reference's generated turkish stemmer
+ * (reference: xapian-core/languages/turkish.sbl — SURVEY.md §2e).
+ * Golden outputs are verified word-for-word against an independent
+ * compiled Snowball implementation (PostgreSQL 15 `turkish_stem`) —
+ * see StemmerSpec.
+ *
+ * Mechanics (PG-probed):
+ *  - Only words with more than one vowel are stemmed at all.
+ *  - Suffix runs are matched as composite leftward chains and deleted
+ *    in one cut ("arabasında" drops "sında" whole), with Snowball
+ *    `or`-backtracking across alternatives.
+ *  - Optional letters carry a skip-one-test rule: an optional y/n/s is
+ *    taken only after a vowel, and a bare form requires the char two
+ *    back to be a vowel ("kitabı"→"kitab" but "ababfı" keeps its ı);
+ *    optional U mirrors it with consonants ("babam"→"baba").
+ *  - check_vowel_harmony compares the last vowel against ANY earlier
+ *    vowel of the matching class; possessives and ki skip the check
+ *    ("bunda"→"p", "sondaki"→"so").
+ *  - A continue flag set before nominal-verb stripping and unset by
+ *    its lAr branch gates the noun step AND the postlude (appending
+ *    the harmony vowel to d/g stems, devoicing b/c/d/ğ): "abadlar"
+ *    stays "abad" while "abadda" becomes "abadı".
+ *
+ * Only lowercase input is expected (the tokenizer lowercases first).
+ */
+object TurkishStemmer {
+
+  private val vowels = Set('a', 'e', 'ı', 'i', 'o', 'ö', 'u', 'ü')
+  private def isVowel(c: Char): Boolean = vowels(c)
+  private val uVowels = Set('ı', 'i', 'u', 'ü')
+
+  /** Vowels an earlier vowel must come from, per final vowel. */
+  private def harmonyClass(c: Char): Set[Char] = c match {
+    case 'a' => Set('a', 'ı', 'o', 'u')
+    case 'e' => Set('e', 'i', 'ö', 'ü')
+    case 'ı' => Set('a', 'ı')
+    case 'i' => Set('e', 'i')
+    case 'u' => Set('o', 'u')
+    case 'ü' => Set('ö', 'ü')
+    case 'o' => Set('a', 'ı', 'o', 'u')
+    case 'ö' => Set('e', 'i', 'ö', 'ü')
+    case _   => Set.empty
+  }
+
+  def stem(input: String): String = {
+    val w0 = input
+    if (w0.count(isVowel) <= 1) return w0
+
+    var w = w0
+    var continueNoun = true
+
+    // ---- matching helpers; `end` is the exclusive right boundary of
+    // the part still considered the stem during a composite match.
+
+    def harmonyOk(end: Int): Boolean = {
+      var i = end - 1
+      while (i >= 0 && !isVowel(w(i))) i -= 1
+      if (i < 0) return false
+      val wanted = harmonyClass(w(i))
+      var j = i - 1
+      while (j >= 0) {
+        if (wanted(w(j))) return true
+        j -= 1
+      }
+      false
+    }
+
+    def endsWithAt(end: Int, s: String): Boolean =
+      end >= s.length && w.regionMatches(end - s.length, s, 0, s.length)
+
+    def litAt(end: Int, forms: Seq[String]): Option[Int] =
+      forms.filter(endsWithAt(end, _)).sortBy(-_.length).headOption
+        .map(end - _.length)
+
+    /** Optional leading letter `opt` before a core match starting at
+      * `p`: present → the char before it must be a vowel; absent →
+      * skip one char, the one before that must be a vowel. */
+    def optConsonant(p: Int, opt: Char): Option[Int] = {
+      if (p - 1 >= 0 && w(p - 1) == opt) {
+        if (p - 2 >= 0 && isVowel(w(p - 2))) Some(p - 1) else None
+      } else {
+        if (p - 2 >= 0 && isVowel(w(p - 2))) Some(p) else None
+      }
+    }
+
+    /** Optional U vowel before a core consonant at `p`: present → the
+      * char before the U must be a consonant; absent → skip one char,
+      * the one before that must be a consonant. */
+    def optU(p: Int): Option[Int] = {
+      if (p - 1 >= 0 && uVowels(w(p - 1))) {
+        if (p - 2 >= 0 && !isVowel(w(p - 2))) Some(p - 1) else None
+      } else {
+        if (p - 2 >= 0 && !isVowel(w(p - 2))) Some(p) else None
+      }
+    }
+
+    // ---- suffix marks: Option[newEnd]
+
+    def markLAr(end: Int): Option[Int] =
+      if (harmonyOk(end)) litAt(end, Seq("lar", "ler")) else None
+    def markLArI(end: Int): Option[Int] =
+      if (harmonyOk(end)) litAt(end, Seq("ları", "leri")) else None
+    def markDA(end: Int): Option[Int] =
+      if (harmonyOk(end)) litAt(end, Seq("da", "de", "ta", "te")) else None
+    def markDAn(end: Int): Option[Int] =
+      if (harmonyOk(end)) litAt(end, Seq("dan", "den", "tan", "ten"))
+      else None
+    def markNdA(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("nda", "nde")).filter(p =>
+          p - 1 >= 0 && isVowel(w(p - 1)))
+      else None
+    def markNdAn(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("ndan", "nden")).filter(p =>
+          p - 1 >= 0 && isVowel(w(p - 1)))
+      else None
+    def markNA(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("na", "ne")).filter(p =>
+          p - 1 >= 0 && isVowel(w(p - 1)))
+      else None
+    def markNU(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("nı", "ni", "nu", "nü")).filter(p =>
+          p - 1 >= 0 && isVowel(w(p - 1)))
+      else None
+    def markNUn(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("ın", "in", "un", "ün"))
+          .flatMap(p => optConsonant(p, 'n'))
+      else None
+    def markYU(end: Int): Option[Int] =
+      if (harmonyOk(end) && end >= 1 && uVowels(w(end - 1)))
+        optConsonant(end - 1, 'y')
+      else None
+    def markYA(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("a", "e")).flatMap(p => optConsonant(p, 'y'))
+      else None
+    def markYlA(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("la", "le")).flatMap(p => optConsonant(p, 'y'))
+      else None
+    def markSU(end: Int): Option[Int] =
+      if (harmonyOk(end) && end >= 1 && uVowels(w(end - 1)))
+        optConsonant(end - 1, 's')
+      else None
+    def markNcA(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("ca", "ce")).flatMap(p => optConsonant(p, 'n'))
+      else None
+    def markKi(end: Int): Option[Int] =
+      litAt(end, Seq("ki")) // no harmony check ("sondaki" → "so")
+
+    // possessives: no harmony check ("bunda" → "p")
+    def markUm(end: Int): Option[Int] =
+      litAt(end, Seq("m")).flatMap(optU)
+    def markUn(end: Int): Option[Int] =
+      litAt(end, Seq("n")).flatMap(optU)
+    def markUmUz(end: Int): Option[Int] =
+      litAt(end, Seq("mız", "miz", "muz", "müz")).flatMap(optU)
+    def markUnUz(end: Int): Option[Int] =
+      litAt(end, Seq("nız", "niz", "nuz", "nüz")).flatMap(optU)
+    def markPossessive(end: Int): Option[Int] =
+      markUmUz(end).orElse(markUnUz(end))
+        .orElse(markUm(end)).orElse(markUn(end))
+
+    // nominal-verb marks
+    def markYmUs(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("mış", "miş", "muş", "müş"))
+          .flatMap(p => optConsonant(p, 'y'))
+      else None
+    def markYDU(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("dı", "di", "du", "dü", "tı", "ti", "tu", "tü"))
+          .flatMap(p => optConsonant(p, 'y'))
+      else None
+    def markYsA(end: Int): Option[Int] = // no harmony ("acvavse")
+      litAt(end, Seq("sa", "se")).flatMap(p => optConsonant(p, 'y'))
+    def markYken(end: Int): Option[Int] = // no harmony ("yokken")
+      litAt(end, Seq("ken")).flatMap(p => optConsonant(p, 'y'))
+    def markSUnUz(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("sınız", "siniz", "sunuz", "sünüz"))
+      else None
+    def markSUn(end: Int): Option[Int] =
+      if (harmonyOk(end)) litAt(end, Seq("sın", "sin", "sun", "sün"))
+      else None
+    def markYUm(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("ım", "im", "um", "üm"))
+          .flatMap(p => optConsonant(p, 'y'))
+      else None
+    def markYUz(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("ız", "iz", "uz", "üz"))
+          .flatMap(p => optConsonant(p, 'y'))
+      else None
+    def markNUz(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("nız", "niz", "nuz", "nüz"))
+      else None
+    def markDUr(end: Int): Option[Int] =
+      if (harmonyOk(end))
+        litAt(end, Seq("dır", "dir", "dur", "dür",
+          "tır", "tir", "tur", "tür"))
+      else None
+
+    def cut(newEnd: Int): Unit = { w = w.substring(0, newEnd) }
+
+    // ---- nominal verb suffixes (runs once; its lAr branch turns the
+    // continue flag off, skipping the noun step and the postlude)
+    val persons: Seq[Int => Option[Int]] = Seq(
+      markNUz, e => litAt(e, Seq("m")), e => litAt(e, Seq("k")),
+      e => litAt(e, Seq("n")))
+
+    def stemNominalVerb(): Unit = {
+      val n = w.length
+      // [ (nUz|m|k|n)? (yDU|ysA) ]
+      for (pFn <- persons) {
+        pFn(n) match {
+          case Some(p1) =>
+            markYDU(p1).orElse(markYsA(p1)) match {
+              case Some(p2) => cut(p2); return
+              case None =>
+            }
+          case None =>
+        }
+      }
+      markYDU(n).orElse(markYsA(n)) match {
+        case Some(p) => cut(p); return
+        case None =>
+      }
+      markYken(n) match { case Some(p) => cut(p); return; case None => }
+      // [ (ymUş)? (sUnUz|yUz|sUn|yUm) ]
+      for (fn <- Seq(markSUnUz _, markYUz _, markSUn _, markYUm _)) {
+        fn(n) match {
+          case Some(p1) =>
+            cut(markYmUs(p1).getOrElse(p1)); return
+          case None =>
+        }
+      }
+      markYmUs(n) match { case Some(p) => cut(p); return; case None => }
+      // [ ((person)?(yDU|ysA) | ymUş | yken)? lAr ] — unsets the
+      // continue flag ("oiasanler" → "oia", "lıeavdıler" → "lıeav",
+      // but "ababtular" keeps "tu" via the failed harmony check)
+      markLAr(n) match {
+        case Some(p1) =>
+          val ext = {
+            val afterPerson = persons.iterator.flatMap(_(p1))
+              .flatMap(q => markYDU(q).orElse(markYsA(q)))
+              .toSeq.headOption
+            afterPerson
+              .orElse(markYDU(p1)).orElse(markYsA(p1))
+              .orElse(markYmUs(p1)).orElse(markYken(p1))
+          }
+          cut(ext.getOrElse(p1))
+          continueNoun = false
+          return
+        case None =>
+      }
+      markDUr(n) match { case Some(p) => cut(p); return; case None => }
+    }
+
+    // ---- the ki chain: a final "ki" preceded by DA / (n)Un / ndA,
+    // deleted with its carrier, then the usual continuations
+    def kiChain(): Boolean = {
+      val n = w.length
+      markKi(n) match {
+        case Some(pKi) =>
+          markDA(pKi) match {
+            case Some(p) =>
+              cut(p)
+              tryPossessiveThenLAr(); return true
+            case None =>
+          }
+          markNUn(pKi) match {
+            case Some(p) =>
+              cut(p)
+              tryLArIorSUthenMore(); return true
+            case None =>
+          }
+          markNdA(pKi) match {
+            case Some(p) =>
+              markLArI(p).map { q => cut(q); return true }
+              markSU(p).map { q => cut(q); tryLArThenKi(); return true }
+              return false
+            case None =>
+          }
+          false
+        case None => false
+      }
+    }
+
+    def tryLArThenKi(): Unit = {
+      markLAr(w.length) match {
+        case Some(p) => cut(p); kiChain(); ()
+        case None =>
+      }
+    }
+
+    def tryPossessiveThenLAr(): Unit = {
+      markPossessive(w.length) match {
+        case Some(p) => cut(p); tryLArThenKi()
+        case None    => tryLArThenKi()
+      }
+    }
+
+    def tryLArIorSUthenMore(): Unit = {
+      markLArI(w.length) match {
+        case Some(p) => cut(p)
+        case None =>
+          markSU(w.length) match {
+            case Some(p) => cut(p); tryLArThenKi()
+            case None    => tryPossessiveThenLAr()
+          }
+      }
+    }
+
+    // ---- noun suffixes: ordered alternatives, first success wins
+    def stemNoun(): Unit = {
+      val n = w.length
+
+      // [lArI]
+      markLArI(n) match { case Some(p) => cut(p); return; case None => }
+
+      // [(ndA|nA) + required (lArI | sU)]
+      for (fn <- Seq(markNdA _, markNA _)) {
+        fn(n) match {
+          case Some(p1) =>
+            markLArI(p1) match {
+              case Some(p2) => cut(p2); return
+              case None =>
+                markSU(p1) match {
+                  case Some(p2) => cut(p2); tryLArThenKi(); return
+                  case None =>
+                }
+            }
+          case None =>
+        }
+      }
+
+      // [(ndAn|nU) + required (sU | lArI)]
+      for (fn <- Seq(markNdAn _, markNU _)) {
+        fn(n) match {
+          case Some(p1) =>
+            markSU(p1) match {
+              case Some(p2) => cut(p2); tryLArThenKi(); return
+              case None =>
+                markLArI(p1) match {
+                  case Some(p2) => cut(p2); return
+                  case None =>
+                }
+            }
+          case None =>
+        }
+      }
+
+      // [nUn (+ optional sU/possessive extension)]; uniquely, its
+      // lAr continuation may strip one more sU/possessive
+      // ("açedimların" → "açedi", but "öğretmenlerimiz" → "öğretmen")
+      markNUn(n) match {
+        case Some(p1) =>
+          val p2 = markSU(p1).orElse(markPossessive(p1)).getOrElse(p1)
+          cut(p2)
+          markLAr(w.length) match {
+            case Some(q) =>
+              cut(q)
+              if (!kiChain()) {
+                markSU(w.length).orElse(markPossessive(w.length))
+                  .foreach(cut)
+              }
+            case None =>
+          }
+          return
+        case None =>
+      }
+
+      // [ncA] + continuations
+      markNcA(n) match {
+        case Some(p1) =>
+          cut(p1)
+          markLArI(w.length) match {
+            case Some(p) => cut(p); return
+            case None =>
+          }
+          markPossessive(w.length).orElse(markSU(w.length)) match {
+            case Some(p) => cut(p); tryLArThenKi(); return
+            case None =>
+          }
+          tryLArThenKi(); return
+        case None =>
+      }
+
+      // [DAn] / [DA] / [ylA] + continuations
+      markDAn(n) match {
+        case Some(p) =>
+          cut(p); tryPossessiveThenLAr(); return
+        case None =>
+      }
+      markDA(n) match {
+        case Some(p) =>
+          cut(p); tryPossessiveThenLAr(); return
+        case None =>
+      }
+      markYlA(n) match {
+        case Some(p) =>
+          cut(p)
+          markLArI(w.length) match {
+            case Some(q) => cut(q); return
+            case None =>
+          }
+          markSU(w.length) match {
+            case Some(q) => cut(q); tryLArThenKi(); return
+            case None =>
+          }
+          tryPossessiveThenLAr(); return
+        case None =>
+      }
+
+      // [ki ...]
+      if (kiChain()) return
+
+      // [yU] / [yA] + possessive continuations
+      markYU(n) match {
+        case Some(p) => cut(p); tryPossessiveThenLAr(); return
+        case None =>
+      }
+      markYA(n) match {
+        case Some(p) => cut(p); tryPossessiveThenLAr(); return
+        case None =>
+      }
+
+      // [possessives] + lAr continuation
+      markPossessive(n) match {
+        case Some(p) => cut(p); tryLArThenKi(); return
+        case None =>
+      }
+
+      // [lAr]
+      markLAr(n) match { case Some(p) => cut(p); return; case None => }
+    }
+
+    stemNominalVerb()
+    if (continueNoun) {
+      stemNoun()
+    }
+    // "ad" and "soyad" are reserved: no vowel append, no devoicing
+    // (PG-probed: "adda" → "ad", "soyadı" → "soyad")
+    if (continueNoun && w != "ad" && w != "soyad") {
+
+      // append the harmonizing high vowel to stems left ending in d/g
+      if (w.nonEmpty && (w.last == 'd' || w.last == 'g')) {
+        var i = w.length - 1
+        while (i >= 0 && !isVowel(w(i))) i -= 1
+        if (i >= 0) {
+          val u = w(i) match {
+            case 'a' | 'ı' => "ı"
+            case 'e' | 'i' => "i"
+            case 'o' | 'u' => "u"
+            case _         => "ü"
+          }
+          w = w + u
+        }
+      }
+
+      // devoice a final b/c/d/ğ
+      if (w.nonEmpty) w.last match {
+        case 'b' => w = w.dropRight(1) + "p"
+        case 'c' => w = w.dropRight(1) + "ç"
+        case 'd' => w = w.dropRight(1) + "t"
+        case 'ğ' => w = w.dropRight(1) + "k"
+        case _   =>
+      }
+    }
+
+    w
+  }
+}

