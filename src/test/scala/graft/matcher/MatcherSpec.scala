@@ -474,7 +474,11 @@ class MatcherSpec extends AnyFunSuite {
       CorpusRow("r", "0010", "ca", "no", "bilene til lærerens forskningens hus"),
       CorpusRow("r", "0011", "cb", "da", "undersøgelse af barnets bestemmelse"),
       CorpusRow("r", "0012", "cc", "nl", "de koeien in de vergaderingen zijn aanwezig"),
-      CorpusRow("r", "0013", "cd", "ru", "книги и технологии большие"))
+      CorpusRow("r", "0013", "cd", "ru", "книги и технологии большие"),
+      CorpusRow("r", "0014", "ce", "fi", "taloissa ja kaupungissa asutaan"),
+      CorpusRow("r", "0015", "cf", "ro", "copiilor lucrurile frumoase"),
+      CorpusRow("r", "0016", "cg", "hu", "a gyerekekkel a házakban"),
+      CorpusRow("r", "0017", "ch", "tr", "evlerinde kitaplar var"))
     new IndexBuilder(spark, cfg).build {
       import spark.implicits._
       spark.createDataset(mixed)
@@ -497,8 +501,13 @@ class MatcherSpec extends AnyFunSuite {
         t("Z" + DanishStemmer.stem("undersøgelse")),  // Zundersøg → da doc only
         t("Z" + DutchStemmer.stem("koeien")),         // Zkoei → nl doc only
         t("Z" + RussianStemmer.stem("книги")),        // Zкниг → ru doc only
+        t("Z" + FinnishStemmer.stem("taloon")),       // Ztalo → fi doc only
+        t("Z" + RomanianStemmer.stem("frumoasă")),    // Zfrumoas → ro doc only
+        t("Z" + HungarianStemmer.stem("házát")),      // Zház → hu doc only
+        t("Z" + TurkishStemmer.stem("evleri")),       // Zev → tr doc only
         or(t("Zkatz"), t("Zrun"), t("Zcheval"), t("Zgat"), t("Zparl"), t("Zfal"),
-          t("Zflick"), t("Zbil"), t("Zundersøg"), t("Zkoei"), t("Zкниг")))) {
+          t("Zflick"), t("Zbil"), t("Zundersøg"), t("Zkoei"), t("Zкниг"),
+          t("Ztalo"), t("Zfrumoas"), t("Zház"), t("Zev")))) {
       val want = Oracle.mset(q, oidx, 10)
       assert(want.nonEmpty, s"${q.describe} matched nothing")
       assertSame(new DatasetMatcher(r2).mset(q, 10), want, s"auto:${q.describe}")
