@@ -637,6 +637,30 @@ SELECT doc_id,
        list_min(fps) AS min_fp
 FROM m ORDER BY doc_id"""
 
+  /** Benchmark-decontamination oracle: replays
+    * [[graft.pipeline.TextOps.decontaminate]] — winnowing fingerprint
+    * sets per doc, benchmark = doc_id % mod = 0, shared-count join. */
+  def decontamSql(k: Int = 24, w: Int = 5, mod: Int = 29,
+                  minShared: Int = 4): String =
+    s"""WITH g AS (
+  SELECT doc_id, text,
+         list_transform(range(1, length(text) - ${k - 2}), i -> md5(substr(text, i, $k))) AS grams
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < ${k + w - 1} THEN NULL
+              ELSE list_distinct(list_transform(range(1, length(text) - ${k + w - 3}),
+                                 j -> list_min(grams[j:j + ${w - 1}]))) END AS fps
+  FROM g
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM m WHERE fps IS NOT NULL),
+bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % $mod = 0),
+corpus AS (SELECT doc_id, fp FROM fp WHERE doc_id % $mod <> 0)
+SELECT c.doc_id, count(*)::BIGINT AS shared_fp
+FROM corpus c JOIN bench b USING (fp)
+GROUP BY c.doc_id HAVING count(*) >= $minShared ORDER BY doc_id"""
+
   /** Gopher-repetition oracle: replays
     * [[graft.pipeline.TextOps.repetitionSignals]] (duplicate-line
     * fractions via list ops, top word-bigram via the same

@@ -248,6 +248,14 @@ object SparkEntry {
     "dd_neardup" -> ((s, d) =>
       DedupOps.nearDupPairs(documents(s, d), minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
+    // benchmark decontamination: docs sharing >= 4 winnowing
+    // fingerprints (k=24) with the pseudo-benchmark (doc_id % 29 = 0)
+    "dd_decontam" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0)).orderBy("doc_id")
+    }),
     "dd_embdup" -> ((s, d) =>
       DedupOps.embeddingNearDups(embeddings(s, d), embPlanes,
         rowsPerBand = 4, minCosine = 0.35)
@@ -381,6 +389,7 @@ object SparkEntry {
     "dd_simhash" -> EntrySql.simhashSql,
     "dd_simdup" -> EntrySql.simdupSql(3),
     "dd_neardup" -> EntrySql.nearDupSql(0.8),
+    "dd_decontam" -> EntrySql.decontamSql(),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),

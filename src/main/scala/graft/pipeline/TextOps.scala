@@ -88,18 +88,57 @@ object TextOps {
    * columns — deterministic, SQL-reproducible via md5).
    */
   def winnowDigest(docs: DataFrame, k: Int = 8, w: Int = 5): DataFrame = {
-    val text = col("text")
+    val fps = winnowFps(col("text"), k, w)
+    docs.select(col("doc_id"),
+      coalesce(size(fps), lit(0)).cast("long").as("n_fp"),
+      array_min(fps).as("min_fp"))
+  }
+
+  /** The distinct winnowing fingerprint set as an array column (null
+    * below the minimum text length); per-row codegen'd expressions,
+    * shared by [[winnowDigest]] and [[decontaminate]]. */
+  def winnowFps(text: Column, k: Int, w: Int): Column = {
     val grams = transform(
       sequence(lit(1), length(text) - (k - 1)),
       i => md5(text.substr(i, lit(k))))
     val minima = transform(
       sequence(lit(1), length(text) - (k - 1) - (w - 1)),
       j => array_min(slice(grams, j, lit(w))))
-    val fps = array_distinct(minima)
-    docs.select(col("doc_id"),
-      when(length(text) < k + w - 1, lit(0)).otherwise(size(fps))
-        .cast("long").as("n_fp"),
-      when(length(text) < k + w - 1, lit(null)).otherwise(array_min(fps)).as("min_fp"))
+    when(length(text) < k + w - 1, lit(null))
+      .otherwise(array_distinct(minima))
+  }
+
+  /**
+   * Benchmark decontamination — the train/test-overlap scrub a
+   * training-data pipeline runs before training: flag corpus
+   * documents sharing at least `minShared` distinct winnowing
+   * fingerprints with ANY benchmark document. Returns
+   * (doc_id, shared_fp) for flagged docs only.
+   *
+   * Scale shape: the benchmark side (an eval suite — MBs, not TBs) is
+   * reduced to its distinct fingerprints and broadcast, so the corpus
+   * side is ONE scan: per-row fingerprinting fused into the scan
+   * projection, explode, broadcast-hash join that discards all
+   * non-benchmark fingerprints, then a tiny groupBy over the
+   * survivors. No corpus-sized shuffle anywhere; 100 TB cost = one
+   * pass over text. k defaults to 24 chars so incidental shared words
+   * don't flag (winnowing guarantees any shared substring of
+   * k + w - 1 chars yields a shared fingerprint).
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    k: Int = 24, w: Int = 5,
+                    minShared: Int = 4): DataFrame = {
+    def expl(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(winnowFps(col("text"), k, w)).as("fp"))
+    val benchFps = expl(benchmark).select("fp").distinct()
+    expl(corpus)
+      .join(broadcast(benchFps), "fp")
+      .groupBy("doc_id")
+      // per-doc fp arrays are already distinct, so plain count is a
+      // distinct count here (cheaper: clean two-phase partial agg)
+      .agg(count(col("fp")).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
   }
 
   /** Tiny per-language marker profiles (function words; latin-script

@@ -250,6 +250,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(2))
   }
 
+  test("decontaminate flags only docs overlapping the benchmark") {
+    val para = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronauts measure the gravitational constant again"
+    val bench = docs(100L -> para)
+    val corpus = docs(
+      1L -> ("prefix material then " + para + " and trailing words"),
+      2L -> para.toUpperCase, // different bytes, no shared fingerprints
+      3L -> ("completely unrelated text about databases and indexes " +
+        "running distributed queries over columnar storage files"))
+    val rows = TextOps.decontaminate(corpus, bench)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L),
+      s"expected only doc 1 flagged, got ${rows.mkString(",")}")
+    assert(rows(0).getLong(1) >= 4) // many shared fingerprints
+    // the join side must broadcast — no corpus-sized shuffle join
+    val plan = TextOps.decontaminate(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"))
+  }
+
   test("detectLang: scripts and function words") {
     assert(TextOps.detectLang("the cat is on the mat and this is fine") === "en")
     assert(TextOps.detectLang("der hund ist nicht mit der katze und das ist gut") === "de")
