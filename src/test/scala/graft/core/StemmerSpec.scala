@@ -456,6 +456,32 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("all 15 stemmers are total and deterministic on arbitrary input") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val langs = Seq("en", "de", "es", "fr", "it", "pt", "sv", "no",
+      "da", "nl", "ru", "fi", "ro", "hu", "tr")
+    // mix plain ascii, language-specific letters, digits, punctuation
+    // and arbitrary unicode — the tokenizer lowercases but otherwise
+    // feeds stemmers whatever the corpus contains
+    val special = "äöüßéèêáàâíìîóòôúùûñçåæøıİşğýčšžűőțăâбгдежзиклмнпрстуфхцчшщыэюяё"
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaLowerChar,
+      3 -> Gen.oneOf(special.toSeq),
+      1 -> Gen.oneOf("0123456789.'-_  �".toSeq),
+      1 -> Gen.choose(Char.MinValue, Char.MaxValue))
+    val wordGen = Gen.chooseNum(0, 24).flatMap(n => Gen.stringOfN(n, charGen))
+    val prop = Prop.forAll(wordGen) { s =>
+      langs.forall { l =>
+        val f = Stemmer.forLang(l)
+        val once = f(s)
+        once != null && once == f(s)
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("language dispatch: forLang / forDoc") {
     assert(Stemmer.forLang("de")("katzen") === "katz")
     assert(Stemmer.forLang("en")("running") === "run")
