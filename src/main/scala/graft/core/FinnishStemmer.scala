@@ -30,6 +30,26 @@ object FinnishStemmer {
   /** Vowels removed by step-6 tidying rule b. */
   private val tidyVowels = Set('a', 'ä', 'e', 'i')
 
+  // suffix tables, pre-sorted longest-first at class-init so the
+  // per-token hot path allocates nothing beyond the match itself
+  private val step1Parts = Seq("kaan", "kään", "han", "hän", "kin",
+    "sti", "ko", "kö", "pa", "pä").sortBy(-_.length)
+  private val step2Poss = Seq("nsa", "nsä", "mme", "nne", "si", "ni",
+    "an", "än", "en").sortBy(-_.length)
+  private val step3HVn = Set("han", "hen", "hin", "hon", "hän", "hön")
+  // no 'siin' entry: "Xsiin" words always go the bare-n path
+  // (PG-mined: "iäkdisiin" → "iäkdis" even with i before it)
+  // no 'ten' entry either: "naisten" → "naist" via the n path
+  private val step3Cases = Seq("seen", "tten",
+    "han", "hen", "hin", "hon", "hän", "hön",
+    "den", "tta", "ttä",
+    "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
+    "lle", "ksi", "ine", "ta", "tä", "na", "nä",
+    "a", "ä", "n").sortBy(-_.length)
+  private val step4Others = Seq("impi", "impa", "impä", "immi",
+    "imma", "immä", "mpi", "mpa", "mpä", "mmi", "mma", "mmä",
+    "eja", "ejä").sortBy(-_.length)
+
   /** Standard R1/R2: after the first non-vowel following a vowel. */
   private def regionAfter(w: String, from: Int): Int = {
     var i = from
@@ -62,9 +82,7 @@ object FinnishStemmer {
 
     // ---- step 1: particles etc.
     locally {
-      val parts = Seq("kaan", "kään", "han", "hän", "kin", "sti",
-        "ko", "kö", "pa", "pä").sortBy(-_.length)
-      val it = parts.iterator.filter(s => w.endsWith(s) &&
+      val it = step1Parts.iterator.filter(s => w.endsWith(s) &&
         fits(s.length, r1))
       var done = false
       while (!done && it.hasNext) {
@@ -84,9 +102,7 @@ object FinnishStemmer {
 
     // ---- step 2: possessives
     locally {
-      val poss = Seq("nsa", "nsä", "mme", "nne", "si", "ni",
-        "an", "än", "en").sortBy(-_.length)
-      val it = poss.iterator.filter(s => w.endsWith(s) &&
+      val it = step2Poss.iterator.filter(s => w.endsWith(s) &&
         fits(s.length, r1))
       var done = false
       while (!done && it.hasNext) {
@@ -132,26 +148,16 @@ object FinnishStemmer {
     // siin/seen/den/tten instead fall back to shorter candidates.
     var endingRemoved = false
     locally {
-      val hVn = Set("han", "hen", "hin", "hon", "hän", "hön")
-      // no 'siin' entry: "Xsiin" words always go the bare-n path
-      // (PG-mined: "iäkdisiin" → "iäkdis" even with i before it)
-      // no 'ten' entry either: "naisten" → "naist" via the n path
-      val cases = Seq("seen", "tten",
-        "han", "hen", "hin", "hon", "hän", "hön",
-        "den", "tta", "ttä",
-        "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä",
-        "lle", "ksi", "ine", "ta", "tä", "na", "nä",
-        "a", "ä", "n").sortBy(-_.length)
       def remove(sufLen: Int): Unit = {
         w = w.dropRight(sufLen); endingRemoved = true
       }
-      val it = cases.iterator.filter(s => w.endsWith(s) &&
+      val it = step3Cases.iterator.filter(s => w.endsWith(s) &&
         fits(s.length, r1))
       var done = false
       while (!done && it.hasNext) {
         val suf = it.next()
         suf match {
-          case s if hVn.contains(s) =>
+          case s if step3HVn.contains(s) =>
             // committed: harmony failure aborts with no fallback
             if (lookbehind(s.length, 1, r1).exists(_(0) == s(1)))
               remove(s.length)
@@ -198,10 +204,7 @@ object FinnishStemmer {
 
     // ---- step 4: other endings (in R2)
     locally {
-      val others = Seq("impi", "impa", "impä", "immi", "imma", "immä",
-        "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä")
-        .sortBy(-_.length)
-      val it = others.iterator.filter(s => w.endsWith(s) &&
+      val it = step4Others.iterator.filter(s => w.endsWith(s) &&
         fits(s.length, r2))
       var done = false
       while (!done && it.hasNext) {

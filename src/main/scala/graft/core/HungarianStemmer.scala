@@ -74,8 +74,53 @@ object HungarianStemmer {
     "ul", "ül", "vá", "vé", "en", "on", "an", "ön",
     "n", "t").sortBy(-_.length)
 
+  // all tables below are pre-sorted longest-first at class-init so the
+  // per-token hot path allocates nothing beyond the match itself
   private def longestMatch(w: String, sufs: Seq[String]): Option[String] =
-    sufs.filter(w.endsWith).sortBy(-_.length).headOption
+    sufs.find(w.endsWith)
+
+  private val instrumSufs = Seq("al", "el")
+  private val specialSufs = Seq("ánként", "án", "én")
+  private val otherSufs = Seq("astul", "estül", "ástul", "éstül",
+    "stul", "stül").sortBy(-_.length)
+  private val factiveSufs = Seq("á", "é")
+  private val aDeleters = Seq("é", "ké", "aké", "eké", "oké", "öké",
+    "áké", "éké", "éé", "jéé", "éi")
+  private val aFailers = Seq("áéi", "ééi", "jáéi", "jééi")
+  private val aUnion = (aDeleters ++ aFailers).sortBy(-_.length)
+  private val bSufs = Seq("jáéi", "jééi", "áéi", "ééi", "jéé", "éé")
+    .sortBy(-_.length)
+  private val b2Sufs: Seq[(String, String)] =
+    Seq("áéi" -> "a", "ééi" -> "e", "éé" -> "e")
+      .sortBy { case (t, _) => -t.length }
+  private val singSufs: Seq[(String, String)] = Seq(
+    "ünk" -> "", "unk" -> "", "ánk" -> "a", "énk" -> "e", "nk" -> "",
+    "ájuk" -> "a", "éjük" -> "e", "juk" -> "", "jük" -> "",
+    "uk" -> "", "ük" -> "",
+    "ám" -> "a", "ém" -> "e", "om" -> "", "am" -> "", "em" -> "",
+    "m" -> "",
+    "ád" -> "a", "éd" -> "e", "od" -> "", "ad" -> "", "ed" -> "",
+    "öd" -> "", "d" -> "",
+    "ja" -> "", "je" -> "",
+    "a" -> "", "e" -> "", "o" -> "",
+    "á" -> "a").sortBy { case (t, _) => -t.length }
+  private val plurOwnerSufs: Seq[(String, String)] = Seq(
+    "jaim" -> "", "jeim" -> "", "áim" -> "a", "éim" -> "e",
+    "aim" -> "", "eim" -> "", "im" -> "",
+    "jaid" -> "", "jeid" -> "", "áid" -> "a", "éid" -> "e",
+    "aid" -> "", "eid" -> "", "id" -> "",
+    "jai" -> "", "jei" -> "", "ái" -> "a", "éi" -> "e",
+    "ai" -> "", "ei" -> "", "i" -> "",
+    "jaink" -> "", "jeink" -> "", "áink" -> "a", "éink" -> "e",
+    "aink" -> "", "eink" -> "", "ink" -> "",
+    "jaitok" -> "", "jeitek" -> "", "áitok" -> "a", "éitek" -> "e",
+    "aitok" -> "", "eitek" -> "", "itek" -> "",
+    "jeik" -> "", "jaik" -> "", "áik" -> "a", "éik" -> "e",
+    "aik" -> "", "eik" -> "", "ik" -> "")
+    .sortBy { case (t, _) => -t.length }
+  private val pluralSufs: Seq[(String, String)] = Seq(
+    "ák" -> "a", "ék" -> "e", "ök" -> "", "ok" -> "", "ek" -> "",
+    "ak" -> "", "k" -> "").sortBy { case (t, _) => -t.length }
 
   def stem(input: String): String = {
     var w = input
@@ -85,7 +130,7 @@ object HungarianStemmer {
 
     // ---- step 1: instrumental case (val/vel assimilated onto a
     // doubled consonant: "busszal" → "busz")
-    for (suf <- longestMatch(w, Seq("al", "el"))) {
+    for (suf <- longestMatch(w, instrumSufs)) {
       if (inR1(suf.length) && doubleLenBefore(w, suf.length) > 0)
         w = undouble(w.dropRight(suf.length))
     }
@@ -106,14 +151,13 @@ object HungarianStemmer {
     }
 
     // ---- step 3: special cases án/ánként → a, én → e
-    for (suf <- longestMatch(w, Seq("ánként", "án", "én"))) {
+    for (suf <- longestMatch(w, specialSufs)) {
       if (inR1(suf.length))
         w = w.dropRight(suf.length) + (if (suf == "én") "e" else "a")
     }
 
     // ---- step 4: other cases (astul/estül families)
-    for (suf <- longestMatch(w, Seq("astul", "estül", "ástul", "éstül",
-        "stul", "stül"))) {
+    for (suf <- longestMatch(w, otherSufs)) {
       if (inR1(suf.length)) {
         w = w.dropRight(suf.length) + (suf match {
           case "ástul" => "a"; case "éstül" => "e"; case _ => ""
@@ -122,7 +166,7 @@ object HungarianStemmer {
     }
 
     // ---- step 5: factive case (vá/vé assimilated: "pénzzé" → "pénz")
-    for (suf <- longestMatch(w, Seq("á", "é"))) {
+    for (suf <- longestMatch(w, factiveSufs)) {
       if (inR1(suf.length) && doubleLenBefore(w, suf.length) > 0)
         w = undouble(w.dropRight(suf.length))
     }
@@ -139,10 +183,7 @@ object HungarianStemmer {
     // é→e conversion applies at the very end ("céé"→"cée",
     // "eúaké"→"eúake" — but path-1 "czoúűiéípéoé"→"czoúűiéípé"
     // keeps its é).
-    val aDeleters = Seq("é", "ké", "aké", "eké", "oké", "öké", "áké",
-      "éké", "éé", "jéé", "éi")
-    val aFailers = Seq("áéi", "ééi", "jáéi", "jééi")
-    val path2: Boolean = longestMatch(w, aDeleters ++ aFailers) match {
+    val path2: Boolean = longestMatch(w, aUnion) match {
       case Some(suf) if aFailers.contains(suf) => true
       case Some(suf) if !inR1(suf.length)      => true
       case Some(suf) => w = w.dropRight(suf.length); false
@@ -153,19 +194,7 @@ object HungarianStemmer {
       // singular owner suffixes (path 1 only). Deliberately has á→a
       // but NOT é (probed: "botá"→"bota" but "boté"→"bot" via the
       // owned é-delete; "botoké"→"bot" shows é must not fire here).
-      val sing: Seq[(String, String)] = Seq(
-        "ünk" -> "", "unk" -> "", "ánk" -> "a", "énk" -> "e", "nk" -> "",
-        "ájuk" -> "a", "éjük" -> "e", "juk" -> "", "jük" -> "",
-        "uk" -> "", "ük" -> "",
-        "ám" -> "a", "ém" -> "e", "om" -> "", "am" -> "", "em" -> "",
-        "m" -> "",
-        "ád" -> "a", "éd" -> "e", "od" -> "", "ad" -> "", "ed" -> "",
-        "öd" -> "", "d" -> "",
-        "ja" -> "", "je" -> "",
-        "a" -> "", "e" -> "", "o" -> "",
-        "á" -> "a")
-      for ((suf, rep) <- sing.sortBy { case (s, _) => -s.length }
-             .find { case (s, _) => w.endsWith(s) }) {
+      for ((suf, rep) <- singSufs.find { case (t, _) => w.endsWith(t) }) {
         if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
       }
     } else {
@@ -175,17 +204,13 @@ object HungarianStemmer {
       // replacement fallback below then gets one chance before the
       // shared plur-owner step ("ájáéi"→"ája", "újéé"→"úje", but
       // "káéi"→"káe" falls all the way through to plur-owner's éi→e).
-      val bApplied = longestMatch(w, Seq("jáéi", "jééi", "áéi", "ééi",
-          "jéé", "éé")) match {
+      val bApplied = longestMatch(w, bSufs) match {
         case Some(suf) if inR1(suf.length) =>
           w = w.dropRight(suf.length); true
         case _ => false
       }
       if (!bApplied) {
-        val b2: Seq[(String, String)] =
-          Seq("áéi" -> "a", "ééi" -> "e", "éé" -> "e")
-        for ((suf, rep) <- b2.sortBy { case (s, _) => -s.length }
-               .find { case (s, _) => w.endsWith(s) }) {
+        for ((suf, rep) <- b2Sufs.find { case (t, _) => w.endsWith(t) }) {
           if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
         }
       }
@@ -194,30 +219,12 @@ object HungarianStemmer {
     // ---- step 7: plural owner suffixes (both paths; the áéi/ééi/éé
     // entries catch the j-blocked path-2 failures: "ájáéi"→"ája",
     // "újéé"→"úje")
-    val plurOwner: Seq[(String, String)] = Seq(
-      "jaim" -> "", "jeim" -> "", "áim" -> "a", "éim" -> "e",
-      "aim" -> "", "eim" -> "", "im" -> "",
-      "jaid" -> "", "jeid" -> "", "áid" -> "a", "éid" -> "e",
-      "aid" -> "", "eid" -> "", "id" -> "",
-      "jai" -> "", "jei" -> "", "ái" -> "a", "éi" -> "e",
-      "ai" -> "", "ei" -> "", "i" -> "",
-      "jaink" -> "", "jeink" -> "", "áink" -> "a", "éink" -> "e",
-      "aink" -> "", "eink" -> "", "ink" -> "",
-      "jaitok" -> "", "jeitek" -> "", "áitok" -> "a", "éitek" -> "e",
-      "aitok" -> "", "eitek" -> "", "itek" -> "",
-      "jeik" -> "", "jaik" -> "", "áik" -> "a", "éik" -> "e",
-      "aik" -> "", "eik" -> "", "ik" -> "")
-    for ((suf, rep) <- plurOwner.sortBy { case (s, _) => -s.length }
-           .find { case (s, _) => w.endsWith(s) }) {
+    for ((suf, rep) <- plurOwnerSufs.find { case (t, _) => w.endsWith(t) }) {
       if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
     }
 
     // ---- step 8: plural
-    val plural: Seq[(String, String)] = Seq(
-      "ák" -> "a", "ék" -> "e", "ök" -> "", "ok" -> "", "ek" -> "",
-      "ak" -> "", "k" -> "")
-    for ((suf, rep) <- plural.sortBy { case (s, _) => -s.length }
-           .find { case (s, _) => w.endsWith(s) }) {
+    for ((suf, rep) <- pluralSufs.find { case (t, _) => w.endsWith(t) }) {
       if (inR1(suf.length)) w = w.dropRight(suf.length) + rep
     }
 

@@ -42,6 +42,21 @@ object RomanianStemmer {
     } else 3
   }
 
+  // step 0: plurals and article forms, longest match in R1
+  private val step0: Seq[(String, String)] = Seq(
+    "ul" -> "", "ului" -> "",
+    "aua" -> "a",
+    "ea" -> "e", "ele" -> "e", "elor" -> "e",
+    "ii" -> "i", "iua" -> "i", "iei" -> "i", "iile" -> "i",
+    "iilor" -> "i", "ilor" -> "i",
+    "ile" -> "i",
+    "atei" -> "at",
+    "aţie" -> "aţi", "aţia" -> "aţi"
+  ).sortBy { case (s, _) => -s.length }
+
+  // step 4: final vowel, longest match in RV
+  private val step4: Seq[String] = Seq("ie", "a", "e", "i", "ă")
+
   // step 1: combining suffixes, replaced repeatedly while in R1
   private val step1: Seq[(String, String)] = Seq(
     "abilitate" -> "abil", "abilitati" -> "abil", "abilităi" -> "abil",
@@ -126,16 +141,6 @@ object RomanianStemmer {
     def inR2(sufLen: Int): Boolean = w.length - sufLen >= r2
 
     // ---- Step 0: plurals and article forms (longest match, in R1)
-    val step0: Seq[(String, String)] = Seq(
-      "ul" -> "", "ului" -> "",
-      "aua" -> "a",
-      "ea" -> "e", "ele" -> "e", "elor" -> "e",
-      "ii" -> "i", "iua" -> "i", "iei" -> "i", "iile" -> "i",
-      "iilor" -> "i", "ilor" -> "i",
-      "ile" -> "i",
-      "atei" -> "at",
-      "aţie" -> "aţi", "aţia" -> "aţi"
-    ).sortBy { case (s, _) => -s.length }
     var done = false
     for ((suf, rep) <- step0 if !done) {
       if (w.endsWith(suf)) {
@@ -218,7 +223,7 @@ object RomanianStemmer {
 
     // ---- Step 4: final vowel (in RV)
     done = false
-    for (suf <- Seq("ie", "a", "e", "i", "ă") if !done) {
+    for (suf <- step4 if !done) {
       if (w.endsWith(suf)) {
         done = true
         if (inRV(suf.length)) w = w.dropRight(suf.length)

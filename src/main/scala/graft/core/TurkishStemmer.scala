@@ -47,6 +47,37 @@ object TurkishStemmer {
     case _   => Set.empty
   }
 
+  // suffix form groups, hoisted so the per-token hot path allocates
+  // nothing; every group is uniform-length, so first-match == longest
+  private val fLAr = Seq("lar", "ler")
+  private val fLArI = Seq("ları", "leri")
+  private val fDA = Seq("da", "de", "ta", "te")
+  private val fDAn = Seq("dan", "den", "tan", "ten")
+  private val fNdA = Seq("nda", "nde")
+  private val fNdAn = Seq("ndan", "nden")
+  private val fNA = Seq("na", "ne")
+  private val fNU = Seq("nı", "ni", "nu", "nü")
+  private val fNUn = Seq("ın", "in", "un", "ün")
+  private val fYA = Seq("a", "e")
+  private val fYlA = Seq("la", "le")
+  private val fNcA = Seq("ca", "ce")
+  private val fKi = Seq("ki")
+  private val fM = Seq("m")
+  private val fK = Seq("k")
+  private val fN = Seq("n")
+  private val fUmUz = Seq("mız", "miz", "muz", "müz")
+  private val fUnUz = Seq("nız", "niz", "nuz", "nüz")
+  private val fYmUs = Seq("mış", "miş", "muş", "müş")
+  private val fYDU = Seq("dı", "di", "du", "dü", "tı", "ti", "tu", "tü")
+  private val fYsA = Seq("sa", "se")
+  private val fYken = Seq("ken")
+  private val fSUnUz = Seq("sınız", "siniz", "sunuz", "sünüz")
+  private val fSUn = Seq("sın", "sin", "sun", "sün")
+  private val fYUm = Seq("ım", "im", "um", "üm")
+  private val fYUz = Seq("ız", "iz", "uz", "üz")
+  private val fDUr = Seq("dır", "dir", "dur", "dür",
+    "tır", "tir", "tur", "tür")
+
   def stem(input: String): String = {
     val w0 = input
     if (w0.count(isVowel) <= 1) return w0
@@ -74,8 +105,7 @@ object TurkishStemmer {
       end >= s.length && w.regionMatches(end - s.length, s, 0, s.length)
 
     def litAt(end: Int, forms: Seq[String]): Option[Int] =
-      forms.filter(endsWithAt(end, _)).sortBy(-_.length).headOption
-        .map(end - _.length)
+      forms.find(endsWithAt(end, _)).map(end - _.length)
 
     /** Optional leading letter `opt` before a core match starting at
       * `p`: present → the char before it must be a vowel; absent →
@@ -102,37 +132,37 @@ object TurkishStemmer {
     // ---- suffix marks: Option[newEnd]
 
     def markLAr(end: Int): Option[Int] =
-      if (harmonyOk(end)) litAt(end, Seq("lar", "ler")) else None
+      if (harmonyOk(end)) litAt(end, fLAr) else None
     def markLArI(end: Int): Option[Int] =
-      if (harmonyOk(end)) litAt(end, Seq("ları", "leri")) else None
+      if (harmonyOk(end)) litAt(end, fLArI) else None
     def markDA(end: Int): Option[Int] =
-      if (harmonyOk(end)) litAt(end, Seq("da", "de", "ta", "te")) else None
+      if (harmonyOk(end)) litAt(end, fDA) else None
     def markDAn(end: Int): Option[Int] =
-      if (harmonyOk(end)) litAt(end, Seq("dan", "den", "tan", "ten"))
+      if (harmonyOk(end)) litAt(end, fDAn)
       else None
     def markNdA(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("nda", "nde")).filter(p =>
+        litAt(end, fNdA).filter(p =>
           p - 1 >= 0 && isVowel(w(p - 1)))
       else None
     def markNdAn(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("ndan", "nden")).filter(p =>
+        litAt(end, fNdAn).filter(p =>
           p - 1 >= 0 && isVowel(w(p - 1)))
       else None
     def markNA(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("na", "ne")).filter(p =>
+        litAt(end, fNA).filter(p =>
           p - 1 >= 0 && isVowel(w(p - 1)))
       else None
     def markNU(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("nı", "ni", "nu", "nü")).filter(p =>
+        litAt(end, fNU).filter(p =>
           p - 1 >= 0 && isVowel(w(p - 1)))
       else None
     def markNUn(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("ın", "in", "un", "ün"))
+        litAt(end, fNUn)
           .flatMap(p => optConsonant(p, 'n'))
       else None
     def markYU(end: Int): Option[Int] =
@@ -141,11 +171,11 @@ object TurkishStemmer {
       else None
     def markYA(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("a", "e")).flatMap(p => optConsonant(p, 'y'))
+        litAt(end, fYA).flatMap(p => optConsonant(p, 'y'))
       else None
     def markYlA(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("la", "le")).flatMap(p => optConsonant(p, 'y'))
+        litAt(end, fYlA).flatMap(p => optConsonant(p, 'y'))
       else None
     def markSU(end: Int): Option[Int] =
       if (harmonyOk(end) && end >= 1 && uVowels(w(end - 1)))
@@ -153,20 +183,20 @@ object TurkishStemmer {
       else None
     def markNcA(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("ca", "ce")).flatMap(p => optConsonant(p, 'n'))
+        litAt(end, fNcA).flatMap(p => optConsonant(p, 'n'))
       else None
     def markKi(end: Int): Option[Int] =
-      litAt(end, Seq("ki")) // no harmony check ("sondaki" → "so")
+      litAt(end, fKi) // no harmony check ("sondaki" → "so")
 
     // possessives: no harmony check ("bunda" → "p")
     def markUm(end: Int): Option[Int] =
-      litAt(end, Seq("m")).flatMap(optU)
+      litAt(end, fM).flatMap(optU)
     def markUn(end: Int): Option[Int] =
-      litAt(end, Seq("n")).flatMap(optU)
+      litAt(end, fN).flatMap(optU)
     def markUmUz(end: Int): Option[Int] =
-      litAt(end, Seq("mız", "miz", "muz", "müz")).flatMap(optU)
+      litAt(end, fUmUz).flatMap(optU)
     def markUnUz(end: Int): Option[Int] =
-      litAt(end, Seq("nız", "niz", "nuz", "nüz")).flatMap(optU)
+      litAt(end, fUnUz).flatMap(optU)
     def markPossessive(end: Int): Option[Int] =
       markUmUz(end).orElse(markUnUz(end))
         .orElse(markUm(end)).orElse(markUn(end))
@@ -174,43 +204,42 @@ object TurkishStemmer {
     // nominal-verb marks
     def markYmUs(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("mış", "miş", "muş", "müş"))
+        litAt(end, fYmUs)
           .flatMap(p => optConsonant(p, 'y'))
       else None
     def markYDU(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("dı", "di", "du", "dü", "tı", "ti", "tu", "tü"))
+        litAt(end, fYDU)
           .flatMap(p => optConsonant(p, 'y'))
       else None
     def markYsA(end: Int): Option[Int] = // no harmony ("acvavse")
-      litAt(end, Seq("sa", "se")).flatMap(p => optConsonant(p, 'y'))
+      litAt(end, fYsA).flatMap(p => optConsonant(p, 'y'))
     def markYken(end: Int): Option[Int] = // no harmony ("yokken")
-      litAt(end, Seq("ken")).flatMap(p => optConsonant(p, 'y'))
+      litAt(end, fYken).flatMap(p => optConsonant(p, 'y'))
     def markSUnUz(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("sınız", "siniz", "sunuz", "sünüz"))
+        litAt(end, fSUnUz)
       else None
     def markSUn(end: Int): Option[Int] =
-      if (harmonyOk(end)) litAt(end, Seq("sın", "sin", "sun", "sün"))
+      if (harmonyOk(end)) litAt(end, fSUn)
       else None
     def markYUm(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("ım", "im", "um", "üm"))
+        litAt(end, fYUm)
           .flatMap(p => optConsonant(p, 'y'))
       else None
     def markYUz(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("ız", "iz", "uz", "üz"))
+        litAt(end, fYUz)
           .flatMap(p => optConsonant(p, 'y'))
       else None
     def markNUz(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("nız", "niz", "nuz", "nüz"))
+        litAt(end, fUnUz)
       else None
     def markDUr(end: Int): Option[Int] =
       if (harmonyOk(end))
-        litAt(end, Seq("dır", "dir", "dur", "dür",
-          "tır", "tir", "tur", "tür"))
+        litAt(end, fDUr)
       else None
 
     def cut(newEnd: Int): Unit = { w = w.substring(0, newEnd) }
@@ -218,8 +247,8 @@ object TurkishStemmer {
     // ---- nominal verb suffixes (runs once; its lAr branch turns the
     // continue flag off, skipping the noun step and the postlude)
     val persons: Seq[Int => Option[Int]] = Seq(
-      markNUz, e => litAt(e, Seq("m")), e => litAt(e, Seq("k")),
-      e => litAt(e, Seq("n")))
+      markNUz, e => litAt(e, fM), e => litAt(e, fK),
+      e => litAt(e, fN))
 
     def stemNominalVerb(): Unit = {
       val n = w.length
