@@ -29,6 +29,7 @@ sealed trait Query extends Product with Serializable {
       s"VALUE_RANGE_S $f ${lo.getOrElse("")}..${hi.getOrElse("")}"
     case Query.ScaleWeight(q, f)  => s"$f * ${q.describe}"
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
+    case Query.Max(cs)            => cs.map(_.describe).mkString("(MAX ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
     case Query.Wildcard(p)        => s"$p*"
     case Query.SynonymOf(t, wqf, _) => if (wqf == 1) s"~$t" else s"~$t#$wqf"
@@ -53,6 +54,7 @@ sealed trait Query extends Product with Serializable {
     case Query.Phrase(cs, _)      => cs.flatMap(_.terms)
     case Query.ScaleWeight(q, _)  => q.terms
     case Query.EliteSet(cs, _)    => cs.flatMap(_.terms)
+    case Query.Max(cs)            => cs.flatMap(_.terms)
     case Query.Synonym(cs)        => cs.flatMap(_.terms)
     case _                        => Seq.empty
   }
@@ -90,6 +92,12 @@ object Query {
   final case class ScaleWeight(q: Query, factor: Double) extends Query
   /** OR over only the n highest-maxweight children. */
   final case class EliteSet(children: Seq[Query], n: Int) extends Query
+  /** OP_MAX (reference: xapian-core/include/xapian/query.h OP_MAX,
+    * matcher/maxpostlist.cc): matches docs matching ANY child, scored
+    * with the MAXIMUM of the matching children's weights — the
+    * "pick the best interpretation" combiner (e.g. a wildcard whose
+    * variants should not stack). */
+  final case class Max(children: Seq[Query]) extends Query
   /** Like OR but scored as a single pseudo-term (combined wdf). */
   final case class Synonym(children: Seq[Query]) extends Query
   /** Wildcard leaf (`prefix*`): expanded against the term dictionary
@@ -198,6 +206,14 @@ object Query {
         case s            => ScaleWeight(s, f)
       }
     case EliteSet(cs, n)  => EliteSet(cs.map(simplify).filterNot(_ == MatchNothing), n)
+    case Max(cs) =>
+      val s = cs.map(simplify).filterNot(_ == MatchNothing)
+      val flat = s.flatMap { case Max(inner) => inner; case x => Seq(x) }
+      flat match {
+        case Seq()    => MatchNothing
+        case Seq(one) => one
+        case many     => Max(many)
+      }
     case Synonym(cs)      =>
       cs.map(simplify).filterNot(_ == MatchNothing) match {
         case Seq()  => MatchNothing
@@ -272,6 +288,7 @@ object Query {
       case Phrase(cs, w)  => positional(cs, Phrase(_, w))
       case ScaleWeight(s, f) => ScaleWeight(walk(s), f)
       case EliteSet(cs, n)   => EliteSet(cs.map(walk), n)
+      case Max(cs)           => Max(cs.map(walk))
       case Synonym(cs)       => Synonym(cs.map(walk))
       case other => other
     }
@@ -308,6 +325,7 @@ object Query {
       case Phrase(cs, w)  => Phrase(cs.map(dePositional), w)
       case ScaleWeight(s, f) => ScaleWeight(walk(s), f)
       case EliteSet(cs, n)   => EliteSet(cs.map(walk), n)
+      case Max(cs)           => Max(cs.map(walk))
       case Synonym(cs)       => Synonym(cs.map(walk))
       case other => other
     }

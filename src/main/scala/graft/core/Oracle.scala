@@ -97,8 +97,10 @@ object Oracle {
         case None => new mutable.LinkedHashMap
         case Some(pl) =>
           val tw = weight.termWeight(wqf, pl.size.toLong, stats)
+          val ts = weight.termStat(pl.size.toLong,
+            pl.map(_._2.toLong).sum, stats)
           sortedMap(pl.map { case (did, wdf, _) =>
-            did -> weight.sumPart(tw, wdf, idx.docLen(did), stats)
+            did -> weight.sumPart(tw, ts, wdf, idx.docLen(did), stats)
           })
       }
     }
@@ -139,6 +141,12 @@ object Oracle {
         val ms = cs.map(evaluate(_, idx, opts))
         val all = ms.flatMap(_.keys).distinct
         sortedMap(all.map(d => d -> ms.flatMap(_.get(d)).sum))
+
+      case Query.Max(cs) =>
+        // OP_MAX: union of children, best matching child's weight
+        val ms = cs.map(evaluate(_, idx, opts))
+        val all = ms.flatMap(_.keys).distinct
+        sortedMap(all.map(d => d -> ms.flatMap(_.get(d)).max))
 
       case Query.AndNot(l, r) =>
         val lm = evaluate(l, idx, opts)
@@ -211,8 +219,10 @@ object Oracle {
         }
         val df = wdfByDoc.size.toLong
         val tw = weight.termWeight(1, df, stats)
+        val ts = weight.termStat(df, wdfByDoc.valuesIterator.map(_.toLong).sum,
+          stats)
         sortedMap(wdfByDoc.toSeq.map { case (did, wdf) =>
-          did -> weight.sumPart(tw, wdf, idx.docLen(did), stats)
+          did -> weight.sumPart(tw, ts, wdf, idx.docLen(did), stats)
         })
 
       case Query.MatchAll =>
@@ -268,8 +278,10 @@ object Oracle {
           case None => 0.0
           case Some(pl) =>
             val tw = opts.weight.termWeight(wqf, pl.size.toLong, idx.stats)
+            val ts = opts.weight.termStat(pl.size.toLong,
+              pl.map(_._2.toLong).sum, idx.stats)
             val maxWdf = pl.map(_._2).max
-            opts.weight.maxPart(tw, maxWdf, idx.stats.minDocLen, idx.stats)
+            opts.weight.maxPart(tw, ts, maxWdf, idx.stats.minDocLen, idx.stats)
         }
       case Query.And(cs)        => cs.map(b).sum
       case Query.Or(cs)         => cs.map(b).sum
@@ -281,14 +293,17 @@ object Oracle {
       case Query.Phrase(cs, _)  => cs.map(b).sum
       case Query.ScaleWeight(s, f) => f * b(s)
       case Query.EliteSet(cs, n) => cs.map(b).sorted.reverse.take(n).sum
+      case Query.Max(cs)        => cs.map(b).maxOption.getOrElse(0.0)
       case Query.Synonym(cs) =>
         val pls = cs.flatMap(_.terms).map(_.term).distinct
           .flatMap(idx.postings.get)
         if (pls.isEmpty) 0.0
         else {
           val tw = opts.weight.termWeight(1, pls.map(_.size).max.toLong, idx.stats)
+          val ts = opts.weight.termStat(pls.map(_.size).max.toLong,
+            pls.map(_.map(_._2.toLong).sum).sum, idx.stats)
           val maxWdf = pls.map(_.map(_._2).max).sum
-          opts.weight.maxPart(tw, maxWdf, idx.stats.minDocLen, idx.stats)
+          opts.weight.maxPart(tw, ts, maxWdf, idx.stats.minDocLen, idx.stats)
         }
       case Query.External(name) =>
         opts.externalSources.getOrElse(name, Seq.empty)

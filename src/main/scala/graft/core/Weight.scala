@@ -2,25 +2,53 @@ package graft.core
 
 /**
  * Scoring schemes, mirroring Xapian::Weight subclasses
- * (reference: xapian-core/matcher/bm25weight.cc, tradweight.cc,
- * weight.cc; formula frozen per SURVEY.md §4.3).
+ * (reference: xapian-core/weight/bm25weight.cc, tradweight.cc,
+ * bm25plusweight.cc, tfidfweight.cc, coordweight.cc, inl2weight.cc,
+ * pl2weight.cc, dphweight.cc, lmweight.cc, boolweight.cc; BM25
+ * formula frozen per SURVEY.md §4.3; DFR formulas per Amati &
+ * van Rijsbergen, TOIS 20(4) 2002; LM smoothing per Zhai & Lafferty,
+ * SIGIR'01).
  *
  * A Weight is fully determined by the global collection stats and the
  * per-term stats; both sides (scalar oracle and Spark matchers) share
  * this exact code so scores are bit-identical.
+ *
+ * Per-term state is TWO scalars: `termWeight` (the doc-independent
+ * factor every scheme has — idf-like, or plain Σwqf for schemes
+ * whose formula is not a product) and `termStat` (a second per-term
+ * constant some schemes need inside the per-posting formula: the DFR
+ * Poisson mean cf/N, DPH's cf, LM's collection probability
+ * cf/totalLen; 0 unless used). Duplicate query leaves of one term
+ * ACCUMULATE by summing termWeight — every scheme here is linear in
+ * it — while termStat is a property of the term and identical across
+ * duplicates.
  */
 sealed trait Weight extends Serializable {
   /** Query-independent part for term t: computed once per query term. */
   def termWeight(wqf: Int, df: Long, stats: StatsRow): Double
+  /** Scheme-specific second per-term constant (0 unless overridden). */
+  def termStat(df: Long, cf: Long, stats: StatsRow): Double = 0.0
   /** Per-(term, doc) contribution. */
-  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double
   /** Per-document extra part (independent of matching terms). */
   def sumExtra(querySize: Int, doclen: Long, stats: StatsRow): Double = 0.0
   /** True iff sumExtra can be non-zero — matchers then join doclen
-    * into the scored stream and add it per matched doc. */
+    * into the scored stream and add it per matched doc. sumExtra must
+    * be non-increasing in doclen (its value at minDocLen is used as
+    * the admissible upper bound on the WAND path). */
   def needsExtra: Boolean = false
   /** Upper bound of sumPart given term bounds — for WAND pruning. */
-  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double
+  /** True iff maxPart is a PROVEN admissible upper bound of sumPart
+    * over wdf ∈ [1, maxWdf], doclen ≥ minDocLen (sumPart monotone
+    * non-decreasing in wdf, non-increasing in doclen). The WAND
+    * matcher refuses schemes where this is false (the non-monotone
+    * DFR dips — PL2/DPH); they run on the exhaustive Dataset path,
+    * where maxPart is only a consistent ranking heuristic (ELITE_SET
+    * child selection, MSetPage.maxPossible) shared with the oracle. */
+  def wandSafe: Boolean = true
 }
 
 /**
@@ -46,7 +74,8 @@ final case class Bm25Weight(
     idf * wqfPart
   }
 
-  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double = {
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
     if (k1 == 0.0) return termWt
     val normLen = math.max(
       if (stats.avgLen > 0) doclen / stats.avgLen else 1.0, minNormLen)
@@ -63,8 +92,41 @@ final case class Bm25Weight(
 
   override def needsExtra: Boolean = k2 != 0.0
 
-  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double =
-    sumPart(termWt, maxWdf, minDocLen, stats)
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+}
+
+/**
+ * BM25+ (Lv & Zhai, CIKM'11; reference: xapian-core/weight/
+ * bm25plusweight.cc): BM25 with a lower-bound bonus δ·termweight per
+ * matching term, so long documents cannot normalize a match below δ.
+ */
+final case class Bm25PlusWeight(
+    k1: Double = 1.0,
+    k2: Double = 0.0,
+    k3: Double = 1.0,
+    b: Double = 0.5,
+    minNormLen: Double = 0.5,
+    delta: Double = 1.0) extends Weight {
+
+  private val base = Bm25Weight(k1, k2, k3, b, minNormLen)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+    base.termWeight(wqf, df, stats)
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double =
+    base.sumPart(termWt, termStat, wdf, doclen, stats) + delta * termWt
+
+  override def sumExtra(querySize: Int, doclen: Long, stats: StatsRow): Double =
+    base.sumExtra(querySize, doclen, stats)
+
+  override def needsExtra: Boolean = base.needsExtra
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
 }
 
 /** Classic probabilistic weighting with a single parameter k. */
@@ -76,18 +138,256 @@ final case class TradWeight(k: Double = 1.0) extends Weight {
     if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
     math.log(idfRaw)
   }
-  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double = {
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
     if (k == 0.0) return termWt
     val normLen = if (stats.avgLen > 0) doclen / stats.avgLen else 1.0
     termWt * wdf / (k * normLen + wdf)
   }
-  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double =
-    sumPart(termWt, maxWdf, minDocLen, stats)
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+}
+
+/**
+ * SMART-style tf·idf with a three-letter normalization code
+ * (reference: xapian-core/weight/tfidfweight.cc). Letter 1 = wdf
+ * normalization: n (wdf), b (boolean), s (wdf²), l (1+ln wdf);
+ * letter 2 = idf: n (1), t (ln N/df), p (ln (N−df)/df), f (1/df),
+ * s ((ln N/df)²); letter 3 = weight normalization: n (none) only.
+ * termweight carries wqf·idf; sumpart multiplies the wdf norm in.
+ */
+final case class TfIdfWeight(normalizations: String = "ntn") extends Weight {
+  require(normalizations.length == 3 &&
+    "nbsl".contains(normalizations(0)) &&
+    "ntpfs".contains(normalizations(1)) &&
+    normalizations(2) == 'n',
+    s"unsupported tf·idf normalization code '$normalizations'")
+
+  private def idfn(df: Long, N: Double): Double = normalizations(1) match {
+    case 'n' => 1.0
+    case 't' => math.log(N / df)
+    case 'p' => math.log((N - df) / df.toDouble)
+    case 'f' => 1.0 / df
+    case 's' => { val l = math.log(N / df); l * l }
+  }
+
+  private def wdfn(wdf: Int): Double = normalizations(0) match {
+    case 'n' => wdf.toDouble
+    case 'b' => if (wdf > 0) 1.0 else 0.0
+    case 's' => wdf.toDouble * wdf
+    case 'l' => if (wdf == 0) 0.0 else 1.0 + math.log(wdf.toDouble)
+  }
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+    wqf * idfn(df, stats.n.toDouble)
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double =
+    termWt * wdfn(wdf)
+
+  /** The wdf norms are all non-decreasing, but the 'p' idf goes
+    * negative for df > N/2 — then sumPart DECREASES in wdf and the
+    * bound is attained at the least wdf a posting can hold (1). */
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    if (termWt >= 0.0) sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+    else sumPart(termWt, termStat, 1, minDocLen, stats)
+}
+
+/**
+ * Coordination-level matching (reference: xapian-core/weight/
+ * coordweight.cc): weight 1 per matching subquery, independent of
+ * wdf/wqf/doclen — score = number of matching query leaves. Scale
+ * with OP_SCALE_WEIGHT.
+ */
+case object CoordWeight extends Weight {
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = 1.0
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = termWt
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double = termWt
+}
+
+/**
+ * DFR InL2: inverse-document-frequency model with Laplace
+ * after-effect and normalization 2 (Amati & van Rijsbergen, TOIS
+ * 2002; reference: xapian-core/weight/inl2weight.cc):
+ *   wdfn = wdf · log2(1 + c·avgLen/doclen)
+ *   w    = wqf · log2((N+1)/(df+0.5)) · wdfn/(wdfn+1)
+ * Monotone ↑wdf ↓doclen and the idf factor is always positive, so
+ * the (maxWdf, minDocLen) bound is admissible — WAND-safe.
+ */
+final case class InL2Weight(c: Double = 1.0) extends Weight {
+  require(c > 0.0, "InL2 c must be positive")
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+    wqf * (math.log((stats.n + 1.0) / (df + 0.5)) / math.log(2.0))
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0) return 0.0
+    val wdfn = wdf * (math.log(1.0 + c * stats.avgLen / doclen) / math.log(2.0))
+    termWt * wdfn / (wdfn + 1.0)
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+}
+
+/**
+ * DFR PL2: Poisson model with Laplace after-effect and normalization
+ * 2 (Amati & van Rijsbergen, TOIS 2002; reference: xapian-core/
+ * weight/pl2weight.cc):
+ *   wdfn = wdf · log2(1 + c·avgLen/doclen),  λ = cf/N
+ *   w    = wqf/(wdfn+1) · (wdfn·log2(wdfn/λ) + (λ−wdfn)·log2 e
+ *                          + ½·log2(2π·wdfn))
+ * NOT monotone in wdfn (the information content dips below zero for
+ * wdfn near λ), so wandSafe = false: maxPart is the endpoint bound
+ * max(f(maxWdf@minDocLen), f(1@maxDocLen), 0) — a consistent ranking
+ * heuristic for ELITE_SET/maxPossible, not a proven pruning bound.
+ */
+final case class Pl2Weight(c: Double = 1.0) extends Weight {
+  require(c > 0.0, "PL2 c must be positive")
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+
+  /** λ — the term's Poisson mean cf/N. */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    cf.toDouble / stats.n
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0 || termStat <= 0.0) return 0.0
+    val wdfn = wdf * (math.log(1.0 + c * stats.avgLen / doclen) / log2)
+    if (wdfn <= 0.0) return 0.0
+    val p = wdfn * (math.log(wdfn / termStat) / log2) +
+      (termStat - wdfn) / log2 +
+      0.5 * (math.log(2.0 * math.Pi * wdfn) / log2)
+    termWt * p / (wdfn + 1.0)
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    math.max(0.0, math.max(
+      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
+      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+
+  override def wandSafe: Boolean = false
+}
+
+/**
+ * DFR DPH: parameter-free hypergeometric model, Popper normalization
+ * (Amati et al., "FUB, IASI-CNR and University of Tor Vergata at
+ * TREC 2007"; reference: xapian-core/weight/dphweight.cc):
+ *   f    = wdf/doclen
+ *   norm = (1−f)²/(wdf+1)
+ *   w    = wqf · norm · (wdf·log2((wdf·avgLen/doclen)·(N/cf))
+ *                        + ½·log2(2π·wdf·(1−f)))
+ * A wdf == doclen posting gets 0 (norm vanishes; guards the
+ * log2(0) = −∞ · 0 indeterminate). Non-monotone → wandSafe = false
+ * with the same endpoint-heuristic maxPart as PL2.
+ */
+final case class DphWeight() extends Weight {
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+
+  /** cf — the term's collection frequency. */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    cf.toDouble
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0 || termStat <= 0.0) return 0.0
+    val f = wdf.toDouble / doclen
+    if (f >= 1.0) return 0.0
+    val norm = (1.0 - f) * (1.0 - f) / (wdf + 1.0)
+    val info = wdf * (math.log(wdf * stats.avgLen / doclen *
+        (stats.n / termStat)) / log2) +
+      0.5 * (math.log(2.0 * math.Pi * wdf * (1.0 - f)) / log2)
+    termWt * norm * info
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    math.max(0.0, math.max(
+      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
+      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+
+  override def wandSafe: Boolean = false
+}
+
+/**
+ * Query-likelihood language model with smoothing (Zhai & Lafferty,
+ * SIGIR'01; reference: xapian-core/weight/lmweight.cc — smoothing
+ * selector + two-stage default). Rank-equivalent decomposition:
+ *   score(d) = Σ_matched wqf·ln(p_s(t|d) / (α_d·p_C(t)))
+ *              + |q|·ln(α_d)
+ * where p_C(t) = cf/totalLen and, per smoothing:
+ *   JM(λ):        α_d = λ;             part = ln(1 + (1−λ)·wdf/(λ·doclen·p_C))
+ *   Dirichlet(μ): α_d = μ/(doclen+μ);  part = ln(1 + wdf/(μ·p_C))
+ *   TwoStage(λ,μ): p_s = (1−λ)(wdf+μ·p_C)/(doclen+μ) + λ·p_C,
+ *                  α_d = λ + (1−λ)μ/(doclen+μ)
+ *                  part = ln(1 + β·wdf/((λ+β·μ)·p_C)), β = (1−λ)/(doclen+μ)
+ * Every per-term part is ≥ 0, ↑wdf ↓doclen; the |q|·ln(α_d) document
+ * prior rides sumExtra (≤ 0, non-increasing in doclen) — WAND-safe.
+ * Total scores can be negative; cutoffs treat 0 as "no cutoff".
+ */
+final case class LmWeight(
+    smoothing: String = "two_stage",
+    lambda: Double = 0.7,
+    mu: Double = 2000.0) extends Weight {
+  require(Seq("jm", "dirichlet", "two_stage").contains(smoothing),
+    s"unknown LM smoothing '$smoothing'")
+  require(lambda > 0.0 && lambda < 1.0, "LM λ must be in (0,1)")
+  require(mu > 0.0, "LM μ must be positive")
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+
+  /** p_C — the term's collection probability cf/totalLen. */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    cf.toDouble / math.max(1L, stats.totalLen)
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || termStat <= 0.0) return 0.0
+    val x = smoothing match {
+      case "jm" =>
+        if (doclen <= 0) return 0.0
+        (1.0 - lambda) * wdf / (lambda * doclen * termStat)
+      case "dirichlet" =>
+        wdf / (mu * termStat)
+      case "two_stage" =>
+        val beta = (1.0 - lambda) / (doclen + mu)
+        beta * wdf / ((lambda + beta * mu) * termStat)
+    }
+    termWt * math.log(1.0 + x)
+  }
+
+  private def alphaD(doclen: Long): Double = smoothing match {
+    case "jm"        => lambda
+    case "dirichlet" => mu / (doclen + mu)
+    case "two_stage" => lambda + (1.0 - lambda) * mu / (doclen + mu)
+  }
+
+  override def sumExtra(querySize: Int, doclen: Long, stats: StatsRow): Double =
+    querySize * math.log(alphaD(doclen))
+
+  override def needsExtra: Boolean = true
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
 }
 
 /** All-zero weight for pure-boolean matching (OP_FILTER sides). */
 case object BoolWeight extends Weight {
   def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = 0.0
-  def sumPart(termWt: Double, wdf: Int, doclen: Long, stats: StatsRow): Double = 0.0
-  def maxPart(termWt: Double, maxWdf: Int, minDocLen: Long, stats: StatsRow): Double = 0.0
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = 0.0
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double = 0.0
 }

@@ -63,13 +63,20 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   private val weight = opts.weight
   private lazy val stats = idx.stats
 
-  /** BM25 sumpart as a Column expression, mirroring the exact
-    * operation order of Bm25Weight.sumPart for float identity. */
-  private def scoreCol(tw: Double, wdf: Column, doclen: Column): Column =
-    scoreColOf(lit(tw), wdf, doclen)
+  /** sumPart as a Column expression, mirroring the exact operation
+    * order of the scheme's scalar sumPart for float identity. `ts` is
+    * the scheme's second per-term constant ([[Weight.termStat]]). */
+  private def scoreCol(tw: Double, ts: Double, wdf: Column, doclen: Column): Column =
+    scoreColOf(lit(tw), lit(ts), wdf, doclen)
 
-  /** Same, with the termweight itself a Column (multi-term scans). */
-  private def scoreColOf(tw: Column, wdf: Column, doclen: Column): Column =
+  /** ln 2 — shared by the DFR log2 mirrors below. */
+  private val ln2 = math.log(2.0)
+
+  /** Same, with the per-term constants themselves Columns (multi-term
+    * scans feed them from broadcast termId→constant maps). Postings
+    * always carry wdf ≥ 1 and doclen ≥ wdf, so the scalar paths' zero
+    * guards are structurally unreachable here and omitted. */
+  private def scoreColOf(tw: Column, ts: Column, wdf: Column, doclen: Column): Column =
     weight match {
       case Bm25Weight(k1, _, _, b, minNorm) =>
         if (k1 == 0.0) tw
@@ -80,6 +87,18 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           val denom = lit(k1) * (lit(1.0 - b) + lit(b) * normLen) + wdf
           tw * wdf * lit(k1 + 1.0) / denom
         }
+      case w: Bm25PlusWeight =>
+        val base =
+          if (w.k1 == 0.0) tw
+          else {
+            val normLen =
+              if (stats.avgLen > 0)
+                greatest(doclen / lit(stats.avgLen), lit(w.minNormLen))
+              else greatest(lit(1.0), lit(w.minNormLen))
+            val denom = lit(w.k1) * (lit(1.0 - w.b) + lit(w.b) * normLen) + wdf
+            tw * wdf * lit(w.k1 + 1.0) / denom
+          }
+        base + lit(w.delta) * tw
       case TradWeight(k) =>
         if (k == 0.0) tw
         else {
@@ -87,6 +106,43 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
             if (stats.avgLen > 0) doclen / lit(stats.avgLen) else lit(1.0)
           tw * wdf / (lit(k) * normLen + wdf)
         }
+      case w: TfIdfWeight =>
+        val wdfn = w.normalizations(0) match {
+          case 'n' => wdf.cast("double")
+          case 'b' => when(wdf > 0, lit(1.0)).otherwise(lit(0.0))
+          case 's' => (wdf * wdf).cast("double")
+          case 'l' => when(wdf === 0, lit(0.0))
+            .otherwise(lit(1.0) + log(wdf.cast("double")))
+        }
+        tw * wdfn
+      case CoordWeight => tw
+      case InL2Weight(c) =>
+        val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
+        tw * wdfn / (wdfn + lit(1.0))
+      case Pl2Weight(c) =>
+        val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
+        val p = wdfn * (log(wdfn / ts) / lit(ln2)) +
+          (ts - wdfn) / lit(ln2) +
+          lit(0.5) * (log(lit(2.0 * math.Pi) * wdfn) / lit(ln2))
+        tw * p / (wdfn + lit(1.0))
+      case DphWeight() =>
+        val f = wdf.cast("double") / doclen
+        val norm = (lit(1.0) - f) * (lit(1.0) - f) / (wdf + lit(1.0))
+        val info = wdf * (log(wdf * lit(stats.avgLen) / doclen *
+            (lit(stats.n.toDouble) / ts)) / lit(ln2)) +
+          lit(0.5) * (log(lit(2.0 * math.Pi) * wdf * (lit(1.0) - f)) / lit(ln2))
+        when(f >= 1.0, lit(0.0)).otherwise(tw * norm * info)
+      case w: LmWeight =>
+        val x = w.smoothing match {
+          case "jm" =>
+            lit(1.0 - w.lambda) * wdf / (lit(w.lambda) * doclen * ts)
+          case "dirichlet" =>
+            wdf / (lit(w.mu) * ts)
+          case "two_stage" =>
+            val beta = lit(1.0 - w.lambda) / (doclen + lit(w.mu))
+            beta * wdf / ((lit(w.lambda) + beta * lit(w.mu)) * ts)
+        }
+        tw * log(lit(1.0) + x)
       case BoolWeight => lit(0.0)
     }
 
@@ -117,8 +173,9 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       case None => emptyMatches
       case Some(d) =>
         val tw = weight.termWeight(t.wqf, d.df, stats)
+        val ts = weight.termStat(d.df, d.cf, stats)
         postingsOf(d.termId)
-          .select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
+          .select($"docId", scoreCol(tw, ts, $"wdf", $"doclen").as("score"))
     }
 
   /** Wildcard-expand + simplify + dict-lookup + compile — the shared
@@ -170,6 +227,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.Phrase(cs, _) => cs.exists(hasSynonymOf)
     case Query.ScaleWeight(s, _) => hasSynonymOf(s)
     case Query.EliteSet(cs, _)   => cs.exists(hasSynonymOf)
+    case Query.Max(cs)       => cs.exists(hasSynonymOf)
     case Query.Synonym(cs)   => cs.exists(hasSynonymOf)
     case _ => false
   }
@@ -186,6 +244,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.Phrase(cs, _) => cs.exists(hasWildcard)
     case Query.ScaleWeight(s, _) => hasWildcard(s)
     case Query.EliteSet(cs, _)   => cs.exists(hasWildcard)
+    case Query.Max(cs)       => cs.exists(hasWildcard)
     case Query.Synonym(cs)   => cs.exists(hasWildcard)
     case _ => false
   }
@@ -202,6 +261,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.Phrase(cs, _) => cs.flatMap(extraTerms)
     case Query.ScaleWeight(s, _) => extraTerms(s)
     case Query.EliteSet(cs, _)   => cs.flatMap(extraTerms)
+    case Query.Max(cs)       => cs.flatMap(extraTerms)
     case Query.Synonym(cs)   => cs.flatMap(extraTerms)
     case _ => Seq.empty
   }
@@ -222,14 +282,17 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       val terms = cs.collect { case t: Query.Term => t }
       val entries = terms.flatMap { t =>
         dict.get(t.term).map(d =>
-          d.termId -> weight.termWeight(t.wqf, d.df, stats))
+          d.termId -> (weight.termWeight(t.wqf, d.df, stats),
+            weight.termStat(d.df, d.cf, stats)))
       }
       if (entries.size < terms.size) emptyMatches // some term missing
       else {
-        val twMap = typedLit(entries.toMap)
+        val twMap = typedLit(entries.map { case (id, (tw, _)) => id -> tw }.toMap)
+        val tsMap = typedLit(entries.map { case (id, (_, ts)) => id -> ts }.toMap)
         decodeBlocks(idx.blocksFor(entries.map(_._1)), keepTermId = true)
           .select($"docId", $"termId",
-            scoreColOf(element_at(twMap, $"termId"), $"wdf", $"doclen")
+            scoreColOf(element_at(twMap, $"termId"),
+              element_at(tsMap, $"termId"), $"wdf", $"doclen")
               .as("score"))
           .groupBy($"docId")
           .agg(sum($"score").as("score"), count(lit(1)).as("_nt"))
@@ -256,14 +319,17 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       // literal, one hash aggregate — instead of N scans + union
       val entries = cs.collect { case t: Query.Term => t }.flatMap { t =>
         dict.get(t.term).map(d =>
-          d.termId -> weight.termWeight(t.wqf, d.df, stats))
+          d.termId -> (weight.termWeight(t.wqf, d.df, stats),
+            weight.termStat(d.df, d.cf, stats)))
       }
       if (entries.isEmpty) emptyMatches
       else {
-        val twMap = typedLit(entries.toMap)
+        val twMap = typedLit(entries.map { case (id, (tw, _)) => id -> tw }.toMap)
+        val tsMap = typedLit(entries.map { case (id, (_, ts)) => id -> ts }.toMap)
         decodeBlocks(idx.blocksFor(entries.map(_._1)), keepTermId = true)
           .select($"docId",
-            scoreColOf(element_at(twMap, $"termId"), $"wdf", $"doclen")
+            scoreColOf(element_at(twMap, $"termId"),
+              element_at(tsMap, $"termId"), $"wdf", $"doclen")
               .as("score"))
           .groupBy($"docId").agg(sum($"score").as("score"))
       }
@@ -272,6 +338,12 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       // general n-ary union + groupBy-sum: one shuffle for the whole OR
       cs.map(compile(_, dict)).reduce(_ unionByName _)
         .groupBy($"docId").agg(sum($"score").as("score"))
+
+    case Query.Max(cs) =>
+      // OP_MAX: same union shape as OR, MAX-combined instead of
+      // summed — one shuffle for the whole node (maxpostlist.cc role)
+      cs.map(compile(_, dict)).reduce(_ unionByName _)
+        .groupBy($"docId").agg(max($"score").as("score"))
 
     case Query.AndNot(l, r) =>
       compile(l, dict).join(compile(r, dict), Seq("docId"), "left_anti")
@@ -328,21 +400,25 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
         val union = decodeBlocks(idx.blocksFor(ids), keepTermId = false)
           .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"),
             max($"doclen").as("doclen"))
-        val df = idx.synonymGroup(terms.toSet) match {
-          // registered group: exact union df from the build-time
+        val (df, cf) = idx.synonymGroup(terms.toSet) match {
+          // registered group: exact union df/cf from the build-time
           // synonym table — NO query-time counting job
-          case Some(g) => g.df
+          case Some(g) => (g.df, g.cf)
           case None =>
-            // ad-hoc synonym: df = union docset size; cache only for
-            // the count, then release (keeping it pinned would leak
-            // executor memory across queries — the recompute at
-            // action time is one pruned-scan decode)
+            // ad-hoc synonym: df = union docset size, cf = Σ wdf —
+            // ONE agg action; cache only for it, then release
+            // (keeping it pinned would leak executor memory across
+            // queries — the recompute at action time is one
+            // pruned-scan decode)
             val grouped = union.persist()
-            try grouped.count()
-            finally grouped.unpersist(blocking = false)
+            try {
+              val r = grouped.agg(count(lit(1)), sum($"wdf")).collect()(0)
+              (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+            } finally grouped.unpersist(blocking = false)
         }
         val tw = weight.termWeight(1, df, stats)
-        union.select($"docId", scoreCol(tw, $"wdf", $"doclen").as("score"))
+        val ts = weight.termStat(df, cf, stats)
+        union.select($"docId", scoreCol(tw, ts, $"wdf", $"doclen").as("score"))
       }
 
     case Query.MatchAll =>
@@ -443,7 +519,8 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
         case None => 0.0
         case Some(d) =>
           val tw = weight.termWeight(wqf, d.df, stats)
-          weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
+          val ts = weight.termStat(d.df, d.cf, stats)
+          weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }
     case Query.And(cs)        => cs.map(maxWeightBound(_, dict)).sum
     case Query.Or(cs)         => cs.map(maxWeightBound(_, dict)).sum
@@ -456,12 +533,15 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.ScaleWeight(s, f) => f * maxWeightBound(s, dict)
     case Query.EliteSet(cs, n) =>
       cs.map(maxWeightBound(_, dict)).sorted.reverse.take(n).sum
+    case Query.Max(cs) =>
+      cs.map(maxWeightBound(_, dict)).maxOption.getOrElse(0.0)
     case Query.Synonym(cs) =>
       val ds = cs.flatMap(_.terms).map(_.term).distinct.flatMap(dict.get)
       if (ds.isEmpty) 0.0
       else {
         val tw = weight.termWeight(1, ds.map(_.df).max, stats)
-        weight.maxPart(tw, ds.map(_.maxWdf).sum, stats.minDocLen, stats)
+        val ts = weight.termStat(ds.map(_.df).max, ds.map(_.cf).sum, stats)
+        weight.maxPart(tw, ts, ds.map(_.maxWdf).sum, stats.minDocLen, stats)
       }
     case Query.External(name) =>
       opts.externalSources.get(name) match {
@@ -540,16 +620,29 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   def spy(q: Query, first: Column, rest: Column*): DataFrame =
     matches(q).join(idx.docs, "docId").agg(first, rest: _*)
 
-  /** BM25 k2 per-doc extra as a Column (0 for every other weight). */
-  private def sumExtraCol(querySize: Int, doclen: Column): Column =
+  /** Per-doc extra as a Column, mirroring the scheme's sumExtra (the
+    * BM25/BM25+ k2 part; the LM |q|·ln α_d document prior). */
+  private def sumExtraCol(querySize: Int, doclen: Column): Column = {
+    def k2Col(k2: Double, minNorm: Double): Column = {
+      val normLen =
+        if (stats.avgLen > 0) greatest(doclen / lit(stats.avgLen), lit(minNorm))
+        else greatest(lit(1.0), lit(minNorm))
+      lit(k2) * lit(querySize.toDouble) * (lit(1.0) - normLen) / (lit(1.0) + normLen)
+    }
     weight match {
-      case Bm25Weight(_, k2, _, _, minNorm) if k2 != 0.0 =>
-        val normLen =
-          if (stats.avgLen > 0) greatest(doclen / lit(stats.avgLen), lit(minNorm))
-          else greatest(lit(1.0), lit(minNorm))
-        lit(k2) * lit(querySize.toDouble) * (lit(1.0) - normLen) / (lit(1.0) + normLen)
+      case Bm25Weight(_, k2, _, _, minNorm) if k2 != 0.0 => k2Col(k2, minNorm)
+      case w: Bm25PlusWeight if w.k2 != 0.0 => k2Col(w.k2, w.minNormLen)
+      case w: LmWeight =>
+        val alpha = w.smoothing match {
+          case "jm"        => lit(w.lambda)
+          case "dirichlet" => lit(w.mu) / (doclen + lit(w.mu))
+          case "two_stage" =>
+            lit(w.lambda) + lit(1.0 - w.lambda) * lit(w.mu) / (doclen + lit(w.mu))
+        }
+        lit(querySize) * log(alpha)
       case _ => lit(0.0)
     }
+  }
 
   /** The post-compile half shared by mset/msetPage: docs-column join
     * (decider / collapse / value sorts / k2 extra), decider filter. */

@@ -50,7 +50,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     * whose right side is a pure value-slot predicate (the classic
     * filtered top-k; the filter is applied INSIDE the per-stripe WAND
     * loop, never after the cut). */
-  def supports(q: Query): Boolean = Query.simplify(q) match {
+  def supports(q: Query): Boolean = weight.wandSafe && (Query.simplify(q) match {
     case Query.Filter(l, r) =>
       weightedShape(Query.simplify(l)) &&
         ValuePredicate.of(r, idx.docs).isDefined &&
@@ -59,7 +59,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       weightedShape(Query.simplify(l)) && valueWeightShape(r).isDefined &&
         idx.docs.schema.exists(_.name == "stripe")
     case s => weightedShape(s)
-  }
+  })
 
   /** AND_MAYBE right sides the WAND loop can blend in: a ValueWeight
     * posting source, optionally scaled — Some((weight column, its
@@ -133,7 +133,8 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val ranked = terms.zipWithIndex.map { case (t, i) =>
       val b = dict.get(t.term).map { d =>
         val tw = weight.termWeight(t.wqf, d.df, stats)
-        weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
+        val ts = weight.termStat(d.df, d.cf, stats)
+        weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }.getOrElse(0.0)
       (t, i, b)
     }.sortBy { case (_, i, b) => (-b, i) }.take(n).sortBy(_._2).map(_._1)
@@ -195,7 +196,8 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val maxPossible = terms.flatMap { t =>
       dict.get(t.term).map { d =>
         val tw = weight.termWeight(t.wqf, d.df, stats)
-        weight.maxPart(tw, d.maxWdf, stats.minDocLen, stats)
+        val ts = weight.termStat(d.df, d.cf, stats)
+        weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }
     }.sum + (Query.simplify(q) match {
       // the AND_MAYBE blend can add up to the slot's upper bound
@@ -240,9 +242,12 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     // termweight, so summing per-leaf termweights per termId scores
     // each posting once with the combined weight — identical to the
     // oracle/Dataset paths summing each duplicate's contribution
-    val tws: Map[Long, Double] = terms.flatMap { t =>
-      dict.get(t.term).map(d => d.termId -> weight.termWeight(t.wqf, d.df, stats))
-    }.groupBy(_._1).map { case (tid, xs) => tid -> xs.map(_._2).sum }
+    val tws: Map[Long, (Double, Double)] = terms.flatMap { t =>
+      dict.get(t.term).map(d => d.termId ->
+        (weight.termWeight(t.wqf, d.df, stats),
+          weight.termStat(d.df, d.cf, stats)))
+    }.groupBy(_._1).map { case (tid, xs) =>
+      tid -> (xs.map(_._2._1).sum, xs.head._2._2) }
     if (tws.isEmpty) return Seq.empty
     // AND_NOT right sides ride the same block scan as the scored
     // terms; their termIds mark the cursors as a weightless in-loop
@@ -255,7 +260,12 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val dSign: Int = didSign
     val termIds = (tws.keys.toSeq ++ exclIds).distinct.sorted
     val need = first + k
-    val querySize = terms.map(_.wqf).sum
+    // query length for the sumExtra schemes (BM25 k2, the LM doc
+    // prior) comes from the ORIGINAL query's weighted leaves — the
+    // reference's Query::get_length is fixed before matching, so
+    // ELITE_SET child selection must NOT shrink it (frozen spec
+    // shared with Oracle.mset / DatasetMatcher.withDocCols)
+    val querySize = Query.simplify(q).terms.map(_.wqf).sum
 
     val blocks = idx.blocksFor(termIds).as[PostingBlock]
     val w = weight
@@ -366,7 +376,7 @@ object WandMatcher {
   /** Cursor over one term's blocks within a stripe (sorted by docId),
     * decoding lazily, exposing a block-max upper bound. */
   private final class Cursor(
-      val termId: Long, val termWeight: Double,
+      val termId: Long, val termWeight: Double, val termStat: Double,
       blocks: IndexedSeq[PostingBlock], w: Weight, stats: StatsRow) {
     private var bi = 0
     private var decoded: Array[Posting] = _
@@ -386,7 +396,7 @@ object WandMatcher {
     /** Upper bound of this term's contribution in the CURRENT block. */
     def blockUB: Double = {
       val b = blocks(bi)
-      w.maxPart(termWeight, b.maxWdf, b.minDocLen, stats)
+      w.maxPart(termWeight, termStat, b.maxWdf, b.minDocLen, stats)
     }
 
     def next(): Unit = {
@@ -424,7 +434,7 @@ object WandMatcher {
     * minimum doclen) so pruning stays admissible for k2 ≠ 0. */
   def stripeTopK(
       blocks: Seq[PostingBlock],
-      termWeights: Map[Long, Double],
+      termWeights: Map[Long, (Double, Double)],
       w: Weight,
       stats: StatsRow,
       k: Int,
@@ -452,12 +462,12 @@ object WandMatcher {
     val byTerm = blocks.groupBy(_.termId)
     val cursors: Array[Cursor] = byTerm.iterator.collect {
       case (tid, bs) if termWeights.contains(tid) =>
-        new Cursor(tid, termWeights(tid),
+        new Cursor(tid, termWeights(tid)._1, termWeights(tid)._2,
           bs.sortBy(_.firstDocId).toIndexedSeq, w, stats)
     }.toArray
     val excl: Array[Cursor] = byTerm.iterator.collect {
       case (tid, bs) if exclIds.contains(tid) =>
-        new Cursor(tid, 0.0, bs.sortBy(_.firstDocId).toIndexedSeq, w, stats)
+        new Cursor(tid, 0.0, 0.0, bs.sortBy(_.firstDocId).toIndexedSeq, w, stats)
     }.toArray
     // candidates are checked in strictly increasing docId order
     // within a stripe, so the exclusion cursors only ever move
@@ -537,7 +547,8 @@ object WandMatcher {
               val len = cursors(0).curLen
               i = 0
               while (i < cursors.length) {
-                score += w.sumPart(cursors(i).termWeight, cursors(i).curWdf, len, stats)
+                score += w.sumPart(cursors(i).termWeight, cursors(i).termStat,
+                  cursors(i).curWdf, len, stats)
                 i += 1
               }
               if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
@@ -597,7 +608,7 @@ object WandMatcher {
             var score = 0.0
             val len = sorted.head.curLen
             sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
-              score += w.sumPart(c.termWeight, c.curWdf, len, stats)
+              score += w.sumPart(c.termWeight, c.termStat, c.curWdf, len, stats)
             }
             if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
             if (extraIds != null) {

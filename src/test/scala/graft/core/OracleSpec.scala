@@ -120,7 +120,7 @@ class OracleSpec extends AnyFunSuite {
     assert(m.keySet == Set(2L, 3L, 4L))
     val w = Bm25Weight()
     val tw = w.termWeight(1, 3, idx.stats)
-    assert(math.abs(m(4L) - w.sumPart(tw, 2, 4, idx.stats)) < 1e-12)
+    assert(math.abs(m(4L) - w.sumPart(tw, 0.0, 2, 4, idx.stats)) < 1e-12)
   }
 
   test("MatchAll / MatchNothing") {

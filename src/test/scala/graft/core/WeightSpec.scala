@@ -31,22 +31,22 @@ class WeightSpec extends AnyFunSuite {
   test("sumPart hand-computed") {
     val tw = math.log(1.3)
     // d1: wdf=2, len=3 → normlen=1, denom = 1*(0.5+0.5*1)+2 = 3
-    assert(math.abs(w.sumPart(tw, 2, 3, stats) - tw * 2 * 2 / 3.0) < 1e-12)
+    assert(math.abs(w.sumPart(tw, 0.0, 2, 3, stats) - tw * 2 * 2 / 3.0) < 1e-12)
     // d3: wdf=1, len=4 → normlen=4/3, denom = 0.5+0.5*4/3+1
     val denom = 0.5 + 0.5 * (4.0 / 3.0) + 1.0
-    assert(math.abs(w.sumPart(tw, 1, 4, stats) - tw * 2 / denom) < 1e-12)
+    assert(math.abs(w.sumPart(tw, 0.0, 1, 4, stats) - tw * 2 / denom) < 1e-12)
   }
 
   test("min_normlen floor applies for very short docs") {
     val tw = 1.0
     // len=1, avg=3 → normlen would be 1/3 < 0.5 → floored to 0.5
     val denom = 1.0 * ((1 - 0.5) + 0.5 * 0.5) + 1
-    assert(math.abs(w.sumPart(tw, 1, 1, stats) - 2.0 / denom) < 1e-12)
+    assert(math.abs(w.sumPart(tw, 0.0, 1, 1, stats) - 2.0 / denom) < 1e-12)
   }
 
   test("k1=0 edge: sumPart = termWeight") {
     val w0 = Bm25Weight(k1 = 0.0)
-    assert(w0.sumPart(0.7, 5, 100, stats) == 0.7)
+    assert(w0.sumPart(0.7, 0.0, 5, 100, stats) == 0.7)
   }
 
   test("k2 extra part") {
@@ -59,7 +59,7 @@ class WeightSpec extends AnyFunSuite {
 
   test("BoolWeight is all zeros") {
     assert(BoolWeight.termWeight(1, 5, stats) == 0.0)
-    assert(BoolWeight.sumPart(1.0, 3, 3, stats) == 0.0)
+    assert(BoolWeight.sumPart(1.0, 0.0, 3, 3, stats) == 0.0)
   }
 
   test("TradWeight shape") {
@@ -67,14 +67,147 @@ class WeightSpec extends AnyFunSuite {
     val tw = t.termWeight(1, 2, stats)
     assert(math.abs(tw - math.log(1.3)) < 1e-12)
     // wdf=2, len=3 → norm=1 → tw*2/(1+2)
-    assert(math.abs(t.sumPart(tw, 2, 3, stats) - tw * 2 / 3.0) < 1e-12)
+    assert(math.abs(t.sumPart(tw, 0.0, 2, 3, stats) - tw * 2 / 3.0) < 1e-12)
   }
 
   test("maxPart is an upper bound over observed sumParts") {
     val tw = w.termWeight(1, 2, stats)
-    val bound = w.maxPart(tw, maxWdf = 2, minDocLen = 2, stats)
+    val bound = w.maxPart(tw, 0.0, maxWdf = 2, minDocLen = 2, stats)
     Seq((2, 3L), (1, 4L), (1, 2L), (2, 2L)).foreach { case (wdf, len) =>
-      assert(w.sumPart(tw, wdf, len, stats) <= bound + 1e-12)
+      assert(w.sumPart(tw, 0.0, wdf, len, stats) <= bound + 1e-12)
+    }
+  }
+
+  // ---- the extended Xapian::Weight family ----
+
+  private val ln2 = math.log(2.0)
+  private def log2(x: Double) = math.log(x) / ln2
+
+  test("BM25+ adds delta·termweight to the BM25 part") {
+    val p = Bm25PlusWeight(delta = 1.0)
+    val tw = p.termWeight(1, 2, stats)
+    assert(math.abs(tw - Bm25Weight().termWeight(1, 2, stats)) < 1e-15)
+    val base = Bm25Weight().sumPart(tw, 0.0, 2, 3, stats)
+    assert(math.abs(p.sumPart(tw, 0.0, 2, 3, stats) - (base + tw)) < 1e-12)
+    // delta floor: even a heavily length-normalized match keeps ≥ δ·tw
+    assert(p.sumPart(tw, 0.0, 1, 4, stats) > tw)
+    assert(p.wandSafe)
+  }
+
+  test("TfIdf ntn: wdf · ln(N/df)") {
+    val t = TfIdfWeight("ntn")
+    val tw = t.termWeight(1, 2, stats)
+    assert(math.abs(tw - math.log(3.0 / 2)) < 1e-12)
+    assert(math.abs(t.sumPart(tw, 0.0, 2, 3, stats) - 2 * math.log(1.5)) < 1e-12)
+    // doclen-independent
+    assert(t.sumPart(tw, 0.0, 2, 100, stats) == t.sumPart(tw, 0.0, 2, 3, stats))
+  }
+
+  test("TfIdf wdf norms: b is boolean, l is 1+ln, s is squared") {
+    assert(TfIdfWeight("btn").sumPart(1.0, 0.0, 7, 3, stats) == 1.0)
+    assert(math.abs(TfIdfWeight("ltn").sumPart(1.0, 0.0, 3, 3, stats)
+      - (1.0 + math.log(3.0))) < 1e-12)
+    assert(TfIdfWeight("stn").sumPart(1.0, 0.0, 3, 3, stats) == 9.0)
+  }
+
+  test("TfIdf npn: negative idf for df > N/2 flips the maxPart bound to wdf=1") {
+    val t = TfIdfWeight("npn")
+    val tw = t.termWeight(1, 2, stats) // ln((3-2)/2) = ln(0.5) < 0
+    assert(tw < 0.0)
+    val bound = t.maxPart(tw, 0.0, maxWdf = 5, minDocLen = 2, stats)
+    Seq(1, 2, 5).foreach { wdf =>
+      assert(t.sumPart(tw, 0.0, wdf, 3, stats) <= bound + 1e-12)
+    }
+    intercept[IllegalArgumentException](TfIdfWeight("xxx"))
+  }
+
+  test("CoordWeight counts matching leaves") {
+    assert(CoordWeight.termWeight(3, 2, stats) == 1.0)
+    assert(CoordWeight.sumPart(1.0, 0.0, 7, 100, stats) == 1.0)
+    assert(CoordWeight.maxPart(1.0, 0.0, 9, 1, stats) == 1.0)
+  }
+
+  test("InL2 hand-computed and monotone") {
+    val i2 = InL2Weight(c = 1.0)
+    val tw = i2.termWeight(1, 2, stats)
+    assert(math.abs(tw - log2(4.0 / 2.5)) < 1e-12)
+    // wdf=2, len=3, avg=3 → wdfn = 2·log2(2) = 2 → tw·2/3
+    assert(math.abs(i2.sumPart(tw, 0.0, 2, 3, stats) - tw * 2.0 / 3) < 1e-12)
+    // monotone ↑wdf ↓doclen — the wandSafe contract
+    assert(i2.sumPart(tw, 0.0, 3, 3, stats) > i2.sumPart(tw, 0.0, 2, 3, stats))
+    assert(i2.sumPart(tw, 0.0, 2, 4, stats) < i2.sumPart(tw, 0.0, 2, 3, stats))
+    assert(i2.wandSafe)
+  }
+
+  test("PL2 hand-computed; rare term informative, saturated term near zero") {
+    val p = Pl2Weight(c = 1.0)
+    // cf=3, N=3 → λ=1; wdf=2, len=3 → wdfn=2
+    val ts = p.termStat(2, 3, stats)
+    assert(ts == 1.0)
+    val expected = (2 * log2(2.0) + (1.0 - 2.0) / ln2 + 0.5 * log2(4 * math.Pi)) / 3.0
+    assert(math.abs(p.sumPart(1.0, ts, 2, 3, stats) - expected) < 1e-12)
+    assert(!p.wandSafe) // non-monotone DFR dip
+    // endpoint maxPart covers the observed range on this tiny grid
+    val bound = p.maxPart(1.0, ts, 4, 2, stats)
+    for (wdf <- 1 to 4; len <- 2L to 4L)
+      assert(p.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
+  }
+
+  test("DPH zero at wdf == doclen, positive for a normal match") {
+    val d = DphWeight()
+    val ts = d.termStat(2, 3, stats) // cf = 3
+    assert(d.sumPart(1.0, ts, 3, 3, stats) == 0.0) // f = 1 guard
+    val v = d.sumPart(1.0, ts, 1, 4, stats)
+    // f=1/4: norm = (3/4)²/2; info = log2((1·3/4)·(3/3)) + ½·log2(2π·3/4)
+    val expected = (0.75 * 0.75 / 2.0) *
+      (1 * log2(1.0 * 3.0 / 4 * (3.0 / 3.0)) + 0.5 * log2(2 * math.Pi * 1 * 0.75))
+    assert(math.abs(v - expected) < 1e-12)
+    assert(!d.wandSafe)
+  }
+
+  test("LM dirichlet: ln(1 + wdf/(μ·p_C)) plus the ln α_d doc prior") {
+    val lm = LmWeight("dirichlet", mu = 2000.0)
+    val pC = lm.termStat(2, 3, stats) // cf/totalLen = 3/9
+    assert(math.abs(pC - 3.0 / 9) < 1e-15)
+    val part = lm.sumPart(1.0, pC, 2, 3, stats)
+    assert(math.abs(part - math.log(1.0 + 2.0 / (2000.0 * pC))) < 1e-12)
+    assert(lm.needsExtra)
+    val extra = lm.sumExtra(2, 3, stats)
+    assert(math.abs(extra - 2 * math.log(2000.0 / 2003)) < 1e-12)
+    assert(extra < 0.0)
+    // extra non-increasing in doclen (the WAND bound contract)
+    assert(lm.sumExtra(2, 4, stats) < lm.sumExtra(2, 2, stats))
+    assert(lm.wandSafe)
+  }
+
+  test("LM jm and two_stage: positive parts, monotone ↑wdf ↓doclen") {
+    for (lm <- Seq(LmWeight("jm"), LmWeight("two_stage"))) {
+      val pC = lm.termStat(2, 3, stats)
+      val p23 = lm.sumPart(1.0, pC, 2, 3, stats)
+      assert(p23 > 0.0)
+      assert(lm.sumPart(1.0, pC, 3, 3, stats) > p23)
+      assert(lm.sumPart(1.0, pC, 2, 4, stats) < p23)
+      assert(lm.maxPart(1.0, pC, 3, 2, stats) >= lm.sumPart(1.0, pC, 3, 2, stats))
+    }
+    intercept[IllegalArgumentException](LmWeight("unknown"))
+  }
+
+  test("wandSafe maxParts bound a random grid of (wdf, doclen) points") {
+    val schemes: Seq[Weight] = Seq(Bm25Weight(), Bm25PlusWeight(),
+      TradWeight(), TfIdfWeight("ntn"), TfIdfWeight("ltn"), CoordWeight,
+      InL2Weight(), LmWeight("jm"), LmWeight("dirichlet"), LmWeight("two_stage"))
+    val rnd = new scala.util.Random(42)
+    schemes.foreach { s =>
+      assert(s.wandSafe)
+      val tw = s.termWeight(1, 2, stats)
+      val ts = s.termStat(2, 5, stats)
+      val bound = s.maxPart(tw, ts, 6, 2, stats)
+      (1 to 50).foreach { _ =>
+        val wdf = 1 + rnd.nextInt(6)
+        val len = math.max(wdf.toLong, 2L + rnd.nextInt(8))
+        assert(s.sumPart(tw, ts, wdf, len, stats) <= bound + 1e-9,
+          s"$s wdf=$wdf len=$len")
+      }
     }
   }
 }

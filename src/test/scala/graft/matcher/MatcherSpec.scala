@@ -279,6 +279,74 @@ class MatcherSpec extends AnyFunSuite {
     assertSame(wand.mset(q, 10), want, "trad-wand")
   }
 
+  /** Three-way (or two-way for non-wandSafe schemes) rank identity
+    * under an alternative weighting scheme, over the shapes that
+    * exercise every sumPart call site: term leaf, multi-term scan OR,
+    * single-scan AND, synonym, and — for needsExtra schemes — the
+    * doclen-joined extra path. */
+  private def checkScheme(w: Weight, tag: String): Unit = {
+    val shapes = Seq(
+      t(midTerm),
+      or(t(midTerm), t("token")),
+      or(t(commonTerm), t(midTerm), t(rareTerm)),
+      and(t(commonTerm), t(midTerm)),
+      Synonym(Seq(t(midTerm), t("token"))),
+      EliteSet(Seq(t(commonTerm), t(midTerm), t(rareTerm), t("token")), 2))
+    shapes.foreach { q =>
+      val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = w))
+      val got = new DatasetMatcher(reader, MatchOptions(weight = w)).mset(q, 10)
+      assertSame(got, want, s"$tag:${q.describe}")
+      val wand = new WandMatcher(reader, weight = w)
+      if (wand.supports(q)) {
+        assertSame(wand.mset(q, 10), want, s"$tag-wand:${q.describe}")
+        val wandDist = new WandMatcher(reader, weight = w, localDfThreshold = 0L)
+        assertSame(wandDist.mset(q, 10), want, s"$tag-wand-dist:${q.describe}")
+      } else assert(!w.wandSafe || q.isInstanceOf[Query.Synonym],
+        s"$tag:${q.describe} unexpectedly off the WAND path")
+    }
+  }
+
+  test("BM25+ rank-identical across paths") { checkScheme(Bm25PlusWeight(), "bm25plus") }
+  test("BM25+ with k2: extra wired across paths") {
+    checkScheme(Bm25PlusWeight(k2 = 1.0), "bm25plus-k2")
+  }
+  test("TfIdf ntn rank-identical across paths") { checkScheme(TfIdfWeight("ntn"), "tfidf") }
+  test("TfIdf lfn rank-identical across paths") { checkScheme(TfIdfWeight("lfn"), "tfidf-lfn") }
+  test("Coord rank-identical across paths") { checkScheme(CoordWeight, "coord") }
+  test("InL2 rank-identical across paths") { checkScheme(InL2Weight(), "inl2") }
+  test("PL2 rank-identical to oracle (Dataset path; WAND refuses)") {
+    checkScheme(Pl2Weight(), "pl2")
+    assert(!new WandMatcher(reader, weight = Pl2Weight()).supports(t(midTerm)))
+  }
+  test("DPH rank-identical to oracle (Dataset path; WAND refuses)") {
+    checkScheme(DphWeight(), "dph")
+  }
+  test("LM dirichlet rank-identical across paths (negative doc prior)") {
+    checkScheme(LmWeight("dirichlet"), "lm-dir")
+  }
+  test("LM jm and two_stage rank-identical across paths") {
+    checkScheme(LmWeight("jm"), "lm-jm")
+    checkScheme(LmWeight("two_stage"), "lm-ts")
+  }
+
+  test("OP_MAX: union of children at the best child's weight") {
+    val q = Max(Seq(t(midTerm), t("token"), and(t(commonTerm), t(midTerm))))
+    check(q, tag = "max")
+    // a doc matching several children scores exactly its best child
+    val parts = Seq(t(midTerm), t("token"), and(t(commonTerm), t(midTerm)))
+      .map(p => Oracle.evaluate(p, oracleIdx, Oracle.Options()))
+    val m = Oracle.evaluate(q, oracleIdx, Oracle.Options())
+    m.foreach { case (did, s) =>
+      val best = parts.flatMap(_.get(did)).max
+      assert(math.abs(s - best) < 1e-12, s"doc $did")
+    }
+    // MAX(x) ≡ x; nested MAX flattens; MatchNothing child drops
+    assert(Query.simplify(Max(Seq(t("a")))) == t("a"))
+    assert(Query.simplify(Max(Seq(Max(Seq(t("a"), t("b"))), t("c")))) ==
+      Max(Seq(t("a"), t("b"), t("c"))))
+    assert(Query.simplify(Max(Seq(t("a"), Query.MatchNothing))) == t("a"))
+  }
+
   test("BoolWeight: every match scores zero, docId order") {
     val q = or(t(midTerm), t("token"))
     val want = Oracle.mset(q, oracleIdx, 10, Oracle.Options(weight = BoolWeight))
