@@ -843,4 +843,106 @@ GROUP BY 1 ORDER BY 1"""
     """SELECT o.o_orderkey, c.c_name, o.o_totalprice
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10"""
+
+  // ---------- alternative weighting schemes (Xapian::Weight family) ----------
+
+  /** Shared CTE prefix for the non-BM25 schemes: same tokenizer /
+    * doclen / stats as [[prefix]], plus per-term cf (collection
+    * frequency), totallen, and the DFR normalization-2 wdfn — the
+    * columns the scheme part formulas reference. `partSql` sees
+    * wdf, len, tw, df, cf, n, avglen, totallen, wdfn. */
+  def schemePrefix(terms: Seq[String], twSql: String,
+                   partSql: String): String =
+    s"""WITH corpus AS (SELECT * FROM documents),
+tok AS (
+  SELECT doc_id, t.term AS term
+  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n,
+                 (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM corpus) AS avglen,
+                 (SELECT sum(len) FROM doclen)::DOUBLE AS totallen),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM tok
+       WHERE term IN ${in(terms)} GROUP BY doc_id, term),
+dfcf AS (SELECT term, count(*)::DOUBLE AS df, sum(wdf)::DOUBLE AS cf
+         FROM tf GROUP BY term),
+w AS (SELECT term, df, cf, ($twSql) AS tw FROM dfcf, stats s),
+sp AS (
+  SELECT doc_id, term, len, ($partSql) AS part FROM (
+    SELECT tf.doc_id, tf.term, tf.wdf AS wdf, dl.len AS len, w.tw AS tw,
+           w.df AS df, w.cf AS cf, s.n AS n, s.avglen AS avglen,
+           s.totallen AS totallen,
+           tf.wdf * (ln(1 + s.avglen / dl.len) / ln(2)) AS wdfn
+    FROM tf JOIN w USING(term) JOIN doclen dl ON dl.doc_id = tf.doc_id,
+         stats s) x)"""
+
+  private def schemeMatch(terms: Seq[String], twSql: String,
+                          partSql: String, extraSql: String = ""): String = {
+    val score =
+      if (extraSql.isEmpty) "round(sum(part), 4)"
+      else s"round(sum(part) + ($extraSql), 4)"
+    schemePrefix(terms, twSql, partSql) +
+      s"\nSELECT doc_id, $score AS score FROM sp GROUP BY doc_id, len ORDER BY doc_id"
+  }
+
+  /** SMART tf·idf, "ntn": part = wdf · ln(N/df)
+    * (graft.core.TfIdfWeight mirror). */
+  def tfidfNtn(terms: Seq[String]): String =
+    schemeMatch(terms, twSql = "ln(s.n / df)", partSql = "tw * wdf")
+
+  /** Coordination-level matching: 1 per matching leaf. */
+  def coord(terms: Seq[String]): String =
+    schemeMatch(terms, twSql = "1.0", partSql = "tw")
+
+  /** BM25+ (δ = 1): the BM25 part plus δ·termweight per match. */
+  def bm25plus(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = """ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
+                 THEN (s.n - df + 0.5) / (df + 0.5) / 2 + 1
+                 ELSE (s.n - df + 0.5) / (df + 0.5) END)""",
+      partSql = "tw * wdf * 2.0 / ((0.5 + 0.5 * greatest(len::DOUBLE / avglen, 0.5)) + wdf) + 1.0 * tw")
+
+  /** DFR InL2 (c = 1): tw = log2((N+1)/(df+0.5)), part = tw·wdfn/(wdfn+1). */
+  def inl2(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "ln((s.n + 1.0) / (df + 0.5)) / ln(2)",
+      partSql = "tw * wdfn / (wdfn + 1.0)")
+
+  /** DFR PL2 (c = 1, wqf = 1): λ = cf/N,
+    * part = (wdfn·log2(wdfn/λ) + (λ−wdfn)·log2 e + ½ log2(2π wdfn)) / (wdfn+1). */
+  def pl2(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """tw * (wdfn * (ln(wdfn / (cf / n)) / ln(2))
+        + ((cf / n) - wdfn) / ln(2)
+        + 0.5 * (ln(2 * pi() * wdfn) / ln(2))) / (wdfn + 1.0)""")
+
+  /** DFR DPH (parameter-free, wqf = 1): f = wdf/len,
+    * part = ((1−f)²/(wdf+1)) · (wdf·log2((wdf·avglen/len)·(N/cf))
+    *        + ½ log2(2π·wdf·(1−f))); a wdf == len match scores 0. */
+  def dph(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """CASE WHEN wdf::DOUBLE / len >= 1.0 THEN 0.0 ELSE
+        tw * ((1.0 - wdf::DOUBLE / len) * (1.0 - wdf::DOUBLE / len) / (wdf + 1.0))
+           * (wdf * (ln(wdf * avglen / len * (n / cf)) / ln(2))
+              + 0.5 * (ln(2 * pi() * wdf * (1.0 - wdf::DOUBLE / len)) / ln(2)))
+        END""")
+
+  /** LM with Dirichlet smoothing (μ = 2000, wqf = 1):
+    * part = ln(1 + wdf/(μ·p_C)), p_C = cf/totallen; each matched doc
+    * also carries the |q|·ln(μ/(len+μ)) doc prior (querySize = number
+    * of query leaves). */
+  def lmDirichlet(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = "tw * ln(1 + wdf / (2000.0 * (cf / totallen)))",
+      extraSql = s"${terms.size} * ln(2000.0 / (len + 2000.0))")
+
+  /** OP_MAX over term leaves: union of matches, each doc at its best
+    * child's BM25 weight. */
+  def maxOf(terms: Seq[String]): String =
+    prefix(terms) +
+      "\nSELECT doc_id, round(max(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
 }

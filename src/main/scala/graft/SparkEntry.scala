@@ -149,6 +149,39 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ft_collapse" -> ((s, d) =>
       EntrySupport.collapseDf(s, d, t("data"))),
+    // ---------- alternative weighting schemes (Xapian::Weight family) ----------
+    "ft_tfidf" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.TfIdfWeight("ntn")))
+        .orderBy("doc_id")),
+    "ft_coord" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.CoordWeight))
+        .orderBy("doc_id")),
+    "ft_bm25plus" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.Bm25PlusWeight()))
+        .orderBy("doc_id")),
+    "ft_inl2" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.InL2Weight()))
+        .orderBy("doc_id")),
+    "ft_pl2" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.Pl2Weight()))
+        .orderBy("doc_id")),
+    "ft_dph" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.DphWeight()))
+        .orderBy("doc_id")),
+    "ft_lm" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.LmWeight("dirichlet")))
+        .orderBy("doc_id")),
+    // OP_MAX: union of children at the best child's BM25 weight
+    "ft_max" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Max(Seq(t("data"), t("stream"))))
+        .orderBy("doc_id")),
     // MSet::snippet analog: top-5 AND page with every query-term
     // occurrence highlighted (full-budget window ⇒ SQL-reproducible;
     // sub-budget window selection is covered by SnippetSpec goldens)
@@ -372,6 +405,14 @@ object SparkEntry {
     "ft_valuemap" -> EntrySql.valueMapLang("data",
       Seq("en" -> 0.5, "de" -> 0.25), 0.1),
     "ft_collapse" -> EntrySql.collapseByLang(Seq("data")),
+    "ft_tfidf" -> EntrySql.tfidfNtn(Seq("data", "stream")),
+    "ft_coord" -> EntrySql.coord(Seq("data", "stream")),
+    "ft_bm25plus" -> EntrySql.bm25plus(Seq("data", "stream")),
+    "ft_inl2" -> EntrySql.inl2(Seq("data", "stream")),
+    "ft_pl2" -> EntrySql.pl2(Seq("data", "stream")),
+    "ft_dph" -> EntrySql.dph(Seq("data", "stream")),
+    "ft_lm" -> EntrySql.lmDirichlet(Seq("data", "stream")),
+    "ft_max" -> EntrySql.maxOf(Seq("data", "stream")),
     "ft_snippet" -> EntrySql.snippetTopk("data", "stream", 5),
     "ft_mcount" -> EntrySql.mcountSql(Seq("data", "stream", "query")),
     "ft_stats" -> EntrySql.statsSql,

@@ -195,8 +195,20 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     (simplified, dict, compile(simplified, dict))
   }
 
-  /** Compile a query to (docId, score). */
-  def matches(q: Query): DataFrame = compiled(q)._3
+  /** Compile a query to (docId, score). For needsExtra schemes (BM25
+    * k2, the LM doc prior) the per-doc extra is folded in here too,
+    * so a bare match set carries the same weights as mset — the
+    * oracle's match level does the same. */
+  def matches(q: Query): DataFrame = {
+    val (simplified, _, m) = compiled(q)
+    if (!weight.needsExtra) m
+    else {
+      val querySize = simplified.terms.map(_.wqf).sum
+      m.join(idx.docs.select($"docId", $"doclen"), "docId")
+        .select($"docId",
+          ($"score" + sumExtraCol(querySize, $"doclen")).as("score"))
+    }
+  }
 
   /** Enquire::get_matching_terms analog (reference:
     * xapian-core/api/omenquire.cc): the query's terms occurring in
