@@ -28,6 +28,10 @@ sealed trait Weight extends Serializable {
   def termWeight(wqf: Int, df: Long, stats: StatsRow): Double
   /** Scheme-specific second per-term constant (0 unless overridden). */
   def termStat(df: Long, cf: Long, stats: StatsRow): Double = 0.0
+  /** True iff termStat is ever non-zero — multi-term scans then ship
+    * a second broadcast termId→termStat map; schemes that don't use
+    * it keep the single-map hot path. */
+  def usesTermStat: Boolean = false
   /** Per-(term, doc) contribution. */
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double
@@ -258,6 +262,8 @@ final case class Pl2Weight(c: Double = 1.0) extends Weight {
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
     cf.toDouble / stats.n
 
+  override def usesTermStat: Boolean = true
+
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double = {
     if (wdf <= 0 || doclen <= 0 || termStat <= 0.0) return 0.0
@@ -298,6 +304,8 @@ final case class DphWeight() extends Weight {
   /** cf — the term's collection frequency. */
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
     cf.toDouble
+
+  override def usesTermStat: Boolean = true
 
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double = {
@@ -350,6 +358,8 @@ final case class LmWeight(
   /** p_C — the term's collection probability cf/totalLen. */
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
     cf.toDouble / math.max(1L, stats.totalLen)
+
+  override def usesTermStat: Boolean = true
 
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double = {

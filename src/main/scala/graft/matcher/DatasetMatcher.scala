@@ -300,11 +300,15 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       if (entries.size < terms.size) emptyMatches // some term missing
       else {
         val twMap = typedLit(entries.map { case (id, (tw, _)) => id -> tw }.toMap)
-        val tsMap = typedLit(entries.map { case (id, (_, ts)) => id -> ts }.toMap)
+        val tsCol =
+          if (weight.usesTermStat)
+            element_at(typedLit(entries.map { case (id, (_, ts)) => id -> ts }.toMap),
+              $"termId")
+          else lit(0.0)
         decodeBlocks(idx.blocksFor(entries.map(_._1)), keepTermId = true)
           .select($"docId", $"termId",
             scoreColOf(element_at(twMap, $"termId"),
-              element_at(tsMap, $"termId"), $"wdf", $"doclen")
+              tsCol, $"wdf", $"doclen")
               .as("score"))
           .groupBy($"docId")
           .agg(sum($"score").as("score"), count(lit(1)).as("_nt"))
@@ -337,11 +341,15 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       if (entries.isEmpty) emptyMatches
       else {
         val twMap = typedLit(entries.map { case (id, (tw, _)) => id -> tw }.toMap)
-        val tsMap = typedLit(entries.map { case (id, (_, ts)) => id -> ts }.toMap)
+        val tsCol =
+          if (weight.usesTermStat)
+            element_at(typedLit(entries.map { case (id, (_, ts)) => id -> ts }.toMap),
+              $"termId")
+          else lit(0.0)
         decodeBlocks(idx.blocksFor(entries.map(_._1)), keepTermId = true)
           .select($"docId",
             scoreColOf(element_at(twMap, $"termId"),
-              element_at(tsMap, $"termId"), $"wdf", $"doclen")
+              tsCol, $"wdf", $"doclen")
               .as("score"))
           .groupBy($"docId").agg(sum($"score").as("score"))
       }
