@@ -930,6 +930,38 @@ sp AS (
               + 0.5 * (ln(2 * pi() * wdf * (1.0 - wdf::DOUBLE / len)) / ln(2)))
         END""")
 
+  /** DFR IfB2 (c = 1, wqf = 1): merged per-term constant
+    * K = ((cf+1)/df)·log2((N+1)/(cf+0.5)); part = K·wdfn/(wdfn+1). */
+  def ifb2(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """tw * ((cf + 1.0) / df * (ln((n + 1.0) / (cf + 0.5)) / ln(2)))
+        * wdfn / (wdfn + 1.0)""")
+
+  /** DFR IneB2 (c = 1, wqf = 1): like IfB2 with the expected-docs
+    * idf, ne = N·(1 − ((N−1)/N)^cf). */
+  def ineb2(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """tw * ((cf + 1.0) / df *
+          (ln((n + 1.0) / (n * (1.0 - pow((n - 1.0) / n, cf)) + 0.5)) / ln(2)))
+        * wdfn / (wdfn + 1.0)""")
+
+  /** DFR BB2 (c = 1, wqf = 1): Bose–Einstein with the Stirling-power
+    * approximation; wdfn ≥ cf guard scores 0 (graft.core.Bb2Weight
+    * mirror — termweight carries wqf/df). */
+  def bb2(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """CASE WHEN cf - wdfn <= 0.0 OR n + cf - wdfn - 2.0 <= 0.0 THEN 0.0 ELSE
+        (tw / df) * (cf + 1.0) / (wdfn + 1.0) *
+        ( -(ln(n - 1.0) / ln(2)) - 1.0 / ln(2)
+          + ((n + cf - wdfn - 2.0 + 0.5) * (ln((n + cf - 1.0) / (n + cf - wdfn - 2.0)) / ln(2))
+             + ((n + cf - 1.0) - (n + cf - wdfn - 2.0)) * (ln(n + cf - 1.0) / ln(2)))
+          - ((cf - wdfn + 0.5) * (ln(cf / (cf - wdfn)) / ln(2))
+             + (cf - (cf - wdfn)) * (ln(cf) / ln(2))) )
+        END""")
+
   /** LM with Dirichlet smoothing (μ = 2000, wqf = 1):
     * part = ln(1 + wdf/(μ·p_C)), p_C = cf/totallen; each matched doc
     * also carries the |q|·ln(μ/(len+μ)) doc prior (querySize = number

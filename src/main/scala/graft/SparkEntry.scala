@@ -178,6 +178,18 @@ object SparkEntry {
       EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
         graft.matcher.MatchOptions(weight = graft.core.LmWeight("dirichlet")))
         .orderBy("doc_id")),
+    "ft_ifb2" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.IfB2Weight()))
+        .orderBy("doc_id")),
+    "ft_ineb2" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.IneB2Weight()))
+        .orderBy("doc_id")),
+    "ft_bb2" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.Bb2Weight()))
+        .orderBy("doc_id")),
     // OP_MAX: union of children at the best child's BM25 weight
     "ft_max" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.Max(Seq(t("data"), t("stream"))))
@@ -412,6 +424,9 @@ object SparkEntry {
     "ft_pl2" -> EntrySql.pl2(Seq("data", "stream")),
     "ft_dph" -> EntrySql.dph(Seq("data", "stream")),
     "ft_lm" -> EntrySql.lmDirichlet(Seq("data", "stream")),
+    "ft_ifb2" -> EntrySql.ifb2(Seq("data", "stream")),
+    "ft_ineb2" -> EntrySql.ineb2(Seq("data", "stream")),
+    "ft_bb2" -> EntrySql.bb2(Seq("data", "stream")),
     "ft_max" -> EntrySql.maxOf(Seq("data", "stream")),
     "ft_snippet" -> EntrySql.snippetTopk("data", "stream", 5),
     "ft_mcount" -> EntrySql.mcountSql(Seq("data", "stream", "query")),

@@ -329,6 +329,131 @@ final case class DphWeight() extends Weight {
 }
 
 /**
+ * DFR IfB2: inverse collection-frequency model with Bernoulli
+ * after-effect and normalization 2 (Amati & van Rijsbergen, TOIS
+ * 2002; reference: xapian-core/weight/ifb2weight.cc):
+ *   wdfn = wdf · log2(1 + c·avgLen/doclen)
+ *   w    = wqf · ((cf+1)/(df·(wdfn+1))) · wdfn · log2((N+1)/(cf+0.5))
+ * The whole per-term constant K = ((cf+1)/df)·log2((N+1)/(cf+0.5))
+ * rides termStat, so sumPart = wqf·K·wdfn/(wdfn+1). K goes negative
+ * when cf > N+1 (a stop-word-dense term); the bound then flips to the
+ * least-wdfn corner, keeping the scheme WAND-safe either way.
+ */
+final case class IfB2Weight(c: Double = 1.0) extends Weight {
+  require(c > 0.0, "IfB2 c must be positive")
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+
+  /** K — the merged per-term constant (Bernoulli norm × idf). */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    if (df <= 0) 0.0
+    else (cf + 1.0) / df * (math.log((stats.n + 1.0) / (cf + 0.5)) / log2)
+
+  override def usesTermStat: Boolean = true
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0) return 0.0
+    val wdfn = wdf * (math.log(1.0 + c * stats.avgLen / doclen) / log2)
+    termWt * termStat * wdfn / (wdfn + 1.0)
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    if (termStat >= 0.0) sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+    else sumPart(termWt, termStat, 1, stats.maxDocLen, stats)
+}
+
+/**
+ * DFR IneB2: like IfB2 but the idf uses the EXPECTED number of
+ * documents containing the term under a binomial model,
+ * ne = N·(1 − ((N−1)/N)^cf) (Amati & van Rijsbergen, TOIS 2002;
+ * reference: xapian-core/weight/ineb2weight.cc):
+ *   w = wqf · ((cf+1)/(df·(wdfn+1))) · wdfn · log2((N+1)/(ne+0.5))
+ * Same merged-constant shape as IfB2 — WAND-safe.
+ */
+final case class IneB2Weight(c: Double = 1.0) extends Weight {
+  require(c > 0.0, "IneB2 c must be positive")
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double = {
+    if (df <= 0 || stats.n <= 0) return 0.0
+    val n = stats.n.toDouble
+    val ne = n * (1.0 - math.pow((n - 1.0) / n, cf.toDouble))
+    (cf + 1.0) / df * (math.log((n + 1.0) / (ne + 0.5)) / log2)
+  }
+
+  override def usesTermStat: Boolean = true
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0) return 0.0
+    val wdfn = wdf * (math.log(1.0 + c * stats.avgLen / doclen) / log2)
+    termWt * termStat * wdfn / (wdfn + 1.0)
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    if (termStat >= 0.0) sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+    else sumPart(termWt, termStat, 1, stats.maxDocLen, stats)
+}
+
+/**
+ * DFR BB2: Bose–Einstein model with Bernoulli after-effect and
+ * normalization 2 (Amati & van Rijsbergen, TOIS 2002; reference:
+ * xapian-core/weight/bb2weight.cc), with the standard Stirling-power
+ * approximation f(n,m) = (m+0.5)·log2(n/m) + (n−m)·log2(n):
+ *   wdfn = wdf · log2(1 + c·avgLen/doclen)
+ *   w    = (wqf·(cf+1)/df) · 1/(wdfn+1) ·
+ *          (−log2(N−1) − log2 e + f(N+cf−1, N+cf−wdfn−2) − f(cf, cf−wdfn))
+ * termWeight carries wqf/df (still linear for duplicate leaves),
+ * termStat carries cf. Guards: N ≤ 1, or wdfn ≥ cf (a short doc can
+ * normalize wdf past the collection frequency, making the Stirling
+ * argument non-positive) → 0. Non-monotone → wandSafe = false with
+ * the endpoint-heuristic maxPart.
+ */
+final case class Bb2Weight(c: Double = 1.0) extends Weight {
+  require(c > 0.0, "BB2 c must be positive")
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+    if (df <= 0) 0.0 else wqf.toDouble / df
+
+  /** cf — the term's collection frequency. */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    cf.toDouble
+
+  override def usesTermStat: Boolean = true
+
+  private def stirling(n: Double, m: Double): Double =
+    (m + 0.5) * (math.log(n / m) / log2) + (n - m) * (math.log(n) / log2)
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0 || termStat <= 0.0 || stats.n <= 1) return 0.0
+    val n = stats.n.toDouble
+    val cf = termStat
+    val wdfn = wdf * (math.log(1.0 + c * stats.avgLen / doclen) / log2)
+    if (cf - wdfn <= 0.0 || n + cf - wdfn - 2.0 <= 0.0) return 0.0
+    val info = -(math.log(n - 1.0) / log2) - 1.0 / math.log(2.0) +
+      stirling(n + cf - 1.0, n + cf - wdfn - 2.0) -
+      stirling(cf, cf - wdfn)
+    termWt * (cf + 1.0) / (wdfn + 1.0) * info
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    math.max(0.0, math.max(
+      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
+      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+
+  override def wandSafe: Boolean = false
+}
+
+/**
  * Query-likelihood language model with smoothing (Zhai & Lafferty,
  * SIGIR'01; reference: xapian-core/weight/lmweight.cc — smoothing
  * selector + two-stage default). Rank-equivalent decomposition:

@@ -119,6 +119,24 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       case InL2Weight(c) =>
         val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
         tw * wdfn / (wdfn + lit(1.0))
+      case IfB2Weight(c) =>
+        val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
+        tw * ts * wdfn / (wdfn + lit(1.0))
+      case IneB2Weight(c) =>
+        val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
+        tw * ts * wdfn / (wdfn + lit(1.0))
+      case Bb2Weight(c) =>
+        if (stats.n <= 1) lit(0.0)
+        else {
+          val n = lit(stats.n.toDouble)
+          val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
+          def stir(a: Column, m: Column): Column =
+            (m + lit(0.5)) * (log(a / m) / lit(ln2)) + (a - m) * (log(a) / lit(ln2))
+          val info = -(log(n - lit(1.0)) / lit(ln2)) - lit(1.0 / ln2) +
+            stir(n + ts - lit(1.0), n + ts - wdfn - lit(2.0)) - stir(ts, ts - wdfn)
+          when(ts - wdfn <= lit(0.0) || n + ts - wdfn - lit(2.0) <= lit(0.0), lit(0.0))
+            .otherwise(tw * (ts + lit(1.0)) / (wdfn + lit(1.0)) * info)
+        }
       case Pl2Weight(c) =>
         val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
         val p = wdfn * (log(wdfn / ts) / lit(ln2)) +

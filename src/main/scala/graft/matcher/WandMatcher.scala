@@ -393,10 +393,15 @@ object WandMatcher {
       * skip target: no doc ≤ this can beat θ when the cumulative
       * bound fails). */
     def curBlockLast: Long = blocks(bi).lastDocId
-    /** Upper bound of this term's contribution in the CURRENT block. */
+    /** Upper bound of this term's contribution in the CURRENT block,
+      * clamped at 0: the WAND pivot compares SUBSET sums against
+      * prefix sums, which is only admissible when every per-term
+      * bound is non-negative (a negative-idf term — TfIdf 'p', IfB2
+      * with cf > N+1 — can only lower a doc's score, so 0 is a valid
+      * upper bound on its contribution). */
     def blockUB: Double = {
       val b = blocks(bi)
-      w.maxPart(termWeight, termStat, b.maxWdf, b.minDocLen, stats)
+      math.max(0.0, w.maxPart(termWeight, termStat, b.maxWdf, b.minDocLen, stats))
     }
 
     def next(): Unit = {

@@ -192,6 +192,55 @@ class WeightSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LmWeight("unknown"))
   }
 
+  test("IfB2 hand-computed: merged Bernoulli-norm × idf constant") {
+    val w = IfB2Weight(c = 1.0)
+    val k = w.termStat(2, 3, stats)
+    assert(math.abs(k - (3 + 1.0) / 2 * log2(4.0 / 3.5)) < 1e-12)
+    // wdf=2, len=3 → wdfn=2 → part = 1·K·2/3
+    assert(math.abs(w.sumPart(1.0, k, 2, 3, stats) - k * 2.0 / 3) < 1e-12)
+    assert(w.wandSafe)
+  }
+
+  test("IfB2 negative constant (stop-word-dense term) flips the bound corner") {
+    // cf = 9 > N+1 = 4 → idf = log2(4/9.5) < 0 → K < 0
+    val w = IfB2Weight()
+    val k = w.termStat(3, 9, stats)
+    assert(k < 0.0)
+    val bound = w.maxPart(1.0, k, 4, 2, stats)
+    for (wdf <- 1 to 4; len <- 2L to 4L)
+      assert(w.sumPart(1.0, k, wdf, len, stats) <= bound + 1e-12, s"$wdf $len")
+    // IneB2's expected-docs idf saturates below N, so its constant
+    // stays positive even for the same stop-word-dense term
+    assert(IneB2Weight().termStat(3, 9, stats) > 0.0)
+  }
+
+  test("IneB2: expected-documents idf") {
+    val w = IneB2Weight(c = 1.0)
+    val ne = 3.0 * (1.0 - math.pow(2.0 / 3, 3))
+    val k = w.termStat(2, 3, stats)
+    assert(math.abs(k - (3 + 1.0) / 2 * log2(4.0 / (ne + 0.5))) < 1e-12)
+    assert(math.abs(w.sumPart(1.0, k, 2, 3, stats) - k * 2.0 / 3) < 1e-12)
+  }
+
+  test("BB2: Stirling-power info, guards at wdfn ≥ cf") {
+    val w = Bb2Weight(c = 1.0)
+    val cf = w.termStat(2, 3, stats)
+    assert(cf == 3.0)
+    val tw = w.termWeight(1, 2, stats)
+    assert(tw == 0.5)
+    // wdf=1, len=4 → wdfn = log2(1.75)
+    val wdfn = log2(1.75)
+    def stir(n: Double, m: Double) = (m + 0.5) * log2(n / m) + (n - m) * log2(n)
+    val info = -log2(2.0) - 1.0 / ln2 +
+      stir(3 + 3 - 1.0, 3 + 3 - wdfn - 2.0) - stir(3.0, 3.0 - wdfn)
+    val expected = tw * 4.0 / (wdfn + 1.0) * info
+    assert(math.abs(w.sumPart(tw, cf, 1, 4, stats) - expected) < 1e-12)
+    // a doc where wdfn ≥ cf scores 0 (Stirling argument guard):
+    // wdf=4, len=1 → wdfn = 4·log2(4) = 8 > cf=3
+    assert(w.sumPart(tw, cf, 4, 1, stats) == 0.0)
+    assert(!w.wandSafe)
+  }
+
   test("wandSafe maxParts bound a random grid of (wdf, doclen) points") {
     val schemes: Seq[Weight] = Seq(Bm25Weight(), Bm25PlusWeight(),
       TradWeight(), TfIdfWeight("ntn"), TfIdfWeight("ltn"), CoordWeight,

@@ -321,6 +321,11 @@ class MatcherSpec extends AnyFunSuite {
   test("DPH rank-identical to oracle (Dataset path; WAND refuses)") {
     checkScheme(DphWeight(), "dph")
   }
+  test("IfB2 rank-identical across paths") { checkScheme(IfB2Weight(), "ifb2") }
+  test("IneB2 rank-identical across paths") { checkScheme(IneB2Weight(), "ineb2") }
+  test("BB2 rank-identical to oracle (Dataset path; WAND refuses)") {
+    checkScheme(Bb2Weight(), "bb2")
+  }
   test("LM dirichlet rank-identical across paths (negative doc prior)") {
     checkScheme(LmWeight("dirichlet"), "lm-dir")
   }
