@@ -334,6 +334,19 @@ class MatcherSpec extends AnyFunSuite {
     checkScheme(LmWeight("two_stage"), "lm-ts")
   }
 
+  test("termStat-scheme multi-term scan stays inside WholeStageCodegen") {
+    // the DFR column expressions (log/when arithmetic over the
+    // broadcast tw/ts maps) must fuse with the posting decode —
+    // no typed-object split on the scoring hot path
+    val df = new DatasetMatcher(reader, MatchOptions(weight = Pl2Weight()))
+      .matches(or(t(commonTerm), t(midTerm)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    assert(plan.contains("Generate inline(unpack_postings"), plan)
+  }
+
   test("OP_MAX: union of children at the best child's weight") {
     val q = Max(Seq(t(midTerm), t("token"), and(t(commonTerm), t(midTerm))))
     check(q, tag = "max")
