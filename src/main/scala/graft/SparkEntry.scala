@@ -54,10 +54,25 @@ object SparkEntry {
   private def ivfIndexPath(s: SparkSession, d: String,
                            cs: Seq[(Int, Seq[Float])]): String =
     ivfCache.getOrElseUpdate(d, {
+      // the resume marker records a fingerprint of the SOURCE
+      // embeddings (sizes + mtimes), so a regenerated scale dir
+      // rebuilds instead of silently serving a stale index; the raw
+      // dir path is keyed too (distinct dirs can sanitize to one name)
       val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
       val dir = new java.io.File(s"target/graft-ivf-index/$name").getAbsolutePath
-      if (!new java.io.File(dir + "/_SUCCESS").exists())
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        .sortBy(_.getName)
+      val fingerprint = d + "\n" +
+        parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+      val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
+      val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == fingerprint
+      if (!fresh) {
         AnnOps.writeIvfIndex(embeddings(s, d), cs, dir)
+        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+      }
       dir
     })
 

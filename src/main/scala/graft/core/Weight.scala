@@ -171,7 +171,9 @@ final case class TfIdfWeight(normalizations: String = "ntn") extends Weight {
   private def idfn(df: Long, N: Double): Double = normalizations(1) match {
     case 'n' => 1.0
     case 't' => math.log(N / df)
-    case 'p' => math.log((N - df) / df.toDouble)
+    // df == N would be ln(0) = −∞; a term in EVERY document carries
+    // no signal, so it scores 0 (the clamped-WAND bound assumption)
+    case 'p' => if (df >= N) 0.0 else math.log((N - df) / df.toDouble)
     case 'f' => 1.0 / df
     case 's' => { val l = math.log(N / df); l * l }
   }

@@ -217,7 +217,14 @@ class SegmentedIndex(
     new String(Files.readAllBytes(deletesFile), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq.map { l =>
         l.split("\\|", -1) match {
-          case Array(r, p, c, u) => Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
+          // versioned lines: the "b64" sentinel pins the encoding, so
+          // a log written by the pre-encoding format (raw keys) can
+          // never be misread as base64 — raw fields that HAPPEN to be
+          // valid base64 ('main', 'repo') would otherwise decode into
+          // silent garbage keys
+          case Array("b64", r, p, c, u) =>
+            Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
+          case Array(r, p, c, u) => Tombstone(r, p, c, u.toInt) // legacy
           case _ => throw new IllegalStateException(
             s"corrupt tombstone line in $deletesFile: $l")
         }
@@ -228,7 +235,7 @@ class SegmentedIndex(
     Files.createDirectories(Paths.get(baseDir))
     val tmp = Paths.get(s"$baseDir/deletes.txt.tmp")
     Files.write(tmp,
-      ts.map(t => s"${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}")
+      ts.map(t => s"b64|${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}")
         .mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, deletesFile, StandardCopyOption.REPLACE_EXISTING,

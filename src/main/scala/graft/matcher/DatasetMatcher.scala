@@ -110,7 +110,10 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
         val wdfn = w.normalizations(0) match {
           case 'n' => wdf.cast("double")
           case 'b' => when(wdf > 0, lit(1.0)).otherwise(lit(0.0))
-          case 's' => (wdf * wdf).cast("double")
+          // double FIRST: an IntegerType square overflows (ANSI
+          // throws) at wdf ≥ 46341 where the scalar mirror
+          // (wdf.toDouble * wdf) is exact
+          case 's' => wdf.cast("double") * wdf
           case 'l' => when(wdf === 0, lit(0.0))
             .otherwise(lit(1.0) + log(wdf.cast("double")))
         }

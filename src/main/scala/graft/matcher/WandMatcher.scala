@@ -496,6 +496,17 @@ object WandMatcher {
       Ordering.by { case (did, s) => (-s, didSign * did) }
     val heap = mutable.PriorityQueue.empty[(Long, Double)]
     var theta = Double.NegativeInfinity
+    // Whether a bound `ub` can be pruned against θ. A doc attaining
+    // EXACTLY θ can still enter the heap by winning the docId
+    // tie-break; candidates arrive docId-ascending within a stripe,
+    // so under the default ascending order a θ-tie always LOSES to
+    // the incumbents and pruning at ub == θ is safe — but under
+    // set_docid_order(DESCENDING) a later (larger) docId WINS the
+    // tie, so pruning needs strict inequality. Reachable whenever a
+    // bound is exact (CoordWeight; duplicate docs at their block
+    // max).
+    def unbeatable(ub: Double): Boolean =
+      if (didSign > 0) ub <= theta else ub < theta
 
     if (conj) {
       // leapfrog intersection with cumulative block-max early exit:
@@ -536,7 +547,7 @@ object WandMatcher {
             if (cursors(i).curBlockLast < minLast) minLast = cursors(i).curBlockLast
             i += 1
           }
-          if (ub <= theta) {
+          if (unbeatable(ub)) {
             i = 0
             while (!done && i < cursors.length) {
               cursors(i).skipTo(minLast + 1)
@@ -594,7 +605,7 @@ object WandMatcher {
       var i = 0
       while (pivotIdx < 0 && i < sorted.length) {
         acc += sorted(i).blockUB
-        if (acc > theta) pivotIdx = i
+        if (!unbeatable(acc)) pivotIdx = i
         i += 1
       }
       if (pivotIdx < 0) {

@@ -119,6 +119,8 @@ class WeightSpec extends AnyFunSuite {
       assert(t.sumPart(tw, 0.0, wdf, 3, stats) <= bound + 1e-12)
     }
     intercept[IllegalArgumentException](TfIdfWeight("xxx"))
+    // df == N singularity: ln((N-df)/df) would be −∞ — guarded to 0
+    assert(t.termWeight(1, 3, stats) == 0.0)
   }
 
   test("CoordWeight counts matching leaves") {

@@ -17,6 +17,26 @@ import Query._
 class SegmentedIndexSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("tombstone log: b64-sentinel lines round-trip, legacy raw lines still parse") {
+    val dir = Files.createTempDirectory("graft-tomb").toString
+    val seg = new SegmentedIndex(spark, dir, stemMode = "none")
+    // legacy (pre-sentinel) raw line + keys needing escaping
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/deletes.txt"),
+      "legacy-repo|src/a.scala|abc123|1\n".getBytes("UTF-8"))
+    val legacy = seg.listDeletes()
+    assert(legacy == Seq(seg.Tombstone("legacy-repo", "src/a.scala", "abc123", 1)))
+    // appending via delete() re-writes everything in the sentinel
+    // format; a key containing '|' and newline survives
+    seg.delete(Seq(("we|ird", "pa\nth", "c|mt")))
+    val all2 = seg.listDeletes()
+    assert(all2.head == seg.Tombstone("legacy-repo", "src/a.scala", "abc123", 1))
+    assert(all2(1).repo == "we|ird" && all2(1).path == "pa\nth" &&
+      all2(1).commit == "c|mt")
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/deletes.txt")), "UTF-8")
+    assert(raw.linesIterator.forall(_.startsWith("b64|")), raw)
+  }
+
   private val all = CorpusGen.generate(seed = 21, nRepos = 4, filesPerRepo = 20)
   private val batches = Seq(all.take(30), all.slice(30, 55), all.drop(55))
 

@@ -334,6 +334,26 @@ class MatcherSpec extends AnyFunSuite {
     checkScheme(LmWeight("two_stage"), "lm-ts")
   }
 
+  test("exact-bound ties under docid_order DESCENDING survive WAND pruning") {
+    // CoordWeight makes every block bound EXACT (== the attained
+    // score), so with more than k ties the θ-equal tail is exactly
+    // where descending docId order picks its winners — pruning at
+    // ub == θ would drop them (code-review finding, round 3)
+    val q = and(t(commonTerm), t(midTerm))
+    for (w <- Seq[Weight](CoordWeight, Bm25Weight());
+         desc <- Seq(false, true)) {
+      val oOpts = Oracle.Options(weight = w, docIdOrderDesc = desc)
+      val want = Oracle.mset(q, oracleIdx, 5, oOpts)
+      val wand = new WandMatcher(reader, weight = w, docIdOrderDesc = desc)
+      if (wand.supports(q))
+        assertSame(wand.mset(q, 5), want, s"tie-prune:$w:desc=$desc")
+      val wandDist = new WandMatcher(reader, weight = w, docIdOrderDesc = desc,
+        localDfThreshold = 0L)
+      if (wandDist.supports(q))
+        assertSame(wandDist.mset(q, 5), want, s"tie-prune-dist:$w:desc=$desc")
+    }
+  }
+
   test("termStat-scheme multi-term scan stays inside WholeStageCodegen") {
     // the DFR column expressions (log/when arithmetic over the
     // broadcast tw/ts maps) must fuse with the posting decode —
