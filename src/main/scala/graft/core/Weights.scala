@@ -1,0 +1,51 @@
+package graft.core
+
+/**
+ * Weight-scheme registry: parse a CLI/config spec string into a
+ * [[Weight]] (the quest `--weighting` selector analog — reference:
+ * xapian-applications/omega/quest.cc; upstream also exposes scheme
+ * names through Registry/Weight::create).
+ *
+ * Spec grammar: `name` or `name:arg[,arg...]` —
+ *   bm25[:k1,k2,k3,b,minNormLen]   bm25+[:...same,delta]
+ *   trad[:k]        bool           coord
+ *   tfidf[:ntn]     inl2[:c]       pl2[:c]      dph
+ *   ifb2[:c]        ineb2[:c]      bb2[:c]
+ *   lm[:smoothing[,lambda[,mu]]]   (jm | dirichlet | two_stage)
+ */
+object Weights {
+  def parse(spec: String): Weight = {
+    val (name, args) = spec.split(":", 2) match {
+      case Array(n)    => (n.trim.toLowerCase, Array.empty[String])
+      case Array(n, a) => (n.trim.toLowerCase, a.split(",").map(_.trim))
+    }
+    def d(i: Int, dft: Double): Double =
+      if (i < args.length && args(i).nonEmpty) args(i).toDouble else dft
+    name match {
+      case "bm25" =>
+        Bm25Weight(d(0, 1.0), d(1, 0.0), d(2, 1.0), d(3, 0.5), d(4, 0.5))
+      case "bm25+" | "bm25plus" =>
+        Bm25PlusWeight(d(0, 1.0), d(1, 0.0), d(2, 1.0), d(3, 0.5), d(4, 0.5),
+          d(5, 1.0))
+      case "trad"  => TradWeight(d(0, 1.0))
+      case "bool"  => BoolWeight
+      case "coord" => CoordWeight
+      case "tfidf" =>
+        TfIdfWeight(if (args.nonEmpty && args(0).nonEmpty) args(0) else "ntn")
+      case "inl2"  => InL2Weight(d(0, 1.0))
+      case "pl2"   => Pl2Weight(d(0, 1.0))
+      case "dph"   => DphWeight()
+      case "ifb2"  => IfB2Weight(d(0, 1.0))
+      case "ineb2" => IneB2Weight(d(0, 1.0))
+      case "bb2"   => Bb2Weight(d(0, 1.0))
+      case "lm" =>
+        val smoothing =
+          if (args.nonEmpty && args(0).nonEmpty) args(0) else "two_stage"
+        LmWeight(smoothing, d(1, 0.7), d(2, 2000.0))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown weighting scheme '$other' (bm25, bm25+, trad, bool, " +
+            "coord, tfidf, inl2, pl2, dph, ifb2, ineb2, bb2, lm)")
+    }
+  }
+}

@@ -434,5 +434,14 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       Seq(stats).toDS().write.mode("overwrite").parquet(s"$dir/stats")
       writeManifest("stats", 1L, Seq((0, 1L, 0L)))
     }
+
+    // self-describing index: persist the knobs a reader needs, so
+    // IndexReader.open(spark, dir) works without out-of-band config
+    // (the chert version-file analog)
+    Files.write(Paths.get(s"$dir/_config.json"),
+      (s"""{"nBuckets":${cfg.nBuckets},"stripeShift":${cfg.stripeShift},""" +
+        s""""stemMode":"${cfg.stemMode}","stemLang":"${cfg.stemLang}",""" +
+        s""""tokenizerMode":"${cfg.tokenizerMode}",""" +
+        s""""storePositions":${cfg.storePositions}}""").getBytes("UTF-8"))
   }
 }

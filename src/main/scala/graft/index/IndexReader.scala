@@ -212,3 +212,35 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
       .filter($"termId".isin(termIds: _*))
   }
 }
+
+object IndexReader {
+  /** The knobs `_config.json` persists at build time. */
+  final case class IndexConfig(nBuckets: Int, stripeShift: Int,
+                               stemMode: String, stemLang: String,
+                               tokenizerMode: String, storePositions: Boolean)
+
+  /** Read an index's persisted build config (Database::open analog:
+    * the directory is self-describing). Indexes written before
+    * `_config.json` existed fall back to the builder defaults. */
+  def configOf(dir: String): IndexConfig = {
+    val p = java.nio.file.Paths.get(s"$dir/_config.json")
+    if (!java.nio.file.Files.exists(p))
+      return IndexConfig(16, 14, "some", "en", "xapian", storePositions = true)
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    def str(k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        .getOrElse(throw new IllegalStateException(s"missing $k in $p"))
+    def num(k: String): Int =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"missing $k in $p"))
+    IndexConfig(num("nBuckets"), num("stripeShift"), str("stemMode"),
+      str("stemLang"), str("tokenizerMode"),
+      s.contains(""""storePositions":true"""))
+  }
+
+  /** Open an index directory using its persisted config. */
+  def open(spark: SparkSession, dir: String): IndexReader = {
+    val c = configOf(dir)
+    new IndexReader(spark, dir, c.nBuckets, c.stripeShift)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.core.CorpusRow
+import graft.index.{BuildConfig, IndexBuilder}
+import org.apache.spark.sql.{functions => F, SparkSession}
+
+/**
+ * The `omindex` / `simpleindex` CLI analog (reference:
+ * xapian-applications/omega/omindex.cc): build (or resume) an index
+ * from a parquet corpus in the `input_hint` shape
+ * (repo, path, commit, lang, content). Run via
+ *
+ *   spark-submit --class graft.tools.Omindex <jar> \
+ *     <corpusParquet> <indexDir> [--stem=some|none] [--stemlang=en|de|auto]
+ *     [--tokenizer=xapian|simple] [--buckets=16] [--stripe-shift=14]
+ *     [--partitions=32] [--no-positions] [--field-prefix=col:P ...]
+ *
+ * The build is the staged, manifest-gated, resumable pipeline — a
+ * re-run after failure skips completed stages; a finished index is a
+ * no-op. Missing corpus columns are defaulted ("" / "und") so any
+ * subset-shaped parquet with at least `content` indexes.
+ */
+object Omindex {
+  final case class Args(
+      corpus: String, indexDir: String, stemMode: String = "some",
+      stemLang: String = "en", tokenizer: String = "xapian",
+      buckets: Int = 16, stripeShift: Int = 14, partitions: Int = 32,
+      positions: Boolean = true, fieldPrefixes: Map[String, String] = Map.empty)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 2, "usage: Omindex <corpusParquet> <indexDir> [flags]")
+    var a = Args(corpus = pos(0), indexDir = pos(1))
+    argv.filter(_.startsWith("--")).foreach { f =>
+      val (k, v) = f.split("=", 2) match {
+        case Array(k0, v0) => (k0, v0)
+        case Array(k0)     => (k0, "")
+      }
+      k match {
+        case "--stem"         => a = a.copy(stemMode = v)
+        case "--stemlang"     => a = a.copy(stemLang = v)
+        case "--tokenizer"    => a = a.copy(tokenizer = v)
+        case "--buckets"      => a = a.copy(buckets = v.toInt)
+        case "--stripe-shift" => a = a.copy(stripeShift = v.toInt)
+        case "--partitions"   => a = a.copy(partitions = v.toInt)
+        case "--no-positions" => a = a.copy(positions = false)
+        case "--field-prefix" => v.split(":", 2) match {
+          case Array(c, p) => a = a.copy(fieldPrefixes = a.fieldPrefixes + (c -> p))
+          case _ => throw new IllegalArgumentException(s"expected col:P in $f")
+        }
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    a
+  }
+
+  /** Shape an arbitrary parquet into the input_hint corpus schema,
+    * defaulting absent columns, and run the staged build. */
+  def run(spark: SparkSession, a: Args): Unit = {
+    import spark.implicits._
+    val raw = spark.read.parquet(a.corpus)
+    def colOr(name: String, dft: String) =
+      if (raw.columns.contains(name)) F.coalesce(F.col(name), F.lit(dft))
+      else F.lit(dft)
+    require(raw.columns.contains("content"),
+      s"corpus ${a.corpus} has no 'content' column")
+    val corpus = raw.select(
+      colOr("repo", "corpus").as("repo"),
+      colOr("path", "").as("path"),
+      colOr("commit", "").as("commit"),
+      colOr("lang", "und").as("lang"),
+      colOr("content", "").as("content")).as[CorpusRow]
+    val cfg = BuildConfig(indexDir = a.indexDir, stemMode = a.stemMode,
+      stemLang = a.stemLang, tokenizerMode = a.tokenizer,
+      nBuckets = a.buckets, stripeShift = a.stripeShift,
+      buildPartitions = a.partitions, storePositions = a.positions,
+      fieldPrefixes = a.fieldPrefixes)
+    new IndexBuilder(spark, cfg).build(corpus)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-omindex")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try {
+      run(spark, a)
+      println(s"indexed ${a.corpus} -> ${a.indexDir}")
+    } finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

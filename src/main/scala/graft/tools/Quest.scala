@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft.core._
+import graft.index.IndexReader
+import graft.matcher.{DatasetMatcher, MatchOptions, WandMatcher}
+import graft.queryparser.QueryParser
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The `quest` CLI analog (reference: xapian-applications/omega/
+ * quest.cc — parse a query string, search, print the MSet): run via
+ *
+ *   spark-submit --class graft.tools.Quest <jar> \
+ *     <indexDir> "<query>" [--msize=10] [--offset=0] [--weight=bm25]
+ *     [--default-op=or|and] [--matcher=auto|wand|dataset]
+ *     [--stem=none|some] [--stemlang=en] [--prefix=field:P ...]
+ *     [--boolprefix=field:P ...] [--desc-docid] [--pure-not]
+ *
+ * The index's persisted `_config.json` supplies the default stem
+ * mode/language and tokenizer, so parse-time term processing matches
+ * build-time processing without out-of-band flags. `--matcher=auto`
+ * routes through the block-max WAND path whenever it supports the
+ * parsed shape (the reference matcher's pruned top-k), else the
+ * exhaustive Dataset path.
+ */
+object Quest {
+  final case class Args(
+      indexDir: String, query: String, msize: Int = 10, offset: Int = 0,
+      weight: Weight = Bm25Weight(), defaultOp: String = "or",
+      matcher: String = "auto", stemMode: Option[String] = None,
+      stemLang: Option[String] = None,
+      prefixes: Map[String, String] = Map.empty,
+      boolPrefixes: Map[String, String] = Map.empty,
+      descDocId: Boolean = false, pureNot: Boolean = false)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 2, "usage: Quest <indexDir> \"<query>\" [flags]")
+    var a = Args(indexDir = pos(0), query = pos(1))
+    argv.filter(_.startsWith("--")).foreach { f =>
+      val (k, v) = f.split("=", 2) match {
+        case Array(k0, v0) => (k0, v0)
+        case Array(k0)     => (k0, "")
+      }
+      def kv(s: String): (String, String) = s.split(":", 2) match {
+        case Array(f0, p0) => (f0, p0)
+        case _ => throw new IllegalArgumentException(s"expected field:P in $f")
+      }
+      k match {
+        case "--msize"      => a = a.copy(msize = v.toInt)
+        case "--offset"     => a = a.copy(offset = v.toInt)
+        case "--weight"     => a = a.copy(weight = Weights.parse(v))
+        case "--default-op" => a = a.copy(defaultOp = v)
+        case "--matcher"    => a = a.copy(matcher = v)
+        case "--stem"       => a = a.copy(stemMode = Some(v))
+        case "--stemlang"   => a = a.copy(stemLang = Some(v))
+        case "--prefix"     => a = a.copy(prefixes = a.prefixes + kv(v))
+        case "--boolprefix" => a = a.copy(boolPrefixes = a.boolPrefixes + kv(v))
+        case "--desc-docid" => a = a.copy(descDocId = true)
+        case "--pure-not"   => a = a.copy(pureNot = true)
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    a
+  }
+
+  /** Parse + match + format; the testable core of main(). */
+  def run(spark: SparkSession, a: Args): Seq[String] = {
+    val idxCfg = IndexReader.configOf(a.indexDir)
+    val idx = IndexReader.open(spark, a.indexDir)
+    val pcfg = QueryParser.Config(
+      defaultOp = a.defaultOp,
+      stemMode = a.stemMode.getOrElse(idxCfg.stemMode),
+      stemLang = a.stemLang.getOrElse(
+        if (idxCfg.stemLang == "auto") "en" else idxCfg.stemLang),
+      prefixes = a.prefixes, boolPrefixes = a.boolPrefixes,
+      pureNot = a.pureNot)
+    val parsed = QueryParser.parse(a.query, pcfg)
+    val wand = new WandMatcher(idx, weight = a.weight,
+      docIdOrderDesc = a.descDocId)
+    val useWand = a.matcher match {
+      case "wand"    => true
+      case "dataset" => false
+      case _         => wand.supports(parsed)
+    }
+    val page =
+      if (useWand) wand.msetPage(parsed, a.msize, a.offset)
+      else new DatasetMatcher(idx, MatchOptions(weight = a.weight,
+        docIdOrderDesc = a.descDocId)).msetPage(parsed, a.msize, a.offset)
+    val header = s"Parsed query: ${parsed.describe}" +:
+      Seq(f"MSet: ${page.matchesLowerBound}%d..${page.matchesUpperBound}%d " +
+        f"(est ${page.matchesEstimated}%d) max_possible=${page.maxPossible}%.4f " +
+        s"matcher=${if (useWand) "wand" else "dataset"}")
+    header ++ page.items.map(i =>
+      f"${i.rank + 1}%d: #${i.docId}%03d weight=${i.score}%.4f percent=${i.percent}%d")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-quest")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try run(spark, a).foreach(println)
+    finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.tools
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.IndexReader
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The omindex/quest CLI analogs, driven through their testable
+  * cores: corpus parquet → staged build (self-describing
+  * `_config.json`) → parse + match + MSet formatting. */
+class ToolsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("Weights.parse covers every scheme and rejects junk") {
+    assert(Weights.parse("bm25") == Bm25Weight())
+    assert(Weights.parse("bm25:1.2,0,1,0.75") ==
+      Bm25Weight(k1 = 1.2, b = 0.75))
+    assert(Weights.parse("bm25+") == Bm25PlusWeight())
+    assert(Weights.parse("bm25plus:1,0,1,0.5,0.5,2") ==
+      Bm25PlusWeight(delta = 2.0))
+    assert(Weights.parse("trad:2.5") == TradWeight(2.5))
+    assert(Weights.parse("bool") == BoolWeight)
+    assert(Weights.parse("coord") == CoordWeight)
+    assert(Weights.parse("tfidf") == TfIdfWeight("ntn"))
+    assert(Weights.parse("tfidf:ltn") == TfIdfWeight("ltn"))
+    assert(Weights.parse("inl2:1.2") == InL2Weight(1.2))
+    assert(Weights.parse("pl2") == Pl2Weight())
+    assert(Weights.parse("dph") == DphWeight())
+    assert(Weights.parse("ifb2") == IfB2Weight())
+    assert(Weights.parse("ineb2") == IneB2Weight())
+    assert(Weights.parse("bb2:0.8") == Bb2Weight(0.8))
+    assert(Weights.parse("lm") == LmWeight())
+    assert(Weights.parse("lm:dirichlet,0.7,1500") ==
+      LmWeight("dirichlet", 0.7, 1500.0))
+    intercept[IllegalArgumentException](Weights.parse("zap"))
+  }
+
+  test("Omindex + Quest round trip: build from parquet, search, resume is a no-op") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli").toString
+    val corpusPq = s"$work/corpus.parquet"
+    val idxDir = s"$work/idx"
+    spark.createDataset(CorpusGen.generate(seed = 3, nRepos = 3,
+      filesPerRepo = 15)).write.parquet(corpusPq)
+
+    Omindex.run(spark, Omindex.parseArgs(Seq(corpusPq, idxDir,
+      "--stem=none", "--buckets=4", "--stripe-shift=6", "--partitions=4")))
+
+    // the index is self-describing
+    val cfg = IndexReader.configOf(idxDir)
+    assert(cfg.nBuckets == 4 && cfg.stripeShift == 6 &&
+      cfg.stemMode == "none" && cfg.storePositions)
+
+    // quest: parse + match + format; default stem mode comes from the
+    // index config (none), so raw terms hit
+    val out = Quest.run(spark, Quest.parseArgs(Seq(idxDir,
+      "def OR parse", "--msize=5")))
+    assert(out.head.startsWith("Parsed query:"))
+    assert(out(1).contains("matcher=wand"), out(1))
+    val hits = out.drop(2)
+    assert(hits.nonEmpty && hits.size <= 5)
+    assert(hits.head.matches("""1: #\d+ weight=\d+\.\d{4} percent=\d+"""),
+      hits.head)
+
+    // three-way: quest's wand page equals the dataset route
+    val ds = Quest.run(spark, Quest.parseArgs(Seq(idxDir,
+      "def OR parse", "--msize=5", "--matcher=dataset")))
+    assert(hits == ds.drop(2))
+
+    // alternative scheme + AND default-op through the same surface
+    val lm = Quest.run(spark, Quest.parseArgs(Seq(idxDir,
+      "def parse", "--msize=5", "--weight=lm:dirichlet",
+      "--default-op=and")))
+    assert(lm.drop(2).nonEmpty)
+
+    // resume: a second build sees every stage manifest and does nothing
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$idxDir/postings"))
+    Omindex.run(spark, Omindex.parseArgs(Seq(corpusPq, idxDir,
+      "--stem=none", "--buckets=4", "--stripe-shift=6", "--partitions=4")))
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$idxDir/postings")) == mtime)
+  }
+
+  test("Omindex defaults absent corpus columns; Quest flags parse") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli2").toString
+    val corpusPq = s"$work/bare.parquet"
+    Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+      .toDF("content").write.parquet(corpusPq)
+    Omindex.run(spark, Omindex.parseArgs(Seq(corpusPq, s"$work/idx",
+      "--stem=none", "--buckets=2", "--stripe-shift=4", "--partitions=2",
+      "--no-positions")))
+    val out = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx", "gamma")))
+    assert(out.drop(2).size == 3)
+    assert(!IndexReader.configOf(s"$work/idx").storePositions)
+
+    val a = Quest.parseArgs(Seq("i", "q", "--weight=pl2", "--desc-docid",
+      "--prefix=title:S", "--boolprefix=lang:L", "--offset=3"))
+    assert(a.weight == Pl2Weight() && a.descDocId &&
+      a.prefixes == Map("title" -> "S") &&
+      a.boolPrefixes == Map("lang" -> "L") && a.offset == 3)
+    intercept[IllegalArgumentException](
+      Quest.parseArgs(Seq("i", "q", "--bogus=1")))
+  }
+}
