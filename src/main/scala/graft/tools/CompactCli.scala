@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.index.{IndexReader, SegmentedIndex}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The `xapian-compact` CLI analog (reference: xapian-core/bin/
+ * xapian-compact.cc — merge a multi-segment database into one):
+ *
+ *   spark-submit --class graft.tools.CompactCli <jar> <segmentedBaseDir>
+ *
+ * Reads the segmented index's own manifest and the first segment's
+ * `_config.json` (all segments share one build config), runs the
+ * merge-based compaction (no re-tokenize; applies pending tombstones
+ * physically and clears them), and prints the before/after shape.
+ */
+object CompactCli {
+  def run(spark: SparkSession, baseDir: String): Seq[String] = {
+    val probe = new SegmentedIndex(spark, baseDir)
+    val (segs, _) = probe.listSegments()
+    require(segs.nonEmpty, s"$baseDir has no segments to compact")
+    val cfg = IndexReader.configOf(segs.head.dir)
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = cfg.stemMode,
+      tokenizerMode = cfg.tokenizerMode, nBuckets = cfg.nBuckets,
+      stripeShift = cfg.stripeShift)
+    val before = segs.map(_.nDocs).sum
+    val tomb = seg.listDeletes().size
+    seg.compact()
+    val (after, _) = seg.listSegments()
+    Seq(
+      s"compacted ${segs.size} segment(s), $before doc(s), " +
+        s"$tomb pending tombstone(s)",
+      s"-> ${after.size} segment(s), ${after.map(_.nDocs).sum} doc(s), " +
+        s"${seg.listDeletes().size} tombstone(s) remaining")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    require(argv.length == 1, "usage: CompactCli <segmentedBaseDir>")
+    val spark = SparkSession.builder()
+      .appName("graft-compact")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try run(spark, argv(0)).foreach(println)
+    finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.tools
+
+import graft.index.{Delve, IndexReader}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The `xapian-delve` CLI analog (reference: xapian-core/bin/
+ * xapian-delve.cc — inspect an index): run via
+ *
+ *   spark-submit --class graft.tools.DelveCli <jar> <indexDir>
+ *     [--doc=ID]        termlist of a document (term wdf pairs)
+ *     [--term=T]        posting list of a term (docId wdf doclen)
+ *     [--positions=T:ID] positions of a term in a document
+ *
+ * With no flags, prints the collection summary (the delve default).
+ * Postings output is capped at 1000 rows (`--limit=` to change) —
+ * an inspection tool must never collect a web-scale posting list.
+ */
+object DelveCli {
+  final case class Args(indexDir: String, doc: Option[Long] = None,
+                        term: Option[String] = None,
+                        positions: Option[(String, Long)] = None,
+                        limit: Int = 1000)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 1, "usage: DelveCli <indexDir> [flags]")
+    var a = Args(indexDir = pos(0))
+    argv.filter(_.startsWith("--")).foreach { f =>
+      val (k, v) = f.split("=", 2) match {
+        case Array(k0, v0) => (k0, v0)
+        case Array(k0)     => (k0, "")
+      }
+      k match {
+        case "--doc"   => a = a.copy(doc = Some(v.toLong))
+        case "--term"  => a = a.copy(term = Some(v))
+        case "--limit" => a = a.copy(limit = v.toInt)
+        case "--positions" => v.split(":", 2) match {
+          case Array(t, id) => a = a.copy(positions = Some((t, id.toLong)))
+          case _ => throw new IllegalArgumentException(s"expected T:ID in $f")
+        }
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    a
+  }
+
+  def run(spark: SparkSession, a: Args): Seq[String] = {
+    val idx = IndexReader.open(spark, a.indexDir)
+    val out = Seq.newBuilder[String]
+    if (a.doc.isEmpty && a.term.isEmpty && a.positions.isEmpty)
+      out += Delve.summary(idx, Some(a.indexDir))
+    a.doc.foreach { id =>
+      out += s"Term List for record #$id:"
+      Delve.termList(idx, id).foreach { case (t, wdf) => out += s"$t wdf=$wdf" }
+    }
+    a.term.foreach { t =>
+      out += s"Posting List for term '$t':"
+      Delve.postingList(idx, t).take(a.limit).foreach {
+        case (did, wdf, len) => out += s"#$did wdf=$wdf doclen=$len"
+      }
+    }
+    a.positions.foreach { case (t, id) =>
+      out += s"Positions of '$t' in #$id: " +
+        Delve.positions(idx, t, id).mkString(" ")
+    }
+    out.result()
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-delve")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try run(spark, a).foreach(println)
+    finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

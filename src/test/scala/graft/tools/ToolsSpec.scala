@@ -84,6 +84,44 @@ class ToolsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$idxDir/postings")) == mtime)
   }
 
+  test("DelveCli: summary, termlist, postings, positions through the CLI core") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-delve").toString
+    spark.createDataset(CorpusGen.generate(seed = 5, nRepos = 2,
+      filesPerRepo = 10)).write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--buckets=2", "--stripe-shift=5",
+      "--partitions=2")))
+    val summary = DelveCli.run(spark, DelveCli.parseArgs(Seq(s"$work/idx")))
+    assert(summary.mkString.contains("number of documents"), summary)
+    val tl = DelveCli.run(spark,
+      DelveCli.parseArgs(Seq(s"$work/idx", "--doc=1")))
+    assert(tl.size > 1 && tl.head.contains("record #1"))
+    val pl = DelveCli.run(spark,
+      DelveCli.parseArgs(Seq(s"$work/idx", "--term=def", "--limit=3")))
+    assert(pl.size <= 4 && pl.head.contains("'def'"))
+    val firstDoc = pl(1).drop(1).takeWhile(_.isDigit).toLong
+    val ps = DelveCli.run(spark,
+      DelveCli.parseArgs(Seq(s"$work/idx", s"--positions=def:$firstDoc")))
+    assert(ps.head.matches(""".*: \d+( \d+)*"""), ps.head)
+  }
+
+  test("CompactCli merges a segmented index and applies tombstones") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-compactcli").toString
+    val base = s"$work/seg"
+    val all = CorpusGen.generate(seed = 6, nRepos = 2, filesPerRepo = 12)
+    val seg = new graft.index.SegmentedIndex(spark, base,
+      stemMode = "none", nBuckets = 2, stripeShift = 5, buildPartitions = 2)
+    seg.append(spark.createDataset(all.take(12)))
+    seg.append(spark.createDataset(all.drop(12)))
+    val victim = all.head
+    seg.delete(Seq((victim.repo, victim.path, victim.commit)))
+    val out = CompactCli.run(spark, base)
+    assert(out.head.contains("2 segment(s), 24 doc(s), 1 pending"), out)
+    assert(out(1).contains("1 segment(s), 23 doc(s), 0 tombstone"), out)
+  }
+
   test("Omindex defaults absent corpus columns; Quest flags parse") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cli2").toString
