@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   import Query.{Term, t}
 
-  private val pcfgNone = QueryParser.Config(stemMode = "none")
+  private val pcfgNone =
+    QueryParser.Config(stemMode = "none", tokenizerMode = "simple")
 
   /** Flagship: index the sf0.001 corpus (resumable build), parse a
     * quest query, return the top-10 BM25 page. */
@@ -120,7 +121,8 @@ object SparkEntry {
     "ft_syn_parse" -> ((s, d) =>
       EntrySupport.matchDf(s, d,
         graft.queryparser.QueryParser.parse("~data",
-          graft.queryparser.QueryParser.Config(stemMode = "none")))
+          graft.queryparser.QueryParser.Config(stemMode = "none",
+            tokenizerMode = "simple")))
         .orderBy("doc_id")),
     // WritableDatabase::delete_document analog: docs with
     // doc_id % 7 == 0 tombstoned; stats/df adjust exactly

@@ -35,19 +35,29 @@ distinct terms = $vocab""" +
       .collect().map(r => (r.getString(0), r.getInt(1)))
       .sortBy(_._1).toSeq
 
-  /** `delve -t <term>`: the term's postings (docId, wdf, doclen),
-    * decoded from the pruned blocks, docId order. */
-  def postingList(idx: Index, term: String): Seq[(Long, Int, Long)] = {
+  /** `delve -t <term>`: the first `limit` of the term's postings
+    * (docId, wdf, doclen), docId order. The limit is pushed into the
+    * scan BEFORE anything collects: blocks carry ≥ 1 posting each, so
+    * the first `limit` blocks by firstDocId are guaranteed to hold
+    * the first `limit` postings — a stop-word-grade term on a
+    * web-scale index never materializes its full posting list on the
+    * driver. */
+  def postingList(idx: Index, term: String,
+                  limit: Int = Int.MaxValue): Seq[(Long, Int, Long)] = {
     idx.lookupTerms(Seq(term)).get(term) match {
       case None => Seq.empty
       case Some(d) =>
         implicit val enc: org.apache.spark.sql.Encoder[graft.core.PostingBlock] =
           org.apache.spark.sql.Encoders.product[graft.core.PostingBlock]
-        idx.blocksFor(Seq(d.termId)).as[graft.core.PostingBlock]
-          .collect().toSeq.sortBy(_.firstDocId)
+        val blocks = idx.blocksFor(Seq(d.termId)).as[graft.core.PostingBlock]
+        val bounded =
+          if (limit == Int.MaxValue) blocks
+          else blocks.orderBy(col("firstDocId")).limit(limit)
+        bounded.collect().toSeq.sortBy(_.firstDocId)
           .flatMap(b => Codec.unpackBlock(b))
           .map(p => (p.docId, p.wdf, p.doclen))
           .sortBy(_._1)
+          .take(if (limit == Int.MaxValue) Int.MaxValue else limit)
     }
   }
 

@@ -220,12 +220,18 @@ object IndexReader {
                                tokenizerMode: String, storePositions: Boolean)
 
   /** Read an index's persisted build config (Database::open analog:
-    * the directory is self-describing). Indexes written before
-    * `_config.json` existed fall back to the builder defaults. */
+    * the directory is self-describing). A missing `_config.json`
+    * FAILS — guessing knobs like nBuckets would silently prune every
+    * lookup to the wrong buckets (0 hits, no error). Indexes written
+    * before the file existed regain it on any resumed build, or can
+    * be opened with the explicit `new IndexReader(...)` knobs. */
   def configOf(dir: String): IndexConfig = {
     val p = java.nio.file.Paths.get(s"$dir/_config.json")
     if (!java.nio.file.Files.exists(p))
-      return IndexConfig(16, 14, "some", "en", "xapian", storePositions = true)
+      throw new IllegalStateException(
+        s"$dir has no _config.json (pre-round-3 index?) — re-run the " +
+          "build to regenerate it, or open with explicit knobs: " +
+          "new IndexReader(spark, dir, nBuckets, stripeShift)")
     val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
     def str(k: String): String =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))

@@ -46,6 +46,15 @@ object QueryParser {
         * parser stems with ONE configured language, as the reference
         * QueryParser holds one Xapian::Stem. */
       stemLang: String = "en",
+      /** Term normalization for query words: "xapian" (the frozen
+        * TermGenerator rules) or "simple" (lower + split on
+        * non-[a-z0-9], the SQL-reproducible build mode). MUST match
+        * the index's build-time tokenizerMode or compound tokens
+        * (`foo_bar`, `don't`) silently miss — Quest reads it from the
+        * index's `_config.json`. A word that splits into several
+        * tokens parses as a loose phrase (the upstream parser's
+        * `foo.bar` behavior). */
+      tokenizerMode: String = "xapian",
       stopwords: Set[String] = Set.empty,
       prefixes: Map[String, String] = Map.empty,
       boolPrefixes: Map[String, String] = Map.empty,
@@ -163,6 +172,11 @@ object QueryParser {
 
   private final class P(toks: Vector[Tok], cfg: Config) {
     private var pos = 0
+    /** Normalize a lexed word with the CONFIGURED tokenizer, so
+      * parse-time terms match build-time terms. */
+    private def lexTokens(text: String): IndexedSeq[Tokenizer.Token] =
+      if (cfg.tokenizerMode == "simple") Tokenizer.simpleTokenize(text)
+      else Tokenizer.tokenize(text)
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def advance(): Tok = { val t = toks(pos); pos += 1; t }
 
@@ -351,7 +365,7 @@ object QueryParser {
         peek match {
           case Some(Word(_, text, wild)) if !wild =>
             advance()
-            val toks = Tokenizer.tokenize(text)
+            val toks = lexTokens(text)
             val raw = if (toks.nonEmpty) toks.head.term else text.toLowerCase
             Some(Query.SynonymOf(raw))
           case _ => primaryOpt(stemmed)
@@ -363,7 +377,7 @@ object QueryParser {
         Some(q)
       case Some(Quoted(text)) =>
         advance()
-        val terms = Tokenizer.tokenize(text).map(t => Query.Term(t.term))
+        val terms = lexTokens(text).map(t => Query.Term(t.term))
         if (terms.isEmpty) None
         else if (terms.size == 1) Some(terms.head)
         else Some(Query.Phrase(terms, terms.size))
@@ -372,9 +386,17 @@ object QueryParser {
         val prefix = field.flatMap(cfg.prefixes.get)
           .orElse(field.flatMap(cfg.boolPrefixes.get))
           .getOrElse("")
-        val toks = Tokenizer.tokenize(text)
+        val toks = lexTokens(text)
         val raw = if (toks.nonEmpty) toks.head.term else text.toLowerCase
         if (wild) Some(Wildcard(prefix + raw))
+        else if (toks.size > 1 && stemmed)
+          // a compound word the active tokenizer splits (`foo.bar`,
+          // simple-mode `foo_bar`) parses as a loose phrase of its
+          // sub-terms — the upstream parser's behavior; positional
+          // re-parses (stemmed=false) keep the head term, since NEAR
+          // children must stay plain leaves
+          Some(Query.Phrase(toks.map(t => Query.Term(prefix + t.term)),
+            toks.size))
         else if (cfg.stopwords.contains(raw) && field.isEmpty) None
         else {
           val noStem = !stemmed || cfg.stemMode == "none" || prefix.nonEmpty ||

@@ -25,7 +25,10 @@ object CompactCli {
       stripeShift = cfg.stripeShift)
     val before = segs.map(_.nDocs).sum
     val tomb = seg.listDeletes().size
-    seg.compact()
+    // merge-based: segment tables merge without re-tokenizing (the
+    // most expensive build stage at corpus scale); tombstones apply
+    // physically and clear
+    seg.compactMerged()
     val (after, _) = seg.listSegments()
     Seq(
       s"compacted ${segs.size} segment(s), $before doc(s), " +

@@ -56,7 +56,9 @@ object DelveCli {
     }
     a.term.foreach { t =>
       out += s"Posting List for term '$t':"
-      Delve.postingList(idx, t).take(a.limit).foreach {
+      // limit pushed into the block scan — never collects a full
+      // web-scale posting list onto the driver
+      Delve.postingList(idx, t, a.limit).foreach {
         case (did, wdf, len) => out += s"#$did wdf=$wdf doclen=$len"
       }
     }

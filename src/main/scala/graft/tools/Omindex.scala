@@ -36,10 +36,14 @@ object Omindex {
         case Array(k0, v0) => (k0, v0)
         case Array(k0)     => (k0, "")
       }
+      def enum(allowed: String*): String = {
+        require(allowed.contains(v), s"$k must be one of ${allowed.mkString("|")}")
+        v
+      }
       k match {
-        case "--stem"         => a = a.copy(stemMode = v)
+        case "--stem"         => a = a.copy(stemMode = enum("some", "none"))
         case "--stemlang"     => a = a.copy(stemLang = v)
-        case "--tokenizer"    => a = a.copy(tokenizer = v)
+        case "--tokenizer"    => a = a.copy(tokenizer = enum("xapian", "simple"))
         case "--buckets"      => a = a.copy(buckets = v.toInt)
         case "--stripe-shift" => a = a.copy(stripeShift = v.toInt)
         case "--partitions"   => a = a.copy(partitions = v.toInt)

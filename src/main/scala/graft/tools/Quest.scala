@@ -46,13 +46,17 @@ object Quest {
         case Array(f0, p0) => (f0, p0)
         case _ => throw new IllegalArgumentException(s"expected field:P in $f")
       }
+      def enum(allowed: String*): String = {
+        require(allowed.contains(v), s"$k must be one of ${allowed.mkString("|")}")
+        v
+      }
       k match {
         case "--msize"      => a = a.copy(msize = v.toInt)
         case "--offset"     => a = a.copy(offset = v.toInt)
         case "--weight"     => a = a.copy(weight = Weights.parse(v))
-        case "--default-op" => a = a.copy(defaultOp = v)
-        case "--matcher"    => a = a.copy(matcher = v)
-        case "--stem"       => a = a.copy(stemMode = Some(v))
+        case "--default-op" => a = a.copy(defaultOp = enum("or", "and"))
+        case "--matcher"    => a = a.copy(matcher = enum("auto", "wand", "dataset"))
+        case "--stem"       => a = a.copy(stemMode = Some(enum("none", "some")))
         case "--stemlang"   => a = a.copy(stemLang = Some(v))
         case "--prefix"     => a = a.copy(prefixes = a.prefixes + kv(v))
         case "--boolprefix" => a = a.copy(boolPrefixes = a.boolPrefixes + kv(v))
@@ -67,19 +71,28 @@ object Quest {
   /** Parse + match + format; the testable core of main(). */
   def run(spark: SparkSession, a: Args): Seq[String] = {
     val idxCfg = IndexReader.configOf(a.indexDir)
-    val idx = IndexReader.open(spark, a.indexDir)
+    val idx = new IndexReader(spark, a.indexDir, idxCfg.nBuckets,
+      idxCfg.stripeShift)
     val pcfg = QueryParser.Config(
       defaultOp = a.defaultOp,
       stemMode = a.stemMode.getOrElse(idxCfg.stemMode),
       stemLang = a.stemLang.getOrElse(
         if (idxCfg.stemLang == "auto") "en" else idxCfg.stemLang),
+      tokenizerMode = idxCfg.tokenizerMode,
       prefixes = a.prefixes, boolPrefixes = a.boolPrefixes,
       pureNot = a.pureNot)
     val parsed = QueryParser.parse(a.query, pcfg)
     val wand = new WandMatcher(idx, weight = a.weight,
       docIdOrderDesc = a.descDocId)
     val useWand = a.matcher match {
-      case "wand"    => true
+      case "wand" =>
+        // forcing WAND must not bypass the admissibility gate: a
+        // non-wandSafe scheme (pl2/dph/bb2) under pruning would
+        // silently return wrong top-k
+        require(wand.supports(parsed),
+          "--matcher=wand: the query shape or weighting scheme is not " +
+            "supported by the WAND path (use --matcher=auto or dataset)")
+        true
       case "dataset" => false
       case _         => wand.supports(parsed)
     }

@@ -122,6 +122,43 @@ class ToolsSpec extends AnyFunSuite {
     assert(out(1).contains("1 segment(s), 23 doc(s), 0 tombstone"), out)
   }
 
+  test("simple-tokenizer index: Quest parses with the index's own tokenizer") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cli3").toString
+    Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+      .toDF("content").write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--tokenizer=simple", "--buckets=2",
+      "--stripe-shift=4", "--partitions=2")))
+    // `beta_gamma` under the simple splitter is the loose phrase
+    // (beta, gamma) — matches the two docs where they are adjacent;
+    // without the tokenizerMode wiring it would be the single absent
+    // term `beta_gamma` and silently miss
+    val out = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx", "beta_gamma")))
+    assert(out.drop(2).size == 2, out)
+  }
+
+  test("Quest guards: wand-forcing an unsafe scheme fails; enum flags validate") {
+    val work = Files.createTempDirectory("graft-cli4").toString
+    import spark.implicits._
+    Seq("alpha beta").toDF("content").write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--buckets=2", "--stripe-shift=4",
+      "--partitions=2")))
+    intercept[IllegalArgumentException] {
+      Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx", "alpha",
+        "--weight=pl2", "--matcher=wand")))
+    }
+    intercept[IllegalArgumentException](
+      Quest.parseArgs(Seq("i", "q", "--matcher=datset")))
+    intercept[IllegalArgumentException](
+      Quest.parseArgs(Seq("i", "q", "--default-op=xor")))
+    intercept[IllegalArgumentException](
+      Omindex.parseArgs(Seq("c", "i", "--tokenizer=porter")))
+    // a dir without _config.json fails loudly instead of guessing knobs
+    intercept[IllegalStateException](IndexReader.configOf(work))
+  }
+
   test("Omindex defaults absent corpus columns; Quest flags parse") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cli2").toString
