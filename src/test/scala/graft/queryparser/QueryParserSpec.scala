@@ -199,7 +199,10 @@ class QueryParserSpec extends AnyFunSuite {
         autoSynonyms = true, boolPrefixes = Map("lang" -> "L"),
         rangeFields = Map("len" -> "doclen"),
         strRangeFields = Map("repo" -> "repo"),
-        dateRangeFields = Map("date" -> "commit_date")))
+        dateRangeFields = Map("date" -> "commit_date")),
+      QueryParser.Config(tokenizerMode = "simple"),
+      QueryParser.Config(stemMode = "none", tokenizerMode = "simple",
+        prefixes = Map("title" -> "S")))
     for (_ <- 1 to 500) {
       val n = rnd.nextInt(40)
       val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
