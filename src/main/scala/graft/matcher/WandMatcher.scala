@@ -42,14 +42,16 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   private lazy val stats = idx.stats
 
   /** True if the WAND path can answer q: a term, a weighted OR of
-    * term leaves, a pruned-DAAT AND of term leaves, an ELITE_SET of
-    * term leaves (which reduces to an OR of the selected children
-    * before matching), any of those under an OP_AND_NOT whose right
-    * side is a term / OR-of-terms (an in-loop skip stream — the
+    * term leaves, a pruned-DAAT AND of term leaves, an OP_MAX of
+    * distinct term leaves (max-combine), an ELITE_SET of term leaves
+    * (which reduces to an OR of the selected children before
+    * matching), any of those under an OP_AND_NOT whose right side is
+    * a term / OR-of-terms (an in-loop skip stream — the
     * multiandpostlist.cc role), or any of those under an OP_FILTER
     * whose right side is a pure value-slot predicate (the classic
     * filtered top-k; the filter is applied INSIDE the per-stripe WAND
-    * loop, never after the cut). */
+    * loop, never after the cut). Refused entirely for schemes whose
+    * maxPart is not a proven pruning bound (wandSafe = false). */
   def supports(q: Query): Boolean = weight.wandSafe && (Query.simplify(q) match {
     case Query.Filter(l, r) =>
       weightedShape(Query.simplify(l)) &&
@@ -80,6 +82,11 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     case Query.Or(cs)         => cs.forall(_.isInstanceOf[Query.Term])
     case Query.And(cs)        => cs.forall(_.isInstanceOf[Query.Term])
     case Query.EliteSet(cs, _)=> cs.forall(_.isInstanceOf[Query.Term])
+    case Query.Max(cs) =>
+      // distinct terms only: duplicate Max children must NOT merge by
+      // summing termweights (that is the OR accumulation rule)
+      cs.forall(_.isInstanceOf[Query.Term]) &&
+        cs.collect { case Query.Term(t, _, _) => t }.distinct.size == cs.size
     case Query.AndNot(l, r)   =>
       weightedShape(Query.simplify(l)) && pureTerms(Query.simplify(r)).isDefined
     case _                    => false
@@ -102,7 +109,8 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     * a ANDNOT (b OR c)). ELITE_SET reduces to its selected children
     * here (one dict lookup, no planning job). */
   private case class WandShape(scored: Seq[Query.Term], conj: Boolean,
-                               excluded: Seq[Query.Term])
+                               excluded: Seq[Query.Term],
+                               maxCombine: Boolean = false)
 
   private def shapeOf(s: Query): Option[WandShape] = s match {
     case t: Query.Term => Some(WandShape(Seq(t), conj = false, Nil))
@@ -110,6 +118,13 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = false, Nil))
     case Query.And(cs) if cs.forall(_.isInstanceOf[Query.Term]) =>
       Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = true, Nil))
+    case Query.Max(cs)
+        if cs.forall(_.isInstanceOf[Query.Term]) &&
+          cs.collect { case Query.Term(t, _, _) => t }.distinct.size == cs.size =>
+      // OP_MAX: disjunctive stream scored with the BEST matching
+      // child (maxpostlist.cc role) — same cursors, max-combine
+      Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = false, Nil,
+        maxCombine = true))
     case Query.EliteSet(cs, n) if cs.forall(_.isInstanceOf[Query.Term]) =>
       reduceElite(cs, n) match {
         case Query.Or(sel) =>
@@ -193,13 +208,17 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     }
     if (isFiltered) lower = 0L
     val est = math.max(lower, math.min(upper, math.round(est0)))
-    val maxPossible = terms.flatMap { t =>
+    val termBounds = terms.flatMap { t =>
       dict.get(t.term).map { d =>
         val tw = weight.termWeight(t.wqf, d.df, stats)
         val ts = weight.termStat(d.df, d.cf, stats)
         weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }
-    }.sum + (Query.simplify(q) match {
+    }
+    // OP_MAX scores the best child, so its bound is the best child's
+    // bound (matching DatasetMatcher/Oracle maxWeightBound)
+    val maxPossible = (if (shape.maxCombine) termBounds.maxOption.getOrElse(0.0)
+                       else termBounds.sum) + (Query.simplify(q) match {
       // the AND_MAYBE blend can add up to the slot's upper bound
       case Query.AndMaybe(_, r) => valueWeightShape(r).map(_._2).getOrElse(0.0)
       case _ => 0.0
@@ -255,6 +274,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val exclIds: Set[Long] = shape.excluded.map(_.term).distinct
       .flatMap(dict.get).map(_.termId).toSet
     val isConj = shape.conj
+    val isMax = shape.maxCombine
     // local copies: the executor closure must not capture `this`
     val didSign: Int = if (docIdOrderDesc) -1 else 1
     val dSign: Int = didSign
@@ -289,7 +309,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
           collected.groupBy(_.stripe).iterator
             .flatMap { case (_, bs) =>
               WandMatcher.stripeTopK(bs.toSeq, tws, w, st, need, querySize,
-                didSign, conj = isConj, exclIds = exclIds)
+                didSign, conj = isConj, exclIds = exclIds, maxCombine = isMax)
             }
             .toArray
             .sortBy { case (did, s) => (-s, didSign * did) }
@@ -318,12 +338,12 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
               java.util.Arrays.sort(pairs, Ordering.by((p: (Long, Double)) => p._1))
               WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
                 querySize, dSign, null, pairs.map(_._1), pairs.map(_._2),
-                bound, conj = isConj, exclIds = exclIds)
+                bound, conj = isConj, exclIds = exclIds, maxCombine = isMax)
             }
           case (None, None) =>
             grouped.flatMapGroups { (_, bs) =>
               WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
-                querySize, dSign, conj = isConj, exclIds = exclIds)
+                querySize, dSign, conj = isConj, exclIds = exclIds, maxCombine = isMax)
             }
           case (Some(pred), _) =>
             // allowed ids move ONCE, keyed by the same stripe as the
@@ -339,7 +359,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
               else {
                 java.util.Arrays.sort(arr)
                 WandMatcher.stripeTopK(bs.toSeq, bTws.value, w, st, need,
-                  querySize, dSign, arr, conj = isConj, exclIds = exclIds)
+                  querySize, dSign, arr, conj = isConj, exclIds = exclIds, maxCombine = isMax)
               }
             }
         }
@@ -461,7 +481,11 @@ object WandMatcher {
       /** termIds whose postings form an exclusion stream (AND_NOT
         * right sides): their docs advance as a weightless in-loop
         * skip list, never scored, never past the cut. */
-      exclIds: scala.collection.Set[Long] = Set.empty): Iterator[(Long, Double)] = {
+      exclIds: scala.collection.Set[Long] = Set.empty,
+      /** true = OP_MAX combine: a doc scores its BEST matching
+        * term's part instead of the sum (maxpostlist.cc role); the
+        * pivot bound becomes the max of the prefix block bounds. */
+      maxCombine: Boolean = false): Iterator[(Long, Double)] = {
     val maxExtra = extraBound +
       (if (w.needsExtra) w.sumExtra(querySize, stats.minDocLen, stats) else 0.0)
     val byTerm = blocks.groupBy(_.termId)
@@ -599,13 +623,18 @@ object WandMatcher {
       // sort by current docId (few terms — cheap)
       val sorted = active.sortBy(_.curDoc)
       // pivot: first index where the cumulative block-max UB exceeds θ
-      // (seeded with the k2 extra's upper bound — 0 when k2 = 0)
-      var acc = maxExtra
+      // (seeded with the k2 extra's upper bound — 0 when k2 = 0).
+      // Sum-combine accumulates the prefix bounds; max-combine takes
+      // their max (a doc's best-child score is bounded by the best
+      // prefix bound).
+      var acc = if (maxCombine) 0.0 else maxExtra
       var pivotIdx = -1
       var i = 0
       while (pivotIdx < 0 && i < sorted.length) {
-        acc += sorted(i).blockUB
-        if (!unbeatable(acc)) pivotIdx = i
+        val ub = sorted(i).blockUB
+        if (maxCombine) { if (ub > acc) acc = ub }
+        else acc += ub
+        if (!unbeatable(if (maxCombine) acc + maxExtra else acc)) pivotIdx = i
         i += 1
       }
       if (pivotIdx < 0) {
@@ -620,11 +649,15 @@ object WandMatcher {
             java.util.Arrays.binarySearch(allowed, pivotDoc) >= 0) &&
             !isExcluded(pivotDoc)
           if (ok) {
-            // fully score pivotDoc (doclen decoded from the posting)
-            var score = 0.0
+            // fully score pivotDoc (doclen decoded from the posting);
+            // max-combine starts at -inf so a best part that is
+            // NEGATIVE (IfB2 stop-word constants) survives exactly
+            var score = if (maxCombine) Double.NegativeInfinity else 0.0
             val len = sorted.head.curLen
             sorted.takeWhile(_.curDoc == pivotDoc).foreach { c =>
-              score += w.sumPart(c.termWeight, c.termStat, c.curWdf, len, stats)
+              val part = w.sumPart(c.termWeight, c.termStat, c.curWdf, len, stats)
+              if (maxCombine) { if (part > score) score = part }
+              else score += part
             }
             if (w.needsExtra) score += w.sumExtra(querySize, len, stats)
             if (extraIds != null) {

@@ -367,6 +367,22 @@ class MatcherSpec extends AnyFunSuite {
     assert(plan.contains("Generate inline(unpack_postings"), plan)
   }
 
+  test("OP_MAX of term leaves runs on the WAND path (max-combine)") {
+    // pure-term MAX prunes in-loop; identity vs oracle on both WAND
+    // routes, alone and composed with AND_NOT / the top-k cut
+    val q = Max(Seq(t(commonTerm), t(midTerm), t("token")))
+    val wand = new WandMatcher(reader)
+    assert(wand.supports(q))
+    check(q, tag = "max-wand")
+    check(Max(Seq(t(commonTerm), t(midTerm))), k = 3, tag = "max-wand-cut")
+    check(AndNot(Max(Seq(t(commonTerm), t(midTerm))), t("token")),
+      tag = "max-andnot")
+    // duplicate children refuse the WAND path (no sum-accumulation
+    // rule for MAX) and still answer exactly via the Dataset path
+    assert(!wand.supports(Max(Seq(t(midTerm), t(midTerm)))))
+    check(Max(Seq(Term(midTerm, wqf = 2), t(midTerm))), tag = "max-dup")
+  }
+
   test("OP_MAX: union of children at the best child's weight") {
     val q = Max(Seq(t(midTerm), t("token"), and(t(commonTerm), t(midTerm))))
     check(q, tag = "max")
