@@ -1,0 +1,97 @@
+package graft.matcher
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/**
+ * Randomized query-tree fuzz: generate composed operator trees
+ * (AND/OR/AND_NOT/XOR/AND_MAYBE/FILTER/MAX/ELITE_SET/SYNONYM/
+ * SCALE_WEIGHT over term leaves with random wqf, including absent
+ * terms) and assert three-way rank identity — scalar oracle vs
+ * Dataset matcher, plus both WAND routes wherever the shape is
+ * supported. The fixed-shape MatcherSpec pins each operator alone;
+ * this probes the COMPOSITIONS (nested negations under filters,
+ * duplicate leaves across branches, empty intermediates) where path
+ * divergence would hide.
+ */
+class QueryFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val corpus = CorpusGen.generate(seed = 31, nRepos = 3, filesPerRepo = 20)
+  private lazy val env = {
+    val dir = Files.createTempDirectory("graft-fuzz").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 4, stripeShift = 5, maxPerBlock = 16,
+      skewDfThreshold = 20, saltFactor = 4, buildPartitions = 4)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val odocs = corpus.sortBy(c => (c.repo, c.path, c.commit)).zipWithIndex
+      .map { case (c, i) => Oracle.Doc(i + 1L, c.content, Map.empty, c.lang) }
+    (reader, Oracle.buildIndex(odocs, stemMode = "none"))
+  }
+  private lazy val (reader, oracleIdx) = env
+
+  // pool mixes common / mid / rare / absent terms
+  private val pool = Vector("def", "parse", "token", "index", "query",
+    "c++", "return", "stream", "zzz_absent", "qq_missing")
+
+  private def gen(rnd: scala.util.Random, depth: Int): Query = {
+    def leaf(): Query.Term =
+      Query.Term(pool(rnd.nextInt(pool.size)), wqf = 1 + rnd.nextInt(3))
+    if (depth == 0 || rnd.nextInt(4) == 0) leaf()
+    else rnd.nextInt(9) match {
+      case 0 => Query.And(Seq.fill(2 + rnd.nextInt(2))(gen(rnd, depth - 1)))
+      case 1 => Query.Or(Seq.fill(2 + rnd.nextInt(3))(gen(rnd, depth - 1)))
+      case 2 => Query.AndNot(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      case 3 => Query.Xor(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      case 4 => Query.AndMaybe(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      case 5 => Query.Filter(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      case 6 => Query.Max(Seq.fill(2 + rnd.nextInt(2))(gen(rnd, depth - 1)))
+      case 7 => Query.EliteSet(Seq.fill(3)(leaf()), 2)
+      case 8 => Query.ScaleWeight(gen(rnd, depth - 1),
+        math.rint(rnd.nextDouble() * 4 * 100) / 100)
+    }
+  }
+
+  test("60 random operator trees: oracle / Dataset / WAND rank identity") {
+    val rnd = new scala.util.Random(20260817L)
+    val dm = new DatasetMatcher(reader)
+    val wand = new WandMatcher(reader)
+    val wandDist = new WandMatcher(reader, localDfThreshold = 0L)
+    var wandHits = 0
+    for (i <- 1 to 60) {
+      val q = gen(rnd, depth = 2 + (i % 2))
+      val want = Oracle.mset(q, oracleIdx, 10)
+      val got = dm.mset(q, 10)
+      assert(got.map(_.docId) == want.map(_.docId),
+        s"#$i dataset docIds for ${q.describe}: got ${got.map(_.docId)}, " +
+          s"want ${want.map(_.docId)}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g.score - w.score) < 1e-9,
+          s"#$i score doc ${g.docId} for ${q.describe}")
+      }
+      if (wand.supports(q)) {
+        wandHits += 1
+        for ((m, tag) <- Seq((wand, "local"), (wandDist, "dist"))) {
+          val viaWand = m.mset(q, 10)
+          assert(viaWand.map(_.docId) == want.map(_.docId),
+            s"#$i wand-$tag docIds for ${q.describe}: " +
+              s"got ${viaWand.map(_.docId)}, want ${want.map(_.docId)}")
+          viaWand.zip(want).foreach { case (g, w) =>
+            assert(math.abs(g.score - w.score) < 1e-9,
+              s"#$i wand-$tag score doc ${g.docId} for ${q.describe}")
+          }
+        }
+      }
+    }
+    // the generator must actually exercise the WAND path sometimes
+    assert(wandHits >= 5, s"only $wandHits/60 fuzz queries hit WAND")
+  }
+}
