@@ -46,7 +46,7 @@ class QueryFuzzSpec extends AnyFunSuite {
     def leaf(): Query.Term =
       Query.Term(pool(rnd.nextInt(pool.size)), wqf = 1 + rnd.nextInt(3))
     if (depth == 0 || rnd.nextInt(4) == 0) leaf()
-    else rnd.nextInt(9) match {
+    else rnd.nextInt(10) match {
       case 0 => Query.And(Seq.fill(2 + rnd.nextInt(2))(gen(rnd, depth - 1)))
       case 1 => Query.Or(Seq.fill(2 + rnd.nextInt(3))(gen(rnd, depth - 1)))
       case 2 => Query.AndNot(gen(rnd, depth - 1), gen(rnd, depth - 1))
@@ -57,6 +57,7 @@ class QueryFuzzSpec extends AnyFunSuite {
       case 7 => Query.EliteSet(Seq.fill(3)(leaf()), 2)
       case 8 => Query.ScaleWeight(gen(rnd, depth - 1),
         math.rint(rnd.nextDouble() * 4 * 100) / 100)
+      case 9 => Query.Synonym(Seq.fill(2 + rnd.nextInt(2))(leaf()))
     }
   }
 
