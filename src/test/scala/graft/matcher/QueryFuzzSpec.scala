@@ -95,4 +95,32 @@ class QueryFuzzSpec extends AnyFunSuite {
     // the generator must actually exercise the WAND path sometimes
     assert(wandHits >= 5, s"only $wandHits/60 fuzz queries hit WAND")
   }
+
+  test("30 random trees under needsExtra schemes (LM prior, BM25 k2)") {
+    // the per-doc extra must be added exactly once per matched doc on
+    // every path, whatever the composition — the interaction the
+    // per-scheme fixed-shape tests cannot cover
+    for (w <- Seq[Weight](LmWeight("dirichlet"), Bm25Weight(k2 = 1.0))) {
+      val rnd = new scala.util.Random(424242L)
+      val dm = new DatasetMatcher(reader, MatchOptions(weight = w))
+      val wand = new WandMatcher(reader, weight = w)
+      val oOpts = Oracle.Options(weight = w)
+      for (i <- 1 to 30) {
+        val q = gen(rnd, depth = 2)
+        val want = Oracle.mset(q, oracleIdx, 10, oOpts)
+        val got = dm.mset(q, 10)
+        assert(got.map(_.docId) == want.map(_.docId),
+          s"#$i $w dataset for ${q.describe}: got ${got.map(_.docId)}, " +
+            s"want ${want.map(_.docId)}")
+        got.zip(want).foreach { case (g, o) =>
+          assert(math.abs(g.score - o.score) < 1e-9, s"#$i $w doc ${g.docId}")
+        }
+        if (wand.supports(q)) {
+          val viaWand = wand.mset(q, 10)
+          assert(viaWand.map(_.docId) == want.map(_.docId),
+            s"#$i $w wand for ${q.describe}")
+        }
+      }
+    }
+  }
 }
