@@ -1,0 +1,104 @@
+package graft.index
+
+import graft.core.{Codec, PostingBlock, StatsRow}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/**
+ * Index integrity verification — the `xapian-check` analog
+ * (reference: xapian-core/bin/xapian-check.cc, which walks every
+ * B-tree table validating structure and cross-table invariants).
+ * Re-expressed as distributed aggregations over the index tables, so
+ * a 100 TB index checks as a handful of scans instead of a
+ * single-node walk:
+ *
+ *  1. block headers: count/firstDocId/lastDocId/maxWdf/minDocLen
+ *     match the decoded payload, docIds strictly ascending in-block
+ *     (per-partition imperative decode — the one justified
+ *     mapPartitions shape);
+ *  2. dict ↔ postings: per-term df = decoded posting count,
+ *     cf = Σ wdf, maxWdf = max wdf;
+ *  3. doclens: the doclen carried in every posting of a doc is
+ *     consistent and equals the docs table's doclen;
+ *  4. stats: N/totalLen/avgLen/min/max re-derive from docs.
+ *
+ * Each violation is one row; the caller caps the collect.
+ */
+object IndexCheck {
+  final case class Violation(kind: String, detail: String)
+
+  def check(idx: IndexReader, maxViolations: Int = 100): Seq[Violation] = {
+    val spark = idx.spark
+    import spark.implicits._
+    val out = Seq.newBuilder[Violation]
+
+    // ---- 1. block-header invariants (distributed decode) ----
+    implicit val enc = Encoders.product[PostingBlock]
+    val headerViolations: DataFrame = idx.postings.as[PostingBlock]
+      .flatMap { b =>
+        val ps = Codec.unpackBlock(b)
+        val bad = Seq.newBuilder[String]
+        if (ps.length != b.count)
+          bad += s"count=${b.count} decoded=${ps.length}"
+        if (ps.nonEmpty && ps.head.docId != b.firstDocId)
+          bad += s"firstDocId=${b.firstDocId} decoded=${ps.head.docId}"
+        if (ps.nonEmpty && ps.last.docId != b.lastDocId)
+          bad += s"lastDocId=${b.lastDocId} decoded=${ps.last.docId}"
+        if (ps.nonEmpty && ps.map(_.wdf).max > b.maxWdf)
+          bad += s"maxWdf=${b.maxWdf} decoded=${ps.map(_.wdf).max}"
+        if (ps.nonEmpty && ps.map(_.doclen).min < b.minDocLen)
+          bad += s"minDocLen=${b.minDocLen} decoded=${ps.map(_.doclen).min}"
+        if (ps.length > 1 && ps.sliding(2).exists(p => p(0).docId >= p(1).docId))
+          bad += "docIds not strictly ascending"
+        bad.result().map(m => (b.termId, b.firstDocId, m))
+      }.toDF("termId", "firstDocId", "problem")
+    out ++= headerViolations.limit(maxViolations).collect().map(r =>
+      Violation("block_header",
+        s"term=${r.getLong(0)} block@${r.getLong(1)}: ${r.getString(2)}"))
+
+    // ---- decoded postings (one scan feeds checks 2 and 3) ----
+    graft.plans.UnpackPostings.register(spark)
+    val decoded = idx.postings
+      .select($"termId", expr("inline(unpack_postings(bytes, firstDocId, count))"))
+
+    // ---- 2. dict ↔ postings ----
+    val perTerm = decoded.groupBy($"termId")
+      .agg(count(lit(1)).as("pdf"), sum($"wdf").as("pcf"),
+        max($"wdf").as("pMaxWdf"))
+    val dictBad = idx.dict
+      .join(perTerm, Seq("termId"), "full_outer")
+      .where($"df".isNull || $"pdf".isNull ||
+        $"df" =!= $"pdf" || $"cf" =!= $"pcf" || $"maxWdf" =!= $"pMaxWdf")
+      .select($"termId", $"term", $"df", $"pdf", $"cf", $"pcf",
+        $"maxWdf", $"pMaxWdf")
+    out ++= dictBad.limit(maxViolations).collect().map(r =>
+      Violation("dict_postings",
+        s"term=${r.get(1)} dict(df=${r.get(2)},cf=${r.get(4)},maxWdf=${r.get(6)}) " +
+          s"postings(df=${r.get(3)},cf=${r.get(5)},maxWdf=${r.get(7)})"))
+
+    // ---- 3. doclen consistency ----
+    val perDoc = decoded.groupBy($"docId")
+      .agg(min($"doclen").as("lenMin"), max($"doclen").as("lenMax"))
+    val lenBad = perDoc
+      .join(idx.docs.select($"docId", $"doclen"), Seq("docId"), "left")
+      .where($"lenMin" =!= $"lenMax" || $"doclen".isNull ||
+        $"doclen" =!= $"lenMin")
+      .select($"docId", $"lenMin", $"lenMax", $"doclen")
+    out ++= lenBad.limit(maxViolations).collect().map(r =>
+      Violation("doclen",
+        s"doc=${r.get(0)} postings=[${r.get(1)},${r.get(2)}] docs=${r.get(3)}"))
+
+    // ---- 4. stats re-derivation ----
+    val r = idx.docs.agg(count(lit(1)), sum($"doclen"), min($"doclen"),
+      max($"doclen")).collect()(0)
+    val n = r.getLong(0)
+    val total = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val want = StatsRow(n, total, if (n > 0) total.toDouble / n else 0.0,
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
+    if (idx.stats != want)
+      out += Violation("stats", s"stored=${idx.stats} derived=$want")
+
+    out.result()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.index.{IndexCheck, IndexReader}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The `xapian-check` CLI analog: verify an index directory's
+ * cross-table invariants with distributed scans (see
+ * [[graft.index.IndexCheck]]). Exit code 1 on any violation.
+ *
+ *   spark-submit --class graft.tools.CheckCli <jar> <indexDir> [--max=100]
+ */
+object CheckCli {
+  def run(spark: SparkSession, indexDir: String, max: Int = 100): Seq[String] = {
+    val idx = IndexReader.open(spark, indexDir)
+    val vs = IndexCheck.check(idx, max)
+    if (vs.isEmpty) Seq(s"$indexDir: ok (blocks, dict, doclens, stats)")
+    else vs.map(v => s"${v.kind}: ${v.detail}")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 1, "usage: CheckCli <indexDir> [--max=N]")
+    val max = argv.collectFirst {
+      case f if f.startsWith("--max=") => f.stripPrefix("--max=").toInt
+    }.getOrElse(100)
+    val spark = SparkSession.builder()
+      .appName("graft-check")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try {
+      val out = run(spark, pos(0), max)
+      out.foreach(println)
+      if (!out.headOption.exists(_.endsWith("ok (blocks, dict, doclens, stats)")))
+        sys.exit(1)
+    } finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

@@ -4,6 +4,7 @@ import graft.SparkTestSession
 import graft.core._
 import graft.fixtures.CorpusGen
 import graft.index.IndexReader
+import org.apache.spark.sql.functions.{col, when}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -157,6 +158,56 @@ class ToolsSpec extends AnyFunSuite {
       Omindex.parseArgs(Seq("c", "i", "--tokenizer=porter")))
     // a dir without _config.json fails loudly instead of guessing knobs
     intercept[IllegalStateException](IndexReader.configOf(work))
+  }
+
+  test("CheckCli: clean index passes; tampered dict and doclen are caught") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-check").toString
+    spark.createDataset(CorpusGen.generate(seed = 8, nRepos = 2,
+      filesPerRepo = 10)).write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--buckets=2", "--stripe-shift=5",
+      "--partitions=2")))
+    val ok = CheckCli.run(spark, s"$work/idx")
+    assert(ok == Seq(s"$work/idx: ok (blocks, dict, doclens, stats)"), ok)
+
+    // tamper: bump one dict row's df — the dict↔postings cross-check
+    // must flag exactly that term
+    val dict = spark.read.parquet(s"$work/idx/dict").collect()
+    val rows = dict.map { r =>
+      val term = r.getAs[String]("term")
+      (term, r.getAs[Long]("termId"),
+        r.getAs[Long]("df") + (if (term == "def") 1 else 0),
+        r.getAs[Long]("cf"), r.getAs[Int]("maxWdf"))
+    }.toSeq
+    spark.createDataset(rows).toDF("term", "termId", "df", "cf", "maxWdf")
+      .write.mode("overwrite").parquet(s"$work/idx/dict")
+    val bad = CheckCli.run(spark, s"$work/idx")
+    assert(bad.exists(l => l.startsWith("dict_postings") && l.contains("def")),
+      bad)
+    assert(!bad.exists(_.endsWith("ok (blocks, dict, doclens, stats)")))
+
+    // tamper: shift one doc's stored doclen — doclen consistency AND
+    // the stats re-derivation both trip
+    val docs = spark.read.parquet(s"$work/idx/docs")
+    docs.withColumn("doclen",
+      when(col("docId") === 1, col("doclen") + 5).otherwise(col("doclen")))
+      .write.mode("overwrite").parquet(s"$work/idx/docs2")
+    // (rewrite via a staging dir: overwriting a parquet dir being read
+    // in the same job self-truncates)
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (JF.isDirectory(p))
+        JF.list(p).iterator().asScala.foreach(rmrf)
+      JF.deleteIfExists(p)
+    }
+    rmrf(Paths.get(s"$work/idx/docs"))
+    JF.move(Paths.get(s"$work/idx/docs2"), Paths.get(s"$work/idx/docs"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val bad2 = CheckCli.run(spark, s"$work/idx")
+    assert(bad2.exists(_.startsWith("doclen")), bad2)
+    assert(bad2.exists(_.startsWith("stats")), bad2)
   }
 
   test("Omindex defaults absent corpus columns; Quest flags parse") {
