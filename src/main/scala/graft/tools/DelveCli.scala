@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
  *     [--doc=ID]        termlist of a document (term wdf pairs)
  *     [--term=T]        posting list of a term (docId wdf doclen)
  *     [--positions=T:ID] positions of a term in a document
+ *     [--metadata]      list user metadata keys (xapian-metadata list)
+ *     [--metadata=K]    print one metadata value (xapian-metadata get)
+ *     [--set-metadata=K:V] set a value ('' deletes — xapian-metadata set)
  *
  * With no flags, prints the collection summary (the delve default).
  * Postings output is capped at 1000 rows (`--limit=` to change) —
@@ -20,7 +23,9 @@ object DelveCli {
   final case class Args(indexDir: String, doc: Option[Long] = None,
                         term: Option[String] = None,
                         positions: Option[(String, Long)] = None,
-                        limit: Int = 1000)
+                        limit: Int = 1000,
+                        metadata: Option[String] = None,
+                        setMetadata: Option[(String, String)] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -39,6 +44,11 @@ object DelveCli {
           case Array(t, id) => a = a.copy(positions = Some((t, id.toLong)))
           case _ => throw new IllegalArgumentException(s"expected T:ID in $f")
         }
+        case "--metadata" => a = a.copy(metadata = Some(v))
+        case "--set-metadata" => v.split(":", 2) match {
+          case Array(k0, v0) => a = a.copy(setMetadata = Some((k0, v0)))
+          case _ => throw new IllegalArgumentException(s"expected K:V in $f")
+        }
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -46,6 +56,15 @@ object DelveCli {
   }
 
   def run(spark: SparkSession, a: Args): Seq[String] = {
+    a.setMetadata.foreach { case (k, v) =>
+      graft.index.IndexMetadata.set(spark, a.indexDir, k, v)
+      return Seq(if (v.isEmpty) s"deleted metadata $k" else s"set metadata $k")
+    }
+    a.metadata.foreach { m =>
+      return if (m.isEmpty)
+        graft.index.IndexMetadata.keys(spark, a.indexDir)
+      else Seq(graft.index.IndexMetadata.get(spark, a.indexDir, m))
+    }
     val idx = IndexReader.open(spark, a.indexDir)
     val out = Seq.newBuilder[String]
     if (a.doc.isEmpty && a.term.isEmpty && a.positions.isEmpty)

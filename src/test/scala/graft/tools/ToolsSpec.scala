@@ -105,6 +105,17 @@ class ToolsSpec extends AnyFunSuite {
     val ps = DelveCli.run(spark,
       DelveCli.parseArgs(Seq(s"$work/idx", s"--positions=def:$firstDoc")))
     assert(ps.head.matches(""".*: \d+( \d+)*"""), ps.head)
+    // xapian-metadata surface: set / get / keys / delete
+    assert(DelveCli.run(spark, DelveCli.parseArgs(Seq(s"$work/idx",
+      "--set-metadata=owner:alice"))) == Seq("set metadata owner"))
+    assert(DelveCli.run(spark, DelveCli.parseArgs(Seq(s"$work/idx",
+      "--metadata=owner"))) == Seq("alice"))
+    assert(DelveCli.run(spark, DelveCli.parseArgs(Seq(s"$work/idx",
+      "--metadata"))) == Seq("owner"))
+    assert(DelveCli.run(spark, DelveCli.parseArgs(Seq(s"$work/idx",
+      "--set-metadata=owner:"))) == Seq("deleted metadata owner"))
+    assert(DelveCli.run(spark, DelveCli.parseArgs(Seq(s"$work/idx",
+      "--metadata"))).isEmpty)
   }
 
   test("CompactCli merges a segmented index and applies tombstones") {
