@@ -85,7 +85,23 @@ object QueryParser {
         * against the index's registered synonym groups at match time
         * (a term with no registered synonyms degrades to the plain
         * term). `~term` syntax (FLAG_SYNONYM) is always available. */
-      autoSynonyms: Boolean = false)
+      autoSynonyms: Boolean = false,
+      /** FLAG_PARTIAL analog (reference: queryparser_internal.cc —
+        * incremental search-as-you-type): when the query string ends
+        * mid-word (no trailing whitespace), the final probabilistic
+        * word ALSO matches as a prefix. Frozen spec: the leaf becomes
+        * OP_MAX(wildcard(raw), completed-leaf) — the doc scores the
+        * better of its prefix expansion or the completed word, so an
+        * exact term in the expansion is never double-counted
+        * (upstream combines the expansion with OP_SYNONYM and ORs the
+        * stemmed form — [VERIFY] if the mount populates). An empty
+        * expansion simplifies away, leaving the completed word. */
+      partial: Boolean = false,
+      /** FLAG_BOOLEAN_ANY_CASE analog: operator keywords (AND, OR,
+        * NOT, XOR, NEAR[/n], ADJ[/n]) match case-insensitively
+        * ("and", "Near/3"). Off by default — lowercase "and" is a
+        * common search word. */
+      booleanAnyCase: Boolean = false)
 
   /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
   val Wildcard = Query.Wildcard
@@ -106,7 +122,7 @@ object QueryParser {
   private final case class Quoted(text: String) extends Tok
   private final case class Word(field: Option[String], text: String, wild: Boolean) extends Tok
 
-  private def lex(s: String): Vector[Tok] = {
+  private def lex(s: String, anyCase: Boolean = false): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = s.length
@@ -135,7 +151,11 @@ object QueryParser {
                  s.charAt(j) != '"') j += 1
           var w = s.substring(i, j)
           i = j
-          w match {
+          // FLAG_BOOLEAN_ANY_CASE: operator keywords match
+          // case-insensitively; the Word fallthrough keeps `w` as
+          // typed so term text is unchanged
+          val op = if (anyCase) w.toUpperCase else w
+          op match {
             case "AND" => out += AndT
             case "OR"  => out += OrT
             case "NOT" => out += NotT
@@ -145,12 +165,12 @@ object QueryParser {
             // toIntOption guards overflow ("NEAR/99999999999"): a
             // non-parseable window falls through to the plain-word
             // case — garbage query strings must never throw
-            case _ if w.startsWith("NEAR/") && w.length > 5 && w.drop(5).forall(_.isDigit) &&
-                w.drop(5).toIntOption.isDefined =>
-              out += NearT(w.drop(5).toInt, ordered = false)
-            case _ if w.startsWith("ADJ/") && w.length > 4 && w.drop(4).forall(_.isDigit) &&
-                w.drop(4).toIntOption.isDefined =>
-              out += NearT(w.drop(4).toInt, ordered = true)
+            case _ if op.startsWith("NEAR/") && op.length > 5 && op.drop(5).forall(_.isDigit) &&
+                op.drop(5).toIntOption.isDefined =>
+              out += NearT(op.drop(5).toInt, ordered = false)
+            case _ if op.startsWith("ADJ/") && op.length > 4 && op.drop(4).forall(_.isDigit) &&
+                op.drop(4).toIntOption.isDefined =>
+              out += NearT(op.drop(4).toInt, ordered = true)
             case _ =>
               // field:value ?
               val ci = w.indexOf(':')
@@ -172,6 +192,10 @@ object QueryParser {
 
   private final class P(toks: Vector[Tok], cfg: Config) {
     private var pos = 0
+    /** Total lexed tokens — the FLAG_PARTIAL "was this the final
+      * token" check (the term-token name is shadowed inside the Word
+      * case by the tokenizer result). */
+    private val toks0Len = toks.length
     /** Normalize a lexed word with the CONFIGURED tokenizer, so
       * parse-time terms match build-time terms. */
     private def lexTokens(text: String): IndexedSeq[Tokenizer.Token] =
@@ -388,6 +412,17 @@ object QueryParser {
           .getOrElse("")
         val toks = lexTokens(text)
         val raw = if (toks.nonEmpty) toks.head.term else text.toLowerCase
+        // FLAG_PARTIAL wraps the FINAL word (this token closed the
+        // query string, probabilistic context only): the leaf also
+        // matches as a prefix, scored MAX(expansion, completed word)
+        val isPartial = cfg.partial && pos == toks0Len && stemmed &&
+          !field.exists(cfg.boolPrefixes.contains)
+        def withPartial(leaf: Option[Query]): Option[Query] =
+          if (!isPartial) leaf
+          else leaf match {
+            case Some(l) => Some(Query.Max(Seq(Query.Wildcard(prefix + raw), l)))
+            case None    => Some(Query.Wildcard(prefix + raw))
+          }
         if (wild) Some(Wildcard(prefix + raw))
         else if (toks.size > 1 && stemmed)
           // a compound word the active tokenizer splits (`foo.bar`,
@@ -397,8 +432,9 @@ object QueryParser {
           // children must stay plain leaves
           Some(Query.Phrase(toks.map(t => Query.Term(prefix + t.term)),
             toks.size))
-        else if (cfg.stopwords.contains(raw) && field.isEmpty) None
-        else {
+        else if (cfg.stopwords.contains(raw) && field.isEmpty)
+          withPartial(None)
+        else withPartial {
           val noStem = !stemmed || cfg.stemMode == "none" || prefix.nonEmpty ||
             (text.nonEmpty && text.charAt(0).isUpper)
           val term =
@@ -485,8 +521,15 @@ object QueryParser {
     }
   }
 
-  def parse(query: String, cfg: Config = Config()): Query =
-    new P(lex(query), cfg).parseQuery()
+  def parse(query: String, cfg: Config = Config()): Query = {
+    // FLAG_PARTIAL only applies while the user is mid-word: a query
+    // ending in whitespace is a completed word, parsed normally
+    val eff =
+      if (cfg.partial && !(query.nonEmpty && !query.last.isWhitespace))
+        cfg.copy(partial = false)
+      else cfg
+    new P(lex(query, cfg.booleanAnyCase), eff).parseQuery()
+  }
 
   private val operatorWords = Set("AND", "OR", "NOT", "XOR", "NEAR", "ADJ")
 

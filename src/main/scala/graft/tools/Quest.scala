@@ -31,7 +31,8 @@ object Quest {
       stemLang: Option[String] = None,
       prefixes: Map[String, String] = Map.empty,
       boolPrefixes: Map[String, String] = Map.empty,
-      descDocId: Boolean = false, pureNot: Boolean = false)
+      descDocId: Boolean = false, pureNot: Boolean = false,
+      partial: Boolean = false, anyCase: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -62,6 +63,8 @@ object Quest {
         case "--boolprefix" => a = a.copy(boolPrefixes = a.boolPrefixes + kv(v))
         case "--desc-docid" => a = a.copy(descDocId = true)
         case "--pure-not"   => a = a.copy(pureNot = true)
+        case "--partial"    => a = a.copy(partial = true)
+        case "--any-case"   => a = a.copy(anyCase = true)
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -80,7 +83,7 @@ object Quest {
         if (idxCfg.stemLang == "auto") "en" else idxCfg.stemLang),
       tokenizerMode = idxCfg.tokenizerMode,
       prefixes = a.prefixes, boolPrefixes = a.boolPrefixes,
-      pureNot = a.pureNot)
+      pureNot = a.pureNot, partial = a.partial, booleanAnyCase = a.anyCase)
     val parsed = QueryParser.parse(a.query, pcfg)
     val wand = new WandMatcher(idx, weight = a.weight,
       docIdOrderDesc = a.descDocId)

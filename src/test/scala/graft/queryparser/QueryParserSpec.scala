@@ -202,7 +202,10 @@ class QueryParserSpec extends AnyFunSuite {
         dateRangeFields = Map("date" -> "commit_date")),
       QueryParser.Config(tokenizerMode = "simple"),
       QueryParser.Config(stemMode = "none", tokenizerMode = "simple",
-        prefixes = Map("title" -> "S")))
+        prefixes = Map("title" -> "S")),
+      QueryParser.Config(partial = true, booleanAnyCase = true),
+      QueryParser.Config(stemMode = "none", partial = true,
+        stopwords = Set("and", "xor")))
     for (_ <- 1 to 500) {
       val n = rnd.nextInt(40)
       val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
@@ -211,6 +214,39 @@ class QueryParserSpec extends AnyFunSuite {
       assert(q != null)
       q.describe // and the tree must be renderable
     }
+  }
+
+  test("FLAG_PARTIAL: final mid-word term also matches as a prefix (MAX-combined)") {
+    val pc = QueryParser.Config(stemMode = "none", partial = true)
+    assert(p("pars", pc) === "(MAX pars* pars)")
+    // only the FINAL word partials; earlier words parse normally
+    assert(p("index pars", pc) === "(index OR (MAX pars* pars))")
+    // a trailing space means the word is complete — no partial
+    assert(p("pars ", pc) === "pars")
+    // explicit wildcards are already prefixes
+    assert(p("pars*", pc) === "pars*")
+    // stemming still applies to the completed side
+    val pcStem = QueryParser.Config(partial = true)
+    assert(p("parsing", pcStem) === "(MAX parsing* Zpars)")
+    // boolean-prefix filters never partial
+    val pcBool = QueryParser.Config(stemMode = "none", partial = true,
+      boolPrefixes = Map("lang" -> "L"))
+    assert(p("lang:en", pcBool) === "Len")
+    // a final stopword partials to just the prefix expansion
+    val pcStop = QueryParser.Config(stemMode = "none", partial = true,
+      stopwords = Set("the"))
+    assert(p("index the", pcStop) === "(index OR the*)")
+  }
+
+  test("FLAG_BOOLEAN_ANY_CASE: lowercase operators, words unchanged without the flag") {
+    val ac = QueryParser.Config(stemMode = "none", booleanAnyCase = true)
+    assert(p("data and stream", ac) === "(data AND stream)")
+    assert(p("data or stream", ac) === "(data OR stream)")
+    assert(p("data not batch", ac) === "(data AND_NOT batch)")
+    assert(p("data near/3 stream", ac) === "(data NEAR 3 stream)")
+    assert(p("data adj/2 stream", ac) === "(data PHRASE 2 stream)")
+    // without the flag, lowercase operators are plain search words
+    assert(p("data and stream", noStem) === "(data OR and OR stream)")
   }
 
   test("pure NOT requires the pureNot flag (FLAG_PURE_NOT)") {
