@@ -45,21 +45,84 @@ object Tokenizer {
   private def isDigit(cp: Int): Boolean =
     Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER
 
+  private val cjkScripts: java.util.EnumSet[Character.UnicodeScript] =
+    java.util.EnumSet.of(Character.UnicodeScript.HAN,
+      Character.UnicodeScript.HIRAGANA, Character.UnicodeScript.KATAKANA,
+      Character.UnicodeScript.HANGUL, Character.UnicodeScript.BOPOMOFO,
+      Character.UnicodeScript.YI)
+
+  /** CJK codepoint — a script segmented by n-grams, not whitespace
+    * (reference: xapian-core/queryparser/cjk-tokenizer.cc ranges). */
+  def isCjk(cp: Int): Boolean =
+    try cjkScripts.contains(Character.UnicodeScript.of(cp))
+    catch { case _: IllegalArgumentException => false }
+
+  /** True iff the term's first codepoint is CJK (n-gram terms are
+    * never stemmed). */
+  def isCjkTerm(term: String): Boolean =
+    term.nonEmpty && isCjk(term.codePointAt(0))
+
   /** Tokenize into (term, 1-based position) pairs. */
   def tokenize(text: String): IndexedSeq[Token] =
     tokenizeSpans(text).map(s => Token(s.term, s.pos))
 
+  /** Tokenize with CJK n-gram segmentation (the FLAG_CJK_NGRAM /
+    * TermGenerator CJK analog — reference: xapian-core/queryparser/
+    * cjk-tokenizer.cc). A run of CJK codepoints c1..cn, frozen spec:
+    *  - cjk = "index": unigram cᵢ at position p+i PLUS bigram cᵢcᵢ₊₁
+    *    at the SAME position (doclen counts positions, not tokens);
+    *  - cjk = "query": bigrams only (the unigram for a 1-char run) —
+    *    consecutive positions, so a multi-gram query word parses as
+    *    an exact loose phrase over the indexed bigrams;
+    *  - cjk = "off": CJK chars are plain word chars (a long
+    *    unsegmented run usually exceeds MaxTermBytes and drops —
+    *    which is why the flag matters for CJK corpora).
+    * Non-CJK text is untouched in every mode. */
+  def tokenize(text: String, cjk: String): IndexedSeq[Token] =
+    tokenizeSpans(text, cjk).map(s => Token(s.term, s.pos))
+
+  def tokenizeSpans(text: String): IndexedSeq[Span] =
+    tokenizeSpans(text, "off")
+
   /** Tokenize keeping the [start, end) character span of each term —
     * the same scan as [[tokenize]] (that method delegates here). */
-  def tokenizeSpans(text: String): IndexedSeq[Span] = {
+  def tokenizeSpans(text: String, cjk: String): IndexedSeq[Span] = {
     val out = new ArrayBuffer[Span]()
     val n = text.length
     var i = 0
     var pos = 0
     val sb = new java.lang.StringBuilder(32)
+    val cjkOn = cjk != "off"
     while (i < n) {
       val cp = text.codePointAt(i)
-      if (isWordChar(cp)) {
+      if (cjkOn && isCjk(cp)) {
+        // CJK run → n-grams (see tokenize(text, cjk) doc)
+        val chars = new ArrayBuffer[(String, Int, Int)]() // (char, start, end)
+        while (i < n && isCjk(text.codePointAt(i))) {
+          val c = text.codePointAt(i)
+          val w = Character.charCount(c)
+          chars += ((new String(Character.toChars(Character.toLowerCase(c))),
+            i, i + w))
+          i += w
+        }
+        val m = chars.length
+        var j = 0
+        while (j < m) {
+          pos += 1
+          val (c1, s1, e1) = chars(j)
+          if (cjk == "index") {
+            out += Span(c1, pos, s1, e1)
+            if (j + 1 < m)
+              out += Span(c1 + chars(j + 1)._1, pos, s1, chars(j + 1)._3)
+          } else { // query: bigrams only (unigram for a 1-char run)
+            if (m == 1) out += Span(c1, pos, s1, e1)
+            else if (j + 1 < m)
+              out += Span(c1 + chars(j + 1)._1, pos, s1, chars(j + 1)._3)
+            else pos -= 1 // last char of a multi-char run emits nothing
+          }
+          j += 1
+        }
+      } else if (isWordChar(cp)) {
         // consume a word
         val startIdx = i
         sb.setLength(0)
@@ -67,7 +130,7 @@ object Tokenizer {
         var continue = true
         while (continue && i < n) {
           val c = text.codePointAt(i)
-          if (isWordChar(c)) {
+          if (isWordChar(c) && !(cjkOn && isCjk(c))) {
             sb.appendCodePoint(Character.toLowerCase(c))
             lastWasDigit = isDigit(c)
             i += Character.charCount(c)
@@ -117,12 +180,16 @@ object Tokenizer {
   def indexTerms(
       text: String,
       stem: String => String,
-      stopwords: Set[String] = Set.empty): IndexedSeq[Token] = {
-    val toks = tokenize(text)
+      stopwords: Set[String] = Set.empty,
+      cjk: String = "off"): IndexedSeq[Token] = {
+    val toks = tokenize(text, cjk)
     val out = new ArrayBuffer[Token](toks.size * 2)
     toks.foreach { t =>
       out += t
-      if (!stopwords.contains(t.term)) {
+      // CJK n-grams never stem (the reference's TermGenerator skips
+      // the stemmer for CJK characters)
+      if (!stopwords.contains(t.term) &&
+          !(cjk != "off" && isCjkTerm(t.term))) {
         val s = stem(t.term)
         out += Token("Z" + s, 0)
       }

@@ -50,7 +50,13 @@ final case class BuildConfig(
       * wdf 0 (as add_boolean_term does) and contribute nothing to
       * doclen, so they are weightless filters — exactly what
       * QueryParser boolPrefixes emit. */
-    fieldPrefixes: Map[String, String] = Map.empty) {
+    fieldPrefixes: Map[String, String] = Map.empty,
+    /** CJK n-gram segmentation (FLAG_CJK_NGRAM / TermGenerator CJK
+      * analog): CJK runs index as positioned unigrams + bigrams (see
+      * [[graft.core.Tokenizer.tokenize(text:String,cjk:String)*]]);
+      * doclen counts positions. Off = CJK runs are plain words (long
+      * unsegmented runs exceed MaxTermBytes and drop). */
+    cjkNgram: Boolean = false) {
   def configHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // leading token = on-disk format version; bump on codec change
@@ -64,8 +70,9 @@ final case class BuildConfig(
       if (fieldPrefixes.isEmpty) ""
       else "|fp=" + fieldPrefixes.toSeq.sorted
         .map { case (c, p) => s"$c:$p" }.mkString(",")
+    val cjk = if (cjkNgram) "|cjk" else "" // keeps pre-cjk hashes stable
     val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps"
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps$cjk"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -217,14 +224,16 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       val tokMode = cfg.tokenizerMode
       val stop = cfg.stopwords
       val keepPos = cfg.storePositions
+      val cjk = if (cfg.cjkNgram) "index" else "off"
       val termRows0: Dataset[TermRow] = docs0
         .select($"docId", $"lang", $"content").as[(Long, String, String)]
         .flatMap { case (docId, lang, content) =>
           val toks =
             if (tokMode == "simple") Tokenizer.simpleTokenize(content)
             else if (stem == "some")
-              Tokenizer.indexTerms(content, Stemmer.forDoc(stemLang, lang), stop)
-            else Tokenizer.tokenize(content)
+              Tokenizer.indexTerms(content, Stemmer.forDoc(stemLang, lang),
+                stop, cjk)
+            else Tokenizer.tokenize(content, cjk)
           // single accumulation pass (hot path: runs once per corpus
           // byte); positions arrive in increasing order from the
           // tokenizer, so no per-term sort is needed
@@ -232,10 +241,14 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
             .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
           val posless = scala.collection.mutable.LinkedHashMap
             .empty[String, Int]
+          // doclen counts POSITIONS, not tokens: a CJK unigram and
+          // its bigram share one position (identical for non-CJK
+          // streams, where every token advances the position)
           var doclen = 0L
+          var lastPos = 0
           toks.foreach { t =>
             if (t.pos > 0) {
-              doclen += 1
+              if (t.pos != lastPos) { doclen += 1; lastPos = t.pos }
               positional.getOrElseUpdate(t.term,
                 new scala.collection.mutable.ArrayBuffer[Int](4)) += t.pos
             } else posless.update(t.term, posless.getOrElse(t.term, 0) + 1)
@@ -442,6 +455,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       (s"""{"nBuckets":${cfg.nBuckets},"stripeShift":${cfg.stripeShift},""" +
         s""""stemMode":"${cfg.stemMode}","stemLang":"${cfg.stemLang}",""" +
         s""""tokenizerMode":"${cfg.tokenizerMode}",""" +
-        s""""storePositions":${cfg.storePositions}}""").getBytes("UTF-8"))
+        s""""storePositions":${cfg.storePositions},""" +
+        s""""cjkNgram":${cfg.cjkNgram}}""").getBytes("UTF-8"))
   }
 }

@@ -217,7 +217,8 @@ object IndexReader {
   /** The knobs `_config.json` persists at build time. */
   final case class IndexConfig(nBuckets: Int, stripeShift: Int,
                                stemMode: String, stemLang: String,
-                               tokenizerMode: String, storePositions: Boolean)
+                               tokenizerMode: String, storePositions: Boolean,
+                               cjkNgram: Boolean = false)
 
   /** Read an index's persisted build config (Database::open analog:
     * the directory is self-describing). A missing `_config.json`
@@ -241,7 +242,8 @@ object IndexReader {
         .getOrElse(throw new IllegalStateException(s"missing $k in $p"))
     IndexConfig(num("nBuckets"), num("stripeShift"), str("stemMode"),
       str("stemLang"), str("tokenizerMode"),
-      s.contains(""""storePositions":true"""))
+      s.contains(""""storePositions":true"""),
+      s.contains(""""cjkNgram":true"""))
   }
 
   /** Open an index directory using its persisted config. */

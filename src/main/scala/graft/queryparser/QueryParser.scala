@@ -101,7 +101,14 @@ object QueryParser {
         * NOT, XOR, NEAR[/n], ADJ[/n]) match case-insensitively
         * ("and", "Near/3"). Off by default — lowercase "and" is a
         * common search word. */
-      booleanAnyCase: Boolean = false)
+      booleanAnyCase: Boolean = false,
+      /** FLAG_CJK_NGRAM analog: MUST match the index's build-time
+        * cjkNgram setting. A query word's CJK run tokenizes to its
+        * bigrams (consecutive positions), so a multi-gram run parses
+        * as a loose phrase over the indexed bigrams — exact
+        * consecutive-character matching; a 1-char run is its
+        * unigram. */
+      cjkNgram: Boolean = false)
 
   /** Wildcard leaf (see [[graft.core.Query.Wildcard]]). */
   val Wildcard = Query.Wildcard
@@ -200,7 +207,8 @@ object QueryParser {
       * parse-time terms match build-time terms. */
     private def lexTokens(text: String): IndexedSeq[Tokenizer.Token] =
       if (cfg.tokenizerMode == "simple") Tokenizer.simpleTokenize(text)
-      else Tokenizer.tokenize(text)
+      else Tokenizer.tokenize(text,
+        if (cfg.cjkNgram) "query" else "off")
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def advance(): Tok = { val t = toks(pos); pos += 1; t }
 
@@ -436,7 +444,9 @@ object QueryParser {
           withPartial(None)
         else withPartial {
           val noStem = !stemmed || cfg.stemMode == "none" || prefix.nonEmpty ||
-            (text.nonEmpty && text.charAt(0).isUpper)
+            (text.nonEmpty && text.charAt(0).isUpper) ||
+            // CJK n-grams are indexed unstemmed (no Z-terms exist)
+            (cfg.cjkNgram && Tokenizer.isCjkTerm(raw))
           val term =
             if (noStem) prefix + raw
             else "Z" + Stemmer.forLang(cfg.stemLang)(raw)

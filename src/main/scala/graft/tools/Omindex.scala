@@ -25,7 +25,8 @@ object Omindex {
       corpus: String, indexDir: String, stemMode: String = "some",
       stemLang: String = "en", tokenizer: String = "xapian",
       buckets: Int = 16, stripeShift: Int = 14, partitions: Int = 32,
-      positions: Boolean = true, fieldPrefixes: Map[String, String] = Map.empty)
+      positions: Boolean = true, fieldPrefixes: Map[String, String] = Map.empty,
+      cjkNgram: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -48,6 +49,7 @@ object Omindex {
         case "--stripe-shift" => a = a.copy(stripeShift = v.toInt)
         case "--partitions"   => a = a.copy(partitions = v.toInt)
         case "--no-positions" => a = a.copy(positions = false)
+        case "--cjk-ngram"    => a = a.copy(cjkNgram = true)
         case "--field-prefix" => v.split(":", 2) match {
           case Array(c, p) => a = a.copy(fieldPrefixes = a.fieldPrefixes + (c -> p))
           case _ => throw new IllegalArgumentException(s"expected col:P in $f")
@@ -78,7 +80,7 @@ object Omindex {
       stemLang = a.stemLang, tokenizerMode = a.tokenizer,
       nBuckets = a.buckets, stripeShift = a.stripeShift,
       buildPartitions = a.partitions, storePositions = a.positions,
-      fieldPrefixes = a.fieldPrefixes)
+      fieldPrefixes = a.fieldPrefixes, cjkNgram = a.cjkNgram)
     new IndexBuilder(spark, cfg).build(corpus)
   }
 

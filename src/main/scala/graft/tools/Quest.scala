@@ -83,7 +83,8 @@ object Quest {
         if (idxCfg.stemLang == "auto") "en" else idxCfg.stemLang),
       tokenizerMode = idxCfg.tokenizerMode,
       prefixes = a.prefixes, boolPrefixes = a.boolPrefixes,
-      pureNot = a.pureNot, partial = a.partial, booleanAnyCase = a.anyCase)
+      pureNot = a.pureNot, partial = a.partial, booleanAnyCase = a.anyCase,
+      cjkNgram = idxCfg.cjkNgram)
     val parsed = QueryParser.parse(a.query, pcfg)
     val wand = new WandMatcher(idx, weight = a.weight,
       docIdOrderDesc = a.descDocId)

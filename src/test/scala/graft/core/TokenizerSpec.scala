@@ -62,4 +62,41 @@ class TokenizerSpec extends AnyFunSuite {
     assert(out.map(_.term).count(_.startsWith("Z")) == 1)
     assert(out.contains(Token("the", 1))) // unstemmed still indexed
   }
+
+  test("CJK n-gram index mode: unigrams + bigrams sharing positions") {
+    val toks = Tokenizer.tokenize("\u4e2d\u6587\u5b57", "index")
+    assert(toks == Seq(
+      Tokenizer.Token("\u4e2d", 1), Tokenizer.Token("\u4e2d\u6587", 1),
+      Tokenizer.Token("\u6587", 2), Tokenizer.Token("\u6587\u5b57", 2),
+      Tokenizer.Token("\u5b57", 3)), toks)
+  }
+
+  test("CJK n-gram query mode: bigrams only; unigram for a 1-char run") {
+    assert(Tokenizer.tokenize("\u4e2d\u6587\u5b57", "query") == Seq(
+      Tokenizer.Token("\u4e2d\u6587", 1), Tokenizer.Token("\u6587\u5b57", 2)))
+    assert(Tokenizer.tokenize("\u4e2d", "query") ==
+      Seq(Tokenizer.Token("\u4e2d", 1)))
+  }
+
+  test("CJK runs break latin words; positions flow across scripts") {
+    val toks = Tokenizer.tokenize("abc\u4e2d\u6587 def", "index")
+    assert(toks == Seq(
+      Tokenizer.Token("abc", 1),
+      Tokenizer.Token("\u4e2d", 2), Tokenizer.Token("\u4e2d\u6587", 2),
+      Tokenizer.Token("\u6587", 3), Tokenizer.Token("def", 4)), toks)
+    // query mode: the trailing latin word continues after the last
+    // CJK char's elided position
+    val q = Tokenizer.tokenize("abc\u4e2d\u6587 def", "query")
+    assert(q == Seq(Tokenizer.Token("abc", 1),
+      Tokenizer.Token("\u4e2d\u6587", 2), Tokenizer.Token("def", 3)), q)
+  }
+
+  test("cjk off: a CJK run is one (usually oversized) plain word") {
+    val toks = Tokenizer.tokenize("\u4e2d\u6587\u5b57")
+    assert(toks == Seq(Tokenizer.Token("\u4e2d\u6587\u5b57", 1)))
+    // katakana and hangul are CJK; cyrillic is not
+    assert(Tokenizer.isCjkTerm("\u30ab\u30bf"))
+    assert(Tokenizer.isCjkTerm("\ud55c"))
+    assert(!Tokenizer.isCjkTerm("\u0436"))
+  }
 }

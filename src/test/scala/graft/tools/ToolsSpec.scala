@@ -171,6 +171,42 @@ class ToolsSpec extends AnyFunSuite {
     intercept[IllegalStateException](IndexReader.configOf(work))
   }
 
+  test("CJK n-gram round trip: Omindex --cjk-ngram + Quest consecutive-char search") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cjk").toString
+    // 中文 adjacent in docs 1 and 2; doc 3 has 中 and 文 separated;
+    // doc 4 is latin-only
+    Seq("中文字 search engine",
+        "big 中文 corpus",
+        "中 X 文字",
+        "plain latin text").toDF("content").write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--cjk-ngram", "--buckets=2",
+      "--stripe-shift=4", "--partitions=2")))
+    assert(IndexReader.configOf(s"$work/idx").cjkNgram)
+    // bigram query: docs containing 中文 consecutively
+    val out = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx",
+      "中文")))
+    assert(out.drop(2).size == 2, out)
+    // three-gram query = loose phrase of bigrams: only doc 1 has 中文字
+    val out3 = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx",
+      "中文字")))
+    assert(out3.drop(2).size == 1, out3)
+    // single CJK char: unigram hits docs 1, 2, 3
+    val out1 = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx",
+      "中")))
+    assert(out1.drop(2).size == 3, out1)
+    // mixed-script query: latin AND cjk (default OR still ranks; use
+    // AND to require both)
+    val mixed = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx",
+      "corpus 中文", "--default-op=and")))
+    assert(mixed.drop(2).size == 1, mixed)
+    // the integrity checker holds on an n-gram index (doclen counts
+    // positions, dict matches decoded postings)
+    val chk = CheckCli.run(spark, s"$work/idx")
+    assert(chk.head.endsWith("ok (blocks, dict, doclens, stats)"), chk)
+  }
+
   test("CheckCli: clean index passes; tampered dict and doclen are caught") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-check").toString
