@@ -308,10 +308,19 @@ object Query {
     def leaf(t: String, wqf: Int, qt: Option[String]): Query = {
       // lookup is keyed by the RAW term (groups register raw keys);
       // the original token's own leaf uses its processed form
-      val self = qt.getOrElse(t)
       val members = lookup(t)
-      if (members.isEmpty) Term(self, wqf)
-      else Synonym((self +: members).distinct.map(Term(_, wqf)))
+      if (t.contains(' ')) {
+        // multiword key (FLAG_AUTO_MULTIWORD_SYNONYMS): the space-
+        // joined key is not itself a term — expansion is exactly the
+        // registered members; an unregistered key (index changed
+        // between parse and match) degrades to the literal phrase
+        if (members.nonEmpty) Synonym(members.distinct.map(Term(_, wqf)))
+        else Phrase(t.split(' ').toSeq.map(Term(_, wqf)), t.count(_ == ' ') + 1)
+      } else {
+        val self = qt.getOrElse(t)
+        if (members.isEmpty) Term(self, wqf)
+        else Synonym((self +: members).distinct.map(Term(_, wqf)))
+      }
     }
     def walk(q: Query): Query = q match {
       case SynonymOf(t, wqf, qt) => leaf(t, wqf, qt)

@@ -102,6 +102,17 @@ object QueryParser {
         * ("and", "Near/3"). Off by default — lowercase "and" is a
         * common search word. */
       booleanAnyCase: Boolean = false,
+      /** FLAG_AUTO_MULTIWORD_SYNONYMS analog (reference:
+        * queryparser_internal.cc — requires a database at parse time,
+        * as upstream does): the longest run of 2..5 consecutive plain
+        * words whose space-joined raw form passes `synonymKeys`
+        * parses as ONE synonym marker; expansion happens at match
+        * time against the registered group. Register the phrase's own
+        * words as members if the literal phrase should still match. */
+      autoMultiwordSynonyms: Boolean = false,
+      /** Parse-time membership test for multiword synonym keys
+        * (wire to the index: `k => idx.synonymsOf(k).nonEmpty`). */
+      synonymKeys: String => Boolean = _ => false,
       /** FLAG_CJK_NGRAM analog: MUST match the index's build-time
         * cjkNgram setting. A query word's CJK run tokenizes to its
         * bigrams (consecutive positions), so a multi-gram run parses
@@ -251,6 +262,26 @@ object QueryParser {
       acc
     }
 
+    /** FLAG_AUTO_MULTIWORD_SYNONYMS lookahead: the LONGEST run
+      * (2..5 words) of consecutive plain unwildcarded words starting
+      * at the cursor whose space-joined raw terms form a registered
+      * key per cfg.synonymKeys — Some((key, wordCount)). */
+    private def multiwordKeyAt(): Option[(String, Int)] = {
+      val raws = Vector.newBuilder[String]
+      var j = pos
+      var n = 0
+      while (n < 5 && j < toks.length && (toks(j) match {
+        case Word(None, text, false) =>
+          val ts = lexTokens(text)
+          if (ts.size == 1) { raws += ts.head.term; true } else false
+        case _ => false
+      })) { j += 1; n += 1 }
+      val ws = raws.result()
+      (ws.length to 2 by -1).iterator
+        .map(k => (ws.take(k).mkString(" "), k))
+        .find { case (key, _) => cfg.synonymKeys(key) }
+    }
+
     /** A run of primaries without explicit boolean operators:
       * +/- handling, boolean-prefix filters, defaultOp for the rest. */
     private def parseProbGroup(): Query = {
@@ -304,6 +335,16 @@ object QueryParser {
             val term = cfg.boolPrefixes(field) + text.toLowerCase
             val q = if (wild) Wildcard(term) else Query.Term(term)
             items :+= Item(q, plus = false, minus = false, Some(field))
+          case Some(Word(None, _, false))
+              if cfg.autoMultiwordSynonyms && multiwordKeyAt().isDefined =>
+            // FLAG_AUTO_MULTIWORD_SYNONYMS: the longest run of
+            // consecutive plain words forming a registered multiword
+            // key parses as one synonym marker, expanded at match
+            // time like any other group
+            val (key, nWords) = multiwordKeyAt().get
+            (1 to nWords).foreach(_ => advance())
+            items :+= Item(Query.SynonymOf(key), plus = false,
+              minus = false, None)
           case Some(_: Word) =>
             parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
           case _ => go = false

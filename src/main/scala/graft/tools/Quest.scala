@@ -32,7 +32,8 @@ object Quest {
       prefixes: Map[String, String] = Map.empty,
       boolPrefixes: Map[String, String] = Map.empty,
       descDocId: Boolean = false, pureNot: Boolean = false,
-      partial: Boolean = false, anyCase: Boolean = false)
+      partial: Boolean = false, anyCase: Boolean = false,
+      autoSynonyms: Boolean = false, multiwordSynonyms: Boolean = false)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -65,6 +66,8 @@ object Quest {
         case "--pure-not"   => a = a.copy(pureNot = true)
         case "--partial"    => a = a.copy(partial = true)
         case "--any-case"   => a = a.copy(anyCase = true)
+        case "--auto-synonyms" => a = a.copy(autoSynonyms = true)
+        case "--multiword-synonyms" => a = a.copy(multiwordSynonyms = true)
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -84,8 +87,19 @@ object Quest {
       tokenizerMode = idxCfg.tokenizerMode,
       prefixes = a.prefixes, boolPrefixes = a.boolPrefixes,
       pureNot = a.pureNot, partial = a.partial, booleanAnyCase = a.anyCase,
+      autoSynonyms = a.autoSynonyms,
+      autoMultiwordSynonyms = a.multiwordSynonyms,
+      // parse-time key membership against the index's registered
+      // groups (upstream needs a Database for the same reason)
+      synonymKeys =
+        if (a.multiwordSynonyms) k => idx.synonymsOf(k).nonEmpty
+        else _ => false,
       cjkNgram = idxCfg.cjkNgram)
     val parsed = QueryParser.parse(a.query, pcfg)
+    // the printed query shows synonym markers EXPANDED (what actually
+    // matches — upstream quest prints the full expansion); wildcards
+    // stay folded, their expansion can be dictionary-sized
+    val shown = Query.expandSynonyms(parsed, idx.synonymsOf)
     val wand = new WandMatcher(idx, weight = a.weight,
       docIdOrderDesc = a.descDocId)
     val useWand = a.matcher match {
@@ -104,7 +118,7 @@ object Quest {
       if (useWand) wand.msetPage(parsed, a.msize, a.offset)
       else new DatasetMatcher(idx, MatchOptions(weight = a.weight,
         docIdOrderDesc = a.descDocId)).msetPage(parsed, a.msize, a.offset)
-    val header = s"Parsed query: ${parsed.describe}" +:
+    val header = s"Parsed query: ${shown.describe}" +:
       Seq(f"MSet: ${page.matchesLowerBound}%d..${page.matchesUpperBound}%d " +
         f"(est ${page.matchesEstimated}%d) max_possible=${page.maxPossible}%.4f " +
         s"matcher=${if (useWand) "wand" else "dataset"}")

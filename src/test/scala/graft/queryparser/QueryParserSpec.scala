@@ -249,6 +249,30 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("data and stream", noStem) === "(data OR and OR stream)")
   }
 
+  test("FLAG_AUTO_MULTIWORD_SYNONYMS: longest registered run becomes one marker") {
+    val keys = Set("data stream", "data stream engine", "big data")
+    val mw = QueryParser.Config(stemMode = "none",
+      autoMultiwordSynonyms = true, synonymKeys = keys)
+    // longest match wins: three words over two
+    assert(p("data stream engine", mw) === "~data stream engine")
+    assert(p("query data stream", mw) === "(query OR ~data stream)")
+    // unregistered runs parse as plain words
+    assert(p("data query", mw) === "(data OR query)")
+    // runs never cross operators, quotes, fields or wildcards
+    assert(p("data AND stream", mw) === "(data AND stream)")
+    assert(p("\"data stream\"", mw) === "(data PHRASE 2 stream)")
+    assert(p("data stream*", mw) === "(data OR stream*)")
+    // match-time expansion: registered members substitute; an
+    // unregistered multiword key degrades to the literal phrase
+    val expanded = Query.expandSynonyms(
+      QueryParser.parse("data stream", mw),
+      k => if (k == "data stream") Seq("data", "stream", "flow") else Seq.empty)
+    assert(expanded.describe === "(SYNONYM data stream flow)")
+    val degraded = Query.expandSynonyms(
+      QueryParser.parse("big data", mw), _ => Seq.empty)
+    assert(degraded.describe === "(big PHRASE 2 data)")
+  }
+
   test("pure NOT requires the pureNot flag (FLAG_PURE_NOT)") {
     assert(QueryParser.parse("NOT hate", noStem) === Query.MatchNothing)
     assert(QueryParser.parse("-hate", noStem) === Query.MatchNothing)

@@ -171,6 +171,31 @@ class ToolsSpec extends AnyFunSuite {
     intercept[IllegalStateException](IndexReader.configOf(work))
   }
 
+  test("Quest --multiword-synonyms: registered phrase key expands against the index") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-mwsyn").toString
+    val docs = Seq(
+      CorpusRow("r", "a", "1", "en", "the data stream flows"),
+      CorpusRow("r", "b", "2", "en", "a flow of events"),
+      CorpusRow("r", "c", "3", "en", "data without the other word"),
+      CorpusRow("r", "d", "4", "en", "nothing relevant"))
+    new graft.index.IndexBuilder(spark, graft.index.BuildConfig(
+      indexDir = s"$work/idx", stemMode = "none", nBuckets = 2,
+      stripeShift = 4, buildPartitions = 2,
+      synonyms = Map("data stream" -> Seq("data", "stream", "flow"))))
+      .build(spark.createDataset(docs))
+    // "data stream" parses as ONE synonym marker and expands to the
+    // registered members: docs with data, stream, OR flow
+    val out = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx",
+      "data stream", "--multiword-synonyms")))
+    assert(out.head == "Parsed query: (SYNONYM data flow stream)", out.head)
+    assert(out.drop(2).size == 3, out)
+    // without the flag, the same string is two default-op words
+    val plain = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx",
+      "data stream")))
+    assert(plain.head == "Parsed query: (data OR stream)", plain.head)
+  }
+
   test("CJK n-gram round trip: Omindex --cjk-ngram + Quest consecutive-char search") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cjk").toString
