@@ -31,7 +31,7 @@ sealed trait Query extends Product with Serializable {
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Max(cs)            => cs.map(_.describe).mkString("(MAX ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
-    case Query.Wildcard(p)        => s"$p*"
+    case Query.Wildcard(p, _)     => s"$p*"
     case Query.SynonymOf(t, wqf, _) => if (wqf == 1) s"~$t" else s"~$t#$wqf"
     case Query.External(n)        => s"EXTERNAL $n"
     case Query.ValueWeight(f)     => s"VALUE_WEIGHT $f"
@@ -103,7 +103,13 @@ object Query {
   /** Wildcard leaf (`prefix*`): expanded against the term dictionary
     * into an OR of matching terms before evaluation
     * (graft.queryparser.QueryParser.expandWildcard). */
-  final case class Wildcard(prefix: String) extends Query
+  final case class Wildcard(prefix: String,
+      /** true = FLAG_PARTIAL origin: an expansion past maxExpansion
+        * TRUNCATES (first maxExpansion dictionary terms,
+        * lexicographic) instead of throwing — incremental search must
+        * never fail on a short prefix ([VERIFY] upstream ranks the
+        * kept expansions by termfreq). */
+      partial: Boolean = false) extends Query
   /** Parse-time synonym marker (`~term`, the FLAG_SYNONYM /
     * FLAG_AUTO_SYNONYMS analog — reference: xapian-core/queryparser/
     * queryparser_internal.cc): expanded against the index's
@@ -249,9 +255,12 @@ object Query {
    */
   def expandWildcards(q: Query, lookup: String => Seq[String],
                       maxExpansion: Int = Int.MaxValue): Query = {
-    def expandLeaf(p: String): Query = {
-      val ts = lookup(p).sorted
-      if (ts.size > maxExpansion) throw WildcardError(p, maxExpansion)
+    def expandLeaf(p: String, partial: Boolean): Query = {
+      val ts0 = lookup(p).sorted
+      val ts =
+        if (ts0.size <= maxExpansion) ts0
+        else if (partial) ts0.take(maxExpansion) // FLAG_PARTIAL: truncate
+        else throw WildcardError(p, maxExpansion)
       if (ts.isEmpty) MatchNothing
       else if (ts.size == 1) Term(ts.head)
       else Or(ts.map(Term(_)))
@@ -266,7 +275,7 @@ object Query {
       val total = choices.foldLeft(1L)((a, c) => math.min(a * c.size, Long.MaxValue))
       if (total == 1L) mk(walked)
       else if (total > maxExpansion)
-        throw WildcardError(cs.collect { case Wildcard(p) => p }.mkString(","),
+        throw WildcardError(cs.collect { case Wildcard(p, _) => p }.mkString(","),
           maxExpansion)
       else {
         val variants = choices.foldLeft(Seq(Seq.empty[Query])) { (acc, c) =>
@@ -276,7 +285,7 @@ object Query {
       }
     }
     def walk(q: Query): Query = q match {
-      case Wildcard(p)    => expandLeaf(p)
+      case Wildcard(p, pl) => expandLeaf(p, pl)
       case s: SynonymOf   => s // expanded separately
       case And(cs)        => And(cs.map(walk))
       case Or(cs)         => Or(cs.map(walk))

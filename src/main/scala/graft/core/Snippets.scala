@@ -32,7 +32,12 @@ object Snippets {
       omit: String = "...",
       /** Stemmer used to match text tokens against stemmed query
         * terms (None = surface forms only). */
-      stem: Option[String => String] = None)
+      stem: Option[String => String] = None,
+      /** Set true for cjkNgram indexes: the text scans with the SAME
+        * unigram+bigram segmentation the index used, so n-gram query
+        * terms highlight; overlapping hit spans (a unigram inside its
+        * bigram) merge into one highlight. */
+      cjk: Boolean = false)
 
   /** Weight of a token under the query: surface form first, then
     * stemmed form (Z-prefixed terms are how the index stores stems,
@@ -47,7 +52,7 @@ object Snippets {
   def snippet(text: String, termWeights: Map[String, Double],
               cfg: Config = Config()): String = {
     if (text.isEmpty) return ""
-    val spans = Tokenizer.tokenizeSpans(text)
+    val spans = Tokenizer.tokenizeSpans(text, if (cfg.cjk) "index" else "off")
     if (spans.isEmpty)
       return clip(text, 0, math.min(text.length, cfg.length), cfg, Seq.empty)
 
@@ -100,10 +105,27 @@ object Snippets {
       contentStart = spans.head.start, contentEnd = spans.last.end)
   }
 
+  /** Coalesce overlapping/ascending hit spans into disjoint
+    * highlight ranges (CJK index mode emits a unigram inside every
+    * bigram; rendering needs disjoint ranges). */
+  private def mergeSpans(hls: Seq[Tokenizer.Span]): Seq[Tokenizer.Span] = {
+    if (hls.size <= 1) return hls
+    val sorted = hls.sortBy(s => (s.start, s.end))
+    val out = scala.collection.mutable.ArrayBuffer(sorted.head)
+    sorted.tail.foreach { s =>
+      val last = out.last
+      if (s.start <= last.end)
+        out(out.size - 1) = last.copy(end = math.max(last.end, s.end))
+      else out += s
+    }
+    out.toSeq
+  }
+
   /** Render text[from, to) with highlights and ellipsis markers. */
   private def clip(text: String, from: Int, to: Int, cfg: Config,
-                   hls: Seq[Tokenizer.Span],
+                   hls0: Seq[Tokenizer.Span],
                    contentStart: Int = 0, contentEnd: Int = -1): String = {
+    val hls = mergeSpans(hls0)
     val cEnd = if (contentEnd < 0) text.length else contentEnd
     val sb = new StringBuilder
     if (from > contentStart) sb ++= cfg.omit

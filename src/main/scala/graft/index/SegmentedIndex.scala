@@ -144,7 +144,10 @@ class SegmentedIndex(
     tokenizerMode: String = "xapian",
     nBuckets: Int = 16,
     stripeShift: Int = 8,
-    buildPartitions: Int = 8) {
+    buildPartitions: Int = 8,
+    /** CJK n-gram segmentation — forwarded to every segment build
+      * and compaction (see BuildConfig.cjkNgram). */
+    cjkNgram: Boolean = false) {
 
   final case class SegmentInfo(dir: String, base: Long, nDocs: Long)
 
@@ -187,7 +190,7 @@ class SegmentedIndex(
       val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
         tokenizerMode = tokenizerMode, nBuckets = nBuckets,
         stripeShift = stripeShift, buildPartitions = buildPartitions,
-        docIdBase = base)
+        docIdBase = base, cjkNgram = cjkNgram)
       new IndexBuilder(spark, cfg).build(corpus)
       val nDocs = spark.read.parquet(s"$dir/docs").count()
       writeManifest(segs :+ SegmentInfo(dir, base, nDocs),
@@ -325,7 +328,8 @@ class SegmentedIndex(
     val dir = f"$baseDir/compactm-$gen%05d"
     val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
       tokenizerMode = tokenizerMode, nBuckets = nBuckets,
-      stripeShift = stripeShift, buildPartitions = buildPartitions)
+      stripeShift = stripeShift, buildPartitions = buildPartitions,
+      cjkNgram = cjkNgram)
     val builder = new IndexBuilder(spark, cfg)
     Files.createDirectories(Paths.get(dir))
 
@@ -418,7 +422,8 @@ class SegmentedIndex(
     val dir = f"$baseDir/compact-$gen%05d"
     val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
       tokenizerMode = tokenizerMode, nBuckets = nBuckets,
-      stripeShift = stripeShift, buildPartitions = buildPartitions)
+      stripeShift = stripeShift, buildPartitions = buildPartitions,
+      cjkNgram = cjkNgram)
     new IndexBuilder(spark, cfg).build(union)
     val nDocs = spark.read.parquet(s"$dir/docs").count()
     writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)

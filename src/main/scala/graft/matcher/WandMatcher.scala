@@ -82,15 +82,19 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     case Query.Or(cs)         => cs.forall(_.isInstanceOf[Query.Term])
     case Query.And(cs)        => cs.forall(_.isInstanceOf[Query.Term])
     case Query.EliteSet(cs, _)=> cs.forall(_.isInstanceOf[Query.Term])
-    case Query.Max(cs) =>
-      // distinct terms only: duplicate Max children must NOT merge by
-      // summing termweights (that is the OR accumulation rule)
-      cs.forall(_.isInstanceOf[Query.Term]) &&
-        cs.collect { case Query.Term(t, _, _) => t }.distinct.size == cs.size
+    case Query.Max(cs)        => maxTermShape(cs)
     case Query.AndNot(l, r)   =>
       weightedShape(Query.simplify(l)) && pureTerms(Query.simplify(r)).isDefined
     case _                    => false
   }
+
+  /** OP_MAX children the loop can max-combine: distinct term leaves
+    * only — duplicate Max children must NOT merge by summing
+    * termweights (that is the OR accumulation rule). One definition
+    * shared by supports() and shapeOf() so the two can never drift. */
+  private def maxTermShape(cs: Seq[Query]): Boolean =
+    cs.forall(_.isInstanceOf[Query.Term]) &&
+      cs.collect { case Query.Term(t, _, _) => t }.distinct.size == cs.size
 
   /** AND_NOT right sides the loop can consume as a skip stream: a
     * term or an OR of terms (the union of their postings is the
@@ -118,9 +122,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
       Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = false, Nil))
     case Query.And(cs) if cs.forall(_.isInstanceOf[Query.Term]) =>
       Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = true, Nil))
-    case Query.Max(cs)
-        if cs.forall(_.isInstanceOf[Query.Term]) &&
-          cs.collect { case Query.Term(t, _, _) => t }.distinct.size == cs.size =>
+    case Query.Max(cs) if maxTermShape(cs) =>
       // OP_MAX: disjunctive stream scored with the BEST matching
       // child (maxpostlist.cc role) — same cursors, max-combine
       Some(WandShape(cs.map(_.asInstanceOf[Query.Term]), conj = false, Nil,

@@ -95,7 +95,12 @@ object QueryParser {
         * exact term in the expansion is never double-counted
         * (upstream combines the expansion with OP_SYNONYM and ORs the
         * stemmed form — [VERIFY] if the mount populates). An empty
-        * expansion simplifies away, leaving the completed word. */
+        * expansion simplifies away, leaving the completed word; an
+        * over-cap expansion TRUNCATES instead of throwing
+        * (Query.Wildcard.partial). Known limit: a final compound word
+        * the tokenizer splits (`tcp.con`, a 3+-char CJK run) parses
+        * as its loose phrase WITHOUT partial expansion — positional
+        * nodes require plain term leaves. */
       partial: Boolean = false,
       /** FLAG_BOOLEAN_ANY_CASE analog: operator keywords (AND, OR,
         * NOT, XOR, NEAR[/n], ADJ[/n]) match case-insensitively
@@ -335,16 +340,24 @@ object QueryParser {
             val term = cfg.boolPrefixes(field) + text.toLowerCase
             val q = if (wild) Wildcard(term) else Query.Term(term)
             items :+= Item(q, plus = false, minus = false, Some(field))
-          case Some(Word(None, _, false))
-              if cfg.autoMultiwordSynonyms && multiwordKeyAt().isDefined =>
+          case Some(Word(None, _, false)) if cfg.autoMultiwordSynonyms =>
             // FLAG_AUTO_MULTIWORD_SYNONYMS: the longest run of
             // consecutive plain words forming a registered multiword
             // key parses as one synonym marker, expanded at match
-            // time like any other group
-            val (key, nWords) = multiwordKeyAt().get
-            (1 to nWords).foreach(_ => advance())
-            items :+= Item(Query.SynonymOf(key), plus = false,
-              minus = false, None)
+            // time like any other group. A NEAR/ADJ right after the
+            // run falls through to normal parsing — the primary chain
+            // owns positional operators, and consuming the run here
+            // would strand them (single lookahead evaluation)
+            multiwordKeyAt() match {
+              case Some((key, nWords)) if !(pos + nWords < toks.length &&
+                  toks(pos + nWords).isInstanceOf[NearT]) =>
+                (1 to nWords).foreach(_ => advance())
+                items :+= Item(Query.SynonymOf(key), plus = false,
+                  minus = false, None)
+              case _ =>
+                parsePrimaryChain(stemmed = true).foreach(q =>
+                  items :+= Item(q, plus = false, minus = false, None))
+            }
           case Some(_: Word) =>
             parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
           case _ => go = false
@@ -469,8 +482,9 @@ object QueryParser {
         def withPartial(leaf: Option[Query]): Option[Query] =
           if (!isPartial) leaf
           else leaf match {
-            case Some(l) => Some(Query.Max(Seq(Query.Wildcard(prefix + raw), l)))
-            case None    => Some(Query.Wildcard(prefix + raw))
+            case Some(l) => Some(Query.Max(Seq(
+              Query.Wildcard(prefix + raw, partial = true), l)))
+            case None    => Some(Query.Wildcard(prefix + raw, partial = true))
           }
         if (wild) Some(Wildcard(prefix + raw))
         else if (toks.size > 1 && stemmed)
@@ -597,7 +611,15 @@ object QueryParser {
    * [[graft.matcher.SpellSuggest.correctQueryString]]).
    */
   def corrected(query: String,
-                suggest: String => Option[String]): Option[String] = {
+                suggest: String => Option[String]): Option[String] =
+    corrected(query, suggest, anyCase = false)
+
+  /** As above; `anyCase = true` matches FLAG_BOOLEAN_ANY_CASE parsing
+    * — lowercase operator words ("and", "near/3") are never
+    * corrected, so the corrected string reparses with the same
+    * boolean structure. */
+  def corrected(query: String, suggest: String => Option[String],
+                anyCase: Boolean): Option[String] = {
     val sb = new StringBuilder
     var i = 0
     val n = query.length
@@ -611,8 +633,9 @@ object QueryParser {
                query.charAt(j) != '(' && query.charAt(j) != ')' &&
                query.charAt(j) != '"') j += 1
         val w = query.substring(i, j)
-        val skip = operatorWords.contains(w) ||
-          w.startsWith("NEAR/") || w.startsWith("ADJ/") ||
+        val op = if (anyCase) w.toUpperCase else w
+        val skip = operatorWords.contains(op) ||
+          op.startsWith("NEAR/") || op.startsWith("ADJ/") ||
           w.contains(':') || w.contains('*') || w.contains("..")
         val fixed = if (skip) w else suggest(w.toLowerCase) match {
           case Some(s) if s != w.toLowerCase => changed = true; s

@@ -22,7 +22,7 @@ object CompactCli {
     val cfg = IndexReader.configOf(segs.head.dir)
     val seg = new SegmentedIndex(spark, baseDir, stemMode = cfg.stemMode,
       tokenizerMode = cfg.tokenizerMode, nBuckets = cfg.nBuckets,
-      stripeShift = cfg.stripeShift)
+      stripeShift = cfg.stripeShift, cjkNgram = cfg.cjkNgram)
     val before = segs.map(_.nDocs).sum
     val tomb = seg.listDeletes().size
     // merge-based: segment tables merge without re-tokenizing (the

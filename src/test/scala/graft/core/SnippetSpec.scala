@@ -70,4 +70,20 @@ class SnippetSpec extends AnyFunSuite {
       assert(bare.length <= len, s"len=$len: window exceeds budget")
     }
   }
+
+  test("CJK snippets: n-gram terms highlight with merged spans") {
+    val text = "big \u4e2d\u6587 corpus"
+    // the bigram term from a cjkNgram query highlights the two chars
+    // as ONE merged range (its unigrams overlap the bigram span)
+    val out = Snippets.snippet(text,
+      Map("\u4e2d\u6587" -> 1.0, "\u4e2d" -> 0.5),
+      Snippets.Config(cjk = true))
+    assert(out.contains("<b>\u4e2d\u6587</b>"), out)
+    assert(!out.contains("<b><b>"), out)
+    // without cjk mode a longer run stays one unsplit token, so the
+    // bigram query term cannot match it
+    val off = Snippets.snippet("big \u4e2d\u6587\u5b57 corpus",
+      Map("\u4e2d\u6587" -> 1.0))
+    assert(!off.contains("<b>"), off)
+  }
 }

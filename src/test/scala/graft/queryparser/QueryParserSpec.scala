@@ -236,6 +236,38 @@ class QueryParserSpec extends AnyFunSuite {
     val pcStop = QueryParser.Config(stemMode = "none", partial = true,
       stopwords = Set("the"))
     assert(p("index the", pcStop) === "(index OR the*)")
+    // partial wildcards TRUNCATE at the expansion cap instead of
+    // throwing (search-as-you-type must survive 1-char prefixes);
+    // explicit wildcards still error
+    val big = (1 to 20).map(i => f"pre$i%02d")
+    val q = QueryParser.parse("pre", pc)
+    val expanded = Query.expandWildcards(q, _ => big, maxExpansion = 5)
+    assert(expanded.terms.size <= 5 + 1, expanded.describe)
+    intercept[Query.WildcardError](
+      Query.expandWildcards(QueryParser.parse("pre*", pc), _ => big,
+        maxExpansion = 5))
+  }
+
+  test("multiword synonym run followed by NEAR falls back to normal parsing") {
+    val mw = QueryParser.Config(stemMode = "none",
+      autoMultiwordSynonyms = true, synonymKeys = Set("data stream"))
+    // consuming the run would strand "NEAR/2 engine"; instead the
+    // primary chain owns the positional operator
+    assert(p("data stream NEAR/2 engine", mw) ===
+      "(data OR (stream NEAR 2 engine))")
+    // and without a following NEAR the run still collapses
+    assert(p("data stream engine", mw) === "(~data stream OR engine)")
+  }
+
+  test("corrected() with anyCase skips lowercase operator words") {
+    val suggest: String => Option[String] =
+      w => if (w == "and") Some("ant") else if (w == "strem") Some("stream") else None
+    // default: lowercase "and" is a plain word and gets corrected
+    assert(QueryParser.corrected("data and strem", suggest) ===
+      Some("data ant stream"))
+    // anyCase: "and" is an operator — structure preserved
+    assert(QueryParser.corrected("data and strem", suggest, anyCase = true) ===
+      Some("data and stream"))
   }
 
   test("FLAG_BOOLEAN_ANY_CASE: lowercase operators, words unchanged without the flag") {
