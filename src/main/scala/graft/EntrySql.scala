@@ -215,6 +215,41 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.doc_id"""
   }
 
+  /** Shared geo CTEs: the gate's deterministic (lat, lon) slots
+    * recomputed from doc_id (EntrySupport.valueSlots expressions) and
+    * the haversine distance to (clat, clon) on the engine's Earth
+    * radius — term-for-term the [[graft.core.Geo]] formula. */
+  private def geoDist(clat: Double, clon: Double): String =
+    s"""pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 73) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents),
+gd AS (
+  SELECT doc_id,
+         2.0 * ${graft.core.Geo.EarthRadiusMetres} * asin(least(1.0, sqrt(
+           sin(radians($clat - lat) / 2) * sin(radians($clat - lat) / 2) +
+           cos(radians(lat)) * cos(radians($clat)) *
+           sin(radians($clon - lon) / 2) * sin(radians($clon - lon) / 2)))) AS dist
+  FROM pts)"""
+
+  /** LatLongDistancePostingSource (k2 = 1): weight k1/(dist+k1),
+    * docs beyond maxRange excluded. */
+  def geoSql(clat: Double, clon: Double, maxRange: Double, k1: Double): String =
+    s"""WITH ${geoDist(clat, clon)}
+SELECT doc_id, round($k1 / (dist + $k1), 4) AS score
+FROM gd WHERE dist <= $maxRange ORDER BY doc_id"""
+
+  /** LatLongDistanceKeyMaker: the term's matches ranked by
+    * great-circle metres ascending, doc_id tie-break. */
+  def geoSortSql(term: String, clat: Double, clon: Double, k: Int): String =
+    prefix(Seq(term)) + s""",
+${geoDist(clat, clon)},
+m AS (SELECT DISTINCT doc_id FROM sp)
+SELECT row_number() OVER (ORDER BY gd.dist, m.doc_id) AS rank, m.doc_id
+FROM m JOIN gd ON gd.doc_id = m.doc_id
+ORDER BY rank LIMIT $k"""
+
   def deciderTopk(ts: Seq[String], lang: String, k: Int): String =
     prefix(ts) + scored +
       s"""

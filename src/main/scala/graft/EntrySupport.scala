@@ -47,7 +47,12 @@ object EntrySupport {
         // "data" keys the same group by one of its own members, the
         // shape parse-time ~data resolves against
         synonyms = Map("syn_data_stream" -> Seq("data", "stream"),
-          "data" -> Seq("data", "stream")))
+          "data" -> Seq("data", "stream")),
+        // deterministic geo slots from the doc id (path carries it) —
+        // the same expressions the DuckDB oracle replays over doc_id
+        valueSlots = Map(
+          "lat" -> "(CAST(path AS BIGINT) * 37) % 18000 / 100.0 - 90.0",
+          "lon" -> "(CAST(path AS BIGINT) * 73) % 36000 / 100.0 - 180.0"))
       import spark.implicits._
       new IndexBuilder(spark, cfg).build(corpus(spark, sfDir).as[CorpusRow])
       new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)

@@ -166,6 +166,29 @@ object SparkEntry {
         .orderBy("doc_id")),
     "ft_collapse" -> ((s, d) =>
       EntrySupport.collapseDf(s, d, t("data"))),
+    // LatLongDistancePostingSource analog (geospatial.h): weight
+    // k1/(dist+k1) over the build-time (lat, lon) value slots, range
+    // cut in-scan
+    "ft_geo" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.LatLongDistance("lat", "lon",
+        48.8566, 2.3522, maxRange = 12000000.0, k1 = 100000.0))
+        .orderBy("doc_id")),
+    // LatLongDistanceKeyMaker analog: matches of a term ranked by
+    // great-circle distance ascending (sortKeyExprs KeyMaker channel)
+    "ft_geo_sort" -> ((s, d) => {
+      import s.implicits._
+      val idx = EntrySupport.reader(s, d)
+      val dist = graft.core.Geo.distanceCol(col("lat"), col("lon"),
+        48.8566, 2.3522)
+      val m = new graft.matcher.DatasetMatcher(idx,
+        graft.matcher.MatchOptions(sortBy = "value",
+          sortKeyExprs = Seq((dist, false))))
+      m.mset(t("data"), 10).zipWithIndex
+        .map { case (it, i) => ((i + 1).toLong, it.docId) }
+        .toDF("rank", "docId")
+        .join(EntrySupport.docIds(idx), "docId")
+        .select(col("rank"), col("doc_id")).orderBy("rank")
+    }),
     // ---------- alternative weighting schemes (Xapian::Weight family) ----------
     "ft_tfidf" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
@@ -434,6 +457,8 @@ object SparkEntry {
     "ft_valuemap" -> EntrySql.valueMapLang("data",
       Seq("en" -> 0.5, "de" -> 0.25), 0.1),
     "ft_collapse" -> EntrySql.collapseByLang(Seq("data")),
+    "ft_geo" -> EntrySql.geoSql(48.8566, 2.3522, 12000000.0, 100000.0),
+    "ft_geo_sort" -> EntrySql.geoSortSql("data", 48.8566, 2.3522, 10),
     "ft_tfidf" -> EntrySql.tfidfNtn(Seq("data", "stream")),
     "ft_coord" -> EntrySql.coord(Seq("data", "stream")),
     "ft_bm25plus" -> EntrySql.bm25plus(Seq("data", "stream")),

@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Geospatial support — the Xapian::GreatCircleMetric /
+ * LatLongDistancePostingSource surface (reference:
+ * xapian-core/geospatial/latlong_metrics.cc,
+ * latlong_distance_posting_source.cc [VERIFY] — mount empty, spec
+ * reconstructed from the published geospatial.h API docs).
+ *
+ * Coordinates live as two numeric value slots (lat, lon) on the docs
+ * table — the Spark analog of LatLongCoords serialized into a value
+ * slot — written at build time via [[graft.index.BuildConfig.valueSlots]]
+ * (the Document::add_value path). Both the scalar (oracle / WAND) and
+ * Column (Dataset, whole-stage codegen) evaluations share one formula
+ * structure so the three paths agree bit-for-bit on the JVM.
+ */
+object Geo {
+
+  /** Earth radius in metres. Upstream XAPIAN_EARTH_RADIUS_METRES is
+    * the quadratic-mean radius ([VERIFY] exact constant vs
+    * geospatial.h — frozen here; the oracle SQL replays the same
+    * literal so the correctness gate is self-consistent). */
+  val EarthRadiusMetres: Double = 6372797.6
+
+  /** GreatCircleMetric: haversine distance in metres between
+    * (lat1,lon1) and (lat2,lon2), degrees in. */
+  def distance(lat1: Double, lon1: Double,
+               lat2: Double, lon2: Double): Double = {
+    val dlat = math.toRadians(lat2 - lat1)
+    val dlon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dlat / 2) * math.sin(dlat / 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dlon / 2) * math.sin(dlon / 2)
+    2.0 * EarthRadiusMetres * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** LatLongDistancePostingSource weight: k1·(dist + k1)^(−k2) —
+    * monotone decreasing in distance, k1 in metres ([VERIFY] formula
+    * vs latlong_distance_posting_source.cc; defaults k1=1000 k2=1). */
+  def weightFromDistance(dist: Double, k1: Double, k2: Double): Double =
+    k1 * math.pow(dist + k1, -k2)
+
+  /** Column mirror of [[distance]] — pure built-in trig, stays inside
+    * whole-stage codegen (java.lang.Math, the scalar path's libm). */
+  def distanceCol(lat: Column, lon: Column,
+                  centreLat: Double, centreLon: Double): Column = {
+    val dlat = radians(lit(centreLat) - lat)
+    val dlon = radians(lit(centreLon) - lon)
+    val a = sin(dlat / 2) * sin(dlat / 2) +
+      cos(radians(lat)) * cos(radians(lit(centreLat))) *
+        sin(dlon / 2) * sin(dlon / 2)
+    lit(2.0 * EarthRadiusMetres) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Column mirror of [[weightFromDistance]]. */
+  def weightCol(dist: Column, k1: Double, k2: Double): Column =
+    lit(k1) * pow(dist + lit(k1), lit(-k2))
+}

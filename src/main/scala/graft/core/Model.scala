@@ -37,6 +37,8 @@ sealed trait Query extends Product with Serializable {
     case Query.ValueWeight(f)     => s"VALUE_WEIGHT $f"
     case Query.FixedWeight(w)     => s"FIXED_WEIGHT $w"
     case Query.ValueMap(f, _, d)  => s"VALUE_MAP $f default=$d"
+    case Query.LatLongDistance(la, lo, clat, clon, r, k1, k2) =>
+      s"GEO_DIST ($la,$lo) @($clat,$clon) range=$r k1=$k1 k2=$k2"
     case Query.MatchAll           => "<alldocuments>"
     case Query.MatchNothing       => ""
   }
@@ -145,6 +147,15 @@ object Query {
     * values — ValueMapPostingSource semantics: unmapped still match). */
   final case class ValueMap(field: String, mapping: Map[String, Double],
                             default: Double) extends Query
+  /** Concrete PostingSource: docs with numeric lat/lon value slots
+    * match, weighted k1·(distance+k1)^(−k2) by great-circle metres
+    * from (centreLat, centreLon); maxRange > 0 excludes farther docs
+    * (reference: xapian-core/geospatial/
+    * latlong_distance_posting_source.cc [VERIFY] — see
+    * [[graft.core.Geo]]). */
+  final case class LatLongDistance(latField: String, lonField: String,
+      centreLat: Double, centreLon: Double, maxRange: Double = 0.0,
+      k1: Double = 1000.0, k2: Double = 1.0) extends Query
   case object MatchAll extends Query
   case object MatchNothing extends Query
 

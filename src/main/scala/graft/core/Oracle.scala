@@ -253,6 +253,16 @@ object Oracle {
           .flatMap(d => d.svals.get(f)
             .map(v => d.docId -> mapping.getOrElse(v, default))))
 
+      case g: Query.LatLongDistance =>
+        sortedMap(idx.docs.values.toSeq.flatMap { d =>
+          for {
+            la <- d.fields.get(g.latField)
+            lo <- d.fields.get(g.lonField)
+            dist = Geo.distance(la, lo, g.centreLat, g.centreLon)
+            if g.maxRange <= 0 || dist <= g.maxRange
+          } yield d.docId -> Geo.weightFromDistance(dist, g.k1, g.k2)
+        })
+
       case Query.MatchNothing => new mutable.LinkedHashMap
     }
   }
@@ -315,6 +325,8 @@ object Oracle {
       case Query.FixedWeight(w) => w
       case Query.ValueMap(_, mapping, default) =>
         (mapping.values.toSeq :+ default).max
+      case g: Query.LatLongDistance =>
+        Geo.weightFromDistance(0.0, g.k1, g.k2) // max at dist = 0
       case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
     }
     b(q)

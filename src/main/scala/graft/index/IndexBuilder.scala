@@ -51,6 +51,16 @@ final case class BuildConfig(
       * doclen, so they are weightless filters — exactly what
       * QueryParser boolPrefixes emit. */
     fieldPrefixes: Map[String, String] = Map.empty,
+    /** Computed value slots — the Document::add_value analog
+      * (reference: xapian-core/api/document.cc): slot name → Spark
+      * SQL expression over the corpus columns (repo, path, commit,
+      * lang, content), evaluated once at build time and stored as a
+      * docs-table column. Read back by value-range predicates,
+      * ValueWeight/ValueMap/LatLongDistance posting sources, sort
+      * keys and collapse — the declarative indexer's per-doc payload
+      * channel. Names must not collide with the reserved docs
+      * columns. */
+    valueSlots: Map[String, String] = Map.empty,
     /** CJK n-gram segmentation (FLAG_CJK_NGRAM / TermGenerator CJK
       * analog): CJK runs index as positioned unigrams + bigrams (see
       * [[graft.core.Tokenizer.tokenize(text:String,cjk:String)*]]);
@@ -71,8 +81,12 @@ final case class BuildConfig(
       else "|fp=" + fieldPrefixes.toSeq.sorted
         .map { case (c, p) => s"$c:$p" }.mkString(",")
     val cjk = if (cjkNgram) "|cjk" else "" // keeps pre-cjk hashes stable
+    val vs =
+      if (valueSlots.isEmpty) "" // keeps pre-slot hashes stable
+      else "|vs=" + valueSlots.toSeq.sorted
+        .map { case (n, e) => s"$n:$e" }.mkString(",")
     val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps$cjk"
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps$cjk$vs"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -211,7 +225,17 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
         .toDF("docId", "repo", "path", "commit", "lang", "content")
         .withColumn("sha256", sha2($"content", 256))
         .withColumn("stripe", (($"docId" - 1) / lit(1L << cfg.stripeShift)).cast("int"))
-      docs0.write.mode("overwrite").parquet(s"$dir/docs0")
+      // computed value slots (Document::add_value analog) — evaluated
+      // once here, carried as plain columns through stage 4's docs
+      val reserved = Set("docId", "repo", "path", "commit", "lang",
+        "content", "sha256", "stripe", "doclen")
+      val withSlots = cfg.valueSlots.toSeq.sortBy(_._1)
+        .foldLeft(docs0) { case (df, (name, sql)) =>
+          require(!reserved.contains(name),
+            s"value slot '$name' collides with a reserved docs column")
+          df.withColumn(name, expr(sql))
+        }
+      withSlots.write.mode("overwrite").parquet(s"$dir/docs0")
       finishStage("docs0")
     }
 

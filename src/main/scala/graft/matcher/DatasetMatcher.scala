@@ -33,6 +33,14 @@ final case class MatchOptions(
       * reverse?) pairs, most significant first. When non-empty it
       * replaces sortValue/sortValueReverse in the value-sort modes. */
     sortKeys: Seq[(String, Boolean)] = Seq.empty,
+    /** Generic KeyMaker — the user-subclass Xapian::KeyMaker analog
+      * (reference: xapian-core/api/keymaker.cc base class): arbitrary
+      * Column expressions over docs columns as sort keys, most
+      * significant first, (expr, reverse?) pairs. Stays codegen'd
+      * where the expression does (e.g. [[graft.core.Geo.distanceCol]]
+      * = LatLongDistanceKeyMaker). Non-empty wins over sortKeys /
+      * sortValue in the value-sort modes. */
+    sortKeyExprs: Seq[(Column, Boolean)] = Seq.empty,
     /** Wildcard expansion cap (upstream max_expansion analog);
       * exceeding it throws [[graft.core.Query.WildcardError]]. */
     wildcardMaxExpansion: Int = 100000)
@@ -498,6 +506,18 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
         .select($"docId",
           coalesce(element_at(typedLit(mapping), col(f).cast("string")),
             lit(default)).as("score"))
+
+    case g: Query.LatLongDistance =>
+      // LatLongDistancePostingSource: pruned (docId, lat, lon) scan,
+      // haversine + weight as codegen'd Column trig; the range cut is
+      // an in-scan filter (no shuffle, no UDF)
+      val la = col(g.latField).cast("double")
+      val lo = col(g.lonField).cast("double")
+      val dist = Geo.distanceCol(la, lo, g.centreLat, g.centreLon)
+      val base = idx.docs.filter(col(g.latField).isNotNull &&
+        col(g.lonField).isNotNull)
+      val ranged = if (g.maxRange > 0) base.filter(dist <= g.maxRange) else base
+      ranged.select($"docId", Geo.weightCol(dist, g.k1, g.k2).as("score"))
   }
 
   /** The query's termweights (term → weight), for snippet
@@ -595,6 +615,9 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.FixedWeight(w) => w
     case Query.ValueMap(_, mapping, default) =>
       (mapping.values.toSeq :+ default).max
+    case g: Query.LatLongDistance =>
+      // weight is monotone decreasing in distance → max at dist = 0
+      Geo.weightFromDistance(0.0, g.k1, g.k2)
     case _ => 0.0 // MatchAll / value ranges / MatchNothing: weightless
   }
 
@@ -690,7 +713,8 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
   private def withDocCols(q: Query, m0: DataFrame): DataFrame = {
     var m = m0
     val needsDocs = opts.decider.nonEmpty || opts.collapseKey.nonEmpty ||
-      opts.sortValue.nonEmpty || opts.sortKeys.nonEmpty || weight.needsExtra
+      opts.sortValue.nonEmpty || opts.sortKeys.nonEmpty ||
+      opts.sortKeyExprs.nonEmpty || weight.needsExtra
     if (needsDocs) {
       m = m.join(idx.docs.drop("content"), "docId")
       if (weight.needsExtra) {
@@ -715,11 +739,13 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     // the value key list: explicit multi-key (MultiValueKeyMaker)
     // wins over the single sortValue slot
     def valueCols: Seq[Column] = {
+      if (opts.sortKeyExprs.nonEmpty)
+        return opts.sortKeyExprs.map { case (c, rev) => if (rev) c.desc else c.asc }
       val keys =
         if (opts.sortKeys.nonEmpty) opts.sortKeys
         else opts.sortValue.map(v => (v, opts.sortValueReverse)).toSeq
       require(keys.nonEmpty,
-        s"sortBy=${opts.sortBy} needs sortValue or sortKeys")
+        s"sortBy=${opts.sortBy} needs sortValue, sortKeys or sortKeyExprs")
       keys.map { case (c, rev) => if (rev) col(c).desc else col(c).asc }
     }
     val didTie = if (opts.docIdOrderDesc) $"docId".desc else $"docId".asc

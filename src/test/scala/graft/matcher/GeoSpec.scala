@@ -1,0 +1,128 @@
+package graft.matcher
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import Query._
+
+/**
+ * Geospatial surface (SURVEY.md §2 addendum — Xapian geospatial.h):
+ * GreatCircleMetric, LatLongDistancePostingSource, distance KeyMaker,
+ * and the BuildConfig.valueSlots channel they ride on. Oracle /
+ * Dataset identity per MatcherSpec's contract.
+ */
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // deterministic coords derived from content length — the SAME
+  // expression evaluated by Spark SQL (valueSlots) and Scala (oracle)
+  private def latOf(content: String): Double =
+    content.length * 7 % 18000 / 100.0 - 90.0
+  private def lonOf(content: String): Double =
+    content.length * 13 % 36000 / 100.0 - 180.0
+
+  private val corpus = CorpusGen.generate(seed = 11, nRepos = 3, filesPerRepo = 20)
+  private lazy val env = {
+    val dir = Files.createTempDirectory("graft-geo").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4,
+      valueSlots = Map(
+        "lat" -> "(length(content) * 7) % 18000 / 100.0 - 90.0",
+        "lon" -> "(length(content) * 13) % 36000 / 100.0 - 180.0"))
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val odocs = sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content,
+        fields = Map("lat" -> latOf(c.content), "lon" -> lonOf(c.content)),
+        lang = c.lang)
+    }
+    (reader, Oracle.buildIndex(odocs, stemMode = "none"), odocs)
+  }
+  private lazy val (reader, oracleIdx, oracleDocs) = env
+
+  private val centre = (48.8566, 2.3522) // Paris
+
+  private def assertSame(got: Seq[MSetItem], want: Seq[MSetItem], tag: String): Unit = {
+    assert(got.map(_.docId) == want.map(_.docId),
+      s"$tag docIds: got ${got.map(_.docId)}, want ${want.map(_.docId)}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9, s"$tag doc ${g.docId} score") }
+  }
+
+  private def check(q: Query, k: Int = 10, tag: String = ""): Unit =
+    assertSame(new DatasetMatcher(reader).mset(q, k),
+      Oracle.mset(q, oracleIdx, k), if (tag.nonEmpty) tag else q.describe)
+
+  test("great-circle distance: known pair, symmetry, zero") {
+    val parisLondon = Geo.distance(48.8566, 2.3522, 51.5074, -0.1278)
+    assert(parisLondon > 330000 && parisLondon < 350000,
+      s"Paris-London was $parisLondon m")
+    assert(Geo.distance(10, 20, 10, 20) == 0.0)
+    assert(math.abs(Geo.distance(1, 2, 3, 4) - Geo.distance(3, 4, 1, 2)) < 1e-6)
+    // antipodal-ish stays finite and ≤ half circumference
+    assert(Geo.distance(0, 0, 0, 180) <= math.Pi * Geo.EarthRadiusMetres + 1)
+  }
+
+  test("Column mirror equals the scalar formula bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = Seq((48.8566, 2.3522), (51.5074, -0.1278), (-33.86, 151.21),
+      (0.0, 0.0), (89.9, 179.9), (-89.9, -179.9))
+    val got = pts.toDF("lat", "lon")
+      .select(Geo.distanceCol(col("lat"), col("lon"), centre._1, centre._2))
+      .collect().map(_.getDouble(0))
+    val want = pts.map { case (la, lo) => Geo.distance(la, lo, centre._1, centre._2) }
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("LatLongDistance posting source: oracle/Dataset identity") {
+    check(LatLongDistance("lat", "lon", centre._1, centre._2), k = 20)
+  }
+
+  test("maxRange excludes far docs, identically on both paths") {
+    val q = LatLongDistance("lat", "lon", centre._1, centre._2,
+      maxRange = 8000 * 1000.0)
+    check(q, k = 60)
+    // the range cut actually bites on this fixture
+    val all = Oracle.mset(
+      LatLongDistance("lat", "lon", centre._1, centre._2), oracleIdx, 60)
+    val cut = Oracle.mset(q, oracleIdx, 60)
+    assert(cut.size < all.size && cut.nonEmpty)
+  }
+
+  test("geo source blends under AND_MAYBE and SCALE_WEIGHT") {
+    check(AndMaybe(t("def"),
+      ScaleWeight(LatLongDistance("lat", "lon", centre._1, centre._2), 3.0)))
+  }
+
+  test("distance KeyMaker: sortKeyExprs orders by great-circle metres") {
+    import org.apache.spark.sql.functions.col
+    val m = new DatasetMatcher(reader, MatchOptions(sortBy = "value",
+      sortKeyExprs = Seq((Geo.distanceCol(col("lat"), col("lon"),
+        centre._1, centre._2), false))))
+    val got = m.mset(t("def"), 10).map(_.docId)
+    val want = Oracle.mset(t("def"), oracleIdx, oracleDocs.size)
+      .map(_.docId)
+      .sortBy(d => (Geo.distance(oracleIdx.docs(d).fields("lat"),
+        oracleIdx.docs(d).fields("lon"), centre._1, centre._2), d))
+      .take(10)
+    assert(got == want)
+  }
+
+  test("valueSlots reject reserved docs columns") {
+    val cfg = BuildConfig(indexDir = Files.createTempDirectory("graft-geo-bad").toString,
+      valueSlots = Map("doclen" -> "1.0"))
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      new IndexBuilder(spark, cfg).build(spark.createDataset(corpus.take(2)))
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+}
