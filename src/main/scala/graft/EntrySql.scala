@@ -17,11 +17,31 @@ object EntrySql {
     * termweight/sumpart over the query terms (or a LIKE prefix for
     * wildcard). */
   def prefix(terms: Seq[String], like: Option[String] = None,
-             docsRel: String = "documents"): String = {
+             docsRel: String = "documents",
+             rset: Seq[Long] = Seq.empty): String = {
     val filt = like match {
       case Some(p) => s"term LIKE '$p%'"
       case None    => s"term IN ${in(terms)}"
     }
+    // termweight CTE: plain idf, or (with an RSet) the RSJ relevance
+    // weight r/R-parameterized exactly as Bm25Weight.termWeight
+    val w =
+      if (rset.isEmpty)
+        """w AS (SELECT term, ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
+                 THEN (s.n - df + 0.5) / (df + 0.5) / 2 + 1
+                 ELSE (s.n - df + 0.5) / (df + 0.5) END) AS tw
+      FROM df, stats s)"""
+      else {
+        val ids = rset.distinct.mkString(", ")
+        val bigR = s"${rset.distinct.size}.0"
+        s"""rf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS r
+      FROM tf WHERE doc_id IN ($ids) GROUP BY term),
+w AS (SELECT term, ln(CASE WHEN raw < 2 THEN raw / 2 + 1 ELSE raw END) AS tw
+      FROM (SELECT df.term,
+              ((coalesce(rf.r, 0) + 0.5) * (s.n - df.df - $bigR + coalesce(rf.r, 0) + 0.5))
+              / ((df.df - coalesce(rf.r, 0) + 0.5) * ($bigR - coalesce(rf.r, 0) + 0.5)) AS raw
+            FROM df LEFT JOIN rf USING(term), stats s))"""
+      }
     s"""WITH corpus AS (SELECT * FROM $docsRel),
 tok AS (
   SELECT doc_id, t.term AS term
@@ -33,14 +53,17 @@ stats AS (SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n,
                  (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM corpus) AS avglen),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM tok WHERE $filt GROUP BY doc_id, term),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-w AS (SELECT term, ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
-                 THEN (s.n - df + 0.5) / (df + 0.5) / 2 + 1
-                 ELSE (s.n - df + 0.5) / (df + 0.5) END) AS tw
-      FROM df, stats s),
+$w,
 sp AS (SELECT tf.doc_id, tf.term,
               w.tw * tf.wdf * 2.0 / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + tf.wdf) AS part
        FROM tf JOIN w USING(term) JOIN doclen dl ON dl.doc_id = tf.doc_id, stats s)"""
   }
+
+  /** BM25 OR with an RSet (Enquire::set_rset): RSJ relevance idf with
+    * r recounted per term over the judged docs. */
+  def rsetSql(ts: Seq[String], rset: Seq[Long]): String =
+    prefix(ts, rset = rset) + scored +
+      "\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY doc_id"
 
   private def scored = ",\nscored AS (SELECT doc_id, sum(part) AS raw FROM sp GROUP BY doc_id)"
 
@@ -615,6 +638,30 @@ d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
       GROUP BY f.vec_id)
 SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
 ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
+
+  /** PII scrub oracle: same planted columns, same three regexes in
+    * the same order as TextOps.piiScrub (RE2 ≡ Java on these
+    * lookaround-free patterns). */
+  val piiSql: String = {
+    val e = graft.pipeline.TextOps.EmailPattern.replace("'", "''")
+    val i = graft.pipeline.TextOps.Ipv4Pattern.replace("'", "''")
+    val ph = graft.pipeline.TextOps.PhonePattern.replace("'", "''")
+    s"""WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.0.'
+           || (doc_id % 200) || ' call 555-0100-' || doc_id AS text
+  FROM documents),
+s1 AS (SELECT doc_id, text,
+              regexp_replace(text, '$e', '[EMAIL]', 'g') AS t1 FROM planted),
+s2 AS (SELECT doc_id, text, t1,
+              regexp_replace(t1, '$i', '[IP]', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       len(regexp_extract_all(text, '$e'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t1, '$i'))::BIGINT AS n_ips,
+       len(regexp_extract_all(t2, '$ph'))::BIGINT AS n_phones,
+       regexp_replace(t2, '$ph', '[PHONE]', 'g') AS scrubbed
+FROM s2 ORDER BY doc_id"""
+  }
 
   val tokensSql: String = {
     // DuckDB '…' strings keep backslashes literal; only quotes escape

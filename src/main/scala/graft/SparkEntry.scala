@@ -189,6 +189,21 @@ object SparkEntry {
         .join(EntrySupport.docIds(idx), "docId")
         .select(col("rank"), col("doc_id")).orderBy("rank")
     }),
+    // Enquire::set_rset analog: BM25 OR with Robertson/Sparck-Jones
+    // relevance feedback from three judged docs — reltermfreqs come
+    // from one pruned postings scan (RelStats)
+    "ft_bm25_rset" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      val engIds = EntrySupport.docIds(idx)
+        .filter(col("doc_id").isin(3L, 8L, 21L))
+        .select("docId").collect().map(_.getLong(0)).toSeq
+      new graft.matcher.DatasetMatcher(idx,
+        graft.matcher.MatchOptions(rset = engIds))
+        .matches(Query.Or(Seq(t("data"), t("stream"))))
+        .join(EntrySupport.docIds(idx), "docId")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
     // ---------- alternative weighting schemes (Xapian::Weight family) ----------
     "ft_tfidf" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
@@ -373,6 +388,19 @@ object SparkEntry {
       TextOps.qualityFeatures(documents(s, d), qualityStopwords).orderBy("doc_id")),
     "ta_winnow" -> ((s, d) =>
       TextOps.winnowDigest(documents(s, d)).orderBy("doc_id")),
+    // PII redaction: emails → [EMAIL], IPv4 → [IP], digit runs →
+    // [PHONE], with per-category counts. PII is planted
+    // deterministically from doc_id so the scrub provably fires; the
+    // oracle replays the same concatenation and regexes in SQL
+    "ta_pii" -> ((s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 10.0.0."), col("doc_id") % 200,
+          lit(" call 555-0100-"), col("doc_id")).as("text"))
+      TextOps.piiScrub(planted)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+        .orderBy("doc_id")
+    }),
     "ta_langid" -> ((s, d) =>
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
     "ta_repetition" -> ((s, d) =>
@@ -457,6 +485,7 @@ object SparkEntry {
     "ft_valuemap" -> EntrySql.valueMapLang("data",
       Seq("en" -> 0.5, "de" -> 0.25), 0.1),
     "ft_collapse" -> EntrySql.collapseByLang(Seq("data")),
+    "ft_bm25_rset" -> EntrySql.rsetSql(Seq("data", "stream"), Seq(3L, 8L, 21L)),
     "ft_geo" -> EntrySql.geoSql(48.8566, 2.3522, 12000000.0, 100000.0),
     "ft_geo_sort" -> EntrySql.geoSortSql("data", 48.8566, 2.3522, 10),
     "ft_tfidf" -> EntrySql.tfidfNtn(Seq("data", "stream")),
@@ -495,6 +524,7 @@ object SparkEntry {
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
+    "ta_pii" -> EntrySql.piiSql,
     "ta_langid" -> EntrySql.langIdSql,
     "ta_repetition" -> EntrySql.repetitionSql,
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),

@@ -36,7 +36,10 @@ object Oracle {
       synonyms: Map[String, Seq[String]] = Map.empty,
       /** Enquire::set_docid_order(DESCENDING) analog: flip docId
         * tie-breaks in the final ranking. */
-      docIdOrderDesc: Boolean = false)
+      docIdOrderDesc: Boolean = false,
+      /** Judged-relevant docIds (Enquire::set_rset analog) — feeds
+        * the RSJ relevance-weighted idf in BM25/BM25+/Trad. */
+      rset: Seq[Long] = Seq.empty)
 
   final case class Index(
       postings: Map[String, Vector[(Long, Int, Array[Int])]], // term -> (docId, wdf, positions) sorted by docId
@@ -87,6 +90,24 @@ object Oracle {
     m
   }
 
+  /** RSet reltermfreq of one term: judged docs containing it. */
+  private def relOf(term: String, idx: Index, opts: Options): RelFreq = {
+    val rs = opts.rset.distinct
+    if (rs.isEmpty) RelFreq.zero
+    else RelFreq(idx.postings.getOrElse(term, Vector.empty)
+      .count(p => rs.contains(p._1)).toLong, rs.size.toLong)
+  }
+
+  /** Synonym pseudo-term reltermfreq: judged docs holding ANY member. */
+  private def relOfGroup(ts: Seq[String], idx: Index, opts: Options): RelFreq = {
+    val rs = opts.rset.distinct
+    if (rs.isEmpty) RelFreq.zero
+    else RelFreq(ts.distinct.flatMap(t =>
+      idx.postings.getOrElse(t, Vector.empty)
+        .collect { case (d, _, _) if rs.contains(d) => d })
+      .distinct.size.toLong, rs.size.toLong)
+  }
+
   /** Evaluate a query to (docId -> weight), docId-ascending. */
   def evaluate(q: Query, idx: Index, opts: Options): Matches = {
     val weight = opts.weight
@@ -96,7 +117,8 @@ object Oracle {
       idx.postings.get(term) match {
         case None => new mutable.LinkedHashMap
         case Some(pl) =>
-          val tw = weight.termWeight(wqf, pl.size.toLong, stats)
+          val tw = weight.termWeight(wqf, pl.size.toLong, stats,
+            relOf(term, idx, opts))
           val ts = weight.termStat(pl.size.toLong,
             pl.map(_._2.toLong).sum, stats)
           sortedMap(pl.map { case (did, wdf, _) =>
@@ -218,7 +240,7 @@ object Oracle {
           }
         }
         val df = wdfByDoc.size.toLong
-        val tw = weight.termWeight(1, df, stats)
+        val tw = weight.termWeight(1, df, stats, relOfGroup(terms, idx, opts))
         val ts = weight.termStat(df, wdfByDoc.valuesIterator.map(_.toLong).sum,
           stats)
         sortedMap(wdfByDoc.toSeq.map { case (did, wdf) =>
@@ -287,7 +309,8 @@ object Oracle {
         idx.postings.get(t) match {
           case None => 0.0
           case Some(pl) =>
-            val tw = opts.weight.termWeight(wqf, pl.size.toLong, idx.stats)
+            val tw = opts.weight.termWeight(wqf, pl.size.toLong, idx.stats,
+              relOf(t, idx, opts))
             val ts = opts.weight.termStat(pl.size.toLong,
               pl.map(_._2.toLong).sum, idx.stats)
             val maxWdf = pl.map(_._2).max
@@ -305,11 +328,12 @@ object Oracle {
       case Query.EliteSet(cs, n) => cs.map(b).sorted.reverse.take(n).sum
       case Query.Max(cs)        => cs.map(b).maxOption.getOrElse(0.0)
       case Query.Synonym(cs) =>
-        val pls = cs.flatMap(_.terms).map(_.term).distinct
-          .flatMap(idx.postings.get)
+        val members = cs.flatMap(_.terms).map(_.term).distinct
+        val pls = members.flatMap(idx.postings.get)
         if (pls.isEmpty) 0.0
         else {
-          val tw = opts.weight.termWeight(1, pls.map(_.size).max.toLong, idx.stats)
+          val tw = opts.weight.termWeight(1, pls.map(_.size).max.toLong,
+            idx.stats, relOfGroup(members, idx, opts))
           val ts = opts.weight.termStat(pls.map(_.size).max.toLong,
             pls.map(_.map(_._2.toLong).sum).sum, idx.stats)
           val maxWdf = pls.map(_.map(_._2).max).sum

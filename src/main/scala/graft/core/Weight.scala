@@ -23,9 +23,21 @@ package graft.core
  * it — while termStat is a property of the term and identical across
  * duplicates.
  */
+/** Per-term relevance-feedback stats — the Enquire::set_rset channel
+  * (reference: xapian-core/api/omenquire.cc RSetI; the
+  * Robertson/Sparck-Jones weights in bm25weight.cc/tradweight.cc):
+  * `r` = judged-relevant docs containing the term, `bigR` = |RSet|.
+  * `zero` (no RSet) reduces every formula to its plain idf. */
+final case class RelFreq(r: Long, bigR: Long)
+object RelFreq { val zero: RelFreq = RelFreq(0L, 0L) }
+
 sealed trait Weight extends Serializable {
-  /** Query-independent part for term t: computed once per query term. */
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double
+  /** Query-independent part for term t: computed once per query term.
+    * `rel` carries the RSet relevance stats; only the probabilistic
+    * family (BM25/BM25+/Trad) uses it — other schemes ignore it, as
+    * upstream's do. */
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq = RelFreq.zero): Double
   /** Scheme-specific second per-term constant (0 unless overridden). */
   def termStat(df: Long, cf: Long, stats: StatsRow): Double = 0.0
   /** True iff termStat is ever non-zero — multi-term scans then ship
@@ -66,10 +78,17 @@ final case class Bm25Weight(
     b: Double = 0.5,
     minNormLen: Double = 0.5) extends Weight {
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = {
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = {
     val n = df.toDouble
     val N = stats.n.toDouble
-    var idfRaw = (N - n + 0.5) / (n + 0.5)
+    // Robertson/Sparck-Jones relevance weight; r = R = 0 reduces to
+    // the plain (N − n + 0.5)/(n + 0.5) idf ([VERIFY] vs
+    // bm25weight.cc's reltermfreq path — published RSJ formula)
+    val r = rel.r.toDouble
+    val bigR = rel.bigR.toDouble
+    var idfRaw = ((r + 0.5) * (N - n - bigR + r + 0.5)) /
+      ((n - r + 0.5) * (bigR - r + 0.5))
     if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
     val idf = math.log(idfRaw)
     val wqfPart =
@@ -116,8 +135,9 @@ final case class Bm25PlusWeight(
 
   private val base = Bm25Weight(k1, k2, k3, b, minNormLen)
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
-    base.termWeight(wqf, df, stats)
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double =
+    base.termWeight(wqf, df, stats, rel)
 
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double =
@@ -135,10 +155,15 @@ final case class Bm25PlusWeight(
 
 /** Classic probabilistic weighting with a single parameter k. */
 final case class TradWeight(k: Double = 1.0) extends Weight {
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = {
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = {
     val n = df.toDouble
     val N = stats.n.toDouble
-    var idfRaw = (N - n + 0.5) / (n + 0.5)
+    // same RSJ relevance weight as BM25 (tradweight.cc shares it)
+    val r = rel.r.toDouble
+    val bigR = rel.bigR.toDouble
+    var idfRaw = ((r + 0.5) * (N - n - bigR + r + 0.5)) /
+      ((n - r + 0.5) * (bigR - r + 0.5))
     if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
     math.log(idfRaw)
   }
@@ -185,7 +210,8 @@ final case class TfIdfWeight(normalizations: String = "ntn") extends Weight {
     case 'l' => if (wdf == 0) 0.0 else 1.0 + math.log(wdf.toDouble)
   }
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double =
     wqf * idfn(df, stats.n.toDouble)
 
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
@@ -208,7 +234,8 @@ final case class TfIdfWeight(normalizations: String = "ntn") extends Weight {
  * with OP_SCALE_WEIGHT.
  */
 case object CoordWeight extends Weight {
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = 1.0
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = 1.0
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double = termWt
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
@@ -227,7 +254,8 @@ case object CoordWeight extends Weight {
 final case class InL2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "InL2 c must be positive")
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double =
     wqf * (math.log((stats.n + 1.0) / (df + 0.5)) / math.log(2.0))
 
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
@@ -258,7 +286,8 @@ final case class Pl2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "PL2 c must be positive")
   private val log2 = math.log(2.0)
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
 
   /** λ — the term's Poisson mean cf/N. */
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
@@ -301,7 +330,8 @@ final case class Pl2Weight(c: Double = 1.0) extends Weight {
 final case class DphWeight() extends Weight {
   private val log2 = math.log(2.0)
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
 
   /** cf — the term's collection frequency. */
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
@@ -345,7 +375,8 @@ final case class IfB2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "IfB2 c must be positive")
   private val log2 = math.log(2.0)
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
 
   /** K — the merged per-term constant (Bernoulli norm × idf). */
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
@@ -379,7 +410,8 @@ final case class IneB2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "IneB2 c must be positive")
   private val log2 = math.log(2.0)
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
 
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double = {
     if (df <= 0 || stats.n <= 0) return 0.0
@@ -421,7 +453,8 @@ final case class Bb2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "BB2 c must be positive")
   private val log2 = math.log(2.0)
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double =
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double =
     if (df <= 0) 0.0 else wqf.toDouble / df
 
   /** cf — the term's collection frequency. */
@@ -480,7 +513,8 @@ final case class LmWeight(
   require(lambda > 0.0 && lambda < 1.0, "LM λ must be in (0,1)")
   require(mu > 0.0, "LM μ must be positive")
 
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = wqf.toDouble
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
 
   /** p_C — the term's collection probability cf/totalLen. */
   override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
@@ -522,7 +556,8 @@ final case class LmWeight(
 
 /** All-zero weight for pure-boolean matching (OP_FILTER sides). */
 case object BoolWeight extends Weight {
-  def termWeight(wqf: Int, df: Long, stats: StatsRow): Double = 0.0
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = 0.0
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
               stats: StatsRow): Double = 0.0
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,

@@ -41,6 +41,11 @@ final case class MatchOptions(
       * = LatLongDistanceKeyMaker). Non-empty wins over sortKeys /
       * sortValue in the value-sort modes. */
     sortKeyExprs: Seq[(Column, Boolean)] = Seq.empty,
+    /** Judged-relevant docIds — the Enquire::set_rset analog: feeds
+      * the Robertson/Sparck-Jones relevance-weighted idf in
+      * BM25/BM25+/Trad (other schemes ignore it, as upstream). Costs
+      * one extra pruned postings scan per query ([[RelStats]]). */
+    rset: Seq[Long] = Seq.empty,
     /** Wildcard expansion cap (upstream max_expansion analog);
       * exceeding it throws [[graft.core.Query.WildcardError]]. */
     wildcardMaxExpansion: Int = 100000)
@@ -70,6 +75,32 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
 
   private val weight = opts.weight
   private lazy val stats = idx.stats
+
+  // ---- RSet relevance stats (Enquire::set_rset analog) ----
+  private lazy val rsetIds: Seq[Long] = opts.rset.distinct
+  private val relDocsCache = scala.collection.mutable.Map.empty[String, Set[Long]]
+  private val relSeen = scala.collection.mutable.Set.empty[String]
+  /** Fetch RSet doc sets for any dict terms not yet covered — one
+    * pruned scan per query (no-op without an RSet). */
+  private def computeRel(dict: Map[String, DictRow]): Unit = {
+    if (rsetIds.isEmpty) return
+    val missing = dict.filter { case (t, _) => !relSeen(t) }
+    if (missing.isEmpty) return
+    missing.keys.foreach(relSeen += _)
+    RelStats.relDocs(idx, missing, rsetIds)
+      .foreach { case (t, ds) => relDocsCache(t) = ds }
+  }
+  private def relOf(term: String): RelFreq =
+    if (rsetIds.isEmpty) RelFreq.zero
+    else RelFreq(relDocsCache.getOrElse(term, Set.empty).size.toLong,
+      rsetIds.size.toLong)
+  /** Synonym pseudo-term reltermfreq: RSet docs holding ANY member
+    * (union — the df-analog of the group's union docset). */
+  private def relOfGroup(ts: Seq[String]): RelFreq =
+    if (rsetIds.isEmpty) RelFreq.zero
+    else RelFreq(
+      ts.flatMap(t => relDocsCache.getOrElse(t, Set.empty)).toSet.size.toLong,
+      rsetIds.size.toLong)
 
   /** sumPart as a Column expression, mirroring the exact operation
     * order of the scheme's scalar sumPart for float identity. `ts` is
@@ -201,7 +232,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     dict.get(t.term) match {
       case None => emptyMatches
       case Some(d) =>
-        val tw = weight.termWeight(t.wqf, d.df, stats)
+        val tw = weight.termWeight(t.wqf, d.df, stats, relOf(t.term))
         val ts = weight.termStat(d.df, d.cf, stats)
         postingsOf(d.termId)
           .select($"docId", scoreCol(tw, ts, $"wdf", $"doclen").as("score"))
@@ -221,6 +252,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       else withSyn
     val simplified = Query.simplify(expanded)
     val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
+    computeRel(dict) // RSet reltermfreqs for every query term, one scan
     (simplified, dict, compile(simplified, dict))
   }
 
@@ -323,7 +355,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       val terms = cs.collect { case t: Query.Term => t }
       val entries = terms.flatMap { t =>
         dict.get(t.term).map(d =>
-          d.termId -> (weight.termWeight(t.wqf, d.df, stats),
+          d.termId -> (weight.termWeight(t.wqf, d.df, stats, relOf(t.term)),
             weight.termStat(d.df, d.cf, stats)))
       }
       if (entries.size < terms.size) emptyMatches // some term missing
@@ -364,7 +396,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       // literal, one hash aggregate — instead of N scans + union
       val entries = cs.collect { case t: Query.Term => t }.flatMap { t =>
         dict.get(t.term).map(d =>
-          d.termId -> (weight.termWeight(t.wqf, d.df, stats),
+          d.termId -> (weight.termWeight(t.wqf, d.df, stats, relOf(t.term)),
             weight.termStat(d.df, d.cf, stats)))
       }
       if (entries.isEmpty) emptyMatches
@@ -465,7 +497,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
               (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
             } finally grouped.unpersist(blocking = false)
         }
-        val tw = weight.termWeight(1, df, stats)
+        val tw = weight.termWeight(1, df, stats, relOfGroup(terms))
         val ts = weight.termStat(df, cf, stats)
         union.select($"docId", scoreCol(tw, ts, $"wdf", $"doclen").as("score"))
       }
@@ -528,7 +560,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     val dict = idx.lookupTerms(ts.map(_.term))
     ts.groupBy(_.term).flatMap { case (t, leaves) =>
       dict.get(t).map(d =>
-        t -> weight.termWeight(leaves.map(_.wqf).sum, d.df, stats))
+        t -> weight.termWeight(leaves.map(_.wqf).sum, d.df, stats, relOf(t)))
     }
   }
 
@@ -579,7 +611,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       dict.get(t) match {
         case None => 0.0
         case Some(d) =>
-          val tw = weight.termWeight(wqf, d.df, stats)
+          val tw = weight.termWeight(wqf, d.df, stats, relOf(t))
           val ts = weight.termStat(d.df, d.cf, stats)
           weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }
@@ -597,10 +629,12 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.Max(cs) =>
       cs.map(maxWeightBound(_, dict)).maxOption.getOrElse(0.0)
     case Query.Synonym(cs) =>
-      val ds = cs.flatMap(_.terms).map(_.term).distinct.flatMap(dict.get)
+      val members = cs.flatMap(_.terms).map(_.term).distinct
+      val ds = members.flatMap(dict.get)
       if (ds.isEmpty) 0.0
       else {
-        val tw = weight.termWeight(1, ds.map(_.df).max, stats)
+        val tw = weight.termWeight(1, ds.map(_.df).max, stats,
+          relOfGroup(members))
         val ts = weight.termStat(ds.map(_.df).max, ds.map(_.cf).sum, stats)
         weight.maxPart(tw, ts, ds.map(_.maxWdf).sum, stats.minDocLen, stats)
       }

@@ -1,0 +1,35 @@
+package graft.matcher
+
+import graft.core.DictRow
+import graft.index.Index
+import org.apache.spark.sql.functions._
+
+/**
+ * RSet term statistics — the matcher-side half of Enquire::set_rset
+ * (reference: xapian-core/api/omenquire.cc RSetI; the weights consume
+ * them as [[graft.core.RelFreq]]): for each query term, the subset of
+ * judged-relevant docs that contain it.
+ *
+ * ONE bucket-pruned blocks scan covers every query term; the result is
+ * at most |terms| × |RSet| rows (an RSet is a handful of judged docs),
+ * so collecting it is a driver-side constant. Doc SETS (not counts)
+ * are returned so OP_SYNONYM can take the union across its members —
+ * the group reltermfreq of the synonym pseudo-term.
+ */
+object RelStats {
+  def relDocs(idx: Index, dict: Map[String, DictRow],
+              rset: Seq[Long]): Map[String, Set[Long]] = {
+    if (rset.isEmpty || dict.isEmpty) return Map.empty
+    val spark = idx.spark
+    import spark.implicits._
+    graft.plans.UnpackPostings.register(spark)
+    val byId = dict.map { case (t, d) => d.termId -> t }
+    val rows = idx.blocksFor(dict.values.map(_.termId).toSeq)
+      .select($"termId",
+        expr("inline(unpack_postings(bytes, firstDocId, count))"))
+      .filter($"docId".isin(rset.distinct: _*))
+      .select($"termId", $"docId").collect()
+    rows.groupBy(r => byId(r.getLong(0)))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+  }
+}

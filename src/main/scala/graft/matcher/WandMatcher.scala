@@ -35,11 +35,33 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
                   /** Enquire::set_docid_order(DESCENDING) analog —
                     * docId tie-breaks flip (matching the Dataset
                     * matcher's MatchOptions.docIdOrderDesc). */
-                  docIdOrderDesc: Boolean = false) {
+                  docIdOrderDesc: Boolean = false,
+                  /** Judged-relevant docIds (Enquire::set_rset
+                    * analog) — RSJ relevance idf in BM25/BM25+/Trad;
+                    * one extra pruned scan per query ([[RelStats]]).
+                    * Matches MatchOptions.rset on the Dataset path. */
+                  rset: Seq[Long] = Seq.empty) {
   private val spark = idx.spark
   import spark.implicits._
 
   private lazy val stats = idx.stats
+
+  // ---- RSet relevance stats (shared semantics with DatasetMatcher) ----
+  private val rsetIds: Seq[Long] = rset.distinct
+  private val relDocsCache = mutable.Map.empty[String, Set[Long]]
+  private val relSeen = mutable.Set.empty[String]
+  private def computeRel(dict: Map[String, DictRow]): Unit = {
+    if (rsetIds.isEmpty) return
+    val missing = dict.filter { case (t, _) => !relSeen(t) }
+    if (missing.isEmpty) return
+    missing.keys.foreach(relSeen += _)
+    RelStats.relDocs(idx, missing, rsetIds)
+      .foreach { case (t, ds) => relDocsCache(t) = ds }
+  }
+  private def relOf(term: String): RelFreq =
+    if (rsetIds.isEmpty) RelFreq.zero
+    else RelFreq(relDocsCache.getOrElse(term, Set.empty).size.toLong,
+      rsetIds.size.toLong)
 
   /** True if the WAND path can answer q: a term, a weighted OR of
     * term leaves, a pruned-DAAT AND of term leaves, an OP_MAX of
@@ -147,9 +169,10 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
   private def reduceElite(cs: Seq[Query], n: Int): Query = {
     val terms = cs.collect { case t: Query.Term => t }
     val dict = idx.lookupTerms(terms.map(_.term))
+    computeRel(dict)
     val ranked = terms.zipWithIndex.map { case (t, i) =>
       val b = dict.get(t.term).map { d =>
-        val tw = weight.termWeight(t.wqf, d.df, stats)
+        val tw = weight.termWeight(t.wqf, d.df, stats, relOf(t.term))
         val ts = weight.termStat(d.df, d.cf, stats)
         weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }.getOrElse(0.0)
@@ -170,6 +193,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val terms = shape.scored
     if (terms.isEmpty) return MSetPage(Seq.empty, 0L, 0L, 0L, 0.0, 0.0)
     val dict = idx.lookupTerms((terms ++ shape.excluded).map(_.term))
+    computeRel(dict)
     val items = mset(q, k, first)
     val dfs = terms.map(_.term).distinct.flatMap(dict.get).map(_.df)
     if (dfs.isEmpty)
@@ -212,7 +236,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val est = math.max(lower, math.min(upper, math.round(est0)))
     val termBounds = terms.flatMap { t =>
       dict.get(t.term).map { d =>
-        val tw = weight.termWeight(t.wqf, d.df, stats)
+        val tw = weight.termWeight(t.wqf, d.df, stats, relOf(t.term))
         val ts = weight.termStat(d.df, d.cf, stats)
         weight.maxPart(tw, ts, d.maxWdf, stats.minDocLen, stats)
       }
@@ -256,6 +280,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     val terms = shape.scored
     if (terms.isEmpty) return Seq.empty
     val dict = idx.lookupTerms((terms ++ shape.excluded).map(_.term))
+    computeRel(dict)
     // a conjunction with any term absent from the dict matches nothing
     if (shape.conj && terms.map(_.term).distinct.exists(t => !dict.contains(t)))
       return Seq.empty
@@ -265,7 +290,7 @@ class WandMatcher(idx: Index, weight: Weight = Bm25Weight(),
     // oracle/Dataset paths summing each duplicate's contribution
     val tws: Map[Long, (Double, Double)] = terms.flatMap { t =>
       dict.get(t.term).map(d => d.termId ->
-        (weight.termWeight(t.wqf, d.df, stats),
+        (weight.termWeight(t.wqf, d.df, stats, relOf(t.term)),
           weight.termStat(d.df, d.cf, stats)))
     }.groupBy(_._1).map { case (tid, xs) =>
       tid -> (xs.map(_._2._1).sum, xs.head._2._2) }

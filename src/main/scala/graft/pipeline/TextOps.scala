@@ -33,6 +33,35 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeishPattern))
 
+  /** PII patterns shared by [[piiScrub]] and its SQL oracle —
+    * plain-alternation regexes (no lookarounds/backrefs) so Java
+    * regex and RE2 match identically. */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** 8+ digits with optional single space/dot/dash separators. */
+  val PhonePattern: String = "\\b[0-9](?:[ .-]?[0-9]){6,}\\b"
+
+  /**
+   * PII scrub — the redaction pass a training pipeline runs before
+   * release: emails → [EMAIL], then IPv4 → [IP], then long digit runs
+   * → [PHONE] (that order, so an IP inside an email or a digit run
+   * inside an IP is never double-counted), plus per-category counts
+   * taken at each stage. Pure per-row codegen'd regexp work: fuses
+   * into the scan, no shuffle — scan-speed at 100 TB.
+   */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val t1 = regexp_replace(t, EmailPattern, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "[IP]")
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(t1, lit(Ipv4Pattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t2, lit(PhonePattern)).cast("long"))
+      .withColumn("scrubbed", regexp_replace(t2, PhonePattern, "[PHONE]"))
+  }
+
   /**
    * Per-document quality features (the C4/Gopher-style scalar
    * signals): n_chars, n_tokens, avg token length, alpha ratio,

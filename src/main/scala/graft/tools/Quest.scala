@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
  *
  *   spark-submit --class graft.tools.Quest <jar> \
  *     <indexDir> "<query>" [--msize=10] [--offset=0] [--weight=bm25]
- *     [--default-op=or|and] [--matcher=auto|wand|dataset]
+ *     [--default-op=or|and] [--matcher=auto|wand|dataset] [--rset=id,id,...]
  *     [--stem=none|some] [--stemlang=en] [--prefix=field:P ...]
  *     [--boolprefix=field:P ...] [--desc-docid] [--pure-not]
  *
@@ -33,7 +33,10 @@ object Quest {
       boolPrefixes: Map[String, String] = Map.empty,
       descDocId: Boolean = false, pureNot: Boolean = false,
       partial: Boolean = false, anyCase: Boolean = false,
-      autoSynonyms: Boolean = false, multiwordSynonyms: Boolean = false)
+      autoSynonyms: Boolean = false, multiwordSynonyms: Boolean = false,
+      /** Judged-relevant docIds (Enquire::set_rset): RSJ relevance
+        * feedback in BM25/BM25+/Trad. */
+      rset: Seq[Long] = Seq.empty)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -68,6 +71,8 @@ object Quest {
         case "--any-case"   => a = a.copy(anyCase = true)
         case "--auto-synonyms" => a = a.copy(autoSynonyms = true)
         case "--multiword-synonyms" => a = a.copy(multiwordSynonyms = true)
+        case "--rset"       =>
+          a = a.copy(rset = v.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -101,7 +106,7 @@ object Quest {
     // stay folded, their expansion can be dictionary-sized
     val shown = Query.expandSynonyms(parsed, idx.synonymsOf)
     val wand = new WandMatcher(idx, weight = a.weight,
-      docIdOrderDesc = a.descDocId)
+      docIdOrderDesc = a.descDocId, rset = a.rset)
     val useWand = a.matcher match {
       case "wand" =>
         // forcing WAND must not bypass the admissibility gate: a
@@ -117,7 +122,8 @@ object Quest {
     val page =
       if (useWand) wand.msetPage(parsed, a.msize, a.offset)
       else new DatasetMatcher(idx, MatchOptions(weight = a.weight,
-        docIdOrderDesc = a.descDocId)).msetPage(parsed, a.msize, a.offset)
+        docIdOrderDesc = a.descDocId, rset = a.rset))
+        .msetPage(parsed, a.msize, a.offset)
     val header = s"Parsed query: ${shown.describe}" +:
       Seq(f"MSet: ${page.matchesLowerBound}%d..${page.matchesUpperBound}%d " +
         f"(est ${page.matchesEstimated}%d) max_possible=${page.maxPossible}%.4f " +

@@ -1,0 +1,118 @@
+package graft.matcher
+
+import graft.SparkTestSession
+import graft.core._
+import graft.fixtures.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder, IndexReader}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import Query._
+
+/**
+ * Enquire::set_rset relevance feedback (SURVEY.md §2 addendum):
+ * Robertson/Sparck-Jones relevance-weighted idf in BM25/BM25+/Trad,
+ * threaded through all three evaluation paths. Oracle / Dataset /
+ * WAND identity per MatcherSpec's contract.
+ */
+class RsetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val corpus = CorpusGen.generate(seed = 13, nRepos = 3, filesPerRepo = 20)
+  private lazy val env = {
+    val dir = Files.createTempDirectory("graft-rset").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 4, stripeShift = 5, buildPartitions = 4)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(corpus)
+    }
+    val reader = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val sorted = corpus.sortBy(c => (c.repo, c.path, c.commit))
+    val odocs = sorted.zipWithIndex.map { case (c, i) =>
+      Oracle.Doc(i + 1L, c.content, Map.empty, c.lang)
+    }
+    (reader, Oracle.buildIndex(odocs, stemMode = "none"))
+  }
+  private lazy val (reader, oracleIdx) = env
+
+  private val rset = Seq(2L, 7L, 11L)
+
+  private def assertSame(got: Seq[MSetItem], want: Seq[MSetItem], tag: String): Unit = {
+    assert(got.map(_.docId) == want.map(_.docId),
+      s"$tag docIds: got ${got.map(_.docId)}, want ${want.map(_.docId)}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9, s"$tag doc ${g.docId} score") }
+  }
+
+  private def check(q: Query, w: Weight = Bm25Weight(), k: Int = 10,
+                    tag: String = ""): Unit = {
+    val name = (if (tag.nonEmpty) tag else q.describe) + s" [$w]"
+    val want = Oracle.mset(q, oracleIdx, k,
+      Oracle.Options(weight = w, stemMode = "none", rset = rset))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(weight = w, rset = rset)).mset(q, k)
+    assertSame(got, want, s"dataset:$name")
+    val wand = new WandMatcher(reader, weight = w, rset = rset)
+    if (wand.supports(q)) {
+      assertSame(wand.mset(q, k), want, s"wand:$name")
+      val wandDist = new WandMatcher(reader, weight = w,
+        localDfThreshold = 0L, rset = rset)
+      assertSame(wandDist.mset(q, k), want, s"wand-dist:$name")
+    }
+  }
+
+  test("RSJ idf golden value") {
+    // N=10, n=3, R=4, r=2:
+    //   ((2+.5)(10-3-4+2+.5)) / ((3-2+.5)(4-2+.5)) = 13.75/3.75
+    val stats = StatsRow(10, 1000, 100.0, 50, 200)
+    val got = Bm25Weight(k3 = 0.0).termWeight(1, 3, stats, RelFreq(2, 4))
+    assert(math.abs(got - math.log(13.75 / 3.75)) < 1e-12)
+    // r = R = 0 reduces BIT-exactly to the plain idf
+    val plain = {
+      var raw = (10.0 - 3.0 + 0.5) / (3.0 + 0.5)
+      if (raw < 2.0) raw = raw / 2 + 1
+      math.log(raw)
+    }
+    assert(Bm25Weight(k3 = 0.0).termWeight(1, 3, stats, RelFreq.zero) == plain)
+    assert(TradWeight().termWeight(1, 3, stats, RelFreq.zero) == plain)
+  }
+
+  test("empty rset is identical to no rset on every path") {
+    val q = or(t("parse"), t("def"))
+    val plain = new DatasetMatcher(reader).mset(q, 10)
+    val viaEmpty = new DatasetMatcher(reader,
+      MatchOptions(rset = Seq.empty)).mset(q, 10)
+    assertSame(viaEmpty, plain, "empty-rset")
+  }
+
+  test("term under rset: three-way identity") { check(t("parse")); check(t("def")) }
+  test("OR under rset: three-way identity")   { check(or(t("parse"), t("def"), t("token"))) }
+  test("AND under rset")                      { check(and(t("parse"), t("def"))) }
+  test("AND_MAYBE under rset")                { check(AndMaybe(t("parse"), t("def"))) }
+  test("ELITE_SET selection uses relevance-adjusted bounds") {
+    check(EliteSet(Seq(t("def"), t("parse"), t("token"), t("index")), 2))
+  }
+  test("SYNONYM group reltermfreq is the member union") {
+    check(Synonym(Seq(t("parse"), t("token"))))
+  }
+  test("rset under BM25+ and Trad") {
+    check(or(t("parse"), t("def")), Bm25PlusWeight())
+    check(or(t("parse"), t("def")), TradWeight())
+  }
+  test("rset is ignored by non-probabilistic schemes") {
+    val q = or(t("parse"), t("def"))
+    val a = new DatasetMatcher(reader,
+      MatchOptions(weight = TfIdfWeight("ntn"), rset = rset)).mset(q, 10)
+    val b = new DatasetMatcher(reader,
+      MatchOptions(weight = TfIdfWeight("ntn"))).mset(q, 10)
+    assertSame(a, b, "tfidf-rset-ignored")
+  }
+  test("relevance feedback actually changes the ranking") {
+    // boost docs like the judged ones: scores must differ for terms
+    // present in the rset docs
+    val q = or(t("parse"), t("def"))
+    val plain = new DatasetMatcher(reader).mset(q, 20)
+    val fed = new DatasetMatcher(reader, MatchOptions(rset = rset)).mset(q, 20)
+    assert(plain.map(i => (i.docId, i.score)) != fed.map(i => (i.docId, i.score)))
+  }
+}

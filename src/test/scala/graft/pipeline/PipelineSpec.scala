@@ -366,4 +366,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) -
       (2.0 * nDupPairs * 15) / lineChars) < 1e-6)
   }
+
+  test("piiScrub redacts emails, IPs and phone runs with exact counts") {
+    val d = docs(
+      1L -> "mail me at jane.doe+spam@sub.example.org or bob@x.io thanks",
+      2L -> "server at 192.168.100.200 and 10.0.0.7, call 555-0199-321",
+      3L -> "no pii here, just pi 3.14 and the year 2024",
+      4L -> "combo a@b.co from 8.8.8.8 dial +1 415 555 0100 now")
+    val r = TextOps.piiScrub(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 2 &&
+      r(1L).getAs[String]("scrubbed") ==
+        "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(r(2L).getAs[Long]("n_ips") == 2 &&
+      r(2L).getAs[Long]("n_phones") == 1 &&
+      r(2L).getAs[String]("scrubbed") ==
+        "server at [IP] and [IP], call [PHONE]")
+    // short digit runs (3.14, 2024) are NOT phone-scrubbed
+    assert(r(3L).getAs[Long]("n_emails") == 0 &&
+      r(3L).getAs[Long]("n_ips") == 0 && r(3L).getAs[Long]("n_phones") == 0 &&
+      r(3L).getAs[String]("scrubbed") ==
+        "no pii here, just pi 3.14 and the year 2024")
+    assert(r(4L).getAs[String]("scrubbed") ==
+      "combo [EMAIL] from [IP] dial +[PHONE] now")
+  }
 }
