@@ -106,12 +106,15 @@ object Query {
     * into an OR of matching terms before evaluation
     * (graft.queryparser.QueryParser.expandWildcard). */
   final case class Wildcard(prefix: String,
-      /** true = FLAG_PARTIAL origin: an expansion past maxExpansion
-        * TRUNCATES (first maxExpansion dictionary terms,
-        * lexicographic) instead of throwing — incremental search must
-        * never fail on a short prefix ([VERIFY] upstream ranks the
-        * kept expansions by termfreq). */
-      partial: Boolean = false) extends Query
+      /** WILDCARD_LIMIT policy when the expansion exceeds
+        * maxExpansion (reference: include/xapian/query.h wildcard
+        * limit constants): "error" throws (the upstream default),
+        * "first" keeps the lexicographically-first cap terms,
+        * "most_frequent" keeps the cap highest-df terms (df desc,
+        * term asc tie — what FLAG_PARTIAL uses, so incremental
+        * search never fails and prefers the expansions most likely
+        * to match well). */
+      limit: String = "error") extends Query
   /** Parse-time synonym marker (`~term`, the FLAG_SYNONYM /
     * FLAG_AUTO_SYNONYMS analog — reference: xapian-core/queryparser/
     * queryparser_internal.cc): expanded against the index's
@@ -265,13 +268,24 @@ object Query {
    * the same `maxExpansion`.
    */
   def expandWildcards(q: Query, lookup: String => Seq[String],
-                      maxExpansion: Int = Int.MaxValue): Query = {
-    def expandLeaf(p: String, partial: Boolean): Query = {
+                      maxExpansion: Int = Int.MaxValue,
+                      /** df-ranked keep-set provider for the
+                        * "most_frequent" limit policy: (prefix, cap) →
+                        * the cap highest-df matching terms. null →
+                        * degrade to "first" (callers without df). */
+                      topByDf: (String, Int) => Seq[String] = null): Query = {
+    def expandLeaf(p: String, limit: String): Query = {
       val ts0 = lookup(p).sorted
       val ts =
         if (ts0.size <= maxExpansion) ts0
-        else if (partial) ts0.take(maxExpansion) // FLAG_PARTIAL: truncate
-        else throw WildcardError(p, maxExpansion)
+        else limit match {
+          case "most_frequent" if topByDf != null =>
+            // keep-set by (df desc, term asc); re-sorted so the OR's
+            // child order stays lexicographic like the other policies
+            topByDf(p, maxExpansion).sorted
+          case "first" | "most_frequent" => ts0.take(maxExpansion)
+          case _ => throw WildcardError(p, maxExpansion)
+        }
       if (ts.isEmpty) MatchNothing
       else if (ts.size == 1) Term(ts.head)
       else Or(ts.map(Term(_)))

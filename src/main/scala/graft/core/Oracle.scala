@@ -253,7 +253,10 @@ object Oracle {
       case w: Query.Wildcard =>
         evaluate(Query.expandWildcards(w,
           p => idx.postings.keys.filter(_.startsWith(p)).toSeq,
-          opts.wildcardMaxExpansion), idx, opts)
+          opts.wildcardMaxExpansion, topByDf =
+      (pfx, n) => idx.postings.toSeq
+        .filter(_._1.startsWith(pfx))
+        .sortBy { case (t, pl) => (-pl.size, t) }.take(n).map(_._1)), idx, opts)
 
       case s: Query.SynonymOf =>
         evaluate(Query.expandSynonyms(s,
@@ -421,7 +424,10 @@ object Oracle {
       Query.expandSynonyms(Query.simplify(q),
         t => opts.synonyms.getOrElse(t, Seq.empty)),
       p => idx.postings.keys.filter(_.startsWith(p)).toSeq,
-      opts.wildcardMaxExpansion)
+      opts.wildcardMaxExpansion, topByDf =
+      (pfx, n) => idx.postings.toSeq
+        .filter(_._1.startsWith(pfx))
+        .sortBy { case (t, pl) => (-pl.size, t) }.take(n).map(_._1))
     var m = evaluate(simplified, idx, opts)
     // BM25 k2 part: per-matched-doc extra, added once at match level
     // (reference: bm25weight.cc get_sumextra; query size = Σ wqf)

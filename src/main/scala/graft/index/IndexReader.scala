@@ -32,6 +32,18 @@ trait Index {
     * fetches cap+1 to detect overflow without ever collecting an
     * unbounded dictionary slice to the driver). */
   def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String]
+  /** The `limit` highest-df dictionary terms with `prefix` (df desc,
+    * term asc) — the WILDCARD_LIMIT_MOST_FREQUENT keep-set. Pushed
+    * StartsWith + TakeOrderedAndProject: never an unbounded collect,
+    * and only run when the cheap lexicographic fetch overflowed. */
+  def termsWithPrefixTopDf(prefix: String, limit: Int): Seq[String] =
+    dictTable
+      .filter(org.apache.spark.sql.functions.col("term").startsWith(prefix))
+      .orderBy(org.apache.spark.sql.functions.col("df").desc,
+        org.apache.spark.sql.functions.col("term").asc)
+      .select("term").limit(limit)
+      .collect().map(_.getString(0)).toSeq
+
   /** Per-document term lists (docId, term, wdf) — the termlist-table
     * analog, used by relevance-feedback expansion. */
   def termLists: DataFrame

@@ -248,7 +248,8 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       else q
     val expanded =
       if (hasWildcard(withSyn))
-        Query.expandWildcards(withSyn, p => idx.termsWithPrefix(p, fetch), cap)
+        Query.expandWildcards(withSyn, p => idx.termsWithPrefix(p, fetch), cap,
+          topByDf = (p, n) => idx.termsWithPrefixTopDf(p, n))
       else withSyn
     val simplified = Query.simplify(expanded)
     val dict = idx.lookupTerms(simplified.terms.map(_.term) ++ extraTerms(simplified))
@@ -507,7 +508,8 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     case Query.MatchNothing => emptyMatches
     case w: Query.Wildcard => // expanded in matches(); unreachable here
       compile(Query.expandWildcards(w, p => idx.termsWithPrefix(p),
-        opts.wildcardMaxExpansion), dict)
+        opts.wildcardMaxExpansion,
+        topByDf = (p, n) => idx.termsWithPrefixTopDf(p, n)), dict)
 
     case Query.External(name) =>
       opts.externalSources.get(name) match {

@@ -483,8 +483,9 @@ object QueryParser {
           if (!isPartial) leaf
           else leaf match {
             case Some(l) => Some(Query.Max(Seq(
-              Query.Wildcard(prefix + raw, partial = true), l)))
-            case None    => Some(Query.Wildcard(prefix + raw, partial = true))
+              Query.Wildcard(prefix + raw, limit = "most_frequent"), l)))
+            case None    =>
+              Some(Query.Wildcard(prefix + raw, limit = "most_frequent"))
           }
         if (wild) Some(Wildcard(prefix + raw))
         else if (toks.size > 1 && stemmed)

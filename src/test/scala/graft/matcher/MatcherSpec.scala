@@ -808,4 +808,29 @@ class MatcherSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(dsPlan.contains("Aggregate"), "contrast plan lost its aggregate")
   }
+
+  test("wildcard most_frequent limit keeps the highest-df expansions") {
+    // WILDCARD_LIMIT_MOST_FREQUENT: over the cap, keep the cap
+    // highest-df terms (df desc, term asc) — identical on both paths
+    val q = Wildcard("parse", limit = "most_frequent")
+    val all = oracleIdx.postings.keys.filter(_.startsWith("parse")).toSeq
+    assert(all.size > 3, s"fixture needs >3 'parse' expansions, has ${all.size}")
+    val want = Oracle.mset(q, oracleIdx, 10,
+      Oracle.Options(stemMode = "none", wildcardMaxExpansion = 3))
+    val got = new DatasetMatcher(reader,
+      MatchOptions(wildcardMaxExpansion = 3)).mset(q, 10)
+    assertSame(got, want, "wild-mostfreq")
+    // the keep-set is by df rank, not lexicographic-first
+    val topDf = oracleIdx.postings.toSeq.filter(_._1.startsWith("parse"))
+      .sortBy { case (t, pl) => (-pl.size, t) }.take(3).map(_._1).toSet
+    val kept = Query.expandWildcards(q, p => all.filter(_.startsWith(p)), 3,
+      topByDf = (p, n) => oracleIdx.postings.toSeq
+        .filter(_._1.startsWith(p))
+        .sortBy { case (t, pl) => (-pl.size, t) }.take(n).map(_._1))
+      .terms.map(_.term).toSet
+    assert(kept == topDf, s"kept $kept want $topDf")
+    // without a df source the policy degrades to FIRST, never throws
+    val degraded = Query.expandWildcards(q, p => all.filter(_.startsWith(p)), 3)
+    assert(degraded.terms.map(_.term).toSet == all.sorted.take(3).toSet)
+  }
 }
