@@ -663,6 +663,23 @@ SELECT doc_id,
 FROM s2 ORDER BY doc_id"""
   }
 
+  /** Hash-threshold sampling oracles: same md5-prefix string compare
+    * as SampleOps (seed "s0"), lowercase-hex order ≡ numeric order. */
+  def sampleSql(rate: Double): String =
+    s"""SELECT doc_id FROM documents
+WHERE substr(md5('s0' || doc_id), 1, 6) < '${graft.pipeline.SampleOps.thresholdHex(rate)}'
+ORDER BY doc_id"""
+
+  def mixSql(rates: Seq[(String, Double)], default: Double): String = {
+    val cases = rates.map { case (k, v) =>
+      s"WHEN '$k' THEN '${graft.pipeline.SampleOps.thresholdHex(v)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+WHERE substr(md5('s0' || doc_id), 1, 6) <
+      CASE lang $cases ELSE '${graft.pipeline.SampleOps.thresholdHex(default)}' END
+ORDER BY doc_id"""
+  }
+
   val tokensSql: String = {
     // DuckDB '…' strings keep backslashes literal; only quotes escape
     val p = graft.pipeline.TextOps.BpeishPattern.replace("'", "''")

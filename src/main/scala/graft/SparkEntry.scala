@@ -401,6 +401,16 @@ object SparkEntry {
         .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
         .orderBy("doc_id")
     }),
+    // deterministic hash-threshold sampling (reproducible across
+    // engines/partitionings — the data-mixing pass)
+    "dp_sample" -> ((s, d) =>
+      graft.pipeline.SampleOps.sample(documents(s, d), col("doc_id"), 0.25)
+        .select("doc_id").orderBy("doc_id")),
+    "dp_mix" -> ((s, d) =>
+      graft.pipeline.SampleOps.stratifiedSample(documents(s, d),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
     "ta_langid" -> ((s, d) =>
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
     "ta_repetition" -> ((s, d) =>
@@ -525,6 +535,8 @@ object SparkEntry {
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
     "ta_pii" -> EntrySql.piiSql,
+    "dp_sample" -> EntrySql.sampleSql(0.25),
+    "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "ta_langid" -> EntrySql.langIdSql,
     "ta_repetition" -> EntrySql.repetitionSql,
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / data-mixing operators for training
+ * pipelines: hash-threshold sampling — seeded and reproducible across
+ * engines, runs and partitionings (no RNG state, unlike
+ * DataFrame.sample whose result depends on partition layout).
+ *
+ * A row is kept iff the first 6 hex chars of md5(seed ‖ key) sort
+ * below the rate's threshold string: lowercase-hex string order IS
+ * numeric order, so any engine with md5() reproduces the exact sample
+ * (the same portability idiom as [[DedupOps]]' signatures). Per-row
+ * codegen'd expressions that fuse into the scan — no shuffle, no RNG,
+ * scan-speed at 100 TB, and stable under repartitioning so a resumed
+ * or re-sharded job selects the identical rows.
+ */
+object SampleOps {
+
+  private val HexSpace = 1L << 24 // 16^6 six-hex-digit values
+
+  /** Threshold string for a keep-rate: keys (6 lowercase hex chars)
+    * strictly below it are kept. rate ≥ 1 → "g" (sorts after every
+    * hex char: keep all); rate ≤ 0 → "000000" (keep none). */
+  def thresholdHex(rate: Double): String = {
+    val cut = math.round(rate * HexSpace)
+    if (cut >= HexSpace) "g"
+    else if (cut <= 0L) "000000"
+    else f"$cut%06x"
+  }
+
+  private def hashKey(key: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), key.cast("string"))), 1, 6)
+
+  /** Uniform deterministic sample: keep ≈ rate of rows, selected by
+    * the key hash (same key ⇒ same decision everywhere). */
+  def sample(df: DataFrame, key: Column, rate: Double,
+             seed: String = "s0"): DataFrame =
+    df.filter(hashKey(key, seed) < lit(thresholdHex(rate)))
+
+  /** Stratified data mixing: per-stratum keep-rates (e.g. language or
+    * source → rate), `default` for unmapped strata — the mixture-
+    * weights pass that rebalances a corpus before training. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Double], default: Double,
+                       seed: String = "s0"): DataFrame = {
+    val thr = coalesce(
+      element_at(typedLit(rates.map { case (k, v) => k -> thresholdHex(v) }),
+        stratum.cast("string")),
+      lit(thresholdHex(default)))
+    df.filter(hashKey(key, seed) < thr)
+  }
+}

@@ -390,4 +390,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(4L).getAs[String]("scrubbed") ==
       "combo [EMAIL] from [IP] dial +[PHONE] now")
   }
+
+  test("hash-threshold sampling is deterministic, rate-accurate and partition-stable") {
+    import spark.implicits._
+    val d = (1L to 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = SampleOps.sample(d, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // deterministic: identical on a re-run and under a different layout
+    val again = SampleOps.sample(d.repartition(7), col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == again)
+    // rate-accurate within binomial noise (p=.25, n=2000, σ≈19)
+    assert(math.abs(kept.size - 500) < 100, s"kept ${kept.size}")
+    // edges
+    assert(SampleOps.sample(d, col("doc_id"), 1.0).count() == 2000)
+    assert(SampleOps.sample(d, col("doc_id"), 0.0).count() == 0)
+    // seed changes the selection
+    val other = SampleOps.sample(d, col("doc_id"), 0.25, seed = "s1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(other != kept)
+  }
+
+  test("stratified mixing applies per-stratum rates with a default") {
+    import spark.implicits._
+    val d = (1L to 3000L).map(i =>
+      (i, i % 3 match { case 0 => "en"; case 1 => "de"; case _ => "fr" }))
+      .toDF("doc_id", "lang")
+    val m = SampleOps.stratifiedSample(d, col("doc_id"), col("lang"),
+      Map("en" -> 0.8, "de" -> 0.2), default = 0.05)
+    val counts = m.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") - 800) < 120, counts.toString)
+    assert(math.abs(counts("de") - 200) < 100, counts.toString)
+    assert(counts.getOrElse("fr", 0L) < 120, counts.toString)
+    // a stratum's selection is the uniform sample at its rate
+    // (same seed/key hash ⇒ mixing only moves the threshold)
+    val en = SampleOps.sample(d.where($"lang" === "en"), col("doc_id"), 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val enViaMix = m.where($"lang" === "en")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(en == enViaMix)
+  }
 }
