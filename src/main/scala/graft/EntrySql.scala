@@ -663,6 +663,23 @@ SELECT doc_id,
 FROM s2 ORDER BY doc_id"""
   }
 
+  /** Context-window chunking oracle: same whitespace tokens, same
+    * window/stride slices (DuckDB 1-based inclusive list slice ≡
+    * Spark slice(start, length) on these clamped bounds). */
+  def chunksSql(window: Int, stride: Int): String =
+    s"""WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+c AS (SELECT doc_id, toks, n,
+             unnest(range(0, CASE WHEN n <= $window THEN 1
+               ELSE (n - $window + $stride - 1) // $stride + 1 END)) AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[chunk_id * $stride + 1 : chunk_id * $stride + $window], ' ') AS chunk,
+       least($window, n - chunk_id * $stride)::BIGINT AS n_tokens
+FROM c ORDER BY doc_id, chunk_id"""
+
   /** Hash-threshold sampling oracles: same md5-prefix string compare
     * as SampleOps (seed "s0"), lowercase-hex order ≡ numeric order. */
   def sampleSql(rate: Double): String =

@@ -401,6 +401,11 @@ object SparkEntry {
         .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
         .orderBy("doc_id")
     }),
+    // context-window chunking: 40-token windows every 30 tokens
+    "ta_chunks" -> ((s, d) =>
+      TextOps.chunk(documents(s, d), window = 40, stride = 30)
+        .select("doc_id", "chunk_id", "chunk", "n_tokens")
+        .orderBy("doc_id", "chunk_id")),
     // deterministic hash-threshold sampling (reproducible across
     // engines/partitionings — the data-mixing pass)
     "dp_sample" -> ((s, d) =>
@@ -535,6 +540,7 @@ object SparkEntry {
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_winnow" -> EntrySql.winnowSql(),
     "ta_pii" -> EntrySql.piiSql,
+    "ta_chunks" -> EntrySql.chunksSql(40, 30),
     "dp_sample" -> EntrySql.sampleSql(0.25),
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "ta_langid" -> EntrySql.langIdSql,

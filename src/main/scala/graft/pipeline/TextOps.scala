@@ -63,6 +63,35 @@ object TextOps {
   }
 
   /**
+   * Context-window chunking — the preprocessing pass that splits
+   * documents into fixed-token windows before tokenizer packing:
+   * whitespace tokens sliced into `window`-token chunks every
+   * `stride` tokens (stride < window ⇒ overlap), the last chunk
+   * short. One generator per row (explode over a sequence), all
+   * column arithmetic: no shuffle, no UDF — the 100 TB shape is
+   * scan → explode → write.
+   */
+  def chunk(docs: DataFrame, window: Int, stride: Int,
+            textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .withColumn("_toks", toks)
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        when(col("_n") <= window, lit(0)).otherwise(
+          floor((col("_n") - window + stride - 1).cast("double") / stride)
+            .cast("int")))))
+      .withColumn("chunk",
+        array_join(slice(col("_toks"), col("chunk_id") * stride + 1,
+          lit(window)), " "))
+      .withColumn("n_tokens",
+        least(lit(window), col("_n") - col("chunk_id") * stride).cast("long"))
+      .drop("_toks", "_n")
+  }
+
+  /**
    * Per-document quality features (the C4/Gopher-style scalar
    * signals): n_chars, n_tokens, avg token length, alpha ratio,
    * digit ratio, whitespace ratio, stopword ratio (tiny fixed set),

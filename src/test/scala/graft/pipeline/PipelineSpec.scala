@@ -432,4 +432,22 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(en == enViaMix)
   }
+
+  test("chunk slices token windows with stride and a short tail") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val d = docs(1L -> text, 2L -> "only three tokens here".split(" ").take(3).mkString(" "),
+      3L -> "   ")
+    val r = TextOps.chunk(d, window = 4, stride = 3)
+      .select("doc_id", "chunk_id", "chunk", "n_tokens").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> (x.getString(2), x.getLong(3))).toMap
+    // doc 1: starts 0,3,6 cover tokens 1-10 (start 9 not needed: ceil((10-4)/3)=2)
+    assert(r((1L, 0)) == ("w1 w2 w3 w4", 4L))
+    assert(r((1L, 1)) == ("w4 w5 w6 w7", 4L))
+    assert(r((1L, 2)) == ("w7 w8 w9 w10", 4L))
+    assert(!r.contains((1L, 3)))
+    // doc 2: shorter than the window -> one short chunk
+    assert(r((2L, 0)) == ("only three tokens", 3L))
+    // whitespace-only doc 3 yields nothing
+    assert(!r.keys.exists(_._1 == 3L))
+  }
 }
