@@ -74,6 +74,19 @@ object QueryParser {
         * whose lexicographic order is chronological, and become a
         * VALUE_RANGE_S on the mapped docs column. */
       dateRangeFields: Map[String, String] = Map.empty,
+      /** FieldProcessor analog (reference: xapian-core/api/
+        * queryparser.cc FieldProcessor, registered via add_prefix):
+        * user callback turning `field:value` into an arbitrary
+        * [[Query]], combined probabilistically with the default op.
+        * Takes priority over the built-in prefix/range handling for
+        * its field; exceptions propagate as parse errors (the
+        * upstream contract). */
+      fieldProcessors: Map[String, String => Query] = Map.empty,
+      /** FieldProcessor registered via add_boolean_prefix: the
+        * returned query joins the boolean filter group of its field
+        * (same-field values OR, different fields AND, all as a
+        * weightless filter). */
+      boolFieldProcessors: Map[String, String => Query] = Map.empty,
       /** FLAG_PURE_NOT analog: allow queries that are pure negations
         * (`NOT x`, `-hate`) by matching against all documents minus
         * the negated set (<alldocuments> AND_NOT x). Off by default —
@@ -303,6 +316,14 @@ object QueryParser {
             primaryOpt(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = true, None))
           case Some(_: Quoted) | Some(LP) | Some(TildeT) =>
             parsePrimaryChain(stemmed = true).foreach(q => items :+= Item(q, plus = false, minus = false, None))
+          case Some(Word(f, _, _)) if f.exists(cfg.fieldProcessors.contains) =>
+            val Word(Some(field), text, _) = advance(): @unchecked
+            items :+= Item(cfg.fieldProcessors(field)(text),
+              plus = false, minus = false, None)
+          case Some(Word(f, _, _)) if f.exists(cfg.boolFieldProcessors.contains) =>
+            val Word(Some(field), text, _) = advance(): @unchecked
+            items :+= Item(cfg.boolFieldProcessors(field)(text),
+              plus = false, minus = false, Some(field))
           case Some(Word(f, text, _)) if f.exists(cfg.rangeFields.contains) &&
               text.contains("..") && rangeBoundsParse(text) =>
             // non-numeric bounds (len:abc..def) fail rangeBoundsParse

@@ -376,4 +376,31 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.corrected("parser AND token", f) === None)
     assert(QueryParser.corrected("len:40..60", f) === None)
   }
+
+  test("FieldProcessor: probabilistic and boolean callbacks") {
+    val pc = QueryParser.Config(stemMode = "none",
+      fieldProcessors = Map(
+        "near" -> (v => Query.LatLongDistance("lat", "lon",
+          v.toDouble, 0.0, k1 = 1000.0))),
+      boolFieldProcessors = Map(
+        "len" -> (v => Query.ValueLe("doclen", v.toDouble))))
+    // probabilistic: combines with the default op
+    QueryParser.parse("data near:48.8", pc) match {
+      case Query.Or(Seq(Query.Term("data", _, _),
+          g: Query.LatLongDistance)) =>
+        assert(g.centreLat == 48.8 && g.latField == "lat")
+      case other => fail(s"unexpected parse: ${other.describe}")
+    }
+    // boolean: same-field values OR, the group applies as a filter
+    QueryParser.parse("data len:40 len:60", pc) match {
+      case Query.Filter(Query.Term("data", _, _),
+          Query.Or(Seq(Query.ValueLe("doclen", lo), Query.ValueLe("doclen", hi)))) =>
+        assert(lo == 40.0 && hi == 60.0)
+      case other => fail(s"unexpected parse: ${other.describe}")
+    }
+    // a throwing processor propagates (upstream QueryParserError)
+    val bad = QueryParser.Config(stemMode = "none",
+      fieldProcessors = Map("x" -> (_ => throw new IllegalArgumentException("boom"))))
+    intercept[IllegalArgumentException] { QueryParser.parse("x:1", bad) }
+  }
 }
