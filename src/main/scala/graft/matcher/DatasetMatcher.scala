@@ -475,18 +475,36 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
       compile(Query.Or(ranked), dict)
 
     case Query.Synonym(cs) =>
-      val terms = cs.flatMap(_.terms).map(_.term).distinct
+      // duplicate members COUNT: the pseudo-term wdf is the sum of
+      // child wdfs (frozen spec, matching the oracle's accumulation),
+      // so a term appearing k times contributes k·wdf — weighted by a
+      // broadcast multiplicity map on the single union scan
+      val memberTerms = cs.flatMap(_.terms).map(_.term)
+      val mult = memberTerms.groupBy(identity).view.mapValues(_.size).toMap
+      val hasDup = mult.valuesIterator.exists(_ > 1)
+      val terms = memberTerms.distinct
       val ids = terms.flatMap(dict.get).map(_.termId)
       if (ids.isEmpty) emptyMatches
       else {
-        val union = decodeBlocks(idx.blocksFor(ids), keepTermId = false)
+        val decoded = decodeBlocks(idx.blocksFor(ids), keepTermId = hasDup)
+        val weighted =
+          if (!hasDup) decoded
+          else {
+            val multById = terms.flatMap(t =>
+              dict.get(t).map(d => d.termId -> mult(t))).toMap
+            decoded.select($"docId",
+              ($"wdf" * element_at(typedLit(multById), $"termId")).as("wdf"),
+              $"doclen")
+          }
+        val union = weighted
           .groupBy($"docId").agg(sum($"wdf").cast("int").as("wdf"),
             max($"doclen").as("doclen"))
         val (df, cf) = idx.synonymGroup(terms.toSet) match {
           // registered group: exact union df/cf from the build-time
-          // synonym table — NO query-time counting job
-          case Some(g) => (g.df, g.cf)
-          case None =>
+          // synonym table — NO query-time counting job. Duplicate
+          // members scale cf, so they take the counting path.
+          case Some(g) if !hasDup => (g.df, g.cf)
+          case _ =>
             // ad-hoc synonym: df = union docset size, cf = Σ wdf —
             // ONE agg action; cache only for it, then release
             // (keeping it pinned would leak executor memory across

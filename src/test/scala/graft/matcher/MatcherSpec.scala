@@ -78,6 +78,10 @@ class MatcherSpec extends AnyFunSuite {
   test("SCALE_WEIGHT")     { check(ScaleWeight(or(t(midTerm), t("token")), 2.5)) }
   test("ELITE_SET")        { check(EliteSet(Seq(t(commonTerm), t(midTerm), t(rareTerm), t("token")), 2)) }
   test("SYNONYM")          { check(Synonym(Seq(t(midTerm), t("token")))) }
+  test("SYNONYM duplicate member doubles its wdf (fuzz regression)") {
+    check(Synonym(Seq(t(midTerm), t(midTerm), t("token"))))
+    check(Synonym(Seq(Term(midTerm, wqf = 2), t(midTerm), t("token"))))
+  }
   test("NEAR")             { check(Near(Seq(t(commonTerm), t(midTerm)), 5)) }
   test("PHRASE")           { check(Phrase(Seq(t(commonTerm), t(midTerm)), 5)) }
   test("NEAR of three")    { check(Near(Seq(t(commonTerm), t(midTerm), t("token")), 12)) }

@@ -123,4 +123,40 @@ class QueryFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("30 random trees under an RSet (RSJ relevance idf on every path)") {
+    // relevance feedback changes every probabilistic termweight; the
+    // composed shapes must stay rank-identical across all three paths
+    val rset = Seq(2L, 7L, 11L, 29L)
+    val rnd = new scala.util.Random(777777L)
+    val dm = new DatasetMatcher(reader, MatchOptions(rset = rset))
+    val wand = new WandMatcher(reader, rset = rset)
+    val wandDist = new WandMatcher(reader, localDfThreshold = 0L, rset = rset)
+    val oOpts = Oracle.Options(stemMode = "none", rset = rset)
+    var wandHits = 0
+    for (i <- 1 to 30) {
+      val q = gen(rnd, depth = 2)
+      val want = Oracle.mset(q, oracleIdx, 10, oOpts)
+      val got = dm.mset(q, 10)
+      assert(got.map(_.docId) == want.map(_.docId),
+        s"#$i rset dataset for ${q.describe}: got ${got.map(_.docId)}, " +
+          s"want ${want.map(_.docId)}")
+      got.zip(want).foreach { case (g, o) =>
+        assert(math.abs(g.score - o.score) < 1e-9, s"#$i rset doc ${g.docId}")
+      }
+      if (wand.supports(q)) {
+        wandHits += 1
+        for ((m, tag) <- Seq((wand, "local"), (wandDist, "dist"))) {
+          val viaWand = m.mset(q, 10)
+          assert(viaWand.map(_.docId) == want.map(_.docId),
+            s"#$i rset wand-$tag for ${q.describe}")
+          viaWand.zip(want).foreach { case (g, o) =>
+            assert(math.abs(g.score - o.score) < 1e-9,
+              s"#$i rset wand-$tag doc ${g.docId}")
+          }
+        }
+      }
+    }
+    assert(wandHits >= 3, s"only $wandHits/30 rset fuzz queries hit WAND")
+  }
 }
