@@ -397,6 +397,25 @@ ORDER BY r * ln(((r + 0.5) * (c.big_n - n - c.big_r + r + 0.5)) /
                 ((n - r + 0.5) * (c.big_r - r + 0.5))) DESC, term
 LIMIT $k"""
 
+  /** Bo1 expansion oracle: tf_x = Σ occurrences over the RSet docs,
+    * λ = cf/N, w = tf_x·log2((1+λ)/λ) + log2(1+λ). */
+  def esetBo1Sql(rsetSize: Int, k: Int): String =
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+cfq AS (SELECT term, count(*)::DOUBLE AS cf FROM tok GROUP BY term),
+tfx AS (SELECT term, count(*)::DOUBLE AS tfx FROM tok WHERE doc_id < $rsetSize GROUP BY term),
+consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS big_n)
+SELECT term,
+       round(tfx * log2((1 + cf / c.big_n) / (cf / c.big_n))
+             + log2(1 + cf / c.big_n), 6) AS expand_weight
+FROM tfx JOIN cfq USING(term), consts c
+ORDER BY tfx * log2((1 + cf / c.big_n) / (cf / c.big_n))
+         + log2(1 + cf / c.big_n) DESC, term
+LIMIT $k"""
+
   // ---------------- training-data pipeline oracles ----------------
 
   val exactDedupSql: String =

@@ -320,6 +320,14 @@ object SparkEntry {
       graft.matcher.Expand.eset(idx, rset, k = 10)
         .select(col("term"), round(col("expand_weight"), 6).as("expand_weight"))
     }),
+    // Bo1 expansion scheme (set_expansion_scheme("bo1") analog)
+    "ft_eset_bo1" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      val rset = idx.docs.where(col("path").cast("long") < 10)
+        .select(col("docId")).collect().map(_.getLong(0)).toSeq
+      graft.matcher.Expand.eset(idx, rset, k = 10, scheme = "bo1")
+        .select(col("term"), round(col("expand_weight"), 6).as("expand_weight"))
+    }),
 
     // ---------- training-data pipeline: dedup ----------
     "dd_exact" -> ((s, d) =>
@@ -524,6 +532,7 @@ object SparkEntry {
     "ft_facet_multi" -> EntrySql.multiFacetSql("data"),
     "ft_spell" -> EntrySql.spellSql("strem", 1, 3),
     "ft_eset" -> EntrySql.esetSql(10, 10),
+    "ft_eset_bo1" -> EntrySql.esetBo1Sql(10, 10),
     "dd_exact" -> EntrySql.exactDedupSql,
     "dd_minhash" -> EntrySql.minhashSql(),
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),

@@ -34,24 +34,51 @@ object Expand {
       ((nd - rd + 0.5) * (R - rd + 0.5)))
   }
 
-  /** ESet as a DataFrame (term, expand_weight), best first. */
+  /** Bo1 (Bose-Einstein 1) expansion weight — the reference's second
+    * ExpandWeight scheme (Enquire::set_expansion_scheme("bo1");
+    * reference: xapian-core/weight/expandweight.cc Bo1EWeight
+    * [VERIFY] — frozen here from Amati's published DFR Bo1):
+    *
+    *   λ = cf(t) / N   (expected term frequency per document)
+    *   w(t) = tf_x · log2((1 + λ)/λ) + log2(1 + λ)
+    *
+    * with tf_x = Σ wdf of t over the RSet docs. No R/df dependence —
+    * Bo1 measures divergence of the observed feedback frequency from
+    * a Bose-Einstein collection model. */
+  def bo1Weight(tfx: Long, cf: Long, big_n: Long): Double = {
+    val lambda = cf.toDouble / big_n.toDouble
+    val ln2 = math.log(2.0)
+    tfx.toDouble * (math.log((1.0 + lambda) / lambda) / ln2) +
+      math.log(1.0 + lambda) / ln2
+  }
+
+  /** ESet as a DataFrame (term, expand_weight), best first.
+    * scheme: "trad" (RSJ term-selection, the upstream default) |
+    * "bo1". */
   def eset(idx: Index, rset: Seq[Long], k: Int,
-           excludeTerms: Set[String] = Set.empty): DataFrame = {
+           excludeTerms: Set[String] = Set.empty,
+           scheme: String = "trad"): DataFrame = {
+    require(scheme == "trad" || scheme == "bo1",
+      s"unknown expansion scheme '$scheme' (trad | bo1)")
     val spark = idx.spark
     import spark.implicits._
     val bigN = idx.stats.n
     val bigR = rset.distinct.size.toLong
     val inRset = idx.termLists
       .filter($"docId".isin(rset.distinct: _*))
-      .groupBy($"term").agg(count(lit(1)).as("r"))
-    val terms = inRset.as[(String, Long)].collect()
-      .filterNot { case (t, _) => excludeTerms.contains(t) }
+      .groupBy($"term").agg(count(lit(1)).as("r"), sum($"wdf").as("tfx"))
+    val terms = inRset.as[(String, Long, Long)].collect()
+      .filterNot { case (t, _, _) => excludeTerms.contains(t) }
     if (terms.isEmpty)
       return Seq.empty[(String, Double)].toDF("term", "expand_weight")
     val dict = idx.lookupTerms(terms.map(_._1))
-    val weighted = terms.flatMap { case (t, r) =>
+    val weighted = terms.flatMap { case (t, r, tfx) =>
       dict.get(t).map { d =>
-        (t, r * rsjWeight(r, bigR, d.df, bigN))
+        val w = scheme match {
+          case "trad" => r * rsjWeight(r, bigR, d.df, bigN)
+          case "bo1"  => bo1Weight(tfx, d.cf, bigN)
+        }
+        (t, w)
       }
     }
     weighted.sortBy { case (t, w) => (-w, t) }.take(k)

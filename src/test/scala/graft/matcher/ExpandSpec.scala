@@ -89,4 +89,27 @@ class ExpandSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got === want)
   }
+
+  test("bo1 eset ranks terms by Bose-Einstein divergence, matching a scalar recompute") {
+    val rset = Seq(1L, 2L, 3L)
+    val got = Expand.eset(reader, rset, k = 8, scheme = "bo1")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // scalar recompute from the oracle index: tfx = sum wdf over rset
+    val bigN = oracleIdx.stats.n
+    val want = oracleIdx.postings.toSeq.flatMap { case (t, pl) =>
+      val tfx = pl.filter(p => rset.contains(p._1)).map(_._2.toLong).sum
+      if (tfx == 0) None
+      else {
+        val cf = pl.map(_._2.toLong).sum
+        Some((t, Expand.bo1Weight(tfx, cf, bigN)))
+      }
+    }.sortBy { case (t, w) => (-w, t) }.take(8)
+    assert(got.map(_._1) == want.map(_._1),
+      s"terms: got ${got.map(_._1)}, want ${want.map(_._1)}")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9) }
+    // bo1 and trad genuinely rank differently somewhere in the top-8
+    val trad = Expand.eset(reader, rset, k = 8).collect().map(_.getString(0)).toSeq
+    assert(trad != got.map(_._1))
+  }
 }
