@@ -57,7 +57,13 @@ object Expand {
     * "bo1". */
   def eset(idx: Index, rset: Seq[Long], k: Int,
            excludeTerms: Set[String] = Set.empty,
-           scheme: String = "trad"): DataFrame = {
+           scheme: String = "trad",
+           /** ExpandDecider analog (reference: xapian-core/include/
+             * xapian/expanddecider.h): arbitrary predicate on
+             * candidate terms; excludeTerms is the FilterTerms
+             * special case and both apply (the ExpandDeciderAnd
+             * composition). */
+           decider: String => Boolean = _ => true): DataFrame = {
     require(scheme == "trad" || scheme == "bo1",
       s"unknown expansion scheme '$scheme' (trad | bo1)")
     val spark = idx.spark
@@ -69,6 +75,7 @@ object Expand {
       .groupBy($"term").agg(count(lit(1)).as("r"), sum($"wdf").as("tfx"))
     val terms = inRset.as[(String, Long, Long)].collect()
       .filterNot { case (t, _, _) => excludeTerms.contains(t) }
+      .filter { case (t, _, _) => decider(t) }
     if (terms.isEmpty)
       return Seq.empty[(String, Double)].toDF("term", "expand_weight")
     val dict = idx.lookupTerms(terms.map(_._1))

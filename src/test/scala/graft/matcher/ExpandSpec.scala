@@ -112,4 +112,18 @@ class ExpandSpec extends AnyFunSuite {
     val trad = Expand.eset(reader, rset, k = 8).collect().map(_.getString(0)).toSeq
     assert(trad != got.map(_._1))
   }
+
+  test("ExpandDecider predicate filters candidate terms") {
+    val rset = Seq(1L, 2L, 3L)
+    // the decider applies BEFORE the top-k cut (upstream semantics):
+    // filtering the unbounded ranking must reproduce the bounded one
+    val all = Expand.eset(reader, rset, k = 100000)
+      .collect().map(_.getString(0)).toSeq
+    val noP = Expand.eset(reader, rset, k = 50,
+      decider = t => !t.startsWith("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(all.exists(_.startsWith("p")), "fixture needs p-terms")
+    assert(noP.nonEmpty && !noP.exists(_.startsWith("p")))
+    assert(noP == all.filterNot(_.startsWith("p")).take(noP.size))
+  }
 }

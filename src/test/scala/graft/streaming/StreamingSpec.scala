@@ -151,4 +151,38 @@ class StreamingSpec extends AnyFunSuite {
     // nothing else pairs to anything
     assert(rows.toSeq === Seq((30L, 10L)))
   }
+
+  test("stateless pipeline ops compose with streams: PII scrub + hash sampling per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.{SampleOps, TextOps}
+    import org.apache.spark.sql.functions.col
+    val stream = MemoryStream[(Long, String)]
+    val src = stream.toDS().toDF("doc_id", "text")
+    // the same per-row codegen'd transforms run unchanged on a
+    // streaming frame: scrub then deterministically sample
+    val out = SampleOps.sample(TextOps.piiScrub(src), col("doc_id"), 0.5)
+      .select("doc_id", "n_emails", "scrubbed")
+    val query = out.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L to 40L).map(i => (i, s"row $i mail u$i@example.com")))
+      query.processAllAvailable()
+      stream.addData((41L to 80L).map(i => (i, s"clean row $i")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("pii_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // batch replay selects the IDENTICAL rows with identical outputs
+    val batch = SampleOps.sample(TextOps.piiScrub(
+      (1L to 80L).map(i => (i, if (i <= 40) s"row $i mail u$i@example.com"
+                               else s"clean row $i")).toDF("doc_id", "text")),
+      col("doc_id"), 0.5)
+      .select("doc_id", "n_emails", "scrubbed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows == batch)
+    assert(rows.nonEmpty && rows.keys.exists(_ <= 40))
+    rows.filter(_._1 <= 40).values.foreach { case (ne, scrubbed) =>
+      assert(ne == 1L && scrubbed.endsWith("mail [EMAIL]")) }
+  }
 }
