@@ -450,4 +450,18 @@ class PipelineSpec extends AnyFunSuite {
     // whitespace-only doc 3 yields nothing
     assert(!r.keys.exists(_._1 == 3L))
   }
+
+  test("sample and chunk plans stay shuffle-free (scan-fused)") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, s"tok$i " * 50)).toDF("doc_id", "text")
+    val samplePlan = SampleOps.sample(d, col("doc_id"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Exchange"), s"sample shuffled:\n$samplePlan")
+    val chunkPlan = TextOps.chunk(d, 8, 6)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunk shuffled:\n$chunkPlan")
+    assert(chunkPlan.contains("Generate"), "chunk must explode, not collect")
+    val piiPlan = TextOps.piiScrub(d).queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), s"pii shuffled:\n$piiPlan")
+  }
 }

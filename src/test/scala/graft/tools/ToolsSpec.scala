@@ -303,4 +303,22 @@ class ToolsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Quest.parseArgs(Seq("i", "q", "--bogus=1")))
   }
+
+  test("Quest --rset: relevance feedback changes weights through the CLI core") {
+    val work = Files.createTempDirectory("graft-cli-rset").toString
+    import spark.implicits._
+    val rows = (1 to 12).map(i =>
+      s"alpha ${if (i % 3 == 0) "beta beta" else "gamma"} doc$i")
+    rows.toDF("content").write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--buckets=2", "--stripe-shift=4",
+      "--partitions=2")))
+    val a = Quest.parseArgs(Seq(s"$work/idx", "alpha beta", "--rset=1,2,3"))
+    assert(a.rset == Seq(1L, 2L, 3L))
+    val fed = Quest.run(spark, a)
+    val plain = Quest.run(spark,
+      Quest.parseArgs(Seq(s"$work/idx", "alpha beta")))
+    // same matcher routing, different weights
+    assert(fed.nonEmpty && plain.nonEmpty && fed != plain)
+  }
 }
