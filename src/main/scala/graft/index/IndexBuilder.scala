@@ -119,6 +119,23 @@ final case class TermRow(
  * sub-partitions aligned to block stripes, so salted and unsalted
  * builds emit byte-identical blocks (property-tested).
  */
+object IndexBuilder {
+  /** Apply computed value slots to a docs0-shaped frame — shared by
+    * the fresh build and SegmentedIndex.compactMerged's hand-written
+    * docs0 (which must carry the same slot columns). */
+  private[index] def applyValueSlots(
+      df: org.apache.spark.sql.DataFrame,
+      slots: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val reserved = Set("docId", "repo", "path", "commit", "lang",
+      "content", "sha256", "stripe", "doclen")
+    slots.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      require(!reserved.contains(name),
+        s"value slot '$name' collides with a reserved docs column")
+      d.withColumn(name, org.apache.spark.sql.functions.expr(sql))
+    }
+  }
+}
+
 class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
   import spark.implicits._
 
@@ -227,15 +244,8 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
         .withColumn("stripe", (($"docId" - 1) / lit(1L << cfg.stripeShift)).cast("int"))
       // computed value slots (Document::add_value analog) — evaluated
       // once here, carried as plain columns through stage 4's docs
-      val reserved = Set("docId", "repo", "path", "commit", "lang",
-        "content", "sha256", "stripe", "doclen")
-      val withSlots = cfg.valueSlots.toSeq.sortBy(_._1)
-        .foldLeft(docs0) { case (df, (name, sql)) =>
-          require(!reserved.contains(name),
-            s"value slot '$name' collides with a reserved docs column")
-          df.withColumn(name, expr(sql))
-        }
-      withSlots.write.mode("overwrite").parquet(s"$dir/docs0")
+      IndexBuilder.applyValueSlots(docs0, cfg.valueSlots)
+        .write.mode("overwrite").parquet(s"$dir/docs0")
       finishStage("docs0")
     }
 

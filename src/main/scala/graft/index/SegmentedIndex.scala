@@ -147,7 +147,11 @@ class SegmentedIndex(
     buildPartitions: Int = 8,
     /** CJK n-gram segmentation — forwarded to every segment build
       * and compaction (see BuildConfig.cjkNgram). */
-    cjkNgram: Boolean = false) {
+    cjkNgram: Boolean = false,
+    /** Computed value slots — forwarded to every segment build and
+      * compaction so appended/compacted segments carry the same docs
+      * columns as the first (see BuildConfig.valueSlots). */
+    valueSlots: Map[String, String] = Map.empty) {
 
   final case class SegmentInfo(dir: String, base: Long, nDocs: Long)
 
@@ -190,7 +194,7 @@ class SegmentedIndex(
       val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
         tokenizerMode = tokenizerMode, nBuckets = nBuckets,
         stripeShift = stripeShift, buildPartitions = buildPartitions,
-        docIdBase = base, cjkNgram = cjkNgram)
+        docIdBase = base, cjkNgram = cjkNgram, valueSlots = valueSlots)
       new IndexBuilder(spark, cfg).build(corpus)
       val nDocs = spark.read.parquet(s"$dir/docs").count()
       writeManifest(segs :+ SegmentInfo(dir, base, nDocs),
@@ -329,7 +333,7 @@ class SegmentedIndex(
     val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
       tokenizerMode = tokenizerMode, nBuckets = nBuckets,
       stripeShift = stripeShift, buildPartitions = buildPartitions,
-      cjkNgram = cjkNgram)
+      cjkNgram = cjkNgram, valueSlots = valueSlots)
     val builder = new IndexBuilder(spark, cfg)
     Files.createDirectories(Paths.get(dir))
 
@@ -357,11 +361,13 @@ class SegmentedIndex(
       .toDF("oldDocId", "docId", "repo", "path", "commit", "lang",
         "content", "sha256")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    reassigned
-      .select($"docId", $"repo", $"path", $"commit", $"lang",
-        $"content", $"sha256")
-      .withColumn("stripe",
-        (($"docId" - 1) / lit(1L << stripeShift)).cast("int"))
+    IndexBuilder.applyValueSlots(
+      reassigned
+        .select($"docId", $"repo", $"path", $"commit", $"lang",
+          $"content", $"sha256")
+        .withColumn("stripe",
+          (($"docId" - 1) / lit(1L << stripeShift)).cast("int")),
+      valueSlots)
       .write.mode("overwrite").parquet(s"$dir/docs0")
     builder.recordStage("docs0")
 
@@ -423,7 +429,7 @@ class SegmentedIndex(
     val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
       tokenizerMode = tokenizerMode, nBuckets = nBuckets,
       stripeShift = stripeShift, buildPartitions = buildPartitions,
-      cjkNgram = cjkNgram)
+      cjkNgram = cjkNgram, valueSlots = valueSlots)
     new IndexBuilder(spark, cfg).build(union)
     val nDocs = spark.read.parquet(s"$dir/docs").count()
     writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)

@@ -257,4 +257,28 @@ class SegmentedIndexSpec extends AnyFunSuite {
     got2.zip(want2).foreach { case (g, w) =>
       assert(math.abs(g.score - w.score) < 1e-9) }
   }
+
+  test("valueSlots forward to appended segments and survive compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val all = CorpusGen.generate(seed = 41, nRepos = 2, filesPerRepo = 10)
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-seg-slots").toString
+    val seg = new SegmentedIndex(spark, s"$baseDir/idx", stemMode = "none",
+      stripeShift = 5, buildPartitions = 2,
+      valueSlots = Map("clen" -> "CAST(length(content) AS DOUBLE)"))
+    seg.append(spark.createDataset(all.take(12)))
+    seg.append(spark.createDataset(all.drop(12)))
+    // every doc of every segment carries the computed slot
+    val r = seg.reader()
+    val rows = r.docs.select(col("docId"), col("clen")).collect()
+    assert(rows.length == all.size && rows.forall(!_.isNullAt(1)))
+    // the slot drives a posting source across segments
+    val m = new graft.matcher.DatasetMatcher(r)
+      .matches(Query.ValueWeight("clen")).count()
+    assert(m == all.size)
+    // compaction keeps it
+    val cr = seg.compactMerged()
+    assert(cr.docs.select(col("clen")).collect().forall(!_.isNullAt(0)))
+  }
 }
