@@ -485,11 +485,19 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
     // self-describing index: persist the knobs a reader needs, so
     // IndexReader.open(spark, dir) works without out-of-band config
     // (the chert version-file analog)
+    // value slots ride base64(name):base64(expr) pairs so arbitrary
+    // SQL text (quotes, braces) survives the line-oriented parser
+    val b64 = java.util.Base64.getEncoder
+    val vsB64 = cfg.valueSlots.toSeq.sortBy(_._1).map { case (n, e) =>
+      b64.encodeToString(n.getBytes("UTF-8")) + ":" +
+        b64.encodeToString(e.getBytes("UTF-8"))
+    }.mkString(",")
     Files.write(Paths.get(s"$dir/_config.json"),
       (s"""{"nBuckets":${cfg.nBuckets},"stripeShift":${cfg.stripeShift},""" +
         s""""stemMode":"${cfg.stemMode}","stemLang":"${cfg.stemLang}",""" +
         s""""tokenizerMode":"${cfg.tokenizerMode}",""" +
         s""""storePositions":${cfg.storePositions},""" +
+        s""""valueSlotsB64":"$vsB64",""" +
         s""""cjkNgram":${cfg.cjkNgram}}""").getBytes("UTF-8"))
   }
 }

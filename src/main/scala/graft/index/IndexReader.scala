@@ -230,7 +230,12 @@ object IndexReader {
   final case class IndexConfig(nBuckets: Int, stripeShift: Int,
                                stemMode: String, stemLang: String,
                                tokenizerMode: String, storePositions: Boolean,
-                               cjkNgram: Boolean = false)
+                               cjkNgram: Boolean = false,
+                               /** Computed value slots the index was
+                                 * built with (name → SQL expr) — so
+                                 * CLI compaction/append reproduces
+                                 * them. */
+                               valueSlots: Map[String, String] = Map.empty)
 
   /** Read an index's persisted build config (Database::open analog:
     * the directory is self-describing). A missing `_config.json`
@@ -252,10 +257,20 @@ object IndexReader {
     def num(k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(s"missing $k in $p"))
+    // slots ride base64(name):base64(expr) pairs (arbitrary SQL text)
+    val slots: Map[String, String] =
+      """"valueSlotsB64":"([^"]*)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty).map(_.split(",").map { pair =>
+          val Array(n, e) = pair.split(":", 2)
+          val dec = java.util.Base64.getDecoder
+          new String(dec.decode(n), "UTF-8") ->
+            new String(dec.decode(e), "UTF-8")
+        }.toMap).getOrElse(Map.empty)
     IndexConfig(num("nBuckets"), num("stripeShift"), str("stemMode"),
       str("stemLang"), str("tokenizerMode"),
       s.contains(""""storePositions":true"""),
-      s.contains(""""cjkNgram":true"""))
+      s.contains(""""cjkNgram":true"""),
+      valueSlots = slots)
   }
 
   /** Open an index directory using its persisted config. */

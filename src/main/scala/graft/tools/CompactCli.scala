@@ -22,7 +22,8 @@ object CompactCli {
     val cfg = IndexReader.configOf(segs.head.dir)
     val seg = new SegmentedIndex(spark, baseDir, stemMode = cfg.stemMode,
       tokenizerMode = cfg.tokenizerMode, nBuckets = cfg.nBuckets,
-      stripeShift = cfg.stripeShift, cjkNgram = cfg.cjkNgram)
+      stripeShift = cfg.stripeShift, cjkNgram = cfg.cjkNgram,
+      valueSlots = cfg.valueSlots)
     val before = segs.map(_.nDocs).sum
     val tomb = seg.listDeletes().size
     // merge-based: segment tables merge without re-tokenizing (the

@@ -14,6 +14,7 @@ import org.apache.spark.sql.{functions => F, SparkSession}
  *     <corpusParquet> <indexDir> [--stem=some|none] [--stemlang=en|de|auto]
  *     [--tokenizer=xapian|simple] [--buckets=16] [--stripe-shift=14]
  *     [--partitions=32] [--no-positions] [--field-prefix=col:P ...]
+ *     [--slot=name:SQL-expr ...]
  *
  * The build is the staged, manifest-gated, resumable pipeline — a
  * re-run after failure skips completed stages; a finished index is a
@@ -26,7 +27,8 @@ object Omindex {
       stemLang: String = "en", tokenizer: String = "xapian",
       buckets: Int = 16, stripeShift: Int = 14, partitions: Int = 32,
       positions: Boolean = true, fieldPrefixes: Map[String, String] = Map.empty,
-      cjkNgram: Boolean = false)
+      cjkNgram: Boolean = false,
+      valueSlots: Map[String, String] = Map.empty)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -54,6 +56,12 @@ object Omindex {
           case Array(c, p) => a = a.copy(fieldPrefixes = a.fieldPrefixes + (c -> p))
           case _ => throw new IllegalArgumentException(s"expected col:P in $f")
         }
+        // computed value slot: --slot=name:SQL-expr (Document::add_value)
+        case "--slot" => v.split(":", 2) match {
+          case Array(n, e) if n.nonEmpty && e.nonEmpty =>
+            a = a.copy(valueSlots = a.valueSlots + (n -> e))
+          case _ => throw new IllegalArgumentException(s"expected name:expr in $f")
+        }
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -80,7 +88,8 @@ object Omindex {
       stemLang = a.stemLang, tokenizerMode = a.tokenizer,
       nBuckets = a.buckets, stripeShift = a.stripeShift,
       buildPartitions = a.partitions, storePositions = a.positions,
-      fieldPrefixes = a.fieldPrefixes, cjkNgram = a.cjkNgram)
+      fieldPrefixes = a.fieldPrefixes, cjkNgram = a.cjkNgram,
+      valueSlots = a.valueSlots)
     new IndexBuilder(spark, cfg).build(corpus)
   }
 

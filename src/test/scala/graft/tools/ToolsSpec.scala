@@ -321,4 +321,18 @@ class ToolsSpec extends AnyFunSuite {
     // same matcher routing, different weights
     assert(fed.nonEmpty && plain.nonEmpty && fed != plain)
   }
+
+  test("Omindex --slot persists through _config.json and CLI compaction") {
+    val work = Files.createTempDirectory("graft-cli-slot").toString
+    import spark.implicits._
+    (1 to 6).map(i => s"alpha beta doc$i").toDF("content")
+      .write.parquet(s"$work/c.parquet")
+    Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
+      s"$work/idx", "--stem=none", "--buckets=2", "--stripe-shift=4",
+      "--partitions=2", "--slot=clen:CAST(length(content) AS DOUBLE)")))
+    val cfg = IndexReader.configOf(s"$work/idx")
+    assert(cfg.valueSlots == Map("clen" -> "CAST(length(content) AS DOUBLE)"))
+    val r = IndexReader.open(spark, s"$work/idx")
+    assert(r.docs.select("clen").collect().forall(!_.isNullAt(0)))
+  }
 }
