@@ -578,6 +578,7 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     val ts = q.terms
     if (ts.isEmpty) return Map.empty
     val dict = idx.lookupTerms(ts.map(_.term))
+    computeRel(dict) // rset weights apply to snippet highlighting too
     ts.groupBy(_.term).flatMap { case (t, leaves) =>
       dict.get(t).map(d =>
         t -> weight.termWeight(leaves.map(_.wqf).sum, d.df, stats, relOf(t)))
