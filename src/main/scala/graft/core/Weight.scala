@@ -90,6 +90,11 @@ final case class Bm25Weight(
     var idfRaw = ((r + 0.5) * (N - n - bigR + r + 0.5)) /
       ((n - r + 0.5) * (bigR - r + 0.5))
     if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
+    // with an RSet wholly inside the collection, N−n ≥ R−r makes
+    // idfRaw > 0; out-of-collection (or tombstoned) judged ids can
+    // push it ≤ 0 — floor keeps log defined where upstream would
+    // reject such ids outright (DocNotFoundError)
+    if (idfRaw < 1e-12) idfRaw = 1e-12
     val idf = math.log(idfRaw)
     val wqfPart =
       if (k3 == 0.0) 1.0
@@ -165,6 +170,7 @@ final case class TradWeight(k: Double = 1.0) extends Weight {
     var idfRaw = ((r + 0.5) * (N - n - bigR + r + 0.5)) /
       ((n - r + 0.5) * (bigR - r + 0.5))
     if (idfRaw < 2.0) idfRaw = idfRaw / 2.0 + 1.0
+    if (idfRaw < 1e-12) idfRaw = 1e-12 // see Bm25Weight: invalid-id guard
     math.log(idfRaw)
   }
   def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,

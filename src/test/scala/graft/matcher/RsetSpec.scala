@@ -115,4 +115,16 @@ class RsetSpec extends AnyFunSuite {
     val fed = new DatasetMatcher(reader, MatchOptions(rset = rset)).mset(q, 20)
     assert(plain.map(i => (i.docId, i.score)) != fed.map(i => (i.docId, i.score)))
   }
+
+  test("out-of-collection rset ids never produce NaN scores") {
+    // 50 judged ids far beyond the corpus: R - r >> N - n for common
+    // terms would push the raw RSJ idf negative without the floor
+    val bogus = (1000L to 1049L).toSeq
+    val got = new DatasetMatcher(reader,
+      MatchOptions(rset = bogus)).mset(t("def"), 10)
+    assert(got.nonEmpty && got.forall(i => !i.score.isNaN && !i.score.isInfinite))
+    val want = Oracle.mset(t("def"), oracleIdx, 10,
+      Oracle.Options(stemMode = "none", rset = bogus))
+    assertSame(got, want, "bogus-rset")
+  }
 }
