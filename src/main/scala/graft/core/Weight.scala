@@ -122,7 +122,12 @@ final case class Bm25Weight(
 
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
               stats: StatsRow): Double =
-    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+    // a NEGATIVE termweight (reachable only via out-of-collection
+    // RSet ids) flips sumPart's monotonicity: its supremum over
+    // wdf ≥ 1, any doclen is 0⁻, so 0 is the admissible bound
+    // (sumPart at maxWdf/minDocLen would be the MINIMUM)
+    if (k1 != 0.0 && termWt < 0) 0.0
+    else sumPart(termWt, termStat, maxWdf, minDocLen, stats)
 }
 
 /**
@@ -155,7 +160,10 @@ final case class Bm25PlusWeight(
 
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
               stats: StatsRow): Double =
-    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+    // negative termweight: base part bounded by 0 (see Bm25Weight),
+    // the δ·termweight bonus is a per-match constant
+    if (k1 != 0.0 && termWt < 0) delta * termWt
+    else sumPart(termWt, termStat, maxWdf, minDocLen, stats)
 }
 
 /** Classic probabilistic weighting with a single parameter k. */
@@ -181,7 +189,9 @@ final case class TradWeight(k: Double = 1.0) extends Weight {
   }
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
               stats: StatsRow): Double =
-    sumPart(termWt, termStat, maxWdf, minDocLen, stats)
+    // negative termweight supremum is 0⁻ (see Bm25Weight.maxPart)
+    if (k != 0.0 && termWt < 0) 0.0
+    else sumPart(termWt, termStat, maxWdf, minDocLen, stats)
 }
 
 /**

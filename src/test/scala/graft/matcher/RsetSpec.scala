@@ -126,5 +126,17 @@ class RsetSpec extends AnyFunSuite {
     val want = Oracle.mset(t("def"), oracleIdx, 10,
       Oracle.Options(stemMode = "none", rset = bogus))
     assertSame(got, want, "bogus-rset")
+    // NEGATIVE termweights flip sumPart's monotonicity — the WAND
+    // bounds must stay admissible (maxPart = 0, not the minimum), or
+    // pruning silently drops true top-k docs
+    for (q <- Seq[Query](t("def"), or(t("def"), t("parse")),
+      and(t("def"), t("parse")))) {
+      val w = Oracle.mset(q, oracleIdx, 10,
+        Oracle.Options(stemMode = "none", rset = bogus))
+      for ((m, tag) <- Seq(
+        (new WandMatcher(reader, rset = bogus), "local"),
+        (new WandMatcher(reader, localDfThreshold = 0L, rset = bogus), "dist")))
+        if (m.supports(q)) assertSame(m.mset(q, 10), w, s"bogus-wand-$tag")
+    }
   }
 }
