@@ -49,13 +49,15 @@ object Oracle {
 
   def buildIndex(docs: Seq[Doc], stemMode: String = "some",
                  stopwords: Set[String] = Set.empty,
-                 stemLang: String = "en"): Index = {
+                 stemLang: String = "en",
+                 stopStrategy: String = "stemmed"): Index = {
     val post = mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Int, Array[Int])]]
     val docLen = mutable.Map.empty[Long, Long]
     docs.sortBy(_.docId).foreach { d =>
       val toks =
         if (stemMode == "some")
-          Tokenizer.indexTerms(d.content, Stemmer.forDoc(stemLang, d.lang), stopwords)
+          Tokenizer.indexTerms(d.content, Stemmer.forDoc(stemLang, d.lang),
+            stopwords, stopStrategy = stopStrategy)
         else Tokenizer.tokenize(d.content)
       // doclen = number of positional tokens (the document's length in words)
       val positional = toks.filter(_.pos > 0)

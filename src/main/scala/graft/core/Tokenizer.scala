@@ -181,17 +181,29 @@ object Tokenizer {
       text: String,
       stem: String => String,
       stopwords: Set[String] = Set.empty,
-      cjk: String = "off"): IndexedSeq[Token] = {
+      cjk: String = "off",
+      /** TermGenerator stop strategy (reference: xapian-core/
+        * queryparser/termgenerator.h stop_strategy): "stemmed"
+        * (upstream default — stopwords index positionally but skip
+        * the Z-stem form), "none" (stopwords index fully), "all"
+        * (stopwords skipped entirely; the position counter still
+        * advances, leaving the upstream positional gap). */
+      stopStrategy: String = "stemmed"): IndexedSeq[Token] = {
+    require(Set("stemmed", "none", "all").contains(stopStrategy),
+      s"unknown stop strategy '$stopStrategy'")
     val toks = tokenize(text, cjk)
     val out = new ArrayBuffer[Token](toks.size * 2)
     toks.foreach { t =>
-      out += t
-      // CJK n-grams never stem (the reference's TermGenerator skips
-      // the stemmer for CJK characters)
-      if (!stopwords.contains(t.term) &&
-          !(cjk != "off" && isCjkTerm(t.term))) {
-        val s = stem(t.term)
-        out += Token("Z" + s, 0)
+      val isStop = stopwords.contains(t.term)
+      if (!(isStop && stopStrategy == "all")) {
+        out += t
+        // CJK n-grams never stem (the reference's TermGenerator skips
+        // the stemmer for CJK characters)
+        if (!(isStop && stopStrategy == "stemmed") &&
+            !(cjk != "off" && isCjkTerm(t.term))) {
+          val s = stem(t.term)
+          out += Token("Z" + s, 0)
+        }
       }
     }
     out.toIndexedSeq

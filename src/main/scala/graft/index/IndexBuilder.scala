@@ -20,6 +20,10 @@ final case class BuildConfig(
     stemLang: String = "en",
     tokenizerMode: String = "xapian",   // "xapian" | "simple" (SQL-reproducible)
     stopwords: Set[String] = Set.empty,
+    /** TermGenerator stop strategy for `stopwords` under
+      * stemMode="some": "stemmed" (upstream default), "none", "all"
+      * (see [[graft.core.Tokenizer.indexTerms]]). */
+    stopStrategy: String = "stemmed",
     nBuckets: Int = 16,                  // postings directory buckets (hash(termId) % nBuckets)
     stripeShift: Int = 14,               // docId stripe width = 2^14 = 16384
     maxPerBlock: Int = 4096,
@@ -81,12 +85,14 @@ final case class BuildConfig(
       else "|fp=" + fieldPrefixes.toSeq.sorted
         .map { case (c, p) => s"$c:$p" }.mkString(",")
     val cjk = if (cjkNgram) "|cjk" else "" // keeps pre-cjk hashes stable
+    val ss = // keeps default-strategy hashes stable
+      if (stopStrategy == "stemmed") "" else s"|stop=$stopStrategy"
     val vs =
       if (valueSlots.isEmpty) "" // keeps pre-slot hashes stable
       else "|vs=" + valueSlots.toSeq.sorted
         .map { case (n, e) => s"$n:$e" }.mkString(",")
     val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
-      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps$cjk$vs"
+      s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps$cjk$vs$ss"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }
 }
@@ -257,6 +263,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
       val stemLang = cfg.stemLang
       val tokMode = cfg.tokenizerMode
       val stop = cfg.stopwords
+      val stopStrat = cfg.stopStrategy
       val keepPos = cfg.storePositions
       val cjk = if (cfg.cjkNgram) "index" else "off"
       val termRows0: Dataset[TermRow] = docs0
@@ -266,7 +273,7 @@ class IndexBuilder(spark: SparkSession, cfg: BuildConfig) {
             if (tokMode == "simple") Tokenizer.simpleTokenize(content)
             else if (stem == "some")
               Tokenizer.indexTerms(content, Stemmer.forDoc(stemLang, lang),
-                stop, cjk)
+                stop, cjk, stopStrat)
             else Tokenizer.tokenize(content, cjk)
           // single accumulation pass (hot path: runs once per corpus
           // byte); positions arrive in increasing order from the

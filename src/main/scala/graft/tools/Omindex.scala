@@ -14,7 +14,8 @@ import org.apache.spark.sql.{functions => F, SparkSession}
  *     <corpusParquet> <indexDir> [--stem=some|none] [--stemlang=en|de|auto]
  *     [--tokenizer=xapian|simple] [--buckets=16] [--stripe-shift=14]
  *     [--partitions=32] [--no-positions] [--field-prefix=col:P ...]
- *     [--slot=name:SQL-expr ...]
+ *     [--slot=name:SQL-expr ...] [--stopwords=a,b,c]
+ *     [--stop-strategy=stemmed|none|all]
  *
  * The build is the staged, manifest-gated, resumable pipeline — a
  * re-run after failure skips completed stages; a finished index is a
@@ -28,7 +29,9 @@ object Omindex {
       buckets: Int = 16, stripeShift: Int = 14, partitions: Int = 32,
       positions: Boolean = true, fieldPrefixes: Map[String, String] = Map.empty,
       cjkNgram: Boolean = false,
-      valueSlots: Map[String, String] = Map.empty)
+      valueSlots: Map[String, String] = Map.empty,
+      stopwords: Set[String] = Set.empty,
+      stopStrategy: String = "stemmed")
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -56,6 +59,10 @@ object Omindex {
           case Array(c, p) => a = a.copy(fieldPrefixes = a.fieldPrefixes + (c -> p))
           case _ => throw new IllegalArgumentException(s"expected col:P in $f")
         }
+        case "--stopwords" =>
+          a = a.copy(stopwords = v.split(",").filter(_.nonEmpty).toSet)
+        case "--stop-strategy" =>
+          a = a.copy(stopStrategy = enum("stemmed", "none", "all"))
         // computed value slot: --slot=name:SQL-expr (Document::add_value)
         case "--slot" => v.split(":", 2) match {
           case Array(n, e) if n.nonEmpty && e.nonEmpty =>
@@ -89,7 +96,8 @@ object Omindex {
       nBuckets = a.buckets, stripeShift = a.stripeShift,
       buildPartitions = a.partitions, storePositions = a.positions,
       fieldPrefixes = a.fieldPrefixes, cjkNgram = a.cjkNgram,
-      valueSlots = a.valueSlots)
+      valueSlots = a.valueSlots, stopwords = a.stopwords,
+      stopStrategy = a.stopStrategy)
     new IndexBuilder(spark, cfg).build(corpus)
   }
 

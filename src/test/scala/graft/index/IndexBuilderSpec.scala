@@ -284,4 +284,40 @@ class IndexBuilderSpec extends AnyFunSuite {
     }
     assert(Delve.postingList(r, "zzz_nope") === Seq.empty)
   }
+
+  test("TermGenerator stop strategies: stemmed (default) / none / all, three-way") {
+    import spark.implicits._
+    val stops = Set("the", "and")
+    val corpus2 = CorpusGen.generate(seed = 61, nRepos = 2, filesPerRepo = 10)
+    import graft.matcher.DatasetMatcher
+    import Query.{t, or, Phrase}
+    for (strat <- Seq("stemmed", "none", "all")) {
+      val dir = Files.createTempDirectory(s"graft-stop-$strat").toString + "/idx"
+      val cfg = BuildConfig(indexDir = dir, stemMode = "some",
+        stopwords = stops, stopStrategy = strat,
+        nBuckets = 4, stripeShift = 5, buildPartitions = 4)
+      new IndexBuilder(spark, cfg).build(spark.createDataset(corpus2))
+      val r = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+      val odocs = corpus2.sortBy(c => (c.repo, c.path, c.commit)).zipWithIndex
+        .map { case (c, i) => Oracle.Doc(i + 1L, c.content, Map.empty, c.lang) }
+      val oidx = Oracle.buildIndex(odocs, stemMode = "some",
+        stopwords = stops, stopStrategy = strat)
+      for (q <- Seq[Query](t("the"), t("Zthe"), or(t("parse"), t("the")),
+        Phrase(Seq(t("for"), t("the")), 2))) {
+        val want = Oracle.mset(q, oidx, 10, Oracle.Options(stopwords = stops))
+        val got = new DatasetMatcher(r).mset(q, 10)
+        assert(got.map(_.docId) == want.map(_.docId),
+          s"$strat ${q.describe}: got ${got.map(_.docId)} want ${want.map(_.docId)}")
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g.score - w.score) < 1e-9, s"$strat score") }
+      }
+      // strategy-specific invariants on the dict itself
+      val dict = r.dictTable.select("term").collect().map(_.getString(0)).toSet
+      strat match {
+        case "stemmed" => assert(dict.contains("the") && !dict.contains("Zthe"))
+        case "none"    => assert(dict.contains("the") && dict.contains("Zthe"))
+        case "all"     => assert(!dict.contains("the") && !dict.contains("Zthe"))
+      }
+    }
+  }
 }
