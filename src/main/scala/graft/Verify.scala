@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // split small local parquet across cores: a whole sf dir fits
+      // one default 128 MB split, which would serialize the heavy
+      // per-row pipeline scans (minhash shingles) onto ONE task (same
+      // knob the Scaling harness pins; at real scale files outgrow
+      // the split and this is moot)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
