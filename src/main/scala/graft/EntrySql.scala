@@ -63,7 +63,7 @@ sp AS (SELECT tf.doc_id, tf.term,
     * r recounted per term over the judged docs. */
   def rsetSql(ts: Seq[String], rset: Seq[Long]): String =
     prefix(ts, rset = rset) + scored +
-      "\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY doc_id"
+      "\nSELECT doc_id, round(raw, 4) + 0.0 AS score FROM scored ORDER BY doc_id"
 
   private def scored = ",\nscored AS (SELECT doc_id, sum(part) AS raw FROM sp GROUP BY doc_id)"
 
@@ -76,7 +76,7 @@ agg AS (SELECT doc_id,
 
   def term(t: String): String =
     prefix(Seq(t)) +
-      "\nSELECT doc_id, round(sum(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
+      "\nSELECT doc_id, round(sum(part), 4) + 0.0 AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
 
   /** BM25 term query over a corpus with every doc_id divisible by
     * `mod` tombstoned: stats AND df recomputed over the survivors —
@@ -84,50 +84,50 @@ agg AS (SELECT doc_id,
   def termDeleted(t: String, mod: Int): String =
     prefix(Seq(t),
       docsRel = s"(SELECT * FROM documents WHERE doc_id % $mod <> 0)") +
-      "\nSELECT doc_id, round(sum(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
+      "\nSELECT doc_id, round(sum(part), 4) + 0.0 AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
 
   def orTopk(ts: Seq[String], k: Int): String =
     prefix(ts) + scored +
-      s"\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"
+      s"\nSELECT doc_id, round(raw, 4) + 0.0 AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"
 
   def and2(l: String, r: String): String =
     prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
-      "\nSELECT doc_id, round(rawl + rawr, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NOT NULL ORDER BY doc_id"
+      "\nSELECT doc_id, round(rawl + rawr, 4) + 0.0 AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NOT NULL ORDER BY doc_id"
 
   def andNot(l: Seq[String], r: Seq[String]): String =
     prefix(l ++ r) + agg(l, r) +
-      "\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY doc_id"
+      "\nSELECT doc_id, round(rawl, 4) + 0.0 AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY doc_id"
 
   /** Top-k conjunction (the WAND pruned-DAAT AND gate): docs holding
     * EVERY query term, ranked by the rounded BM25 sum. */
   def andTopk(ts: Seq[String], k: Int): String =
     prefix(ts) + s""",
 agg AS (SELECT doc_id, sum(part) AS raw, count(DISTINCT term) AS nt FROM sp GROUP BY doc_id)
-SELECT doc_id, round(raw, 4) AS score FROM agg WHERE nt = ${ts.size}
+SELECT doc_id, round(raw, 4) + 0.0 AS score FROM agg WHERE nt = ${ts.size}
 ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"""
 
   /** Top-k AND_NOT (WAND exclusion-stream gate): left-OR matches
     * minus right-side docs, ranked by the left side's rounded sum. */
   def andNotTopk(l: Seq[String], r: Seq[String], k: Int): String =
     prefix(l ++ r) + agg(l, r) +
-      s"\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY round(rawl, 4) DESC, doc_id LIMIT $k"
+      s"\nSELECT doc_id, round(rawl, 4) + 0.0 AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NULL ORDER BY round(rawl, 4) DESC, doc_id LIMIT $k"
 
   def xor2(l: String, r: String): String =
     prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
-      "\nSELECT doc_id, round(coalesce(rawl, rawr), 4) AS score FROM agg WHERE (rawl IS NULL) <> (rawr IS NULL) ORDER BY doc_id"
+      "\nSELECT doc_id, round(coalesce(rawl, rawr), 4) + 0.0 AS score FROM agg WHERE (rawl IS NULL) <> (rawr IS NULL) ORDER BY doc_id"
 
   def andMaybe(l: String, r: String): String =
     prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
-      "\nSELECT doc_id, round(rawl + coalesce(rawr, 0), 4) AS score FROM agg WHERE rawl IS NOT NULL ORDER BY doc_id"
+      "\nSELECT doc_id, round(rawl + coalesce(rawr, 0), 4) + 0.0 AS score FROM agg WHERE rawl IS NOT NULL ORDER BY doc_id"
 
   def filter2(l: String, r: String): String =
     prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
-      "\nSELECT doc_id, round(rawl, 4) AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NOT NULL ORDER BY doc_id"
+      "\nSELECT doc_id, round(rawl, 4) + 0.0 AS score FROM agg WHERE rawl IS NOT NULL AND rawr IS NOT NULL ORDER BY doc_id"
 
   def phrase2(l: String, r: String): String =
     prefix(Seq(l, r)) + agg(Seq(l), Seq(r)) +
       s"""
-SELECT a.doc_id, round(rawl + rawr, 4) AS score
+SELECT a.doc_id, round(rawl + rawr, 4) + 0.0 AS score
 FROM agg a JOIN documents d ON d.doc_id = a.doc_id
 WHERE rawl IS NOT NULL AND rawr IS NOT NULL
   AND ' ' || lower(d.text) || ' ' LIKE '% $l $r %'
@@ -147,18 +147,18 @@ pa AS (SELECT doc_id, i FROM pos WHERE term = '$l'),
 pb AS (SELECT doc_id, i FROM pos WHERE term = '$r'),
 nr AS (SELECT DISTINCT a.doc_id FROM pa a JOIN pb b
        ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= ${window - 1})
-SELECT g.doc_id, round(rawl + rawr, 4) AS score
+SELECT g.doc_id, round(rawl + rawr, 4) + 0.0 AS score
 FROM agg g JOIN nr USING(doc_id)
 WHERE rawl IS NOT NULL AND rawr IS NOT NULL
 ORDER BY g.doc_id"""
 
   def wildcardTopk(p: String, k: Int): String =
     prefix(Seq.empty, like = Some(p)) + scored +
-      s"\nSELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"
+      s"\nSELECT doc_id, round(raw, 4) + 0.0 AS score FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k"
 
   def scale(ts: Seq[String], factor: Double): String =
     prefix(ts) + scored +
-      s"\nSELECT doc_id, round(raw * $factor, 4) AS score FROM scored ORDER BY doc_id"
+      s"\nSELECT doc_id, round(raw * $factor, 4) + 0.0 AS score FROM scored ORDER BY doc_id"
 
   def synonym(ts: Seq[String]): String =
     prefix(ts) +
@@ -170,7 +170,7 @@ wu AS (SELECT ln(CASE WHEN (s.n - du.df + 0.5) / (du.df + 0.5) < 2
             ELSE (s.n - du.df + 0.5) / (du.df + 0.5) END) AS tw
        FROM du, stats s)
 SELECT u.doc_id,
-       round(wu.tw * u.wdf * 2.0 / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + u.wdf), 4) AS score
+       round(wu.tw * u.wdf * 2.0 / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + u.wdf), 4) + 0.0 AS score
 FROM u JOIN doclen dl ON dl.doc_id = u.doc_id, wu, stats s
 ORDER BY u.doc_id"""
 
@@ -183,7 +183,7 @@ bnd AS (SELECT b.term,
         w.tw * b.mw * 2.0 / ((0.5 + 0.5 * greatest(m.ml / s.avglen, 0.5)) + b.mw) AS ub
         FROM bounds b JOIN w USING(term), minl m, stats s),
 pick AS (SELECT term FROM bnd ORDER BY ub DESC, term LIMIT $n)
-SELECT doc_id, round(sum(part), 4) AS score FROM sp
+SELECT doc_id, round(sum(part), 4) + 0.0 AS score FROM sp
 WHERE term IN (SELECT term FROM pick)
 GROUP BY doc_id ORDER BY doc_id"""
 
@@ -220,7 +220,7 @@ doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id)"""
   def valueWeightDoclen(term: String, scale: Double): String =
     prefix(Seq(term)) + scored +
       s"""
-SELECT s.doc_id, round(s.raw + $scale * dl.len, 4) AS score
+SELECT s.doc_id, round(s.raw + $scale * dl.len, 4) + 0.0 AS score
 FROM scored s JOIN doclen dl ON dl.doc_id = s.doc_id
 ORDER BY s.doc_id"""
 
@@ -233,7 +233,7 @@ ORDER BY s.doc_id"""
     prefix(Seq(term)) + scored +
       s"""
 SELECT s.doc_id,
-       round(s.raw + CASE d.lang $cases ELSE $default END, 4) AS score
+       round(s.raw + CASE d.lang $cases ELSE $default END, 4) + 0.0 AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.doc_id"""
   }
@@ -260,7 +260,7 @@ gd AS (
     * docs beyond maxRange excluded. */
   def geoSql(clat: Double, clon: Double, maxRange: Double, k1: Double): String =
     s"""WITH ${geoDist(clat, clon)}
-SELECT doc_id, round($k1 / (dist + $k1), 4) AS score
+SELECT doc_id, round($k1 / (dist + $k1), 4) + 0.0 AS score
 FROM gd WHERE dist <= $maxRange ORDER BY doc_id"""
 
   /** LatLongDistanceKeyMaker: the term's matches ranked by
@@ -276,7 +276,7 @@ ORDER BY rank LIMIT $k"""
   def deciderTopk(ts: Seq[String], lang: String, k: Int): String =
     prefix(ts) + scored +
       s"""
-SELECT s.doc_id, round(s.raw, 4) AS score
+SELECT s.doc_id, round(s.raw, 4) + 0.0 AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE d.lang = '$lang'
 ORDER BY round(s.raw, 4) DESC, s.doc_id LIMIT $k"""
@@ -304,7 +304,7 @@ ORDER BY t.doc_id"""
 ranked AS (SELECT s.doc_id, s.raw, d.lang,
            row_number() OVER (PARTITION BY d.lang ORDER BY s.raw DESC, s.doc_id) AS rn
            FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
-SELECT doc_id, round(raw, 4) AS score FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+SELECT doc_id, round(raw, 4) + 0.0 AS score FROM ranked WHERE rn = 1 ORDER BY doc_id"""
 
   val statsSql: String =
     tokOnly + """
@@ -391,7 +391,7 @@ rq AS (SELECT term, count(*)::DOUBLE AS r FROM tfa WHERE doc_id < $rsetSize GROU
 consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS big_n, $rsetSize::DOUBLE AS big_r)
 SELECT term,
        round(r * ln(((r + 0.5) * (c.big_n - n - c.big_r + r + 0.5)) /
-                    ((n - r + 0.5) * (c.big_r - r + 0.5))), 6) AS expand_weight
+                    ((n - r + 0.5) * (c.big_r - r + 0.5))), 6) + 0.0 AS expand_weight
 FROM rq JOIN dfq USING(term), consts c
 ORDER BY r * ln(((r + 0.5) * (c.big_n - n - c.big_r + r + 0.5)) /
                 ((n - r + 0.5) * (c.big_r - r + 0.5))) DESC, term
@@ -410,7 +410,7 @@ tfx AS (SELECT term, count(*)::DOUBLE AS tfx FROM tok WHERE doc_id < $rsetSize G
 consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS big_n)
 SELECT term,
        round(tfx * log2((1 + cf / c.big_n) / (cf / c.big_n))
-             + log2(1 + cf / c.big_n), 6) AS expand_weight
+             + log2(1 + cf / c.big_n), 6) + 0.0 AS expand_weight
 FROM tfx JOIN cfq USING(term), consts c
 ORDER BY tfx * log2((1 + cf / c.big_n) / (cf / c.big_n))
          + log2(1 + cf / c.big_n) DESC, term
@@ -1014,9 +1014,11 @@ sp AS (
 
   private def schemeMatch(terms: Seq[String], twSql: String,
                           partSql: String, extraSql: String = ""): String = {
+    // + 0.0 normalizes a signed zero: DFR/LM raw scores can straddle
+    // 0 by a ulp across engines, and round() preserves -0.0
     val score =
-      if (extraSql.isEmpty) "round(sum(part), 4)"
-      else s"round(sum(part) + ($extraSql), 4)"
+      if (extraSql.isEmpty) "round(sum(part), 4) + 0.0"
+      else s"round(sum(part) + ($extraSql), 4) + 0.0"
     schemePrefix(terms, twSql, partSql) +
       s"\nSELECT doc_id, $score AS score FROM sp GROUP BY doc_id, len ORDER BY doc_id"
   }
@@ -1111,5 +1113,5 @@ sp AS (
     * child's BM25 weight. */
   def maxOf(terms: Seq[String]): String =
     prefix(terms) +
-      "\nSELECT doc_id, round(max(part), 4) AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
+      "\nSELECT doc_id, round(max(part), 4) + 0.0 AS score FROM sp GROUP BY doc_id ORDER BY doc_id"
 }

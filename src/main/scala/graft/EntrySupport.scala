@@ -70,7 +70,7 @@ object EntrySupport {
     val idx = reader(spark, sfDir)
     new DatasetMatcher(idx, opts).matches(q)
       .join(docIds(idx), "docId")
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .select(col("doc_id"), (round(col("score"), 4) + 0.0).as("score"))
   }
 
   /** Top-k page ordered by (rounded score desc, doc_id asc) — the
@@ -80,7 +80,7 @@ object EntrySupport {
     val idx = reader(spark, sfDir)
     val m = new DatasetMatcher(idx).matches(q).join(docIds(idx), "docId")
     val f = langFilter.map(l => m.where(col("lang") === l)).getOrElse(m)
-    f.select(col("doc_id"), round(col("score"), 4).as("score"))
+    f.select(col("doc_id"), (round(col("score"), 4) + 0.0).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -99,7 +99,7 @@ object EntrySupport {
     import spark.implicits._
     items.map(i => (i.docId, i.score)).toDF("docId", "raw")
       .join(docIds(idx), "docId")
-      .select(col("doc_id"), round(col("raw"), 4).as("score"))
+      .select(col("doc_id"), (round(col("raw"), 4) + 0.0).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -112,7 +112,7 @@ object EntrySupport {
       .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id").asc)
     new DatasetMatcher(idx).matches(q).join(docIds(idx), "docId")
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .select(col("doc_id"), (round(col("score"), 4) + 0.0).as("score"))
       .orderBy(col("doc_id"))
   }
 }

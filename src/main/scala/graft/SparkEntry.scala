@@ -134,7 +134,7 @@ object SparkEntry {
       val del = new graft.index.DeletionAwareIndex(idx, dead)
       new graft.matcher.DatasetMatcher(del).matches(t("data"))
         .join(EntrySupport.docIds(idx), "docId")
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .select(col("doc_id"), (round(col("score"), 4) + 0.0).as("score"))
         .orderBy("doc_id")
     }),
     "ft_elite" -> ((s, d) =>
@@ -201,7 +201,7 @@ object SparkEntry {
         graft.matcher.MatchOptions(rset = engIds))
         .matches(Query.Or(Seq(t("data"), t("stream"))))
         .join(EntrySupport.docIds(idx), "docId")
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .select(col("doc_id"), (round(col("score"), 4) + 0.0).as("score"))
         .orderBy("doc_id")
     }),
     // ---------- alternative weighting schemes (Xapian::Weight family) ----------
@@ -318,7 +318,7 @@ object SparkEntry {
       val rset = idx.docs.where(col("path").cast("long") < 10)
         .select(col("docId")).collect().map(_.getLong(0)).toSeq
       graft.matcher.Expand.eset(idx, rset, k = 10)
-        .select(col("term"), round(col("expand_weight"), 6).as("expand_weight"))
+        .select(col("term"), (round(col("expand_weight"), 6) + 0.0).as("expand_weight"))
     }),
     // Bo1 expansion scheme (set_expansion_scheme("bo1") analog)
     "ft_eset_bo1" -> ((s, d) => {
@@ -326,7 +326,7 @@ object SparkEntry {
       val rset = idx.docs.where(col("path").cast("long") < 10)
         .select(col("docId")).collect().map(_.getLong(0)).toSeq
       graft.matcher.Expand.eset(idx, rset, k = 10, scheme = "bo1")
-        .select(col("term"), round(col("expand_weight"), 6).as("expand_weight"))
+        .select(col("term"), (round(col("expand_weight"), 6) + 0.0).as("expand_weight"))
     }),
 
     // ---------- training-data pipeline: dedup ----------
