@@ -527,14 +527,15 @@ SELECT doc_a, doc_b, dist FROM dists WHERE dist <= $maxDist ORDER BY 1, 2"""
   /** Composed near-dup pipeline oracle: minhash → full-signature
     * bands → distinct candidates → exact shingle Jaccard ≥ τ
     * (thresholded on the 6-decimal rounding, matching the Spark op). */
-  def nearDupSql(minJaccard: Double = 0.8, seeds: Int = 12, k: Int = 8,
-                 rowsPerBand: Int = 2): String = {
+  /** Shared CTE chain of the composed near-dup pipeline: signatures →
+    * bands → candidates → shingles → verified pairs `j`. */
+  private def nearDupCtes(seeds: Int, k: Int, rowsPerBand: Int): String = {
     val bandSelects = (0 until seeds / rowsPerBand).map { b =>
       val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
       s"SELECT doc_id, md5('$b:' || ${hs.mkString(" || ")}) AS band FROM sig " +
         s"WHERE ${hs.map(h => s"$h IS NOT NULL").mkString(" AND ")}"
     }.mkString("\n UNION ALL ")
-    s"""WITH sig AS (
+    s"""sig AS (
   SELECT doc_id,
        ${minhashCols(seeds, k)}
   FROM documents
@@ -553,10 +554,30 @@ j AS (SELECT doc_a, doc_b,
         round(CASE WHEN len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) = 0 THEN 0
               ELSE len(list_intersect(sa.s, sb.s))::DOUBLE /
                    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) END, 6) AS jaccard
-      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)"""
+  }
+
+  def nearDupSql(minJaccard: Double = 0.8, seeds: Int = 12, k: Int = 8,
+                 rowsPerBand: Int = 2): String =
+    s"""WITH ${nearDupCtes(seeds, k, rowsPerBand)}
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $minJaccard
 ORDER BY doc_a, doc_b"""
-  }
+
+  /** Near-dup clustering oracle: min docId per connected component of
+    * the verified pair graph, via a recursive label-reachability CTE
+    * (UNION dedupe terminates the recursion); singletons label
+    * themselves. */
+  def clusterSql(minJaccard: Double = 0.8, seeds: Int = 12, k: Int = 8,
+                 rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${nearDupCtes(seeds, k, rowsPerBand)},
+e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jaccard >= $minJaccard
+      UNION SELECT doc_b, doc_a FROM j WHERE jaccard >= $minJaccard),
+reach AS (
+  SELECT doc_id AS id, doc_id AS cluster FROM documents
+  UNION
+  SELECT e.src AS id, r.cluster FROM reach r JOIN e ON e.dst = r.id
+)
+SELECT id AS doc_id, min(cluster) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""
 
   /** Embedding-cosine near-dup oracle: sign-random-projection bits
     * from the SAME literal hyperplanes as the Spark op, banded, then

@@ -353,6 +353,13 @@ object SparkEntry {
     "dd_simdup" -> ((s, d) =>
       DedupOps.simhashNearDups(DedupOps.simhash(documents(s, d)), maxDist = 3)
         .orderBy("doc_a", "doc_b")),
+    // connected-component canonicalization over the verified pairs:
+    // every doc labeled with its component's smallest doc_id
+    "dd_cluster" -> ((s, d) => {
+      val docs = documents(s, d)
+      DedupOps.clusterPairs(docs, DedupOps.nearDupPairs(docs, 0.8))
+        .orderBy("doc_id")
+    }),
     "dd_neardup" -> ((s, d) =>
       DedupOps.nearDupPairs(documents(s, d), minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
@@ -540,6 +547,7 @@ object SparkEntry {
     "dd_simhash" -> EntrySql.simhashSql,
     "dd_simdup" -> EntrySql.simdupSql(3),
     "dd_neardup" -> EntrySql.nearDupSql(0.8),
+    "dd_cluster" -> EntrySql.clusterSql(0.8),
     "dd_decontam" -> EntrySql.decontamSql(),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),

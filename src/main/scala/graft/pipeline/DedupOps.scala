@@ -157,6 +157,52 @@ object DedupOps {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected-component clustering over verified near-dup pairs —
+    * the canonicalization step a dedup run actually outputs: every
+    * doc labeled with the SMALLEST docId in its component (cluster
+    * id; singletons label themselves), so keeping `doc_id == cluster`
+    * deduplicates the corpus with one filter. Iterative min-label
+    * propagation over symmetric edges: each round is one keyed
+    * shuffle (labels ⋈ edges → groupBy min) plus a count for the
+    * convergence check — never a driver-side collect. Rounds are
+    * bounded by the component DIAMETER, which for near-dup clusters
+    * is tiny (dup families are dense); persist caps each round's
+    * lineage. At extreme diameters switch to the alternating
+    * large-star/small-star formulation — same per-round shape. */
+  def clusterPairs(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id",
+                   maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col("doc_a").cast("long").as("src"),
+      col("doc_b").cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = docs
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster"))
+      // localCheckpoint TRUNCATES the lineage each round — an
+      // iterative join loop otherwise nests the logical plan until
+      // analysis itself blows the heap (the data never grows, the
+      // PLAN does); superseded rounds are freed by the ContextCleaner
+      // once unreferenced. On a real cluster use reliable
+      // checkpoint() for executor-loss tolerance.
+      val next = labels.union(viaEdges)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") < col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster"))
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH
     * (sign-random-projection): bit j = sign(planes(j) · v); band keys
     * over `rowsPerBand`-bit groups; exact cosine verification ≥

@@ -464,4 +464,22 @@ class PipelineSpec extends AnyFunSuite {
     val piiPlan = TextOps.piiScrub(d).queryExecution.executedPlan.toString
     assert(!piiPlan.contains("Exchange"), s"pii shuffled:\n$piiPlan")
   }
+
+  test("clusterPairs labels components with their smallest id (transitive)") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1,3 never paired directly) + isolated pair 7-9
+    // + singletons 5, 11
+    val d = Seq(1L, 2L, 3L, 5L, 7L, 9L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.clusterPairs(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      7L -> 7L, 9L -> 7L, 11L -> 11L), got.toString)
+    // a longer path needs multiple propagation rounds
+    val chain = (1L to 12L).toDF("doc_id")
+    val chainPairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c2 = DedupOps.clusterPairs(chain, chainPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.toSet == Set(1L), c2.toString)
+  }
 }
