@@ -36,7 +36,7 @@ object EntrySql {
         val bigR = s"${rset.distinct.size}.0"
         s"""rf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS r
       FROM tf WHERE doc_id IN ($ids) GROUP BY term),
-w AS (SELECT term, ln(CASE WHEN raw < 2 THEN raw / 2 + 1 ELSE raw END) AS tw
+w AS (SELECT term, ln(greatest(CASE WHEN raw < 2 THEN raw / 2 + 1 ELSE raw END, 1e-12)) AS tw
       FROM (SELECT df.term,
               ((coalesce(rf.r, 0) + 0.5) * (s.n - df.df - $bigR + coalesce(rf.r, 0) + 0.5))
               / ((df.df - coalesce(rf.r, 0) + 0.5) * ($bigR - coalesce(rf.r, 0) + 0.5)) AS raw
@@ -269,7 +269,7 @@ FROM gd WHERE dist <= $maxRange ORDER BY doc_id"""
     prefix(Seq(term)) + s""",
 ${geoDist(clat, clon)},
 m AS (SELECT DISTINCT doc_id FROM sp)
-SELECT row_number() OVER (ORDER BY gd.dist, m.doc_id) AS rank, m.doc_id
+SELECT row_number() OVER (ORDER BY round(gd.dist, 4), m.doc_id) AS rank, m.doc_id
 FROM m JOIN gd ON gd.doc_id = m.doc_id
 ORDER BY rank LIMIT $k"""
 

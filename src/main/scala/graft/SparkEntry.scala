@@ -178,8 +178,12 @@ object SparkEntry {
     "ft_geo_sort" -> ((s, d) => {
       import s.implicits._
       val idx = EntrySupport.reader(s, d)
-      val dist = graft.core.Geo.distanceCol(col("lat"), col("lon"),
-        48.8566, 2.3522)
+      // ranked on the 4-decimal-rounded distance so JVM-trig vs libm
+      // ulp divergence can't flip ranks against the oracle (the
+      // synthetic lat/lon grid is ~1.1 km apart — 0.1 mm rounding
+      // never collapses genuinely different distances into a tie)
+      val dist = round(graft.core.Geo.distanceCol(col("lat"), col("lon"),
+        48.8566, 2.3522), 4)
       val m = new graft.matcher.DatasetMatcher(idx,
         graft.matcher.MatchOptions(sortBy = "value",
           sortKeyExprs = Seq((dist, false))))

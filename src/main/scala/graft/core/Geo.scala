@@ -41,7 +41,10 @@ object Geo {
     * monotone decreasing in distance, k1 in metres ([VERIFY] formula
     * vs latlong_distance_posting_source.cc; defaults k1=1000 k2=1). */
   def weightFromDistance(dist: Double, k1: Double, k2: Double): Double =
-    k1 * math.pow(dist + k1, -k2)
+    // k2 = 1 (the default) as plain division, not pow(x, -1): division
+    // is correctly rounded under IEEE 754 in every engine, so the
+    // oracle SQL's k1/(dist+k1) reproduces the weight bit-for-bit
+    if (k2 == 1.0) k1 / (dist + k1) else k1 * math.pow(dist + k1, -k2)
 
   /** Column mirror of [[distance]] — pure built-in trig, stays inside
     * whole-stage codegen (java.lang.Math, the scalar path's libm). */
@@ -55,7 +58,9 @@ object Geo {
     lit(2.0 * EarthRadiusMetres) * asin(least(lit(1.0), sqrt(a)))
   }
 
-  /** Column mirror of [[weightFromDistance]]. */
+  /** Column mirror of [[weightFromDistance]] (same k2 = 1 division
+    * special case, same cross-engine rationale). */
   def weightCol(dist: Column, k1: Double, k2: Double): Column =
-    lit(k1) * pow(dist + lit(k1), lit(-k2))
+    if (k2 == 1.0) lit(k1) / (dist + lit(k1))
+    else lit(k1) * pow(dist + lit(k1), lit(-k2))
 }

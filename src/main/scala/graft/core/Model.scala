@@ -283,7 +283,14 @@ object Query {
             // keep-set by (df desc, term asc); re-sorted so the OR's
             // child order stays lexicographic like the other policies
             topByDf(p, maxExpansion).sorted
-          case "first" | "most_frequent" => ts0.take(maxExpansion)
+          case "most_frequent" =>
+            // silently degrading to lexicographic-first would change
+            // WHICH terms survive the cap with no signal — a call site
+            // that forgets topByDf must fail loudly, not differently
+            throw new IllegalArgumentException(
+              s"wildcard '$p*' uses limit=most_frequent but no topByDf " +
+                "provider was passed to expandWildcards")
+          case "first" => ts0.take(maxExpansion)
           case _ => throw WildcardError(p, maxExpansion)
         }
       if (ts.isEmpty) MatchNothing

@@ -73,25 +73,32 @@ final case class BuildConfig(
     cjkNgram: Boolean = false) {
   def configHash: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    // free-text hash components (slot names/exprs, prefixes, synonym
+    // terms) are base64-encoded so a ':'/','/'|' INSIDE a value can't
+    // make two distinct configs hash identically and let stage resume
+    // serve a stale index (the encoding _config.json already uses)
+    def b64(x: String): String =
+      java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
     // leading token = on-disk format version; bump on codec change
     val syn =
       if (synonyms.isEmpty) "" // keeps pre-synonym hashes stable
       else "|syn=" + synonyms.toSeq.sortBy(_._1)
-        .map { case (g, ts) => g + ":" + ts.sorted.mkString("+") }.mkString(",")
+        .map { case (g, ts) =>
+          b64(g) + ":" + ts.toSeq.sorted.map(b64).mkString("+") }.mkString(",")
     val slang = if (stemLang == "en") "" else s"|stemLang=$stemLang"
     val nopos = if (storePositions) "" else "|nopos"
     val fps =
       if (fieldPrefixes.isEmpty) ""
       else "|fp=" + fieldPrefixes.toSeq.sorted
-        .map { case (c, p) => s"$c:$p" }.mkString(",")
+        .map { case (c, p) => s"${b64(c)}:${b64(p)}" }.mkString(",")
     val cjk = if (cjkNgram) "|cjk" else "" // keeps pre-cjk hashes stable
     val ss = // keeps default-strategy hashes stable
       if (stopStrategy == "stemmed") "" else s"|stop=$stopStrategy"
     val vs =
       if (valueSlots.isEmpty) "" // keeps pre-slot hashes stable
       else "|vs=" + valueSlots.toSeq.sorted
-        .map { case (n, e) => s"$n:$e" }.mkString(",")
-    val s = s"fmt2|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.mkString(",")}|$nBuckets|" +
+        .map { case (n, e) => s"${b64(n)}:${b64(e)}" }.mkString(",")
+    val s = s"fmt3|$stemMode|$tokenizerMode|${stopwords.toSeq.sorted.map(b64).mkString(",")}|$nBuckets|" +
       s"$stripeShift|$maxPerBlock|$skewDfThreshold|$saltFactor|$docIdBase$syn$slang$nopos$fps$cjk$vs$ss"
     md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
   }

@@ -89,14 +89,18 @@ object DedupOps {
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (doc_a, doc_b): |shingles_a ∩ shingles_b| / |union|, in-row via
     * array_intersect after a broadcast-friendly join of shingle-set
-    * arrays. */
+    * arrays. Each shingle is reduced to its xxhash64 BEFORE
+    * distinct/intersect, so the verify join ships fixed 8-byte longs
+    * instead of ~8× the document text as string arrays — identical
+    * Jaccard (a 64-bit collision across a candidate pair's few
+    * thousand shingles is ~1e-13), ~3× less shuffled data at scale. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 8): DataFrame = {
     val sets = docs.select(
       col("doc_id"),
-      when(length(col("text")) < k, array())
+      when(length(col("text")) < k, array().cast("array<bigint>"))
         .otherwise(array_distinct(transform(
           sequence(lit(1), length(col("text")) - (k - 1)),
-          i => col("text").substr(i, lit(k))))).as("sh"))
+          i => xxhash64(col("text").substr(i, lit(k)))))).as("sh"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val uni = size(col("sa")) + size(col("sb")) - inter
     pairs
@@ -200,6 +204,15 @@ object DedupOps {
       labels = next
       it += 1
     }
+    // min-label propagation converges within the component DIAMETER;
+    // exiting with changed > 0 means some component is wider than
+    // maxIters and the labels are NOT the transitive closure — fail
+    // loudly (the caller can raise maxIters, or switch to the
+    // large-star/small-star formulation that converges in O(log n))
+    if (changed > 0) throw new IllegalStateException(
+      s"clusterPairs did not converge after $maxIters rounds " +
+        s"($changed labels still improving); a duplicate chain exceeds " +
+        "the iteration cap — raise maxIters")
     labels.select(col("id").as(idCol), col("cluster"))
   }
 

@@ -833,8 +833,11 @@ class MatcherSpec extends AnyFunSuite {
         .sortBy { case (t, pl) => (-pl.size, t) }.take(n).map(_._1))
       .terms.map(_.term).toSet
     assert(kept == topDf, s"kept $kept want $topDf")
-    // without a df source the policy degrades to FIRST, never throws
-    val degraded = Query.expandWildcards(q, p => all.filter(_.startsWith(p)), 3)
-    assert(degraded.terms.map(_.term).toSet == all.sorted.take(3).toSet)
+    // without a df source the policy fails LOUDLY (a silent degrade to
+    // lexicographic-first would change which terms survive the cap)
+    val ex = intercept[IllegalArgumentException] {
+      Query.expandWildcards(q, p => all.filter(_.startsWith(p)), 3)
+    }
+    assert(ex.getMessage.contains("most_frequent"))
   }
 }
