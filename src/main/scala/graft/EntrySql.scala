@@ -679,6 +679,41 @@ d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
 SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
 ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
 
+  /** Distributed-k-means oracle (AnnOps.kmeansTrain + ivfAssignD):
+    * deterministic md5-sampled seeds, then `iters` unrolled Lloyd
+    * rounds — assignment by 9-rounded cosine (lowest cid on ties),
+    * centroid update = per-dimension mean rounded to 6 decimals (the
+    * rounding that makes the means engine-reproducible despite
+    * engine-specific float summation order), empty clusters keep
+    * their previous centroid. Final output = the assignment table
+    * against the trained centroids, ivfAssignSql-shaped. */
+  def kmeansAssignSql(k: Int, iters: Int): String = {
+    def round1(t: Int): String =
+      s"""cn$t AS (SELECT cid, sqrt(sum(v * v)) AS n FROM c$t GROUP BY cid),
+dt$t AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN c$t c USING(i) GROUP BY 1, 2),
+a$t AS (SELECT vec_id, cid FROM (
+  SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+    ORDER BY round(d.dot / (vn.n * cn.n), 9) DESC, d.cid) AS rn
+  FROM dt$t d JOIN vn ON vn.vec_id = d.vec_id JOIN cn$t cn ON cn.cid = d.cid) WHERE rn = 1),
+m$t AS (SELECT a.cid, f.i, round(avg(f.v), 6) AS v FROM f JOIN a$t a USING(vec_id) GROUP BY 1, 2),
+c${t + 1} AS (SELECT cid, i, v FROM m$t UNION ALL
+  SELECT c.cid, c.i, c.v FROM c$t c WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m$t))"""
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM f GROUP BY vec_id),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid FROM (
+  SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)),
+c0 AS (SELECT s.cid, f.i, f.v FROM f JOIN seeds s USING(vec_id)),
+${(0 until iters).map(round1).mkString(",\n")},
+cnF AS (SELECT cid, sqrt(sum(v * v)) AS n FROM c$iters GROUP BY cid),
+dtF AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN c$iters c USING(i) GROUP BY 1, 2),
+ranked AS (SELECT d.vec_id, d.cid, round(d.dot / (vn.n * cn.n), 9) AS c9,
+  row_number() OVER (PARTITION BY d.vec_id
+    ORDER BY round(d.dot / (vn.n * cn.n), 9) DESC, d.cid) AS rn
+  FROM dtF d JOIN vn ON vn.vec_id = d.vec_id JOIN cnF cn ON cn.cid = d.cid)
+SELECT vec_id, cid::INT AS centroid_id, round(c9, 6) AS cosine
+FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+  }
+
   /** PII scrub oracle: same planted columns, same three regexes in
     * the same order as TextOps.piiScrub (RE2 ≡ Java on these
     * lookaround-free patterns). */

@@ -41,6 +41,13 @@ object AnnOps {
       zip_with(emb, typedLit(q), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** [[dotLit]] against a Double-valued literal vector (trained
+    * centroids are rounded Double means, not stored Floats). */
+  private def dotLitD(emb: Column, q: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(q), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
   private def norm(emb: Column): Column =
     sqrt(aggregate(emb, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
@@ -69,11 +76,18 @@ object AnnOps {
     * centroid list is tiny and becomes a broadcast of literal
     * vectors; assignment is per-row, no shuffle. Ties break on the
     * lower centroid id. */
-  def ivfAssign(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+  def ivfAssign(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    ivfAssignD(vecs,
+      centroids.map { case (c, v) => (c, v.map(_.toDouble)) })
+
+  /** [[ivfAssign]] over Double-valued centroids (e.g. trained means
+    * from [[kmeansTrain]] — Float→Double widening is exact, so the
+    * Float overload delegates here). */
+  def ivfAssignD(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val scored = centroids.map { case (cid, cvec) =>
-      val qn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
+      val qn = math.sqrt(cvec.map(x => x * x).sum)
       struct(
-        round(dotLit(col("embedding"), cvec) / (norm(col("embedding")) * lit(qn)), 9)
+        round(dotLitD(col("embedding"), cvec) / (norm(col("embedding")) * lit(qn)), 9)
           .as("cos"),
         lit(-cid).as("negid"))
     }
@@ -82,6 +96,92 @@ object AnnOps {
     vecs.select(col("vec_id"),
       (-best.getField("negid")).cast("int").as("centroid_id"),
       round(best.getField("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic uniform seed sample for k-means: the k vectors
+    * with the smallest md5(vec_id) — the hash plays the RNG, so any
+    * engine picks the same seeds (SQL: ORDER BY md5(vec_id) LIMIT k);
+    * centroid ids 0..k-1 follow the seeds' vec_id order. Collecting
+    * k rows to the driver is the FAISS-style "train on a sample"
+    * shape — the corpus itself is never collected. */
+  def kmeansSeedsByHash(vecs: DataFrame, k: Int): Seq[(Int, Seq[Double])] =
+    vecs.orderBy(md5(col("vec_id").cast("string")))
+      .limit(k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, emb), i) => (i, emb) }.toSeq
+
+  /** Greedy farthest-first (Gonzalez k-center) init over a
+    * deterministic hash-ordered sample: spreads seeds across the
+    * embedding space (the quality role k-means++ plays) with zero
+    * RNG — candidate order and tie-breaks are fully determined by
+    * vec_id, so training is reproducible run-to-run. The sample
+    * (≤ sampleN rows) is the only data that ever reaches the driver. */
+  def kmeansInitFarthest(vecs: DataFrame, k: Int,
+                         sampleN: Int = 4096): Seq[(Int, Seq[Double])] = {
+    val cand = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(sampleN)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    require(cand.length >= k, s"need >= $k sample vectors, got ${cand.length}")
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    val minDist = cand.map(c => cosDist(c._2, cand.head._2))
+    while (chosen.size < k) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < cand.length) { // argmax of distance-to-chosen-set, vec_id tie-break
+        if (minDist(i) > bestD + 1e-15) { best = i; bestD = minDist(i) }
+        i += 1
+      }
+      chosen += cand(best)
+      i = 0
+      while (i < cand.length) {
+        val d = cosDist(cand(i)._2, cand(best)._2)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    chosen.zipWithIndex.map { case ((_, emb), i) => (i, emb.toSeq) }.toSeq
+  }
+
+  /** Distributed Lloyd k-means over the embedding column: each round
+    * is ONE distributed pass — per-row nearest-centroid assignment
+    * (broadcast literal centroids, codegen'd) feeding a groupBy mean
+    * (partial aggregation map-side), with only k × dim rounded means
+    * returned to the driver. Means are rounded to 6 decimals per
+    * round so the trained centroids are engine-reproducible (the
+    * oracle SQL unrolls the same iterations); an empty cluster keeps
+    * its previous centroid. At 100 TB pass `trainFraction` < 1 to
+    * train on a deterministic hash-sampled subset (the FAISS
+    * convention — IVF quality needs a sample, not the corpus). */
+  def kmeansTrain(vecs: DataFrame, k: Int, iters: Int,
+                  init: Seq[(Int, Seq[Double])] = null,
+                  trainFraction: Double = 1.0): Seq[(Int, Seq[Double])] = {
+    val train =
+      if (trainFraction >= 1.0) vecs
+      else SampleOps.sample(vecs, col("vec_id"), trainFraction)
+    var cs = Option(init).getOrElse(kmeansSeedsByHash(train, k))
+    val dim = cs.head._2.size
+    require(cs.forall(_._2.size == dim), "centroid dims must agree")
+    val meanCols = (0 until dim).map(i =>
+      round(avg(element_at(col("embedding"), i + 1).cast("double")), 6).as(s"m$i"))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssignD(train, cs).select(col("vec_id"), col("centroid_id"))
+      val rows = train.join(assigned, "vec_id")
+        .groupBy(col("centroid_id"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      val means = rows.map(r =>
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toSeq).toMap
+      cs = cs.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cs
   }
 
   /** IVF-probed ANN search: search only the `nprobe` centroids
@@ -111,12 +211,18 @@ object AnnOps {
     * choice independent of float summation order (and SQL-
     * reproducible). */
   def probeCentroids(centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
-                     nprobe: Int): Seq[Int] = {
+                     nprobe: Int): Seq[Int] =
+    probeCentroidsD(
+      centroids.map { case (c, v) => (c, v.map(_.toDouble)) }, query, nprobe)
+
+  /** [[probeCentroids]] over Double-valued (trained) centroids. */
+  def probeCentroidsD(centroids: Seq[(Int, Seq[Double])], query: Seq[Float],
+                      nprobe: Int): Seq[Int] = {
     val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
     centroids
       .map { case (cid, cvec) =>
-        val cn = math.sqrt(cvec.map(x => x.toDouble * x.toDouble).sum)
-        val dot = cvec.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val cn = math.sqrt(cvec.map(x => x * x).sum)
+        val dot = cvec.zip(query).map { case (a, b) => a * b.toDouble }.sum
         (cid, dot / (cn * qn))
       }
       .sortBy { case (cid, cos) => (-math.round(cos * 1e9), cid) }
@@ -132,7 +238,13 @@ object AnnOps {
     * the partitioned write. */
   def writeIvfIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Float])],
                     path: String): Unit =
-    vecs.join(ivfAssign(vecs, centroids).select("vec_id", "centroid_id"),
+    writeIvfIndexD(vecs,
+      centroids.map { case (c, v) => (c, v.map(_.toDouble)) }, path)
+
+  /** [[writeIvfIndex]] over Double-valued (trained) centroids. */
+  def writeIvfIndexD(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                     path: String): Unit =
+    vecs.join(ivfAssignD(vecs, centroids).select("vec_id", "centroid_id"),
         "vec_id")
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
@@ -141,8 +253,15 @@ object AnnOps {
     * time, then exact top-k runs inside them. */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, centroids: Seq[(Int, Seq[Float])],
-                       query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
-    val probeIds = probeCentroids(centroids, query, nprobe)
+                       query: Seq[Float], k: Int, nprobe: Int): DataFrame =
+    ivfSearchIndexedD(spark, indexPath,
+      centroids.map { case (c, v) => (c, v.map(_.toDouble)) }, query, k, nprobe)
+
+  /** [[ivfSearchIndexed]] over Double-valued (trained) centroids. */
+  def ivfSearchIndexedD(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, centroids: Seq[(Int, Seq[Double])],
+                        query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = probeCentroidsD(centroids, query, nprobe)
     bruteForceTopK(
       spark.read.parquet(indexPath)
         .where(col("centroid_id").isin(probeIds: _*)),

@@ -482,4 +482,99 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c2.values.toSet == Set(1L), c2.toString)
   }
+
+  test("clusterPairs throws when a component outruns the iteration cap") {
+    import spark.implicits._
+    val chain = (1L to 12L).toDF("doc_id")
+    val chainPairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      DedupOps.clusterPairs(chain, chainPairs, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
+  // ---- k-means IVF training ------------------------------------
+
+  /** Three well-separated 8-dim clusters: members = axis direction
+    * plus a small deterministic wobble. */
+  private def clustered(perCluster: Int): Seq[(Long, Seq[Float])] = {
+    val axes = Seq(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    for {
+      c <- 0 until 3
+      j <- 0 until perCluster
+    } yield ((c * perCluster + j).toLong,
+      axes(c).zipWithIndex.map { case (v, d) =>
+        v + 0.05f * (((c * perCluster + j) * 31 + d * 7) % 11 - 5) / 5f
+      })
+  }
+
+  test("kmeansTrain separates well-separated clusters (Lloyd as DataFrame aggs)") {
+    val vecs = clustered(20).toDF("vec_id", "embedding")
+    val cs = AnnOps.kmeansTrain(vecs, k = 3, iters = 4)
+    assert(cs.size == 3 && cs.map(_._1) == Seq(0, 1, 2))
+    val assign = AnnOps.ivfAssignD(vecs, cs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // every true cluster is pure: all 20 members share one centroid id
+    val byTrue = assign.groupBy { case (id, _) => id / 20 }
+      .map { case (t, xs) => t -> xs.map(_._2).distinct }
+    assert(byTrue.values.forall(_.size == 1), s"impure clusters: $byTrue")
+    // and the three true clusters land on three DIFFERENT centroids
+    assert(byTrue.values.flatten.toSet.size == 3, byTrue.toString)
+    // training improved the mean assignment cosine over the raw seeds
+    def meanCos(c: Seq[(Int, Seq[Double])]): Double =
+      AnnOps.ivfAssignD(vecs, c).agg(avg(col("cosine"))).head().getDouble(0)
+    val seeds = AnnOps.kmeansSeedsByHash(vecs, 3)
+    assert(meanCos(cs) >= meanCos(seeds) - 1e-9,
+      s"training regressed: ${meanCos(cs)} < ${meanCos(seeds)}")
+  }
+
+  test("kmeansTrain keeps an empty cluster's previous centroid") {
+    // two centroids seeded on the same tight cluster: after one round
+    // one of them may own nothing — its centroid must persist, not NaN
+    val vecs = (0L until 8L).map(i => (i, Seq(1f, 0.01f * i))).toDF("vec_id", "embedding")
+    val init = Seq((0, Seq(1.0, 0.0)), (1, Seq(-1.0, 0.0)))
+    val cs = AnnOps.kmeansTrain(vecs, k = 2, iters = 2, init = init)
+    assert(cs.size == 2)
+    assert(cs.forall(_._2.forall(v => !v.isNaN)))
+    assert(cs(1)._2 == Seq(-1.0, 0.0), s"empty cluster drifted: ${cs(1)}")
+  }
+
+  test("kmeansInitFarthest spreads seeds across separated clusters") {
+    val vecs = clustered(20).toDF("vec_id", "embedding")
+    val seeds = AnnOps.kmeansInitFarthest(vecs, k = 3, sampleN = 60)
+    // one seed per true cluster: their dominant axes are all different
+    val axes = seeds.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes.size == 3, s"seeds collapsed onto axes $axes")
+  }
+
+  test("trained IVF index: recall@10 rises with nprobe, exact at nprobe=k") {
+    // deterministic pseudo-random 16-dim corpus (LCG), k=8 centroids
+    var h = 99L
+    def next(): Float = {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      ((h >>> 40).toInt % 1000) / 1000f
+    }
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(next()))).toDF("vec_id", "embedding")
+    val cs = AnnOps.kmeansTrain(vecs, k = 8, iters = 3,
+      init = AnnOps.kmeansInitFarthest(vecs, 8, 200))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-km").toString + "/ivf"
+    AnnOps.writeIvfIndexD(vecs, cs, dir)
+    val query = vecs.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val exact = AnnOps.bruteForceTopK(vecs, query, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val got = AnnOps.ivfSearchIndexedD(spark, dir, cs, query, 11, np)
+        .collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+      np -> (exact.intersect(got).size / 10.0)
+    }
+    // monotone non-decreasing in nprobe; probing every bucket is exact
+    recalls.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1@$n1 to $r2@$n2: $recalls")
+    }
+    assert(recalls.last._2 == 1.0, s"nprobe=k must be exact: $recalls")
+    info(s"recall@10 by nprobe: $recalls")
+  }
 }
