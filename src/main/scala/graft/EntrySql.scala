@@ -852,6 +852,33 @@ SELECT c.doc_id, count(*)::BIGINT AS shared_fp
 FROM corpus c JOIN bench b USING (fp)
 GROUP BY c.doc_id HAVING count(*) >= $minShared ORDER BY doc_id"""
 
+  /** Substring-level dup-span oracle: replays
+    * [[graft.pipeline.TextOps.substringDupSpans]] — winnowing with
+    * span positions (list_position ties break leftmost, matching the
+    * Spark side's first-offset filter), fp-grouped distinct-doc
+    * counts, join back. */
+  def substringDupSql(k: Int = 30, w: Int = 8, minDocs: Int = 2): String =
+    s"""WITH g AS (
+  SELECT doc_id, text,
+         list_transform(range(1, length(text) - ${k - 2}), i -> md5(substr(text, i, $k))) AS grams
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - ${k + w - 3}),
+           j -> {'pos': (j + list_position(grams[j:j + ${w - 1}], list_min(grams[j:j + ${w - 1}])) - 1)::INT,
+                 'fp': list_min(grams[j:j + ${w - 1}])}) AS spans
+  FROM g WHERE length(text) >= ${k + w - 1}
+),
+-- struct-list distinct is unimplemented in DuckDB: dedup AFTER the
+-- unnest (same set as Spark's array_distinct-then-explode)
+f AS (SELECT DISTINCT doc_id, pos, fp
+      FROM (SELECT doc_id, unnest(spans, recursive := true) FROM s)),
+d AS (SELECT fp, count(DISTINCT doc_id)::BIGINT AS n_docs FROM f
+      GROUP BY fp HAVING count(DISTINCT doc_id) >= $minDocs)
+SELECT f.doc_id, f.pos AS span_start, (f.pos + ${k - 1})::INT AS span_end, f.fp, d.n_docs
+FROM f JOIN d USING (fp) ORDER BY doc_id, span_start, fp"""
+
   /** Gopher-repetition oracle: replays
     * [[graft.pipeline.TextOps.repetitionSignals]] (duplicate-line
     * fractions via list ops, top word-bigram via the same

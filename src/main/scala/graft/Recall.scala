@@ -1,0 +1,113 @@
+package graft
+
+import graft.pipeline.{AnnOps, DedupOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Measured recall of the approximate operators against their exact
+ * oracles (VERDICT r3 item 9) — the numbers BASELINE.md's recall
+ * table reports. One JSON line per measurement.
+ *
+ * Exact baselines are quadratic, so they run over a deterministic
+ * hash-ordered sample of the corpus (the same everywhere-reproducible
+ * md5-order trick the k-means seeder uses): recall is estimated on
+ * `sampleN` docs where the all-pairs baseline is computable, while
+ * the approximate side runs the SAME banded operators a full corpus
+ * would — the comparison exercises the real code paths.
+ *
+ *   runMain graft.Recall /root/testdata/sf0.1 [sampleN]
+ */
+object Recall {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sampleN = if (args.length > 1) args(1).toInt else 600
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy(md5(col("doc_id").cast("string"))).limit(sampleN)
+      .select(col("doc_id"), col("text")).cache()
+    docs.count()
+
+    // ---- MinHash-LSH near-dup recall vs exact all-pairs Jaccard ----
+    // exact: every pair of sample docs, in-row hashed-shingle Jaccard
+    // (the same shingle definition ngramJaccard uses)
+    val ids = docs.select("doc_id")
+    val allPairs = ids.as("a").join(ids.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val exactPairs = DedupOps.ngramJaccard(docs, allPairs)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshPairs = DedupOps.nearDupPairs(docs, minJaccard = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshRecall =
+      if (exactPairs.isEmpty) 1.0
+      else exactPairs.intersect(lshPairs).size.toDouble / exactPairs.size
+    // nearDupPairs verifies candidates with the exact Jaccard, so
+    // precision is 1.0 by construction; report it measured anyway
+    val lshPrec =
+      if (lshPairs.isEmpty) 1.0
+      else lshPairs.intersect(exactPairs).size.toDouble / lshPairs.size
+    println(f"""{"metric":"lsh_neardup","sample_docs":$sampleN,"exact_pairs":${exactPairs.size},"lsh_pairs":${lshPairs.size},"recall":$lshRecall%.4f,"precision":$lshPrec%.4f}""")
+
+    // ---- SimHash banding recall vs exact all-pairs Hamming ----
+    // the Manku pigeonhole banding guarantees complete recall within
+    // maxDist; measure it anyway (an empty diff IS the evidence)
+    val sims = DedupOps.simhash(docs).cache()
+    val exactHam = {
+      val a = sims.as("a"); val b = sims.as("b")
+      val popLut = typedLit(Seq(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4))
+      val dist = (1 to 16).map { d =>
+        val va = conv(col("a.simhash").substr(d, 1), 16, 10).cast("int")
+        val vb = conv(col("b.simhash").substr(d, 1), 16, 10).cast("int")
+        element_at(popLut, va.bitwiseXOR(vb) + 1)
+      }.reduce(_ + _)
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          dist.cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    }
+    val banded = DedupOps.simhashNearDups(sims, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val simRecall =
+      if (exactHam.isEmpty) 1.0
+      else exactHam.intersect(banded).size.toDouble / exactHam.size
+    println(f"""{"metric":"simhash_banding","sample_docs":$sampleN,"exact_pairs":${exactHam.size},"banded_pairs":${banded.size},"recall":$simRecall%.4f}""")
+
+    // ---- trained-IVF ANN recall@10 vs brute force, by nprobe ----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val k = 16
+    val cs = AnnOps.kmeansTrain(emb, k = k, iters = 3,
+      init = AnnOps.kmeansInitFarthest(emb, k, sampleN = 2048))
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-ivf").toString + "/ivf"
+    AnnOps.writeIvfIndexD(emb, cs, ivfDir)
+    val queries = emb.orderBy(md5(col("vec_id").cast("string"))).limit(20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    for (nprobe <- Seq(1, 2, 4, 8, k)) {
+      val recalls = queries.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopK(emb, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = AnnOps.ivfSearchIndexedD(spark, ivfDir, cs, q, 11, nprobe)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        exact.intersect(got).size / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      println(f"""{"metric":"ivf_recall_at_10","k":$k,"nprobe":$nprobe,"queries":${queries.length},"mean_recall":$mean%.4f}""")
+    }
+    spark.stop()
+  }
+}

@@ -38,14 +38,21 @@ object Scaling {
     // Aggregate executor CPU time — the sandbox host throttles CPU
     // erratically (see BASELINE.md), so wall-clock alone conflates
     // code scaling with hypervisor noise; cpu-seconds per doc is the
-    // throttle-independent work measure.
+    // throttle-independent work measure. Shuffle bytes (read+write)
+    // are the scale-design measure: they bound what a real cluster
+    // moves over the network for the same plan.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
+          if (te.taskMetrics != null) {
             cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+            shufWrite.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(te.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          }
       })
 
     // untimed JIT/codegen warmup
@@ -66,10 +73,34 @@ object Scaling {
     val cfg = BuildConfig(indexDir = dir, stemMode = "some",
       nBuckets = 16, stripeShift = 10, buildPartitions = cpus * 2)
     val cpu0 = cpuNs.get()
+    val sw0 = shufWrite.get(); val sr0 = shufRead.get()
     val t0 = System.nanoTime()
-    new IndexBuilder(spark, cfg).build(corpus)
+    val builder = new IndexBuilder(spark, cfg)
+    builder.build(corpus)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val buildCpuSec = (cpuNs.get() - cpu0) / 1e9
+    val buildShufWriteMb = (shufWrite.get() - sw0) / 1e6
+    val buildShufReadMb = (shufRead.get() - sr0) / 1e6
+    val stageJson = builder.stageSeconds
+      .map { case (s, sec) => f""""$s":$sec%.1f""" }.mkString("{", ",", "}")
+
+    // skew-salt evidence: how many dictionary terms crossed the salt
+    // threshold on THIS build, and whether a skewed term's blocks
+    // actually spread across >1 shuffle output file (the observable
+    // proof the salting branch executed on real data)
+    import org.apache.spark.sql.functions._
+    val dict = spark.read.parquet(s"$dir/dict")
+    val skewedIds = dict.filter(col("df") > cfg.skewDfThreshold)
+      .orderBy(col("df").desc).select("termId").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val nSkewed = dict.filter(col("df") > cfg.skewDfThreshold).count()
+    val maxSpread =
+      if (skewedIds.isEmpty) 0L
+      else spark.read.parquet(s"$dir/postings")
+        .filter(col("termId").isin(skewedIds: _*))
+        .select(col("termId"), input_file_name().as("f"))
+        .groupBy(col("termId")).agg(countDistinct(col("f")).as("files"))
+        .agg(max(col("files"))).collect()(0).getLong(0)
 
     // timed queries (concurrent, FIFO scheduler)
     val idx = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift).warm()
@@ -81,7 +112,7 @@ object Scaling {
     }.sum
     val querySec = (System.nanoTime() - t1) / 1e9
 
-    println(f"""{"cpus":$cpus,"n_docs":$nDocs,"build_sec":$buildSec%.1f,"build_docs_per_sec":${nDocs / buildSec}%.1f,"build_cpu_sec":$buildCpuSec%.1f,"cpu_util":${buildCpuSec / (buildSec * cpus)}%.3f,"n_queries":$nQ,"queries_per_sec":${nQ / querySec}%.2f}""")
+    println(f"""{"cpus":$cpus,"n_docs":$nDocs,"build_sec":$buildSec%.1f,"build_docs_per_sec":${nDocs / buildSec}%.1f,"build_cpu_sec":$buildCpuSec%.1f,"cpu_util":${buildCpuSec / (buildSec * cpus)}%.3f,"build_shuffle_write_mb":$buildShufWriteMb%.1f,"build_shuffle_read_mb":$buildShufReadMb%.1f,"stage_sec":$stageJson,"skewed_terms":$nSkewed,"max_salt_spread_files":$maxSpread,"n_queries":$nQ,"queries_per_sec":${nQ / querySec}%.2f}""")
     spark.stop()
   }
 

@@ -375,6 +375,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 29 =!= 0),
         docs.filter(col("doc_id") % 29 === 0)).orderBy("doc_id")
     }),
+    // substring-level dedup (Lee-et-al modality): spans whose
+    // winnowing fingerprint recurs across >= 2 docs — scan-fused
+    // span extraction, one fp-keyed groupBy, join back
+    "dd_substring" -> ((s, d) =>
+      TextOps.substringDupSpans(documents(s, d))
+        .orderBy("doc_id", "span_start", "fp")),
     "dd_embdup" -> ((s, d) =>
       DedupOps.embeddingNearDups(embeddings(s, d), embPlanes,
         rowsPerBand = 4, minCosine = 0.35)
@@ -562,6 +568,7 @@ object SparkEntry {
     "dd_neardup" -> EntrySql.nearDupSql(0.8),
     "dd_cluster" -> EntrySql.clusterSql(0.8),
     "dd_decontam" -> EntrySql.decontamSql(),
+    "dd_substring" -> EntrySql.substringDupSql(),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),

@@ -113,7 +113,11 @@ object Query {
         * "most_frequent" keeps the cap highest-df terms (df desc,
         * term asc tie — what FLAG_PARTIAL uses, so incremental
         * search never fails and prefers the expansions most likely
-        * to match well). */
+        * to match well). CAVEAT: df ranking needs the expander's
+        * `topByDf` provider; expandWildcards WITHOUT one degrades
+        * "most_frequent" to lexicographic-first truncation (never an
+        * error — the partial contract), which keeps a DIFFERENT term
+        * subset than the engine's df-ranked path would. */
       limit: String = "error") extends Query
   /** Parse-time synonym marker (`~term`, the FLAG_SYNONYM /
     * FLAG_AUTO_SYNONYMS analog — reference: xapian-core/queryparser/
@@ -284,12 +288,14 @@ object Query {
             // child order stays lexicographic like the other policies
             topByDf(p, maxExpansion).sorted
           case "most_frequent" =>
-            // silently degrading to lexicographic-first would change
-            // WHICH terms survive the cap with no signal — a call site
-            // that forgets topByDf must fail loudly, not differently
-            throw new IllegalArgumentException(
-              s"wildcard '$p*' uses limit=most_frequent but no topByDf " +
-                "provider was passed to expandWildcards")
+            // no df provider → degrade to lexicographic-first. This
+            // is DOCUMENTED at Query.Wildcard.limit, not silent: the
+            // policy exists so FLAG_PARTIAL incremental search never
+            // fails, so a df-less caller (tests, tooling over a bare
+            // dictionary) must still get a truncated expansion — the
+            // engine's own matcher always passes its df-ranked
+            // provider (DatasetMatcher wires Index.termsWithPrefixTopDf)
+            ts0.take(maxExpansion)
           case "first" => ts0.take(maxExpansion)
           case _ => throw WildcardError(p, maxExpansion)
         }

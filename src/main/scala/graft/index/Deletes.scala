@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
  * only posting blocks whose [firstDocId, lastDocId] range overlaps a
  * deleted id pay an unpack→filter→repack.
  */
+object DeletionAwareIndex {
+  /** Joined row of a posting block plus the (sorted) deleted ids of
+    * its stripe — names must mirror [[graft.core.PostingBlock]] so
+    * the post-join Dataset encoder resolves by name. Top-level (in
+    * the companion) so the encoder doesn't capture an outer class. */
+  private[index] final case class BlockDel(
+      termId: Long, bucket: Int, stripe: Int,
+      firstDocId: Long, lastDocId: Long, count: Int, maxWdf: Int,
+      minDocLen: Long, bytes: Array[Byte], delIds: Option[Seq[Long]])
+}
+
 class DeletionAwareIndex(val inner: Index, val deletedIds: Set[Long])
     extends Index {
   require(deletedIds.nonEmpty, "use the inner index when nothing is deleted")
@@ -147,6 +158,174 @@ class DeletionAwareIndex(val inner: Index, val deletedIds: Set[Long])
   /** Registered group stats minus the tombstoned docs' contribution —
     * exact df/cf (the scored stats); maxWdf stays the inner bound,
     * which is admissible (it only feeds pruning, never a score). */
+  override def synonymGroup(terms: Set[String]): Option[SynGroupRow] =
+    inner.synonymGroup(terms).map { g =>
+      val (ddf, dcf) = groupDeltas.getOrElse(g.group, (0L, 0L))
+      g.copy(df = math.max(g.df - ddf, 0L), cf = math.max(g.cf - dcf, 0L))
+    }
+  override def synonymsOf(key: String): Seq[String] = inner.synonymsOf(key)
+  override def synonymGroups: Map[String, Set[String]] = inner.synonymGroups
+}
+
+/**
+ * Bulk-delete form of [[DeletionAwareIndex]]: the dead set is a
+ * DISTRIBUTED frame of doc ids, never a driver collection — the shape
+ * a billion-row retention purge or GDPR erasure sweep needs (a driver
+ * `Set[Long]` OOMs long before that; this wrapper's driver footprint
+ * is O(#queried terms), independent of the delete-set size).
+ *
+ * Same exactness contract as the tombstone wrapper: scores equal an
+ * index that never contained the deleted docs (df/cf/N/avgLen all
+ * adjusted), verified by the rank-identity tests.
+ *
+ * Mechanics, all join-shaped:
+ *  - row-keyed tables (docs/doclens/termLists/positions) mask via an
+ *    anti-join on docId (planner/AQE picks broadcast vs shuffle);
+ *  - per-term df/cf deltas for a query's terms come from ONE semi-join
+ *    + groupBy over just those terms — collect is bounded by the
+ *    query's term count;
+ *  - packed posting blocks join the dead set GROUPED BY STRIPE
+ *    (blocks never cross a stripe boundary, so `id >> stripeShift`
+ *    is an equi-join key): each block row sees at most one array of
+ *    its stripe's dead ids — bounded by the stripe width (2^shift,
+ *    16384 at the default), NOT by the total delete count — and
+ *    unpack→filter→repack runs per-row against a sorted array.
+ *
+ * The per-stripe dead frame is persisted on first use (it is the
+ * query-time hot side, reused by every blocksFor); pass an already-
+ * persisted `deleted` frame if the caller runs many queries per
+ * handle. The reference applies deletes at flush into its B-trees
+ * (reference: xapian-core/api/omdatabase.cc delete_document);
+ * immutable parquet at 100 TB wants this mask-at-read shape with
+ * compaction as the physical drop.
+ */
+class BulkDeletionAwareIndex(val inner: Index, deleted: DataFrame,
+                             val stripeShift: Int) extends Index {
+  import DeletionAwareIndex.BlockDel
+
+  val spark: SparkSession = inner.spark
+
+  /** Canonical one-column dead frame: first column, cast to long,
+    * distinct (idempotent deletes). */
+  private lazy val delDf: DataFrame = {
+    val c = deleted.columns.head
+    deleted.select(col(c).cast("long").as("__delId")).distinct()
+  }
+
+  /** Dead ids grouped by stripe, each row's array sorted for per-row
+    * binary search — row width bounded by the stripe's doc capacity. */
+  private lazy val delByStripe: DataFrame =
+    delDf.groupBy(shiftright(col("__delId"), stripeShift).cast("int")
+        .as("stripe"))
+      .agg(sort_array(collect_list(col("__delId"))).as("delIds"))
+      .persist()
+
+  private def maskDeleted(df: DataFrame): DataFrame =
+    df.join(delDf, df("docId") === delDf("__delId"), "left_anti")
+
+  /** (count, Σ doclen) of dead docs that actually exist — one
+    * distributed semi-join agg, two scalars to the driver. */
+  private lazy val deletedLenAgg: (Long, Long) = {
+    val r = inner.doclens
+      .join(delDf, inner.doclens("docId") === delDf("__delId"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("doclen")), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  lazy val stats: StatsRow = {
+    val s = inner.stats
+    val (dn, dlen) = deletedLenAgg
+    val n = s.n - dn
+    val total = s.totalLen - dlen
+    StatsRow(n, total, if (n > 0) total.toDouble / n else 0.0,
+      s.minDocLen, s.maxDocLen)
+  }
+
+  def docs: DataFrame = maskDeleted(inner.docs)
+  def doclens: DataFrame = maskDeleted(inner.doclens)
+  def termLists: DataFrame = maskDeleted(inner.termLists)
+  def dictTable: DataFrame = inner.dictTable
+
+  def lookupTerms(terms: Seq[String]): Map[String, DictRow] = {
+    import spark.implicits._
+    val base = inner.lookupTerms(terms)
+    if (base.isEmpty) return base
+    val tl = inner.termLists.filter(col("term").isin(base.keys.toSeq: _*))
+    val deltas = tl
+      .join(delDf, tl("docId") === delDf("__delId"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("wdf")).cast("long").as("cf"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, df, cf) => t -> (df, cf) }.toMap
+    base.flatMap { case (t, d) =>
+      val (ddf, dcf) = deltas.getOrElse(t, (0L, 0L))
+      if (d.df - ddf <= 0) None
+      else Some(t -> d.copy(df = d.df - ddf, cf = d.cf - dcf))
+    }
+  }
+
+  def blocksFor(termIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    inner.blocksFor(termIds)
+      .join(delByStripe, Seq("stripe"), "left")
+      .as[BlockDel]
+      .flatMap { b =>
+        val block = PostingBlock(b.termId, b.bucket, b.stripe,
+          b.firstDocId, b.lastDocId, b.count, b.maxWdf, b.minDocLen, b.bytes)
+        b.delIds match {
+          case None => Some(block)
+          case Some(ids) =>
+            val arr = ids.toArray
+            // overlap probe: smallest dead id >= firstDocId inside range?
+            val i = java.util.Arrays.binarySearch(arr, b.firstDocId)
+            val at = if (i >= 0) i else -i - 1
+            if (at >= arr.length || arr(at) > b.lastDocId) Some(block)
+            else {
+              val remaining = Codec.unpackBlock(block).filterNot(p =>
+                java.util.Arrays.binarySearch(arr, p.docId) >= 0)
+              if (remaining.isEmpty) None
+              else Some(block.copy(
+                firstDocId = remaining.head.docId,
+                lastDocId = remaining.last.docId,
+                count = remaining.length,
+                maxWdf = remaining.map(_.wdf).max,
+                minDocLen = remaining.map(_.doclen).min,
+                bytes = Codec.packPostings(remaining.toSeq,
+                  remaining.head.docId - 1)))
+            }
+        }
+      }.toDF()
+  }
+
+  def positionsFor(termIds: Seq[Long]): DataFrame =
+    maskDeleted(inner.positionsFor(termIds))
+
+  def termsWithPrefix(prefix: String, limit: Int = Int.MaxValue): Seq[String] =
+    inner.termsWithPrefix(prefix, limit)
+
+  /** Registered-group df/cf deltas — the [[DeletionAwareIndex]]
+    * groupDeltas shape with the semi-join dead side; collect is
+    * bounded by the registered-group count. */
+  private lazy val groupDeltas: Map[String, (Long, Long)] = {
+    import spark.implicits._
+    val groups = inner.synonymGroups
+    if (groups.isEmpty) Map.empty
+    else {
+      val mapping = groups.toSeq
+        .flatMap { case (g, ts) => ts.map(t => (g, t)) }
+        .toDF("group", "term")
+      inner.termLists
+        .join(delDf, inner.termLists("docId") === delDf("__delId"), "left_semi")
+        .join(broadcast(mapping), "term")
+        .groupBy($"group", $"docId")
+        .agg(sum($"wdf").cast("long").as("wdf"))
+        .groupBy($"group")
+        .agg(count(lit(1)).as("df"), sum($"wdf").cast("long").as("cf"))
+        .as[(String, Long, Long)].collect()
+        .map { case (g, df, cf) => g -> (df, cf) }.toMap
+    }
+  }
+
   override def synonymGroup(terms: Set[String]): Option[SynGroupRow] =
     inner.synonymGroup(terms).map { g =>
       val (ddf, dcf) = groupDeltas.getOrElse(g.group, (0L, 0L))

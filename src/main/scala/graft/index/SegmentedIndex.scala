@@ -160,7 +160,7 @@ class SegmentedIndex(
   def listSegments(): (Seq[SegmentInfo], Long) = {
     if (!Files.exists(manifest)) return (Seq.empty, -1L)
     val lines = new String(Files.readAllBytes(manifest), "UTF-8")
-      .split("\n").filter(_.nonEmpty)
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("del|"))
     val last = lines.head.stripPrefix("lastBatch=").toLong
     val segs = lines.tail.map { l =>
       val Array(d, b, n) = l.split("\\|")
@@ -169,25 +169,116 @@ class SegmentedIndex(
     (segs, last)
   }
 
-  private def writeManifest(segs: Seq[SegmentInfo], lastBatch: Long): Unit = {
+  /** The SINGLE atomic publish point: segment list, replay watermark
+    * AND tombstones all live in segments.txt, written via one
+    * tmp-write + atomic rename — the role of the reference backend's
+    * revision record (reference: xapian-core/backends/glass/
+    * glass_version.cc): a reader sees either the whole previous state
+    * or the whole new state, never a segment without its tombstones.
+    * (Tombstones previously lived in a separate deletes.txt; legacy
+    * files are still read and folded in on the next publish.) */
+  private def writeManifest(segs: Seq[SegmentInfo], lastBatch: Long,
+                            dels: Seq[Tombstone]): Unit = {
     Files.createDirectories(Paths.get(baseDir))
     val body = (s"lastBatch=$lastBatch" +:
-      segs.map(s => s"${s.dir}|${s.base}|${s.nDocs}")).mkString("\n")
+      (segs.map(s => s"${s.dir}|${s.base}|${s.nDocs}") ++
+        dels.map(t =>
+          s"del|b64|${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}")))
+      .mkString("\n")
     val tmp = Paths.get(s"$baseDir/segments.txt.tmp")
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // the manifest now carries the tombstones — drop the legacy file
+    // AFTER the atomic publish (crash between: next listDeletes reads
+    // both and dedups via the publish's fold)
+    if (Files.exists(deletesFile)) Files.delete(deletesFile)
+  }
+
+  // ---------------- transactions (begin/commit/cancel — the
+  // WritableDatabase transaction surface; reference:
+  // xapian-core/api/omdatabase.cc begin_transaction /
+  // commit_transaction / cancel_transaction, tests/api_transdb.cc) ---
+
+  /** Buffered, unpublished state of an open transaction. Pending
+    * segments are fully built on disk but absent from the manifest —
+    * invisible to any other handle until commit. */
+  private final case class TxnState(
+      var pendingSegs: Seq[SegmentInfo],
+      var pendingDels: Seq[Tombstone],
+      var pendingLast: Long)
+
+  private var txn: Option[TxnState] = None
+
+  /** True while a transaction is open on THIS handle. */
+  def inTransaction: Boolean = synchronized(txn.isDefined)
+
+  /** Start buffering appends/deletes/replaces. Like the reference,
+    * the transacting handle sees its own uncommitted changes through
+    * [[reader]](); other handles (and a crash) see nothing until
+    * [[commitTransaction]] publishes everything in ONE atomic manifest
+    * rename. Nested transactions are an error (upstream
+    * InvalidOperationError). */
+  def beginTransaction(): Unit = synchronized {
+    require(txn.isEmpty, "a transaction is already in progress")
+    val (_, last) = listSegments()
+    txn = Some(TxnState(Seq.empty, Seq.empty, last))
+  }
+
+  /** Publish every buffered append/delete atomically. */
+  def commitTransaction(): Unit = synchronized {
+    val t = txn.getOrElse(
+      throw new IllegalStateException("no transaction in progress"))
+    val (segs, last) = listSegments()
+    writeManifest(segs ++ t.pendingSegs, math.max(last, t.pendingLast),
+      listDeletes() ++ t.pendingDels)
+    txn = None
+  }
+
+  /** Discard every buffered change: pending segment directories are
+    * removed from disk, the published manifest was never touched —
+    * a reopen shows no trace of the transaction. */
+  def cancelTransaction(): Unit = synchronized {
+    val t = txn.getOrElse(
+      throw new IllegalStateException("no transaction in progress"))
+    txn = None
+    t.pendingSegs.foreach { s =>
+      val root = Paths.get(s.dir)
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** (segments, watermark, tombstones) as THIS handle sees them:
+    * published state plus any open transaction's buffer. */
+  private def effectiveState(): (Seq[SegmentInfo], Long, Seq[Tombstone]) = {
+    val (segs, last) = listSegments()
+    txn match {
+      case None => (segs, last, listDeletes())
+      case Some(t) => (segs ++ t.pendingSegs, math.max(last, t.pendingLast),
+        listDeletes() ++ t.pendingDels)
+    }
   }
 
   /** Append a batch as a new segment. `batchId` gates idempotent
-    * replay (a batch at or below the recorded id is a no-op). */
+    * replay (a batch at or below the recorded id is a no-op). Inside
+    * a transaction the segment is built but stays unpublished until
+    * [[commitTransaction]]. */
   def append(corpus: Dataset[CorpusRow], batchId: Long = Long.MinValue): Unit =
     synchronized {
-      val (segs, last) = listSegments()
+      val (segs, last, _) = effectiveState()
       if (batchId != Long.MinValue && batchId <= last) return
+      val newLast = math.max(last, if (batchId == Long.MinValue) last else batchId)
       if (corpus.isEmpty) {
-        writeManifest(segs, math.max(last, batchId)); return
+        txn match {
+          case Some(t) => t.pendingLast = newLast
+          case None => writeManifest(segs, newLast, listDeletes())
+        }
+        return
       }
       val base = segs.lastOption.map(s => s.base + s.nDocs).getOrElse(0L)
       val dir = f"$baseDir/seg-${segs.size}%05d"
@@ -197,8 +288,14 @@ class SegmentedIndex(
         docIdBase = base, cjkNgram = cjkNgram, valueSlots = valueSlots)
       new IndexBuilder(spark, cfg).build(corpus)
       val nDocs = spark.read.parquet(s"$dir/docs").count()
-      writeManifest(segs :+ SegmentInfo(dir, base, nDocs),
-        math.max(last, if (batchId == Long.MinValue) last else batchId))
+      val info = SegmentInfo(dir, base, nDocs)
+      txn match {
+        case Some(t) =>
+          t.pendingSegs = t.pendingSegs :+ info
+          t.pendingLast = newLast
+        case None =>
+          writeManifest(segs :+ info, newLast, listDeletes())
+      }
     }
 
   // ---------------- deletes (WritableDatabase::delete_document /
@@ -219,44 +316,46 @@ class SegmentedIndex(
   private def b64d(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** Published tombstones: "del|…" manifest lines, plus any legacy
+    * deletes.txt entries (pre-single-commit-point layout) — folded
+    * into the manifest by the next publish. */
   def listDeletes(): Seq[Tombstone] = {
-    if (!Files.exists(deletesFile)) return Seq.empty
-    new String(Files.readAllBytes(deletesFile), "UTF-8")
-      .split("\n").filter(_.nonEmpty).toSeq.map { l =>
-        l.split("\\|", -1) match {
-          // versioned lines: the "b64" sentinel pins the encoding, so
-          // a log written by the pre-encoding format (raw keys) can
-          // never be misread as base64 — raw fields that HAPPEN to be
-          // valid base64 ('main', 'repo') would otherwise decode into
-          // silent garbage keys
-          case Array("b64", r, p, c, u) =>
-            Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
-          case Array(r, p, c, u) => Tombstone(r, p, c, u.toInt) // legacy
-          case _ => throw new IllegalStateException(
-            s"corrupt tombstone line in $deletesFile: $l")
-        }
+    def parse(l: String): Tombstone =
+      l.split("\\|", -1) match {
+        // versioned lines: the "b64" sentinel pins the encoding, so
+        // a log written by the pre-encoding format (raw keys) can
+        // never be misread as base64 — raw fields that HAPPEN to be
+        // valid base64 ('main', 'repo') would otherwise decode into
+        // silent garbage keys
+        case Array("b64", r, p, c, u) =>
+          Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
+        case Array(r, p, c, u) => Tombstone(r, p, c, u.toInt) // legacy
+        case other => throw new IllegalStateException(
+          s"corrupt tombstone line: ${other.mkString("|")}")
       }
-  }
-
-  private def writeDeletes(ts: Seq[Tombstone]): Unit = {
-    Files.createDirectories(Paths.get(baseDir))
-    val tmp = Paths.get(s"$baseDir/deletes.txt.tmp")
-    Files.write(tmp,
-      ts.map(t => s"b64|${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}")
-        .mkString("\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, deletesFile, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val fromManifest =
+      if (!Files.exists(manifest)) Seq.empty
+      else new String(Files.readAllBytes(manifest), "UTF-8")
+        .split("\n").filter(_.startsWith("del|")).toSeq
+        .map(l => parse(l.stripPrefix("del|")))
+    val legacy =
+      if (!Files.exists(deletesFile)) Seq.empty
+      else new String(Files.readAllBytes(deletesFile), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq.map(parse)
+    fromManifest ++ legacy
   }
 
   /** Tombstone documents by natural key; takes effect on the next
-    * [[reader]]() and is applied physically by compaction. */
+    * [[reader]]() and is applied physically by compaction. Inside a
+    * transaction the tombstones buffer until [[commitTransaction]]. */
   def delete(keys: Seq[(String, String, String)]): Unit = synchronized {
     if (keys.isEmpty) return
-    val (segs, _) = listSegments()
-    writeDeletes(listDeletes() ++ keys.map { case (r, p, c) =>
-      Tombstone(r, p, c, segs.size)
-    })
+    val (segs, last, _) = effectiveState()
+    val ts = keys.map { case (r, p, c) => Tombstone(r, p, c, segs.size) }
+    txn match {
+      case Some(t) => t.pendingDels = t.pendingDels ++ ts
+      case None => writeManifest(segs, last, listDeletes() ++ ts)
+    }
   }
 
   /** Replace documents: tombstone the incoming keys in existing
@@ -275,8 +374,8 @@ class SegmentedIndex(
 
   /** Resolve pending tombstones to docIds, per segment-scope (one
     * key-pruned scan of each affected segment's docs table). */
-  private def resolveDeletedIds(segs: Seq[SegmentInfo]): Set[Long] = {
-    val ts = listDeletes()
+  private def resolveDeletedIds(segs: Seq[SegmentInfo],
+                                ts: Seq[Tombstone]): Set[Long] = {
     if (ts.isEmpty) return Set.empty
     import spark.implicits._
     segs.zipWithIndex.flatMap { case (s, i) =>
@@ -292,16 +391,19 @@ class SegmentedIndex(
     }.toSet
   }
 
-  /** Open the current segment set for search (tombstones masked). */
-  def reader(): Index = {
-    val (segs, _) = listSegments()
+  /** Open the current segment set for search (tombstones masked).
+    * Inside a transaction THIS handle sees its buffered changes (the
+    * reference's own-uncommitted-changes visibility); other handles
+    * on the same baseDir see only the published manifest. */
+  def reader(): Index = synchronized {
+    val (segs, _, ts) = effectiveState()
     require(segs.nonEmpty, s"no segments in $baseDir")
     val readers = segs.map(s =>
       new IndexReader(spark, s.dir, nBuckets, stripeShift))
     val base: Index =
       if (readers.size == 1) readers.head
       else new MultiIndexReader(spark, readers)
-    val deleted = resolveDeletedIds(segs)
+    val deleted = resolveDeletedIds(segs, ts)
     if (deleted.isEmpty) base else new DeletionAwareIndex(base, deleted)
   }
 
@@ -324,6 +426,7 @@ class SegmentedIndex(
   def compactMerged(): Index = synchronized {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    require(txn.isEmpty, "cannot compact inside a transaction")
     val (segs, last) = listSegments()
     require(segs.nonEmpty, s"no segments in $baseDir")
     val readers = segs.map(s =>
@@ -341,7 +444,7 @@ class SegmentedIndex(
     // lineage, as in the fresh build) + keep the old→new mapping.
     // Tombstoned docs are dropped here; their postings fall out of
     // the merge via the inner mapping join below.
-    val deleted = resolveDeletedIds(segs)
+    val deleted = resolveDeletedIds(segs, listDeletes())
     val docs0union = segs.map(s => spark.read.parquet(s"${s.dir}/docs0")
         .select($"docId", $"repo", $"path", $"commit", $"lang",
           $"content", $"sha256"))
@@ -400,8 +503,7 @@ class SegmentedIndex(
     // done so the corpus argument is never touched
     builder.build(spark.emptyDataset[CorpusRow])
     val nDocs = spark.read.parquet(s"$dir/docs").count()
-    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)
-    if (Files.exists(deletesFile)) Files.delete(deletesFile)
+    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last, Seq.empty)
     new IndexReader(spark, dir, nBuckets, stripeShift)
   }
 
@@ -414,9 +516,10 @@ class SegmentedIndex(
     * segment. */
   def compact(): Index = synchronized {
     import spark.implicits._
+    require(txn.isEmpty, "cannot compact inside a transaction")
     val (segs, last) = listSegments()
     require(segs.nonEmpty, s"no segments in $baseDir")
-    val deleted = resolveDeletedIds(segs)
+    val deleted = resolveDeletedIds(segs, listDeletes())
     val union = segs.map { s =>
       spark.read.parquet(s"${s.dir}/docs0")
         .select($"docId", $"repo", $"path", $"commit", $"lang", $"content")
@@ -432,8 +535,7 @@ class SegmentedIndex(
       cjkNgram = cjkNgram, valueSlots = valueSlots)
     new IndexBuilder(spark, cfg).build(union)
     val nDocs = spark.read.parquet(s"$dir/docs").count()
-    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last)
-    if (Files.exists(deletesFile)) Files.delete(deletesFile)
+    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last, Seq.empty)
     new IndexReader(spark, dir, nBuckets, stripeShift)
   }
 }

@@ -166,6 +166,77 @@ object TextOps {
       .otherwise(array_distinct(minima))
   }
 
+  /** All k-gram md5 hashes of `text`, 1-based positions (gram p hashes
+    * chars [p, p+k-1]). Callers MUST materialize this as a projected
+    * column and pass the resulting attribute into
+    * [[winnowSpansFromGrams]]: an expression referenced inside a
+    * nested lambda is re-evaluated per lambda element (Spark's
+    * subexpression elimination does not cross lambda scopes), so
+    * inlining this array into the window transform would recompute
+    * every gram hash per window — O(len²) per row. */
+  def gramHashes(text: Column, k: Int): Column =
+    transform(sequence(lit(1), length(text) - (k - 1)),
+      i => md5(text.substr(i, lit(k))))
+
+  /** Winnowing fingerprints WITH their source spans over a
+    * MATERIALIZED gram-hash array attribute: each window's selected
+    * minimum k-gram hash paired with the 1-based character position
+    * of that k-gram — the span-reporting extension of [[winnowFps]]
+    * that substring-level dedup needs. Ties break leftmost
+    * (deterministic, engine-agnostic). Distinct (pos, fp) pairs per
+    * row (a fingerprint repeated at DIFFERENT positions is kept —
+    * repeated content inside one doc is real signal); pure per-row,
+    * no shuffle. Null when fewer than w windows exist. */
+  def winnowSpansFromGrams(grams: Column, k: Int, w: Int): Column = {
+    val wins = transform(
+      sequence(lit(1), size(grams) - (w - 1)),
+      j => {
+        val m = array_min(slice(grams, j, lit(w)))
+        // first offset in the window whose gram IS the minimum
+        val off = element_at(
+          filter(sequence(lit(0), lit(w - 1)),
+            o => element_at(grams, j + o) === m), 1)
+        struct((j + off).cast("int").as("pos"), m.as("fp"))
+      })
+    when(size(grams) < w, lit(null)).otherwise(array_distinct(wins))
+  }
+
+  /**
+   * Substring-level duplicate spans (the Lee et al. "Deduplicating
+   * Training Data Makes Language Models Better" modality, re-shaped
+   * for Spark): instead of a corpus-wide suffix array — a
+   * sort-of-all-suffixes no 100 TB cluster wants — winnowing
+   * guarantees every shared substring of at least k + w - 1 chars
+   * yields a shared fingerprint, so repeated spans are exactly the
+   * spans whose fingerprint occurs in ≥ `minDocs` distinct documents.
+   * Output: (doc_id, span_start, span_end, fp, n_docs) — one row per
+   * matched span, directly consumable by a span scrubber.
+   *
+   * Scale shape: per-row fingerprint+span extraction fused into the
+   * scan (no shuffle), one explode, one fp-keyed groupBy (uniform
+   * md5 keys, two-phase agg), one join back on fp. No quadratic step
+   * anywhere; the join's build side is only the DUPLICATED
+   * fingerprints, which AQE can broadcast when dup density is low.
+   */
+  def substringDupSpans(docs: DataFrame, k: Int = 30, w: Int = 8,
+                        minDocs: Int = 2): DataFrame = {
+    // grams materialize as a column FIRST (see gramHashes: inlining
+    // them into the window lambda would be quadratic per row)
+    val spans = docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), gramHashes(col("text"), k).as("_grams"))
+      .select(col("doc_id"),
+        explode(winnowSpansFromGrams(col("_grams"), k, w)).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("span_start"), col("sp.fp").as("fp"))
+    val dupFps = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    spans.join(dupFps, "fp")
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + (k - 1)).cast("int").as("span_end"),
+        col("fp"), col("n_docs"))
+  }
+
   /**
    * Benchmark decontamination — the train/test-overlap scrub a
    * training-data pipeline runs before training: flag corpus

@@ -119,4 +119,46 @@ class DeletesSpec extends AnyFunSuite {
     got.zip(want).foreach { case (x, w) =>
       assert(math.abs(x.score - w.score) < 1e-9) }
   }
+
+  test("bulk delete (Dataset dead set): exact scores, no driver collection") {
+    import spark.implicits._
+    val realDead = Set(3L, 7L, 20L, 41L)
+    // a dead frame far beyond anything a driver Set should hold —
+    // 10^6 ids (mostly nonexistent: the worst case, nothing prunable)
+    // provided as a DISTRIBUTED dataset, never collected
+    val deadDf = spark.range(2000000L, 3000000L).toDF("docId")
+      .union(realDead.toSeq.toDF("docId"))
+    val bulk = new BulkDeletionAwareIndex(idx, deadDf, stripeShift = 5)
+
+    // stats: identical to the driver-Set wrapper on the same real dead
+    val small = new DeletionAwareIndex(idx, realDead)
+    assert(bulk.stats === small.stats)
+
+    // dict deltas: per queried term, identical
+    assert(bulk.lookupTerms(group) === small.lookupTerms(group))
+
+    // mset identity against the never-contained oracle (exercises the
+    // stripe-grouped block repack: dead ids land mid-block)
+    val q = Query.Or(Seq(Query.Term("parse"), Query.Term("token")))
+    val want = Oracle.mset(q, oracleWithout(realDead), 15)
+    val got = new DatasetMatcher(bulk).mset(q, 15)
+    assert(got.map(_.docId) === want.map(_.docId))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9) }
+
+    // registered synonym group stats adjust exactly through the bulk path
+    val sq = Query.Synonym(group.map(Query.Term(_)))
+    val sWant = Oracle.mset(sq, oracleWithout(realDead), 15)
+    val sGot = new DatasetMatcher(bulk).mset(sq, 15)
+    assert(sGot.map(_.docId) === sWant.map(_.docId))
+    sGot.zip(sWant).foreach { case (g, w) =>
+      assert(math.abs(g.score - w.score) < 1e-9) }
+
+    // a fully-deleted term disappears from lookupTerms (df clamps out)
+    val allIds = idx.termLists.filter($"term" === "parse")
+      .select($"docId").as[Long].collect().toSeq
+    val nukeParse = new BulkDeletionAwareIndex(idx, allIds.toDF("docId"),
+      stripeShift = 5)
+    assert(!nukeParse.lookupTerms(Seq("parse")).contains("parse"))
+  }
 }

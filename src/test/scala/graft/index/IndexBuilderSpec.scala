@@ -130,6 +130,37 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(key(idxDir).toSeq == key(d2).toSeq)
   }
 
+  test("salt path FIRES for skewed terms: blocks spread across shuffle partitions") {
+    import org.apache.spark.sql.functions.{input_file_name, countDistinct}
+    // the skewed terms (df > 10 in this corpus: keywords in ~35% of
+    // tokens) must land in MORE THAN ONE shuffle output file under
+    // saltFactor=4 — the observable proof the salting branch executed,
+    // not just that it is harmless (the invariance test above)
+    val dict = spark.read.parquet(s"$idxDir/dict").as[DictRow].collect()
+    val skewed = dict.filter(_.df > cfg.skewDfThreshold).map(_.termId).toSet
+    assert(skewed.nonEmpty, "fixture lost its skew — no term over threshold")
+    val spread = spark.read.parquet(s"$idxDir/postings")
+      .select($"termId", input_file_name().as("f"))
+      .filter($"termId".isin(skewed.toSeq: _*))
+      .groupBy($"termId").agg(countDistinct($"f").as("files"))
+      .as[(Long, Long)].collect().toMap
+    assert(spread.values.exists(_ > 1),
+      s"no skewed term spread over >1 partition file: $spread")
+
+    // control: an unsalted build (threshold above any df) keeps each
+    // term's blocks in exactly one shuffle partition file
+    val d2 = s"$tmp/idx-unsalted"
+    new IndexBuilder(spark, cfg.copy(indexDir = d2,
+      skewDfThreshold = Long.MaxValue)).build(spark.createDataset(corpus))
+    val spread2 = spark.read.parquet(s"$d2/postings")
+      .select($"termId", input_file_name().as("f"))
+      .filter($"termId".isin(skewed.toSeq: _*))
+      .groupBy($"termId").agg(countDistinct($"f").as("files"))
+      .as[(Long, Long)].collect().toMap
+    assert(spread2.values.forall(_ == 1),
+      s"unsalted control spread a term across files: $spread2")
+  }
+
   test("shuffle-join dict fallback yields identical blocks to broadcast") {
     val d2 = s"$tmp/idx-shufflejoin"
     // broadcastDictMaxTerms=0 forces the non-broadcast join path a

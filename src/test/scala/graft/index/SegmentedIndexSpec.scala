@@ -25,16 +25,20 @@ class SegmentedIndexSpec extends AnyFunSuite {
       "legacy-repo|src/a.scala|abc123|1\n".getBytes("UTF-8"))
     val legacy = seg.listDeletes()
     assert(legacy == Seq(seg.Tombstone("legacy-repo", "src/a.scala", "abc123", 1)))
-    // appending via delete() re-writes everything in the sentinel
-    // format; a key containing '|' and newline survives
+    // appending via delete() folds everything into the manifest (the
+    // single atomic commit point) in the sentinel format; a key
+    // containing '|' and newline survives, and the legacy file is gone
     seg.delete(Seq(("we|ird", "pa\nth", "c|mt")))
     val all2 = seg.listDeletes()
     assert(all2.head == seg.Tombstone("legacy-repo", "src/a.scala", "abc123", 1))
     assert(all2(1).repo == "we|ird" && all2(1).path == "pa\nth" &&
       all2(1).commit == "c|mt")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/deletes.txt")))
     val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/deletes.txt")), "UTF-8")
-    assert(raw.linesIterator.forall(_.startsWith("b64|")), raw)
+      java.nio.file.Paths.get(s"$dir/segments.txt")), "UTF-8")
+    assert(raw.linesIterator.filter(_.startsWith("del|"))
+      .forall(_.startsWith("del|b64|")), raw)
   }
 
   private val all = CorpusGen.generate(seed = 21, nRepos = 4, filesPerRepo = 20)
@@ -280,5 +284,79 @@ class SegmentedIndexSpec extends AnyFunSuite {
     // compaction keeps it
     val cr = seg.compactMerged()
     assert(cr.docs.select(col("clen")).collect().forall(!_.isNullAt(0)))
+  }
+
+  // ---- WritableDatabase transactions (reference: xapian-core/
+  // api/omdatabase.cc begin/commit/cancel_transaction, exercised by
+  // upstream tests/api_transdb.cc) --------------------------------
+
+  test("transaction commit: buffered appends+deletes publish atomically; " +
+      "uncommitted state invisible to other handles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-txn").toString
+    val s1 = new SegmentedIndex(spark, dir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    s1.append(spark.createDataset(all.take(30)))
+    val beforeN = s1.reader().stats.n
+
+    s1.beginTransaction()
+    assert(s1.inTransaction)
+    s1.append(spark.createDataset(all.slice(30, 55)))
+    s1.delete(Seq((all.head.repo, all.head.path, all.head.commit)))
+    // the transacting handle sees its own uncommitted changes
+    // (upstream WritableDatabase visibility)
+    val innerN = s1.reader().stats.n
+    assert(innerN == beforeN + 25 - 1, s"inner view: $innerN")
+    // a second handle on the same dir sees only the published manifest
+    val s2 = new SegmentedIndex(spark, dir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    assert(s2.reader().stats.n == beforeN, "txn leaked before commit")
+    // nested transactions are an error
+    intercept[IllegalArgumentException](s1.beginTransaction())
+
+    s1.commitTransaction()
+    assert(!s1.inTransaction)
+    // ONE atomic publish: the reopened handle now sees everything
+    assert(s2.reader().stats.n == innerN)
+    // and the manifest carries both the segment and its tombstone
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/segments.txt")), "UTF-8")
+    assert(raw.linesIterator.count(_.startsWith("del|")) == 1, raw)
+    assert(raw.linesIterator.count(_.contains("seg-")) == 2, raw)
+    // commit/cancel with nothing open throw
+    intercept[IllegalStateException](s1.commitTransaction())
+    intercept[IllegalStateException](s1.cancelTransaction())
+  }
+
+  test("transaction cancel: reopen shows no partial state, pending dirs removed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-txn-cancel").toString
+    val s1 = new SegmentedIndex(spark, dir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    s1.append(spark.createDataset(all.take(30)))
+    val q = Or(Seq(Term("parse"), Term("data")))
+    val before = new DatasetMatcher(s1.reader()).mset(q, 10)
+
+    s1.beginTransaction()
+    s1.append(spark.createDataset(all.slice(30, 55)))
+    s1.delete(Seq((all.head.repo, all.head.path, all.head.commit)))
+    intercept[IllegalArgumentException](s1.compact()) // no compact mid-txn
+    s1.cancelTransaction()
+    assert(!s1.inTransaction)
+
+    // no trace: same handle AND a reopen both serve the pre-txn state
+    assert(s1.listDeletes().isEmpty)
+    val after = new DatasetMatcher(s1.reader()).mset(q, 10)
+    assert(after.map(i => (i.docId, i.score)) ==
+      before.map(i => (i.docId, i.score)))
+    val s2 = new SegmentedIndex(spark, dir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    assert(s2.reader().stats.n == 30L)
+    // the pending segment directory is physically gone
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f"$dir/seg-00001")))
+    // and a post-cancel append reuses the slot cleanly
+    s1.append(spark.createDataset(all.drop(55)))
+    assert(s1.reader().stats.n == 30L + (all.size - 55))
   }
 }

@@ -493,6 +493,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("converge"))
   }
 
+  test("substringDupSpans finds planted cross-doc spans, skips unique text") {
+    import spark.implicits._
+    val shared = "The quick brown fox jumps over the lazy dog again and again tonight."
+    def noise(seed: Int): String = {
+      var h = seed.toLong * 2654435761L + 12345
+      (0 until 120).map { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ('a' + ((h >>> 33) % 26).toInt).toChar
+      }.mkString
+    }
+    val docs = Seq(
+      (1L, noise(1) + " " + shared + " " + noise(2)),
+      (2L, noise(3) + " " + shared + " " + noise(4)),
+      (3L, noise(5) + " " + noise(6))).toDF("doc_id", "text")
+    val k = 30; val w = 8
+    val got = TextOps.substringDupSpans(docs, k, w, minDocs = 2).collect()
+    // every flagged span lies inside the planted shared region of its doc
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty, "no spans flagged for a 69-char planted dup")
+    got.foreach { r =>
+      val (id, s0, s1) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val span = texts(id).substring(s0 - 1, s1) // 1-based inclusive
+      // the true cross-doc substring includes the boundary spaces
+      assert((" " + shared + " ").contains(span),
+        s"doc $id span [$s0,$s1] '$span' outside dup")
+      assert(r.getLong(4) == 2L)
+    }
+    // the unique doc is never flagged
+    assert(!got.exists(_.getLong(0) == 3L))
+    // both dup docs are flagged, and the union of spans covers the
+    // whole guaranteed region (winnowing: any shared k+w-1 substring
+    // yields a shared fingerprint)
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val cov = got.filter(_.getLong(0) == 1L)
+      .flatMap(r => r.getInt(1) to r.getInt(2)).toSet
+    assert(cov.size >= k, s"span coverage suspiciously thin: ${cov.size} chars")
+  }
+
   // ---- k-means IVF training ------------------------------------
 
   /** Three well-separated 8-dim clusters: members = axis direction
