@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dir
+under OUTDIR, compare the Spark parquet result against the DuckDB
+execution of oracle_sql.json over the SFDIR parquet tables.
+Usage: compare.py SFDIR OUTDIR [query ...]
+"""
+import sys, os, json, glob
+import duckdb, pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM parquet_scan('{p}/*.parquet')"
+                if os.path.isdir(p) else
+                f"CREATE VIEW {name} AS SELECT * FROM parquet_scan('{p}')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize ints/floats
+    for c in df.columns:
+        if df[c].dtype == object:
+            pass
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+fails = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    pq = os.path.join(outdir, name)
+    if not os.path.isdir(pq):
+        print(f"{name}: MISSING spark output"); fails += 1; continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(pq + "/*.parquet")],
+                             ignore_index=True)
+        ora_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: ERR {e}"); fails += 1; continue
+    s, o = canon(spark_df), canon(ora_df)
+    if list(s.columns) != list(o.columns):
+        print(f"{name}: SCHEMA {list(s.columns)} vs {list(o.columns)}"); fails += 1; continue
+    if len(s) != len(o):
+        print(f"{name}: ROWS {len(s)} vs {len(o)}"); fails += 1; continue
+    eq = True
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            ok = np.allclose(a.astype(np.float64), b.astype(np.float64),
+                             rtol=0, atol=0, equal_nan=True)
+        else:
+            ok = a.astype(str).equals(b.astype(str))
+        if not ok:
+            mism = (a.astype(str) != b.astype(str))
+            idx = mism[mism].index[:3].tolist()
+            print(f"{name}: VALUES col={c} first-mismatch-rows={idx} "
+                  f"spark={a.iloc[idx].tolist() if idx else '?'} oracle={b.iloc[idx].tolist() if idx else '?'}")
+            eq = False
+            break
+    if eq:
+        print(f"{name}: OK ({len(s)} rows)")
+    else:
+        fails += 1
+print(f"== {fails} failures ==")
+sys.exit(1 if fails else 0)

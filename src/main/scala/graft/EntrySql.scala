@@ -579,6 +579,37 @@ reach AS (
 )
 SELECT id AS doc_id, min(cluster) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Duplicated-line removal oracle: identical line synthesis
+    * (every-10-words wrap — DuckDB spells the replacement `\1`+chr(10)
+    * where Spark spells it `$1\n`; same RE2-portable pattern), then
+    * drop lines recurring in ≥ minDocs distinct docs and reassemble
+    * in position order. string_agg skips the NULLed dup lines, so the
+    * CASE inside it is the exact mirror of the Spark-side filter over
+    * the collected struct array. */
+  def lineDedupSql(minDocs: Int = 2, minLineLen: Int = 1): String =
+    s"""WITH docs2 AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM docs2
+),
+dup AS (
+  SELECT line FROM lines WHERE len(line) >= $minLineLen
+  GROUP BY line HAVING count(DISTINCT doc_id) >= $minDocs
+)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS text,
+       sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS removed_lines
+FROM lines l LEFT JOIN dup d ON d.line = l.line
+GROUP BY l.doc_id
+ORDER BY doc_id"""
+
   /** Embedding-cosine near-dup oracle: sign-random-projection bits
     * from the SAME literal hyperplanes as the Spark op, banded, then
     * exact cosine ≥ threshold over distinct candidates. */

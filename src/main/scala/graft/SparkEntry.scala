@@ -364,6 +364,14 @@ object SparkEntry {
       DedupOps.clusterPairs(docs, DedupOps.nearDupPairs(docs, 0.8))
         .orderBy("doc_id")
     }),
+    // same closure via alternating large-star/small-star contraction
+    // (O(log n) rounds — the arbitrary-diameter scale path); the
+    // oracle is the identical recursive-CTE transitive closure
+    "dd_cluster_star" -> ((s, d) => {
+      val docs = documents(s, d)
+      DedupOps.clusterPairsStar(docs, DedupOps.nearDupPairs(docs, 0.8))
+        .orderBy("doc_id")
+    }),
     "dd_neardup" -> ((s, d) =>
       DedupOps.nearDupPairs(documents(s, d), minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
@@ -381,6 +389,18 @@ object SparkEntry {
     "dd_substring" -> ((s, d) =>
       TextOps.substringDupSpans(documents(s, d))
         .orderBy("doc_id", "span_start", "fp")),
+    // cross-document duplicated-line removal (C4/RefinedWeb
+    // boilerplate pass). The corpus text is single-line, so the gate
+    // synthesizes line structure first — every 10 words becomes a
+    // line (one global regexp_replace, replayed verbatim in DuckDB)
+    // — then drops lines recurring in >= 2 distinct docs
+    "dd_lines" -> ((s, d) =>
+      DedupOps.lineDedup(
+        documents(s, d).select(col("doc_id"),
+          regexp_replace(col("text"),
+            "((\\S+ ){9}\\S+) ", "$1\n").as("text")),
+        minDocs = 2, minLineLen = 1)
+        .orderBy("doc_id")),
     "dd_embdup" -> ((s, d) =>
       DedupOps.embeddingNearDups(embeddings(s, d), embPlanes,
         rowsPerBand = 4, minCosine = 0.35)
@@ -567,6 +587,8 @@ object SparkEntry {
     "dd_simdup" -> EntrySql.simdupSql(3),
     "dd_neardup" -> EntrySql.nearDupSql(0.8),
     "dd_cluster" -> EntrySql.clusterSql(0.8),
+    "dd_cluster_star" -> EntrySql.clusterSql(0.8),
+    "dd_lines" -> EntrySql.lineDedupSql(2, 1),
     "dd_decontam" -> EntrySql.decontamSql(),
     "dd_substring" -> EntrySql.substringDupSql(),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),

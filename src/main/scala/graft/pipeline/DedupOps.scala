@@ -216,6 +216,140 @@ object DedupOps {
     labels.select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Cross-document duplicated-line removal (the C4/RefinedWeb
+    * boilerplate pass): a line occurring in ≥ `minDocs` DISTINCT
+    * documents is boilerplate (headers, footers, nav text, license
+    * blurbs) and is dropped from every document; surviving lines are
+    * reassembled in order. Lines shorter than `minLineLen` are exempt
+    * (blank/separator lines are structure, not boilerplate).
+    *
+    * Scale shape: split+posexplode is a Generate (no shuffle); the
+    * frequency table is ONE hash aggregate keyed by the line itself
+    * (same uniform-key shape as [[exactCanonical]] — a line is a
+    * short document); membership is a left anti-ish marker join on
+    * that key; reassembly is one per-doc aggregate (collect kept
+    * lines, sort by position in-row, join). No driver-side state, no
+    * broadcast of the dup set (it scales with the corpus).
+    * Output: (doc_id, text, removed_lines). */
+  def lineDedup(docs: DataFrame, minDocs: Int = 2,
+                minLineLen: Int = 1): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val dup = lines
+      .where(length(col("line")) >= minLineLen)
+      .groupBy("line")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select(col("line"), lit(1).as("_dup"))
+    lines.join(dup, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("pos"), col("line").as("line"),
+                  col("_dup").as("_dup")))),
+              x => x.getField("_dup").isNull),
+            x => x.getField("line")),
+          "\n").as("text"),
+        sum(when(col("_dup").isNotNull, 1).otherwise(0))
+          .cast("long").as("removed_lines"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the O(log n)-round formulation for components
+    * whose DIAMETER defeats [[clusterPairs]]' per-hop label
+    * propagation (a 10^6-long duplicate chain converges in ~20
+    * rounds here vs 10^6 there). Identical output contract: every
+    * doc labeled with the smallest docId in its component.
+    *
+    * Each round is two window-aggregate shuffles (no joins):
+    *  - large-star: per node u with m = min(N(u) ∪ {u}), re-point
+    *    every strictly-larger neighbor at m — emit (v, m) for
+    *    v ∈ N(u), v > u;
+    *  - small-star: orient edges toward the larger endpoint, per
+    *    node u with m = min(N≤(u) ∪ {u}) emit (v, m) for
+    *    v ∈ N≤(u) ∪ {u}, v ≠ m.
+    * Both preserve connectivity and strictly flatten trees; the fixed
+    * point is a star per component rooted at its minimum. Convergence
+    * is detected by an order-insensitive edge-set digest (count +
+    * xor of xxhash64(u,v)) — one tiny aggregate per round, no
+    * driver-side edge materialization. localCheckpoint truncates the
+    * per-round plan growth exactly as in [[clusterPairs]]. */
+  def clusterPairsStar(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id",
+                       maxIters: Int = 60): DataFrame = {
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).cast("long").as("u"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    // bit_xor, not sum: order-insensitive like sum but can't overflow
+    // under ANSI mode (edges are distinct, so xor-cancellation of a
+    // repeated pair can't happen)
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = digest(edges)
+    var it = 0
+    var stable = edges.isEmpty
+    while (!stable && it < maxIters) {
+      // large-star over the symmetric neighbor view
+      val nbrs = edges.select(col("u").as("x"), col("v").as("n"))
+        .union(edges.select(col("v").as("x"), col("u").as("n")))
+      val wx = Window.partitionBy("x")
+      val ls = nbrs
+        .withColumn("m", least(min(col("n")).over(wx), col("x")))
+        .where(col("n") > col("x"))
+        .select(least(col("n"), col("m")).as("u"),
+          greatest(col("n"), col("m")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over edges oriented toward the larger endpoint
+      // (u <= x by construction, so m = min(N≤ ∪ {x}) = min over n)
+      val sNbrs = ls.select(col("v").as("x"), col("u").as("n"))
+      val ss = sNbrs
+        .withColumn("m", min(col("n")).over(wx))
+        .select(explode(array(col("n"), col("x"))).as("node"), col("m"))
+        .where(col("node") =!= col("m"))
+        .select(col("m").as("u"), col("node").as("v"))
+        .distinct().localCheckpoint()
+      val cur = digest(ss)
+      stable = cur == prev
+      prev = cur
+      edges = ss
+      it += 1
+    }
+    if (!stable && it >= maxIters) throw new IllegalStateException(
+      s"clusterPairsStar did not converge after $maxIters rounds — " +
+        "pathological input (the formulation is O(log n); raise maxIters)")
+    // The digest compare is probabilistic (count + hash-xor), so the
+    // exit is re-proven exactly: a converged edge set is a disjoint
+    // union of stars — every member appears in exactly ONE edge and
+    // no root is ever a member. Both checks are one cheap aggregate;
+    // star-ness + connectivity preservation imply each root is its
+    // original component's minimum, so the labeling below is the
+    // exact transitive closure.
+    if (!edges.isEmpty) {
+      val starOk = edges.groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0) == 1L &&
+        edges.select("u").intersect(edges.select("v")).isEmpty
+      if (!starOk) throw new IllegalStateException(
+        "clusterPairsStar digest converged on a non-star edge set " +
+          "(hash-xor collision) — raise maxIters or reseed")
+    }
+    // fixed point: edges = (root, member) stars. Defensive min() in
+    // case a member carries edges from both phases of the last round.
+    val labels = edges.groupBy(col("v").as("id"))
+      .agg(min(col("u")).as("cluster"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicates via random-hyperplane LSH
     * (sign-random-projection): bit j = sign(planes(j) · v); band keys
     * over `rowsPerBand`-bit groups; exact cosine verification ≥

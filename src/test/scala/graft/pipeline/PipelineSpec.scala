@@ -483,6 +483,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2.values.toSet == Set(1L), c2.toString)
   }
 
+  test("lineDedup drops cross-doc boilerplate lines, keeps order and exempts short lines") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "unique opening\nCOPYRIGHT FOOTER\nbody text one\n"),
+      (2L, "another intro\nCOPYRIGHT FOOTER\nbody text two"),
+      (3L, "COPYRIGHT FOOTER\nsolo content"),
+      (4L, "nothing shared here")).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(d, minDocs = 2, minLineLen = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the footer (3 docs) goes everywhere; trailing "" after doc 1's
+    // final \n is exempt via... minLineLen=1 exempts only len<1, but
+    // "" appears once (doc 1) so it survives on frequency anyway
+    assert(got(0) == ((1L, "unique opening\nbody text one\n", 1L)), got(0).toString)
+    assert(got(1) == ((2L, "another intro\nbody text two", 1L)))
+    assert(got(2) == ((3L, "solo content", 1L)))
+    assert(got(3) == ((4L, "nothing shared here", 0L)))
+    // minLineLen exempts short separator lines even when shared
+    val d2 = Seq((1L, "alpha\n--\nbeta"), (2L, "gamma\n--\ndelta"))
+      .toDF("doc_id", "text")
+    val kept = DedupOps.lineDedup(d2, minDocs = 2, minLineLen = 3)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(kept.sameElements(Array("alpha\n--\nbeta", "gamma\n--\ndelta")))
+    // a doc whose every line is boilerplate survives as an empty text
+    val d3 = Seq((1L, "same"), (2L, "same"), (3L, "same\nextra"))
+      .toDF("doc_id", "text")
+    val all = DedupOps.lineDedup(d3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(all.toSeq == Seq((1L, "", 1L), (2L, "", 1L), (3L, "extra", 1L)))
+  }
+
+  test("clusterPairsStar matches min-label propagation, in O(log n) rounds") {
+    import spark.implicits._
+    // same fixtures as the clusterPairs test — identical output contract
+    val d = Seq(1L, 2L, 3L, 5L, 7L, 9L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.clusterPairsStar(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      7L -> 7L, 9L -> 7L, 11L -> 11L), got.toString)
+    // a 200-node path: diameter 199 defeats clusterPairs at any sane
+    // cap, but star contraction halves tree height per round — it
+    // must finish well inside 20 rounds (the maxIters here ASSERTS
+    // the O(log n) bound, not just correctness)
+    val chain = (1L to 200L).toDF("doc_id")
+    val chainPairs = (1L to 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c2 = DedupOps.clusterPairsStar(chain, chainPairs, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.size == 200 && c2.values.toSet == Set(1L), c2.toString)
+    // random multi-component graph: identity with clusterPairs
+    val rnd = new scala.util.Random(42)
+    val n = 80
+    val rd = (1L to n.toLong).toDF("doc_id")
+    val rp = (1 to 60).map(_ =>
+      (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val viaStar = DedupOps.clusterPairsStar(rd, rp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabel = DedupOps.clusterPairs(rd, rp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaLabel)
+    // no edges at all: everyone is their own singleton cluster
+    val lone = DedupOps.clusterPairsStar(
+      Seq(4L, 8L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone == Map(4L -> 4L, 8L -> 8L))
+  }
+
   test("clusterPairs throws when a component outruns the iteration cap") {
     import spark.implicits._
     val chain = (1L to 12L).toDF("doc_id")
