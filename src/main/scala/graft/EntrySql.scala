@@ -579,6 +579,52 @@ reach AS (
 )
 SELECT id AS doc_id, min(cluster) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Hybrid-retrieval RRF oracle: the BM25 lexical top-`kList` (same
+    * CTEs as [[orTopk]]) and the embedding-cosine top-`kList` (same
+    * CTEs as [[annTopkSql]], vec_id plays doc_id), each re-ranked by
+    * (score desc, id), fused by Σ 1/(k0 + rank). The 2-term double
+    * sum is commutative, so no ordered aggregation is needed. */
+  def rrfSql(ts: Seq[String], kList: Int, k0: Int, k: Int): String =
+    prefix(ts) + scored + s""",
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+        FROM (SELECT doc_id, round(raw, 4) + 0.0 AS sc FROM scored
+              ORDER BY round(raw, 4) DESC, doc_id LIMIT $kList)),
+f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+dd AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+       FROM f JOIN q USING(i) GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+den AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cz DESC, vec_id) AS rank
+        FROM (SELECT vec_id, round(dot / (nv * nq), 6) AS cz FROM dd, qn
+              WHERE vec_id <> 0
+              ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $kList)),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM den)
+SELECT doc_id, round(sum(1.0 / ($k0 + rank)), 6) AS rrf, count(*)::BIGINT AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY round(sum(1.0 / ($k0 + rank)), 6) DESC, doc_id LIMIT $k"""
+
+  /** Add-α bigram-LM perplexity oracle: same simple tokenization,
+    * same model counts, same smoothing as TextOps.bigramPerplexity —
+    * the entire LM training replayed in SQL. */
+  def perplexitySql(alpha: Double): String =
+    s"""WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos FROM tokarr),
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tok),
+p AS (SELECT big.doc_id, ln((c2.c2 + $alpha) / (c1.c1 + $alpha * v.v)) AS lnp
+      FROM big JOIN c2 USING(w1, w2) JOIN c1 USING(w1), v),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(exp(-sum(lnp) / count(*)), 4) AS ppl
+        FROM p GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, a.ppl
+FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"""
+
   /** Duplicated-line removal oracle: identical line synthesis
     * (every-10-words wrap — DuckDB spells the replacement `\1`+chr(10)
     * where Spark spells it `$1\n`; same RE2-portable pattern), then
@@ -1168,6 +1214,31 @@ sp AS (
       partSql = """tw * (wdfn * (ln(wdfn / (cf / n)) / ln(2))
         + ((cf / n) - wdfn) / ln(2)
         + 0.5 * (ln(2 * pi() * wdfn) / ln(2))) / (wdfn + 1.0)""")
+
+  /** DFR PL2+ (c = 1, δ = 0.8, wqf = 1): λ = cf/N, w̄ = wdfn + δ,
+    * part = (w̄·log2(w̄/λ) + (λ−w̄)·log2 e + ½ log2(2π w̄)) / (wdfn+1)
+    * — Lv & Zhai's lower-bounded tf normalization: the information
+    * content shifts by δ, the Laplace denominator keeps wdfn. */
+  def pl2plus(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """tw * ((wdfn + 0.8) * (ln((wdfn + 0.8) / (cf / n)) / ln(2))
+        + ((cf / n) - (wdfn + 0.8)) / ln(2)
+        + 0.5 * (ln(2 * pi() * (wdfn + 0.8)) / ln(2))) / (wdfn + 1.0)""")
+
+  /** DFR DLH (parameter-free, wqf = 1): f = wdf/len,
+    * part = (wdf·log2((wdf·avglen/len)·(N/cf)) + (len−wdf)·log2(1−f)
+    *        + ½ log2(2π·wdf·(1−f))) / (wdf + 0.5);
+    * a wdf == len match scores 0 (graft.core.DlhWeight mirror). */
+  def dlh(terms: Seq[String]): String =
+    schemeMatch(terms,
+      twSql = "1.0",
+      partSql = """CASE WHEN wdf::DOUBLE / len >= 1.0 THEN 0.0 ELSE
+        tw * (wdf * (ln(wdf * avglen / len * (n / cf)) / ln(2))
+              + (len - wdf) * (ln(1.0 - wdf::DOUBLE / len) / ln(2))
+              + 0.5 * (ln(2 * pi() * wdf * (1.0 - wdf::DOUBLE / len)) / ln(2)))
+           / (wdf + 0.5)
+        END""")
 
   /** DFR DPH (parameter-free, wqf = 1): f = wdf/len,
     * part = ((1−f)²/(wdf+1)) · (wdf·log2((wdf·avglen/len)·(N/cf))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Query
-import graft.pipeline.{AnnOps, DedupOps, EventOps, TextOps}
+import graft.pipeline.{AnnOps, DedupOps, EventOps, HybridOps, TextOps}
 import graft.queryparser.QueryParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -229,9 +229,17 @@ object SparkEntry {
       EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
         graft.matcher.MatchOptions(weight = graft.core.Pl2Weight()))
         .orderBy("doc_id")),
+    "ft_pl2plus" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.Pl2PlusWeight()))
+        .orderBy("doc_id")),
     "ft_dph" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
         graft.matcher.MatchOptions(weight = graft.core.DphWeight()))
+        .orderBy("doc_id")),
+    "ft_dlh" -> ((s, d) =>
+      EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
+        graft.matcher.MatchOptions(weight = graft.core.DlhWeight()))
         .orderBy("doc_id")),
     "ft_lm" -> ((s, d) =>
       EntrySupport.matchDf(s, d, Query.Or(Seq(t("data"), t("stream"))),
@@ -431,6 +439,16 @@ object SparkEntry {
       AnnOps.ivfSearchIndexed(s, ivfIndexPath(s, d, cs), cs,
         queryVec(s, d), 10, nprobe = 3)
     }),
+    // hybrid retrieval: BM25 lexical top-50 fused with the
+    // embedding-cosine top-50 by reciprocal-rank fusion (vec_id plays
+    // doc_id — the corpus tables share the id space)
+    "hy_rrf" -> ((s, d) => {
+      val lex = EntrySupport.topkDf(s, d,
+        Query.Or(Seq(t("data"), t("stream"), t("query"))), 50)
+      val den = AnnOps.bruteForceTopK(embeddings(s, d), queryVec(s, d), 50,
+        excludeId = Some(0L)).withColumnRenamed("vec_id", "doc_id")
+      HybridOps.rrfFuse(Seq((lex, "score"), (den, "cosine")), k0 = 60, topK = 10)
+    }),
 
     // ---------- training-data pipeline: text analysis ----------
     "ta_tokens" -> ((s, d) =>
@@ -440,6 +458,12 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       TextOps.qualityFeatures(documents(s, d), qualityStopwords).orderBy("doc_id")),
+    // CCNet-role LM quality signal: add-α bigram perplexity, model
+    // trained on the corpus itself — the ENTIRE LM training (counts,
+    // smoothing, scoring) is replayed in the DuckDB oracle
+    "ta_perplexity" -> ((s, d) =>
+      TextOps.bigramPerplexity(documents(s, d), alpha = 0.5)
+        .orderBy("doc_id")),
     "ta_winnow" -> ((s, d) =>
       TextOps.winnowDigest(documents(s, d)).orderBy("doc_id")),
     // PII redaction: emails → [EMAIL], IPv4 → [IP], digit runs →
@@ -562,7 +586,9 @@ object SparkEntry {
     "ft_bm25plus" -> EntrySql.bm25plus(Seq("data", "stream")),
     "ft_inl2" -> EntrySql.inl2(Seq("data", "stream")),
     "ft_pl2" -> EntrySql.pl2(Seq("data", "stream")),
+    "ft_pl2plus" -> EntrySql.pl2plus(Seq("data", "stream")),
     "ft_dph" -> EntrySql.dph(Seq("data", "stream")),
+    "ft_dlh" -> EntrySql.dlh(Seq("data", "stream")),
     "ft_lm" -> EntrySql.lmDirichlet(Seq("data", "stream")),
     "ft_ifb2" -> EntrySql.ifb2(Seq("data", "stream")),
     "ft_ineb2" -> EntrySql.ineb2(Seq("data", "stream")),
@@ -596,8 +622,10 @@ object SparkEntry {
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
+    "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
+    "ta_perplexity" -> EntrySql.perplexitySql(0.5),
     "ta_winnow" -> EntrySql.winnowSql(),
     "ta_pii" -> EntrySql.piiSql,
     "ta_chunks" -> EntrySql.chunksSql(40, 30),

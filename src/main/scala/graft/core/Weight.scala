@@ -332,6 +332,56 @@ final case class Pl2Weight(c: Double = 1.0) extends Weight {
 }
 
 /**
+ * DFR PL2+ — PL2 with Lv & Zhai's lower-bounded tf normalization
+ * (Lv & Zhai, CIKM 2011, "Lower-bounding term frequency
+ * normalization"; reference: xapian-core/weight/pl2plusweight.cc):
+ * the Poisson information content is evaluated at wdfn + δ, so a
+ * single occurrence in a long document keeps a non-vanishing gain
+ * (PL2's normalization drives it to 0), while the Laplace
+ * after-effect keeps the ORIGINAL wdfn:
+ *   wdfn = wdf · log2(1 + c·avgLen/doclen),  λ = cf/N,  w̄ = wdfn + δ
+ *   w    = wqf/(wdfn+1) · (w̄·log2(w̄/λ) + (λ−w̄)·log2 e
+ *                          + ½·log2(2π·w̄))
+ * Defaults c = 1, δ = 0.8 (upstream's). Same non-monotone DFR dip as
+ * PL2 → wandSafe = false with the endpoint maxPart heuristic.
+ */
+final case class Pl2PlusWeight(c: Double = 1.0, delta: Double = 0.8)
+    extends Weight {
+  require(c > 0.0, "PL2+ c must be positive")
+  require(delta > 0.0, "PL2+ delta must be positive")
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
+
+  /** λ — the term's Poisson mean cf/N. */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    cf.toDouble / stats.n
+
+  override def usesTermStat: Boolean = true
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0 || termStat <= 0.0) return 0.0
+    val wdfn = wdf * (math.log(1.0 + c * stats.avgLen / doclen) / log2)
+    if (wdfn <= 0.0) return 0.0
+    val wd = wdfn + delta
+    val p = wd * (math.log(wd / termStat) / log2) +
+      (termStat - wd) / log2 +
+      0.5 * (math.log(2.0 * math.Pi * wd) / log2)
+    termWt * p / (wdfn + 1.0)
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double =
+    math.max(0.0, math.max(
+      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
+      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+
+  override def wandSafe: Boolean = false
+}
+
+/**
  * DFR DPH: parameter-free hypergeometric model, Popper normalization
  * (Amati et al., "FUB, IASI-CNR and University of Tor Vergata at
  * TREC 2007"; reference: xapian-core/weight/dphweight.cc):
@@ -374,6 +424,63 @@ final case class DphWeight() extends Weight {
       sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
 
   override def wandSafe: Boolean = false
+}
+
+/**
+ * DFR DLH: parameter-free hypergeometric model with Laplace
+ * normalization (Amati's DLH as shipped by Terrier — the DLH13
+ * variant; reference: xapian-core/weight/dlhweight.cc):
+ *   f = wdf/doclen
+ *   w = wqf · (wdf·log2((wdf·avgLen/doclen)·(N/cf))
+ *              + (doclen − wdf)·log2(1 − f)
+ *              + ½·log2(2π·wdf·(1−f))) / (wdf + ½)
+ * A wdf == doclen posting gets 0 (both (1−f) logs diverge — the
+ * same saturated-document guard as DPH). Non-monotone in (wdf, len),
+ * and BOTH endpoint corners of a block degenerate to the f ≥ 1 guard,
+ * so the PL2/DPH endpoint heuristic is NOT admissible here; maxPart
+ * instead uses a PROVEN analytic bound (termwise, with B ≤ 0 dropped):
+ *   sumPart = wqf·(A + B + C)/(wdf+½),   f ≤ fmax = min(1, maxWdf/minLen)
+ *   A/(wdf+½) = wdf·log2(f·K)/(wdf+½) ≤ max(0, log2(fmax·K)),
+ *     K = avgLen·N/cf   (wdf/(wdf+½) < 1 when positive; ≤ 0 otherwise)
+ *   B = (len−wdf)·log2(1−f) ≤ 0
+ *   C/(wdf+½) ≤ ½·log2(2π·wdf)/(wdf+½) ≤ ½·log2(2π)/1.5  (decreasing
+ *     in wdf ≥ 1)
+ * Admissible ⇒ wandSafe = true (loose — it prunes less than BM25's
+ * tight bound, but never wrongly).
+ */
+final case class DlhWeight() extends Weight {
+  private val log2 = math.log(2.0)
+
+  def termWeight(wqf: Int, df: Long, stats: StatsRow,
+                 rel: RelFreq): Double = wqf.toDouble
+
+  /** cf — the term's collection frequency. */
+  override def termStat(df: Long, cf: Long, stats: StatsRow): Double =
+    cf.toDouble
+
+  override def usesTermStat: Boolean = true
+
+  def sumPart(termWt: Double, termStat: Double, wdf: Int, doclen: Long,
+              stats: StatsRow): Double = {
+    if (wdf <= 0 || doclen <= 0 || termStat <= 0.0) return 0.0
+    val f = wdf.toDouble / doclen
+    if (f >= 1.0) return 0.0
+    val info = wdf * (math.log(wdf * stats.avgLen / doclen *
+        (stats.n / termStat)) / log2) +
+      (doclen - wdf) * (math.log(1.0 - f) / log2) +
+      0.5 * (math.log(2.0 * math.Pi * wdf * (1.0 - f)) / log2)
+    termWt * info / (wdf + 0.5)
+  }
+
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double = {
+    if (maxWdf <= 0 || minDocLen <= 0 || termStat <= 0.0) return 0.0
+    val fmax = math.min(1.0, maxWdf.toDouble / minDocLen)
+    val k = stats.avgLen * stats.n / termStat
+    val aPart = math.max(0.0, math.log(fmax * k) / log2)
+    val cPart = 0.5 * (math.log(2.0 * math.Pi) / log2) / 1.5
+    termWt * (aPart + cPart)
+  }
 }
 
 /**

@@ -9,8 +9,9 @@ package graft.core
  * Spec grammar: `name` or `name:arg[,arg...]` —
  *   bm25[:k1,k2,k3,b,minNormLen]   bm25+[:...same,delta]
  *   trad[:k]        bool           coord
- *   tfidf[:ntn]     inl2[:c]       pl2[:c]      dph
- *   ifb2[:c]        ineb2[:c]      bb2[:c]
+ *   tfidf[:ntn]     inl2[:c]       pl2[:c]      pl2+[:c,delta]
+ *   dph             dlh            ifb2[:c]     ineb2[:c]
+ *   bb2[:c]
  *   lm[:smoothing[,lambda[,mu]]]   (jm | dirichlet | two_stage)
  */
 object Weights {
@@ -34,7 +35,9 @@ object Weights {
         TfIdfWeight(if (args.nonEmpty && args(0).nonEmpty) args(0) else "ntn")
       case "inl2"  => InL2Weight(d(0, 1.0))
       case "pl2"   => Pl2Weight(d(0, 1.0))
+      case "pl2+" | "pl2plus" => Pl2PlusWeight(d(0, 1.0), d(1, 0.8))
       case "dph"   => DphWeight()
+      case "dlh"   => DlhWeight()
       case "ifb2"  => IfB2Weight(d(0, 1.0))
       case "ineb2" => IneB2Weight(d(0, 1.0))
       case "bb2"   => Bb2Weight(d(0, 1.0))
@@ -45,7 +48,7 @@ object Weights {
       case other =>
         throw new IllegalArgumentException(
           s"unknown weighting scheme '$other' (bm25, bm25+, trad, bool, " +
-            "coord, tfidf, inl2, pl2, dph, ifb2, ineb2, bb2, lm)")
+            "coord, tfidf, inl2, pl2, pl2+, dph, dlh, ifb2, ineb2, bb2, lm)")
     }
   }
 }

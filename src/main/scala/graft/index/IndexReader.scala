@@ -95,6 +95,21 @@ class IndexReader(val spark: SparkSession, val dir: String, val nBuckets: Int = 
                   val stripeShift: Int = 14) extends Index {
   import spark.implicits._
 
+  // Fail fast on knob mismatch: opening with nBuckets/stripeShift
+  // that disagree with the persisted build config silently prunes
+  // every lookup to the wrong bucket files (0 hits, NO error) — the
+  // footgun IndexReader.open exists to prevent. Indexes without a
+  // _config.json (hand-assembled test dirs) skip the check.
+  if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/_config.json"))) {
+    val c = IndexReader.configOf(dir)
+    require(c.nBuckets == nBuckets && c.stripeShift == stripeShift,
+      s"index at $dir was built with nBuckets=${c.nBuckets}, " +
+        s"stripeShift=${c.stripeShift} but opened with nBuckets=" +
+        s"$nBuckets, stripeShift=$stripeShift — open with " +
+        "IndexReader.open(spark, dir) (self-describing)")
+  }
+
   lazy val stats: StatsRow =
     spark.read.parquet(s"$dir/stats").as[StatsRow].collect()(0)
 

@@ -185,6 +185,20 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
           (ts - wdfn) / lit(ln2) +
           lit(0.5) * (log(lit(2.0 * math.Pi) * wdfn) / lit(ln2))
         tw * p / (wdfn + lit(1.0))
+      case Pl2PlusWeight(c, delta) =>
+        val wdfn = wdf * (log(lit(1.0) + lit(c) * lit(stats.avgLen) / doclen) / lit(ln2))
+        val wd = wdfn + lit(delta)
+        val p = wd * (log(wd / ts) / lit(ln2)) +
+          (ts - wd) / lit(ln2) +
+          lit(0.5) * (log(lit(2.0 * math.Pi) * wd) / lit(ln2))
+        tw * p / (wdfn + lit(1.0))
+      case DlhWeight() =>
+        val f = wdf.cast("double") / doclen
+        val info = wdf * (log(wdf * lit(stats.avgLen) / doclen *
+            (lit(stats.n.toDouble) / ts)) / lit(ln2)) +
+          (doclen - wdf) * (log(lit(1.0) - f) / lit(ln2)) +
+          lit(0.5) * (log(lit(2.0 * math.Pi) * wdf * (lit(1.0) - f)) / lit(ln2))
+        when(f >= 1.0, lit(0.0)).otherwise(tw * info / (wdf + lit(0.5)))
       case DphWeight() =>
         val f = wdf.cast("double") / doclen
         val norm = (lit(1.0) - f) * (lit(1.0) - f) / (wdf + lit(1.0))

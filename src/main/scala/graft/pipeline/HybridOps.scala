@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Hybrid retrieval fusion: combine a lexical (BM25) candidate list
+ * with a dense (embedding-cosine) candidate list into one ranking —
+ * the retrieval shape RAG/training-data pipelines run over a corpus
+ * that has both an inverted index and an ANN index.
+ *
+ * Scale design: fusion operates on candidate LISTS, not the corpus —
+ * each input is a top-k frame (k rows), so every step here is
+ * driver-trivial regardless of corpus size; the heavy lifting already
+ * happened inside the matcher / ANN scan that produced the lists.
+ * The single-partition row_number windows are therefore deliberate:
+ * k rows, no skew, no shuffle pressure.
+ */
+object HybridOps {
+
+  /**
+   * Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard
+   * score-free fusion): each list contributes 1/(k0 + rank) for every
+   * id it contains; ids are ranked by the summed contribution.
+   * k0 = 60 is the published default — it damps the head so one
+   * list's #1 can't dominate both lists' #2–#4.
+   *
+   * Inputs are (id, score) frames; each is re-ranked internally by
+   * (score desc, id asc) so callers pass raw scored lists and the
+   * tie-break is engine-deterministic. With two lists the fused sum
+   * is a 2-term double add (commutative — exactly reproducible);
+   * rounding to 6 decimals keeps the cut stable across engines.
+   *
+   * Output: (idCol, rrf, n_lists) ordered by (rrf desc, id asc),
+   * top `topK`.
+   */
+  def rrfFuse(lists: Seq[(DataFrame, String)], k0: Int = 60,
+              topK: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val ranked = lists.map { case (df, scoreCol) =>
+      df.select(col(idCol),
+        row_number().over(
+          Window.orderBy(col(scoreCol).desc, col(idCol).asc)).as("rank"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(
+        round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+  }
+}

@@ -403,4 +403,68 @@ object TextOps {
     val f = udf(detectLang _)
     docs.select(col("doc_id"), f(col("text")).as("lang_pred"))
   }
+
+  /**
+   * N-gram language-model perplexity scoring — the CCNet-style
+   * quality signal (Wenzek et al.: docs are bucketed by LM perplexity
+   * on clean text; low = fluent, high = noise/boilerplate/garble).
+   * Here the LM is an add-α-smoothed word bigram model trained on
+   * `train` (default: the scored corpus itself — self-perplexity,
+   * which still separates repetitive/garbled docs from fluent ones):
+   *
+   *   p(w2 | w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)
+   *   ppl(doc)   = exp( −Σ ln p / n_bigrams )
+   *
+   * Scale shape: bigrams are built IN-ROW (array transform over the
+   * token array — no token-table self-join, no extra shuffle); the
+   * model is two hash aggregates over the exploded bigrams; scoring
+   * is one join per model table keyed on the bigram/context. Those
+   * keys are Zipf-skewed — at 100 TB either broadcast the model
+   * (vocab² is far smaller than the corpus) or let AQE split the
+   * skewed reducers; V rides a one-row crossJoin (stays declarative,
+   * no driver action). Tokenization is the SQL-replayable simple mode
+   * (lower + split on non-[a-z0-9]) so DuckDB recomputes the exact
+   * model.
+   *
+   * Output: (doc_id, n_bigrams, ppl) — ppl NULL for docs with fewer
+   * than two tokens; ppl rounded to 4 decimals (exp amplifies the
+   * float-sum tail, so 6 would be overconfident).
+   */
+  def bigramPerplexity(docs: DataFrame, alpha: Double = 0.5,
+                       textCol: String = "text",
+                       train: Option[DataFrame] = None): DataFrame = {
+    def words(df: DataFrame) = df.select(col("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= lit("")).as("ws"))
+    def bigrams(df: DataFrame) = words(df)
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val trainDocs = train.getOrElse(docs)
+    val c2 = bigrams(trainDocs).groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vDf = words(trainDocs)
+      .select(explode(col("ws")).as("w")).agg(count_distinct(col("w"))
+        .cast("double").as("v"))
+
+    val scored = bigrams(docs)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vDf))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0.0)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0.0)) + lit(alpha) * col("v"))).as("lnp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("lnp")) / count(lit(1))), 4).as("ppl"))
+
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
+  }
 }

@@ -504,9 +504,9 @@ object QueryParser {
           if (!isPartial) leaf
           else leaf match {
             case Some(l) => Some(Query.Max(Seq(
-              Query.Wildcard(prefix + raw, limit = "most_frequent"), l)))
+              Query.Wildcard(prefix + raw, limit = "most_frequent", partial = true), l)))
             case None    =>
-              Some(Query.Wildcard(prefix + raw, limit = "most_frequent"))
+              Some(Query.Wildcard(prefix + raw, limit = "most_frequent", partial = true))
           }
         if (wild) Some(Wildcard(prefix + raw))
         else if (toks.size > 1 && stemmed)

@@ -155,6 +155,50 @@ class WeightSpec extends AnyFunSuite {
       assert(p.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
   }
 
+  test("PL2+ shifts the information content by delta, keeps the PL2 denominator") {
+    val p = Pl2Weight(c = 1.0)
+    val pp = Pl2PlusWeight(c = 1.0, delta = 0.8)
+    val ts = pp.termStat(2, 3, stats) // λ = cf/N = 1
+    assert(ts == 1.0)
+    // wdf=2, len=3 → wdfn=2, w̄=2.8; hand-compute against the formula
+    val wd = 2.0 + 0.8
+    val expected = (wd * log2(wd / 1.0) + (1.0 - wd) / ln2 +
+      0.5 * log2(2 * math.Pi * wd)) / 3.0
+    assert(math.abs(pp.sumPart(1.0, ts, 2, 3, stats) - expected) < 1e-12)
+    // the δ lower bound: a 1-occurrence match in the longest doc gains
+    // MORE than plain PL2 gives it (the whole point of the scheme)
+    assert(pp.sumPart(1.0, ts, 1, 4, stats) > p.sumPart(1.0, ts, 1, 4, stats))
+    assert(!pp.wandSafe)
+    val bound = pp.maxPart(1.0, ts, 4, 2, stats)
+    for (wdf <- 1 to 4; len <- 2L to 4L)
+      assert(pp.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
+  }
+
+  test("DLH hand-computed; zero at wdf == doclen like DPH") {
+    val d = DlhWeight()
+    val ts = d.termStat(2, 3, stats) // cf = 3
+    assert(d.sumPart(1.0, ts, 3, 3, stats) == 0.0) // f = 1 guard
+    // wdf=1, len=4, avg=3, N=3, cf=3 → f=1/4
+    val f = 0.25
+    val expected = (1 * log2(1.0 * 3.0 / 4 * (3.0 / 3.0)) +
+      (4 - 1) * log2(1.0 - f) +
+      0.5 * log2(2 * math.Pi * 1 * (1.0 - f))) / 1.5
+    assert(math.abs(d.sumPart(1.0, ts, 1, 4, stats) - expected) < 1e-12)
+    // maxPart is a PROVEN analytic bound (the endpoint heuristic is
+    // NOT admissible for DLH: both block corners hit the f ≥ 1 guard
+    // while the interior doesn't — e.g. sumPart(2,3) > 0 here), so
+    // DLH stays on the WAND path; verify admissibility on the grid
+    assert(d.wandSafe)
+    assert(d.sumPart(1.0, ts, 2, 3, stats) > 0.0) // the interior max
+    val bound = d.maxPart(1.0, ts, 4, 2, stats)
+    for (wdf <- 1 to 4; len <- 2L to 4L)
+      assert(d.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
+    // per-block admissibility with tighter block stats too
+    for (bw <- 1 to 4; bl <- 2L to 4L; wdf <- 1 to bw; len <- bl to 4L)
+      assert(d.sumPart(1.0, ts, wdf, len, stats) <=
+        d.maxPart(1.0, ts, bw, bl, stats) + 1e-9)
+  }
+
   test("DPH zero at wdf == doclen, positive for a normal match") {
     val d = DphWeight()
     val ts = d.termStat(2, 3, stats) // cf = 3

@@ -32,6 +32,24 @@ class IndexBuilderSpec extends AnyFunSuite {
       }, stemMode = "none")
   }
 
+  test("IndexReader fails fast when opened with knobs that disagree with _config.json") {
+    // wrong nBuckets would silently bucket-prune every lookup to the
+    // wrong files (0 hits, no error) — must throw at construction
+    val e = intercept[IllegalArgumentException] {
+      new IndexReader(spark, idxDir, cfg.nBuckets + 1, cfg.stripeShift)
+    }
+    assert(e.getMessage.contains("IndexReader.open"))
+    intercept[IllegalArgumentException] {
+      new IndexReader(spark, idxDir, cfg.nBuckets, cfg.stripeShift + 2)
+    }
+    // matching knobs and the self-describing open both succeed
+    assert(new IndexReader(spark, idxDir, cfg.nBuckets, cfg.stripeShift)
+      .stats.n == corpus.size)
+    val opened = IndexReader.open(spark, idxDir)
+    assert(opened.nBuckets == cfg.nBuckets &&
+      opened.stripeShift == cfg.stripeShift)
+  }
+
   test("docIds are dense, 1-based, ordered by (repo, path, commit)") {
     val docs = spark.read.parquet(s"$idxDir/docs")
       .select("docId", "repo", "path", "commit")

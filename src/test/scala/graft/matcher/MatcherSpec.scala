@@ -322,8 +322,16 @@ class MatcherSpec extends AnyFunSuite {
     checkScheme(Pl2Weight(), "pl2")
     assert(!new WandMatcher(reader, weight = Pl2Weight()).supports(t(midTerm)))
   }
+  test("PL2+ rank-identical to oracle (Dataset path; WAND refuses)") {
+    checkScheme(Pl2PlusWeight(), "pl2plus")
+    checkScheme(Pl2PlusWeight(c = 2.0, delta = 0.5), "pl2plus-c2")
+  }
   test("DPH rank-identical to oracle (Dataset path; WAND refuses)") {
     checkScheme(DphWeight(), "dph")
+  }
+  test("DLH rank-identical across paths (proven analytic WAND bound)") {
+    checkScheme(DlhWeight(), "dlh")
+    assert(new WandMatcher(reader, weight = DlhWeight()).supports(t(midTerm)))
   }
   test("IfB2 rank-identical across paths") { checkScheme(IfB2Weight(), "ifb2") }
   test("IneB2 rank-identical across paths") { checkScheme(IneB2Weight(), "ineb2") }

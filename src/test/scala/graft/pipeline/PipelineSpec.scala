@@ -483,6 +483,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2.values.toSet == Set(1L), c2.toString)
   }
 
+  test("bigramPerplexity: add-alpha bigram LM, hand-computed and by-property") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.bigramPerplexity(d, alpha = 0.5).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // model over all docs: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1;
+    // c1(a)=3, c1(b)=2; V=4 (a, b, c, x)
+    val v = 4.0
+    def p(c2: Double, c1: Double) = (c2 + 0.5) / (c1 + 0.5 * v)
+    def ppl(ps: Seq[Double]) =
+      BigDecimal(math.exp(-ps.map(math.log).sum / ps.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ppl1 = ppl(Seq(p(3, 3), p(1, 2), p(3, 3))) // a-b, b-a, a-b
+    val ppl2 = ppl(Seq(p(3, 3), p(1, 2)))          // a-b, b-c
+    assert(got(0) == ((1L, 3L, Some(ppl1))), got(0).toString)
+    assert(got(1) == ((2L, 2L, Some(ppl2))), got(1).toString)
+    assert(got(2) == ((3L, 0L, None)))             // 1 token: no bigrams
+    // property: a repetitive doc scores LOWER perplexity than one of
+    // all-distinct transitions (the CCNet separation this op exists for)
+    val d2 = Seq((1L, "w w w w w w w w"), (2L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val p2 = TextOps.bigramPerplexity(d2, alpha = 0.5).orderBy("doc_id")
+      .collect().map(_.getDouble(2))
+    assert(p2(0) < p2(1), p2.mkString(","))
+    // unseen bigrams against a held-out train frame hit the smoothing
+    // floor, not a crash/null
+    val scoredAgainst = TextOps.bigramPerplexity(
+      Seq((9L, "z z q")).toDF("doc_id", "text"), alpha = 0.5,
+      train = Some(d)).collect()
+    assert(scoredAgainst.length == 1 && !scoredAgainst(0).isNullAt(2))
+    // unseen context: p = 0.5/(0.5*4) = 1/4 per bigram → ppl = 4
+    assert(scoredAgainst(0).getDouble(2) == 4.0)
+  }
+
+  test("rrfFuse: reciprocal-rank fusion of a lexical and a dense list") {
+    import spark.implicits._
+    val lex = Seq((1L, 3.0), (2L, 2.0)).toDF("doc_id", "score")
+    val den = Seq((2L, 0.9), (3L, 0.8)).toDF("doc_id", "cosine")
+    val got = HybridOps.rrfFuse(Seq((lex, "score"), (den, "cosine")),
+      k0 = 60, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2 is rank 2 lexically and rank 1 densely — it must fuse top
+    assert(got.toSeq == Seq(
+      (2L, r6(1.0 / 62 + 1.0 / 61), 2L),
+      (1L, r6(1.0 / 61), 1L),
+      (3L, r6(1.0 / 62), 1L)), got.mkString(","))
+    // ties in score break by id on BOTH lists (engine-deterministic)
+    val tied = Seq((5L, 1.0), (4L, 1.0)).toDF("doc_id", "score")
+    val tg = HybridOps.rrfFuse(Seq((tied, "score")), topK = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(tg.toSeq == Seq((4L, r6(1.0 / 61)), (5L, r6(1.0 / 62))))
+  }
+
   test("lineDedup drops cross-doc boilerplate lines, keeps order and exempts short lines") {
     import spark.implicits._
     val d = Seq(

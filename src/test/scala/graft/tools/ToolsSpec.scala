@@ -28,7 +28,10 @@ class ToolsSpec extends AnyFunSuite {
     assert(Weights.parse("tfidf:ltn") == TfIdfWeight("ltn"))
     assert(Weights.parse("inl2:1.2") == InL2Weight(1.2))
     assert(Weights.parse("pl2") == Pl2Weight())
+    assert(Weights.parse("pl2+") == Pl2PlusWeight())
+    assert(Weights.parse("pl2plus:2,0.5") == Pl2PlusWeight(2.0, 0.5))
     assert(Weights.parse("dph") == DphWeight())
+    assert(Weights.parse("dlh") == DlhWeight())
     assert(Weights.parse("ifb2") == IfB2Weight())
     assert(Weights.parse("ineb2") == IneB2Weight())
     assert(Weights.parse("bb2:0.8") == Bb2Weight(0.8))
