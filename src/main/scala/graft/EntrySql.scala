@@ -791,6 +791,71 @@ SELECT vec_id, cid::INT AS centroid_id, round(c9, 6) AS cosine
 FROM ranked WHERE rn = 1 ORDER BY vec_id"""
   }
 
+  /** Shared PQ-training CTEs (PqOps.pqTrain + encode): vectors split
+    * into m contiguous subspaces (sub = i // dsub), seeds =
+    * md5-smallest ksub vectors with code ids in vec_id order, then
+    * `iters` unrolled Lloyd rounds per subspace — assignment by
+    * 9-rounded squared L2 (lower code on ties), means rounded to 6
+    * (the rounding that makes training engine-reproducible despite
+    * float summation order), empty codes keep their previous
+    * codeword. Ends with a `codes` CTE = the final assignment. */
+  private def pqPrefix(ksub: Int, dsub: Int, iters: Int): String = {
+    def round1(t: Int): String =
+      s"""dt$t AS (SELECT fs.vec_id, fs.sub, c.cid, sum((fs.v - c.v) * (fs.v - c.v)) AS d2
+  FROM fs JOIN c$t c ON c.sub = fs.sub AND c.j = fs.j GROUP BY 1, 2, 3),
+a$t AS (SELECT vec_id, sub, cid FROM (
+  SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub
+    ORDER BY round(d2, 9), cid) AS rn FROM dt$t) WHERE rn = 1),
+m$t AS (SELECT a.sub, a.cid, fs.j, round(avg(fs.v), 6) AS v
+  FROM fs JOIN a$t a ON a.vec_id = fs.vec_id AND a.sub = fs.sub GROUP BY 1, 2, 3),
+c${t + 1} AS (SELECT sub, cid, j, v FROM m$t UNION ALL
+  SELECT c.sub, c.cid, c.j, c.v FROM c$t c
+  WHERE NOT EXISTS (SELECT 1 FROM m$t m WHERE m.sub = c.sub AND m.cid = c.cid))"""
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+fs AS (SELECT vec_id, i // $dsub AS sub, i % $dsub AS j, v FROM f),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid FROM (
+  SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $ksub)),
+c0 AS (SELECT s.cid, fs.sub, fs.j, fs.v FROM fs JOIN seeds s USING(vec_id)),
+${(0 until iters).map(round1).mkString(",\n")},
+dtF AS (SELECT fs.vec_id, fs.sub, c.cid, sum((fs.v - c.v) * (fs.v - c.v)) AS d2
+  FROM fs JOIN c$iters c ON c.sub = fs.sub AND c.j = fs.j GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, sub, cid AS code FROM (
+  SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub
+    ORDER BY round(d2, 9), cid) AS rn FROM dtF) WHERE rn = 1)"""
+  }
+
+  /** PQ encoding oracle: trained codes in (vec_id, sub, code) long
+    * format. */
+  def pqCodesSql(ksub: Int, dsub: Int, iters: Int): String =
+    pqPrefix(ksub, dsub, iters) + """
+SELECT vec_id, sub::INT AS sub, code::INT AS code FROM codes
+ORDER BY vec_id, sub"""
+
+  /** PQ ADC search oracle: per-subspace lookup table of 9-rounded
+    * squared L2 distances from the vec_id-0 query to the trained
+    * codewords, summed over a vector's codes, 6-rounded, ascending
+    * top-k. */
+  def pqSearchSql(ksub: Int, dsub: Int, iters: Int, k: Int): String =
+    pqPrefix(ksub, dsub, iters) + s""",
+q AS (SELECT sub, j, v FROM fs WHERE vec_id = 0),
+lut AS (SELECT c.sub, c.cid, round(sum((q.v - c.v) * (q.v - c.v)), 9) AS d2
+  FROM c$iters c JOIN q ON q.sub = c.sub AND q.j = c.j GROUP BY 1, 2),
+sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc FROM codes
+  JOIN lut ON lut.sub = codes.sub AND lut.cid = codes.code
+  WHERE codes.vec_id <> 0 GROUP BY 1)
+SELECT vec_id, round(adc, 6) AS adc FROM sc
+ORDER BY round(adc, 6), vec_id LIMIT $k"""
+
+  /** get_matching_terms oracle: the BM25-OR top-k page, then every
+    * (doc, query-term) pair with a posting in that doc — `tf` is
+    * already the term-pruned posting set of the query. */
+  def matchingTermsSql(ts: Seq[String], k: Int): String =
+    prefix(ts) + scored + s""",
+topk AS (SELECT doc_id FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT $k)
+SELECT t.doc_id AS doc_id, tf.term AS term
+FROM topk t JOIN tf ON tf.doc_id = t.doc_id
+ORDER BY t.doc_id, tf.term"""
+
   /** PII scrub oracle: same planted columns, same three regexes in
     * the same order as TextOps.piiScrub (RE2 ≡ Java on these
     * lookaround-free patterns). */

@@ -104,6 +104,27 @@ object EntrySupport {
       .limit(k)
   }
 
+  /** Enquire::get_matching_terms over a whole result page,
+    * distributed: the top-k page (k rows — broadcast) joined against
+    * ONE term-pruned scan of the term-lists table, so listing the
+    * matching terms of a page costs one scan regardless of k, never
+    * a per-doc lookup loop. Emits (doc_id, term) sorted for
+    * engine-portable comparison. */
+  def matchingTermsDf(spark: SparkSession, sfDir: String, q: Query,
+                      k: Int): DataFrame = {
+    val idx = reader(spark, sfDir)
+    val dm = new DatasetMatcher(idx)
+    val top = dm.matches(q).join(docIds(idx), "docId")
+      .select(col("docId"), col("doc_id"),
+        (round(col("score"), 4) + 0.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    val qterms = dm.queryTerms(q)
+    idx.termLists.where(col("term").isin(qterms: _*))
+      .join(broadcast(top.select(col("docId"), col("doc_id"))), "docId")
+      .select(col("doc_id"), col("term"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** Collapse: best doc per `lang` (reference collapser analog),
     * emitted docId-ascending. */
   def collapseDf(spark: SparkSession, sfDir: String, q: Query): DataFrame = {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{AnnOps, DedupOps}
+import graft.pipeline.{AnnOps, DedupOps, PqOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,70 @@ object Recall {
       }
       val mean = recalls.sum / recalls.length
       println(f"""{"metric":"ivf_recall_at_10","k":$k,"nprobe":$nprobe,"queries":${queries.length},"mean_recall":$mean%.4f}""")
+    }
+
+    // ---- PQ ADC recall@10 vs exact L2 (pure quantization loss) ----
+    val books = PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    val encoded = PqOps.pqEncodeWide(emb, books).cache()
+    encoded.count()
+    val pqRecalls = queries.map { case (qid, q) =>
+      val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      val got = PqOps.adcSearch(encoded, books, q, 11)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      exact.intersect(got).size / 10.0
+    }
+    println(f"""{"metric":"pq_adc_recall_at_10","m":8,"ksub":16,"queries":${queries.length},"mean_recall":${pqRecalls.sum / pqRecalls.length}%.4f}""")
+
+    // ---- PQ ADC + exact-refine recall@10 (the production shape) ----
+    for (shortlist <- Seq(50, 100, 200)) {
+      val refined = queries.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = PqOps.adcSearchRefined(encoded, emb, books, q, 11, shortlist,
+            excludeId = Some(qid))
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        exact.intersect(got).size / 10.0
+      }
+      println(f"""{"metric":"pq_refined_recall_at_10","m":8,"ksub":16,"shortlist":$shortlist,"queries":${queries.length},"mean_recall":${refined.sum / refined.length}%.4f}""")
+    }
+
+    // ---- codebook-size knob: ksub=64 (6-bit codes) ----
+    val books64 = PqOps.pqTrain(emb, m = 8, ksub = 64, iters = 3)
+    val encoded64 = PqOps.pqEncodeWide(emb, books64).cache()
+    encoded64.count()
+    val pq64 = queries.map { case (qid, q) =>
+      val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      val got = PqOps.adcSearch(encoded64, books64, q, 11)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      exact.intersect(got).size / 10.0
+    }
+    println(f"""{"metric":"pq_adc_recall_at_10","m":8,"ksub":64,"queries":${queries.length},"mean_recall":${pq64.sum / pq64.length}%.4f}""")
+    val pq64r = queries.map { case (qid, q) =>
+      val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      val got = PqOps.adcSearchRefined(encoded64, emb, books64, q, 11, 100,
+          excludeId = Some(qid))
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      exact.intersect(got).size / 10.0
+    }
+    println(f"""{"metric":"pq_refined_recall_at_10","m":8,"ksub":64,"shortlist":100,"queries":${queries.length},"mean_recall":${pq64r.sum / pq64r.length}%.4f}""")
+
+    // ---- IVF-PQ recall@10 (partition-pruned probes + ADC) ----
+    val ivfpqDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-ivfpq").toString + "/ivfpq"
+    PqOps.writeIvfPqIndex(emb, cs, books, ivfpqDir)
+    for (nprobe <- Seq(1, 2, 4, 8, k)) {
+      val recalls = queries.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = PqOps.ivfPqSearchIndexed(spark, ivfpqDir, cs, books, q, 11, nprobe)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        exact.intersect(got).size / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      println(f"""{"metric":"ivfpq_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${queries.length},"mean_recall":$mean%.4f}""")
     }
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Query
-import graft.pipeline.{AnnOps, DedupOps, EventOps, HybridOps, TextOps}
+import graft.pipeline.{AnnOps, DedupOps, EventOps, HybridOps, PqOps, TextOps}
 import graft.queryparser.QueryParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -274,6 +274,13 @@ object SparkEntry {
       m.withSnippets(joined, "text", q, Snippets.Config(length = 1 << 20))
         .select("doc_id", "snippet").orderBy("doc_id")
     }),
+    // Enquire::get_matching_terms over the whole top-10 page,
+    // distributed: the page broadcasts into ONE term-pruned scan of
+    // the term-lists table — (doc, query-term) pairs, never a
+    // per-doc lookup loop
+    "ft_matchterms" -> ((s, d) =>
+      EntrySupport.matchingTermsDf(s, d,
+        Query.Or(Seq(t("data"), t("stream"), t("query"))), 10)),
     "ft_mcount" -> ((s, d) => {
       import s.implicits._
       val page = new graft.matcher.DatasetMatcher(EntrySupport.reader(s, d))
@@ -438,6 +445,26 @@ object SparkEntry {
       val cs = centroids(s, d, 8)
       AnnOps.ivfSearchIndexed(s, ivfIndexPath(s, d, cs), cs,
         queryVec(s, d), 10, nprobe = 3)
+    }),
+    // Product quantization (FAISS-IVFPQ-role compression): per-
+    // subspace codebooks trained as distributed Lloyd rounds (ONE
+    // explode+groupBy pass per round for all 8 subspaces), vectors
+    // stored as 8 codes instead of 64 floats — the layer that makes
+    // a 100 TB embedding corpus scannable
+    "ann_pq_codes" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      PqOps.pqEncodeLong(emb, PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 2))
+        .orderBy("vec_id", "sub")
+    }),
+    // ADC search over the code table: the query stays un-quantized;
+    // per-subspace distance LUTs are driver literals, so scoring is
+    // 8 array lookups + a sum per row (codegen, no join) ending in
+    // TakeOrderedAndProject — the raw embedding column is never read
+    "ann_pq_search" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val books = PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 2)
+      PqOps.adcSearch(PqOps.pqEncodeWide(emb, books), books,
+        queryVec(s, d), 10, excludeId = Some(0L))
     }),
     // hybrid retrieval: BM25 lexical top-50 fused with the
     // embedding-cosine top-50 by reciprocal-rank fusion (vec_id plays
@@ -622,6 +649,9 @@ object SparkEntry {
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
+    "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),
+    "ann_pq_search" -> EntrySql.pqSearchSql(ksub = 16, dsub = 8, iters = 2, k = 10),
+    "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
     "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),

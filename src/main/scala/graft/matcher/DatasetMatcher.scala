@@ -293,14 +293,23 @@ class DatasetMatcher(idx: Index, opts: MatchOptions = MatchOptions()) {
     * expanded first; the check is ONE docId+term-pruned scan of the
     * term-lists table, not a matching job. */
   def matchingTerms(q: Query, docId: Long): Seq[String] = {
-    val (simplified, _, _) = compiled(q)
-    val qterms =
-      (simplified.terms.map(_.term) ++ extraTerms(simplified)).distinct
+    val qterms = queryTerms(q)
     if (qterms.isEmpty) return Seq.empty
     val present = idx.termLists
       .filter(col("docId") === docId && col("term").isin(qterms: _*))
       .select("term").collect().map(_.getString(0)).toSet
     qterms.filter(present)
+  }
+
+  /** The query's distinct term universe after wildcard/synonym
+    * expansion — weighted terms in query order first, then
+    * filter-only terms: the set get_matching_terms checks a result
+    * doc against. Exposed so callers can run the check distributed
+    * (one term-pruned term-lists scan joined to a whole result page)
+    * instead of per-doc. */
+  def queryTerms(q: Query): Seq[String] = {
+    val (simplified, _, _) = compiled(q)
+    (simplified.terms.map(_.term) ++ extraTerms(simplified)).distinct
   }
 
   private def hasSynonymOf(q: Query): Boolean = q match {

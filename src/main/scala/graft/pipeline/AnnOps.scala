@@ -84,6 +84,17 @@ object AnnOps {
     * from [[kmeansTrain]] — Float→Double widening is exact, so the
     * Float overload delegates here). */
   def ivfAssignD(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val best = bestCentroidD(centroids)
+    vecs.select(col("vec_id"),
+      (-best.getField("negid")).cast("int").as("centroid_id"),
+      round(best.getField("cos"), 6).as("cosine"))
+  }
+
+  /** Per-row (cosine, -centroid_id) argmax struct over literal
+    * centroids — the expression [[ivfAssignD]] projects. Exposed so
+    * composite indexes (IVF-PQ) derive centroid id and codes in ONE
+    * projection instead of a self-join. */
+  def bestCentroidD(centroids: Seq[(Int, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, cvec) =>
       val qn = math.sqrt(cvec.map(x => x * x).sum)
       struct(
@@ -92,10 +103,23 @@ object AnnOps {
         lit(-cid).as("negid"))
     }
     // array_max over (cos, -cid) structs = highest cosine, lowest id on ties
-    val best = array_max(array(scored: _*))
-    vecs.select(col("vec_id"),
-      (-best.getField("negid")).cast("int").as("centroid_id"),
-      round(best.getField("cos"), 6).as("cosine"))
+    array_max(array(scored: _*))
+  }
+
+  /** Brute-force exact top-k by squared L2 distance (ascending) —
+    * the metric twin of [[bruteForceTopK]] and the exact baseline
+    * PQ's asymmetric distance approximates. */
+  def bruteForceTopKL2(vecs: DataFrame, query: Seq[Float], k: Int,
+                       excludeId: Option[Long] = None): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("embedding"), typedLit(query),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = vecs.select(col("vec_id"), round(d2, 6).as("d2"))
+    val base = excludeId.map(id => scored.where(col("vec_id") =!= id))
+      .getOrElse(scored)
+    base.orderBy(col("d2").asc, col("vec_id").asc).limit(k)
   }
 
   /** Deterministic uniform seed sample for k-means: the k vectors

@@ -1,0 +1,210 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (PQ) over the embedding column — the
+ * compressed-vector layer of the 100 TB ANN design (the published
+ * IVF-PQ architecture: Jégou/Douze/Schmid, "Product Quantization for
+ * Nearest Neighbor Search", TPAMI 2011 — public knowledge, the same
+ * role FAISS's IVFPQ plays).
+ *
+ * A dim-D vector splits into `m` contiguous subvectors of D/m dims;
+ * each subspace trains its own `ksub`-codeword codebook (k-means over
+ * subvectors); a vector is then stored as m small codes instead of D
+ * floats — 32× compression at D=64/m=8/float32, which is what makes a
+ * 100 TB embedding corpus scannable. Search is asymmetric distance
+ * computation (ADC): the query stays un-quantized; per subspace a
+ * ksub-entry table of squared-L2 distances to the codewords is
+ * computed once on the driver and inlined as literal arrays, so the
+ * per-row score is m array lookups + a sum — pure whole-stage
+ * codegen, no UDF, no join, no shuffle, ending in
+ * TakeOrderedAndProject. Training is Lloyd rounds as DataFrame
+ * aggregations: ONE distributed explode+groupBy pass per round for
+ * ALL m subspaces together; only m × ksub × (D/m) rounded means ever
+ * reach the driver.
+ *
+ * Determinism contract (mirrors [[AnnOps.kmeansTrain]] so a SQL
+ * engine unrolling the same iterations reproduces codes and ADC
+ * scores bit-exactly): seeds are the ksub vectors with the smallest
+ * md5(vec_id), code ids in vec_id order; assignment ranks
+ * round(d2, 9) ascending with the lower code id on ties; per-round
+ * means round to 6 decimals; ADC table entries round to 9 and the
+ * final score to 6.
+ */
+object PqOps {
+
+  /** Codebooks as [sub][code][j]: m × ksub × (dim/m) Doubles. */
+  type Codebooks = Vector[Vector[Seq[Double]]]
+
+  private def subvec(s: Int, dsub: Int): Column =
+    slice(col("embedding"), s * dsub + 1, dsub)
+
+  /** Squared L2 distance of subspace `s`'s subvector to a literal
+    * codeword, accumulated in Double in element order. */
+  private def sqDist(s: Int, dsub: Int, cw: Seq[Double]): Column =
+    aggregate(
+      zip_with(subvec(s, dsub), typedLit(cw),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest codeword for subspace `s`: argmin of the 9-rounded
+    * squared distance, lower code id on ties — array_min over
+    * (d, cid) structs, whose field-order comparison IS the rank. */
+  private def codeExpr(s: Int, dsub: Int, book: Vector[Seq[Double]]): Column =
+    array_min(array(book.zipWithIndex.map { case (cw, cid) =>
+      struct(round(sqDist(s, dsub, cw), 9).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Deterministic seed codebooks: the ksub vectors with the smallest
+    * md5(vec_id) (the hash plays the RNG — any engine picks the same
+    * seeds), code ids following vec_id order, each seed contributing
+    * its slice to every subspace. Only ksub rows reach the driver. */
+  def pqSeedsByHash(vecs: DataFrame, m: Int, ksub: Int): Codebooks = {
+    val rows = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(ksub)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector))
+      .sortBy(_._1)
+    require(rows.length >= ksub, s"need >= $ksub seed vectors, got ${rows.length}")
+    val dim = rows.head._2.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Vector.tabulate(m)(s =>
+      rows.toVector.map { case (_, e) =>
+        (e.slice(s * dsub, (s + 1) * dsub): Seq[Double]) })
+  }
+
+  /** Per-subspace Lloyd training. Each round: per-row (sub, code,
+    * subvec) structs from literal codebooks (codegen'd — no join with
+    * a centroid table), ONE explode, ONE groupBy(sub, code) mean with
+    * map-side partial aggregation. A code that captured no vectors
+    * keeps its previous codeword. At 100 TB train on a deterministic
+    * hash sample (pass `trainFraction` < 1) — the FAISS convention;
+    * codebook quality needs a sample, not the corpus. */
+  def pqTrain(vecs: DataFrame, m: Int, ksub: Int, iters: Int,
+              init: Codebooks = null, trainFraction: Double = 1.0): Codebooks = {
+    val train =
+      if (trainFraction >= 1.0) vecs
+      else SampleOps.sample(vecs, col("vec_id"), trainFraction)
+    var books = Option(init).getOrElse(pqSeedsByHash(train, m, ksub))
+    val dsub = books.head.head.size
+    val meanCols = (0 until dsub).map(j =>
+      round(avg(element_at(col("subvec"), j + 1).cast("double")), 6).as(s"m$j"))
+    for (_ <- 0 until iters) {
+      val pieces = (0 until m).map { s =>
+        struct(lit(s).as("sub"), codeExpr(s, dsub, books(s)).as("code"),
+          subvec(s, dsub).as("subvec"))
+      }
+      val rows = train.select(explode(array(pieces: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          col("e.subvec").as("subvec"))
+        .groupBy(col("sub"), col("code"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      val means = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+        (0 until dsub).map(j => r.getDouble(j + 2)).toSeq).toMap
+      books = Vector.tabulate(m)(s => Vector.tabulate(ksub)(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** Long-format encoding (vec_id, sub, code) — the verify/gate
+    * shape (array-free so independent engines hash-compare rows). */
+  def pqEncodeLong(vecs: DataFrame, books: Codebooks): DataFrame = {
+    val m = books.size; val dsub = books.head.head.size
+    val pieces = (0 until m).map(s =>
+      struct(lit(s).as("sub"), codeExpr(s, dsub, books(s)).as("code")))
+    vecs.select(col("vec_id"), explode(array(pieces: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.code").as("code"))
+  }
+
+  /** Storage-layout encoding (vec_id, codes: Array[Int]) — the m
+    * codes a 100 TB corpus persists instead of raw floats (optionally
+    * partitioned by an IVF centroid id on top: IVF prunes partitions,
+    * PQ shrinks what's scanned inside them). */
+  def pqEncodeWide(vecs: DataFrame, books: Codebooks): DataFrame = {
+    val m = books.size; val dsub = books.head.head.size
+    vecs.select(col("vec_id"),
+      array((0 until m).map(s => codeExpr(s, dsub, books(s))): _*).as("codes"))
+  }
+
+  /** ADC lookup table [sub][code] = 9-rounded squared L2 distance of
+    * the query's subvector to the codeword — driver arithmetic over
+    * the tiny codebooks, zero jobs. */
+  def adcLut(books: Codebooks, query: Seq[Float]): Vector[Vector[Double]] = {
+    val dsub = books.head.head.size
+    books.zipWithIndex.map { case (book, s) =>
+      val q = query.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+      book.map { cw =>
+        val d2 = cw.zip(q).map { case (c, x) => (x - c) * (x - c) }.sum
+        math.round(d2 * 1e9).toDouble / 1e9
+      }
+    }
+  }
+
+  /** Materialize the IVF-PQ index — the full published IVFPQ layout
+    * on a lakehouse: each vector stored as its m codes plus its
+    * nearest IVF centroid, partitioned on disk by centroid. Probes
+    * prune partitions at plan time; ADC shrinks the bytes scanned
+    * inside them. Codes and centroid derive in ONE per-row projection
+    * (no self-join); the raw embedding column is NOT stored — that is
+    * the point: a 100 TB float corpus becomes ~3 TB of codes. */
+  def writeIvfPqIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                      books: Codebooks, path: String): Unit = {
+    val m = books.size; val dsub = books.head.head.size
+    vecs.select(col("vec_id"),
+        array((0 until m).map(s => codeExpr(s, dsub, books(s))): _*).as("codes"),
+        (-AnnOps.bestCentroidD(centroids).getField("negid")).cast("int")
+          .as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** IVF-PQ probed search: the centroid_id predicate prunes to the
+    * nprobe probed partitions (PartitionFilters in the scan), then
+    * ADC ranks the codes inside them — no raw vectors are read
+    * anywhere on the query path. */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, centroids: Seq[(Int, Seq[Double])],
+                         books: Codebooks, query: Seq[Float], k: Int,
+                         nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probeIds = AnnOps.probeCentroidsD(centroids, query, nprobe)
+    adcSearch(
+      spark.read.parquet(indexPath)
+        .where(col("centroid_id").isin(probeIds: _*)),
+      books, query, k, excludeId)
+  }
+
+  /** ADC shortlist + exact re-rank — the published PQ "refine" step
+    * (FAISS IndexRefine role): ADC picks `shortlist` candidates
+    * reading ONLY the code table; the shortlist (a few hundred rows)
+    * broadcasts into the raw-vector table for exact L2 top-k. At
+    * 100 TB the exact side reads `shortlist` rows, not the corpus —
+    * quantization error stops costing recall and starts costing only
+    * a bounded shortlist width. */
+  def adcSearchRefined(encoded: DataFrame, vecs: DataFrame, books: Codebooks,
+                       query: Seq[Float], k: Int, shortlist: Int,
+                       excludeId: Option[Long] = None): DataFrame = {
+    val cand = adcSearch(encoded, books, query, shortlist, excludeId)
+      .select("vec_id")
+    AnnOps.bruteForceTopKL2(
+      vecs.join(broadcast(cand), "vec_id"), query, k)
+  }
+
+  /** ADC top-k over a [[pqEncodeWide]] table: score = m literal-array
+    * lookups summed per row (whole-stage codegen), ascending top-k as
+    * TakeOrderedAndProject. The raw embedding column is never read —
+    * this is the scan a PQ-compressed 100 TB index pays. */
+  def adcSearch(encoded: DataFrame, books: Codebooks, query: Seq[Float],
+                k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val lut = adcLut(books, query)
+    val adc = lut.indices.map(s =>
+      element_at(typedLit(lut(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    val base = excludeId.map(id => encoded.where(col("vec_id") =!= id))
+      .getOrElse(encoded)
+    base.select(col("vec_id"), round(adc, 6).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -740,4 +740,89 @@ class PipelineSpec extends AnyFunSuite {
     assert(recalls.last._2 == 1.0, s"nprobe=k must be exact: $recalls")
     info(s"recall@10 by nprobe: $recalls")
   }
+
+  test("pqTrain learns per-subspace codebooks; encode co-assigns cluster members") {
+    // dim=4, m=2, dsub=2: two clean clusters per subspace, mirrored
+    // across subspaces so same-cluster vectors must share BOTH codes
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0f, 1f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val books = PqOps.pqTrain(vecs, m = 2, ksub = 2, iters = 3)
+    assert(books.size === 2 && books.forall(_.size === 2)
+      && books.forall(_.forall(_.size === 2)))
+    val codes = PqOps.pqEncodeWide(vecs, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(codes(0L) === codes(1L))
+    assert(codes(2L) === codes(3L))
+    assert(codes(0L) !== codes(2L))
+    // converged codewords are the (rounded) cluster means
+    val cw0 = books(0)(codes(0L)(0))
+    assert(math.abs(cw0(0) - 0.95) < 1e-6 && math.abs(cw0(1) - 0.05) < 1e-6,
+      s"codeword $cw0 is not the cluster mean")
+    // long format agrees with wide format
+    val long = PqOps.pqEncodeLong(vecs, books).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    codes.foreach { case (id, cs) =>
+      cs.zipWithIndex.foreach { case (c, s) => assert(long((id, s)) === c) }
+    }
+  }
+
+  test("adcSearch: quantized top-k, codegen'd scan with no join and no shuffle") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0f, 1f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val books = PqOps.pqTrain(vecs, m = 2, ksub = 2, iters = 3)
+    val encoded = PqOps.pqEncodeWide(vecs, books)
+    // k below the row count so the limit survives optimization and
+    // the plan shows the real top-k operator
+    val top = PqOps.adcSearch(encoded, books, Seq(1f, 0f, 0f, 1f), k = 3)
+    val rows = top.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // cluster {0,1} quantizes nearer the query than cluster {2,3};
+    // within a cluster ADC ties (same codes) break on vec_id
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(rows(0)._2 === rows(1)._2 && rows(0)._2 < rows(2)._2)
+    // ADC score is exactly the LUT sum of the row's codes
+    val lut = PqOps.adcLut(books, Seq(1f, 0f, 0f, 1f))
+    val codes = PqOps.pqEncodeWide(vecs, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, adc) =>
+      val want = codes(id).zipWithIndex.map { case (c, s) => lut(s)(c) }.sum
+      assert(math.abs(adc - want) < 1e-6, s"vec $id: adc $adc != lut sum $want")
+    }
+    // 100 TB contract: the ADC scan is join-free and shuffle-free
+    // (per-partition top-k merged by TakeOrderedAndProject)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Exchange"), s"ADC scan shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"ADC scan joined:\n$plan")
+  }
+
+  test("IVF-PQ index: probe prunes partitions; codes-only storage; ADC agrees") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0f, 1f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val books = PqOps.pqTrain(vecs, m = 2, ksub = 2, iters = 3)
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 1.0)), (1, Seq(0.0, 1.0, 1.0, 0.0)))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString + "/ivfpq"
+    PqOps.writeIvfPqIndex(vecs, cents, books, dir)
+    // codes-only storage: the raw embedding column is NOT persisted
+    val stored = spark.read.parquet(dir)
+    assert(stored.columns.sorted.toSeq === Seq("centroid_id", "codes", "vec_id"),
+      s"unexpected stored columns: ${stored.columns.mkString(",")}")
+    val q = Seq(1f, 0f, 0f, 1f)
+    val hits = PqOps.ivfPqSearchIndexed(spark, dir, cents, books, q, 2, nprobe = 1)
+    assert(hits.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe not pruned by partition:\n${plan.take(1500)}")
+    // nprobe = all buckets reproduces plain ADC over the full code table
+    val full = PqOps.ivfPqSearchIndexed(spark, dir, cents, books, q, 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adc = PqOps.adcSearch(PqOps.pqEncodeWide(vecs, books), books, q, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === adc)
+  }
 }
