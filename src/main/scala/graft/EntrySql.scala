@@ -846,6 +846,34 @@ sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc FROM codes
 SELECT vec_id, round(adc, 6) AS adc FROM sc
 ORDER BY round(adc, 6), vec_id LIMIT $k"""
 
+  /** Shared SQ8 CTEs (SqOps.sqTrain + sqEncode): per-dim min/max,
+    * then code = clamp(round((v − mn) · 255/(mx − mn)), 0, 255) —
+    * exact double arithmetic, HALF-UP round, no training rounding
+    * contract needed. */
+  private val sqPrefix: String =
+    """WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM f GROUP BY i),
+codes AS (SELECT f.vec_id, f.i,
+  CAST(greatest(0, least(255, round((f.v - mm.mn) *
+    CASE WHEN mm.mx > mm.mn THEN 255 / (mm.mx - mm.mn) ELSE 0 END, 0))) AS INT) AS code
+  FROM f JOIN mm USING(i))"""
+
+  /** SQ8 encode oracle in (vec_id, i, code) long format. */
+  def sqCodesSql: String = sqPrefix + """
+SELECT vec_id, i::INT AS i, code FROM codes ORDER BY vec_id, i"""
+
+  /** SQ8 search oracle: squared L2 of the vec_id-0 query to the
+    * reconstruction, association matching SqOps.sqSearch exactly
+    * ((q − mn) − code·step, squared by self-multiplication). */
+  def sqSearchSql(k: Int): String = sqPrefix + s""",
+q AS (SELECT i, v AS qv FROM f WHERE vec_id = 0),
+t AS (SELECT c.vec_id,
+        (q.qv - mm.mn) - c.code * ((mm.mx - mm.mn) / 255) AS e
+      FROM codes c JOIN mm USING(i) JOIN q USING(i)
+      WHERE c.vec_id <> 0),
+d AS (SELECT vec_id, sum(e * e) AS d2 FROM t GROUP BY vec_id)
+SELECT vec_id, round(d2, 6) AS d2 FROM d ORDER BY round(d2, 6), vec_id LIMIT $k"""
+
   /** get_matching_terms oracle: the BM25-OR top-k page, then every
     * (doc, query-term) pair with a posting in that doc — `tf` is
     * already the term-pruned posting set of the query. */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{AnnOps, DedupOps, PqOps}
+import graft.pipeline.{AnnOps, DedupOps, PqOps, SqOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,85 @@ object Recall {
       }
       val mean = recalls.sum / recalls.length
       println(f"""{"metric":"ivfpq_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${queries.length},"mean_recall":$mean%.4f}""")
+    }
+
+    // ---- residual IVF-PQ (the published IVFPQ encoding) ----
+    val rbooks = PqOps.pqTrainResidual(emb, cs, m = 8, ksub = 16, iters = 3)
+    val resDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-ivfpqres").toString + "/idx"
+    PqOps.writeIvfPqResidualIndex(emb, cs, rbooks, resDir)
+    for (nprobe <- Seq(1, 2, 4, 8, k)) {
+      val recalls = queries.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = PqOps.ivfPqSearchResidualIndexed(spark, resDir, cs, rbooks,
+            q, 11, nprobe, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        exact.intersect(got).size / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      println(f"""{"metric":"ivfpq_residual_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${queries.length},"mean_recall":$mean%.4f}""")
+    }
+
+    // ---- SQ8 recall@10 vs exact L2 (4x compression tier) ----
+    val (mins, maxs) = SqOps.sqTrain(emb)
+    val sqEncoded = SqOps.sqEncode(emb, mins, maxs).cache()
+    sqEncoded.count()
+    val sqRecalls = queries.map { case (qid, q) =>
+      val exact = AnnOps.bruteForceTopKL2(emb, q, 10, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      val got = SqOps.sqSearch(sqEncoded, mins, maxs, q, 11)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      exact.intersect(got).size / 10.0
+    }
+    println(f"""{"metric":"sq8_recall_at_10","queries":${queries.length},"mean_recall":${sqRecalls.sum / sqRecalls.length}%.4f}""")
+
+    // ---- residual vs plain IVF-PQ on CLUSTERED vectors ----
+    // The corpus embeddings are uniform-random — the one distribution
+    // where residual encoding cannot help (all centroids sit near the
+    // global mean, residuals keep the full spread). Real embedding
+    // corpora are clustered; synthesize a deterministic clustered set
+    // (LCG) to measure the regime the residual design targets.
+    val nClusters = 16; val dim = 64
+    var h = 42L
+    def next(): Float = {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      ((h >>> 40).toInt % 2000) / 1000f - 1f
+    }
+    val centers = Seq.fill(nClusters)(Seq.fill(dim)(next()))
+    val clustered = (0L until 2000L).map { i =>
+      val c = centers((i % nClusters).toInt)
+      (i, c.map(x => x + 0.15f * next()))
+    }.toDF("vec_id", "embedding").cache()
+    clustered.count()
+    val ccs = AnnOps.kmeansTrain(clustered, k = k, iters = 3,
+      init = AnnOps.kmeansInitFarthest(clustered, k, sampleN = 2048))
+    val cq = clustered.orderBy(md5(col("vec_id").cast("string"))).limit(20)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val plainBooks = PqOps.pqTrain(clustered, m = 8, ksub = 16, iters = 3)
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-cpq").toString + "/idx"
+    PqOps.writeIvfPqIndex(clustered, ccs, plainBooks, plainDir)
+    val resBooks = PqOps.pqTrainResidual(clustered, ccs, m = 8, ksub = 16, iters = 3)
+    val resDir2 = java.nio.file.Files
+      .createTempDirectory("graft-recall-cpqres").toString + "/idx"
+    PqOps.writeIvfPqResidualIndex(clustered, ccs, resBooks, resDir2)
+    for (nprobe <- Seq(2, 4)) {
+      val pairs = cq.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopKL2(clustered, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val plain = PqOps.ivfPqSearchIndexed(spark, plainDir, ccs, plainBooks,
+            q, 11, nprobe, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        val resid = PqOps.ivfPqSearchResidualIndexed(spark, resDir2, ccs, resBooks,
+            q, 11, nprobe, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        (exact.intersect(plain).size / 10.0, exact.intersect(resid).size / 10.0)
+      }
+      val mp = pairs.map(_._1).sum / pairs.length
+      val mr = pairs.map(_._2).sum / pairs.length
+      println(f"""{"metric":"ivfpq_clustered_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${cq.length},"plain":$mp%.4f,"residual":$mr%.4f}""")
     }
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Query
-import graft.pipeline.{AnnOps, DedupOps, EventOps, HybridOps, PqOps, TextOps}
+import graft.pipeline.{AnnOps, DedupOps, EventOps, HybridOps, PqOps, SqOps, TextOps}
 import graft.queryparser.QueryParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -466,6 +466,23 @@ object SparkEntry {
       PqOps.adcSearch(PqOps.pqEncodeWide(emb, books), books,
         queryVec(s, d), 10, excludeId = Some(0L))
     }),
+    // Scalar quantization (SQ8, FAISS ScalarQuantizer role): per-dim
+    // min/max trained in ONE aggregate, int8 codes (4x compression),
+    // search = exact L2 to the reconstruction — the gentler
+    // compression tier next to PQ's 32x
+    "ann_sq_codes" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (mins, maxs) = SqOps.sqTrain(emb)
+      SqOps.sqEncode(emb, mins, maxs)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("i", "code")))
+        .orderBy("vec_id", "i")
+    }),
+    "ann_sq_search" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (mins, maxs) = SqOps.sqTrain(emb)
+      SqOps.sqSearch(SqOps.sqEncode(emb, mins, maxs), mins, maxs,
+        queryVec(s, d), 10, excludeId = Some(0L))
+    }),
     // hybrid retrieval: BM25 lexical top-50 fused with the
     // embedding-cosine top-50 by reciprocal-rank fusion (vec_id plays
     // doc_id — the corpus tables share the id space)
@@ -649,6 +666,8 @@ object SparkEntry {
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
+    "ann_sq_codes" -> EntrySql.sqCodesSql,
+    "ann_sq_search" -> EntrySql.sqSearchSql(10),
     "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),
     "ann_pq_search" -> EntrySql.pqSearchSql(ksub = 16, dsub = 8, iters = 2, k = 10),
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),

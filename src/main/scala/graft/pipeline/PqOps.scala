@@ -60,11 +60,16 @@ object PqOps {
   /** Deterministic seed codebooks: the ksub vectors with the smallest
     * md5(vec_id) (the hash plays the RNG — any engine picks the same
     * seeds), code ids following vec_id order, each seed contributing
-    * its slice to every subspace. Only ksub rows reach the driver. */
+    * its slice to every subspace. Only ksub rows reach the driver.
+    * Accepts Float (raw) or Double (residual) embedding columns. */
   def pqSeedsByHash(vecs: DataFrame, m: Int, ksub: Int): Codebooks = {
     val rows = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(ksub)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector))
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => throw new IllegalArgumentException(s"embedding element $x")
+      }.toVector))
       .sortBy(_._1)
     require(rows.length >= ksub, s"need >= $ksub seed vectors, got ${rows.length}")
     val dim = rows.head._2.size
@@ -133,16 +138,25 @@ object PqOps {
   /** ADC lookup table [sub][code] = 9-rounded squared L2 distance of
     * the query's subvector to the codeword — driver arithmetic over
     * the tiny codebooks, zero jobs. */
-  def adcLut(books: Codebooks, query: Seq[Float]): Vector[Vector[Double]] = {
+  def adcLut(books: Codebooks, query: Seq[Float]): Vector[Vector[Double]] =
+    adcLutD(books, query.map(_.toDouble))
+
+  /** [[adcLut]] over a Double-valued query (a residual q − centroid). */
+  def adcLutD(books: Codebooks, query: Seq[Double]): Vector[Vector[Double]] = {
     val dsub = books.head.head.size
     books.zipWithIndex.map { case (book, s) =>
-      val q = query.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+      val q = query.slice(s * dsub, (s + 1) * dsub)
       book.map { cw =>
         val d2 = cw.zip(q).map { case (c, x) => (x - c) * (x - c) }.sum
         math.round(d2 * 1e9).toDouble / 1e9
       }
     }
   }
+
+  /** Per-row ADC score for a literal LUT: m array lookups + a sum. */
+  private def adcExpr(lut: Vector[Vector[Double]]): Column =
+    lut.indices.map(s =>
+      element_at(typedLit(lut(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
 
   /** Materialize the IVF-PQ index — the full published IVFPQ layout
     * on a lakehouse: each vector stored as its m codes plus its
@@ -204,6 +218,77 @@ object PqOps {
     val base = excludeId.map(id => encoded.where(col("vec_id") =!= id))
       .getOrElse(encoded)
     base.select(col("vec_id"), round(adc, 6).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // ---------------- residual IVF-PQ (the published IVFPQ encoding) ----------------
+
+  /** Centroid matrix [cid][j] for a contiguous 0..k-1 centroid list —
+    * the literal the residual expressions select into per row. */
+  private def centroidMatrix(centroids: Seq[(Int, Seq[Double])]): Seq[Seq[Double]] = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == (0 until sorted.size),
+      s"centroid ids must be contiguous 0..k-1, got ${sorted.map(_._1)}")
+    sorted.map(_._2)
+  }
+
+  /** (vec_id, centroid_id, embedding := x − centroid) — the residual
+    * frame the IVFPQ paper quantizes: subtracting the coarse centroid
+    * concentrates the distribution, so the same code budget spends on
+    * a much smaller cube. One per-row projection: assignment and
+    * subtraction are both literal-centroid expressions, no join. */
+  def residualFrame(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cmat = centroidMatrix(centroids)
+    val cid = (-AnnOps.bestCentroidD(centroids).getField("negid")).cast("int")
+    vecs.select(col("vec_id"), cid.as("centroid_id"), col("embedding"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding"),
+          element_at(typedLit(cmat), col("centroid_id") + 1),
+          (x, c) => x.cast("double") - c).as("embedding"))
+  }
+
+  /** Train codebooks on residuals (x − nearest centroid): the same
+    * distributed Lloyd passes as [[pqTrain]], over [[residualFrame]]. */
+  def pqTrainResidual(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                      m: Int, ksub: Int, iters: Int,
+                      trainFraction: Double = 1.0): Codebooks =
+    pqTrain(residualFrame(vecs, centroids).select("vec_id", "embedding"),
+      m, ksub, iters, trainFraction = trainFraction)
+
+  /** Materialize the residual IVF-PQ index: codes of (x − centroid),
+    * partitioned by centroid. Same codes-only storage contract as
+    * [[writeIvfPqIndex]]. */
+  def writeIvfPqResidualIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                              books: Codebooks, path: String): Unit = {
+    val m = books.size; val dsub = books.head.head.size
+    residualFrame(vecs, centroids)
+      .select(col("vec_id"),
+        array((0 until m).map(s => codeExpr(s, dsub, books(s))): _*).as("codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Residual IVF-PQ probed search: each probed partition gets its
+    * OWN ADC table computed from (query − that centroid) — nprobe
+    * partition-pruned branch scans unioned, then one ascending top-k.
+    * Still codes-only, join-free, shuffle-free per branch. */
+  def ivfPqSearchResidualIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String,
+                                 centroids: Seq[(Int, Seq[Double])],
+                                 books: Codebooks, query: Seq[Float], k: Int,
+                                 nprobe: Int,
+                                 excludeId: Option[Long] = None): DataFrame = {
+    val cmat = centroidMatrix(centroids)
+    val probeIds = AnnOps.probeCentroidsD(centroids, query, nprobe)
+    val scored = probeIds.map { c =>
+      val qres = query.map(_.toDouble).zip(cmat(c)).map { case (x, cv) => x - cv }
+      spark.read.parquet(indexPath).where(col("centroid_id") === c)
+        .select(col("vec_id"), adcExpr(adcLutD(books, qres)).as("rawadc"))
+    }.reduce(_ union _)
+    val base = excludeId.map(id => scored.where(col("vec_id") =!= id))
+      .getOrElse(scored)
+    base.select(col("vec_id"), round(col("rawadc"), 6).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(k)
   }

@@ -825,4 +825,63 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full === adc)
   }
+
+  test("residual IVF-PQ: residuals subtract the assigned centroid; search ranks in-cluster") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0.8f, 0.2f, 0.2f, 0.8f)),
+      (3L, Seq(0f, 1f, 1f, 0f)), (4L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(0.9, 0.1, 0.1, 0.9)), (1, Seq(0.05, 0.95, 0.95, 0.05)))
+    // residualFrame: embedding becomes x - assigned centroid
+    val res = PqOps.residualFrame(vecs, cents).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2).toVector)).toMap
+    assert(res(0L)._1 === 0 && res(3L)._1 === 1)
+    res(0L)._2.zip(Seq(0.1, -0.1, -0.1, 0.1)).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"residual ${res(0L)._2} != expected")
+    }
+    // residual codebooks quantize the (small) residual cube; the
+    // probed search finds the true in-cluster neighbors first
+    val books = PqOps.pqTrainResidual(vecs, cents, m = 2, ksub = 2, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-res").toString + "/idx"
+    PqOps.writeIvfPqResidualIndex(vecs, cents, books, dir)
+    val stored = spark.read.parquet(dir)
+    assert(stored.columns.sorted.toSeq === Seq("centroid_id", "codes", "vec_id"))
+    val hits = PqOps.ivfPqSearchResidualIndexed(spark, dir, cents, books,
+      Seq(1f, 0f, 0f, 1f), 2, nprobe = 1, excludeId = Some(0L))
+    val got = hits.collect().map(_.getLong(0)).toSeq
+    assert(got.toSet.subsetOf(Set(1L, 2L)), s"left-cluster probe leaked: $got")
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe not pruned:\n${plan.take(1200)}")
+  }
+
+  test("SQ8: reconstruction error bounded by half a step; search is shuffle-free") {
+    val vecs = Seq(
+      (0L, Seq(0f, 10f)), (1L, Seq(2.5f, 2.5f)),
+      (2L, Seq(7.5f, 7.5f)), (3L, Seq(10f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (mins, maxs) = SqOps.sqTrain(vecs)
+    assert(mins === Seq(0.0, 0.0) && maxs === Seq(10.0, 10.0))
+    val encoded = SqOps.sqEncode(vecs, mins, maxs).cache()
+    val codes = encoded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(codes(0L) === Vector(0, 255) && codes(3L) === Vector(255, 0))
+    // every reconstruction within half a quantization step of the raw value
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val step = 10.0 / 255
+    codes.foreach { case (id, cs) =>
+      cs.zip(raw(id)).foreach { case (c, x) =>
+        assert(math.abs(c * step - x) <= step / 2 + 1e-9,
+          s"vec $id: code $c reconstructs ${c * step}, raw $x") }
+    }
+    // search ranks by true proximity (quantization error ≪ separation)
+    val top = SqOps.sqSearch(encoded, mins, maxs, Seq(2f, 3f), 3)
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 0L))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"SQ8 scan not shuffle-free:\n$plan")
+    encoded.unpersist()
+  }
 }

@@ -185,4 +185,33 @@ class StreamingSpec extends AnyFunSuite {
     rows.filter(_._1 <= 40).values.foreach { case (ne, scrubbed) =>
       assert(ne == 1L && scrubbed.endsWith("mail [EMAIL]")) }
   }
+
+  test("streaming PQ encode: arriving vectors quantize identically to batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.PqOps
+    // codebooks trained offline (batch) — the streaming side only
+    // encodes: per-row literal-codebook expressions, stateless
+    val train = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0f, 1f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val books = PqOps.pqTrain(train, m = 2, ksub = 2, iters = 3)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val out = PqOps.pqEncodeWide(stream.toDS().toDF("vec_id", "embedding"), books)
+    val query = out.writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    val arriving = Seq(
+      (10L, Seq(0.95f, 0.05f, 0.0f, 1.0f)), (11L, Seq(0.05f, 0.95f, 1.0f, 0.0f)))
+    try {
+      stream.addData(arriving)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("pq_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val batch = PqOps.pqEncodeWide(arriving.toDF("vec_id", "embedding"), books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(streamed == batch && streamed.size == 2)
+    assert(streamed(10L) != streamed(11L), "opposite clusters must differ")
+  }
 }
