@@ -799,7 +799,14 @@ FROM ranked WHERE rn = 1 ORDER BY vec_id"""
     * (the rounding that makes training engine-reproducible despite
     * float summation order), empty codes keep their previous
     * codeword. Ends with a `codes` CTE = the final assignment. */
-  private def pqPrefix(ksub: Int, dsub: Int, iters: Int): String = {
+  private def pqPrefix(ksub: Int, dsub: Int, iters: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+${pqCtes(ksub, dsub, iters)}"""
+
+  /** The PQ CTE chain alone (expects an `f` CTE in scope) — lets
+    * composite oracles (IVF probe × PQ codes) share one vector
+    * explosion. */
+  private def pqCtes(ksub: Int, dsub: Int, iters: Int): String = {
     def round1(t: Int): String =
       s"""dt$t AS (SELECT fs.vec_id, fs.sub, c.cid, sum((fs.v - c.v) * (fs.v - c.v)) AS d2
   FROM fs JOIN c$t c ON c.sub = fs.sub AND c.j = fs.j GROUP BY 1, 2, 3),
@@ -811,8 +818,7 @@ m$t AS (SELECT a.sub, a.cid, fs.j, round(avg(fs.v), 6) AS v
 c${t + 1} AS (SELECT sub, cid, j, v FROM m$t UNION ALL
   SELECT c.sub, c.cid, c.j, c.v FROM c$t c
   WHERE NOT EXISTS (SELECT 1 FROM m$t m WHERE m.sub = c.sub AND m.cid = c.cid))"""
-    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
-fs AS (SELECT vec_id, i // $dsub AS sub, i % $dsub AS j, v FROM f),
+    s"""fs AS (SELECT vec_id, i // $dsub AS sub, i % $dsub AS j, v FROM f),
 seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid FROM (
   SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $ksub)),
 c0 AS (SELECT s.cid, fs.sub, fs.j, fs.v FROM fs JOIN seeds s USING(vec_id)),
@@ -843,6 +849,43 @@ lut AS (SELECT c.sub, c.cid, round(sum((q.v - c.v) * (q.v - c.v)), 9) AS d2
 sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc FROM codes
   JOIN lut ON lut.sub = codes.sub AND lut.cid = codes.code
   WHERE codes.vec_id <> 0 GROUP BY 1)
+SELECT vec_id, round(adc, 6) AS adc FROM sc
+ORDER BY round(adc, 6), vec_id LIMIT $k"""
+
+  /** Combined IVF-PQ search oracle (PqOps.writeIvfPqIndex +
+    * ivfPqSearchIndexed): IVF assignment/probe CTEs from
+    * [[ivfSearchSql]] (first-nCentroids coarse centroids, 9-rounded
+    * cosine) composed with the trained-PQ code CTEs from [[pqCtes]],
+    * sharing one `f` explosion; ADC scores only the vectors assigned
+    * to probed centroids. */
+  def pqIvfSearchSql(nCentroids: Int, nprobe: Int, ksub: Int, dsub: Int,
+                     iters: Int, k: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+cen AS (SELECT vec_id AS cid, v, i FROM f WHERE vec_id < $nCentroids),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cen GROUP BY cid),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM f GROUP BY vec_id),
+dots AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN cen c USING(i) GROUP BY 1, 2),
+coss AS (SELECT d.vec_id, d.cid, round(d.dot / (vn.n * cn.n), 9) AS c9
+        FROM dots d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cid = d.cid),
+assigned AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c9 DESC, cid) AS rn
+  FROM coss) WHERE rn = 1),
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+pc AS (SELECT c.cid, sum(c.v * q.qv) AS dot FROM cen c JOIN q USING(i) GROUP BY c.cid),
+probe AS (SELECT cid FROM (
+  SELECT pc.cid, row_number() OVER (
+    ORDER BY round(pc.dot / (cn.n * qn.nq), 9) DESC, pc.cid) AS rn
+  FROM pc JOIN cn USING(cid), qn) WHERE rn <= $nprobe),
+${pqCtes(ksub, dsub, iters)},
+qs AS (SELECT sub, j, v FROM fs WHERE vec_id = 0),
+lut AS (SELECT c.sub, c.cid, round(sum((qs.v - c.v) * (qs.v - c.v)), 9) AS d2
+  FROM c$iters c JOIN qs ON qs.sub = c.sub AND qs.j = c.j GROUP BY 1, 2),
+sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc FROM codes
+  JOIN lut ON lut.sub = codes.sub AND lut.cid = codes.code
+  WHERE codes.vec_id <> 0
+    AND codes.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probe USING(cid))
+  GROUP BY 1)
 SELECT vec_id, round(adc, 6) AS adc FROM sc
 ORDER BY round(adc, 6), vec_id LIMIT $k"""
 

@@ -77,6 +77,35 @@ object SparkEntry {
       dir
     })
 
+  /** Materialized IVF-PQ index per scale dir (codes-only, partitioned
+    * by coarse centroid) — same fingerprinted resume contract as
+    * [[ivfIndexPath]]. Trained PQ codebooks are deterministic, so
+    * they are re-derived per JVM rather than persisted. */
+  private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, (String, PqOps.Codebooks)]
+  private def ivfPqIndex(s: SparkSession, d: String,
+                         cs: Seq[(Int, Seq[Float])]): (String, PqOps.Codebooks) =
+    ivfPqCache.getOrElseUpdate(d, {
+      val emb = embeddings(s, d)
+      val books = PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 2)
+      val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = new java.io.File(s"target/graft-ivfpq-index/$name").getAbsolutePath
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        .sortBy(_.getName)
+      val fingerprint = d + "\n" +
+        parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+      val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
+      val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == fingerprint
+      if (!fresh) {
+        PqOps.writeIvfPqIndex(emb,
+          cs.map { case (c, v) => (c, v.map(_.toDouble)) }, books, dir)
+        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+      }
+      (dir, books)
+    })
+
   /** Deterministic hyperplanes shared by the dd_embdup query and its
     * oracle SQL (literal on both sides). */
   private val embPlanes = AnnOps.randomPlanes(nPlanes = 24, dim = 64, seed = 7L)
@@ -466,6 +495,18 @@ object SparkEntry {
       PqOps.adcSearch(PqOps.pqEncodeWide(emb, books), books,
         queryVec(s, d), 10, excludeId = Some(0L))
     }),
+    // the COMBINED IVF-PQ search over the materialized codes-only
+    // index: probe prunes centroid partitions at plan time, ADC
+    // ranks codes inside them — the full published IVFPQ query path,
+    // value-oracled end to end (IVF probe CTEs x unrolled-Lloyd PQ
+    // CTEs sharing one vector explosion)
+    "ann_ivfpq_search" -> ((s, d) => {
+      val cs = centroids(s, d, 8)
+      val (dir, books) = ivfPqIndex(s, d, cs)
+      PqOps.ivfPqSearchIndexed(s, dir,
+        cs.map { case (c, v) => (c, v.map(_.toDouble)) }, books,
+        queryVec(s, d), 10, nprobe = 3, excludeId = Some(0L))
+    }),
     // Scalar quantization (SQ8, FAISS ScalarQuantizer role): per-dim
     // min/max trained in ONE aggregate, int8 codes (4x compression),
     // search = exact L2 to the reconstruction — the gentler
@@ -666,6 +707,8 @@ object SparkEntry {
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
+    "ann_ivfpq_search" -> EntrySql.pqIvfSearchSql(nCentroids = 8, nprobe = 3,
+      ksub = 16, dsub = 8, iters = 2, k = 10),
     "ann_sq_codes" -> EntrySql.sqCodesSql,
     "ann_sq_search" -> EntrySql.sqSearchSql(10),
     "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),
