@@ -852,6 +852,26 @@ sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc FROM codes
 SELECT vec_id, round(adc, 6) AS adc FROM sc
 ORDER BY round(adc, 6), vec_id LIMIT $k"""
 
+  /** PQ refine oracle (PqOps.adcSearchRefined): the ADC shortlist
+    * (same chain as [[pqSearchSql]], cut at `shortlist`) re-ranked by
+    * exact squared L2 from the raw vectors — the production PQ path. */
+  def pqRefineSql(ksub: Int, dsub: Int, iters: Int, shortlist: Int,
+                  k: Int): String =
+    pqPrefix(ksub, dsub, iters) + s""",
+qs AS (SELECT sub, j, v FROM fs WHERE vec_id = 0),
+lut AS (SELECT c.sub, c.cid, round(sum((qs.v - c.v) * (qs.v - c.v)), 9) AS d2
+  FROM c$iters c JOIN qs ON qs.sub = c.sub AND qs.j = c.j GROUP BY 1, 2),
+sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc FROM codes
+  JOIN lut ON lut.sub = codes.sub AND lut.cid = codes.code
+  WHERE codes.vec_id <> 0 GROUP BY 1),
+cand AS (SELECT vec_id FROM sc ORDER BY round(adc, 6), vec_id LIMIT $shortlist),
+qf AS (SELECT i, v AS qv FROM f WHERE vec_id = 0),
+d AS (SELECT f.vec_id, sum((qf.qv - f.v) * (qf.qv - f.v)) AS d2
+  FROM f JOIN qf USING(i)
+  WHERE f.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1)
+SELECT vec_id, round(d2, 6) AS d2 FROM d
+ORDER BY round(d2, 6), vec_id LIMIT $k"""
+
   /** Combined IVF-PQ search oracle (PqOps.writeIvfPqIndex +
     * ivfPqSearchIndexed): IVF assignment/probe CTEs from
     * [[ivfSearchSql]] (first-nCentroids coarse centroids, 9-rounded

@@ -495,6 +495,15 @@ object SparkEntry {
       PqOps.adcSearch(PqOps.pqEncodeWide(emb, books), books,
         queryVec(s, d), 10, excludeId = Some(0L))
     }),
+    // PQ production path: ADC shortlist (codes only) -> exact L2
+    // re-rank of the shortlist rows (FAISS IndexRefine role) — at
+    // 100 TB the raw-vector read is `shortlist` rows, not the corpus
+    "ann_pq_refine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val books = PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 2)
+      PqOps.adcSearchRefined(PqOps.pqEncodeWide(emb, books), emb, books,
+        queryVec(s, d), 10, shortlist = 50, excludeId = Some(0L))
+    }),
     // the COMBINED IVF-PQ search over the materialized codes-only
     // index: probe prunes centroid partitions at plan time, ADC
     // ranks codes inside them — the full published IVFPQ query path,
@@ -707,6 +716,8 @@ object SparkEntry {
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
+    "ann_pq_refine" -> EntrySql.pqRefineSql(ksub = 16, dsub = 8, iters = 2,
+      shortlist = 50, k = 10),
     "ann_ivfpq_search" -> EntrySql.pqIvfSearchSql(nCentroids = 8, nprobe = 3,
       ksub = 16, dsub = 8, iters = 2, k = 10),
     "ann_sq_codes" -> EntrySql.sqCodesSql,

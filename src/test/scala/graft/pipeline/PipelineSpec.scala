@@ -856,6 +856,28 @@ class PipelineSpec extends AnyFunSuite {
       s"probe not pruned:\n${plan.take(1200)}")
   }
 
+  test("adcSearchRefined with a full-width shortlist IS exact brute-force L2") {
+    // the refine contract: quantization only picks the shortlist; the
+    // final ranking is exact — so shortlist = corpus degenerates to
+    // bruteForceTopKL2 row-for-row regardless of codebook quality
+    var h = 99L
+    def next(): Float = {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      ((h >>> 40).toInt % 1000) / 500f - 1f
+    }
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(8)(next())))
+      .toDF("vec_id", "embedding").cache()
+    val books = PqOps.pqTrain(vecs, m = 4, ksub = 4, iters = 2)
+    val q = Seq.fill(8)(next())
+    val refined = PqOps.adcSearchRefined(PqOps.pqEncodeWide(vecs, books),
+        vecs, books, q, 10, shortlist = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = AnnOps.bruteForceTopKL2(vecs, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined === exact)
+    vecs.unpersist()
+  }
+
   test("SQ8: reconstruction error bounded by half a step; search is shuffle-free") {
     val vecs = Seq(
       (0L, Seq(0f, 10f)), (1L, Seq(2.5f, 2.5f)),
