@@ -516,6 +516,16 @@ object SparkEntry {
         cs.map { case (c, v) => (c, v.map(_.toDouble)) }, books,
         queryVec(s, d), 10, nprobe = 3, excludeId = Some(0L))
     }),
+    // the COMPLETE production path: IVF probe -> ADC shortlist over
+    // codes -> exact re-rank of shortlist rows from raw vectors
+    "ann_ivfpq_refine" -> ((s, d) => {
+      val cs = centroids(s, d, 8)
+      val (dir, books) = ivfPqIndex(s, d, cs)
+      PqOps.ivfPqSearchRefined(s, dir,
+        cs.map { case (c, v) => (c, v.map(_.toDouble)) }, books,
+        embeddings(s, d), queryVec(s, d), 10, nprobe = 3, shortlist = 50,
+        excludeId = Some(0L))
+    }),
     // Scalar quantization (SQ8, FAISS ScalarQuantizer role): per-dim
     // min/max trained in ONE aggregate, int8 codes (4x compression),
     // search = exact L2 to the reconstruction — the gentler
@@ -720,6 +730,8 @@ object SparkEntry {
       shortlist = 50, k = 10),
     "ann_ivfpq_search" -> EntrySql.pqIvfSearchSql(nCentroids = 8, nprobe = 3,
       ksub = 16, dsub = 8, iters = 2, k = 10),
+    "ann_ivfpq_refine" -> EntrySql.pqIvfRefineSql(nCentroids = 8, nprobe = 3,
+      ksub = 16, dsub = 8, iters = 2, shortlist = 50, k = 10),
     "ann_sq_codes" -> EntrySql.sqCodesSql,
     "ann_sq_search" -> EntrySql.sqSearchSql(10),
     "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),

@@ -222,6 +222,20 @@ object PqOps {
       .limit(k)
   }
 
+  /** The full production ANN path at 100 TB: IVF probe prunes
+    * centroid partitions, ADC shortlists inside them reading only
+    * codes, exact L2 re-ranks the shortlist rows from the raw-vector
+    * table. Total raw-vector reads per query = `shortlist` rows. */
+  def ivfPqSearchRefined(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, centroids: Seq[(Int, Seq[Double])],
+                         books: Codebooks, vecs: DataFrame, query: Seq[Float],
+                         k: Int, nprobe: Int, shortlist: Int,
+                         excludeId: Option[Long] = None): DataFrame = {
+    val cand = ivfPqSearchIndexed(spark, indexPath, centroids, books,
+      query, shortlist, nprobe, excludeId).select("vec_id")
+    AnnOps.bruteForceTopKL2(vecs.join(broadcast(cand), "vec_id"), query, k)
+  }
+
   // ---------------- residual IVF-PQ (the published IVFPQ encoding) ----------------
 
   /** Centroid matrix [cid][j] for a contiguous 0..k-1 centroid list —

@@ -856,6 +856,30 @@ class PipelineSpec extends AnyFunSuite {
       s"probe not pruned:\n${plan.take(1200)}")
   }
 
+  test("pqTrain is partition-layout-invariant (the 6-decimal rounding contract, live)") {
+    // the claim the oracle identity rests on: per-round means rounded
+    // to 6 decimals make training independent of float summation
+    // order, so ANY partitioning of the same rows trains the SAME
+    // codebooks — verified against real shuffle nondeterminism
+    var h = 5L
+    def next(): Float = {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      ((h >>> 40).toInt % 1000) / 500f - 1f
+    }
+    val rows = (0L until 300L).map(i => (i, Seq.fill(8)(next())))
+    val a = rows.toDF("vec_id", "embedding").repartition(3)
+    val b = rows.toDF("vec_id", "embedding").repartition(13)
+    val ba = PqOps.pqTrain(a, m = 4, ksub = 8, iters = 3)
+    val bb = PqOps.pqTrain(b, m = 4, ksub = 8, iters = 3)
+    assert(ba === bb, "codebooks diverged across partition layouts")
+    // and the trained-from-a codebooks encode b's rows identically
+    val ca = PqOps.pqEncodeWide(a, ba).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val cb = PqOps.pqEncodeWide(b, bb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(ca === cb)
+  }
+
   test("adcSearchRefined with a full-width shortlist IS exact brute-force L2") {
     // the refine contract: quantization only picks the shortlist; the
     // final ranking is exact — so shortlist = corpus degenerates to
