@@ -192,18 +192,20 @@ object PqOps {
 
   /** ADC shortlist + exact re-rank — the published PQ "refine" step
     * (FAISS IndexRefine role): ADC picks `shortlist` candidates
-    * reading ONLY the code table; the shortlist (a few hundred rows)
-    * broadcasts into the raw-vector table for exact L2 top-k. At
-    * 100 TB the exact side reads `shortlist` rows, not the corpus —
-    * quantization error stops costing recall and starts costing only
-    * a bounded shortlist width. */
+    * reading ONLY the code table; the candidate ids (bounded by
+    * `shortlist` — driver-safe by construction, like a top-k page)
+    * become an IN predicate on the raw-vector table, so the exact
+    * side's scan is row-group-pruned to ~`shortlist` rows instead of
+    * scanning the corpus behind a join. Quantization error stops
+    * costing recall and starts costing only a bounded shortlist
+    * width. */
   def adcSearchRefined(encoded: DataFrame, vecs: DataFrame, books: Codebooks,
                        query: Seq[Float], k: Int, shortlist: Int,
                        excludeId: Option[Long] = None): DataFrame = {
     val cand = adcSearch(encoded, books, query, shortlist, excludeId)
-      .select("vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
     AnnOps.bruteForceTopKL2(
-      vecs.join(broadcast(cand), "vec_id"), query, k)
+      vecs.where(col("vec_id").isin(cand: _*)), query, k)
   }
 
   /** ADC top-k over a [[pqEncodeWide]] table: score = m literal-array
@@ -224,16 +226,19 @@ object PqOps {
 
   /** The full production ANN path at 100 TB: IVF probe prunes
     * centroid partitions, ADC shortlists inside them reading only
-    * codes, exact L2 re-ranks the shortlist rows from the raw-vector
-    * table. Total raw-vector reads per query = `shortlist` rows. */
+    * codes, exact L2 re-ranks the shortlist from the raw-vector
+    * table through a pushed-down IN predicate (row-group-pruned scan,
+    * not a corpus-wide join) — per-query raw-vector work is bounded
+    * by the shortlist width. */
   def ivfPqSearchRefined(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, centroids: Seq[(Int, Seq[Double])],
                          books: Codebooks, vecs: DataFrame, query: Seq[Float],
                          k: Int, nprobe: Int, shortlist: Int,
                          excludeId: Option[Long] = None): DataFrame = {
     val cand = ivfPqSearchIndexed(spark, indexPath, centroids, books,
-      query, shortlist, nprobe, excludeId).select("vec_id")
-    AnnOps.bruteForceTopKL2(vecs.join(broadcast(cand), "vec_id"), query, k)
+      query, shortlist, nprobe, excludeId)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    AnnOps.bruteForceTopKL2(vecs.where(col("vec_id").isin(cand: _*)), query, k)
   }
 
   // ---------------- residual IVF-PQ (the published IVFPQ encoding) ----------------

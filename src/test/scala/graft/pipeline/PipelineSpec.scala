@@ -824,6 +824,17 @@ class PipelineSpec extends AnyFunSuite {
     val adc = PqOps.adcSearch(PqOps.pqEncodeWide(vecs, books), books, q, 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full === adc)
+    // refine's exact phase reads the raw table through a PUSHED IN
+    // predicate (row-group-pruned scan), never a corpus-wide join
+    val rawDir = java.nio.file.Files.createTempDirectory("ivfpq-raw").toString + "/raw"
+    vecs.write.parquet(rawDir)
+    val refined = PqOps.ivfPqSearchRefined(spark, dir, cents, books,
+      spark.read.parquet(rawDir), q, 2, nprobe = 2, shortlist = 3)
+    assert(refined.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val rplan = refined.queryExecution.executedPlan.toString
+    assert(rplan.contains("PushedFilters") && rplan.contains("In(vec_id"),
+      s"shortlist not pushed into the raw scan:\n${rplan.take(1500)}")
+    assert(!rplan.contains("Join"), s"refine joined instead of pushing:\n$rplan")
   }
 
   test("residual IVF-PQ: residuals subtract the assigned centroid; search ranks in-cluster") {
