@@ -929,6 +929,46 @@ SELECT vec_id, round(d2, 6) AS d2 FROM d
 ORDER BY round(d2, 6), vec_id LIMIT $k"""
   }
 
+  /** Residual IVF-PQ search oracle (PqOps.pqTrainResidual +
+    * writeIvfPqResidualIndex + ivfPqSearchResidualIndexed): the PQ
+    * CTEs run over RESIDUAL rows (v − assigned centroid); each probed
+    * centroid gets its OWN ADC table from (query − that centroid).
+    * The lut join on the vector's assigned centroid doubles as the
+    * probe restriction. */
+  def pqIvfResidualSql(nCentroids: Int, nprobe: Int, ksub: Int, dsub: Int,
+                       iters: Int, k: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+cen AS (SELECT vec_id AS cid, v, i FROM f WHERE vec_id < $nCentroids),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cen GROUP BY cid),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM f GROUP BY vec_id),
+dots AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN cen c USING(i) GROUP BY 1, 2),
+coss AS (SELECT d.vec_id, d.cid, round(d.dot / (vn.n * cn.n), 9) AS c9
+        FROM dots d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cid = d.cid),
+assigned AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c9 DESC, cid) AS rn
+  FROM coss) WHERE rn = 1),
+rf AS (SELECT f.vec_id, f.i, f.v - c.v AS v
+  FROM f JOIN assigned a USING(vec_id) JOIN cen c ON c.cid = a.cid AND c.i = f.i),
+${pqCtes(ksub, dsub, iters).replace("v FROM f),", "v FROM rf),")},
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+pc AS (SELECT c.cid, sum(c.v * q.qv) AS dot FROM cen c JOIN q USING(i) GROUP BY c.cid),
+probe AS (SELECT cid FROM (
+  SELECT pc.cid, row_number() OVER (
+    ORDER BY round(pc.dot / (cn.n * qn.nq), 9) DESC, pc.cid) AS rn
+  FROM pc JOIN cn USING(cid), qn) WHERE rn <= $nprobe),
+qr AS (SELECT p.cid AS pcid, c.i, q.qv - c.v AS v
+  FROM probe p JOIN cen c ON c.cid = p.cid JOIN q ON q.i = c.i),
+qrs AS (SELECT pcid, i // $dsub AS sub, i % $dsub AS j, v FROM qr),
+lut AS (SELECT qrs.pcid, cb.sub, cb.cid, round(sum((qrs.v - cb.v) * (qrs.v - cb.v)), 9) AS d2
+  FROM c$iters cb JOIN qrs ON qrs.sub = cb.sub AND qrs.j = cb.j GROUP BY 1, 2, 3),
+sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc
+  FROM codes JOIN assigned a ON a.vec_id = codes.vec_id
+  JOIN lut ON lut.pcid = a.cid AND lut.sub = codes.sub AND lut.cid = codes.code
+  WHERE codes.vec_id <> 0 GROUP BY 1)
+SELECT vec_id, round(adc, 6) AS adc FROM sc
+ORDER BY round(adc, 6), vec_id LIMIT $k"""
+
   /** Shared SQ8 CTEs (SqOps.sqTrain + sqEncode): per-dim min/max,
     * then code = clamp(round((v − mn) · 255/(mx − mn)), 0, 255) —
     * exact double arithmetic, HALF-UP round, no training rounding

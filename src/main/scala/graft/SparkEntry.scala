@@ -106,6 +106,32 @@ object SparkEntry {
       (dir, books)
     })
 
+  /** Materialized RESIDUAL IVF-PQ index per scale dir (codes of
+    * x − assigned centroid) — same contract as [[ivfPqIndex]]. */
+  private val ivfPqResCache = scala.collection.concurrent.TrieMap.empty[String, (String, PqOps.Codebooks)]
+  private def ivfPqResIndex(s: SparkSession, d: String,
+                            csD: Seq[(Int, Seq[Double])]): (String, PqOps.Codebooks) =
+    ivfPqResCache.getOrElseUpdate(d, {
+      val emb = embeddings(s, d)
+      val books = PqOps.pqTrainResidual(emb, csD, m = 8, ksub = 16, iters = 2)
+      val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = new java.io.File(s"target/graft-ivfpqres-index/$name").getAbsolutePath
+      val src = new java.io.File(s"$d/embeddings.parquet")
+      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+        .sortBy(_.getName)
+      val fingerprint = d + "\n" +
+        parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+      val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
+      val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8") == fingerprint
+      if (!fresh) {
+        PqOps.writeIvfPqResidualIndex(emb, csD, books, dir)
+        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+      }
+      (dir, books)
+    })
+
   /** Deterministic hyperplanes shared by the dd_embdup query and its
     * oracle SQL (literal on both sides). */
   private val embPlanes = AnnOps.randomPlanes(nPlanes = 24, dim = 64, seed = 7L)
@@ -526,6 +552,15 @@ object SparkEntry {
         embeddings(s, d), queryVec(s, d), 10, nprobe = 3, shortlist = 50,
         excludeId = Some(0L))
     }),
+    // residual IVF-PQ (the published IVFPQ encoding: quantize
+    // x − assigned centroid; per-probe ADC tables from
+    // query − centroid) over its own materialized codes-only index
+    "ann_ivfpq_residual" -> ((s, d) => {
+      val csD = centroids(s, d, 8).map { case (c, v) => (c, v.map(_.toDouble)) }
+      val (dir, books) = ivfPqResIndex(s, d, csD)
+      PqOps.ivfPqSearchResidualIndexed(s, dir, csD, books,
+        queryVec(s, d), 10, nprobe = 3, excludeId = Some(0L))
+    }),
     // Scalar quantization (SQ8, FAISS ScalarQuantizer role): per-dim
     // min/max trained in ONE aggregate, int8 codes (4x compression),
     // search = exact L2 to the reconstruction — the gentler
@@ -732,6 +767,8 @@ object SparkEntry {
       ksub = 16, dsub = 8, iters = 2, k = 10),
     "ann_ivfpq_refine" -> EntrySql.pqIvfRefineSql(nCentroids = 8, nprobe = 3,
       ksub = 16, dsub = 8, iters = 2, shortlist = 50, k = 10),
+    "ann_ivfpq_residual" -> EntrySql.pqIvfResidualSql(nCentroids = 8, nprobe = 3,
+      ksub = 16, dsub = 8, iters = 2, k = 10),
     "ann_sq_codes" -> EntrySql.sqCodesSql,
     "ann_sq_search" -> EntrySql.sqSearchSql(10),
     "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),
