@@ -969,6 +969,27 @@ sc AS (SELECT codes.vec_id, sum(lut.d2) AS adc
 SELECT vec_id, round(adc, 6) AS adc FROM sc
 ORDER BY round(adc, 6), vec_id LIMIT $k"""
 
+  /** Residual IVF-PQ + exact refine oracle
+    * (PqOps.ivfPqSearchResidualRefined): the residual per-probe ADC
+    * chain from [[pqIvfResidualSql]] cut at `shortlist`, re-ranked by
+    * exact squared L2 from the raw vectors (reusing its `q` CTE). */
+  def pqIvfResidualRefineSql(nCentroids: Int, nprobe: Int, ksub: Int,
+                             dsub: Int, iters: Int, shortlist: Int,
+                             k: Int): String = {
+    val base = pqIvfResidualSql(nCentroids, nprobe, ksub, dsub, iters, shortlist)
+    val tail = s"""SELECT vec_id, round(adc, 6) AS adc FROM sc
+ORDER BY round(adc, 6), vec_id LIMIT $shortlist"""
+    require(base.endsWith(tail), "pqIvfResidualSql tail changed")
+    base.dropRight(tail.length).stripSuffix("\n") +
+      s""",
+cand AS (SELECT vec_id FROM sc ORDER BY round(adc, 6), vec_id LIMIT $shortlist),
+d AS (SELECT f.vec_id, sum((q.qv - f.v) * (q.qv - f.v)) AS d2
+  FROM f JOIN q USING(i)
+  WHERE f.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1)
+SELECT vec_id, round(d2, 6) AS d2 FROM d
+ORDER BY round(d2, 6), vec_id LIMIT $k"""
+  }
+
   /** Shared SQ8 CTEs (SqOps.sqTrain + sqEncode): per-dim min/max,
     * then code = clamp(round((v − mn) · 255/(mx − mn)), 0, 255) —
     * exact double arithmetic, HALF-UP round, no training rounding

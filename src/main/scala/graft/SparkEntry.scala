@@ -49,37 +49,55 @@ object SparkEntry {
 
   private val qualityStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Shared materialized-index resume contract: the marker records a
+    * fingerprint of the SOURCE embeddings (sizes + mtimes) PLUS the
+    * caller's `params` string (hyperparameters / a codebook digest),
+    * so a regenerated scale dir OR a changed training constant
+    * rebuilds instead of silently serving a stale index; the raw dir
+    * path is keyed too (distinct dirs can sanitize to one name). */
+  private def materializedIndex(d: String, sub: String, params: String)
+                               (write: String => Unit): String = {
+    val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(s"target/$sub/$name").getAbsolutePath
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+      .sortBy(_.getName)
+    val fingerprint = d + "\n" + params + "\n" +
+      parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+    val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
+    val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == fingerprint
+    if (!fresh) {
+      write(dir)
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** md5 of the trained codebooks — ties the on-disk codes to the
+    * exact codebooks that produced them (a changed m/ksub/iters or a
+    * changed training contract invalidates the index). */
+  private def bookDigest(books: PqOps.Codebooks): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val text = books.map(_.map(_.mkString(",")).mkString(";")).mkString("|")
+    md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Materialized IVF index per scale dir (built once per JVM,
     * resumed across runs via the marker file). */
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfIndexPath(s: SparkSession, d: String,
                            cs: Seq[(Int, Seq[Float])]): String =
-    ivfCache.getOrElseUpdate(d, {
-      // the resume marker records a fingerprint of the SOURCE
-      // embeddings (sizes + mtimes), so a regenerated scale dir
-      // rebuilds instead of silently serving a stale index; the raw
-      // dir path is keyed too (distinct dirs can sanitize to one name)
-      val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = new java.io.File(s"target/graft-ivf-index/$name").getAbsolutePath
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        .sortBy(_.getName)
-      val fingerprint = d + "\n" +
-        parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
-      val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
-      val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8") == fingerprint
-      if (!fresh) {
+    ivfCache.getOrElseUpdate(d,
+      materializedIndex(d, "graft-ivf-index", s"nc=${cs.size}") { dir =>
         AnnOps.writeIvfIndex(embeddings(s, d), cs, dir)
-        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
-      }
-      dir
-    })
+      })
 
   /** Materialized IVF-PQ index per scale dir (codes-only, partitioned
     * by coarse centroid) — same fingerprinted resume contract as
-    * [[ivfIndexPath]]. Trained PQ codebooks are deterministic, so
+    * [[ivfIndexPath]], keyed by the PQ hyperparameters and trained
+    * codebook digest too. Trained PQ codebooks are deterministic, so
     * they are re-derived per JVM rather than persisted. */
   private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, (String, PqOps.Codebooks)]
   private def ivfPqIndex(s: SparkSession, d: String,
@@ -87,21 +105,10 @@ object SparkEntry {
     ivfPqCache.getOrElseUpdate(d, {
       val emb = embeddings(s, d)
       val books = PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 2)
-      val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = new java.io.File(s"target/graft-ivfpq-index/$name").getAbsolutePath
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        .sortBy(_.getName)
-      val fingerprint = d + "\n" +
-        parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
-      val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
-      val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8") == fingerprint
-      if (!fresh) {
+      val dir = materializedIndex(d, "graft-ivfpq-index",
+        s"m=8 ksub=16 iters=2 nc=${cs.size} books=${bookDigest(books)}") { dir =>
         PqOps.writeIvfPqIndex(emb,
           cs.map { case (c, v) => (c, v.map(_.toDouble)) }, books, dir)
-        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
       }
       (dir, books)
     })
@@ -114,20 +121,9 @@ object SparkEntry {
     ivfPqResCache.getOrElseUpdate(d, {
       val emb = embeddings(s, d)
       val books = PqOps.pqTrainResidual(emb, csD, m = 8, ksub = 16, iters = 2)
-      val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
-      val dir = new java.io.File(s"target/graft-ivfpqres-index/$name").getAbsolutePath
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-        .sortBy(_.getName)
-      val fingerprint = d + "\n" +
-        parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
-      val marker = new java.io.File(dir + "/_GRAFT_SOURCE")
-      val fresh = marker.exists() && new java.io.File(dir + "/_SUCCESS").exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          "UTF-8") == fingerprint
-      if (!fresh) {
+      val dir = materializedIndex(d, "graft-ivfpqres-index",
+        s"m=8 ksub=16 iters=2 nc=${csD.size} books=${bookDigest(books)}") { dir =>
         PqOps.writeIvfPqResidualIndex(emb, csD, books, dir)
-        java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
       }
       (dir, books)
     })
@@ -561,6 +557,16 @@ object SparkEntry {
       PqOps.ivfPqSearchResidualIndexed(s, dir, csD, books,
         queryVec(s, d), 10, nprobe = 3, excludeId = Some(0L))
     }),
+    // the BEST production path end to end: residual encoding (the
+    // published IVFPQ layout) + per-probe ADC shortlist over codes +
+    // exact re-rank of shortlist rows from raw vectors via a pushed
+    // IN predicate
+    "ann_ivfpq_res_refine" -> ((s, d) => {
+      val csD = centroids(s, d, 8).map { case (c, v) => (c, v.map(_.toDouble)) }
+      val (dir, books) = ivfPqResIndex(s, d, csD)
+      PqOps.ivfPqSearchResidualRefined(s, dir, csD, books, embeddings(s, d),
+        queryVec(s, d), 10, nprobe = 3, shortlist = 50, excludeId = Some(0L))
+    }),
     // Scalar quantization (SQ8, FAISS ScalarQuantizer role): per-dim
     // min/max trained in ONE aggregate, int8 codes (4x compression),
     // search = exact L2 to the reconstruction — the gentler
@@ -769,6 +775,8 @@ object SparkEntry {
       ksub = 16, dsub = 8, iters = 2, shortlist = 50, k = 10),
     "ann_ivfpq_residual" -> EntrySql.pqIvfResidualSql(nCentroids = 8, nprobe = 3,
       ksub = 16, dsub = 8, iters = 2, k = 10),
+    "ann_ivfpq_res_refine" -> EntrySql.pqIvfResidualRefineSql(nCentroids = 8,
+      nprobe = 3, ksub = 16, dsub = 8, iters = 2, shortlist = 50, k = 10),
     "ann_sq_codes" -> EntrySql.sqCodesSql,
     "ann_sq_search" -> EntrySql.sqSearchSql(10),
     "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),

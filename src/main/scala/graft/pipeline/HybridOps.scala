@@ -34,14 +34,34 @@ object HybridOps {
    *
    * Output: (idCol, rrf, n_lists) ordered by (rrf desc, id asc),
    * top `topK`.
+   *
+   * Contract enforcement: a duplicate id within one list is collapsed
+   * to its best score BEFORE ranking (a repeated id must not inflate
+   * the fused sum or fake multi-list presence), and a list longer
+   * than `maxListLen` rows fails LOUDLY at execution time via a
+   * raise_error guard on the rank — a corpus-scale frame passed where
+   * a top-k list belongs would otherwise silently serialize onto the
+   * single-partition window. The guard is an expression (no extra
+   * count job), and limit(maxListLen + 1) bounds the window's input
+   * even on the failure path.
    */
   def rrfFuse(lists: Seq[(DataFrame, String)], k0: Int = 60,
-              topK: Int = 10, idCol: String = "doc_id"): DataFrame = {
+              topK: Int = 10, idCol: String = "doc_id",
+              maxListLen: Int = 10000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     val ranked = lists.map { case (df, scoreCol) =>
-      df.select(col(idCol),
+      val dedup = df.groupBy(col(idCol))
+        .agg(max(col(scoreCol)).as(scoreCol))
+        .limit(maxListLen + 1)
+      dedup.select(col(idCol),
         row_number().over(
           Window.orderBy(col(scoreCol).desc, col(idCol).asc)).as("rank"))
+        .select(col(idCol),
+          when(col("rank") > maxListLen,
+            raise_error(lit(s"rrfFuse: input list exceeds maxListLen=" +
+              s"$maxListLen distinct ids — pass top-k lists, not a corpus"))
+              .cast("int"))
+            .otherwise(col("rank")).as("rank"))
     }
     ranked.reduce(_ unionByName _)
       .groupBy(idCol)

@@ -214,9 +214,7 @@ object PqOps {
     * this is the scan a PQ-compressed 100 TB index pays. */
   def adcSearch(encoded: DataFrame, books: Codebooks, query: Seq[Float],
                 k: Int, excludeId: Option[Long] = None): DataFrame = {
-    val lut = adcLut(books, query)
-    val adc = lut.indices.map(s =>
-      element_at(typedLit(lut(s)), col("codes").getItem(s) + 1)).reduce(_ + _)
+    val adc = adcExpr(adcLut(books, query))
     val base = excludeId.map(id => encoded.where(col("vec_id") =!= id))
       .getOrElse(encoded)
     base.select(col("vec_id"), round(adc, 6).as("adc"))
@@ -310,5 +308,25 @@ object PqOps {
     base.select(col("vec_id"), round(col("rawadc"), 6).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** The BEST production path, end to end: residual IVF-PQ probe +
+    * per-probe ADC shortlist (codes only) + exact L2 re-rank of the
+    * shortlist rows from the raw-vector table through a pushed IN
+    * predicate — [[ivfPqSearchRefined]]'s refine stage on top of the
+    * residual-encoded index. Per-query raw-vector reads stay bounded
+    * by the shortlist width; the shortlist-id collect is bounded by
+    * construction (a top-k page, like every driver collect here). */
+  def ivfPqSearchResidualRefined(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String,
+                                 centroids: Seq[(Int, Seq[Double])],
+                                 books: Codebooks, vecs: DataFrame,
+                                 query: Seq[Float], k: Int, nprobe: Int,
+                                 shortlist: Int,
+                                 excludeId: Option[Long] = None): DataFrame = {
+    val cand = ivfPqSearchResidualIndexed(spark, indexPath, centroids, books,
+      query, shortlist, nprobe, excludeId)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    AnnOps.bruteForceTopKL2(vecs.where(col("vec_id").isin(cand: _*)), query, k)
   }
 }

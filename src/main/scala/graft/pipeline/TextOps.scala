@@ -419,10 +419,14 @@ object TextOps {
    * token array — no token-table self-join, no extra shuffle); the
    * model is two hash aggregates over the exploded bigrams; scoring
    * is one join per model table keyed on the bigram/context. Those
-   * keys are Zipf-skewed — at 100 TB either broadcast the model
-   * (vocab² is far smaller than the corpus) or let AQE split the
-   * skewed reducers; V rides a one-row crossJoin (stays declarative,
-   * no driver action). Tokenization is the SQL-replayable simple mode
+   * keys are Zipf-skewed — so by default (`broadcastModel = true`)
+   * BOTH model tables ride a broadcast-hash join: the model is
+   * vocab-bounded (the observed bigram table — far smaller than the
+   * corpus; c1 smaller still), which removes the skewed shuffle
+   * entirely. Set it false only if a trained model genuinely exceeds
+   * executor memory, and let AQE split the skewed reducers instead.
+   * V rides a one-row crossJoin (stays declarative, no driver
+   * action). Tokenization is the SQL-replayable simple mode
    * (lower + split on non-[a-z0-9]) so DuckDB recomputes the exact
    * model.
    *
@@ -432,7 +436,8 @@ object TextOps {
    */
   def bigramPerplexity(docs: DataFrame, alpha: Double = 0.5,
                        textCol: String = "text",
-                       train: Option[DataFrame] = None): DataFrame = {
+                       train: Option[DataFrame] = None,
+                       broadcastModel: Boolean = true): DataFrame = {
     def words(df: DataFrame) = df.select(col("doc_id"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         w => w =!= lit("")).as("ws"))
@@ -452,9 +457,10 @@ object TextOps {
       .select(explode(col("ws")).as("w")).agg(count_distinct(col("w"))
         .cast("double").as("v"))
 
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
     val scored = bigrams(docs)
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+      .join(side(c2), Seq("w1", "w2"), "left")
+      .join(side(c1), Seq("w1"), "left")
       .crossJoin(broadcast(vDf))
       .select(col("doc_id"),
         log((coalesce(col("c2"), lit(0.0)) + lit(alpha)) /

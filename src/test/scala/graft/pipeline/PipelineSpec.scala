@@ -539,6 +539,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(tg.toSeq == Seq((4L, r6(1.0 / 61)), (5L, r6(1.0 / 62))))
   }
 
+  test("rrfFuse contract: duplicate ids collapse to best score; oversize list fails loudly") {
+    import spark.implicits._
+    // a repeated id within one list must contribute ONE rank (its
+    // best), not inflate rrf / fake multi-list presence
+    val dup = Seq((1L, 1.0), (1L, 3.0), (2L, 2.0)).toDF("doc_id", "score")
+    val got = HybridOps.rrfFuse(Seq((dup, "score")), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L)), got.mkString(","))
+    // a corpus-scale frame where a top-k list belongs fails LOUDLY
+    // (raise_error in the rank guard), instead of silently funneling
+    // the corpus through the single-partition window
+    val big = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("doc_id", "score")
+    val ex = intercept[Exception] {
+      HybridOps.rrfFuse(Seq((big, "score")), topK = 10, maxListLen = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxListLen")), ex.toString)
+  }
+
+  test("bigramPerplexity model joins broadcast by default (no skewed shuffle)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a c"), (2L, "b c a b")).toDF("doc_id", "text")
+    val scored = TextOps.bigramPerplexity(d, alpha = 0.5)
+    val plan = scored.queryExecution.executedPlan.toString
+    // c2, c1 and the one-row V all ride broadcast joins: the Zipf-
+    // skewed w1/bigram keys never hash-shuffle the corpus side
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"model joins not broadcast:\n${plan.take(2000)}")
+    // values identical with the broadcast off (pure plan change)
+    val a = scored.orderBy("doc_id").collect().toSeq
+    val b = TextOps.bigramPerplexity(d, alpha = 0.5, broadcastModel = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("lineDedup drops cross-doc boilerplate lines, keeps order and exempts short lines") {
     import spark.implicits._
     val d = Seq(
@@ -865,6 +901,24 @@ class PipelineSpec extends AnyFunSuite {
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
       s"probe not pruned:\n${plan.take(1200)}")
+    // residual + refine (the BEST production path): with all buckets
+    // probed and a full-width shortlist the exact re-rank IS brute
+    // force — identity against bruteForceTopKL2, shortlist pushed as
+    // an IN predicate, no join
+    val rawDir = java.nio.file.Files.createTempDirectory("ivfpqres-raw")
+      .toString + "/raw"
+    vecs.write.parquet(rawDir)
+    val raw = spark.read.parquet(rawDir)
+    val q = Seq(1f, 0f, 0f, 1f)
+    val rr = PqOps.ivfPqSearchResidualRefined(spark, dir, cents, books,
+      raw, q, 3, nprobe = 2, shortlist = 5)
+    val brute = AnnOps.bruteForceTopKL2(raw, q, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === brute)
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    assert(rrPlan.contains("PushedFilters") && rrPlan.contains("In(vec_id"),
+      s"shortlist not pushed:\n${rrPlan.take(1500)}")
+    assert(!rrPlan.contains("Join"), s"refine joined instead of pushing:\n$rrPlan")
   }
 
   test("pqTrain is partition-layout-invariant (the 6-decimal rounding contract, live)") {
