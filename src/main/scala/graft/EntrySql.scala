@@ -1193,6 +1193,36 @@ d AS (SELECT fp, count(DISTINCT doc_id)::BIGINT AS n_docs FROM f
 SELECT f.doc_id, f.pos AS span_start, (f.pos + ${k - 1})::INT AS span_end, f.fp, d.n_docs
 FROM f JOIN d USING (fp) ORDER BY doc_id, span_start, fp"""
 
+  /** Exact substring-dedup oracle
+    * ([[graft.pipeline.TextOps.exactSubstringDupSpans]]): every
+    * k-gram hashed, duplicated hashes kept, per-doc gaps-and-islands
+    * merge (new island when pos > previous pos + k) into maximal
+    * spans — the same window arithmetic as the Spark side. */
+  def exactSubstringDupSql(k: Int = 30, minDocs: Int = 2): String =
+    s"""WITH pg AS (
+  SELECT doc_id, unnest(range(1, length(text) - ${k - 2})) AS pos, text
+  FROM documents WHERE length(text) >= $k
+),
+g AS (SELECT doc_id, pos::INT AS pos, md5(substr(text, pos::INT, $k)) AS h FROM pg),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= $minDocs),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM brks
+)
+SELECT doc_id, min(pos)::INT AS span_start, (max(pos) + ${k - 1})::INT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
+
   /** Gopher-repetition oracle: replays
     * [[graft.pipeline.TextOps.repetitionSignals]] (duplicate-line
     * fractions via list ops, top word-bigram via the same

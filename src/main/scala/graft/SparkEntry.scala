@@ -455,6 +455,13 @@ object SparkEntry {
     "dd_substring" -> ((s, d) =>
       TextOps.substringDupSpans(documents(s, d))
         .orderBy("doc_id", "span_start", "fp")),
+    // EXACT substring dedup (Lee-et-al exact modality): every k-gram
+    // anchored — catches duplicated spans of length >= k that
+    // winnowing's sampled fingerprints can miss; islands merged to
+    // maximal spans per doc
+    "dd_suffix" -> ((s, d) =>
+      TextOps.exactSubstringDupSpans(documents(s, d))
+        .orderBy("doc_id", "span_start")),
     // cross-document duplicated-line removal (C4/RefinedWeb
     // boilerplate pass). The corpus text is single-line, so the gate
     // synthesizes line structure first — every 10 words becomes a
@@ -762,6 +769,7 @@ object SparkEntry {
     "dd_lines" -> EntrySql.lineDedupSql(2, 1),
     "dd_decontam" -> EntrySql.decontamSql(),
     "dd_substring" -> EntrySql.substringDupSql(),
+    "dd_suffix" -> EntrySql.exactSubstringDupSql(),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),

@@ -238,6 +238,60 @@ object TextOps {
   }
 
   /**
+   * EXACT substring-level duplicate spans — the Lee et al. suffix-
+   * array modality without the corpus-wide suffix sort: anchor on
+   * EVERY k-gram hash (where [[substringDupSpans]]'s winnowing
+   * SAMPLES window minima, so a duplicated span shorter than
+   * k + w − 1 chars can escape), mark the positions whose k-gram
+   * recurs in ≥ `minDocs` distinct documents, and merge overlapping /
+   * touching gram intervals into maximal spans per document. Any
+   * duplicated substring of length ≥ k is caught — exactly (a k-gram
+   * equality IS a length-k duplicate; the merged island is the
+   * maximal run of such evidence).
+   *
+   * Output: (doc_id, span_start, span_end, n_grams) — 1-based
+   * inclusive character spans, one row per maximal span.
+   *
+   * Scale shape: exactness costs one row per character position —
+   * the same linear blow-up a distributed suffix-array build pays,
+   * traded here for hash-shuffle-friendly operators: per-row gram
+   * hashing fused into the scan, ONE groupBy on uniform md5 keys
+   * (two-phase agg; the HAVING keeps only duplicated hashes, so the
+   * join-back build side is dup-density-sized and AQE can broadcast
+   * it), then a per-doc window (partitioned by doc_id — no global
+   * sort) for the gaps-and-islands merge. No corpus-wide sort, no
+   * quadratic step.
+   */
+  def exactSubstringDupSpans(docs: DataFrame, k: Int = 30,
+                             minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(gramHashes(col("text"), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // intervals [pos, pos+k-1] merge while the next start is <= the
+    // previous start + k (overlapping or exactly adjacent): with
+    // single-column ordering, max-end-so-far IS lag(pos) + k - 1
+    val hits = grams.join(dup, "h")
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    hits.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("int").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /**
    * Benchmark decontamination — the train/test-overlap scrub a
    * training-data pipeline runs before training: flag corpus
    * documents sharing at least `minShared` distinct winnowing

@@ -692,6 +692,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(cov.size >= k, s"span coverage suspiciously thin: ${cov.size} chars")
   }
 
+  test("exactSubstringDupSpans catches a short dup that winnowing sampling misses") {
+    import spark.implicits._
+    def noise(seed: Int): String = {
+      var h = seed.toLong * 2654435761L + 12345
+      (0 until 120).map { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ('a' + ((h >>> 33) % 26).toInt).toChar
+      }.mkString
+    }
+    val k = 30; val w = 8
+    // a 32-char shared span: >= k (exact anchoring catches it) but
+    // < k + w - 1 = 37 (below winnowing's guarantee — its sampled
+    // fingerprints may or may not align across docs; here they don't)
+    val shared = "ZQXJKVWPYBGHMCDNFLRTSAEIOUzqxjkv"
+    assert(shared.length == 32)
+    val docs = Seq(
+      (1L, noise(1) + shared + noise(2)),
+      (2L, noise(3) + shared + noise(4)),
+      (3L, noise(5) + noise(6))).toDF("doc_id", "text")
+    val approx = TextOps.substringDupSpans(docs, k, w, minDocs = 2).collect()
+    assert(approx.isEmpty,
+      s"winnowing unexpectedly caught the short span — pick a different plant: ${approx.mkString(",")}")
+    val exact = TextOps.exactSubstringDupSpans(docs, k, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // each dup doc gets exactly one maximal span = the full 32-char
+    // plant (3 anchoring k-grams merged into one island), doc 3 clean
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact.map(_._1).toSeq == Seq(1L, 2L), exact.mkString(","))
+    exact.foreach { case (id, s0, s1, ng) =>
+      assert(texts(id).substring(s0 - 1, s1) == shared,
+        s"doc $id span [$s0,$s1] is not the planted dup")
+      assert(ng == shared.length - k + 1)
+    }
+    // islands merge only overlapping/adjacent evidence: two plants
+    // separated by unique text stay two spans
+    val two = Seq(
+      (1L, shared + noise(7) + shared),
+      (2L, noise(8) + shared + noise(9))).toDF("doc_id", "text")
+    val spans1 = TextOps.exactSubstringDupSpans(two, k, minDocs = 2)
+      .where(col("doc_id") === 1L).collect()
+    assert(spans1.length == 2, spans1.mkString(","))
+  }
+
   // ---- k-means IVF training ------------------------------------
 
   /** Three well-separated 8-dim clusters: members = axis direction
