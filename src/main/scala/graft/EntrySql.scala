@@ -1223,6 +1223,62 @@ SELECT doc_id, min(pos)::INT AS span_start, (max(pos) + ${k - 1})::INT AS span_e
 FROM isl GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
 
+  /** Shared BPE-training CTE chain
+    * ([[graft.pipeline.BpeOps.bpeTrain]]), unrolled `nMerges` rounds:
+    * w0 = word counts with every char brace-wrapped; per round, pair
+    * counts over the symbol arrays (one agg), the winner by
+    * (pc DESC, l, r), and ONE literal replace applying it. The
+    * wrapped encoding makes a single leftmost non-overlapping
+    * replace() equal sequential greedy BPE on BOTH engines (symbols
+    * share no delimiter characters). */
+  private def bpeCtes(nMerges: Int): String = {
+    val w0 =
+      """WITH w0 AS (
+  SELECT word, regexp_replace(word, '(.)', '{\1}', 'g') AS s, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    val rounds = (1 to nMerges).map { t =>
+      s""",
+pairs$t AS (
+  SELECT cnt, unnest(list_transform(range(1, len(syms)),
+    i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+  FROM (SELECT cnt, string_split(trim(s, '{}'), '}{') AS syms FROM w${t - 1})
+  WHERE len(syms) >= 2
+),
+p$t AS (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS pc FROM pairs$t GROUP BY 1, 2),
+b$t AS (SELECT $t::INT AS merge_rank, l, r, pc FROM p$t ORDER BY pc DESC, l, r LIMIT 1),
+w$t AS (SELECT word, replace(s, '{' || l || '}{' || r || '}', '{' || l || r || '}') AS s, cnt
+        FROM w${t - 1}, b$t)"""
+    }.mkString
+    w0 + rounds
+  }
+
+  /** BPE merge-table oracle: the N winning (pair, count) rows. */
+  def bpeTrainSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(t => s"SELECT * FROM b$t")
+      .mkString("\n  UNION ALL ")
+    bpeCtes(nMerges) + s"""
+SELECT merge_rank, l AS left_sym, r AS right_sym, pc AS pair_count
+FROM ($union)
+ORDER BY merge_rank"""
+  }
+
+  /** BPE encode oracle ([[graft.pipeline.BpeOps.bpeEncode]]): the
+    * trained word → merged-symbols mapping applied back to the corpus
+    * (per-doc word and BPE-symbol counts). */
+  def bpeEncodeSql(nMerges: Int): String =
+    bpeCtes(nMerges) + s""",
+enc AS (SELECT word, len(string_split(trim(s, '{}'), '}{'))::BIGINT AS n_syms FROM w$nMerges),
+docw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+         FROM documents),
+agg AS (SELECT docw.doc_id, count(*)::BIGINT AS n_words, sum(enc.n_syms)::BIGINT AS n_bpe
+        FROM docw JOIN enc USING (word) GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.n_words, 0)::BIGINT AS n_words,
+       coalesce(agg.n_bpe, 0)::BIGINT AS n_bpe
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   /** Gopher-repetition oracle: replays
     * [[graft.pipeline.TextOps.repetitionSignals]] (duplicate-line
     * fractions via list ops, top word-bigram via the same

@@ -616,6 +616,25 @@ object SparkEntry {
     "ta_perplexity" -> ((s, d) =>
       TextOps.bigramPerplexity(documents(s, d), alpha = 0.5)
         .orderBy("doc_id")),
+    // BPE vocabulary TRAINING (Sennrich et al.): 8 distributed merge
+    // rounds — ONE pair-count aggregate each over the cached
+    // vocab-sized word table, one winning row to the driver per
+    // round; the oracle unrolls the identical 8 rounds in SQL
+    "ta_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      graft.pipeline.BpeOps.bpeTrain(documents(s, d), nMerges = 8)
+        .map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_rank")
+    }),
+    // the trained merge table applied back to the corpus: per-doc
+    // word + BPE-symbol counts via ONE broadcast (vocab-sized) join
+    "ta_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.pipeline.BpeOps.bpeEncode(docs,
+        graft.pipeline.BpeOps.bpeTrain(docs, nMerges = 8))
+        .orderBy("doc_id")
+    }),
     "ta_winnow" -> ((s, d) =>
       TextOps.winnowDigest(documents(s, d)).orderBy("doc_id")),
     // PII redaction: emails → [EMAIL], IPv4 → [IP], digit runs →
@@ -794,6 +813,8 @@ object SparkEntry {
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_perplexity" -> EntrySql.perplexitySql(0.5),
+    "ta_bpe_train" -> EntrySql.bpeTrainSql(8),
+    "ta_bpe_encode" -> EntrySql.bpeEncodeSql(8),
     "ta_winnow" -> EntrySql.winnowSql(),
     "ta_pii" -> EntrySql.piiSql,
     "ta_chunks" -> EntrySql.chunksSql(40, 30),

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE vocabulary TRAINING as a distributed merge loop — the
+ * tokenizer-building pass of a training-data pipeline (Sennrich et
+ * al., "Neural Machine Translation of Rare Words with Subword Units",
+ * ACL 2016 — the published byte-pair-encoding algorithm; GPT-2-style
+ * convention: pretokens carry the word boundaries, no end-of-word
+ * marker symbol).
+ *
+ * Scale design — the same engine-reproducibility pattern as
+ * [[AnnOps.kmeansTrain]]:
+ *
+ *  - The corpus is scanned ONCE: pretokenization + word counting is
+ *    one hash aggregate with map-side combine. Everything after runs
+ *    on the resulting VOCAB-sized (word, cnt) table, cached — at
+ *    100 TB the corpus has billions of rows, the distinct-word table
+ *    has millions, and that is the only thing the merge loop touches.
+ *  - Each merge round is ONE distributed aggregation (adjacent-pair
+ *    counts weighted by word count, two-phase agg on uniform string
+ *    keys) of which exactly ONE row — the winning pair — reaches the
+ *    driver. Merge selection is deterministic: count descending, then
+ *    (left, right) ascending (binary string order, both engines).
+ *  - Merge APPLICATION is a single literal string replace per round,
+ *    over a wrapped-symbol encoding ("data" → "{d}{a}{t}{a}"): each
+ *    symbol carries its own brace delimiters, so the pattern
+ *    "{l}{r}" → "{lr}" can never match inside a longer symbol, and —
+ *    because adjacent matches share no characters — ONE leftmost
+ *    non-overlapping replace pass equals the sequential greedy BPE
+ *    application exactly (a merged symbol "lr" can never spawn a new
+ *    "{l}{r}" occurrence: it would require lr = l or lr = r, both
+ *    impossible for non-empty symbols). This is what makes the whole
+ *    training loop replayable verbatim in SQL (EntrySql.bpeTrainSql
+ *    unrolls N rounds of the identical CTE chain for the gate).
+ *  - Encoding a corpus with the trained table is one broadcast join
+ *    (word → merged symbols; the mapping is vocab-sized) plus a
+ *    per-doc aggregate — no shuffle on the corpus side beyond the
+ *    final doc-keyed agg.
+ */
+object BpeOps {
+
+  /** One trained merge: 1-based rank, the winning adjacent symbol
+    * pair, and the corpus pair count that won it. */
+  case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Pretokenization shared with the SQL oracle: simple mode (lower,
+    * split on non-[a-z0-9]) — the same replayable convention as
+    * [[TextOps.bigramPerplexity]]. */
+  private def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= lit(""))
+
+  /** Corpus word frequencies — the ONE corpus-wide pass. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** "data" → "{d}{a}{t}{a}": every char wrapped in braces (tokens
+    * are [a-z0-9]+, so braces can never collide with symbol text). */
+  def wrap(word: Column): Column = regexp_replace(word, "(.)", "{$1}")
+
+  /** Symbol array of a wrapped string: strip the outer braces, split
+    * on the inter-symbol "}{" boundary. */
+  def symsOf(s: Column): Column =
+    split(regexp_replace(s, "^\\{|\\}$", ""), "\\}\\{")
+
+  /** The wrapped-symbol expression after applying `merges` in rank
+    * order to an initial wrapped column — one literal replace per
+    * merge, nested (pure codegen'd string work, no join, no UDF). */
+  def applyMerges(wrapped: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(wrapped) { (c, m) =>
+      replace(c, lit(s"{${m.left}}{${m.right}}"), lit(s"{${m.left}${m.right}}"))
+    }
+
+  /**
+   * Train `nMerges` BPE merges over the corpus. Throws if the corpus
+   * exhausts adjacent pairs before reaching `nMerges` (an
+   * engine-silent short vocabulary would desynchronize every
+   * downstream encode — fail loudly instead, the same contract as
+   * the wildcard most_frequent policy).
+   */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               textCol: String = "text"): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val base = wordCounts(docs, textCol).persist()
+    try {
+      val out = Vector.newBuilder[Merge]
+      var cur: Column = wrap(col("word"))
+      for (t <- 1 to nMerges) {
+        val syms = symsOf(cur)
+        val best = base
+          .where(size(syms) >= 2)
+          .select(col("cnt"), explode(
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("l"),
+                element_at(syms, i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        require(best.nonEmpty,
+          s"corpus exhausted adjacent pairs at merge $t of $nMerges")
+        val m = Merge(t, best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        out += m
+        cur = replace(cur,
+          lit(s"{${m.left}}{${m.right}}"), lit(s"{${m.left}${m.right}}"))
+      }
+      out.result()
+    } finally base.unpersist()
+  }
+
+  /** The trained vocabulary mapping (word, merged wrapped string,
+    * symbol count, corpus count) — the broadcast side of encode. */
+  def vocabTable(docs: DataFrame, merges: Seq[Merge],
+                 textCol: String = "text"): DataFrame =
+    wordCounts(docs, textCol)
+      .select(col("word"),
+        applyMerges(wrap(col("word")), merges).as("s"), col("cnt"))
+      .withColumn("n_syms", size(symsOf(col("s"))).cast("long"))
+
+  /**
+   * Encode the corpus with a trained merge table: per doc, the word
+   * count and the total BPE symbol count after all merges. The
+   * mapping join broadcasts (vocab-sized build side); docs with no
+   * tokens report zeros.
+   */
+  def bpeEncode(docs: DataFrame, merges: Seq[Merge],
+                textCol: String = "text"): DataFrame = {
+    val vocab = vocabTable(docs, merges, textCol).select("word", "n_syms")
+    val agg = docs
+      .select(col("doc_id"), explode(words(col(textCol))).as("word"))
+      .join(broadcast(vocab), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+}

@@ -539,6 +539,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(tg.toSeq == Seq((4L, r6(1.0 / 61)), (5L, r6(1.0 / 62))))
   }
 
+  test("bpeTrain: deterministic merge selection, greedy application, composition") {
+    import spark.implicits._
+    import BpeOps._
+    // Sennrich-style toy corpus: "lo" dominates (5 words), then "ow"
+    // within the merged context
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lowest wide")).toDF("doc_id", "text")
+    val ms = bpeTrain(docs, nMerges = 3)
+    assert(ms.map(_.rank) == Seq(1, 2, 3))
+    // merge 1: (l,o) appears in 7 word occurrences
+    assert((ms(0).left, ms(0).right, ms(0).pairCount) == (("l", "o", 7L)))
+    // merge 2: (lo,w) — built FROM merge 1's symbol (composition)
+    assert((ms(1).left, ms(1).right, ms(1).pairCount) == (("lo", "w", 7L)))
+    // greedy leftmost application on overlapping runs: one replace
+    // pass over the wrapped encoding equals sequential BPE
+    val runDocs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val m1 = bpeTrain(runDocs, 1)
+    assert((m1.head.left, m1.head.right) == (("a", "a")))
+    val vt = vocabTable(runDocs, m1).orderBy("word").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vt("aaaa") == "{aa}{aa}", vt.toString) // NOT {aa}{a}{a} or {a}{aa}{a}
+    assert(vt("aaa") == "{aa}{a}", vt.toString)   // leftmost wins the odd run
+    // encode: per-doc word + symbol counts; tokenless docs report 0
+    val enc = bpeEncode(
+      Seq((1L, "low low"), (2L, "lowest"), (3L, "!!!")).toDF("doc_id", "text"),
+      ms).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // after 3 merges both "low" (1 sym) and "lowest"/"wide" shapes are
+    // deterministic: recompute expected from vocabTable
+    assert(enc(2) == ((3L, 0L, 0L)), enc.mkString(","))
+    assert(enc(0)._2 == 2L && enc(1)._2 == 1L)
+    // training past pair exhaustion fails loudly
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] { bpeTrain(tiny, 1) }
+    assert(ex.getMessage.contains("exhausted"), ex.getMessage)
+  }
+
   test("rrfFuse contract: duplicate ids collapse to best score; oversize list fails loudly") {
     import spark.implicits._
     // a repeated id within one list must contribute ONE rank (its
