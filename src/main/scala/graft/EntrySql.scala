@@ -1069,6 +1069,44 @@ SELECT doc_id, chunk_id,
        least($window, n - chunk_id * $stride)::BIGINT AS n_tokens
 FROM c ORDER BY doc_id, chunk_id"""
 
+  /** Sequence-packing oracle ([[graft.pipeline.PackOps.pack]] over
+    * the [[chunksSql]] chunk table): md5-ordered per-stream token
+    * line, cumulative-sum intervals, budget-cell explode — identical
+    * integer arithmetic to the Spark window. */
+  def packSql(window: Int, stride: Int, budget: Int, nStreams: Int): String = {
+    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(key, $p, 1)) - 1)"
+    s"""WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT doc_id, len(toks) AS n FROM tk),
+c AS (SELECT doc_id,
+             unnest(range(0, CASE WHEN n <= $window THEN 1
+               ELSE (n - $window + $stride - 1) // $stride + 1 END)) AS chunk_id,
+             n
+      FROM n),
+ch AS (SELECT doc_id, chunk_id,
+              least($window, n - chunk_id * $stride)::BIGINT AS n_tokens,
+              md5(doc_id || ':' || chunk_id) AS key
+       FROM c WHERE least($window, n - chunk_id * $stride) > 0),
+strm AS (SELECT *,
+  ((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})
+    % $nStreams)::INT AS stream
+  FROM ch),
+iv AS (SELECT *,
+  sum(n_tokens) OVER (PARTITION BY stream ORDER BY key
+                      ROWS UNBOUNDED PRECEDING) AS e
+  FROM strm),
+iv2 AS (SELECT *, e - n_tokens AS s FROM iv),
+ex AS (SELECT *, unnest(range((s // $budget)::BIGINT,
+                              ((e - 1) // $budget + 1)::BIGINT)) AS seq_id
+       FROM iv2)
+SELECT stream, seq_id::BIGINT AS seq_id, doc_id, chunk_id::INT AS chunk_id,
+       (greatest(s, seq_id * $budget) - s)::BIGINT AS src_offset,
+       (greatest(s, seq_id * $budget) - seq_id * $budget)::BIGINT AS tok_start,
+       (least(e, (seq_id + 1) * $budget) - greatest(s, seq_id * $budget))::BIGINT AS n_tok
+FROM ex ORDER BY stream, seq_id, tok_start"""
+  }
+
   /** Hash-threshold sampling oracles: same md5-prefix string compare
     * as SampleOps (seed "s0"), lowercase-hex order ≡ numeric order. */
   def sampleSql(rate: Double): String =

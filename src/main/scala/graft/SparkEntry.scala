@@ -655,6 +655,16 @@ object SparkEntry {
       TextOps.chunk(documents(s, d), window = 40, stride = 30)
         .select("doc_id", "chunk_id", "chunk", "n_tokens")
         .orderBy("doc_id", "chunk_id")),
+    // sequence packing (the pipeline's last mile): 40/30 chunks cut
+    // into 512-token training sequences over 8 hash-assigned packing
+    // streams — GPT-style contiguous packing, chunks split across
+    // sequence boundaries; md5 ordering makes the shard layout
+    // engine- and partitioning-independent
+    "dp_pack" -> ((s, d) =>
+      graft.pipeline.PackOps.pack(
+        TextOps.chunk(documents(s, d), window = 40, stride = 30),
+        budget = 512, nStreams = 8)
+        .orderBy("stream", "seq_id", "tok_start")),
     // deterministic hash-threshold sampling (reproducible across
     // engines/partitionings — the data-mixing pass)
     "dp_sample" -> ((s, d) =>
@@ -818,6 +828,7 @@ object SparkEntry {
     "ta_winnow" -> EntrySql.winnowSql(),
     "ta_pii" -> EntrySql.piiSql,
     "ta_chunks" -> EntrySql.chunksSql(40, 30),
+    "dp_pack" -> EntrySql.packSql(40, 30, 512, 8),
     "dp_sample" -> EntrySql.sampleSql(0.25),
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "ta_langid" -> EntrySql.langIdSql,

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing + deterministic shard writing — the training-data
+ * pipeline's last mile: chunked documents become fixed-length
+ * training sequences (the GPT-style convention: concatenate the
+ * token stream and cut every `budget` tokens, chunks SPLITTING across
+ * sequence boundaries — no padding waste, every sequence exactly
+ * `budget` tokens except each stream's final one).
+ *
+ * Determinism / scale design:
+ *  - Chunks are ordered by md5(doc:chunk) — layout-independent like
+ *    [[SampleOps]]: any partitioning, any engine, any resume produces
+ *    the identical packing (no RNG, no partition-dependent order).
+ *  - The hash also assigns each chunk to one of `nStreams`
+ *    independent packing streams. A stream is the sequential unit —
+ *    its token stream is one window (partitionBy(stream): a per-group
+ *    sort, NOT a global single-partition sort) — and the parallelism
+ *    unit: at 100 TB pick nStreams ≈ cluster parallelism and each
+ *    stream packs its corpus-slice independently; seq ids are
+ *    (stream, seq_id) pairs so no cross-stream coordination exists.
+ *  - Chunk → sequence assignment is pure integer arithmetic over the
+ *    running token count (cumulative-sum window + one explode of the
+ *    [first_seq, last_seq] range) — SQL-replayable verbatim, so the
+ *    gate's DuckDB oracle reproduces the exact shard layout.
+ */
+object PackOps {
+
+  /**
+   * Pack chunk rows (docCol, chunkCol, tokCol) into fixed-`budget`
+   * token sequences per stream. Output, one row per (chunk-slice,
+   * sequence) incidence:
+   *
+   *   stream, seq_id    — the training sequence (stream-local id)
+   *   doc_id, chunk_id  — the source chunk
+   *   src_offset        — first token of the slice within the chunk
+   *   tok_start         — its position within the sequence [0, budget)
+   *   n_tok             — tokens contributed to this sequence
+   *
+   * A chunk longer than `budget` simply spans several sequences.
+   */
+  def pack(chunks: DataFrame, budget: Int, nStreams: Int,
+           docCol: String = "doc_id", chunkCol: String = "chunk_id",
+           tokCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(nStreams >= 1, s"nStreams must be >= 1, got $nStreams")
+    val key = md5(concat(col(docCol).cast("string"), lit(":"),
+      col(chunkCol).cast("string")))
+    // stream from the first 4 hex digits (uniform over 65536; exact
+    // only when nStreams divides 65536 — powers of two recommended)
+    val stream = (conv(substring(key, 1, 4), 16, 10).cast("long")
+      % nStreams).cast("int")
+    val base = chunks.filter(col(tokCol) > 0)
+      .select(col(docCol), col(chunkCol),
+        col(tokCol).cast("long").as("_n"), key.as("_key"), stream.as("stream"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // [_start, _end) = the chunk's interval in the stream's global
+    // token line; the sequences it touches are the budget-sized cells
+    // that interval crosses (integer `div` — no double rounding at
+    // 10^15-token streams)
+    base.withColumn("_end", sum(col("_n")).over(w))
+      .withColumn("_start", col("_end") - col("_n"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_start div $budget"), expr(s"(_end - 1) div $budget"))))
+      .withColumn("_s0", greatest(col("_start"), col("seq_id") * budget))
+      .withColumn("_s1", least(col("_end"), (col("seq_id") + 1) * budget))
+      .select(col("stream"), col("seq_id").cast("long").as("seq_id"),
+        col(docCol), col(chunkCol),
+        (col("_s0") - col("_start")).cast("long").as("src_offset"),
+        (col("_s0") - col("seq_id") * budget).cast("long").as("tok_start"),
+        (col("_s1") - col("_s0")).cast("long").as("n_tok"))
+  }
+
+  /**
+   * Deterministic, resumable shard writer: the packed frame lands as
+   * parquet partitioned by `stream` (one shard family per packing
+   * stream — the layout a sharded training loader reads), gated by a
+   * manifest marker carrying the caller's `fingerprint` (inputs +
+   * packing params). A re-run with the same fingerprint is a NO-OP
+   * (returns false, bytes untouched) — the same stage-checkpoint
+   * contract as the index builder; a changed fingerprint atomically
+   * overwrites. Returns true iff shards were (re)written.
+   */
+  def writeShards(packed: DataFrame, dir: String, fingerprint: String): Boolean = {
+    val marker = new java.io.File(dir, "_GRAFT_SOURCE")
+    val success = new java.io.File(dir, "_SUCCESS")
+    val fresh = marker.exists() && success.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == fingerprint
+    if (fresh) false
+    else {
+      packed.write.mode("overwrite").partitionBy("stream").parquet(dir)
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+      true
+    }
+  }
+}

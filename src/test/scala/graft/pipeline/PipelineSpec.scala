@@ -539,6 +539,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(tg.toSeq == Seq((4L, r6(1.0 / 61)), (5L, r6(1.0 / 62))))
   }
 
+  test("PackOps.pack: GPT-style interval split, full sequences, layout independence") {
+    import spark.implicits._
+    // one stream (nStreams=1) so the hash-ordered token line is easy
+    // to audit: chunks of 3/12/4 tokens, budget 5 — a 12-token chunk
+    // MUST split across sequences (5/5/2-style slices)
+    val chunks = Seq((1L, 0, 3L), (1L, 1, 12L), (2L, 0, 4L))
+      .toDF("doc_id", "chunk_id", "n_tokens")
+    val got = PackOps.pack(chunks, budget = 5, nStreams = 1)
+      .orderBy("seq_id", "tok_start").collect()
+      .map(r => (r.getLong(1), r.getLong(0 + 2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // invariants that hold whatever the md5 order: 19 tokens -> seqs
+    // 0..3, every seq except the last exactly 5 tokens, slices of one
+    // chunk contiguous in src_offset, tok_start+n_tok <= budget
+    val bySeq = got.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+    assert(bySeq == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 4L), bySeq.toString)
+    got.foreach { case (_, _, _, _, ts, n) => assert(ts + n <= 5 && n >= 1) }
+    val bigSlices = got.filter(t => t._2 == 1L && t._3 == 1)
+    assert(bigSlices.map(_._6).sum == 12L)
+    assert(bigSlices.sortBy(_._4).map(_._4).toSeq ==
+      bigSlices.map(_._6).scanLeft(0L)(_ + _).init.toSeq,
+      s"src_offsets not contiguous: ${bigSlices.mkString(",")}")
+    // layout independence: a repartitioned input packs identically
+    val re = PackOps.pack(chunks.repartition(7), budget = 5, nStreams = 1)
+      .orderBy("seq_id", "tok_start").collect().map(_.toSeq)
+    assert(re.toSeq == PackOps.pack(chunks, 5, 1)
+      .orderBy("seq_id", "tok_start").collect().map(_.toSeq).toSeq)
+    // stream split covers all rows exactly once
+    val s8 = PackOps.pack(chunks, budget = 5, nStreams = 8)
+    assert(s8.agg(sum("n_tok")).head.getLong(0) == 19L)
+  }
+
+  test("PackOps.writeShards: resume is a no-op, changed fingerprint rewrites") {
+    import spark.implicits._
+    val chunks = Seq((1L, 0, 7L), (2L, 0, 9L)).toDF("doc_id", "chunk_id", "n_tokens")
+    val packed = PackOps.pack(chunks, budget = 8, nStreams = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/sh"
+    assert(PackOps.writeShards(packed, dir, "fp-v1"), "first write must write")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("stream="))
+    assert(files.nonEmpty, "no stream= partitions written")
+    val stamps = files.map(f => f.getName -> f.lastModified).toMap
+    // same fingerprint: resume-as-no-op — bytes untouched
+    assert(!PackOps.writeShards(packed, dir, "fp-v1"), "resume must be a no-op")
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("stream=")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == stamps, "no-op resume touched shard bytes")
+    // changed fingerprint (new input / params): rewrite happens
+    assert(PackOps.writeShards(packed, dir, "fp-v2"), "changed fingerprint must rewrite")
+    val rt = spark.read.parquet(dir)
+    assert(rt.agg(sum("n_tok")).head.getLong(0) == 16L)
+    assert(rt.columns.contains("stream"), "partition column lost")
+  }
+
   test("bpeTrain: deterministic merge selection, greedy application, composition") {
     import spark.implicits._
     import BpeOps._
