@@ -58,12 +58,16 @@ sealed trait Weight extends Serializable {
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
               stats: StatsRow): Double
   /** True iff maxPart is a PROVEN admissible upper bound of sumPart
-    * over wdf ∈ [1, maxWdf], doclen ≥ minDocLen (sumPart monotone
-    * non-decreasing in wdf, non-increasing in doclen). The WAND
-    * matcher refuses schemes where this is false (the non-monotone
-    * DFR dips — PL2/DPH); they run on the exhaustive Dataset path,
-    * where maxPart is only a consistent ranking heuristic (ELITE_SET
-    * child selection, MSetPage.maxPossible) shared with the oracle. */
+    * over wdf ∈ [1, maxWdf], doclen ≥ minDocLen — either because
+    * sumPart is monotone (non-decreasing in wdf, non-increasing in
+    * doclen: the corner is the bound), or because the scheme ships
+    * an analytic bound with a written admissibility proof (the
+    * non-monotone DFR family — PL2/PL2+/DPH/DLH/BB2 — via
+    * [[DfrBound]]). The WAND matcher refuses schemes where this is
+    * false (only PL2+ with δ > 1, outside the proof's hypotheses);
+    * those run on the exhaustive Dataset path, where maxPart is only
+    * a consistent ranking heuristic (ELITE_SET child selection,
+    * MSetPage.maxPossible) shared with the oracle. */
   def wandSafe: Boolean = true
 }
 
@@ -287,6 +291,71 @@ final case class InL2Weight(c: Double = 1.0) extends Weight {
 }
 
 /**
+ * Shared machinery for PROVEN admissible maxPart bounds of the
+ * non-monotone DFR schemes (PL2/PL2+/DPH/BB2). Every lemma here is
+ * elementary single-variable calculus, stated next to its use so the
+ * admissibility argument is checkable in place. The DLH derivation
+ * (round 4) proved the template — drop provably-nonpositive terms,
+ * bound the rest where each piece's monotonicity is PROVEN — and
+ * these helpers extend it with two unimodal pieces whose critical
+ * points are bracketed once (driver-side bisection of a strictly
+ * monotone derivative-sign function), never assumed.
+ */
+private[core] object DfrBound {
+  private val ln2 = math.log(2.0)
+  private val twoPi = 2.0 * math.Pi
+
+  /** Bracket [lo, hi] (width ≤ 1e-9) of the unique root of
+    * ψ_s(y) = 1 + s/y − ln(2πy), the derivative-sign function of
+    * h_s(y) = ln(2πy)/(y+s). For s ≥ 0, ψ_s is STRICTLY decreasing
+    * (−s/y² − 1/y < 0), so h_s is increasing before the root and
+    * decreasing after — unimodal-up, one peak. ψ_s(1e−4) =
+    * 1 + 10⁴s − ln(2π·1e−4) > 0 and ψ_s(16) = 1 + s/16 − ln(32π) < 0
+    * for the s ≤ 1 range used here, so the root is inside the
+    * bisection's starting interval. Computed once per Weight
+    * instance (driver side), never on the scoring path. */
+  def halfLogBracket(s: Double): (Double, Double) = {
+    require(s >= 0.0 && s <= 1.0, s"halfLogBracket: s out of range: $s")
+    def psi(y: Double) = 1.0 + s / y - math.log(twoPi * y)
+    var lo = 1e-4
+    var hi = 16.0
+    while (hi - lo > 1e-9) {
+      val mid = 0.5 * (lo + hi)
+      if (psi(mid) > 0.0) lo = mid else hi = mid
+    }
+    (lo, hi)
+  }
+
+  /** sup over y ∈ [p, q] (0 < p ≤ q) of ½·log2(2πy)/(y+s). h_s is
+    * unimodal-up (see halfLogBracket), so the sup is at an endpoint
+    * or at the interior peak; the peak lies inside `br`, where the
+    * value is ≤ ln(2π·hi)/(lo+s) (numerator bounded at the bracket's
+    * right edge, denominator at its left — admissible for ANY peak
+    * position inside). */
+  def halfLogMax(p: Double, q: Double, s: Double,
+                 br: (Double, Double)): Double = {
+    def h(y: Double) = 0.5 * math.log(twoPi * y) / ln2 / (y + s)
+    val cross =
+      if (q < br._1 || p > br._2) Double.NegativeInfinity
+      else 0.5 * math.log(twoPi * br._2) / ln2 / (br._1 + s)
+    math.max(math.max(h(p), h(q)), cross)
+  }
+
+  /** sup over y ∈ [p, q] of (y·log2(y/λ) + (λ−y)·log2 e)/(y+s) for
+    * λ > 0, s ≥ 0 — the Poisson-KL piece of PL2/PL2+. The numerator
+    * is the nonnegative convex divergence y·ln(y/λ) + λ − y with its
+    * minimum 0 at y = λ; the quotient's derivative sign is
+    * s·ln(y/λ) + (y−λ), which is ≤ 0 for y ≤ λ and ≥ 0 for y ≥ λ —
+    * the quotient is unimodal-DOWN with its minimum at λ, so the max
+    * over any interval is at an endpoint. */
+  def klMax(p: Double, q: Double, s: Double, lambda: Double): Double = {
+    def kl(y: Double) =
+      (y * math.log(y / lambda) + (lambda - y)) / ln2 / (y + s)
+    math.max(kl(p), kl(q))
+  }
+}
+
+/**
  * DFR PL2: Poisson model with Laplace after-effect and normalization
  * 2 (Amati & van Rijsbergen, TOIS 2002; reference: xapian-core/
  * weight/pl2weight.cc):
@@ -294,13 +363,22 @@ final case class InL2Weight(c: Double = 1.0) extends Weight {
  *   w    = wqf/(wdfn+1) · (wdfn·log2(wdfn/λ) + (λ−wdfn)·log2 e
  *                          + ½·log2(2π·wdfn))
  * NOT monotone in wdfn (the information content dips below zero for
- * wdfn near λ), so wandSafe = false: maxPart is the endpoint bound
- * max(f(maxWdf@minDocLen), f(1@maxDocLen), 0) — a consistent ranking
- * heuristic for ELITE_SET/maxPossible, not a proven pruning bound.
+ * wdfn near λ), so the block-corner endpoint bound is inadmissible.
+ * maxPart is instead a PROVEN analytic bound: sumPart depends on
+ * (wdf, doclen) only through x = wdfn, whose achievable range in a
+ * block is [a, b] with a = log2(1 + c·avgLen/maxDocLen) (wdf ≥ 1,
+ * doclen ≤ global max) and b = maxWdf·log2(1 + c·avgLen/minDocLen).
+ * Split g(x) = P(x)/(x+1) into the Poisson-KL piece (unimodal-down
+ * at λ ⇒ endpoint max, DfrBound.klMax) plus ½·log2(2πx)/(x+1)
+ * (unimodal-up with a bisected critical bracket, DfrBound
+ * .halfLogMax); the sum of the two pieces' maxima bounds the max of
+ * the sum. Admissible ⇒ wandSafe (looser than BM25's tight bound —
+ * it prunes less, never wrongly).
  */
 final case class Pl2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "PL2 c must be positive")
   private val log2 = math.log(2.0)
+  private val halfLogBr = DfrBound.halfLogBracket(1.0)
 
   def termWeight(wqf: Int, df: Long, stats: StatsRow,
                  rel: RelFreq): Double = wqf.toDouble
@@ -323,12 +401,16 @@ final case class Pl2Weight(c: Double = 1.0) extends Weight {
   }
 
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
-              stats: StatsRow): Double =
-    math.max(0.0, math.max(
-      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
-      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
-
-  override def wandSafe: Boolean = false
+              stats: StatsRow): Double = {
+    if (maxWdf <= 0 || minDocLen <= 0 || termStat <= 0.0) return 0.0
+    val b = maxWdf * (math.log(1.0 + c * stats.avgLen / minDocLen) / log2)
+    if (b <= 0.0) return 0.0
+    val a = math.min(b,
+      math.log(1.0 + c * stats.avgLen / math.max(1L, stats.maxDocLen)) / log2)
+    val u = DfrBound.klMax(a, b, 1.0, termStat) +
+      DfrBound.halfLogMax(a, b, 1.0, halfLogBr)
+    math.max(0.0, termWt * u)
+  }
 }
 
 /**
@@ -343,13 +425,22 @@ final case class Pl2Weight(c: Double = 1.0) extends Weight {
  *   w    = wqf/(wdfn+1) · (w̄·log2(w̄/λ) + (λ−w̄)·log2 e
  *                          + ½·log2(2π·w̄))
  * Defaults c = 1, δ = 0.8 (upstream's). Same non-monotone DFR dip as
- * PL2 → wandSafe = false with the endpoint maxPart heuristic.
+ * PL2, and the same proven-bound remedy: sumPart is a function of
+ * x = wdfn alone — substitute y = x + δ, so the denominator becomes
+ * (y + s) with s = 1 − δ, and for δ ≤ 1 (s ≥ 0) BOTH DfrBound lemmas
+ * apply verbatim over y ∈ [a+δ, b+δ] (the critical bracket is
+ * re-bisected for this s at construction). δ > 1 flips s negative,
+ * outside the lemmas' hypotheses → that (non-default, atypical)
+ * configuration keeps the endpoint heuristic and stays off the WAND
+ * path (wandSafe = false).
  */
 final case class Pl2PlusWeight(c: Double = 1.0, delta: Double = 0.8)
     extends Weight {
   require(c > 0.0, "PL2+ c must be positive")
   require(delta > 0.0, "PL2+ delta must be positive")
   private val log2 = math.log(2.0)
+  private val halfLogBr =
+    if (delta <= 1.0) DfrBound.halfLogBracket(1.0 - delta) else null
 
   def termWeight(wqf: Int, df: Long, stats: StatsRow,
                  rel: RelFreq): Double = wqf.toDouble
@@ -373,12 +464,25 @@ final case class Pl2PlusWeight(c: Double = 1.0, delta: Double = 0.8)
   }
 
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
-              stats: StatsRow): Double =
-    math.max(0.0, math.max(
-      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
-      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+              stats: StatsRow): Double = {
+    if (delta > 1.0)
+      // outside the proven-bound hypotheses (s < 0): endpoint ranking
+      // heuristic only — wandSafe = false keeps it off the WAND path
+      return math.max(0.0, math.max(
+        sumPart(termWt, termStat, maxWdf, minDocLen, stats),
+        sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+    if (maxWdf <= 0 || minDocLen <= 0 || termStat <= 0.0) return 0.0
+    val b = maxWdf * (math.log(1.0 + c * stats.avgLen / minDocLen) / log2)
+    if (b <= 0.0) return 0.0
+    val a = math.min(b,
+      math.log(1.0 + c * stats.avgLen / math.max(1L, stats.maxDocLen)) / log2)
+    val s = 1.0 - delta
+    val u = DfrBound.klMax(a + delta, b + delta, s, termStat) +
+      DfrBound.halfLogMax(a + delta, b + delta, s, halfLogBr)
+    math.max(0.0, termWt * u)
+  }
 
-  override def wandSafe: Boolean = false
+  override def wandSafe: Boolean = delta <= 1.0
 }
 
 /**
@@ -390,11 +494,54 @@ final case class Pl2PlusWeight(c: Double = 1.0, delta: Double = 0.8)
  *   w    = wqf · norm · (wdf·log2((wdf·avgLen/doclen)·(N/cf))
  *                        + ½·log2(2π·wdf·(1−f)))
  * A wdf == doclen posting gets 0 (norm vanishes; guards the
- * log2(0) = −∞ · 0 indeterminate). Non-monotone → wandSafe = false
- * with the same endpoint-heuristic maxPart as PL2.
+ * log2(0) = −∞ · 0 indeterminate). Non-monotone, and like DLH both
+ * block corners can degenerate to the f ≥ 1 guard, so the endpoint
+ * heuristic is inadmissible; maxPart is the DLH-style PROVEN
+ * termwise bound instead. With f = wdf/doclen ≤ fmax =
+ * min(1, maxWdf/minDocLen) and K = avgLen·N/cf:
+ *   sumPart/wqf = (1−f)²·[wdf/(wdf+1)]·log2(f·K)
+ *                 + (1−f)²·½·log2(2π·wdf·(1−f))/(wdf+1)
+ *   A ≤ max(0, sup_{f ≤ fmax} (1−f)²·log2(f·K)) — φ(f) =
+ *     (1−f)²·log2(fK) is unimodal-up (derivative sign (1−f)/f −
+ *     2·ln(fK) is strictly decreasing), peak bisected; the other two
+ *     factors are in [0, 1) wherever the log is positive, ≤ 0 result
+ *     otherwise.
+ *   B ≤ ½·log2(2πwdf)/(wdf+1) ((1−f)² ≤ 1 and log2(1−f) ≤ 0 can only
+ *     shrink a positive value; a negative value is ≤ 0 ≤ the bound)
+ *     ≤ DfrBound.halfLogMax over wdf ∈ [1, maxWdf].
+ * Admissible ⇒ wandSafe.
  */
 final case class DphWeight() extends Weight {
   private val log2 = math.log(2.0)
+  private val halfLogBr = DfrBound.halfLogBracket(1.0)
+
+  /** sup over f ∈ (0, fmax] of φ(f) = (1−f)²·log2(f·K), for K > 1
+    * (for K ≤ 1 the log is ≤ 0 for every f < 1, so the sup of the
+    * positive part is 0). φ' has the sign of ψ(f) = (1−f)/f −
+    * 2·ln(fK), strictly decreasing with ψ(0⁺) = +∞ and ψ(1) =
+    * −2·ln K < 0 — one peak, bracketed by bisection; inside the
+    * bracket φ ≤ (1−lo)²·log2(hi·K). */
+  private def phiMax(fmax: Double, bigK: Double): Double = {
+    if (bigK <= 1.0) return 0.0
+    def psi(f: Double) = (1.0 - f) / f - 2.0 * math.log(f * bigK)
+    var lo = 1e-12
+    var hi = 1.0
+    while (hi - lo > 1e-9) {
+      val mid = 0.5 * (lo + hi)
+      if (psi(mid) > 0.0) lo = mid else hi = mid
+    }
+    def phi(f: Double) = {
+      val d = 1.0 - f
+      d * d * (math.log(f * bigK) / log2)
+    }
+    val cross =
+      if (lo > fmax) Double.NegativeInfinity
+      else {
+        val d = 1.0 - lo
+        d * d * math.max(0.0, math.log(math.min(hi, fmax) * bigK) / log2)
+      }
+    math.max(0.0, math.max(phi(fmax), cross))
+  }
 
   def termWeight(wqf: Int, df: Long, stats: StatsRow,
                  rel: RelFreq): Double = wqf.toDouble
@@ -418,12 +565,16 @@ final case class DphWeight() extends Weight {
   }
 
   def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
-              stats: StatsRow): Double =
-    math.max(0.0, math.max(
-      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
-      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
-
-  override def wandSafe: Boolean = false
+              stats: StatsRow): Double = {
+    if (maxWdf <= 0 || minDocLen <= 0 || termStat <= 0.0 || stats.n <= 0)
+      return 0.0
+    val fmax = math.min(1.0, maxWdf.toDouble / minDocLen)
+    val bigK = stats.avgLen * stats.n / termStat
+    val aPart = phiMax(fmax, bigK)
+    val bPart = math.max(0.0,
+      DfrBound.halfLogMax(1.0, math.max(1.0, maxWdf.toDouble), 1.0, halfLogBr))
+    math.max(0.0, termWt * (aPart + bPart))
+  }
 }
 
 /**
@@ -569,8 +720,27 @@ final case class IneB2Weight(c: Double = 1.0) extends Weight {
  * termWeight carries wqf/df (still linear for duplicate leaves),
  * termStat carries cf. Guards: N ≤ 1, or wdfn ≥ cf (a short doc can
  * normalize wdf past the collection frequency, making the Stirling
- * argument non-positive) → 0. Non-monotone → wandSafe = false with
- * the endpoint-heuristic maxPart.
+ * argument non-positive) → 0. Non-monotone, so maxPart is a PROVEN
+ * analytic bound over x = wdfn ∈ [a, min(b, cf)] (sumPart is a
+ * function of x alone; beyond cf the guard zeroes it). Writing
+ * sumPart = wqf/df·(cf+1)·I(x)/(x+1) with m₁ = N+cf−2−x,
+ * m₂ = cf−x:
+ *   I'(x)·ln2 = ln(m₁/m₂) − ½·(m₁−m₂)/(m₁·m₂), and since
+ *   ln r ≥ (r−1)/r = (m₁−m₂)/m₁, I' ≥ 0 wherever m₂ ≥ ½ — I is
+ *   NON-DECREASING on the head x ≤ cf − ½. There the bound is a
+ *   monotone grid: on each cell [x_{i−1}, x_i], I ≤ I(x_i) and
+ *   1/(x+1) ≤ 1/(x_{i−1}+1) — admissible per cell, tight to the
+ *   grid step.
+ *   On the tail x > cf − ½ (m₂ < ½), termwise: the linear part
+ *   log2 n₁ + x·log2(n₁/cf) is increasing (n₁ = N+cf−1 > cf); the
+ *   m₁ Stirling term τ(m) = (m+½)·log2(n₁/m) is down-up-down (its
+ *   derivative sign ln(n₁/m) − 1 − ½/m) with any interior maximum
+ *   m* ≤ n₁/e satisfying τ(m*) = (m* + 1 + ¼/m*)/ln2, each addend
+ *   bounded on the m-interval separately; the m₂ Stirling term is
+ *   subtracted and ≥ ½·log2(2·cf) there (m₂ ≤ ½ ⇒ both factors at
+ *   their minima). N = 2 degenerates to m₁ = m₂ where I(x) is
+ *   CONSTANT (the x-terms cancel exactly) — evaluated directly.
+ * Admissible ⇒ wandSafe.
  */
 final case class Bb2Weight(c: Double = 1.0) extends Weight {
   require(c > 0.0, "BB2 c must be positive")
@@ -602,13 +772,81 @@ final case class Bb2Weight(c: Double = 1.0) extends Weight {
     termWt * (cf + 1.0) / (wdfn + 1.0) * info
   }
 
-  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
-              stats: StatsRow): Double =
-    math.max(0.0, math.max(
-      sumPart(termWt, termStat, maxWdf, minDocLen, stats),
-      sumPart(termWt, termStat, 1, stats.maxDocLen, stats)))
+  /** I(x) = info at wdfn = x, expanded from the two Stirling terms
+    * (identical to sumPart's arithmetic, just grouped by x). */
+  private def infoAt(x: Double, n1: Double, cf: Double, c0: Double): Double = {
+    val m1 = n1 - 1.0 - x
+    val m2 = cf - x
+    c0 + (m1 + 0.5) * (math.log(n1 / m1) / log2) +
+      (1.0 + x) * (math.log(n1) / log2) -
+      (m2 + 0.5) * (math.log(cf / m2) / log2) -
+      x * (math.log(cf) / log2)
+  }
 
-  override def wandSafe: Boolean = false
+  def maxPart(termWt: Double, termStat: Double, maxWdf: Int, minDocLen: Long,
+              stats: StatsRow): Double = {
+    if (maxWdf <= 0 || minDocLen <= 0 || termStat <= 0.0 || stats.n <= 1)
+      return 0.0
+    val n = stats.n.toDouble
+    val cf = termStat
+    val n1 = n + cf - 1.0
+    val c0 = -(math.log(n - 1.0) / log2) - 1.0 / math.log(2.0)
+    val b0 = maxWdf * (math.log(1.0 + c * stats.avgLen / minDocLen) / log2)
+    if (b0 <= 0.0) return 0.0
+    val a = math.min(b0,
+      math.log(1.0 + c * stats.avgLen / math.max(1L, stats.maxDocLen)) / log2)
+    // sumPart is 0 for wdfn ≥ cf (and the n₁−1 guard is implied for
+    // N ≥ 2): if even the least achievable wdfn is past cf, every
+    // posting in the block is guard-zeroed. Otherwise the nonzero
+    // region is the CLOSED [a, min(b0, cf)] — x = b0 itself is
+    // achievable (wdf = maxWdf at minDocLen) whenever b0 < cf, so
+    // the interval may degenerate to a single point but never drops
+    // its right end.
+    if (a >= cf) return 0.0
+    val bEff = math.min(b0, cf)
+    if (stats.n == 2L) {
+      // m₁ = m₂ ⇒ I(x) = c0 + (cf+½)·log2(n₁/cf) + log2 n₁, constant
+      val iConst = c0 + (cf + 0.5) * (math.log(n1 / cf) / log2) +
+        math.log(n1) / log2
+      return math.max(0.0, termWt * (cf + 1.0) * math.max(0.0, iConst) / (a + 1.0))
+    }
+    val xc = cf - 0.5
+    var best = 0.0
+    // head [a, min(bEff, xc)]: I non-decreasing — monotone grid
+    // (>= a: a degenerate single-point head still evaluates one cell)
+    val headHi = math.min(bEff, xc)
+    if (headHi >= a) {
+      val grid = 8
+      val step = (headHi - a) / grid
+      var i = 1
+      while (i <= grid) {
+        val xi = a + i * step
+        val cell = (cf + 1.0) * math.max(0.0, infoAt(xi, n1, cf, c0)) /
+          (a + (i - 1) * step + 1.0)
+        if (cell > best) best = cell
+        i += 1
+      }
+    }
+    // tail (max(a, xc), bEff]: termwise bound (m₂ < ½ throughout)
+    if (bEff > xc) {
+      val tLo = math.max(a, xc)
+      val mLo = n1 - 1.0 - bEff // ≥ N − 2 ≥ 1 for N ≥ 3
+      val mHi = n1 - 1.0 - tLo
+      def tau(m: Double) = (m + 0.5) * (math.log(n1 / m) / log2)
+      val nOverE = n1 / math.E
+      val interior =
+        if (mLo <= nOverE)
+          (math.min(mHi, nOverE) + 1.0 + 0.25 / mLo) / math.log(2.0)
+        else Double.NegativeInfinity
+      val tauMax = math.max(math.max(tau(mLo), tau(mHi)), interior)
+      val lMax = math.log(n1) / log2 + bEff * (math.log(n1 / cf) / log2)
+      val t2Min = 0.5 * (math.log(2.0 * cf) / log2)
+      val iTail = c0 + tauMax + lMax - t2Min
+      val tail = (cf + 1.0) * math.max(0.0, iTail) / (tLo + 1.0)
+      if (tail > best) best = tail
+    }
+    math.max(0.0, termWt * best)
+  }
 }
 
 /**

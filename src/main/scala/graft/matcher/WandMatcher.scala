@@ -413,6 +413,16 @@ object WandMatcher {
     * in this JVM (the driver). */
   private val localInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Pruning events observed by stripeTopK loops in this JVM:
+    * conjunctive cumulative-block-max skips, disjunctive stripe
+    * prunes (no pivot can beat θ) and pivot skips (a nonzero prefix
+    * of cursors is provably unable to beat θ). Diagnostic/test
+    * instrumentation — accumulated in a local counter per call and
+    * added once at the end, so the hot loop never touches shared
+    * state. On the distributed path the executors' counts stay on
+    * the executors; tests use the driver-local path. */
+  val pruneEvents = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[matcher] def tryAcquireLocal(max: Int): Boolean = {
     val v = localInFlight.incrementAndGet()
     if (v > max) { localInFlight.decrementAndGet(); false } else true
@@ -558,6 +568,7 @@ object WandMatcher {
     // max).
     def unbeatable(ub: Double): Boolean =
       if (didSign > 0) ub <= theta else ub < theta
+    var pruned = 0L
 
     if (conj) {
       // leapfrog intersection with cumulative block-max early exit:
@@ -599,6 +610,7 @@ object WandMatcher {
             i += 1
           }
           if (unbeatable(ub)) {
+            pruned += 1
             i = 0
             while (!done && i < cursors.length) {
               cursors(i).skipTo(minLast + 1)
@@ -642,6 +654,7 @@ object WandMatcher {
           }
         }
       }
+      if (pruned > 0) pruneEvents.addAndGet(pruned)
       return heap.dequeueAll.reverseIterator
     }
 
@@ -665,8 +678,10 @@ object WandMatcher {
         i += 1
       }
       if (pivotIdx < 0) {
+        pruned += 1
         active.clear() // no doc can beat θ — prune the rest of the stripe
       } else {
+        if (pivotIdx > 0) pruned += 1
         val pivotDoc = sorted(pivotIdx).curDoc
         if (sorted.head.curDoc == pivotDoc) {
           // filtered-out pivots advance without scoring (BoolWeight
@@ -710,6 +725,7 @@ object WandMatcher {
         active.filterInPlace(!_.exhausted)
       }
     }
+    if (pruned > 0) pruneEvents.addAndGet(pruned)
     heap.dequeueAll.reverseIterator // best-first
   }
 }

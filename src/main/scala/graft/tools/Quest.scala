@@ -110,8 +110,9 @@ object Quest {
     val useWand = a.matcher match {
       case "wand" =>
         // forcing WAND must not bypass the admissibility gate: a
-        // non-wandSafe scheme (pl2/dph/bb2) under pruning would
-        // silently return wrong top-k
+        // non-wandSafe scheme (only PL2+ with δ > 1 — every stock
+        // scheme ships a proven bound) under pruning would silently
+        // return wrong top-k
         require(wand.supports(parsed),
           "--matcher=wand: the query shape or weighting scheme is not " +
             "supported by the WAND path (use --matcher=auto or dataset)")

@@ -148,11 +148,16 @@ class WeightSpec extends AnyFunSuite {
     assert(ts == 1.0)
     val expected = (2 * log2(2.0) + (1.0 - 2.0) / ln2 + 0.5 * log2(4 * math.Pi)) / 3.0
     assert(math.abs(p.sumPart(1.0, ts, 2, 3, stats) - expected) < 1e-12)
-    assert(!p.wandSafe) // non-monotone DFR dip
-    // endpoint maxPart covers the observed range on this tiny grid
+    // non-monotone DFR dip, but the KL-split analytic bound is
+    // admissible (round 5) — PL2 rides the WAND path now
+    assert(p.wandSafe)
     val bound = p.maxPart(1.0, ts, 4, 2, stats)
     for (wdf <- 1 to 4; len <- 2L to 4L)
       assert(p.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
+    // per-block admissibility with tighter block stats too
+    for (bw <- 1 to 4; bl <- 2L to 4L; wdf <- 1 to bw; len <- bl to 4L)
+      assert(p.sumPart(1.0, ts, wdf, len, stats) <=
+        p.maxPart(1.0, ts, bw, bl, stats) + 1e-9)
   }
 
   test("PL2+ shifts the information content by delta, keeps the PL2 denominator") {
@@ -168,10 +173,19 @@ class WeightSpec extends AnyFunSuite {
     // the δ lower bound: a 1-occurrence match in the longest doc gains
     // MORE than plain PL2 gives it (the whole point of the scheme)
     assert(pp.sumPart(1.0, ts, 1, 4, stats) > p.sumPart(1.0, ts, 1, 4, stats))
-    assert(!pp.wandSafe)
+    // δ ≤ 1 (the default and every sane configuration): the shifted
+    // KL-split bound is proven ⇒ WAND-safe; δ > 1 flips the shifted
+    // denominator constant s = 1−δ negative, outside the lemmas'
+    // hypotheses ⇒ endpoint heuristic + Dataset path
+    assert(pp.wandSafe)
+    assert(Pl2PlusWeight(delta = 1.0).wandSafe)
+    assert(!Pl2PlusWeight(delta = 1.5).wandSafe)
     val bound = pp.maxPart(1.0, ts, 4, 2, stats)
     for (wdf <- 1 to 4; len <- 2L to 4L)
       assert(pp.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
+    for (bw <- 1 to 4; bl <- 2L to 4L; wdf <- 1 to bw; len <- bl to 4L)
+      assert(pp.sumPart(1.0, ts, wdf, len, stats) <=
+        pp.maxPart(1.0, ts, bw, bl, stats) + 1e-9)
   }
 
   test("DLH hand-computed; zero at wdf == doclen like DPH") {
@@ -208,7 +222,14 @@ class WeightSpec extends AnyFunSuite {
     val expected = (0.75 * 0.75 / 2.0) *
       (1 * log2(1.0 * 3.0 / 4 * (3.0 / 3.0)) + 0.5 * log2(2 * math.Pi * 1 * 0.75))
     assert(math.abs(v - expected) < 1e-12)
-    assert(!d.wandSafe)
+    // the DLH-style termwise analytic bound is admissible (round 5)
+    assert(d.wandSafe)
+    val bound = d.maxPart(1.0, ts, 4, 2, stats)
+    for (wdf <- 1 to 4; len <- 2L to 4L)
+      assert(d.sumPart(1.0, ts, wdf, len, stats) <= bound + 1e-9)
+    for (bw <- 1 to 4; bl <- 2L to 4L; wdf <- 1 to bw; len <- bl to 4L)
+      assert(d.sumPart(1.0, ts, wdf, len, stats) <=
+        d.maxPart(1.0, ts, bw, bl, stats) + 1e-9)
   }
 
   test("LM dirichlet: ln(1 + wdf/(μ·p_C)) plus the ln α_d doc prior") {
@@ -284,7 +305,15 @@ class WeightSpec extends AnyFunSuite {
     // a doc where wdfn ≥ cf scores 0 (Stirling argument guard):
     // wdf=4, len=1 → wdfn = 4·log2(4) = 8 > cf=3
     assert(w.sumPart(tw, cf, 4, 1, stats) == 0.0)
-    assert(!w.wandSafe)
+    // the monotone-head grid + analytic tail bound is admissible
+    // (round 5) — BB2 rides the WAND path now
+    assert(w.wandSafe)
+    val bound = w.maxPart(tw, cf, 4, 2, stats)
+    for (wdf <- 1 to 4; len <- 2L to 4L)
+      assert(w.sumPart(tw, cf, wdf, len, stats) <= bound + 1e-9)
+    for (bw <- 1 to 4; bl <- 2L to 4L; wdf <- 1 to bw; len <- bl to 4L)
+      assert(w.sumPart(tw, cf, wdf, len, stats) <=
+        w.maxPart(tw, cf, bw, bl, stats) + 1e-9)
   }
 
   test("wandSafe maxParts bound a random grid of (wdf, doclen) points") {
@@ -302,6 +331,52 @@ class WeightSpec extends AnyFunSuite {
         val len = math.max(wdf.toLong, 2L + rnd.nextInt(8))
         assert(s.sumPart(tw, ts, wdf, len, stats) <= bound + 1e-9,
           s"$s wdf=$wdf len=$len")
+      }
+    }
+  }
+
+  test("DFR analytic bounds: randomized admissibility stress across corpus shapes") {
+    // The non-monotone DFR schemes ship PROVEN bounds; this is the
+    // empirical cross-check over a wide sweep of corpus statistics —
+    // per random (N, doclen range, cf, c, block bounds), EVERY
+    // achievable (wdf, doclen) inside the block must score ≤ the
+    // block's maxPart. λ = cf/N spans ≪1 to ≫1 (stop-word dense) so
+    // both sides of the KL dip and BB2's Stirling guards are hit.
+    val rnd = new scala.util.Random(20260819)
+    (1 to 400).foreach { trial =>
+      val n = 2L + rnd.nextInt(5000)
+      val minLen = 1L + rnd.nextInt(20)
+      val maxLen = minLen + rnd.nextInt(200)
+      val avgLen = minLen + (maxLen - minLen) * rnd.nextDouble()
+      val st = StatsRow(n, totalLen = (n * avgLen).toLong.max(n),
+        avgLen = avgLen, minDocLen = minLen, maxDocLen = maxLen)
+      val df = 1L + rnd.nextInt(n.toInt)
+      val cf = df + rnd.nextInt(3 * n.toInt) // λ = cf/N ∈ (0, ~4)
+      val c = Seq(0.3, 1.0, 2.5)(rnd.nextInt(3))
+      val schemes: Seq[Weight] = Seq(
+        Pl2Weight(c), Pl2PlusWeight(c, delta = Seq(0.2, 0.8, 1.0)(rnd.nextInt(3))),
+        DphWeight(), DlhWeight(), Bb2Weight(c))
+      // block bounds tighter than the corpus-wide ones
+      val bMaxWdf = 1 + rnd.nextInt(12)
+      val bMinLen = math.max(minLen, bMaxWdf.toLong + rnd.nextInt(8) - 2).max(1L)
+      schemes.foreach { s =>
+        assert(s.wandSafe, s"trial $trial: $s")
+        val tw = s.termWeight(1 + rnd.nextInt(3), df, st)
+        val ts = s.termStat(df, cf, st)
+        val bound = s.maxPart(tw, ts, bMaxWdf, bMinLen, st)
+        var wdf = 1
+        while (wdf <= bMaxWdf) {
+          var len = math.max(wdf.toLong, bMinLen)
+          while (len <= maxLen) {
+            val sp = s.sumPart(tw, ts, wdf, len, st)
+            assert(sp <= bound + 1e-9 + 1e-12 * math.abs(bound),
+              s"trial $trial: $s wdf=$wdf len=$len sumPart=$sp bound=$bound " +
+                s"(N=$n df=$df cf=$cf c=$c block=($bMaxWdf,$bMinLen) " +
+                s"lens=[$minLen,$maxLen] avg=$avgLen)")
+            len += 1 + rnd.nextInt(3)
+          }
+          wdf += 1
+        }
       }
     }
   }

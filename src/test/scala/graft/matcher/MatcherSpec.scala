@@ -318,16 +318,23 @@ class MatcherSpec extends AnyFunSuite {
   test("TfIdf lfn rank-identical across paths") { checkScheme(TfIdfWeight("lfn"), "tfidf-lfn") }
   test("Coord rank-identical across paths") { checkScheme(CoordWeight, "coord") }
   test("InL2 rank-identical across paths") { checkScheme(InL2Weight(), "inl2") }
-  test("PL2 rank-identical to oracle (Dataset path; WAND refuses)") {
+  test("PL2 rank-identical across paths (proven analytic WAND bound)") {
     checkScheme(Pl2Weight(), "pl2")
-    assert(!new WandMatcher(reader, weight = Pl2Weight()).supports(t(midTerm)))
+    assert(new WandMatcher(reader, weight = Pl2Weight()).supports(t(midTerm)))
   }
-  test("PL2+ rank-identical to oracle (Dataset path; WAND refuses)") {
+  test("PL2+ rank-identical across paths; δ > 1 stays off WAND") {
     checkScheme(Pl2PlusWeight(), "pl2plus")
     checkScheme(Pl2PlusWeight(c = 2.0, delta = 0.5), "pl2plus-c2")
+    assert(new WandMatcher(reader, weight = Pl2PlusWeight()).supports(t(midTerm)))
+    // δ > 1 is outside the proven bound's hypotheses — Dataset path,
+    // still oracle-identical
+    checkScheme(Pl2PlusWeight(delta = 1.5), "pl2plus-d15")
+    assert(!new WandMatcher(reader,
+      weight = Pl2PlusWeight(delta = 1.5)).supports(t(midTerm)))
   }
-  test("DPH rank-identical to oracle (Dataset path; WAND refuses)") {
+  test("DPH rank-identical across paths (proven analytic WAND bound)") {
     checkScheme(DphWeight(), "dph")
+    assert(new WandMatcher(reader, weight = DphWeight()).supports(t(midTerm)))
   }
   test("DLH rank-identical across paths (proven analytic WAND bound)") {
     checkScheme(DlhWeight(), "dlh")
@@ -335,9 +342,63 @@ class MatcherSpec extends AnyFunSuite {
   }
   test("IfB2 rank-identical across paths") { checkScheme(IfB2Weight(), "ifb2") }
   test("IneB2 rank-identical across paths") { checkScheme(IneB2Weight(), "ineb2") }
-  test("BB2 rank-identical to oracle (Dataset path; WAND refuses)") {
+  test("BB2 rank-identical across paths (proven analytic WAND bound)") {
     checkScheme(Bb2Weight(), "bb2")
+    assert(new WandMatcher(reader, weight = Bb2Weight()).supports(t(midTerm)))
   }
+  test("DFR proven bounds actually PRUNE on the WAND path (PL2/PL2+/DPH/BB2)") {
+    // corpus engineered so the rare term's scores push θ above the
+    // common term's admissible block bound for every scheme: three
+    // EARLY docs (sorted-first repo) carry 'rare' with wdf = 3, 117
+    // docs carry one 'common'; every doclen = 10 so the block bounds
+    // are tight and the rare-vs-common score gap is pure wdf/idf.
+    // Identity with the oracle is asserted alongside the prune count:
+    // pruning must never change the page.
+    val filler = (1 to 7).map(i => s"pad$i").mkString(" ")
+    val rows =
+      (0 until 3).map { i =>
+        CorpusRow("a-rare", f"src/File$i%04d.txt", f"$i%040d", "none",
+          s"rare rare rare $filler")
+      } ++ (0 until 117).map { i =>
+        CorpusRow("b-common", f"src/File$i%04d.txt", f"$i%040d", "none",
+          s"common $filler pad8 pad9")
+      }
+    val dir = Files.createTempDirectory("graft-prune").toString + "/idx"
+    val cfg = BuildConfig(indexDir = dir, stemMode = "none",
+      nBuckets = 2, stripeShift = 5, maxPerBlock = 16,
+      skewDfThreshold = 200, saltFactor = 2, buildPartitions = 2)
+    new IndexBuilder(spark, cfg).build {
+      import spark.implicits._
+      spark.createDataset(rows)
+    }
+    val rdr = new IndexReader(spark, dir, cfg.nBuckets, cfg.stripeShift)
+    val odocs = rows.sortBy(c => (c.repo, c.path, c.commit)).zipWithIndex
+      .map { case (c, i) => Oracle.Doc(i + 1L, c.content, Map.empty, c.lang) }
+    val oidx = Oracle.buildIndex(odocs, stemMode = "none")
+    val q = or(t("rare"), t("common"))
+    Seq[(Weight, String)](
+      (Pl2Weight(), "pl2"), (Pl2PlusWeight(), "pl2plus"),
+      (DphWeight(), "dph"), (Bb2Weight(), "bb2"),
+      (DlhWeight(), "dlh")).foreach { case (w, tag) =>
+      val wand = new WandMatcher(rdr, weight = w)
+      assert(wand.supports(q), s"$tag off the WAND path")
+      val before = WandMatcher.pruneEvents.get()
+      val got = wand.mset(q, 2)
+      val firedLocal = WandMatcher.pruneEvents.get() - before
+      assert(firedLocal > 0, s"$tag: no pruning event fired (local)")
+      assertSame(got, Oracle.mset(q, oidx, 2, Oracle.Options(weight = w)),
+        s"prune:$tag")
+      // distributed per-stripe path: executors share this JVM under
+      // local[32], so the counter observes their prunes too
+      val beforeDist = WandMatcher.pruneEvents.get()
+      val gotDist = new WandMatcher(rdr, weight = w, localDfThreshold = 0L).mset(q, 2)
+      assert(WandMatcher.pruneEvents.get() - beforeDist > 0,
+        s"$tag: no pruning event fired (distributed)")
+      assertSame(gotDist, Oracle.mset(q, oidx, 2, Oracle.Options(weight = w)),
+        s"prune-dist:$tag")
+    }
+  }
+
   test("LM dirichlet rank-identical across paths (negative doc prior)") {
     checkScheme(LmWeight("dirichlet"), "lm-dir")
   }

@@ -153,16 +153,22 @@ class ToolsSpec extends AnyFunSuite {
     assert(out.drop(2).size == 2, out)
   }
 
-  test("Quest guards: wand-forcing an unsafe scheme fails; enum flags validate") {
+  test("Quest guards: wand-forcing an unsupported shape fails; enum flags validate") {
     val work = Files.createTempDirectory("graft-cli4").toString
     import spark.implicits._
     Seq("alpha beta").toDF("content").write.parquet(s"$work/c.parquet")
     Omindex.run(spark, Omindex.parseArgs(Seq(s"$work/c.parquet",
       s"$work/idx", "--stem=none", "--buckets=2", "--stripe-shift=4",
       "--partitions=2")))
+    // every stock scheme now ships a proven WAND bound (round 5), so
+    // --weight=pl2 --matcher=wand WORKS; the admissibility gate still
+    // refuses shapes the WAND loop cannot answer (a positional phrase)
+    val pl2Out = Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx", "alpha",
+      "--weight=pl2", "--matcher=wand")))
+    assert(pl2Out.exists(_.contains("matcher=wand")), pl2Out)
     intercept[IllegalArgumentException] {
-      Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx", "alpha",
-        "--weight=pl2", "--matcher=wand")))
+      Quest.run(spark, Quest.parseArgs(Seq(s"$work/idx", "\"alpha beta\"",
+        "--matcher=wand")))
     }
     intercept[IllegalArgumentException](
       Quest.parseArgs(Seq("i", "q", "--matcher=datset")))
