@@ -160,7 +160,8 @@ class SegmentedIndex(
   def listSegments(): (Seq[SegmentInfo], Long) = {
     if (!Files.exists(manifest)) return (Seq.empty, -1L)
     val lines = new String(Files.readAllBytes(manifest), "UTF-8")
-      .split("\n").filter(l => l.nonEmpty && !l.startsWith("del|"))
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("del|") &&
+        !l.startsWith("delfr|"))
     val last = lines.head.stripPrefix("lastBatch=").toLong
     val segs = lines.tail.map { l =>
       val Array(d, b, n) = l.split("\\|")
@@ -178,12 +179,14 @@ class SegmentedIndex(
     * (Tombstones previously lived in a separate deletes.txt; legacy
     * files are still read and folded in on the next publish.) */
   private def writeManifest(segs: Seq[SegmentInfo], lastBatch: Long,
-                            dels: Seq[Tombstone]): Unit = {
+                            dels: Seq[Tombstone],
+                            frameDels: Seq[FrameTombstone]): Unit = {
     Files.createDirectories(Paths.get(baseDir))
     val body = (s"lastBatch=$lastBatch" +:
       (segs.map(s => s"${s.dir}|${s.base}|${s.nDocs}") ++
         dels.map(t =>
-          s"del|b64|${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}")))
+          s"del|b64|${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}") ++
+        frameDels.map(f => s"delfr|${b64e(f.dir)}|${f.uptoSeg}")))
       .mkString("\n")
     val tmp = Paths.get(s"$baseDir/segments.txt.tmp")
     Files.write(tmp, body.getBytes("UTF-8"),
@@ -207,6 +210,7 @@ class SegmentedIndex(
   private final case class TxnState(
       var pendingSegs: Seq[SegmentInfo],
       var pendingDels: Seq[Tombstone],
+      var pendingFrameDels: Seq[FrameTombstone],
       var pendingLast: Long)
 
   private var txn: Option[TxnState] = None
@@ -223,7 +227,7 @@ class SegmentedIndex(
   def beginTransaction(): Unit = synchronized {
     require(txn.isEmpty, "a transaction is already in progress")
     val (_, last) = listSegments()
-    txn = Some(TxnState(Seq.empty, Seq.empty, last))
+    txn = Some(TxnState(Seq.empty, Seq.empty, Seq.empty, last))
   }
 
   /** Publish every buffered append/delete atomically. */
@@ -232,7 +236,8 @@ class SegmentedIndex(
       throw new IllegalStateException("no transaction in progress"))
     val (segs, last) = listSegments()
     writeManifest(segs ++ t.pendingSegs, math.max(last, t.pendingLast),
-      listDeletes() ++ t.pendingDels)
+      listDeletes() ++ t.pendingDels,
+      listFrameDeletes() ++ t.pendingFrameDels)
     txn = None
   }
 
@@ -243,8 +248,8 @@ class SegmentedIndex(
     val t = txn.getOrElse(
       throw new IllegalStateException("no transaction in progress"))
     txn = None
-    t.pendingSegs.foreach { s =>
-      val root = Paths.get(s.dir)
+    (t.pendingSegs.map(_.dir) ++ t.pendingFrameDels.map(_.dir)).foreach { d =>
+      val root = Paths.get(d)
       if (Files.exists(root)) {
         import scala.jdk.CollectionConverters._
         Files.walk(root).iterator().asScala.toSeq.reverse
@@ -253,14 +258,17 @@ class SegmentedIndex(
     }
   }
 
-  /** (segments, watermark, tombstones) as THIS handle sees them:
-    * published state plus any open transaction's buffer. */
-  private def effectiveState(): (Seq[SegmentInfo], Long, Seq[Tombstone]) = {
+  /** (segments, watermark, tombstones, frame tombstones) as THIS
+    * handle sees them: published state plus any open transaction's
+    * buffer. */
+  private def effectiveState()
+      : (Seq[SegmentInfo], Long, Seq[Tombstone], Seq[FrameTombstone]) = {
     val (segs, last) = listSegments()
     txn match {
-      case None => (segs, last, listDeletes())
+      case None => (segs, last, listDeletes(), listFrameDeletes())
       case Some(t) => (segs ++ t.pendingSegs, math.max(last, t.pendingLast),
-        listDeletes() ++ t.pendingDels)
+        listDeletes() ++ t.pendingDels,
+        listFrameDeletes() ++ t.pendingFrameDels)
     }
   }
 
@@ -270,13 +278,14 @@ class SegmentedIndex(
     * [[commitTransaction]]. */
   def append(corpus: Dataset[CorpusRow], batchId: Long = Long.MinValue): Unit =
     synchronized {
-      val (segs, last, _) = effectiveState()
+      val (segs, last, _, _) = effectiveState()
       if (batchId != Long.MinValue && batchId <= last) return
       val newLast = math.max(last, if (batchId == Long.MinValue) last else batchId)
       if (corpus.isEmpty) {
         txn match {
           case Some(t) => t.pendingLast = newLast
-          case None => writeManifest(segs, newLast, listDeletes())
+          case None =>
+            writeManifest(segs, newLast, listDeletes(), listFrameDeletes())
         }
         return
       }
@@ -294,7 +303,7 @@ class SegmentedIndex(
           t.pendingSegs = t.pendingSegs :+ info
           t.pendingLast = newLast
         case None =>
-          writeManifest(segs :+ info, newLast, listDeletes())
+          writeManifest(segs :+ info, newLast, listDeletes(), listFrameDeletes())
       }
     }
 
@@ -305,6 +314,17 @@ class SegmentedIndex(
     * time (a later re-append of the same key is NOT deleted). */
   final case class Tombstone(repo: String, path: String, commit: String,
                              uptoSeg: Int)
+
+  /** A FRAME tombstone: a parquet directory of natural keys
+    * (repo, path, commit) + the segment count at delete time — the
+    * bulk form of [[Tombstone]] for corpus-scale deletes/replaces,
+    * where a per-key manifest line (and the driver collect producing
+    * it) would be the bottleneck. The manifest carries ONE line per
+    * frame; the keys stay distributed end to end (written by a Spark
+    * job, resolved to docIds by per-segment semi-joins, masked at
+    * read through [[BulkDeletionAwareIndex]]'s anti-joins, dropped
+    * physically by compaction's anti-join). */
+  final case class FrameTombstone(dir: String, uptoSeg: Int)
 
   private def deletesFile = Paths.get(s"$baseDir/deletes.txt")
 
@@ -345,16 +365,71 @@ class SegmentedIndex(
     fromManifest ++ legacy
   }
 
+  /** Published frame tombstones: "delfr|…" manifest lines. */
+  def listFrameDeletes(): Seq[FrameTombstone] = {
+    if (!Files.exists(manifest)) return Seq.empty
+    new String(Files.readAllBytes(manifest), "UTF-8")
+      .split("\n").filter(_.startsWith("delfr|")).toSeq
+      .map { l =>
+        l.stripPrefix("delfr|").split("\\|", -1) match {
+          case Array(d, u) => FrameTombstone(b64d(d), u.toInt)
+          case other => throw new IllegalStateException(
+            s"corrupt frame-tombstone line: ${other.mkString("|")}")
+        }
+      }
+  }
+
+  /** Resolve frame tombstones to a DISTRIBUTED frame of dead docIds:
+    * for each frame, a semi-join of every applicable segment's docs
+    * table (segment index < uptoSeg — a later re-append of the same
+    * key is NOT deleted, mirroring the scalar tombstone rule) against
+    * the key frame. No row ever reaches the driver. */
+  private def frameDeadIds(segs: Seq[SegmentInfo],
+                           fts: Seq[FrameTombstone]): Option[DataFrame] = {
+    if (fts.isEmpty) return None
+    val parts = fts.flatMap { ft =>
+      val keys = spark.read.parquet(ft.dir)
+      segs.zipWithIndex.collect { case (s, i) if ft.uptoSeg > i =>
+        spark.read.parquet(s"${s.dir}/docs")
+          .join(keys, Seq("repo", "path", "commit"), "left_semi")
+          .select(col("docId"))
+      }
+    }
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
+  }
+
   /** Tombstone documents by natural key; takes effect on the next
     * [[reader]]() and is applied physically by compaction. Inside a
     * transaction the tombstones buffer until [[commitTransaction]]. */
   def delete(keys: Seq[(String, String, String)]): Unit = synchronized {
     if (keys.isEmpty) return
-    val (segs, last, _) = effectiveState()
+    val (segs, last, _, _) = effectiveState()
     val ts = keys.map { case (r, p, c) => Tombstone(r, p, c, segs.size) }
     txn match {
       case Some(t) => t.pendingDels = t.pendingDels ++ ts
-      case None => writeManifest(segs, last, listDeletes() ++ ts)
+      case None =>
+        writeManifest(segs, last, listDeletes() ++ ts, listFrameDeletes())
+    }
+  }
+
+  /** Bulk delete by a DISTRIBUTED frame of natural keys
+    * (repo, path, commit columns; extra columns ignored): the keys
+    * never pass through the driver. One Spark write lands the
+    * distinct key frame under delframes/, one manifest line registers
+    * it. Same visibility semantics as [[delete]] (txn-buffered,
+    * published by the atomic manifest rename, applies only to
+    * segments existing now). */
+  def deleteBulk(keys: DataFrame): Unit = synchronized {
+    val (segs, last, _, _) = effectiveState()
+    val dir = f"$baseDir/delframes/del-${listFrameDeletes().size +
+      txn.map(_.pendingFrameDels.size).getOrElse(0)}%05d-${segs.size}%05d"
+    keys.select(col("repo"), col("path"), col("commit")).distinct()
+      .write.mode("overwrite").parquet(dir)
+    val ft = FrameTombstone(dir, segs.size)
+    txn match {
+      case Some(t) => t.pendingFrameDels = t.pendingFrameDels :+ ft
+      case None =>
+        writeManifest(segs, last, listDeletes(), listFrameDeletes() :+ ft)
     }
   }
 
@@ -362,13 +437,27 @@ class SegmentedIndex(
     * segments, then append the batch as a new segment (the
     * replace_document(unique_term, doc) shape; the replacement gets a
     * fresh docId, unlike the reference which reuses one — documented
-    * divergence, ids here are derived not user-visible). */
-  def replace(corpus: Dataset[CorpusRow], batchId: Long = Long.MinValue): Unit =
+    * divergence, ids here are derived not user-visible).
+    *
+    * Batches up to `bulkKeyGate` distinct keys take the per-key
+    * tombstone path (driver-collected, one manifest line per key —
+    * the interactive replace_document shape). Larger batches route
+    * through [[deleteBulk]]: the keys stay a distributed frame, so a
+    * corpus-scale replace is never driver-bound. The gate probe is
+    * `limit(gate+1).count()` — it never counts more than gate+1 rows
+    * regardless of batch size. */
+  def replace(corpus: Dataset[CorpusRow], batchId: Long = Long.MinValue,
+              bulkKeyGate: Int = 10000): Unit =
     synchronized {
-      val keys = corpus.select(col("repo"), col("path"), col("commit"))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-      delete(keys)
+      val keyDf = corpus.select(col("repo"), col("path"), col("commit"))
+        .distinct()
+      if (keyDf.limit(bulkKeyGate + 1).count() > bulkKeyGate) {
+        deleteBulk(keyDf)
+      } else {
+        val keys = keyDf.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+        delete(keys)
+      }
       append(corpus, batchId)
     }
 
@@ -396,7 +485,7 @@ class SegmentedIndex(
     * reference's own-uncommitted-changes visibility); other handles
     * on the same baseDir see only the published manifest. */
   def reader(): Index = synchronized {
-    val (segs, _, ts) = effectiveState()
+    val (segs, _, ts, fts) = effectiveState()
     require(segs.nonEmpty, s"no segments in $baseDir")
     val readers = segs.map(s =>
       new IndexReader(spark, s.dir, nBuckets, stripeShift))
@@ -404,7 +493,16 @@ class SegmentedIndex(
       if (readers.size == 1) readers.head
       else new MultiIndexReader(spark, readers)
     val deleted = resolveDeletedIds(segs, ts)
-    if (deleted.isEmpty) base else new DeletionAwareIndex(base, deleted)
+    val withScalar =
+      if (deleted.isEmpty) base else new DeletionAwareIndex(base, deleted)
+    // bulk wrapper OUTSIDE the scalar one: its stats/df semi-joins run
+    // against the scalar-masked inner, so a doc tombstoned by BOTH
+    // paths is never double-subtracted
+    frameDeadIds(segs, fts) match {
+      case None => withScalar
+      case Some(dead) =>
+        new BulkDeletionAwareIndex(withScalar, dead, stripeShift)
+    }
   }
 
   /**
@@ -443,14 +541,22 @@ class SegmentedIndex(
     // ---- stage docs0: renumber docIds over the union (single RDD
     // lineage, as in the fresh build) + keep the old→new mapping.
     // Tombstoned docs are dropped here; their postings fall out of
-    // the merge via the inner mapping join below.
+    // the merge via the inner mapping join below. Scalar tombstones
+    // resolve to a driver isin (bounded by the manifest); frame
+    // tombstones apply as an anti-join — never through the driver.
     val deleted = resolveDeletedIds(segs, listDeletes())
-    val docs0union = segs.map(s => spark.read.parquet(s"${s.dir}/docs0")
+    val docs0union0 = segs.map(s => spark.read.parquet(s"${s.dir}/docs0")
         .select($"docId", $"repo", $"path", $"commit", $"lang",
           $"content", $"sha256"))
       .reduce(_ unionByName _)
       .filter(if (deleted.isEmpty) lit(true)
               else !$"docId".isin(deleted.toSeq: _*))
+    val docs0union = frameDeadIds(segs, listFrameDeletes()) match {
+      case None => docs0union0
+      case Some(dead) =>
+        docs0union0.join(dead.withColumnRenamed("docId", "__deadId"),
+          docs0union0("docId") === col("__deadId"), "left_anti")
+    }
     val reassigned = docs0union
       .as[(Long, String, String, String, String, String, String)]
       .rdd
@@ -503,8 +609,20 @@ class SegmentedIndex(
     // done so the corpus argument is never touched
     builder.build(spark.emptyDataset[CorpusRow])
     val nDocs = spark.read.parquet(s"$dir/docs").count()
-    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last, Seq.empty)
+    val staleFrames = listFrameDeletes().map(_.dir)
+    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last, Seq.empty, Seq.empty)
+    dropDirs(staleFrames) // physically applied above — frames are dead
     new IndexReader(spark, dir, nBuckets, stripeShift)
+  }
+
+  /** Best-effort recursive removal of applied delete-frame dirs. */
+  private def dropDirs(dirs: Seq[String]): Unit = dirs.foreach { d =>
+    val root = Paths.get(d)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Merge all segments into a single fresh index by re-indexing the
@@ -520,13 +638,18 @@ class SegmentedIndex(
     val (segs, last) = listSegments()
     require(segs.nonEmpty, s"no segments in $baseDir")
     val deleted = resolveDeletedIds(segs, listDeletes())
-    val union = segs.map { s =>
+    val union0 = segs.map { s =>
       spark.read.parquet(s"${s.dir}/docs0")
         .select($"docId", $"repo", $"path", $"commit", $"lang", $"content")
     }.reduce(_ unionByName _)
       .filter(if (deleted.isEmpty) lit(true)
               else !$"docId".isin(deleted.toSeq: _*))
-      .drop("docId").as[CorpusRow]
+    val union = (frameDeadIds(segs, listFrameDeletes()) match {
+      case None => union0
+      case Some(dead) =>
+        union0.join(dead.withColumnRenamed("docId", "__deadId"),
+          union0("docId") === col("__deadId"), "left_anti")
+    }).drop("docId").as[CorpusRow]
     val gen = segs.size
     val dir = f"$baseDir/compact-$gen%05d"
     val cfg = BuildConfig(indexDir = dir, stemMode = stemMode,
@@ -535,7 +658,9 @@ class SegmentedIndex(
       cjkNgram = cjkNgram, valueSlots = valueSlots)
     new IndexBuilder(spark, cfg).build(union)
     val nDocs = spark.read.parquet(s"$dir/docs").count()
-    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last, Seq.empty)
+    val staleFrames = listFrameDeletes().map(_.dir)
+    writeManifest(Seq(SegmentInfo(dir, 0L, nDocs)), last, Seq.empty, Seq.empty)
+    dropDirs(staleFrames)
     new IndexReader(spark, dir, nBuckets, stripeShift)
   }
 }

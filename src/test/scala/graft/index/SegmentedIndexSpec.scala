@@ -262,6 +262,107 @@ class SegmentedIndexSpec extends AnyFunSuite {
       assert(math.abs(g.score - w.score) < 1e-9) }
   }
 
+  test("bulk replace routes through ONE frame tombstone: oracle-identical, never driver-bound") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-seg-bulkrep").toString
+    val s = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    val b1 = all.take(30); val b2 = all.slice(30, 55)
+    s.append(spark.createDataset(b1)); s.append(spark.createDataset(b2))
+
+    // replacement batch spans both segments; the gate is forced below
+    // the batch size so the bulk (frame-tombstone) path MUST fire —
+    // the per-key manifest/collect path is what a corpus-scale
+    // replace cannot afford
+    val marker = "zzbulkmarker"
+    val batch = (b1.take(5) ++ b2.take(3)).map(c =>
+      c.copy(content = s"$marker ${c.content}"))
+    s.replace(spark.createDataset(batch), bulkKeyGate = 3)
+
+    // ONE manifest line for the whole batch — not one per key
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$baseDir/segments.txt")), "UTF-8")
+    assert(manifest.linesIterator.count(_.startsWith("delfr|")) === 1)
+    assert(!manifest.linesIterator.exists(_.startsWith("del|")))
+
+    val rdr = s.reader()
+    assert(rdr.isInstanceOf[BulkDeletionAwareIndex])
+
+    // oracle: survivors at original (gappy) ids + replacements at
+    // fresh ids past both segments
+    val deadKeys = batch.map(c => (c.repo, c.path, c.commit)).toSet
+    var next = 1L
+    val odocsOld = Seq(b1, b2).flatMap { b =>
+      b.sortBy(c => (c.repo, c.path, c.commit)).map { c =>
+        val d = Oracle.Doc(next, c.content, Map.empty, c.lang); next += 1; (c, d)
+      }
+    }
+    val survivors = odocsOld.collect {
+      case (c, d) if !deadKeys((c.repo, c.path, c.commit)) => d
+    }
+    val fresh = batch.sortBy(c => (c.repo, c.path, c.commit)).zipWithIndex
+      .map { case (c, i) => Oracle.Doc(56L + i, c.content, Map.empty, c.lang) }
+    val oidx = Oracle.buildIndex(survivors ++ fresh, stemMode = "none")
+    assert(rdr.stats === oidx.stats.copy(
+      minDocLen = rdr.stats.minDocLen, maxDocLen = rdr.stats.maxDocLen))
+
+    for (q <- Seq(t("parse"): Query, or(t("parse"), t(marker)), Query.MatchAll)) {
+      val want = Oracle.mset(q, oidx, 15)
+      val got = new DatasetMatcher(rdr).mset(q, 15)
+      assert(got.map(_.docId) === want.map(_.docId), s"ds ${q.describe}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g.score - w.score) < 1e-9, s"ds ${q.describe}") }
+      val wm = new WandMatcher(rdr)
+      if (wm.supports(q))
+        assert(wm.mset(q, 15).map(_.docId) === want.map(_.docId),
+          s"wand ${q.describe}")
+    }
+    // every replacement visible by marker at ids past both segments
+    val hits = new DatasetMatcher(rdr).mset(t(marker), 10)
+    assert(hits.size === 8)
+    assert(hits.forall(_.docId > 55L))
+
+    // compaction physically applies the frame, clears it, drops its dir
+    val frameDir = s.listFrameDeletes().head.dir
+    val compacted = s.compactMerged()
+    assert(s.listFrameDeletes().isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(frameDir)))
+    assert(compacted.stats.n === 55L)
+    assert(new DatasetMatcher(compacted).mset(t(marker), 10).size === 8)
+  }
+
+  test("deleteBulk in a transaction: invisible until commit, cancel removes the frame") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-seg-bulktxn").toString
+    val s = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+    val b1 = all.take(30)
+    s.append(spark.createDataset(b1))
+    val other = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 4)
+
+    s.beginTransaction()
+    s.deleteBulk(spark.createDataset(b1.take(2)).toDF())
+    // the transacting handle sees its buffered bulk delete; another
+    // handle on the same baseDir sees only the published manifest
+    assert(s.reader().stats.n === 28L)
+    assert(other.listFrameDeletes().isEmpty)
+    assert(other.reader().stats.n === 30L)
+    s.cancelTransaction()
+    assert(s.listFrameDeletes().isEmpty)
+    assert(s.reader().stats.n === 30L)
+    // the pending frame dir is physically gone
+    val delframes = java.nio.file.Paths.get(s"$baseDir/delframes")
+    assert(!java.nio.file.Files.exists(delframes) ||
+      !java.nio.file.Files.list(delframes).findAny().isPresent)
+
+    s.beginTransaction()
+    s.deleteBulk(spark.createDataset(b1.take(2)).toDF())
+    s.commitTransaction()
+    assert(other.listFrameDeletes().size === 1)
+    assert(other.reader().stats.n === 28L)
+  }
+
   test("valueSlots forward to appended segments and survive compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
