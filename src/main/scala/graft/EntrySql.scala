@@ -1162,6 +1162,85 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id LEFT JOIN stopc s ON s.doc_id = b.doc_id
 ORDER BY b.doc_id"""
 
+  /** Shared CTE block for the quality-classifier oracle: the four
+    * bounded feature ratios (same arithmetic as qualitySql, 6-decimal
+    * rounded) + the weak label y = (lang = 'en'). */
+  private def qualityLrFeatsCtes(stopwords: Seq[String]): String =
+    s"""base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+         length(text) AS nch,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+tokx AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+         FROM documents WHERE length(trim(text)) > 0),
+rep AS (SELECT doc_id, max(c)::DOUBLE AS mr
+        FROM (SELECT doc_id, tk, count(*) AS c FROM tokx GROUP BY 1, 2) GROUP BY doc_id),
+stopc AS (SELECT doc_id, count(*)::DOUBLE AS ns FROM tokx WHERE tk IN ${in(stopwords)} GROUP BY doc_id),
+feats AS (
+  SELECT b.doc_id,
+         round(b.alpha::DOUBLE / greatest(b.nch, 1), 6) AS f1,
+         round(b.dig::DOUBLE / greatest(b.nch, 1), 6) AS f2,
+         round(coalesce(s.ns, 0) / greatest(b.ntok, 1), 6) AS f3,
+         round(CASE WHEN b.ntok > 0 THEN coalesce(r.mr, 0) / b.ntok ELSE 0 END, 6) AS f4,
+         b.y
+  FROM base b LEFT JOIN rep r ON r.doc_id = b.doc_id LEFT JOIN stopc s ON s.doc_id = b.doc_id
+)"""
+
+  /** One unrolled full-batch gradient step: s{i} from s{i-1} — the
+    * identical update (and the identical per-step 6-decimal rounding,
+    * the engine-resync point) the Spark trainer applies. */
+  private def qualityLrStepCte(i: Int, lr: Double): String = {
+    val p = s"s${i - 1}"
+    s"""s$i AS (
+  SELECT round(any_value(wb) - $lr * sum(g) / any_value(cnt), 6) AS wb,
+         round(any_value(w1) - $lr * sum(g * f1) / any_value(cnt), 6) AS w1,
+         round(any_value(w2) - $lr * sum(g * f2) / any_value(cnt), 6) AS w2,
+         round(any_value(w3) - $lr * sum(g * f3) / any_value(cnt), 6) AS w3,
+         round(any_value(w4) - $lr * sum(g * f4) / any_value(cnt), 6) AS w4
+  FROM (SELECT w.wb, w.w1, w.w2, w.w3, w.w4, f.f1, f.f2, f.f3, f.f4,
+               (SELECT count(*) FROM feats)::DOUBLE AS cnt,
+               1.0 / (1.0 + exp(-(w.wb + w.w1 * f.f1 + w.w2 * f.f2
+                                  + w.w3 * f.f3 + w.w4 * f.f4))) - f.y AS g
+        FROM feats f CROSS JOIN $p w)
+)"""
+  }
+
+  private def qualityLrCtes(stopwords: Seq[String], steps: Int,
+                            lr: Double): String =
+    (s"WITH ${qualityLrFeatsCtes(stopwords)}," +:
+      "s0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)," +:
+      (1 to steps).map(i => qualityLrStepCte(i, lr) +
+        (if (i < steps) "," else ""))).mkString("\n")
+
+  /** ta_qtrain oracle: the trained weight vector, one row per
+    * feature, after `steps` unrolled gradient steps. */
+  def qualityLrTrainSql(stopwords: Seq[String], steps: Int = 8,
+                        lr: Double = 1.0): String =
+    s"""${qualityLrCtes(stopwords, steps, lr)}
+SELECT feature, weight FROM (
+  SELECT 'bias' AS feature, wb AS weight FROM s$steps
+  UNION ALL SELECT 'alpha_ratio', w1 FROM s$steps
+  UNION ALL SELECT 'digit_ratio', w2 FROM s$steps
+  UNION ALL SELECT 'stopword_ratio', w3 FROM s$steps
+  UNION ALL SELECT 'max_rep_ratio', w4 FROM s$steps
+) ORDER BY feature"""
+
+  /** ta_qscore oracle: per-document sigmoid under the trained
+    * weights. */
+  def qualityLrScoreSql(stopwords: Seq[String], steps: Int = 8,
+                        lr: Double = 1.0): String =
+    s"""${qualityLrCtes(stopwords, steps, lr)}
+SELECT f.doc_id,
+       round(1.0 / (1.0 + exp(-(w.wb + w.w1 * f.f1 + w.w2 * f.f2
+                                + w.w3 * f.f3 + w.w4 * f.f4))), 6) AS p_good
+FROM feats f CROSS JOIN s$steps w
+ORDER BY f.doc_id"""
+
   def winnowSql(k: Int = 8, w: Int = 5): String =
     s"""WITH g AS (
   SELECT doc_id, text,

@@ -610,6 +610,24 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       TextOps.qualityFeatures(documents(s, d), qualityStopwords).orderBy("doc_id")),
+    // fastText/CCNet-role TRAINED quality classifier: 8 full-batch
+    // logistic-regression steps, ONE gradient aggregate each (5
+    // doubles to the driver per step, weights rounded per step for
+    // engine reproducibility); weak label = (lang = 'en'). The oracle
+    // unrolls the identical 8 steps as CTEs.
+    "ta_qtrain" -> ((s, d) => {
+      import s.implicits._
+      val w = TextOps.trainQualityLr(documents(s, d),
+        when(col("lang") === "en", 1.0).otherwise(0.0), steps = 8, lr = 1.0)
+      Seq("bias", "alpha_ratio", "digit_ratio", "stopword_ratio",
+        "max_rep_ratio").zip(w).toDF("feature", "weight").orderBy("feature")
+    }),
+    "ta_qscore" -> ((s, d) => {
+      val docs = documents(s, d)
+      val w = TextOps.trainQualityLr(docs,
+        when(col("lang") === "en", 1.0).otherwise(0.0), steps = 8, lr = 1.0)
+      TextOps.scoreQualityLr(docs, w).orderBy("doc_id")
+    }),
     // CCNet-role LM quality signal: add-α bigram perplexity, model
     // trained on the corpus itself — the ENTIRE LM training (counts,
     // smoothing, scoring) is replayed in the DuckDB oracle
@@ -822,6 +840,8 @@ object SparkEntry {
     "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
+    "ta_qtrain" -> EntrySql.qualityLrTrainSql(qualityStopwords),
+    "ta_qscore" -> EntrySql.qualityLrScoreSql(qualityStopwords),
     "ta_perplexity" -> EntrySql.perplexitySql(0.5),
     "ta_bpe_train" -> EntrySql.bpeTrainSql(8),
     "ta_bpe_encode" -> EntrySql.bpeEncodeSql(8),

@@ -138,6 +138,76 @@ object TextOps {
   }
 
   /**
+   * Distributed logistic-regression quality classifier — the
+   * fastText/CCNet role (Joulin et al. 2016, "Bag of Tricks for
+   * Efficient Text Classification"; Wenzek et al., CCNet, LREC 2020):
+   * production LLM pipelines gate documents with a LINEAR classifier
+   * over cheap surface signals, trained on weak labels (here: any
+   * deterministic 0/1 label column — the gate uses lang = 'en', the
+   * CCNet shape where the target language provides the weak labels).
+   *
+   * Trained Spark-first under the same engine-reproducibility
+   * contract as kmeansTrain/bpeTrain: full-batch gradient descent
+   * where each step is ONE corpus-wide aggregate (map-side partial
+   * combine; exactly d+1 doubles reach the driver per step), and the
+   * updated weights are rounded to 6 decimals per step — the
+   * rounding resynchronizes Spark and the SQL oracle every
+   * iteration, so float-summation-order drift can never accumulate.
+   * Features are the bounded [0,1] ratios from [[qualityFeatures]]
+   * (alpha, digit, stopword, max-repetition) plus an intercept, so
+   * no scaling pass is needed and a fixed learning rate is stable.
+   *
+   * Scale shape: the one join here keys the narrow feature frame to
+   * the label by doc_id (AQE broadcasts the small side; at corpus
+   * scale both sides come out of the same scan and the join folds
+   * away if the caller passes a frame already carrying the label).
+   * The gradient aggregate is embarrassingly parallel — no shuffle
+   * beyond the final partial-merge, identical at 500 rows or 10^9.
+   */
+  def trainQualityLr(docs: DataFrame, label: Column, steps: Int = 8,
+                     lr: Double = 1.0): Seq[Double] = {
+    val feats = qualityFeatures(docs)
+      .join(docs.select(col("doc_id"), label.cast("double").as("__y")), Seq("doc_id"))
+      .select(col("alpha_ratio"), col("digit_ratio"), col("stopword_ratio"),
+        col("max_rep_ratio"), col("__y"))
+      .persist()
+    try {
+      val n = feats.count().toDouble
+      require(n > 0, "trainQualityLr: empty corpus")
+      var w = Seq.fill(5)(0.0)
+      for (_ <- 0 until steps) {
+        val z = lit(w(0)) + lit(w(1)) * col("alpha_ratio") +
+          lit(w(2)) * col("digit_ratio") + lit(w(3)) * col("stopword_ratio") +
+          lit(w(4)) * col("max_rep_ratio")
+        val g = lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")
+        val r = feats.agg(sum(g), sum(g * col("alpha_ratio")),
+          sum(g * col("digit_ratio")), sum(g * col("stopword_ratio")),
+          sum(g * col("max_rep_ratio"))).collect()(0)
+        w = w.zipWithIndex.map { case (wi, j) =>
+          // HALF_UP to 6 decimals — matches both engines' round()
+          BigDecimal(wi - lr * r.getDouble(j) / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      w
+    } finally { feats.unpersist(blocking = false) }
+  }
+
+  /** Per-document sigmoid score from a trained weight vector
+    * (bias, alpha, digit, stopword, max-rep) — the filter column a
+    * pipeline thresholds on. Pure per-row expressions over the same
+    * rounded features the trainer saw. */
+  def scoreQualityLr(docs: DataFrame, w: Seq[Double]): DataFrame = {
+    require(w.size == 5, s"expected 5 weights, got ${w.size}")
+    val f = qualityFeatures(docs)
+    val z = lit(w(0)) + lit(w(1)) * col("alpha_ratio") +
+      lit(w(2)) * col("digit_ratio") + lit(w(3)) * col("stopword_ratio") +
+      lit(w(4)) * col("max_rep_ratio")
+    f.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p_good"))
+  }
+
+  /**
    * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
    * SIGMOD'03): hash all k-grams, take the min hash of each sliding
    * window of w consecutive k-gram hashes; the distinct set of window

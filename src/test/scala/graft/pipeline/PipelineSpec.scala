@@ -592,6 +592,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rt.columns.contains("stream"), "partition column lost")
   }
 
+  test("trainQualityLr: learns the label signal, deterministic, score separates classes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    // 'en'-labeled docs are alpha-heavy prose with stopwords; negatives
+    // are digit/symbol-dense junk — the classifier must push the
+    // alpha/stopword weights up and the digit weight down
+    val docs = (1L to 20L).map { i =>
+      if (i <= 10) (i, s"the quick brown fox and a dog of mine runs to the hill $i", "en")
+      else (i, s"000 111 $i 9999 ### 404 500 --- 777 888 123456 42", "xx")
+    }.toDF("doc_id", "text", "lang")
+    val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val w = TextOps.trainQualityLr(docs, label, steps = 8, lr = 1.0)
+    assert(w.size == 5)
+    assert(w(1) > 0.0, s"alpha weight should be positive: $w")   // alpha_ratio
+    assert(w(2) < 0.0, s"digit weight should be negative: $w")   // digit_ratio
+    // deterministic: a re-run (different partition layout) is identical
+    val w2 = TextOps.trainQualityLr(docs.repartition(7), label, steps = 8, lr = 1.0)
+    assert(w == w2, s"$w vs $w2")
+    // scores separate the classes: every 'en' doc above every junk doc
+    val scored = TextOps.scoreQualityLr(docs, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val enMin = (1L to 10L).map(scored).min
+    val xxMax = (11L to 20L).map(scored).max
+    assert(enMin > xxMax, s"enMin=$enMin xxMax=$xxMax")
+  }
+
   test("bpeTrain: deterministic merge selection, greedy application, composition") {
     import spark.implicits._
     import BpeOps._
