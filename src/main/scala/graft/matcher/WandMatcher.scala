@@ -455,10 +455,20 @@ object WandMatcher {
       * prefix sums, which is only admissible when every per-term
       * bound is non-negative (a negative-idf term — TfIdf 'p', IfB2
       * with cf > N+1 — can only lower a doc's score, so 0 is a valid
-      * upper bound on its contribution). */
+      * upper bound on its contribution). Cached per block: the pivot
+      * loop reads this once per candidate doc, and the DFR schemes'
+      * proven bounds are log-heavy — the bound only changes when the
+      * cursor crosses a block boundary. */
+    private var ubBi = -1
+    private var ubVal = 0.0
     def blockUB: Double = {
-      val b = blocks(bi)
-      math.max(0.0, w.maxPart(termWeight, termStat, b.maxWdf, b.minDocLen, stats))
+      if (ubBi != bi) {
+        val b = blocks(bi)
+        ubVal = math.max(0.0,
+          w.maxPart(termWeight, termStat, b.maxWdf, b.minDocLen, stats))
+        ubBi = bi
+      }
+      ubVal
     }
 
     def next(): Unit = {
