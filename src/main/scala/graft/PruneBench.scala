@@ -1,0 +1,87 @@
+package graft
+
+import graft.core._
+import graft.matcher.{DatasetMatcher, MatchOptions, WandMatcher}
+import graft.queryparser.QueryParser
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Pruning-payoff microbench: for each weight scheme, time the same
+ * top-10 quest sweep on the block-max WAND path vs the declarative
+ * Dataset path, and report the number of block/pivot prune events
+ * the WAND run fired.
+ *
+ * Round 5 put every stock scheme on the pruned WAND path (proven
+ * admissible analytic maxParts for PL2/PL2+/DPH/BB2 — previously
+ * Dataset-only); this harness is the wall-clock evidence that the
+ * proofs pay, not just that they are admissible. Rank identity
+ * between the two paths is covered by the MatcherSpec three-way
+ * suites; here we only time.
+ *
+ * `WandMatcher.pruneEvents` is a JVM-wide counter accumulated inside
+ * mapPartitions, so the prune numbers are only meaningful in local
+ * mode (driver and executors share the JVM) — exactly this harness's
+ * setting. One JSON line per scheme on stdout.
+ */
+object PruneBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (idx, nDocs, buildSec) = Bench.buildIndex(spark, sfDir, "prune", cpus.toInt)
+    idx.warm()
+    println(f"""{"metric":"prune_bench_build","n_docs":$nDocs,"sec":$buildSec%.3f}""")
+
+    val pcfg = QueryParser.Config(stemMode = "none")
+    val schemes: Seq[(String, Weight)] = Seq(
+      "bm25" -> Bm25Weight(),
+      "pl2" -> Pl2Weight(),
+      "pl2plus" -> Pl2PlusWeight(),
+      "dph" -> DphWeight(),
+      "dlh" -> DlhWeight(),
+      "bb2" -> Bb2Weight())
+
+    def sweep(run: Query => Unit, wandOk: Query => Boolean): Int = {
+      var n = 0
+      Bench.questQueries.foreach { qs =>
+        val parsed = QueryParser.parse(qs, pcfg)
+        val q = Query.expandWildcards(parsed, p => idx.termsWithPrefix(p))
+        if (wandOk(q)) { run(q); n += 1 }
+      }
+      n
+    }
+
+    schemes.foreach { case (name, w) =>
+      val wand = new WandMatcher(idx, w)
+      val ds = new DatasetMatcher(idx, MatchOptions(weight = w))
+      // identical query subset on both paths: what WAND supports
+      val wandOk = (q: Query) => wand.supports(q)
+      // warmup both paths once (plan compilation, codegen, caches)
+      sweep(q => wand.mset(q, 10), wandOk)
+      sweep(q => ds.mset(q, 10), wandOk)
+      val p0 = WandMatcher.pruneEvents.get()
+      val tw0 = System.nanoTime()
+      var nq = 0
+      (1 to reps).foreach { _ => nq = sweep(q => wand.mset(q, 10), wandOk) }
+      val wandSec = (System.nanoTime() - tw0) / 1e9
+      val prunes = WandMatcher.pruneEvents.get() - p0
+      val td0 = System.nanoTime()
+      (1 to reps).foreach { _ => sweep(q => ds.mset(q, 10), wandOk) }
+      val dsSec = (System.nanoTime() - td0) / 1e9
+      println(
+        f"""{"metric":"prune_bench","scheme":"$name","queries":$nq,"reps":$reps,""" +
+        f""""wand_sec":$wandSec%.3f,"ds_sec":$dsSec%.3f,""" +
+        f""""speedup":${dsSec / wandSec}%.2f,"prune_events":$prunes}""")
+    }
+    spark.stop()
+  }
+}

@@ -245,11 +245,20 @@ object Recall {
         val resid = PqOps.ivfPqSearchResidualIndexed(spark, resDir2, ccs, resBooks,
             q, 11, nprobe, excludeId = Some(qid))
           .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
-        (exact.intersect(plain).size / 10.0, exact.intersect(resid).size / 10.0)
+        // the BEST production path: residual ADC shortlist + exact
+        // re-rank of shortlist rows (ann_ivfpq_res_refine's shape)
+        val refined = PqOps.ivfPqSearchResidualRefined(spark, resDir2, ccs,
+            resBooks, clustered, q, 11, nprobe, shortlist = 50,
+            excludeId = Some(qid))
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        (exact.intersect(plain).size / 10.0,
+         exact.intersect(resid).size / 10.0,
+         exact.intersect(refined).size / 10.0)
       }
       val mp = pairs.map(_._1).sum / pairs.length
       val mr = pairs.map(_._2).sum / pairs.length
-      println(f"""{"metric":"ivfpq_clustered_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${cq.length},"plain":$mp%.4f,"residual":$mr%.4f}""")
+      val mf = pairs.map(_._3).sum / pairs.length
+      println(f"""{"metric":"ivfpq_clustered_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${cq.length},"plain":$mp%.4f,"residual":$mr%.4f,"residual_refined_50":$mf%.4f}""")
     }
     spark.stop()
   }
