@@ -216,25 +216,35 @@ object TextOps {
    * columns — deterministic, SQL-reproducible via md5).
    */
   def winnowDigest(docs: DataFrame, k: Int = 8, w: Int = 5): DataFrame = {
-    val fps = winnowFps(col("text"), k, w)
-    docs.select(col("doc_id"),
-      coalesce(size(fps), lit(0)).cast("long").as("n_fp"),
-      array_min(fps).as("min_fp"))
+    val fps = winnowFpsFromGrams(col("_grams"), w)
+    docs
+      .select(col("doc_id"), winnowGrams(col("text"), k, w).as("_grams"))
+      .select(col("doc_id"),
+        coalesce(size(fps), lit(0)).cast("long").as("n_fp"),
+        array_min(fps).as("min_fp"))
   }
 
-  /** The distinct winnowing fingerprint set as an array column (null
-    * below the minimum text length); per-row codegen'd expressions,
-    * shared by [[winnowDigest]] and [[decontaminate]]. */
-  def winnowFps(text: Column, k: Int, w: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), length(text) - (k - 1)),
-      i => md5(text.substr(i, lit(k))))
-    val minima = transform(
-      sequence(lit(1), length(text) - (k - 1) - (w - 1)),
-      j => array_min(slice(grams, j, lit(w))))
-    when(length(text) < k + w - 1, lit(null))
-      .otherwise(array_distinct(minima))
-  }
+  /** The k-gram hash array for winnowing, or null below the minimum
+    * text length (k + w − 1 chars = at least one window). Project
+    * this as its own column and feed the ATTRIBUTE to
+    * [[winnowFpsFromGrams]] — see the [[gramHashes]] contract. */
+  def winnowGrams(text: Column, k: Int, w: Int): Column =
+    when(length(text) >= k + w - 1, gramHashes(text, k))
+
+  /** The distinct winnowing fingerprint set (window minima over w
+    * consecutive gram hashes) from a MATERIALIZED gram-hash array
+    * attribute; null-in null-out. Shared by [[winnowDigest]] and
+    * [[decontaminate]]. The grams argument MUST be a projected
+    * column, never the inline [[gramHashes]] expression: an
+    * expression referenced inside the window lambda is re-evaluated
+    * per window — O(len²) hashing per row (the trap [[gramHashes]]
+    * documents; hit live at sf0.1 where it turned a seconds-long
+    * scan into a 25-minute single-task stall). */
+  def winnowFpsFromGrams(grams: Column, w: Int): Column =
+    when(grams.isNotNull,
+      array_distinct(transform(
+        sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
 
   /** All k-gram md5 hashes of `text`, 1-based positions (gram p hashes
     * chars [p, p+k-1]). Callers MUST materialize this as a projected
@@ -251,7 +261,7 @@ object TextOps {
   /** Winnowing fingerprints WITH their source spans over a
     * MATERIALIZED gram-hash array attribute: each window's selected
     * minimum k-gram hash paired with the 1-based character position
-    * of that k-gram — the span-reporting extension of [[winnowFps]]
+    * of that k-gram — the span-reporting extension of [[winnowFpsFromGrams]]
     * that substring-level dedup needs. Ties break leftmost
     * (deterministic, engine-agnostic). Distinct (pos, fp) pairs per
     * row (a fingerprint repeated at DIFFERENT positions is kept —
@@ -382,8 +392,9 @@ object TextOps {
                     k: Int = 24, w: Int = 5,
                     minShared: Int = 4): DataFrame = {
     def expl(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-        explode(winnowFps(col("text"), k, w)).as("fp"))
+      df.select(col("doc_id"), winnowGrams(col("text"), k, w).as("_grams"))
+        .select(col("doc_id"),
+          explode(winnowFpsFromGrams(col("_grams"), w)).as("fp"))
     val benchFps = expl(benchmark).select("fp").distinct()
     expl(corpus)
       .join(broadcast(benchFps), "fp")
