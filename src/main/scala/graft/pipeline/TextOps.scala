@@ -101,17 +101,29 @@ object TextOps {
                       stopwords: Seq[String] =
                         Seq("the", "a", "and", "of", "to", "in", "is")): DataFrame = {
     val text = col("text")
-    val toks = split(trim(text), "\\s+")
     val nTok = tokenCount(text)
     val nChars = length(text)
     val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
     val digit = length(regexp_replace(text, "[^0-9]", ""))
     val ws = length(regexp_replace(text, "[^ \\t\\n]", ""))
     val stopSet = typedLit(stopwords)
+    // token array materialized as a column (never re-split inside a
+    // lambda — the gramHashes trap) …
+    val toks = col("_toks")
     val nStop = size(filter(toks, t => array_contains(stopSet, t)))
-    val topRep = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    docs.select(
+    // … and max token multiplicity as the longest equal run of the
+    // SORTED array: O(n log n)/row (same idiom as repetitionSignals'
+    // dup_chars) where the per-distinct-token filter scan was
+    // O(distinct × n)/row — quadratic on a long web document
+    val topRep = expr(
+      """aggregate(array_sort(_toks),
+           struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
+           (a, x) -> named_struct(
+             'prev', x,
+             'run',  IF(a.prev <=> x, a.run + 1, 1),
+             'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1))),
+           a -> a.best)""")
+    docs.select(col("*"), split(trim(text), "\\s+").as("_toks")).select(
       col("doc_id"),
       nChars.cast("long").as("n_chars"),
       nTok.cast("long").as("n_tokens"),
