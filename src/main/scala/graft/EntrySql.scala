@@ -203,6 +203,52 @@ SELECT c AS matches_lower, c AS matches_estimated, c AS matches_upper,
        round((SELECT sum(ub) FROM bnd), 4) AS max_possible
 FROM cnt"""
 
+  /** Batch-retrieval oracle (BatchMatcher.batchTopk): the whole query
+    * batch scored in ONE statement — the same tokenizer/doclen/stats/
+    * idf CTEs as [[prefix]], a VALUES relation of the literal query
+    * batch (tokenized by the identical convention, so wqf comes from
+    * the text), the k3=1 wqf factor 2·wqf/(1+wqf), and the 4-decimal
+    * round BEFORE the per-query cut (ties break on doc_id in both
+    * engines). */
+  def batchTopkSql(queries: Seq[(Int, String)], k: Int): String = {
+    val vals = queries.map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+    s"""WITH corpus AS (SELECT * FROM documents),
+tok AS (
+  SELECT doc_id, t.term AS term
+  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n,
+                 (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM corpus) AS avglen),
+q(query_id, qtext) AS (VALUES $vals),
+qtok AS (
+  SELECT query_id, t.term AS term
+  FROM q, unnest(string_split_regex(lower(qtext), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+qterms AS (SELECT query_id, term, count(*)::DOUBLE AS wqf FROM qtok GROUP BY 1, 2),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM tok
+       WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (SELECT term, ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
+                 THEN (s.n - df + 0.5) / (df + 0.5) / 2 + 1
+                 ELSE (s.n - df + 0.5) / (df + 0.5) END) AS idf
+      FROM df, stats s),
+sp AS (SELECT qt.query_id, tf.doc_id,
+              w.idf * (2.0 * qt.wqf / (1.0 + qt.wqf)) * tf.wdf * 2.0
+              / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + tf.wdf) AS part
+       FROM qterms qt JOIN w USING(term) JOIN tf USING(term)
+       JOIN doclen dl ON dl.doc_id = tf.doc_id, stats s),
+scored AS (SELECT query_id, doc_id, round(sum(part), 4) + 0.0 AS score
+           FROM sp GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rn FROM scored)
+SELECT query_id, doc_id, score FROM ranked WHERE rn <= $k
+ORDER BY query_id, score DESC, doc_id"""
+  }
+
   val tokOnly: String =
     """WITH tok AS (
   SELECT doc_id, t.term AS term
@@ -452,6 +498,56 @@ bands AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** Incremental-dedup oracle (DedupOps.incrementalNearDups over a
+    * persisted even-doc index): recomputes from raw text what the
+    * engine reads from its fingerprint index — even-doc signatures
+    * and bands, odd-doc batch signatures and bands — then replays the
+    * candidate → signature-agreement-estimate → best-pick pipeline. */
+  def incrementalDupSql(seeds: Int = 12, k: Int = 8,
+                        rowsPerBand: Int = 2): String = {
+    def bandSel(sig: String) = (0 until seeds / rowsPerBand).map { b =>
+      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      s"SELECT doc_id, md5('$b:' || ${hs.mkString(" || ")}) AS band FROM $sig " +
+        s"WHERE ${hs.map(h => s"$h IS NOT NULL").mkString(" AND ")}"
+    }.mkString("\n UNION ALL ")
+    val agree = (0 until seeds)
+      .map(i => s"(CASE WHEN ns.h$i = os.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH osig AS (
+  SELECT doc_id,
+       ${minhashCols(seeds, k)}
+  FROM documents WHERE doc_id % 2 = 0
+),
+nsig AS (
+  SELECT doc_id,
+       ${minhashCols(seeds, k)}
+  FROM documents WHERE doc_id % 2 = 1
+),
+obands AS (
+ ${bandSel("osig")}
+),
+nbands AS (
+ ${bandSel("nsig")}
+),
+cands AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*)::BIGINT AS shared_bands
+  FROM nbands n JOIN obands o ON n.band = o.band GROUP BY 1, 2
+),
+est AS (
+  SELECT c.new_id, c.old_id, c.shared_bands,
+         round(($agree)::DOUBLE / $seeds, 6) AS est_jaccard
+  FROM cands c JOIN nsig ns ON ns.doc_id = c.new_id
+       JOIN osig os ON os.doc_id = c.old_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY new_id
+    ORDER BY shared_bands DESC, est_jaccard DESC, old_id) AS rn
+  FROM est
+)
+SELECT new_id AS doc_id, old_id AS dup_of, shared_bands, est_jaccard
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""
   }
 
   /** SimHash oracle: md5-derived 64-bit token hashes, per-bit ±1

@@ -55,11 +55,12 @@ object SparkEntry {
     * so a regenerated scale dir OR a changed training constant
     * rebuilds instead of silently serving a stale index; the raw dir
     * path is keyed too (distinct dirs can sanitize to one name). */
-  private def materializedIndex(d: String, sub: String, params: String)
+  private def materializedIndex(d: String, sub: String, params: String,
+                                srcFile: String = "embeddings.parquet")
                                (write: String => Unit): String = {
     val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
     val dir = new java.io.File(s"target/$sub/$name").getAbsolutePath
-    val src = new java.io.File(s"$d/embeddings.parquet")
+    val src = new java.io.File(s"$d/$srcFile")
     val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
       .sortBy(_.getName)
     val fingerprint = d + "\n" + params + "\n" +
@@ -83,6 +84,18 @@ object SparkEntry {
     val text = books.map(_.map(_.mkString(",")).mkString(";")).mkString("|")
     md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  /** Materialized even-doc LSH fingerprint index per scale dir — the
+    * "already-ingested corpus" side of dd_incremental, resumed via
+    * the same fingerprinted-marker contract as the ANN indexes. */
+  private val lshCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def lshIndexPath(s: SparkSession, d: String): String =
+    lshCache.getOrElseUpdate(d,
+      materializedIndex(d, "graft-lsh-index", "k=8 seeds=12 rpb=2 half=even",
+        srcFile = "documents.parquet") { dir =>
+        DedupOps.writeLshIndex(
+          documents(s, d).where(col("doc_id") % 2 === 0), dir)
+      })
 
   /** Materialized IVF index per scale dir (built once per JVM,
     * resumed across runs via the marker file). */
@@ -131,6 +144,17 @@ object SparkEntry {
   /** Deterministic hyperplanes shared by the dd_embdup query and its
     * oracle SQL (literal on both sides). */
   private val embPlanes = AnnOps.randomPlanes(nPlanes = 24, dim = 64, seed = 7L)
+
+  /** Literal query batch shared by ft_batch_topk and its oracle
+    * (VALUES relation on the SQL side). Covers a repeated term
+    * (wqf = 2 exercises the k3 factor), a single-term query, and an
+    * out-of-vocabulary term (scores nothing, batch unaffected). */
+  private val batchQueries: Seq[(Int, String)] = Seq(
+    1 -> "data stream",
+    2 -> "query batch index",
+    3 -> "data data pipeline",
+    4 -> "stream",
+    5 -> "zzzunseenterm data")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- inverted-index / matcher operators (SURVEY.md §2a) ----------
@@ -332,6 +356,16 @@ object SparkEntry {
     "ft_matchterms" -> ((s, d) =>
       EntrySupport.matchingTermsDf(s, d,
         Query.Or(Seq(t("data"), t("stream"), t("query"))), 10)),
+    // batch retrieval: the whole query TABLE answered in one job —
+    // one bucket-pruned postings scan amortized across the batch,
+    // per-query top-k via a per-partition window (BatchMatcher)
+    "ft_batch_topk" -> ((s, d) => {
+      import s.implicits._
+      val idx = EntrySupport.reader(s, d)
+      graft.matcher.BatchMatcher.batchTopk(
+        idx, batchQueries.toDF("query_id", "qtext"), 10,
+        remap = Some(EntrySupport.docIds(idx).select("docId", "doc_id")))
+    }),
     "ft_mcount" -> ((s, d) => {
       import s.implicits._
       val page = new graft.matcher.DatasetMatcher(EntrySupport.reader(s, d))
@@ -408,6 +442,13 @@ object SparkEntry {
       DedupOps.lshCandidatePairs(DedupOps.minhash(documents(s, d)))
         .select(col("doc_a"), col("doc_b"), col("shared_bands").cast("long"))
         .orderBy("doc_a", "doc_b")),
+    // incremental ingest dedup: the odd-doc "new batch" checked
+    // against the persisted fingerprint index of the even-doc
+    // "already-ingested corpus" — old corpus touched only through
+    // its ~400-byte/doc signatures, never its text
+    "dd_incremental" -> ((s, d) =>
+      DedupOps.incrementalNearDups(lshIndexPath(s, d),
+        documents(s, d).where(col("doc_id") % 2 === 1)).orderBy("doc_id")),
     "dd_jaccard_adj" -> ((s, d) => {
       val docs = documents(s, d)
       val pairs = docs.select(col("doc_id").as("doc_a"))
@@ -807,6 +848,7 @@ object SparkEntry {
     "dd_exact" -> EntrySql.exactDedupSql,
     "dd_minhash" -> EntrySql.minhashSql(),
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),
+    "dd_incremental" -> EntrySql.incrementalDupSql(),
     "dd_jaccard_adj" -> EntrySql.jaccardAdjacentSql(),
     "dd_simhash" -> EntrySql.simhashSql,
     "dd_simdup" -> EntrySql.simdupSql(3),
@@ -837,6 +879,7 @@ object SparkEntry {
     "ann_pq_codes" -> EntrySql.pqCodesSql(ksub = 16, dsub = 8, iters = 2),
     "ann_pq_search" -> EntrySql.pqSearchSql(ksub = 16, dsub = 8, iters = 2, k = 10),
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
+    "ft_batch_topk" -> EntrySql.batchTopkSql(batchQueries, 10),
     "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),

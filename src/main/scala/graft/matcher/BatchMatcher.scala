@@ -1,0 +1,139 @@
+package graft.matcher
+
+import graft.core.{Bm25Weight, RelFreq}
+import graft.index.Index
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch retrieval: BM25 top-k for a whole TABLE of queries in ONE
+ * distributed job — the capability a single-node matcher loop cannot
+ * express, and the 100 TB pattern for bulk scoring (labeling a
+ * training corpus against thousands of probe queries, search-quality
+ * evaluation sets, query-log replay). Where [[DatasetMatcher]] runs
+ * one Enquire at a time, this amortizes ONE bucket-pruned postings
+ * scan across every query in the batch (reference analog: repeated
+ * Enquire::get_mset calls over one Database —
+ * xapian-core/api/omenquire.cc — which re-reads the postlist B-tree
+ * per query; here the scan cost is paid once per BATCH).
+ *
+ * Plan shape (the one you'd want at scale):
+ *   - queries → pretokenize → (query_id, term, wqf): tiny vs corpus.
+ *   - dict lookup through [[Index.lookupTerms]] — driver
+ *     materialization bounded by the batch's DISTINCT-TERM vocabulary
+ *     (the same contract as every matcher's per-query dict lookup,
+ *     amortized batch-wide), giving termIds for bucket pruning and
+ *     per-term idf.
+ *   - ONE [[Index.blocksFor]] scan over the union termId set →
+ *     codegen'd unpack_postings decode (scan → decode → per-posting
+ *     score stays one WholeStageCodegen span; doclen rides in-block,
+ *     so scoring is join-free on the corpus side).
+ *   - decoded postings ⋈ broadcast (query_id, termId, tw, wqf): the
+ *     query side is the SMALL side by construction — a posting row
+ *     fans out only to the queries that contain its term.
+ *   - partial-agg sum per (query_id, docId) — ONE shuffle keyed by
+ *     (query, doc), map-side combined.
+ *   - per-query top-k: row_number over (rounded score desc, docId
+ *     asc) within each query partition — a per-QUERY sort, never a
+ *     global one; AQE splits a skewed query's partition.
+ *
+ * Scores round to 4 decimals BEFORE the cut (the engine-portability
+ * contract shared with [[graft.EntrySupport.topkDf]]) so an
+ * independent engine reproduces pages bit-exactly.
+ */
+object BatchMatcher {
+
+  /** Pretokenized batch top-k. `qterms` must carry (qidCol, "term",
+    * "wqf") — one row per distinct (query, term), wqf = the term's
+    * count in the query. Output: (qidCol, docId, score) with ≤ k rows
+    * per query, ordered (query, score desc, docId asc). */
+  def batchTopkTerms(idx: Index, qterms: DataFrame, k: Int,
+                     qidCol: String = "query_id",
+                     weight: Bm25Weight = Bm25Weight(),
+                     remap: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(weight.k2 == 0.0,
+      "batch matcher supports k2 = 0 only (no per-doc query-size extra)")
+    val spark = idx.spark
+    import spark.implicits._
+
+    // Batch vocabulary → dict: bounded driver materialization (the
+    // per-query lookupTerms contract, paid once for the whole batch).
+    val vocab = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dict = idx.lookupTerms(vocab)
+    if (dict.isEmpty)
+      return qterms.select(col(qidCol)).limit(0)
+        .withColumn(if (remap.isDefined) "doc_id" else "docId", lit(0L))
+        .withColumn("score", lit(0.0))
+    val stats = idx.stats
+
+    // Per-term idf (wqf-independent half of the BM25 termweight —
+    // termWeight(1, df) has wqfPart = 1 for every k3).
+    val termInfo = dict.values.toSeq
+      .map(d => (d.term, d.termId,
+        weight.termWeight(1, d.df, stats, RelFreq.zero)))
+      .toDF("term", "termId", "idf")
+    val q = qterms
+      .join(broadcast(termInfo), "term") // OOV terms match nothing
+      .select(col(qidCol), col("termId"),
+        (col("idf") * (if (weight.k3 == 0.0) lit(1.0)
+          else lit(weight.k3 + 1.0) * col("wqf") /
+            (lit(weight.k3) + col("wqf")))).as("tw"))
+
+    // ONE bucket-pruned scan for the union term set, decoded by the
+    // codegen'd unpacker with termId kept for the query fan-out join.
+    graft.plans.UnpackPostings.register(spark)
+    val decoded = idx.blocksFor(dict.values.map(_.termId).toSeq)
+      .select(col("termId"),
+        expr("inline(unpack_postings(bytes, firstDocId, count))"))
+
+    val normLen = greatest(
+      if (stats.avgLen > 0) col("doclen").cast("double") / stats.avgLen
+      else lit(1.0), lit(weight.minNormLen))
+    val part =
+      if (weight.k1 == 0.0) col("tw")
+      else col("tw") * col("wdf") * lit(weight.k1 + 1.0) /
+        (lit(weight.k1) * (lit(1.0 - weight.b) + lit(weight.b) * normLen)
+          + col("wdf"))
+
+    val scoredRaw = decoded.join(broadcast(q), "termId")
+      .select(col(qidCol), col("docId"), part.as("part"))
+      .groupBy(col(qidCol), col("docId"))
+      .agg((round(sum(col("part")), 4) + 0.0).as("score"))
+
+    // Rank on the application's stable id when a (docId, doc_id)
+    // remap is given — score ties at a page boundary must break on
+    // the SAME key in every engine (the topkDf contract); the join
+    // touches only the already-aggregated match rows.
+    val (scored, outId) = remap match {
+      case None    => (scoredRaw, "docId")
+      case Some(m) => (scoredRaw.join(m, "docId").drop("docId"), "doc_id")
+    }
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(outId).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col(qidCol), col(outId), col("score"))
+      .orderBy(col(qidCol), col("score").desc, col(outId).asc)
+  }
+
+  /** Batch top-k from raw query TEXT, pretokenized with the engine's
+    * SQL-replayable "simple" convention (lower, split on non-[a-z0-9]
+    * — BuildConfig.tokenizerMode = "simple"; indexes built with the
+    * xapian tokenizer should pretokenize with [[graft.core.Tokenizer]]
+    * and call [[batchTopkTerms]]). */
+  def batchTopk(idx: Index, queries: DataFrame, k: Int,
+                qidCol: String = "query_id", textCol: String = "qtext",
+                weight: Bm25Weight = Bm25Weight(),
+                remap: Option[DataFrame] = None): DataFrame = {
+    val terms = filter(
+      split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
+    val qterms = queries
+      .select(col(qidCol), explode(terms).as("term"))
+      .groupBy(col(qidCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("wqf"))
+    batchTopkTerms(idx, qterms, k, qidCol, weight, remap)
+  }
+}

@@ -457,4 +457,76 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  // ---- incremental dedup against a persisted fingerprint index ------
+
+  /**
+   * Persist the MinHash-LSH fingerprint index of an already-ingested
+   * corpus: `sigs/` (doc_id, h0..h{seeds-1}) and `bands/` (doc_id,
+   * band) parquet under `dir`. This is what makes dedup INCREMENTAL —
+   * the production shape at 100 TB: each new ingest batch is checked
+   * against these fixed-size fingerprints (seeds × 32-hex strings per
+   * doc ≈ 400 bytes, vs re-shingling the full corpus text every
+   * batch). Bands are derived from the WRITTEN sigs so the two tables
+   * can never disagree.
+   */
+  def writeLshIndex(docs: DataFrame, dir: String, k: Int = 8,
+                    seeds: Int = 12, rowsPerBand: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    minhash(docs, k, seeds).write.mode("overwrite").parquet(s"$dir/sigs")
+    bandedKeys(spark.read.parquet(s"$dir/sigs"), rowsPerBand)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    // top-level completion marker (the two sub-writes each carry
+    // their own _SUCCESS; this one says BOTH finished)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"),
+      Array.empty[Byte])
+  }
+
+  /**
+   * Near-duplicate check of a NEW ingest batch against a persisted
+   * [[writeLshIndex]] index, touching the old corpus ONLY through its
+   * fingerprints. Per new doc with at least one band collision:
+   * (doc_id, dup_of, shared_bands, est_jaccard) — dup_of is the old
+   * doc chosen by (shared_bands desc, est_jaccard desc, doc_id asc);
+   * est_jaccard is the MinHash estimate (the fraction of agreeing
+   * signature components — the standard unbiased Jaccard estimator),
+   * so the verify step needs NO old text either.
+   *
+   * Plan shape: the batch side (bands, then band-collision candidates
+   * + batch sigs) is broadcast — the corpus-sized bands and sigs
+   * tables are each SCANNED once and never shuffled. `k`, `seeds`,
+   * `rowsPerBand` must match the values the index was written with.
+   */
+  def incrementalNearDups(indexDir: String, newDocs: DataFrame, k: Int = 8,
+                          seeds: Int = 12, rowsPerBand: Int = 2,
+                          broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    def bc(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val newSigs = minhash(newDocs, k, seeds)
+    val newBands = bandedKeys(newSigs, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+    val oldBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("old_id"), col("band"))
+    val cands = oldBands.join(bc(newBands), "band")
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("shared_bands"))
+    val nsig = newSigs.select(col("doc_id").as("new_id") +:
+      (0 until seeds).map(i => col(s"h$i").as(s"nh$i")): _*)
+    val osig = spark.read.parquet(s"$indexDir/sigs")
+      .select(col("doc_id").as("old_id") +:
+        (0 until seeds).map(i => col(s"h$i").as(s"oh$i")): _*)
+    // candidates (batch-bounded) stay the broadcast side of the old-
+    // sigs join too: the corpus sigs table never shuffles
+    val agree = (0 until seeds)
+      .map(i => when(col(s"nh$i") === col(s"oh$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _)
+    val est = osig.join(bc(cands.join(bc(nsig), "new_id")), "old_id")
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
+        col("shared_bands"),
+        round(agree / seeds, 6).as("est_jaccard"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(
+      col("shared_bands").desc, col("est_jaccard").desc, col("dup_of").asc)
+    est.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

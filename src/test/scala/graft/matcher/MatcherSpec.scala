@@ -909,4 +909,48 @@ class MatcherSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("most_frequent"))
   }
+
+  // ---- batch retrieval: a whole query table in one job ----------------
+
+  test("batch top-k identical to per-query oracle msets") {
+    import spark.implicits._
+    val k = 10
+    // (query_id, OR-of-terms-with-wqf): covers high/mid df, a wqf > 1
+    // query (k3 factor), and an out-of-vocabulary term mixed with a
+    // real one (the OOV leg scores nothing, the query still answers)
+    val batch: Seq[(Int, Seq[(String, Int)])] = Seq(
+      1 -> Seq(commonTerm -> 1),
+      2 -> Seq(midTerm -> 1, "token" -> 1),
+      3 -> Seq(midTerm -> 3),
+      4 -> Seq("zzzneverseen" -> 1, commonTerm -> 1),
+      5 -> Seq("zzzneverseen" -> 1))
+    val qterms = batch
+      .flatMap { case (q, ts) => ts.map(t => (q, t._1, t._2.toDouble)) }
+      .toDF("query_id", "term", "wqf")
+    val got = BatchMatcher.batchTopkTerms(reader, qterms, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(x => (-x._3, x._2))).toMap
+
+    batch.foreach { case (qid, ts) =>
+      val q = Query.simplify(Query.Or(ts.map { case (t, w) => Term(t, wqf = w) }))
+      // batch ranks on the ROUNDED score (the engine-portable page
+      // contract) — re-rank the oracle's full match set the same way
+      val want = Oracle.mset(q, oracleIdx, oracleDocs.size)
+        .map(i => (i.docId, math.rint(i.score * 1e4) / 1e4))
+        .sortBy { case (id, sc) => (-sc, id) }.take(k)
+      val g = got.getOrElse(qid, Seq.empty)
+      assert(g.map(_._2) == want.map(_._1),
+        s"batch q$qid docIds: got ${g.map(_._2)}, want ${want.map(_._1)}")
+      g.zip(want).foreach { case ((_, _, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"batch q$qid score $gs vs $ws")
+      }
+    }
+  }
+
+  test("batch top-k with all-OOV batch returns no rows") {
+    import spark.implicits._
+    val qterms = Seq((1, "zzzneverseen", 1.0), (2, "zzzalsonever", 1.0))
+      .toDF("query_id", "term", "wqf")
+    assert(BatchMatcher.batchTopkTerms(reader, qterms, 5).count() == 0L)
+  }
 }

@@ -1156,4 +1156,33 @@ class PipelineSpec extends AnyFunSuite {
       s"SQ8 scan not shuffle-free:\n$plan")
     encoded.unpersist()
   }
+
+  test("incremental dedup: new batch checked against the persisted index only") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-idx").toString
+    val oldCorpus = docs(
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      4L -> "completely unrelated corpus text about spark shuffles",
+      6L -> "a third already ingested document body with words")
+    DedupOps.writeLshIndex(oldCorpus, dir)
+    // new batch: an exact dup of doc 2, a near-dup of doc 4, a novel doc
+    val batch = docs(
+      11L -> "the quick brown fox jumps over the lazy dog tonight",
+      13L -> "mostly unrelated corpus text about giant spark shuffles",
+      15L -> "nothing like anything ingested before zzz qqq xyzzy")
+    val got = DedupOps.incrementalNearDups(dir, batch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // exact dup: all 6 bands collide, estimator says 1.0
+    assert(got(11L) === ((2L, 6L, 1.0)))
+    // near-dup: flagged against doc 4 with a high (not perfect) estimate
+    val (dupOf, bands, est) = got(13L)
+    assert(dupOf == 4L && bands >= 1L && est > 0.5 && est < 1.0,
+      s"near-dup: $dupOf $bands $est")
+    // novel doc: no candidate row at all
+    assert(!got.contains(15L))
+    // the decision never touched old TEXT: only sigs/ and bands/ exist
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files === Set("sigs", "bands", "_SUCCESS"))
+  }
 }
