@@ -1,0 +1,81 @@
+package graft
+
+import graft.core._
+import graft.matcher.{BatchMatcher, DatasetMatcher}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Batch-retrieval amortization microbench: the SAME bag-of-words
+ * query workload answered (a) as ONE BatchMatcher job and (b) as a
+ * per-query DatasetMatcher loop (the single-node engine's shape —
+ * reference analog: one Enquire::get_mset call per query over one
+ * Database). The batch path pays one postings scan + one (query, doc)
+ * aggregate for the whole workload; the loop pays a scan per query —
+ * the gap is the amortization factor and it widens with batch size.
+ * One JSON line on stdout.
+ */
+object BatchBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nQueries = if (args.nonEmpty) args(0).toInt else 64
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val (idx, nDocs, buildSec) = Bench.buildIndex(spark, sfDir, "batch", cpus.toInt)
+    idx.warm()
+    println(f"""{"metric":"batch_bench_build","n_docs":$nDocs,"sec":$buildSec%.3f}""")
+
+    // deterministic 2-3 term queries drawn from the bench word pool
+    val pool = Vector("data", "stream", "query", "batch", "window", "small",
+      "big", "fast", "table", "hash", "merge", "scan", "filter", "sort",
+      "row", "column", "agg", "group", "value", "join", "key")
+    val batch = (1 to nQueries).map { i =>
+      val r = new scala.util.Random(i)
+      val n = 2 + (i % 2)
+      (i, (0 until n).map(_ => pool(r.nextInt(pool.size))).mkString(" "))
+    }
+    val qdf = batch.toDF("query_id", "qtext")
+    // the loop path runs the SAME semantics: OR of the query's terms
+    // with wqf = in-query count
+    val asQueries = batch.map { case (i, txt) =>
+      val terms = txt.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, g) => Query.Term(t, wqf = g.length) }
+      (i, Query.simplify(Query.Or(terms.toSeq)))
+    }
+    val dm = new DatasetMatcher(idx)
+
+    // warm both paths (plan compilation, codegen, dict cache)
+    BatchMatcher.batchTopk(idx, qdf, 10).count()
+    asQueries.take(4).foreach { case (_, q) => dm.mset(q, 10) }
+
+    val tb0 = System.nanoTime()
+    var rows = 0L
+    (1 to reps).foreach { _ =>
+      rows = BatchMatcher.batchTopk(idx, qdf, 10).count()
+    }
+    val batchSec = (System.nanoTime() - tb0) / 1e9
+
+    val tl0 = System.nanoTime()
+    (1 to reps).foreach { _ =>
+      asQueries.foreach { case (_, q) => dm.mset(q, 10) }
+    }
+    val loopSec = (System.nanoTime() - tl0) / 1e9
+
+    println(
+      f"""{"metric":"batch_bench","n_queries":$nQueries,"reps":$reps,""" +
+      f""""result_rows":$rows,"batch_sec":$batchSec%.3f,""" +
+      f""""loop_sec":$loopSec%.3f,"amortization":${loopSec / batchSec}%.2f,""" +
+      f""""batch_qps":${nQueries * reps / batchSec}%.1f,""" +
+      f""""loop_qps":${nQueries * reps / loopSec}%.1f}""")
+    spark.stop()
+  }
+}

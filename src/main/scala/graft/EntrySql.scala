@@ -810,6 +810,46 @@ SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
 WHERE vec_id <> 0
 ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
 
+  /** MMR diversification oracle (HybridOps.mmrDiversify over the
+    * brute-force cosine top-`kList` candidates of the vec_id-0
+    * query): the greedy selection is unrolled as `k` CTE steps — the
+    * same engine-reproducibility pattern as the BPE-training oracle.
+    * Every intermediate (rel, pairwise sim, mmr) rounds to 6 decimals
+    * exactly as the engine does, ties break on vec_id. */
+  def mmrSql(kList: Int, k: Int, lambda: Double): String = {
+    val om = 1.0 - lambda
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    // so an unrolled greedy chain would re-expand (and re-scan the
+    // parquet) exponentially per step
+    val steps = (2 to k).map { t =>
+      s""",
+mmr$t AS MATERIALIZED (SELECT c.vec_id, round($lambda * c.rel - $om * max(p.sim), 6) AS m
+         FROM cand c JOIN pairs p ON p.a = c.vec_id
+              AND p.b IN (SELECT vec_id FROM sel${t - 1})
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         GROUP BY c.vec_id, c.rel),
+sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL
+         (SELECT vec_id, $t AS rank, m FROM mmr$t ORDER BY m DESC, vec_id LIMIT 1))"""
+    }.mkString
+    s"""WITH f AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS MATERIALIZED (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+      FROM f JOIN q USING(i) GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+cand AS MATERIALIZED (SELECT vec_id, round(dot / (nv * nq), 6) AS rel FROM d, qn
+         WHERE vec_id <> 0
+         ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $kList),
+cf AS (SELECT f.vec_id, f.v, f.i FROM f WHERE f.vec_id IN (SELECT vec_id FROM cand)),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM cf GROUP BY vec_id),
+pdots AS (SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
+          FROM cf x JOIN cf y ON x.i = y.i AND x.vec_id <> y.vec_id GROUP BY 1, 2),
+pairs AS MATERIALIZED (SELECT a, b, round(pdots.dot / (na.n * nb.n), 6) AS sim
+          FROM pdots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b),
+sel1 AS MATERIALIZED (SELECT vec_id, 1 AS rank, round($lambda * rel, 6) AS mmr FROM cand
+         ORDER BY mmr DESC, vec_id LIMIT 1)$steps
+SELECT rank, vec_id, mmr FROM sel$k ORDER BY rank"""
+  }
+
   def ivfAssignSql(nCentroids: Int): String =
     s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
 cen AS (SELECT vec_id AS cid, v, i FROM f WHERE vec_id < $nCentroids),

@@ -642,6 +642,16 @@ object SparkEntry {
         excludeId = Some(0L)).withColumnRenamed("vec_id", "doc_id")
       HybridOps.rrfFuse(Seq((lex, "score"), (den, "cosine")), k0 = 60, topK = 10)
     }),
+    // MMR diversification of the dense top-20 page: greedy
+    // relevance-vs-redundancy re-rank (page op — the oracle unrolls
+    // the same 10 greedy steps as CTEs)
+    "hy_mmr" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cands = AnnOps.bruteForceTopK(emb, queryVec(s, d), 20,
+        excludeId = Some(0L))
+      HybridOps.mmrDiversify(cands, emb, k = 10, lambda = 0.5,
+        relCol = "cosine")
+    }),
 
     // ---------- training-data pipeline: text analysis ----------
     "ta_tokens" -> ((s, d) =>
@@ -881,6 +891,7 @@ object SparkEntry {
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
     "ft_batch_topk" -> EntrySql.batchTopkSql(batchQueries, 10),
     "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
+    "hy_mmr" -> EntrySql.mmrSql(kList = 20, k = 10, lambda = 0.5),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),
     "ta_qtrain" -> EntrySql.qualityLrTrainSql(qualityStopwords),

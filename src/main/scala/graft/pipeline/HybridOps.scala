@@ -71,4 +71,74 @@ object HybridOps {
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /**
+   * Maximal Marginal Relevance diversification (Carbonell &
+   * Goldstein, SIGIR'98 — the published greedy re-ranker): select k
+   * results from a top-N candidate list trading relevance against
+   * redundancy, mmr(d) = λ·rel(d) − (1−λ)·max cosine(d, s) over the
+   * already-selected s. The first pick is the most relevant doc;
+   * every later pick penalizes similarity to what the page already
+   * shows.
+   *
+   * Scale contract — a PAGE op like [[rrfFuse]]: `candidates` is a
+   * top-N list (N ≤ maxListLen, enforced loudly); `embeddings` is
+   * corpus-sized but touched by ONE broadcast-candidates join that
+   * returns exactly N rows — the corpus never shuffles. The greedy
+   * loop is inherently sequential (pick t depends on picks 1..t−1),
+   * so it runs over the collected N-row page — launching k Spark
+   * jobs for a page-sized selection would be the wrong shape.
+   * Candidates without an embedding row are dropped (nothing to
+   * diversify against). Similarities and mmr scores round to
+   * 6 decimals (the engine-portability contract, HALF_UP like both
+   * engines' round()); ties break on id ascending.
+   *
+   * Output: (rank 1..k, idCol, mmr) in selection order.
+   */
+  def mmrDiversify(candidates: DataFrame, embeddings: DataFrame, k: Int,
+                   lambda: Double = 0.5, idCol: String = "vec_id",
+                   relCol: String = "rel",
+                   maxListLen: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda must be in (0, 1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val page = embeddings
+      .join(broadcast(candidates.select(col(idCol), col(relCol))), idCol)
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        col("embedding").cast("array<double>"))
+      .collect()
+    require(page.length <= maxListLen,
+      s"mmrDiversify got ${page.length} candidates — pass a top-N list " +
+        s"(maxListLen=$maxListLen), not a corpus")
+    val ids = page.map(_.getLong(0))
+    val rels = page.map(_.getDouble(1))
+    val vecs = page.map(_.getSeq[Double](2).toArray)
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val n = ids.length
+    def sim(i: Int, j: Int): Double = {
+      var d = 0.0; var t = 0
+      while (t < vecs(i).length) { d += vecs(i)(t) * vecs(j)(t); t += 1 }
+      r6(d / (norms(i) * norms(j)))
+    }
+
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    (1 to math.min(k, n)).foreach { rank =>
+      val best = (0 until n).iterator.filterNot(sel.contains).map { i =>
+        val m =
+          if (sel.isEmpty) r6(lambda * rels(i))
+          else r6(lambda * rels(i) -
+            (1.0 - lambda) * sel.iterator.map(j => sim(i, j)).max)
+        (i, m)
+      }.minBy { case (i, m) => (-m, ids(i)) }
+      sel += best._1
+      out += ((rank, ids(best._1), best._2))
+    }
+    out.toSeq.toDF("rank", idCol, "mmr")
+  }
 }

@@ -1185,4 +1185,33 @@ class PipelineSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(files === Set("sigs", "bands", "_SUCCESS"))
   }
+
+  test("mmrDiversify demotes a redundant near-copy below a diverse result") {
+    import spark.implicits._
+    // doc 1 and 2 nearly identical (both highly relevant); doc 3
+    // orthogonal-ish and less relevant. Pure relevance ranks 1,2,3 —
+    // MMR must rank 1 first, then prefer the DIVERSE 3 over the
+    // near-copy 2.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.1f)),
+      (2L, Seq(0.99f, 0.02f, 0.1f)),
+      (3L, Seq(0.1f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq((1L, 0.95), (2L, 0.94), (3L, 0.60))
+      .toDF("vec_id", "rel")
+    val got = HybridOps.mmrDiversify(cands, emb, k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1, 1L), (2, 3L), (3, 2L)))
+    // lambda = 1 degenerates to pure relevance order
+    val rel = HybridOps.mmrDiversify(cands, emb, k = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(rel.toSeq === Seq(1L, 2L, 3L))
+    // the page contract fails loudly on a corpus-scale input
+    val big = (1L to 50L).map(i => (i, 0.5)).toDF("vec_id", "rel")
+    val bigEmb = (1L to 50L).map(i => (i, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      HybridOps.mmrDiversify(big, bigEmb, k = 3, maxListLen = 10)
+    }
+    assert(ex.getMessage.contains("top-N list"))
+  }
 }

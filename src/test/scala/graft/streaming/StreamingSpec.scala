@@ -214,4 +214,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 2)
     assert(streamed(10L) != streamed(11L), "opposite clusters must differ")
   }
+
+  test("streaming ingest dedup: per-micro-batch incrementalNearDups equals the batch call") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.DedupOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-stream").toString
+    DedupOps.writeLshIndex(Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely unrelated corpus text about spark shuffles"))
+      .toDF("doc_id", "text"), dir)
+    val arriving = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (13L, "nothing like anything ingested before zzz qqq xyzzy"),
+      (15L, "completely unrelated corpus text about spark shuffles"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= DedupOps.incrementalNearDups(dir, b).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }; ()
+      }.start()
+    try {
+      stream.addData(arriving.take(2))
+      query.processAllAvailable()
+      stream.addData(arriving.drop(2))
+      query.processAllAvailable()
+    } finally query.stop()
+    val batch = DedupOps.incrementalNearDups(dir,
+      arriving.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the check is per-new-doc against the FIXED index, so micro-batch
+    // boundaries cannot change the verdicts
+    assert(got.sorted.toSeq === batch.sorted.toSeq)
+    assert(got.sorted.toSeq === Seq((11L, 2L), (15L, 4L)))
+  }
 }
