@@ -156,18 +156,24 @@ class SegmentedIndex(
   final case class SegmentInfo(dir: String, base: Long, nDocs: Long)
 
   private def manifest = Paths.get(s"$baseDir/segments.txt")
+  private def snapshotsDir = Paths.get(s"$baseDir/snapshots")
 
-  def listSegments(): (Seq[SegmentInfo], Long) = {
-    if (!Files.exists(manifest)) return (Seq.empty, -1L)
-    val lines = new String(Files.readAllBytes(manifest), "UTF-8")
-      .split("\n").filter(l => l.nonEmpty && !l.startsWith("del|") &&
-        !l.startsWith("delfr|"))
+  /** Shared manifest-body parser (current manifest and snapshot
+    * files use the identical format). */
+  private def parseSegments(body: String): (Seq[SegmentInfo], Long) = {
+    val lines = body.split("\n").filter(l => l.nonEmpty &&
+      !l.startsWith("del|") && !l.startsWith("delfr|"))
     val last = lines.head.stripPrefix("lastBatch=").toLong
     val segs = lines.tail.map { l =>
       val Array(d, b, n) = l.split("\\|")
       SegmentInfo(d, b.toLong, n.toLong)
     }.toSeq
     (segs, last)
+  }
+
+  def listSegments(): (Seq[SegmentInfo], Long) = {
+    if (!Files.exists(manifest)) return (Seq.empty, -1L)
+    parseSegments(new String(Files.readAllBytes(manifest), "UTF-8"))
   }
 
   /** The SINGLE atomic publish point: segment list, replay watermark
@@ -188,6 +194,25 @@ class SegmentedIndex(
           s"del|b64|${b64e(t.repo)}|${b64e(t.path)}|${b64e(t.commit)}|${t.uptoSeg}") ++
         frameDels.map(f => s"delfr|${b64e(f.dir)}|${f.uptoSeg}")))
       .mkString("\n")
+    // snapshot log (the Iceberg snapshot pattern over the same
+    // manifest format): every publish first lands as an IMMUTABLE
+    // snapshots/vNNNNNN.txt, THEN the current pointer flips — a
+    // published state always has its snapshot; a crash between the
+    // two leaves an orphan snapshot whose body never became current
+    // (harmless: time-travel to it reads a state that was fully
+    // built on disk). CREATE_NEW + bump handles orphan collisions.
+    Files.createDirectories(snapshotsDir)
+    var v = snapshots().lastOption.getOrElse(0L) + 1
+    var snapped = false
+    while (!snapped) {
+      try {
+        Files.write(snapshotsDir.resolve(f"v$v%06d.txt"),
+          body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        snapped = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
     val tmp = Paths.get(s"$baseDir/segments.txt.tmp")
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -339,37 +364,26 @@ class SegmentedIndex(
   /** Published tombstones: "del|…" manifest lines, plus any legacy
     * deletes.txt entries (pre-single-commit-point layout) — folded
     * into the manifest by the next publish. */
-  def listDeletes(): Seq[Tombstone] = {
-    def parse(l: String): Tombstone =
-      l.split("\\|", -1) match {
-        // versioned lines: the "b64" sentinel pins the encoding, so
-        // a log written by the pre-encoding format (raw keys) can
-        // never be misread as base64 — raw fields that HAPPEN to be
-        // valid base64 ('main', 'repo') would otherwise decode into
-        // silent garbage keys
-        case Array("b64", r, p, c, u) =>
-          Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
-        case Array(r, p, c, u) => Tombstone(r, p, c, u.toInt) // legacy
-        case other => throw new IllegalStateException(
-          s"corrupt tombstone line: ${other.mkString("|")}")
-      }
-    val fromManifest =
-      if (!Files.exists(manifest)) Seq.empty
-      else new String(Files.readAllBytes(manifest), "UTF-8")
-        .split("\n").filter(_.startsWith("del|")).toSeq
-        .map(l => parse(l.stripPrefix("del|")))
-    val legacy =
-      if (!Files.exists(deletesFile)) Seq.empty
-      else new String(Files.readAllBytes(deletesFile), "UTF-8")
-        .split("\n").filter(_.nonEmpty).toSeq.map(parse)
-    fromManifest ++ legacy
-  }
+  private def parseTombstone(l: String): Tombstone =
+    l.split("\\|", -1) match {
+      // versioned lines: the "b64" sentinel pins the encoding, so
+      // a log written by the pre-encoding format (raw keys) can
+      // never be misread as base64 — raw fields that HAPPEN to be
+      // valid base64 ('main', 'repo') would otherwise decode into
+      // silent garbage keys
+      case Array("b64", r, p, c, u) =>
+        Tombstone(b64d(r), b64d(p), b64d(c), u.toInt)
+      case Array(r, p, c, u) => Tombstone(r, p, c, u.toInt) // legacy
+      case other => throw new IllegalStateException(
+        s"corrupt tombstone line: ${other.mkString("|")}")
+    }
 
-  /** Published frame tombstones: "delfr|…" manifest lines. */
-  def listFrameDeletes(): Seq[FrameTombstone] = {
-    if (!Files.exists(manifest)) return Seq.empty
-    new String(Files.readAllBytes(manifest), "UTF-8")
-      .split("\n").filter(_.startsWith("delfr|")).toSeq
+  private def parseDeletesBody(body: String): Seq[Tombstone] =
+    body.split("\n").filter(_.startsWith("del|")).toSeq
+      .map(l => parseTombstone(l.stripPrefix("del|")))
+
+  private def parseFrameDeletesBody(body: String): Seq[FrameTombstone] =
+    body.split("\n").filter(_.startsWith("delfr|")).toSeq
       .map { l =>
         l.stripPrefix("delfr|").split("\\|", -1) match {
           case Array(d, u) => FrameTombstone(b64d(d), u.toInt)
@@ -377,6 +391,24 @@ class SegmentedIndex(
             s"corrupt frame-tombstone line: ${other.mkString("|")}")
         }
       }
+
+  def listDeletes(): Seq[Tombstone] = {
+    val fromManifest =
+      if (!Files.exists(manifest)) Seq.empty
+      else parseDeletesBody(
+        new String(Files.readAllBytes(manifest), "UTF-8"))
+    val legacy =
+      if (!Files.exists(deletesFile)) Seq.empty
+      else new String(Files.readAllBytes(deletesFile), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq.map(parseTombstone)
+    fromManifest ++ legacy
+  }
+
+  /** Published frame tombstones: "delfr|…" manifest lines. */
+  def listFrameDeletes(): Seq[FrameTombstone] = {
+    if (!Files.exists(manifest)) return Seq.empty
+    parseFrameDeletesBody(
+      new String(Files.readAllBytes(manifest), "UTF-8"))
   }
 
   /** Resolve frame tombstones to a DISTRIBUTED frame of dead docIds:
@@ -487,6 +519,11 @@ class SegmentedIndex(
   def reader(): Index = synchronized {
     val (segs, _, ts, fts) = effectiveState()
     require(segs.nonEmpty, s"no segments in $baseDir")
+    readerOf(segs, ts, fts)
+  }
+
+  private def readerOf(segs: Seq[SegmentInfo], ts: Seq[Tombstone],
+                       fts: Seq[FrameTombstone]): Index = {
     val readers = segs.map(s =>
       new IndexReader(spark, s.dir, nBuckets, stripeShift))
     val base: Index =
@@ -502,6 +539,67 @@ class SegmentedIndex(
       case None => withScalar
       case Some(dead) =>
         new BulkDeletionAwareIndex(withScalar, dead, stripeShift)
+    }
+  }
+
+  // ---------------- snapshots + time travel (the Iceberg snapshot-
+  // log pattern over the same manifest format; reference analog:
+  // glass_version.cc tracks ONE revision — here every publish is a
+  // retained, readable revision) ----
+
+  /** Published snapshot versions, ascending. Every atomic publish
+    * (append, transaction commit, delete, replace, compact) adds
+    * one. */
+  def snapshots(): Seq[Long] = {
+    if (!Files.exists(snapshotsDir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(snapshotsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong }
+      .toSeq.sorted
+  }
+
+  /**
+   * Time-travel read: open the index exactly as snapshot `version`
+   * published it — segment set AND tombstones frozen at that
+   * publish. Data files are immutable and compaction never deletes
+   * superseded segment directories, so historical snapshots stay
+   * readable; the only expiring artifacts are applied delete-frame
+   * directories (dropped by compaction) — a snapshot that references
+   * one fails LOUDLY here rather than silently resurrecting the
+   * deleted docs. Legacy pre-snapshot deletes.txt entries are not
+   * part of any snapshot (a snapshot is self-contained by
+   * construction).
+   */
+  def readerAsOf(version: Long): Index = synchronized {
+    val p = snapshotsDir.resolve(f"v$version%06d.txt")
+    require(Files.exists(p),
+      s"no snapshot v$version under $baseDir/snapshots " +
+        s"(available: ${snapshots().mkString(", ")})")
+    val body = new String(Files.readAllBytes(p), "UTF-8")
+    val (segs, _) = parseSegments(body)
+    require(segs.nonEmpty, s"snapshot v$version has no segments")
+    segs.foreach(s => require(Files.exists(Paths.get(s.dir)),
+      s"snapshot v$version references segment ${s.dir} which no " +
+        "longer exists on disk"))
+    val fts = parseFrameDeletesBody(body)
+    fts.foreach(f => {
+      if (!Files.exists(Paths.get(f.dir)))
+        throw new IllegalStateException(
+          s"snapshot v$version references delete frame ${f.dir} which " +
+            "compaction has expired — this snapshot is no longer readable")
+    })
+    readerOf(segs, parseDeletesBody(body), fts)
+  }
+
+  /** Drop all but the newest `keepLast` snapshot FILES (data files
+    * are untouched — this only trims how far back [[readerAsOf]] can
+    * reach, the Iceberg expire_snapshots shape). */
+  def expireSnapshots(keepLast: Int): Unit = synchronized {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    snapshots().dropRight(keepLast).foreach { v =>
+      Files.deleteIfExists(snapshotsDir.resolve(f"v$v%06d.txt"))
     }
   }
 

@@ -460,4 +460,47 @@ class SegmentedIndexSpec extends AnyFunSuite {
     s1.append(spark.createDataset(all.drop(55)))
     assert(s1.reader().stats.n == 30L + (all.size - 55))
   }
+
+  test("snapshots + time travel: every publish is a readable revision") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-snap").toString
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val c = CorpusGen.generate(seed = 33, nRepos = 2, filesPerRepo = 8)
+    seg.append(spark.createDataset(c.take(8)))      // → v1
+    seg.append(spark.createDataset(c.drop(8)))      // → v2
+    assert(seg.snapshots() == Seq(1L, 2L))
+    val victim = c.take(8).minBy(x => (x.repo, x.path, x.commit))
+    seg.delete(Seq((victim.repo, victim.path, victim.commit))) // → v3
+    assert(seg.snapshots() == Seq(1L, 2L, 3L))
+    // doc counts frozen per revision: v1 = batch 1; v2 = both;
+    // v3 = both minus the tombstone; current == v3
+    assert(seg.readerAsOf(1L).stats.n == 8L)
+    assert(seg.readerAsOf(2L).stats.n == 16L)
+    assert(seg.readerAsOf(3L).stats.n == 15L)
+    assert(seg.reader().stats.n == 15L)
+    // search at v1 is rank-identical to a fresh build of batch 1
+    // alone (no batch-2 docs, and the LATER tombstone is invisible)
+    val freshDir = Files.createTempDirectory("graft-snap-fresh").toString + "/idx"
+    new IndexBuilder(spark, BuildConfig(indexDir = freshDir,
+      stemMode = "none", stripeShift = 5, buildPartitions = 2))
+      .build(spark.createDataset(c.take(8)))
+    val fresh = new DatasetMatcher(IndexReader.open(spark, freshDir))
+      .mset(t("def"), 8)
+    val atV1 = new DatasetMatcher(seg.readerAsOf(1L)).mset(t("def"), 8)
+    assert(atV1.map(i => (i.docId, i.score)) ==
+      fresh.map(i => (i.docId, i.score)))
+    // compaction publishes v4; OLDER snapshots stay readable because
+    // superseded segment dirs are never deleted
+    seg.compactMerged()
+    assert(seg.snapshots() == Seq(1L, 2L, 3L, 4L))
+    assert(seg.readerAsOf(2L).stats.n == 16L)
+    assert(seg.readerAsOf(4L).stats.n == 15L)
+    // expiry trims how far back time travel reaches, data untouched
+    seg.expireSnapshots(keepLast = 2)
+    assert(seg.snapshots() == Seq(3L, 4L))
+    val ex = intercept[IllegalArgumentException](seg.readerAsOf(1L))
+    assert(ex.getMessage.contains("no snapshot"))
+    assert(seg.readerAsOf(3L).stats.n == 15L)
+  }
 }
