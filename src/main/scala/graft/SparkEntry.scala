@@ -97,6 +97,36 @@ object SparkEntry {
           documents(s, d).where(col("doc_id") % 2 === 0), dir)
       })
 
+  /** Materialized two-snapshot segmented index per scale dir — the
+    * ft_snapshot_diff fixture: odd doc_ids appended as snapshot v1,
+    * even doc_ids as v2, then a bulk delete of doc_id % 7 == 0 as v3.
+    * Same fingerprinted resume contract as the ANN indexes; a stale
+    * dir is wiped before rebuild (a segmented index APPENDS, so a
+    * half-built leftover must not be continued from). */
+  private val segDiffCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def segDiffIndex(s: SparkSession, d: String): String =
+    segDiffCache.getOrElseUpdate(d,
+      materializedIndex(d, "graft-segdiff-index", "halves=parity del=mod7",
+        srcFile = "documents.parquet") { dir =>
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        import s.implicits._
+        val seg = new graft.index.SegmentedIndex(s, dir, stemMode = "none",
+          tokenizerMode = "simple", nBuckets = 16, stripeShift = 8,
+          buildPartitions = 8)
+        val corpus = EntrySupport.corpus(s, d)
+        val byId = col("path").cast("long")
+        seg.append(corpus.where(byId % 2 === 1).as[graft.core.CorpusRow]) // v1
+        seg.append(corpus.where(byId % 2 === 0).as[graft.core.CorpusRow]) // v2
+        seg.deleteBulk(corpus.where(byId % 7 === 0))                      // v3
+        // the freshness check requires the parquet-style done marker
+        java.nio.file.Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
+      })
+
   /** Materialized IVF index per scale dir (built once per JVM,
     * resumed across runs via the marker file). */
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -365,6 +395,18 @@ object SparkEntry {
       graft.matcher.BatchMatcher.batchTopk(
         idx, batchQueries.toDF("query_id", "qtext"), 10,
         remap = Some(EntrySupport.docIds(idx).select("docId", "doc_id")))
+    }),
+    // snapshot CDC: the delta between snapshot v1 (odd doc_ids) and
+    // v3 (both halves, minus the bulk-deleted doc_id % 7 == 0) —
+    // inserts are read from the v2 segment only, deletes resolve the
+    // new tombstone frame against the v1 segment (incremental path)
+    "ft_snapshot_diff" -> ((s, d) => {
+      val seg = new graft.index.SegmentedIndex(s, segDiffIndex(s, d),
+        stemMode = "none", tokenizerMode = "simple", nBuckets = 16,
+        stripeShift = 8, buildPartitions = 8)
+      seg.snapshotDiff(1L, 3L)
+        .select(col("path").cast("long").as("doc_id"), col("change"))
+        .orderBy("doc_id", "change")
     }),
     "ft_mcount" -> ((s, d) => {
       import s.implicits._
@@ -890,6 +932,11 @@ object SparkEntry {
     "ann_pq_search" -> EntrySql.pqSearchSql(ksub = 16, dsub = 8, iters = 2, k = 10),
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
     "ft_batch_topk" -> EntrySql.batchTopkSql(batchQueries, 10),
+    "ft_snapshot_diff" -> """
+SELECT doc_id, 'insert' AS change FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, 'delete' AS change FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0
+ORDER BY doc_id, change""",
     "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
     "hy_mmr" -> EntrySql.mmrSql(kList = 20, k = 10, lambda = 0.5),
     "ta_tokens" -> EntrySql.tokensSql,

@@ -417,14 +417,16 @@ class SegmentedIndex(
     * key is NOT deleted, mirroring the scalar tombstone rule) against
     * the key frame. No row ever reaches the driver. */
   private def frameDeadIds(segs: Seq[SegmentInfo],
-                           fts: Seq[FrameTombstone]): Option[DataFrame] = {
+                           fts: Seq[FrameTombstone],
+                           segIndexOffset: Int = 0): Option[DataFrame] = {
     if (fts.isEmpty) return None
     val parts = fts.flatMap { ft =>
       val keys = spark.read.parquet(ft.dir)
-      segs.zipWithIndex.collect { case (s, i) if ft.uptoSeg > i =>
-        spark.read.parquet(s"${s.dir}/docs")
-          .join(keys, Seq("repo", "path", "commit"), "left_semi")
-          .select(col("docId"))
+      segs.zipWithIndex.collect {
+        case (s, i) if ft.uptoSeg > i + segIndexOffset =>
+          spark.read.parquet(s"${s.dir}/docs")
+            .join(keys, Seq("repo", "path", "commit"), "left_semi")
+            .select(col("docId"))
       }
     }
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
@@ -496,11 +498,12 @@ class SegmentedIndex(
   /** Resolve pending tombstones to docIds, per segment-scope (one
     * key-pruned scan of each affected segment's docs table). */
   private def resolveDeletedIds(segs: Seq[SegmentInfo],
-                                ts: Seq[Tombstone]): Set[Long] = {
+                                ts: Seq[Tombstone],
+                                segIndexOffset: Int = 0): Set[Long] = {
     if (ts.isEmpty) return Set.empty
     import spark.implicits._
     segs.zipWithIndex.flatMap { case (s, i) =>
-      val applicable = ts.filter(_.uptoSeg > i)
+      val applicable = ts.filter(_.uptoSeg > i + segIndexOffset)
       if (applicable.isEmpty) Seq.empty
       else {
         val keys = applicable.map(t => s"${t.repo}\u0000${t.path}\u0000${t.commit}")
@@ -572,12 +575,16 @@ class SegmentedIndex(
    * part of any snapshot (a snapshot is self-contained by
    * construction).
    */
-  def readerAsOf(version: Long): Index = synchronized {
+  private def snapshotBody(version: Long): String = {
     val p = snapshotsDir.resolve(f"v$version%06d.txt")
     require(Files.exists(p),
       s"no snapshot v$version under $baseDir/snapshots " +
         s"(available: ${snapshots().mkString(", ")})")
-    val body = new String(Files.readAllBytes(p), "UTF-8")
+    new String(Files.readAllBytes(p), "UTF-8")
+  }
+
+  def readerAsOf(version: Long): Index = synchronized {
+    val body = snapshotBody(version)
     val (segs, _) = parseSegments(body)
     require(segs.nonEmpty, s"snapshot v$version has no segments")
     segs.foreach(s => require(Files.exists(Paths.get(s.dir)),
@@ -601,6 +608,193 @@ class SegmentedIndex(
     snapshots().dropRight(keepLast).foreach { v =>
       Files.deleteIfExists(snapshotsDir.resolve(f"v$v%06d.txt"))
     }
+  }
+
+  /** Live natural-key set as one snapshot body sees it: one row per
+    * visible doc — (docId, repo, path, commit, sha256), tombstones
+    * applied. sha256 rides along so a replace (same key, new
+    * content) is visible to [[snapshotDiff]] as delete+insert.
+    * `segIndexOffset` is the global index of the first segment in
+    * `segs`, letting the caller pass a suffix of the segment list
+    * with tombstone uptoSeg scoping intact. */
+  private def liveDocsOf(segs: Seq[SegmentInfo], ts: Seq[Tombstone],
+                         fts: Seq[FrameTombstone],
+                         segIndexOffset: Int = 0): DataFrame = {
+    val union = segs.map(s => spark.read.parquet(s"${s.dir}/docs")
+        .select(col("docId"), col("repo"), col("path"), col("commit"),
+          col("sha256")))
+      .reduce(_ unionByName _)
+    val dead = resolveDeletedIds(segs, ts, segIndexOffset)
+    val scalarMasked =
+      if (dead.isEmpty) union
+      else union.filter(!col("docId").isin(dead.toSeq: _*))
+    frameDeadIds(segs, fts, segIndexOffset) match {
+      case None => scalarMasked
+      case Some(d) =>
+        scalarMasked.join(d.withColumnRenamed("docId", "__deadId"),
+          scalarMasked("docId") === col("__deadId"), "left_anti")
+    }
+  }
+
+  private val diffKey = Seq("repo", "path", "commit", "sha256")
+
+  /** Zero-row frame with the [[snapshotDiff]] schema (a no-change
+    * window between consecutive no-op publishes). */
+  private def emptyDiffFrame(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType((diffKey :+ "change").map(StructField(_, StringType))))
+  }
+
+  /**
+   * Incremental read between two snapshots (the Iceberg changelog-
+   * scan / CDC pattern): one row per document whose VISIBILITY
+   * changed from `fromV` to `toV` — `change` is "insert" (visible at
+   * `toV`, not at `fromV`) or "delete" (the reverse). Identity is the
+   * natural key PLUS content hash, so a replace surfaces as
+   * delete+insert and re-appending identical content surfaces as
+   * nothing.
+   *
+   * Scale shape — two regimes:
+   *   - **No compaction between the snapshots** (`fromV`'s segment
+   *     list is a prefix of `toV`'s — the append-only ingest case):
+   *     inserts are read from the NEW segments only, and old segments
+   *     are touched only to resolve tombstones added since `fromV`
+   *     (key-pruned scans / semi-joins). A pure-append delta never
+   *     scans the existing corpus — the property that makes periodic
+   *     "feed me what's new" pipelines viable at 100 TB.
+   *   - **Compaction in between** (docIds renumbered): falls back to
+   *     a distributed natural-key diff of the two live sets (two
+   *     anti-joins). Correct at any scale, costs two corpus scans.
+   */
+  def snapshotDiff(fromV: Long, toV: Long): DataFrame = synchronized {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val fromBody = snapshotBody(fromV)
+    val toBody = snapshotBody(toV)
+    val (fsegs, _) = parseSegments(fromBody)
+    val (tsegs, _) = parseSegments(toBody)
+    val fTs = parseDeletesBody(fromBody)
+    val tTs = parseDeletesBody(toBody)
+    val fFr = parseFrameDeletesBody(fromBody)
+    val tFr = parseFrameDeletesBody(toBody)
+    (fsegs ++ tsegs).foreach(s => require(Files.exists(Paths.get(s.dir)),
+      s"snapshot diff references segment ${s.dir} which no longer " +
+        "exists on disk (vacuumed?)"))
+    (fFr ++ tFr).foreach(f => require(Files.exists(Paths.get(f.dir)),
+      s"snapshot diff references delete frame ${f.dir} which no " +
+        "longer exists on disk"))
+    // publishes only APPEND to the segment and tombstone logs; the
+    // one exception is compaction, which rewrites both. A prefix
+    // match therefore means "no compaction in between" and docIds
+    // are stable across the window.
+    val incremental = fsegs == tsegs.take(fsegs.size) &&
+      fTs == tTs.take(fTs.size) && fFr == tFr.take(fFr.size)
+    import spark.implicits._
+    val out =
+      if (incremental) {
+        val newSegs = tsegs.drop(fsegs.size)
+        val newTs = tTs.drop(fTs.size)
+        val newFr = tFr.drop(fFr.size)
+        // inserts: docs of the appended segments, minus any of them
+        // already dead at toV. Only NEW tombstones can reach a new
+        // segment (fromV's have uptoSeg <= fsegs.size), so resolution
+        // is scoped to the delta on both axes. A pure-tombstone
+        // window has no new segments and no insert side at all.
+        val inserts0 =
+          if (newSegs.isEmpty) None
+          else Some(liveDocsOf(newSegs, newTs, newFr, fsegs.size))
+        // deletes: docs in OLD segments killed by tombstones added
+        // since fromV, minus docs already dead at fromV. Pure-append
+        // windows short-circuit to empty without touching a segment.
+        val deletes0 =
+          if (newTs.isEmpty && newFr.isEmpty) None
+          else {
+            val killed = resolveDeletedIds(fsegs, newTs)
+            val killedDf = frameDeadIds(fsegs, newFr) match {
+              case None => killed.toSeq.toDF("docId")
+              case Some(d) => d.unionByName(killed.toSeq.toDF("docId"))
+            }
+            val oldDocs = fsegs.map(s =>
+              spark.read.parquet(s"${s.dir}/docs")
+                .select(col("docId"), col("repo"), col("path"),
+                  col("commit"), col("sha256")))
+              .reduce(_ unionByName _)
+            val hit = oldDocs.join(killedDf.distinct(), Seq("docId"),
+              "left_semi")
+            val alreadyDead = resolveDeletedIds(fsegs, fTs)
+            val hitLive0 =
+              if (alreadyDead.isEmpty) hit
+              else hit.filter(!col("docId").isin(alreadyDead.toSeq: _*))
+            val hitLive = frameDeadIds(fsegs, fFr) match {
+              case None => hitLive0
+              case Some(d) =>
+                hitLive0.join(d.withColumnRenamed("docId", "__deadId"),
+                  hitLive0("docId") === col("__deadId"), "left_anti")
+            }
+            Some(hitLive)
+          }
+        val sides =
+          inserts0.map(_.select(diffKey.map(col): _*).distinct()
+            .withColumn("change", lit("insert"))).toSeq ++
+          deletes0.map(_.select(diffKey.map(col): _*).distinct()
+            .withColumn("change", lit("delete"))).toSeq
+        if (sides.isEmpty) emptyDiffFrame()
+        else sides.reduce(_ unionByName _)
+      } else {
+        val liveFrom = liveDocsOf(fsegs, fTs, fFr)
+          .select(diffKey.map(col): _*).distinct()
+        val liveTo = liveDocsOf(tsegs, tTs, tFr)
+          .select(diffKey.map(col): _*).distinct()
+        liveTo.join(liveFrom, diffKey, "left_anti")
+          .withColumn("change", lit("insert"))
+          .unionByName(liveFrom.join(liveTo, diffKey, "left_anti")
+            .withColumn("change", lit("delete")))
+      }
+    out
+  }
+
+  /**
+   * Reclaim storage: delete every data directory under `baseDir`
+   * referenced by NEITHER the current manifest NOR any retained
+   * snapshot — the Iceberg expire_snapshots/remove_orphan_files
+   * shape, and the missing half of [[expireSnapshots]] (which only
+   * trims the snapshot LOG; without vacuum, superseded segments
+   * accumulate forever and compaction doubles storage each run).
+   * Returns the removed directories. A later [[readerAsOf]] of an
+   * expired version whose segments were vacuumed fails loudly at the
+   * exists-check rather than reading a half-present state.
+   *
+   * Concurrency contract: do not run while ANOTHER handle has an
+   * open transaction on the same baseDir — its pending segments are
+   * deliberately unpublished and would be swept (the same hazard as
+   * Iceberg's remove_orphan_files against in-flight writers).
+   */
+  def vacuum(): Seq[String] = synchronized {
+    require(txn.isEmpty, "cannot vacuum inside a transaction")
+    val bodies =
+      (if (Files.exists(manifest))
+        Seq(new String(Files.readAllBytes(manifest), "UTF-8"))
+      else Seq.empty) ++ snapshots().map(snapshotBody)
+    val referenced: Set[String] = bodies.flatMap { b =>
+      parseSegments(b)._1.map(_.dir) ++ parseFrameDeletesBody(b).map(_.dir)
+    }.toSet
+    import scala.jdk.CollectionConverters._
+    def childDirs(p: java.nio.file.Path): Seq[String] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else Files.list(p).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+    val segCandidates = childDirs(Paths.get(baseDir))
+      .filter(n => n.startsWith("seg-") || n.startsWith("compactm-") ||
+        n.startsWith("compact-"))
+      .map(n => s"$baseDir/$n")
+    val frameCandidates = childDirs(Paths.get(s"$baseDir/delframes"))
+      .map(n => s"$baseDir/delframes/$n")
+    val dead = (segCandidates ++ frameCandidates)
+      .filterNot(referenced.contains).sorted
+    dropDirs(dead)
+    dead
   }
 
   /**

@@ -503,4 +503,93 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no snapshot"))
     assert(seg.readerAsOf(3L).stats.n == 15L)
   }
+
+  private def diffSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.select("repo", "path", "change").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("snapshotDiff: append/delete/replace deltas on the incremental path") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-sdiff").toString
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val c = CorpusGen.generate(seed = 44, nRepos = 2, filesPerRepo = 8)
+    val (a, b) = (c.take(8), c.drop(8))
+    seg.append(spark.createDataset(a))                       // v1
+    seg.append(spark.createDataset(b))                       // v2
+    // pure-append window: every B key inserted, nothing deleted
+    assert(diffSet(seg.snapshotDiff(1L, 2L)) ==
+      b.map(x => (x.repo, x.path, "insert")).toSet)
+    val victim = a.minBy(x => (x.repo, x.path, x.commit))
+    seg.delete(Seq((victim.repo, victim.path, victim.commit))) // v3
+    // pure-tombstone window: one delete, no inserts
+    assert(diffSet(seg.snapshotDiff(2L, 3L)) ==
+      Set((victim.repo, victim.path, "delete")))
+    // spanning window composes both
+    assert(diffSet(seg.snapshotDiff(1L, 3L)) ==
+      b.map(x => (x.repo, x.path, "insert")).toSet +
+        ((victim.repo, victim.path, "delete")))
+    // replace (same natural key, new content) = delete of the old
+    // sha + insert of the new one at the SAME key
+    val target = b.maxBy(x => (x.repo, x.path, x.commit))
+    seg.replace(spark.createDataset(Seq(
+      target.copy(content = target.content + " replaced"))))  // v4 (del) + v5 (append)
+    val d35 = seg.snapshotDiff(3L, 5L)
+    assert(diffSet(d35) == Set((target.repo, target.path, "insert"),
+      (target.repo, target.path, "delete")))
+    val shas = d35.select("sha256", "change").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shas.size == 2) // distinct shas on the two sides
+  }
+
+  test("snapshotDiff: general path across compaction equals the key-level truth") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-sdiffc").toString
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val c = CorpusGen.generate(seed = 45, nRepos = 2, filesPerRepo = 8)
+    seg.append(spark.createDataset(c.take(8)))               // v1
+    seg.append(spark.createDataset(c.drop(8)))               // v2
+    val victim = c.minBy(x => (x.repo, x.path, x.commit))
+    seg.delete(Seq((victim.repo, victim.path, victim.commit))) // v3
+    seg.compactMerged()                                      // v4 (docIds renumbered)
+    // compaction changes layout, not content: the live set is identical
+    assert(seg.snapshotDiff(3L, 4L).count() == 0L)
+    // a window spanning the compaction falls back to the full diff
+    // and still reports the key-level truth
+    assert(diffSet(seg.snapshotDiff(1L, 4L)) ==
+      c.drop(8).map(x => (x.repo, x.path, "insert")).toSet +
+        ((victim.repo, victim.path, "delete")))
+    // post-compaction append rides the incremental path again
+    val extra = CorpusGen.generate(seed = 46, nRepos = 1, filesPerRepo = 3)
+    seg.append(spark.createDataset(extra))                   // v5
+    assert(diffSet(seg.snapshotDiff(4L, 5L)) ==
+      extra.map(x => (x.repo, x.path, "insert")).toSet)
+  }
+
+  test("vacuum reclaims segment dirs unreachable from any retained snapshot") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-vac").toString
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val c = CorpusGen.generate(seed = 47, nRepos = 2, filesPerRepo = 8)
+    seg.append(spark.createDataset(c.take(8)))               // v1, seg-00000
+    seg.append(spark.createDataset(c.drop(8)))               // v2, seg-00001
+    seg.compactMerged()                                      // v3, compactm-00002
+    // every snapshot retained → every dir referenced → nothing to sweep
+    assert(seg.vacuum().isEmpty)
+    assert(seg.readerAsOf(1L).stats.n == 8L)
+    // expire history, then vacuum: the superseded pre-compaction
+    // segment dirs are reclaimed
+    seg.expireSnapshots(keepLast = 1)
+    val swept = seg.vacuum()
+    assert(swept.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet ==
+      Set("seg-00000", "seg-00001"), swept)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$baseDir/seg-00000")))
+    // the current state is untouched and fully readable
+    assert(seg.reader().stats.n == 16L)
+    assert(seg.readerAsOf(3L).stats.n == 16L)
+    // second vacuum is a no-op
+    assert(seg.vacuum().isEmpty)
+  }
 }
