@@ -640,11 +640,13 @@ class SegmentedIndex(
 
   /** Zero-row frame with the [[snapshotDiff]] schema (a no-change
     * window between consecutive no-op publishes). */
-  private def emptyDiffFrame(): DataFrame = {
+  private def emptyDiffFrame(withContent: Boolean): DataFrame = {
     import org.apache.spark.sql.types._
+    val cols = diffKey ++ Seq("change") ++
+      (if (withContent) Seq("lang", "content") else Seq.empty)
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType((diffKey :+ "change").map(StructField(_, StringType))))
+      StructType(cols.map(StructField(_, StringType))))
   }
 
   /**
@@ -667,8 +669,15 @@ class SegmentedIndex(
    *   - **Compaction in between** (docIds renumbered): falls back to
    *     a distributed natural-key diff of the two live sets (two
    *     anti-joins). Correct at any scale, costs two corpus scans.
+   *
+   * With `withContent = true`, insert rows also carry `lang` and
+   * `content` (resolved from the owning segments' docs0 — on the
+   * incremental path only the new segments are read), so the delta
+   * can feed a downstream pipeline (e.g. incremental dedup) without
+   * a second corpus lookup; delete rows carry nulls there.
    */
-  def snapshotDiff(fromV: Long, toV: Long): DataFrame = synchronized {
+  def snapshotDiff(fromV: Long, toV: Long,
+                   withContent: Boolean = false): DataFrame = synchronized {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
     val fromBody = snapshotBody(fromV)
     val toBody = snapshotBody(toV)
@@ -691,7 +700,7 @@ class SegmentedIndex(
     val incremental = fsegs == tsegs.take(fsegs.size) &&
       fTs == tTs.take(fTs.size) && fFr == tFr.take(fFr.size)
     import spark.implicits._
-    val out =
+    val (insOpt, delOpt, insSegs) =
       if (incremental) {
         val newSegs = tsegs.drop(fsegs.size)
         val newTs = tTs.drop(fTs.size)
@@ -734,24 +743,49 @@ class SegmentedIndex(
             }
             Some(hitLive)
           }
-        val sides =
-          inserts0.map(_.select(diffKey.map(col): _*).distinct()
-            .withColumn("change", lit("insert"))).toSeq ++
-          deletes0.map(_.select(diffKey.map(col): _*).distinct()
-            .withColumn("change", lit("delete"))).toSeq
-        if (sides.isEmpty) emptyDiffFrame()
-        else sides.reduce(_ unionByName _)
+        (inserts0, deletes0, tsegs.drop(fsegs.size))
       } else {
+        // general path: anti-joins on the natural key; docId rides
+        // along on the surviving side for content resolution
         val liveFrom = liveDocsOf(fsegs, fTs, fFr)
-          .select(diffKey.map(col): _*).distinct()
         val liveTo = liveDocsOf(tsegs, tTs, tFr)
-          .select(diffKey.map(col): _*).distinct()
-        liveTo.join(liveFrom, diffKey, "left_anti")
-          .withColumn("change", lit("insert"))
-          .unionByName(liveFrom.join(liveTo, diffKey, "left_anti")
-            .withColumn("change", lit("delete")))
+        val ins = liveTo.join(
+          liveFrom.select(diffKey.map(col): _*).distinct(),
+          diffKey, "left_anti")
+        val del = liveFrom.join(
+          liveTo.select(diffKey.map(col): _*).distinct(),
+          diffKey, "left_anti")
+        (Some(ins), Some(del), tsegs)
       }
-    out
+    // assemble: dedupe on the key (a re-append of identical content
+    // in two segments is ONE insert); inserts optionally pull
+    // lang+content from their owning segments' docs0 via a docId
+    // join (the incremental path touches only the NEW segments);
+    // delete rows carry null content — the doc is gone.
+    val insDf = insOpt.map { df0 =>
+      val base = df0.dropDuplicates(diffKey)
+        .withColumn("change", lit("insert"))
+      if (!withContent) base.select((diffKey :+ "change").map(col): _*)
+      else {
+        val payload = insSegs.map(s =>
+          spark.read.parquet(s"${s.dir}/docs0")
+            .select(col("docId"), col("lang"), col("content")))
+          .reduce(_ unionByName _)
+        base.join(payload, Seq("docId"))
+          .select((diffKey ++ Seq("change", "lang", "content")).map(col): _*)
+      }
+    }
+    val delDf = delOpt.map { df0 =>
+      val base = df0.dropDuplicates(diffKey)
+        .withColumn("change", lit("delete"))
+        .select((diffKey :+ "change").map(col): _*)
+      if (!withContent) base
+      else base.withColumn("lang", lit(null).cast("string"))
+        .withColumn("content", lit(null).cast("string"))
+    }
+    val sides = insDf.toSeq ++ delDf.toSeq
+    if (sides.isEmpty) emptyDiffFrame(withContent)
+    else sides.reduce(_ unionByName _)
   }
 
   /**

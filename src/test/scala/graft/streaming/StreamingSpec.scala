@@ -50,6 +50,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed ingest → snapshot CDC → incremental dedup: the delta loop end to end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val a = CorpusGen.generate(seed = 55, nRepos = 2, filesPerRepo = 10)
+    val fresh = CorpusGen.generate(seed = 56, nRepos = 1, filesPerRepo = 3)
+    // near-copies of two batch-1 docs under a different repo key
+    val copies = a.take(2).map(x => x.copy(repo = "fork",
+      content = x.content + " trailing edit"))
+    val b = fresh ++ copies
+
+    val baseDir = Files.createTempDirectory("graft-cdcloop").toString
+    val seg = new SegmentedIndex(spark, s"$baseDir/idx", stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val stream = MemoryStream[CorpusRow]
+    val query = StreamOps.startIngest(stream.toDS(), seg, s"$baseDir/ckpt")
+    try {
+      stream.addData(a); query.processAllAvailable()   // snapshot v1
+      stream.addData(b); query.processAllAvailable()   // snapshot v2
+    } finally query.stop()
+    assert(seg.snapshots() == Seq(1L, 2L))
+
+    // fingerprint index over the already-ingested (v1) corpus
+    def asDocs(rows: Seq[CorpusRow]) = rows.toDF()
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"))
+    graft.pipeline.DedupOps.writeLshIndex(asDocs(a), s"$baseDir/lsh")
+
+    // CDC delta with payload: exactly the batch-2 docs, and — the
+    // 100 TB property — read from the NEW segment only (no file of
+    // the v1 segment appears in the plan's inputs)
+    val delta = seg.snapshotDiff(1L, 2L, withContent = true)
+    assert(delta.where(col("change") === "delete").count() == 0L)
+    assert(delta.inputFiles.forall(_.contains("seg-00001")),
+      delta.inputFiles.mkString("\n"))
+    val newDocs = delta.where(col("change") === "insert")
+      .select(xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"))
+    assert(newDocs.count() == b.size.toLong)
+
+    // incremental near-dup: old corpus touched ONLY through its
+    // fingerprints; the two planted near-copies resolve to their
+    // batch-1 originals
+    val dups = graft.pipeline.DedupOps
+      .incrementalNearDups(s"$baseDir/lsh", newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = copies.zip(a.take(2)).map { case (cp, orig) =>
+      val ids = Seq(cp, orig).toDF()
+        .select(xxhash64(col("repo"), col("path"), col("commit"))).as[Long]
+        .collect()
+      (ids(0), ids(1))
+    }
+    expected.foreach { case (copyId, origId) =>
+      val hit = dups.find(_._1 == copyId)
+      assert(hit.isDefined, s"near-copy $copyId not flagged")
+      assert(hit.get._2 == origId, s"wrong dup_of for $copyId: $hit")
+      assert(hit.get._3 > 0.5, s"est_jaccard too low: $hit")
+    }
+  }
+
   test("streaming hourly rollup (complete mode) equals the batch rollup") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
