@@ -8,14 +8,23 @@ import org.apache.spark.sql.SparkSession
  * xapian-compact.cc — merge a multi-segment database into one):
  *
  *   spark-submit --class graft.tools.CompactCli <jar> <segmentedBaseDir>
+ *     [--skip-compact] [--expire-keep=N] [--vacuum]
  *
  * Reads the segmented index's own manifest and the first segment's
  * `_config.json` (all segments share one build config), runs the
  * merge-based compaction (no re-tokenize; applies pending tombstones
  * physically and clears them), and prints the before/after shape.
+ * Maintenance flags run AFTER compaction (or alone with
+ * `--skip-compact`): `--expire-keep=N` trims the snapshot log to the
+ * newest N revisions, `--vacuum` reclaims data dirs unreachable from
+ * any retained snapshot — together the storage-bounding maintenance
+ * pass a long-lived index needs (compaction supersedes segment dirs
+ * but keeps them readable for time travel; expiry+vacuum is what
+ * actually frees them).
  */
 object CompactCli {
-  def run(spark: SparkSession, baseDir: String): Seq[String] = {
+  def run(spark: SparkSession, baseDir: String, skipCompact: Boolean = false,
+          expireKeep: Option[Int] = None, vacuum: Boolean = false): Seq[String] = {
     val probe = new SegmentedIndex(spark, baseDir)
     val (segs, _) = probe.listSegments()
     require(segs.nonEmpty, s"$baseDir has no segments to compact")
@@ -24,27 +33,56 @@ object CompactCli {
       tokenizerMode = cfg.tokenizerMode, nBuckets = cfg.nBuckets,
       stripeShift = cfg.stripeShift, cjkNgram = cfg.cjkNgram,
       valueSlots = cfg.valueSlots)
-    val before = segs.map(_.nDocs).sum
-    val tomb = seg.listDeletes().size
-    // merge-based: segment tables merge without re-tokenizing (the
-    // most expensive build stage at corpus scale); tombstones apply
-    // physically and clear
-    seg.compactMerged()
-    val (after, _) = seg.listSegments()
-    Seq(
-      s"compacted ${segs.size} segment(s), $before doc(s), " +
-        s"$tomb pending tombstone(s)",
-      s"-> ${after.size} segment(s), ${after.map(_.nDocs).sum} doc(s), " +
-        s"${seg.listDeletes().size} tombstone(s) remaining")
+    val compactLines =
+      if (skipCompact) Seq.empty
+      else {
+        val before = segs.map(_.nDocs).sum
+        val tomb = seg.listDeletes().size
+        // merge-based: segment tables merge without re-tokenizing (the
+        // most expensive build stage at corpus scale); tombstones apply
+        // physically and clear
+        seg.compactMerged()
+        val (after, _) = seg.listSegments()
+        Seq(
+          s"compacted ${segs.size} segment(s), $before doc(s), " +
+            s"$tomb pending tombstone(s)",
+          s"-> ${after.size} segment(s), ${after.map(_.nDocs).sum} doc(s), " +
+            s"${seg.listDeletes().size} tombstone(s) remaining")
+      }
+    val expireLines = expireKeep.toSeq.map { k =>
+      val before = seg.snapshots().size
+      seg.expireSnapshots(k)
+      s"expired ${before - seg.snapshots().size} snapshot(s), " +
+        s"${seg.snapshots().size} retained"
+    }
+    val vacuumLines =
+      if (!vacuum) Seq.empty
+      else {
+        val swept = seg.vacuum()
+        Seq(s"vacuumed ${swept.size} unreachable dir(s)" +
+          (if (swept.isEmpty) "" else swept.mkString(": ", ", ", "")))
+      }
+    compactLines ++ expireLines ++ vacuumLines
   }
 
   def main(argv: Array[String]): Unit = {
-    require(argv.length == 1, "usage: CompactCli <segmentedBaseDir>")
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 1,
+      "usage: CompactCli <segmentedBaseDir> [--skip-compact] " +
+        "[--expire-keep=N] [--vacuum]")
+    var (skip, keep, vac) = (false, Option.empty[Int], false)
+    argv.filter(_.startsWith("--")).foreach {
+      case "--skip-compact" => skip = true
+      case "--vacuum"       => vac = true
+      case f if f.startsWith("--expire-keep=") =>
+        keep = Some(f.stripPrefix("--expire-keep=").toInt)
+      case other => throw new IllegalArgumentException(s"unknown flag $other")
+    }
     val spark = SparkSession.builder()
       .appName("graft-compact")
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
-    try run(spark, argv(0)).foreach(println)
+    try run(spark, pos(0), skip, keep, vac).foreach(println)
     finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
   }
 }

@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
  *     [--default-op=or|and] [--matcher=auto|wand|dataset] [--rset=id,id,...]
  *     [--stem=none|some] [--stemlang=en] [--prefix=field:P ...]
  *     [--boolprefix=field:P ...] [--desc-docid] [--pure-not]
+ *     [--as-of=v]
+ *
+ * `<indexDir>` may be a single-segment index or a segmented base dir
+ * (detected by its `segments.txt` manifest); segmented dirs open the
+ * tombstone-masked union reader, and `--as-of=v` searches the index
+ * exactly as snapshot v published it (time travel).
  *
  * The index's persisted `_config.json` supplies the default stem
  * mode/language and tokenizer, so parse-time term processing matches
@@ -36,7 +42,11 @@ object Quest {
       autoSynonyms: Boolean = false, multiwordSynonyms: Boolean = false,
       /** Judged-relevant docIds (Enquire::set_rset): RSJ relevance
         * feedback in BM25/BM25+/Trad. */
-      rset: Seq[Long] = Seq.empty)
+      rset: Seq[Long] = Seq.empty,
+      /** Time-travel: search the index exactly as snapshot v
+        * published it (segmented indexes only — they keep the
+        * snapshot log). */
+      asOf: Option[Long] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     val pos = argv.filterNot(_.startsWith("--"))
@@ -73,17 +83,40 @@ object Quest {
         case "--multiword-synonyms" => a = a.copy(multiwordSynonyms = true)
         case "--rset"       =>
           a = a.copy(rset = v.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+        case "--as-of"      => a = a.copy(asOf = Some(v.toLong))
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
     a
   }
 
-  /** Parse + match + format; the testable core of main(). */
+  /** Parse + match + format; the testable core of main().
+    *
+    * The index dir may be a plain single-segment index OR a
+    * segmented base dir (it has a `segments.txt` manifest): the
+    * latter opens the union reader with tombstones masked — or, with
+    * `--as-of=v`, the index exactly as snapshot v published it. */
   def run(spark: SparkSession, a: Args): Seq[String] = {
-    val idxCfg = IndexReader.configOf(a.indexDir)
-    val idx = new IndexReader(spark, a.indexDir, idxCfg.nBuckets,
-      idxCfg.stripeShift)
+    val segmented = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${a.indexDir}/segments.txt"))
+    val (idx, idxCfg) =
+      if (segmented) {
+        val (segs, _) =
+          new graft.index.SegmentedIndex(spark, a.indexDir).listSegments()
+        require(segs.nonEmpty, s"${a.indexDir} has no segments")
+        val cfg = IndexReader.configOf(segs.head.dir)
+        val seg = new graft.index.SegmentedIndex(spark, a.indexDir,
+          stemMode = cfg.stemMode, tokenizerMode = cfg.tokenizerMode,
+          nBuckets = cfg.nBuckets, stripeShift = cfg.stripeShift,
+          cjkNgram = cfg.cjkNgram, valueSlots = cfg.valueSlots)
+        (a.asOf.map(seg.readerAsOf).getOrElse(seg.reader()), cfg)
+      } else {
+        require(a.asOf.isEmpty,
+          "--as-of needs a segmented index (only those keep a snapshot log)")
+        val cfg = IndexReader.configOf(a.indexDir)
+        (new IndexReader(spark, a.indexDir, cfg.nBuckets,
+          cfg.stripeShift): graft.index.Index, cfg)
+      }
     val pcfg = QueryParser.Config(
       defaultOp = a.defaultOp,
       stemMode = a.stemMode.getOrElse(idxCfg.stemMode),

@@ -137,6 +137,54 @@ class ToolsSpec extends AnyFunSuite {
     assert(out(1).contains("1 segment(s), 23 doc(s), 0 tombstone"), out)
   }
 
+  test("Quest searches a segmented base dir; --as-of pins a snapshot") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-questseg").toString
+    val base = s"$work/seg"
+    val all = CorpusGen.generate(seed = 61, nRepos = 2, filesPerRepo = 10)
+    val seg = new graft.index.SegmentedIndex(spark, base,
+      stemMode = "none", nBuckets = 2, stripeShift = 5, buildPartitions = 2)
+    seg.append(spark.createDataset(all.take(10)))    // v1
+    seg.append(spark.createDataset(all.drop(10)))    // v2
+    val tok = graft.core.Tokenizer.tokenize(all.head.content).head.term
+    // segmented dir opens transparently (union reader)
+    val cur = Quest.run(spark, Quest.parseArgs(Seq(base, tok)))
+    assert(cur.exists(_.startsWith("Parsed query:")), cur)
+    // v1 sees only the first batch: its hit docIds are all <= 10
+    val atV1 = Quest.run(spark, Quest.parseArgs(Seq(base, tok, "--as-of=1")))
+    val v1Ids = atV1.drop(2).map(_.split("#")(1).split(" ")(0).toLong)
+    assert(v1Ids.nonEmpty && v1Ids.forall(_ <= 10L), atV1)
+    // --as-of on a plain (non-segmented) index fails loudly
+    val plainIdx = s"$work/plain"
+    new graft.index.IndexBuilder(spark, graft.index.BuildConfig(
+      indexDir = plainIdx, stemMode = "none", nBuckets = 2,
+      stripeShift = 5, buildPartitions = 2))
+      .build(spark.createDataset(all.take(5)))
+    val ex = intercept[IllegalArgumentException](
+      Quest.run(spark, Quest.parseArgs(Seq(plainIdx, tok, "--as-of=1"))))
+    assert(ex.getMessage.contains("segmented"), ex.getMessage)
+  }
+
+  test("CompactCli --expire-keep + --vacuum bound storage after compaction") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-compactvac").toString
+    val base = s"$work/seg"
+    val all = CorpusGen.generate(seed = 62, nRepos = 2, filesPerRepo = 10)
+    val seg = new graft.index.SegmentedIndex(spark, base,
+      stemMode = "none", nBuckets = 2, stripeShift = 5, buildPartitions = 2)
+    seg.append(spark.createDataset(all.take(10)))
+    seg.append(spark.createDataset(all.drop(10)))
+    val out = CompactCli.run(spark, base, skipCompact = false,
+      expireKeep = Some(1), vacuum = true)
+    assert(out.exists(_.startsWith("compacted 2 segment(s)")), out)
+    assert(out.exists(_.contains("1 retained")), out)
+    assert(out.exists(l => l.startsWith("vacuumed 2") &&
+      l.contains("seg-00000") && l.contains("seg-00001")), out)
+    // current state fully readable after the maintenance pass
+    assert(seg.reader().stats.n == 20L)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/seg-00000")))
+  }
+
   test("simple-tokenizer index: Quest parses with the index's own tokenizer") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-cli3").toString
