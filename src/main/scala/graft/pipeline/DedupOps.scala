@@ -483,6 +483,32 @@ object DedupOps {
   }
 
   /**
+   * Append a NEW batch's fingerprints to a persisted [[writeLshIndex]]
+   * index — the maintenance half of the incremental loop: after
+   * [[incrementalNearDups]] judges a batch, its kept docs join the
+   * "already-ingested" side for the NEXT batch, without recomputing a
+   * single old fingerprint. Two parquet appends (sigs, then bands)
+   * from ONE cached signature frame, so the two tables agree; minhash
+   * is hash-seeded and deterministic, so even a recompute would
+   * produce identical rows. A crash between the appends leaves a doc
+   * visible in sigs but not bands — it misses dup-candidate
+   * generation until re-appended, never corrupts a verdict (bands
+   * drive candidates; sigs only score candidates that exist).
+   * `k`/`seeds`/`rowsPerBand` must match the index's write-time
+   * values (same contract as [[incrementalNearDups]]).
+   */
+  def appendLshIndex(indexDir: String, newDocs: DataFrame, k: Int = 8,
+                     seeds: Int = 12, rowsPerBand: Int = 2): Unit = {
+    val sigs = minhash(newDocs, k, seeds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      sigs.write.mode("append").parquet(s"$indexDir/sigs")
+      bandedKeys(sigs, rowsPerBand)
+        .write.mode("append").parquet(s"$indexDir/bands")
+    } finally sigs.unpersist(blocking = false)
+  }
+
+  /**
    * Near-duplicate check of a NEW ingest batch against a persisted
    * [[writeLshIndex]] index, touching the old corpus ONLY through its
    * fingerprints. Per new doc with at least one band collision:

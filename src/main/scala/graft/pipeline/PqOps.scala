@@ -165,15 +165,39 @@ object PqOps {
     * inside them. Codes and centroid derive in ONE per-row projection
     * (no self-join); the raw embedding column is NOT stored — that is
     * the point: a 100 TB float corpus becomes ~3 TB of codes. */
-  def writeIvfPqIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
-                      books: Codebooks, path: String): Unit = {
+  /** The IVF-PQ index frame: (vec_id, codes, centroid_id) in one
+    * per-row projection — shared by the overwrite writers and the
+    * incremental appenders. */
+  private def ivfPqFrame(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                         books: Codebooks): DataFrame = {
     val m = books.size; val dsub = books.head.head.size
     vecs.select(col("vec_id"),
-        array((0 until m).map(s => codeExpr(s, dsub, books(s))): _*).as("codes"),
-        (-AnnOps.bestCentroidD(centroids).getField("negid")).cast("int")
-          .as("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      array((0 until m).map(s => codeExpr(s, dsub, books(s))): _*).as("codes"),
+      (-AnnOps.bestCentroidD(centroids).getField("negid")).cast("int")
+        .as("centroid_id"))
   }
+
+  def writeIvfPqIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                      books: Codebooks, path: String): Unit =
+    ivfPqFrame(vecs, centroids, books)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /**
+   * Incremental index maintenance: encode a NEW batch of vectors with
+   * the EXISTING centroids + codebooks and append its codes to the
+   * partitioned index — the production ingest path (FAISS `add` role):
+   * codebooks train once on a representative sample, then batches
+   * stream in without retraining and searches see them immediately.
+   * Appended files land inside the existing centroid_id partition
+   * dirs, so probe-time partition pruning is unchanged. Quantization
+   * error drifts only if the data distribution drifts — retrain via
+   * [[writeIvfPqIndex]] when recall degrades, the same contract as
+   * any published IVF-PQ deployment.
+   */
+  def appendIvfPqIndex(newVecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                       books: Codebooks, path: String): Unit =
+    ivfPqFrame(newVecs, centroids, books)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
 
   /** IVF-PQ probed search: the centroid_id predicate prunes to the
     * nprobe probed partitions (PartitionFilters in the scan), then
@@ -276,15 +300,30 @@ object PqOps {
   /** Materialize the residual IVF-PQ index: codes of (x − centroid),
     * partitioned by centroid. Same codes-only storage contract as
     * [[writeIvfPqIndex]]. */
-  def writeIvfPqResidualIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
-                              books: Codebooks, path: String): Unit = {
+  /** The residual-encoded index frame (codes of x − assigned
+    * centroid) — shared by the overwrite writer and the appender. */
+  private def ivfPqResidualFrame(vecs: DataFrame,
+                                 centroids: Seq[(Int, Seq[Double])],
+                                 books: Codebooks): DataFrame = {
     val m = books.size; val dsub = books.head.head.size
     residualFrame(vecs, centroids)
       .select(col("vec_id"),
         array((0 until m).map(s => codeExpr(s, dsub, books(s))): _*).as("codes"),
         col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
+
+  def writeIvfPqResidualIndex(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                              books: Codebooks, path: String): Unit =
+    ivfPqResidualFrame(vecs, centroids, books)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Residual-encoded variant of [[appendIvfPqIndex]] — same
+    * train-once / append-batches contract over the residual layout. */
+  def appendIvfPqResidualIndex(newVecs: DataFrame,
+                               centroids: Seq[(Int, Seq[Double])],
+                               books: Codebooks, path: String): Unit =
+    ivfPqResidualFrame(newVecs, centroids, books)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
 
   /** Residual IVF-PQ probed search: each probed partition gets its
     * OWN ADC table computed from (query − that centroid) — nprobe

@@ -1186,6 +1186,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(files === Set("sigs", "bands", "_SUCCESS"))
   }
 
+  test("appendLshIndex: the next batch is judged against old AND appended docs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-app").toString
+    DedupOps.writeLshIndex(docs(
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      4L -> "completely unrelated corpus text about spark shuffles"), dir)
+    // batch 2: one novel doc — judged clean, then APPENDED
+    val batch2 = docs(
+      11L -> "a brand new second batch document about posting lists")
+    assert(DedupOps.incrementalNearDups(dir, batch2).collect().isEmpty)
+    DedupOps.appendLshIndex(dir, batch2)
+    // batch 3: a near-copy of the batch-2 doc and one of the ORIGINAL
+    // corpus — both flagged, each against its own origin
+    val batch3 = docs(
+      21L -> "a brand new second batch document about postings lists",
+      23L -> "the quick brown fox jumps over the lazy dog tonight")
+    val got = DedupOps.incrementalNearDups(dir, batch3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.get(21L).contains(11L), s"batch-2 origin not found: $got")
+    assert(got.get(23L).contains(2L), s"batch-1 origin not found: $got")
+  }
+
+  test("appendIvfPqIndex: appended vectors searchable with the trained codebooks") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0f, 1f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val books = PqOps.pqTrain(vecs, m = 2, ksub = 2, iters = 3)
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 1.0)), (1, Seq(0.0, 1.0, 1.0, 0.0)))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-app").toString + "/ivfpq"
+    PqOps.writeIvfPqIndex(vecs, cents, books, dir)
+    // a later batch appends WITHOUT retraining — codes land inside the
+    // existing centroid partitions
+    val batch = Seq(
+      (4L, Seq(0.95f, 0.05f, 0.05f, 0.95f)), (5L, Seq(0.05f, 0.95f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    PqOps.appendIvfPqIndex(batch, cents, books, dir)
+    // probe of centroid 0 now sees the appended 4L; pruning unchanged
+    val hits = PqOps.ivfPqSearchIndexed(spark, dir, cents, books,
+      Seq(1f, 0f, 0f, 1f), 3, nprobe = 1)
+    assert(hits.collect().map(_.getLong(0)).toSet.contains(4L))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe not pruned after append:\n${plan.take(1200)}")
+    // full-probe search equals plain ADC over all six encoded vectors
+    val all = vecs.unionByName(batch)
+    val full = PqOps.ivfPqSearchIndexed(spark, dir, cents, books,
+      Seq(1f, 0f, 0f, 1f), 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adc = PqOps.adcSearch(PqOps.pqEncodeWide(all, books), books,
+      Seq(1f, 0f, 0f, 1f), 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === adc)
+    // residual layout: same append contract
+    val rdir = java.nio.file.Files.createTempDirectory("ivfpqr-app").toString + "/r"
+    val rbooks = PqOps.pqTrainResidual(vecs, cents, m = 2, ksub = 2, iters = 3)
+    PqOps.writeIvfPqResidualIndex(vecs, cents, rbooks, rdir)
+    PqOps.appendIvfPqResidualIndex(batch, cents, rbooks, rdir)
+    val rhits = PqOps.ivfPqSearchResidualIndexed(spark, rdir, cents, rbooks,
+      Seq(1f, 0f, 0f, 1f), 3, nprobe = 1)
+    assert(rhits.collect().map(_.getLong(0)).toSet.contains(4L))
+  }
+
   test("mmrDiversify demotes a redundant near-copy below a diverse result") {
     import spark.implicits._
     // doc 1 and 2 nearly identical (both highly relevant); doc 3
