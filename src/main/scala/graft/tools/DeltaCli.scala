@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.index.{IndexReader, SegmentedIndex}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * CDC extraction CLI over the segmented index's snapshot log (no
+ * upstream xapian analog — glass_version.cc retains one revision;
+ * this is the lakehouse incremental-read surface):
+ *
+ *   spark-submit --class graft.tools.DeltaCli <jar> <segmentedBaseDir>
+ *     <fromV> <toV> [--with-content] [--out=<parquetDir>]
+ *
+ * Prints the per-change counts and a preview; with `--out=` the full
+ * delta lands as parquet (the handoff a downstream pipeline ingests —
+ * e.g. feed the inserts to incremental dedup or re-embedding).
+ * Without compaction in the window the inserts are read from the new
+ * segments only (see SegmentedIndex.snapshotDiff).
+ */
+object DeltaCli {
+  def run(spark: SparkSession, baseDir: String, fromV: Long, toV: Long,
+          withContent: Boolean = false, out: Option[String] = None,
+          previewRows: Int = 10): Seq[String] = {
+    val (segs, _) = new SegmentedIndex(spark, baseDir).listSegments()
+    require(segs.nonEmpty, s"$baseDir has no segments")
+    val cfg = IndexReader.configOf(segs.head.dir)
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = cfg.stemMode,
+      tokenizerMode = cfg.tokenizerMode, nBuckets = cfg.nBuckets,
+      stripeShift = cfg.stripeShift, cjkNgram = cfg.cjkNgram,
+      valueSlots = cfg.valueSlots)
+    val delta = seg.snapshotDiff(fromV, toV, withContent)
+    out.foreach(d => delta.write.mode("overwrite").parquet(d))
+    val counts = delta.groupBy("change").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val header = s"delta v$fromV -> v$toV: " +
+      s"${counts.getOrElse("insert", 0L)} insert(s), " +
+      s"${counts.getOrElse("delete", 0L)} delete(s)" +
+      out.map(d => s" -> $d").getOrElse("")
+    val preview = delta
+      .orderBy("change", "repo", "path", "commit")
+      .limit(previewRows).collect()
+      .map(r => s"${r.getAs[String]("change")} ${r.getAs[String]("repo")}/" +
+        s"${r.getAs[String]("path")}@${r.getAs[String]("commit")}")
+    header +: preview.toSeq
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 3,
+      "usage: DeltaCli <segmentedBaseDir> <fromV> <toV> " +
+        "[--with-content] [--out=<parquetDir>]")
+    var (wc, out) = (false, Option.empty[String])
+    argv.filter(_.startsWith("--")).foreach {
+      case "--with-content" => wc = true
+      case f if f.startsWith("--out=") => out = Some(f.stripPrefix("--out="))
+      case other => throw new IllegalArgumentException(s"unknown flag $other")
+    }
+    val spark = SparkSession.builder()
+      .appName("graft-delta")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try run(spark, pos(0), pos(1).toLong, pos(2).toLong, wc, out)
+      .foreach(println)
+    finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

@@ -165,6 +165,30 @@ class ToolsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("segmented"), ex.getMessage)
   }
 
+  test("DeltaCli extracts a snapshot delta and lands it as parquet") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-deltacli").toString
+    val base = s"$work/seg"
+    val all = CorpusGen.generate(seed = 63, nRepos = 2, filesPerRepo = 8)
+    val seg = new graft.index.SegmentedIndex(spark, base,
+      stemMode = "none", nBuckets = 2, stripeShift = 5, buildPartitions = 2)
+    seg.append(spark.createDataset(all.take(8)))     // v1
+    seg.append(spark.createDataset(all.drop(8)))     // v2
+    val victim = all.head
+    seg.delete(Seq((victim.repo, victim.path, victim.commit))) // v3
+    val outDir = s"$work/delta"
+    val out = DeltaCli.run(spark, base, 1L, 3L,
+      withContent = true, out = Some(outDir))
+    assert(out.head.startsWith("delta v1 -> v3: 8 insert(s), 1 delete(s)"), out)
+    val landed = spark.read.parquet(outDir)
+    assert(landed.count() == 9L)
+    // inserts carry payload, the delete row does not
+    assert(landed.where(col("change") === "insert" &&
+      col("content").isNotNull).count() == 8L)
+    assert(landed.where(col("change") === "delete").collect()
+      .forall(_.getAs[String]("content") == null))
+  }
+
   test("CompactCli --expire-keep + --vacuum bound storage after compaction") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-compactvac").toString
