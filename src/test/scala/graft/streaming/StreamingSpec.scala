@@ -275,6 +275,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(10L) != streamed(11L), "opposite clusters must differ")
   }
 
+  test("streaming ANN ingest: per-micro-batch appendIvfPqIndex equals one batch write") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.PqOps
+    val train = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0f, 1f, 1f, 0f)), (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val books = PqOps.pqTrain(train, m = 2, ksub = 2, iters = 3)
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 1.0)), (1, Seq(0.0, 1.0, 1.0, 0.0)))
+    val work = Files.createTempDirectory("graft-annstream").toString
+    val sDir = s"$work/streamed"
+    PqOps.writeIvfPqIndex(train, cents, books, sDir)
+    // two micro-batches stream in; foreachBatch appends codes with the
+    // FIXED codebooks — the train-once/append-batches contract live
+    val b1 = Seq((10L, Seq(0.95f, 0.05f, 0.0f, 1.0f)))
+    val b2 = Seq((11L, Seq(0.05f, 0.95f, 1.0f, 0.0f)),
+      (12L, Seq(0.8f, 0.2f, 0.1f, 0.85f)))
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val query = stream.toDS().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PqOps.appendIvfPqIndex(batch, cents, books, sDir)
+      }.start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    // one-shot batch write of the same six vectors
+    val bDir = s"$work/batch"
+    PqOps.writeIvfPqIndex(train.unionByName((b1 ++ b2).toDF("vec_id", "embedding")),
+      cents, books, bDir)
+    def table(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector,
+        r.getAs[Int]("centroid_id"))).toSet
+    assert(table(sDir) == table(bDir) && table(sDir).size == 7)
+    // search over the streamed index sees the streamed vectors
+    val hits = PqOps.ivfPqSearchIndexed(spark, sDir, cents, books,
+      Seq(1f, 0f, 0f, 1f), 7, nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 12L).subsetOf(hits))
+  }
+
   test("streaming ingest dedup: per-micro-batch incrementalNearDups equals the batch call") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
