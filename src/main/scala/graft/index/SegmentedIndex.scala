@@ -719,29 +719,39 @@ class SegmentedIndex(
         val deletes0 =
           if (newTs.isEmpty && newFr.isEmpty) None
           else {
-            val killed = resolveDeletedIds(fsegs, newTs)
-            val killedDf = frameDeadIds(fsegs, newFr) match {
-              case None => killed.toSeq.toDF("docId")
-              case Some(d) => d.unionByName(killed.toSeq.toDF("docId"))
-            }
             val oldDocs = fsegs.map(s =>
               spark.read.parquet(s"${s.dir}/docs")
                 .select(col("docId"), col("repo"), col("path"),
                   col("commit"), col("sha256")))
               .reduce(_ unionByName _)
-            val hit = oldDocs.join(killedDf.distinct(), Seq("docId"),
-              "left_semi")
-            val alreadyDead = resolveDeletedIds(fsegs, fTs)
-            val hitLive0 =
-              if (alreadyDead.isEmpty) hit
-              else hit.filter(!col("docId").isin(alreadyDead.toSeq: _*))
-            val hitLive = frameDeadIds(fsegs, fFr) match {
-              case None => hitLive0
-              case Some(d) =>
-                hitLive0.join(d.withColumnRenamed("docId", "__deadId"),
-                  hitLive0("docId") === col("__deadId"), "left_anti")
-            }
-            Some(hitLive)
+            // scalar tombstones resolve to a driver-bounded id set —
+            // an isin predicate pushes into the parquet scan (row
+            // groups prune; no shuffle). Only FRAME tombstones need
+            // the distributed semi-join.
+            val killed = resolveDeletedIds(fsegs, newTs)
+            val scalarHit =
+              if (killed.isEmpty) None
+              else Some(oldDocs.filter(col("docId").isin(killed.toSeq: _*)))
+            val frameHit = frameDeadIds(fsegs, newFr).map(d =>
+              oldDocs.join(d.distinct(), Seq("docId"), "left_semi"))
+            // a tombstone whose key matches no doc leaves both sides
+            // empty — a no-op delete window
+            (scalarHit.toSeq ++ frameHit.toSeq)
+              .reduceOption(_ unionByName _)
+              .map { hit =>
+                // minus docs already dead at fromV (they were never
+                // visible there, so they cannot be "deleted since")
+                val alreadyDead = resolveDeletedIds(fsegs, fTs)
+                val hitLive0 =
+                  if (alreadyDead.isEmpty) hit
+                  else hit.filter(!col("docId").isin(alreadyDead.toSeq: _*))
+                frameDeadIds(fsegs, fFr) match {
+                  case None => hitLive0
+                  case Some(d) =>
+                    hitLive0.join(d.withColumnRenamed("docId", "__deadId"),
+                      hitLive0("docId") === col("__deadId"), "left_anti")
+                }
+              }
           }
         (inserts0, deletes0, tsegs.drop(fsegs.size))
       } else {

@@ -523,8 +523,14 @@ class SegmentedIndexSpec extends AnyFunSuite {
     val victim = a.minBy(x => (x.repo, x.path, x.commit))
     seg.delete(Seq((victim.repo, victim.path, victim.commit))) // v3
     // pure-tombstone window: one delete, no inserts
-    assert(diffSet(seg.snapshotDiff(2L, 3L)) ==
-      Set((victim.repo, victim.path, "delete")))
+    val d23 = seg.snapshotDiff(2L, 3L)
+    assert(diffSet(d23) == Set((victim.repo, victim.path, "delete")))
+    // scalar-only window: the killed ids resolve via an isin pushed
+    // into the old-segment scan — no shuffle join anywhere
+    val plan23 = d23.queryExecution.executedPlan.toString
+    assert(!plan23.toLowerCase.contains("sortmergejoin") &&
+      !plan23.toLowerCase.contains("shuffledhashjoin"),
+      s"scalar delete window shuffled:\n${plan23.take(1500)}")
     // spanning window composes both
     assert(diffSet(seg.snapshotDiff(1L, 3L)) ==
       b.map(x => (x.repo, x.path, "insert")).toSet +
@@ -565,6 +571,30 @@ class SegmentedIndexSpec extends AnyFunSuite {
     seg.append(spark.createDataset(extra))                   // v5
     assert(diffSet(seg.snapshotDiff(4L, 5L)) ==
       extra.map(x => (x.repo, x.path, "insert")).toSet)
+  }
+
+  test("snapshot log: two handles on one baseDir publish sequential readable revisions") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-snap2h").toString
+    def handle() = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val (h1, h2) = (handle(), handle())
+    val c = CorpusGen.generate(seed = 48, nRepos = 2, filesPerRepo = 8)
+    h1.append(spark.createDataset(c.take(8)))                // v1 via h1
+    h2.append(spark.createDataset(c.drop(8)))                // v2 via h2
+    val victim = c.head
+    h1.delete(Seq((victim.repo, victim.path, victim.commit))) // v3 via h1
+    // manifest state is disk-resident: both handles see one sequential
+    // snapshot log, and either can time-travel any revision
+    assert(h1.snapshots() == Seq(1L, 2L, 3L))
+    assert(h2.snapshots() == Seq(1L, 2L, 3L))
+    assert(h2.readerAsOf(1L).stats.n == 8L)
+    assert(h1.readerAsOf(2L).stats.n == 16L)
+    assert(h2.reader().stats.n == 15L)
+    // CDC across handle-interleaved publishes is the same delta
+    assert(diffSet(h2.snapshotDiff(1L, 3L)) ==
+      c.drop(8).map(x => (x.repo, x.path, "insert")).toSet +
+        ((victim.repo, victim.path, "delete")))
   }
 
   test("vacuum reclaims segment dirs unreachable from any retained snapshot") {
