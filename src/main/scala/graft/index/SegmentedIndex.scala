@@ -799,6 +799,60 @@ class SegmentedIndex(
   }
 
   /**
+   * Snapshot-log integrity scan (the xapian-check role for the
+   * versioned layer): every RETAINED snapshot must parse, all of its
+   * segment and delete-frame dirs must exist on disk ([[vacuum]]
+   * never removes dirs a retained snapshot references, so a missing
+   * one is real corruption or a manual deletion), the newest snapshot
+   * body must equal the current manifest (they are written from the
+   * same bytes at publish), and each manifest segment's recorded doc
+   * count must match its docs table. Returns issue strings; empty =
+   * clean.
+   */
+  def verifySnapshotLog(): Seq[String] = synchronized {
+    val snapIssues = snapshots().flatMap { v =>
+      val body =
+        try Right(snapshotBody(v))
+        catch { case e: Exception => Left(s"snapshot v$v: unreadable: ${e.getMessage}") }
+      body match {
+        case Left(issue) => Seq(issue)
+        case Right(b) =>
+          val parsed =
+            try Right((parseSegments(b)._1, parseFrameDeletesBody(b)))
+            catch { case e: Exception =>
+              Left(s"snapshot v$v: corrupt body: ${e.getMessage}") }
+          parsed match {
+            case Left(issue) => Seq(issue)
+            case Right((segs, frames)) =>
+              segs.filterNot(s => Files.exists(Paths.get(s.dir))).map(s =>
+                s"snapshot v$v: segment ${s.dir} missing on disk") ++
+              frames.filterNot(f => Files.exists(Paths.get(f.dir))).map(f =>
+                s"snapshot v$v: delete frame ${f.dir} missing on disk")
+          }
+      }
+    }
+    val headIssue = snapshots().lastOption.toSeq.flatMap { v =>
+      val manifestBody =
+        if (!Files.exists(manifest)) ""
+        else new String(Files.readAllBytes(manifest), "UTF-8")
+      if (snapshotBody(v) == manifestBody) Seq.empty
+      else Seq(s"snapshot v$v (newest) differs from the current manifest " +
+        "— the atomic publish contract was violated")
+    }
+    val countIssues = listSegments()._1.flatMap { s =>
+      if (!Files.exists(Paths.get(s.dir))) {
+        Some(s"manifest: segment ${s.dir} missing on disk")
+      } else {
+        val n = spark.read.parquet(s"${s.dir}/docs").count()
+        if (n == s.nDocs) None
+        else Some(s"manifest: ${s.dir} records ${s.nDocs} doc(s), " +
+          s"docs table has $n")
+      }
+    }
+    snapIssues ++ headIssue ++ countIssues
+  }
+
+  /**
    * Reclaim storage: delete every data directory under `baseDir`
    * referenced by NEITHER the current manifest NOR any retained
    * snapshot — the Iceberg expire_snapshots/remove_orphan_files

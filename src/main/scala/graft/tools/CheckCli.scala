@@ -9,13 +9,35 @@ import org.apache.spark.sql.SparkSession
  * [[graft.index.IndexCheck]]). Exit code 1 on any violation.
  *
  *   spark-submit --class graft.tools.CheckCli <jar> <indexDir> [--max=100]
+ *
+ * A SEGMENTED base dir (it has a `segments.txt` manifest) checks
+ * every manifest segment's cross-table invariants PLUS the snapshot
+ * log (every retained snapshot parses and its dirs exist, the newest
+ * snapshot equals the current manifest, recorded doc counts match
+ * the docs tables — see SegmentedIndex.verifySnapshotLog).
  */
 object CheckCli {
   def run(spark: SparkSession, indexDir: String, max: Int = 100): Seq[String] = {
-    val idx = IndexReader.open(spark, indexDir)
-    val vs = IndexCheck.check(idx, max)
-    if (vs.isEmpty) Seq(s"$indexDir: ok (blocks, dict, doclens, stats)")
-    else vs.map(v => s"${v.kind}: ${v.detail}")
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/segments.txt"))) {
+      val seg = new graft.index.SegmentedIndex(spark, indexDir)
+      val (segs, _) = seg.listSegments()
+      require(segs.nonEmpty, s"$indexDir has no segments")
+      val perSeg = segs.flatMap { s =>
+        IndexCheck.check(IndexReader.open(spark, s.dir), max)
+          .map(v => s"${s.dir}: ${v.kind}: ${v.detail}")
+      }
+      val log = seg.verifySnapshotLog()
+      if (perSeg.isEmpty && log.isEmpty)
+        Seq(s"$indexDir: ok (${segs.size} segment(s); blocks, dict, " +
+          s"doclens, stats; snapshot log ${seg.snapshots().size} revision(s))")
+      else perSeg ++ log
+    } else {
+      val idx = IndexReader.open(spark, indexDir)
+      val vs = IndexCheck.check(idx, max)
+      if (vs.isEmpty) Seq(s"$indexDir: ok (blocks, dict, doclens, stats)")
+      else vs.map(v => s"${v.kind}: ${v.detail}")
+    }
   }
 
   def main(argv: Array[String]): Unit = {
@@ -31,7 +53,7 @@ object CheckCli {
     try {
       val out = run(spark, pos(0), max)
       out.foreach(println)
-      if (!out.headOption.exists(_.endsWith("ok (blocks, dict, doclens, stats)")))
+      if (!out.headOption.exists(_.contains(": ok (")))
         sys.exit(1)
     } finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
   }

@@ -165,6 +165,30 @@ class ToolsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("segmented"), ex.getMessage)
   }
 
+  test("CheckCli on a segmented dir: per-segment invariants + snapshot-log integrity") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-checkseg").toString
+    val base = s"$work/seg"
+    val all = CorpusGen.generate(seed = 64, nRepos = 2, filesPerRepo = 8)
+    val seg = new graft.index.SegmentedIndex(spark, base,
+      stemMode = "none", nBuckets = 2, stripeShift = 5, buildPartitions = 2)
+    seg.append(spark.createDataset(all.take(8)))     // v1
+    seg.append(spark.createDataset(all.drop(8)))     // v2
+    seg.compactMerged()                              // v3
+    val ok = CheckCli.run(spark, base)
+    assert(ok.head.contains(": ok (1 segment(s)") &&
+      ok.head.contains("snapshot log 3 revision(s)"), ok)
+    // tamper: remove a segment dir a RETAINED snapshot references
+    // (v1/v2 still point at seg-00000 — vacuum would never do this)
+    val victim = java.nio.file.Paths.get(s"$base/seg-00000")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(victim).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val bad = CheckCli.run(spark, base)
+    assert(bad.exists(l => l.contains("seg-00000") && l.contains("missing")),
+      bad)
+  }
+
   test("DeltaCli extracts a snapshot delta and lands it as parquet") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-deltacli").toString
