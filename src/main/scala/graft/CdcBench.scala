@@ -1,0 +1,62 @@
+package graft
+
+import graft.fixtures.CorpusGen
+import graft.index.SegmentedIndex
+import org.apache.spark.sql.SparkSession
+
+/**
+ * CDC microbench: evidences snapshotDiff's scale claim with numbers.
+ * For each base-corpus size B, build a segmented index with one
+ * B-doc segment (v1), append a FIXED 1k-doc delta (v2), then time
+ *
+ *   (a) the pure-append incremental diff v1→v2 — reads the new
+ *       segment only, so its cost should be ~flat in B;
+ *   (b) the same logical delta across a compaction boundary
+ *       (v1→v3, where v3 = compactMerged) — the general path's two
+ *       live-set scans + anti-joins, expected to grow with B.
+ *
+ * The compaction itself is not timed (it is maintenance, not read).
+ * One JSON line per base size on stdout.
+ */
+object CdcBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // (nRepos, filesPerRepo) → base corpus size; delta fixed at 1k
+    val bases = Seq((5, 2000), (25, 2000), (50, 2000))
+    val delta = CorpusGen.generate(seed = 99, nRepos = 1, filesPerRepo = 1000)
+
+    bases.foreach { case (nr, fpr) =>
+      val base = CorpusGen.generate(seed = 7, nRepos = nr, filesPerRepo = fpr)
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdcbench").toString
+      val seg = new SegmentedIndex(spark, dir, stemMode = "none",
+        stripeShift = 8, buildPartitions = cpus.toInt)
+      seg.append(spark.createDataset(base))    // v1
+      seg.append(spark.createDataset(delta))   // v2
+      def timed(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm the JVM/codegen once per level on the cheap path
+      seg.snapshotDiff(1L, 2L).count()
+      val (incSec, incRows) = timed(seg.snapshotDiff(1L, 2L).count())
+      seg.compactMerged()                      // v3 (not timed)
+      val (genSec, genRows) = timed(seg.snapshotDiff(1L, 3L).count())
+      require(incRows == genRows,
+        s"same logical delta expected: $incRows vs $genRows")
+      println(f"""{"metric":"cdc_bench","base_docs":${base.size},""" +
+        f""""delta_docs":${delta.size},"delta_rows":$incRows,""" +
+        f""""incremental_sec":$incSec%.3f,"general_sec":$genSec%.3f,""" +
+        f""""speedup":${genSec / incSec}%.1f}""")
+    }
+    spark.stop()
+  }
+}
