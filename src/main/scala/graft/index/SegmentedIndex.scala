@@ -610,6 +610,19 @@ class SegmentedIndex(
     }
   }
 
+  /** Age-based expiry (the Iceberg expire_snapshots(older_than)
+    * shape): drop snapshot files whose publish mtime is before
+    * `cutoffMillis` — except the newest snapshot, which always stays
+    * (the current state must remain time-travelable). Data files are
+    * untouched; run [[vacuum]] after to reclaim them. */
+  def expireSnapshotsOlderThan(cutoffMillis: Long): Unit = synchronized {
+    snapshots().dropRight(1).foreach { v =>
+      val p = snapshotsDir.resolve(f"v$v%06d.txt")
+      if (Files.getLastModifiedTime(p).toMillis < cutoffMillis)
+        Files.deleteIfExists(p)
+    }
+  }
+
   /** Live natural-key set as one snapshot body sees it: one row per
     * visible doc — (docId, repo, path, commit, sha256), tombstones
     * applied. sha256 rides along so a replace (same key, new

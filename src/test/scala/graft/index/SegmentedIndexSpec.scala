@@ -573,6 +573,28 @@ class SegmentedIndexSpec extends AnyFunSuite {
       extra.map(x => (x.repo, x.path, "insert")).toSet)
   }
 
+  test("expireSnapshotsOlderThan drops aged snapshots but never the newest") {
+    import spark.implicits._
+    val baseDir = Files.createTempDirectory("graft-snapage").toString
+    val seg = new SegmentedIndex(spark, baseDir, stemMode = "none",
+      stripeShift = 5, buildPartitions = 2)
+    val c = CorpusGen.generate(seed = 49, nRepos = 1, filesPerRepo = 9)
+    seg.append(spark.createDataset(c.take(3)))   // v1
+    seg.append(spark.createDataset(c.slice(3, 6))) // v2
+    seg.append(spark.createDataset(c.drop(6)))   // v3
+    // age v1 artificially; v2 stays young
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 86400000L)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$baseDir/snapshots/v000001.txt"), old)
+    seg.expireSnapshotsOlderThan(System.currentTimeMillis() - 3600000L)
+    assert(seg.snapshots() == Seq(2L, 3L))
+    // even with a cutoff in the future, the newest snapshot survives
+    seg.expireSnapshotsOlderThan(System.currentTimeMillis() + 3600000L)
+    assert(seg.snapshots() == Seq(3L))
+    assert(seg.readerAsOf(3L).stats.n == 9L)
+  }
+
   test("snapshot log: two handles on one baseDir publish sequential readable revisions") {
     import spark.implicits._
     val baseDir = Files.createTempDirectory("graft-snap2h").toString
