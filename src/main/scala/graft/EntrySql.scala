@@ -1154,6 +1154,101 @@ t AS (SELECT c.vec_id,
 d AS (SELECT vec_id, sum(e * e) AS d2 FROM t GROUP BY vec_id)
 SELECT vec_id, round(d2, 6) AS d2 FROM d ORDER BY round(d2, 6), vec_id LIMIT $k"""
 
+  /** Per-stratum quota cap oracle (SampleOps.quotaCap): the window
+    * formulation of the same md5-hash-order selection — the engine's
+    * partial top-k aggregate must reproduce it bit-exactly. */
+  def quotaSql(cap: Int): String =
+    s"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('s0' || doc_id), doc_id) AS rn
+  FROM documents) WHERE rn <= $cap ORDER BY doc_id"""
+
+  /** Batch-ANN oracle (AnnOps.batchTopK, excludeSelf): per-query
+    * exact cosine ranking over the shared vector explosion —
+    * queries are vec_id < `nq`, self-hits dropped, 6-rounded cosine
+    * before the rank cut, ties on vec_id. */
+  def annBatchSql(nq: Int, k: Int): String =
+    s"""WITH f AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, i FROM f WHERE vec_id < $nq),
+qn AS (SELECT qid, sqrt(sum(qv * qv)) AS nq FROM q GROUP BY qid),
+d AS (SELECT q.qid, f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+      FROM f JOIN q USING(i) GROUP BY q.qid, f.vec_id),
+r AS (SELECT d.qid, d.vec_id, round(dot / (nv * qn.nq), 6) AS cosine,
+             row_number() OVER (PARTITION BY d.qid
+               ORDER BY round(dot / (nv * qn.nq), 6) DESC, d.vec_id) AS rn
+      FROM d JOIN qn USING(qid) WHERE d.vec_id <> d.qid)
+SELECT qid AS query_id, rn::INT AS rank, vec_id, cosine
+FROM r WHERE rn <= $k ORDER BY query_id, rank"""
+
+  /** Shared PCA-training CTE chain (PcaOps.covariance +
+    * powerComponents): 6-rounded covariance from the vector
+    * explosion, then per component `iters` unrolled power-iteration
+    * steps (9-rounded matvec → 9-rounded norm → 9-rounded divide),
+    * eigenvalue λ = round₉(v·Cv) and 6-rounded deflation — the
+    * identical arithmetic the driver runs. Every multiply-referenced
+    * CTE is MATERIALIZED (DuckDB inlines plain CTEs; an unrolled
+    * chain would re-expand exponentially). Ends with
+    * `comps(component, i, x, l)`. */
+  private def pcaCtes(dim: Int, r: Int, iters: Int): String = {
+    val chains = (0 until r).map { c =>
+      val iterCtes = (1 to iters).map { t =>
+        s""",
+w${c}_$t AS MATERIALIZED (SELECT cv.i AS i, round(sum(cv.c * v.x), 9) AS x
+  FROM cov$c cv JOIN v${c}_${t - 1} v ON v.i = cv.j GROUP BY cv.i),
+v${c}_$t AS MATERIALIZED (SELECT i,
+  round(x / (SELECT round(sqrt(sum(x * x)), 9) FROM w${c}_$t), 9) AS x
+  FROM w${c}_$t)"""
+      }.mkString
+      val fin = s"v${c}_$iters"
+      s""",
+v${c}_0 AS MATERIALIZED (SELECT i, round(1 / sqrt($dim.0), 9) AS x FROM range($dim) t(i))$iterCtes,
+mv$c AS MATERIALIZED (SELECT cv.i AS i, round(sum(cv.c * v.x), 9) AS x
+  FROM cov$c cv JOIN $fin v ON v.i = cv.j GROUP BY cv.i),
+lam$c AS MATERIALIZED (SELECT round(sum(v.x * mv.x), 9) AS l
+  FROM $fin v JOIN mv$c mv USING(i)),
+cov${c + 1} AS MATERIALIZED (SELECT cv.i, cv.j,
+  round(cv.c - lam.l * va.x * vb.x, 6) AS c
+  FROM cov$c cv CROSS JOIN lam$c lam
+  JOIN $fin va ON va.i = cv.i JOIN $fin vb ON vb.i = cv.j)"""
+    }.mkString
+    val union = (0 until r).map(c =>
+      s"SELECT $c AS component, i, x, (SELECT l FROM lam$c) AS l FROM v${c}_$iters")
+      .mkString(" UNION ALL ")
+    s"""WITH f AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+nn AS MATERIALIZED (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM f),
+mu AS MATERIALIZED (SELECT i, round(sum(v) / (SELECT n FROM nn), 6) AS m FROM f GROUP BY i),
+p AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+  FROM f a JOIN f b USING(vec_id) GROUP BY a.i, b.i),
+cov0 AS MATERIALIZED (SELECT p.i, p.j,
+  round(p.s / (SELECT n FROM nn) - ma.m * mb.m, 6) AS c
+  FROM p JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j)$chains,
+comps AS MATERIALIZED ($union)"""
+  }
+
+  /** PCA training oracle: the trained component matrix itself. */
+  def pcaTrainSql(dim: Int, r: Int, iters: Int): String =
+    pcaCtes(dim, r, iters) + """
+SELECT component::INT AS component, i::INT AS i, x AS value, l AS eigenvalue
+FROM comps ORDER BY component, i"""
+
+  /** PCA projected-search oracle: center, project onto the trained
+    * components (6-rounded), exact cosine top-k in the r-dim space
+    * against the projected vec_id-0 query. */
+  def pcaSearchSql(dim: Int, r: Int, iters: Int, k: Int): String =
+    pcaCtes(dim, r, iters) + s""",
+proj AS MATERIALIZED (SELECT f.vec_id, c.component,
+  round(sum(c.x * (f.v - mu.m)), 6) AS y
+  FROM f JOIN mu USING(i) JOIN comps c ON c.i = f.i
+  GROUP BY f.vec_id, c.component),
+qp AS MATERIALIZED (SELECT component, y AS qy FROM proj WHERE vec_id = 0),
+qnorm AS (SELECT sqrt(sum(qy * qy)) AS n FROM qp),
+dn AS (SELECT vec_id, sum(y * qy) AS dot, sqrt(sum(y * y)) AS nv
+  FROM proj JOIN qp USING(component) WHERE vec_id <> 0 GROUP BY vec_id)
+SELECT vec_id, round(dot / (nv * (SELECT n FROM qnorm)), 6) AS cosine
+FROM dn ORDER BY round(dot / (nv * (SELECT n FROM qnorm)), 6) DESC, vec_id
+LIMIT $k"""
+
   /** get_matching_terms oracle: the BM25-OR top-k page, then every
     * (doc, query-term) pair with a posting in that doc — `tf` is
     * already the term-pruned posting set of the query. */

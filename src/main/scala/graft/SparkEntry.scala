@@ -568,6 +568,39 @@ object SparkEntry {
         excludeId = Some(0L))),
     "ann_ivf" -> ((s, d) =>
       AnnOps.ivfAssign(embeddings(s, d), centroids(s, d, 8)).orderBy("vec_id")),
+    // batch ANN (hard-negative mining / eval-sweep shape): 4 query
+    // vectors answered in ONE corpus pass, per-query exact top-5
+    // through the bounded top-k partial aggregate — shuffle is
+    // parts × batch × k rows whatever the corpus size
+    "ann_batch" -> ((s, d) =>
+      AnnOps.batchTopK(embeddings(s, d),
+        centroids(s, d, 4).map { case (i, v) => (i.toLong, v) }, k = 5,
+        excludeSelf = true)
+        .orderBy("query_id", "rank")),
+    // distributed PCA (FAISS PCAMatrix role): covariance in ONE
+    // map-side-combined pass, components via deterministic power
+    // iteration + deflation — the oracle unrolls the identical
+    // matvec/normalize/deflate steps as CTEs (the kmeans/BPE/LR
+    // engine-reproducibility contract applied to eigendecomposition)
+    "ann_pca" -> ((s, d) => {
+      import s.implicits._
+      val (_, cov) = graft.pipeline.PcaOps.covariance(embeddings(s, d), 64)
+      graft.pipeline.PcaOps.powerComponents(cov, r = 3, iters = 8)
+        .flatMap { case (c, v, l) =>
+          v.zipWithIndex.map { case (x, i) => (c, i, x, l) } }
+        .toDF("component", "i", "value", "eigenvalue")
+        .orderBy("component", "i")
+    }),
+    // reduced-dimension search path: project to r=3 dims (r literal
+    // dot products per row, fused into the scan), exact cosine top-k
+    // in the projected space
+    "ann_pca_search" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (mu, cov) = graft.pipeline.PcaOps.covariance(emb, 64)
+      val comps = graft.pipeline.PcaOps.powerComponents(cov, r = 3, iters = 8)
+      graft.pipeline.PcaOps.pcaSearch(emb, mu, comps, queryVec(s, d), 10,
+        excludeId = Some(0L))
+    }),
     // Distributed Lloyd k-means IVF training: md5-hash-sampled seeds,
     // each round ONE distributed assign+mean pass (only k×dim rounded
     // means reach the driver); output = assignment against the
@@ -786,6 +819,16 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // RefinedWeb-role per-source quota cap: at most 10 docs per
+    // source, selected in md5-hash order through a REAL partial
+    // top-k aggregate — the shuffle carries parts × strata × cap
+    // rows, never the monster stratum (a window formulation would
+    // sort every row of it into one partition)
+    "dp_quota" -> ((s, d) =>
+      graft.pipeline.SampleOps.quotaCap(documents(s, d),
+        col("doc_id"), col("source"), cap = 10)
+        .select(col("key").as("doc_id"), col("stratum").as("source"))
+        .orderBy("doc_id")),
     "ta_langid" -> ((s, d) =>
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
     "ta_repetition" -> ((s, d) =>
@@ -913,6 +956,9 @@ object SparkEntry {
     "dd_suffix" -> EntrySql.exactSubstringDupSql(),
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
+    "ann_batch" -> EntrySql.annBatchSql(nq = 4, k = 5),
+    "ann_pca" -> EntrySql.pcaTrainSql(dim = 64, r = 3, iters = 8),
+    "ann_pca_search" -> EntrySql.pcaSearchSql(dim = 64, r = 3, iters = 8, k = 10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
@@ -952,6 +998,7 @@ ORDER BY doc_id, change""",
     "dp_pack" -> EntrySql.packSql(40, 30, 512, 8),
     "dp_sample" -> EntrySql.sampleSql(0.25),
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
+    "dp_quota" -> EntrySql.quotaSql(10),
     "ta_langid" -> EntrySql.langIdSql,
     "ta_repetition" -> EntrySql.repetitionSql,
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),

@@ -291,4 +291,65 @@ object AnnOps {
         .where(col("centroid_id").isin(probeIds: _*)),
       query, k)
   }
+
+  /** Batch ANN: exact cosine top-k for a whole BATCH of query vectors
+    * in ONE distributed job — the embedding twin of
+    * [[graft.matcher.BatchMatcher]] (hard-negative mining, eval-set
+    * sweeps, query-log replay). A per-query loop pays a full corpus
+    * scan per query; this pays ONE scan for the batch: every corpus
+    * row scores all queries in a single codegen'd projection (the
+    * query batch is a literal — broadcast by value, no join), and the
+    * per-query reduction is [[TopKAgg.topKByScore]], a REAL partial
+    * aggregate — each map task forwards at most k candidates per
+    * query, so the shuffle is parts × |batch| × k rows whatever the
+    * corpus size (the window-rank formulation would shuffle
+    * |batch| × N scored rows). Cosines round to 6 decimals BEFORE the
+    * cut (the portability contract of [[bruteForceTopK]]); ties break
+    * on vec_id ascending.
+    *
+    * `excludeSelf` drops vec_id == query_id pairs (the mining shape:
+    * queries drawn from the corpus shouldn't retrieve themselves).
+    * Output: (query_id, rank, vec_id, cosine), rank 1-based per
+    * query. */
+  def batchTopK(vecs: DataFrame, queries: Seq[(Long, Seq[Float])], k: Int,
+                excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perQuery = queries.map { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      struct(lit(qid).as("query_id"),
+        round(dotLit(col("embedding"), q) / (norm(col("embedding")) * lit(qn)), 6)
+          .as("cosine"))
+    }
+    val scored = vecs
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qc"))
+    val base =
+      if (excludeSelf) scored.where(col("qc.query_id") =!= col("vec_id"))
+      else scored
+    base
+      .groupBy(col("qc.query_id").as("query_id"))
+      .agg(TopKAgg.topKByScore(k)(col("qc.cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("cosine"))
+  }
+
+  /** [[batchTopK]] with the batch read from a DataFrame of
+    * (query_id, embedding) rows. The batch is collected to the driver
+    * — deliberately, like [[graft.matcher.BatchMatcher]]'s
+    * distinct-term vocabulary: a query batch is small by contract —
+    * and `maxBatch` makes a corpus-sized misuse fail loudly instead
+    * of OOMing the driver. */
+  def batchTopKFrame(vecs: DataFrame, queryDf: DataFrame, k: Int,
+                     excludeSelf: Boolean = false,
+                     maxBatch: Int = 4096): DataFrame = {
+    val rows = queryDf.select(col("query_id").cast("long"), col("embedding"))
+      .limit(maxBatch + 1).collect()
+    require(rows.length <= maxBatch,
+      s"query batch exceeds maxBatch=$maxBatch — batchTopK is a " +
+        "page-scale op; shard the batch or raise the gate explicitly")
+    batchTopK(vecs,
+      rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)), k,
+      excludeSelf)
+  }
 }

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed PCA for the embedding pipeline: the dimension-reduction
+ * tier that precedes ANN at corpus scale (FAISS `PCAMatrix` role —
+ * project 64-dim vectors to r dims before indexing/search, or rotate
+ * before PQ a la OPQ's PCA initialization).
+ *
+ * Training is the [[AnnOps.kmeansTrain]] engine-reproducibility
+ * contract applied to eigendecomposition:
+ *
+ *   - The covariance matrix comes from ONE distributed
+ *     explode+groupBy pass (map-side combined: the shuffle carries
+ *     parts × (d(d+1)/2 + d + 1) partial sums, never corpus rows),
+ *     entries rounded to 6 decimals — only d² doubles reach the
+ *     driver, the corpus is never collected.
+ *   - Components come from deterministic POWER ITERATION with
+ *     deflation on the driver's d×d matrix — chosen over a black-box
+ *     eigensolver because every step is elementary arithmetic
+ *     (matvec, norm, divide) that an independent SQL engine replays
+ *     bit-exactly as unrolled CTEs, the same way the oracle replays
+ *     Lloyd rounds and BPE merges. Every intermediate rounds to 9
+ *     decimals (products of 9-rounded values summed over d terms are
+ *     stable to ~1e-15, so both engines land on the same digit).
+ *   - Projection/search then run distributed: r literal dot products
+ *     per row fused into the scan (codegen, no join, no shuffle),
+ *     top-k via TakeOrderedAndProject.
+ *
+ * Fixed iteration count, NOT a convergence test: reproducibility
+ * needs both engines to run the identical step sequence; with a weak
+ * eigengap the vectors are equally-partially-converged in both
+ * engines, which is exactly what the oracle checks. Convergence
+ * QUALITY (residual ‖Cv−λv‖, variance ordering) is asserted
+ * separately in PipelineSpec on planted anisotropic data.
+ */
+object PcaOps {
+
+  private def rnd(x: Double, d: Int): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mean vector and covariance matrix of the embedding column, both
+    * rounded to 6 decimals (the engine-portability precision shared
+    * with kmeans means). ONE pass: each row explodes to its
+    * upper-triangle products (i, j, vᵢvⱼ), its raw values (i, −1, vᵢ)
+    * and a count sentinel (−1, −1, 1); groupBy(i, j).sum is partially
+    * aggregated map-side, so the shuffle is bounded by partitions ×
+    * (d(d+1)/2 + d + 1) rows at any corpus size. */
+  def covariance(vecs: DataFrame, dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val emb = col("embedding")
+    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(emb, i + 1).cast("double") *
+            element_at(emb, j + 1).cast("double")).as("x")))))
+    val sums = transform(sequence(lit(0), lit(dim - 1)), i =>
+      struct(i.as("i"), lit(-1).as("j"),
+        element_at(emb, i + 1).cast("double").as("x")))
+    val cnt = array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1.0).as("x")))
+    val agg = vecs
+      .select(explode(concat(prods, sums, cnt)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.x")).as("s"))
+      .collect()
+    val n = agg.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+      .map(_.getDouble(2)).getOrElse(0.0)
+    require(n > 0, "covariance over an empty corpus")
+    val mu = new Array[Double](dim)
+    agg.filter(r => r.getInt(1) == -1 && r.getInt(0) >= 0)
+      .foreach(r => mu(r.getInt(0)) = rnd(r.getDouble(2) / n, 6))
+    val cov = Array.ofDim[Double](dim, dim)
+    agg.filter(r => r.getInt(0) >= 0 && r.getInt(1) >= 0).foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val c = rnd(r.getDouble(2) / n - mu(i) * mu(j), 6)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    (mu, cov)
+  }
+
+  /** Top-`r` principal components by power iteration with deflation.
+    * Components come out in DEFLATION order, which equals eigenvalue
+    * order only once `iters` suffices for the spectrum's gaps — true
+    * on real embedding corpora (anisotropic by nature), but on
+    * near-isotropic data (e.g. uniform synthetic vectors) adjacent
+    * eigenvalue estimates can swap; both engines swap IDENTICALLY,
+    * which is what the oracle verifies.
+    * Per component: start from the uniform unit vector, run `iters`
+    * steps of w = round₉(Cv); v = round₉(w / round₉(‖w‖)); then
+    * λ = round₉(v·round₉(Cv)) and deflate C ← round₆(C − λ vvᵀ).
+    * Returns (component index, unit vector, eigenvalue estimate);
+    * all values carry the rounding they were produced with, so the
+    * SQL unroll of the same steps reproduces them digit-exactly. */
+  def powerComponents(cov: Array[Array[Double]], r: Int, iters: Int)
+      : Seq[(Int, Array[Double], Double)] = {
+    val dim = cov.length
+    require(r >= 1 && r <= dim, s"r must be in [1, $dim], got $r")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val c = cov.map(_.clone())
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += c(i)(j) * v(j); j += 1 }
+        rnd(s, 9)
+      }
+    (0 until r).map { comp =>
+      var v = Array.fill(dim)(rnd(1.0 / math.sqrt(dim.toDouble), 9))
+      for (_ <- 0 until iters) {
+        val w = matvec(v)
+        val nrm = rnd(math.sqrt(w.map(x => x * x).sum), 9)
+        require(nrm > 0, s"power iteration collapsed on component $comp")
+        v = w.map(x => rnd(x / nrm, 9))
+      }
+      val mv = matvec(v)
+      val lambda = rnd(v.zip(mv).map { case (a, b) => a * b }.sum, 9)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) = rnd(c(i)(j) - lambda * v(i) * v(j), 6); j += 1 }
+        i += 1
+      }
+      (comp, v, lambda)
+    }
+  }
+
+  /** Project the embedding column onto the trained components:
+    * yᶜ = round₆(Σᵢ compᶜᵢ (vᵢ − μᵢ)) — r literal dot products per
+    * row, fused into the scan (no join, no shuffle). Output
+    * (vec_id, proj: array<double>). */
+  def project(vecs: DataFrame, mu: Array[Double],
+              comps: Seq[(Int, Array[Double], Double)]): DataFrame = {
+    val emb = col("embedding")
+    val proj = array(comps.map { case (_, w, _) =>
+      val terms = w.indices.map(i =>
+        lit(w(i)) * (element_at(emb, i + 1).cast("double") - lit(mu(i))))
+      round(terms.reduce(_ + _), 6)
+    }: _*)
+    vecs.select(col("vec_id"), proj.as("proj"))
+  }
+
+  /** Driver-side projection of one query vector — IDENTICAL
+    * arithmetic and rounding to [[project]]'s per-row expression. */
+  def projectQuery(q: Seq[Float], mu: Array[Double],
+                   comps: Seq[(Int, Array[Double], Double)]): Array[Double] =
+    comps.map { case (_, w, _) =>
+      rnd(w.indices.map(i => w(i) * (q(i).toDouble - mu(i))).sum, 6)
+    }.toArray
+
+  /** Exact cosine top-k in the PROJECTED space: the reduced-dimension
+    * search path (r multiply-adds per row instead of d). Rounds to 6
+    * before the cut, ties on vec_id — the [[AnnOps.bruteForceTopK]]
+    * contract in r dimensions. */
+  def pcaSearch(vecs: DataFrame, mu: Array[Double],
+                comps: Seq[(Int, Array[Double], Double)],
+                query: Seq[Float], k: Int,
+                excludeId: Option[Long] = None): DataFrame = {
+    val qp = projectQuery(query, mu, comps)
+    val qn = math.sqrt(qp.map(x => x * x).sum)
+    val projected = project(vecs, mu, comps)
+    val dot = aggregate(
+      zip_with(col("proj"), typedLit(qp.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nv = sqrt(aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x))
+    val scored = projected.select(col("vec_id"),
+      round(dot / (nv * lit(qn)), 6).as("cosine"))
+    val base = excludeId.map(id => scored.where(col("vec_id") =!= id))
+      .getOrElse(scored)
+    base.orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
+  }
+}

@@ -40,6 +40,38 @@ object SampleOps {
              seed: String = "s0"): DataFrame =
     df.filter(hashKey(key, seed) < lit(thresholdHex(rate)))
 
+  /** Per-stratum quota cap: keep AT MOST `cap` rows per stratum
+    * (domain, source, license bucket …), selected in md5-hash order —
+    * the RefinedWeb/CCNet per-domain cap that stops one giant site
+    * from dominating a training mix. Where [[sample]] keeps a RATE
+    * (a monster domain still dwarfs the rest), this keeps a COUNT.
+    *
+    * Selection is deterministic and layout-independent like every op
+    * here: the survivors are the `cap` keys with the smallest
+    * md5(seed ‖ key) (ties on key), regardless of partitioning — a
+    * resumed or re-sharded job keeps the identical rows, and any
+    * engine's `row_number() OVER (PARTITION BY stratum ORDER BY
+    * md5 ..., key) <= cap` reproduces the set, which is how the
+    * driver gate value-checks it.
+    *
+    * Scale shape: ONE shuffle keyed by stratum with map-side partial
+    * top-cap ([[TopKAgg.keepKByKey]]) — each map task forwards at
+    * most `cap` rows per stratum it saw, so a billion-page domain
+    * ships parts × cap rows through the shuffle, not a billion (the
+    * window formulation would shuffle AND sort every row of the
+    * monster stratum into one partition). Returns (stratum, key)
+    * survivors; semi-join on key to recover full rows.
+    */
+  def quotaCap(df: DataFrame, key: Column, stratum: Column, cap: Int,
+               seed: String = "s0"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    df.groupBy(stratum.as("stratum"))
+      .agg(TopKAgg.keepKByKey(cap)(
+        md5(concat(lit(seed), key.cast("string"))),
+        key.cast("long")).as("kept"))
+      .select(col("stratum"), explode(col("kept.id")).as("key"))
+  }
+
   /** Stratified data mixing: per-stratum keep-rates (e.g. language or
     * source → rate), `default` for unmapped strata — the mixture-
     * weights pass that rebalances a corpus before training. */

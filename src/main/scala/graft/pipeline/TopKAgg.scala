@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Bounded top-k as a REAL aggregate (reference analog: the matcher's
+ * protocol of keeping only the current best-k candidates per query —
+ * xapian-core/matcher/matcher.cc's proto-MSet — applied to grouped
+ * Spark aggregation).
+ *
+ * Why an Aggregator and not a window: `row_number() OVER (PARTITION
+ * BY g ORDER BY s)` must shuffle EVERY input row into its group's
+ * partition and sort it before the `rn <= k` cut — at 100 TB a
+ * per-group top-k over N corpus rows ships N rows. A typed
+ * Aggregator lifted with `functions.udaf` participates in partial
+ * aggregation (ObjectHashAggregate partial → shuffle → merge), so
+ * each map task emits AT MOST k rows per group it saw: the shuffle is
+ * bounded by parts × groups × k regardless of corpus size — the
+ * map-side-combine shape `groupBy().sum` gets for free, extended to
+ * top-k, which no built-in aggregate expresses (`max_by` is k=1;
+ * `collect_list`+`slice` ships the UNBOUNDED list through the
+ * shuffle).
+ *
+ * Determinism contract: callers pass scores ALREADY rounded to their
+ * portability precision (6 decimals for cosines, 4 for BM25 — the
+ * same round-before-cut rule as every matcher page), ties break on
+ * id ascending, so an independent engine's `row_number` window over
+ * the same rounded scores reproduces the result bit-exactly — these
+ * aggregates are value-oracled through the driver gate like every
+ * other operator.
+ *
+ * Buffers stay unsorted and trim to k lazily at 4k entries, so
+ * per-row reduce cost is O(1) amortized with an O(k log k) sort every
+ * 3k inserts; merge concatenates and trims.
+ */
+object TopKAgg {
+
+  /** (score, id) rows → the k highest scores, ties to the lower id.
+    * Output: array of (score, id) structs sorted score desc, id asc. */
+  final case class Scored(score: Double, id: Long)
+
+  private def trim[T](buf: Seq[T], k: Int)(implicit ord: Ordering[T]): Seq[T] =
+    if (buf.length <= k) buf else buf.sorted(ord).take(k)
+
+  private class TopKByScore(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private implicit val ord: Ordering[Scored] =
+      Ordering.by((r: Scored) => (-r.score, r.id))
+    def zero: Seq[Scored] = Vector.empty
+    def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
+      val nb = b :+ a
+      if (nb.length >= 4 * k) trim(nb, k) else nb
+    }
+    def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = trim(a ++ b, k)
+    def finish(b: Seq[Scored]): Seq[Scored] = trim(b, k).sorted(ord)
+    def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+    def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+  }
+
+  /** (rank_key, id) rows → the k LOWEST keys (lexicographic), ties to
+    * the lower id — the hash-order "first k of the stratum" selector.
+    * Output: array of (rank_key, id) structs sorted key asc, id asc. */
+  final case class Keyed(rank_key: String, id: Long)
+
+  private class KeepKByKey(k: Int)
+      extends Aggregator[Keyed, Seq[Keyed], Seq[Keyed]] {
+    private implicit val ord: Ordering[Keyed] =
+      Ordering.by((r: Keyed) => (r.rank_key, r.id))
+    def zero: Seq[Keyed] = Vector.empty
+    def reduce(b: Seq[Keyed], a: Keyed): Seq[Keyed] = {
+      val nb = b :+ a
+      if (nb.length >= 4 * k) trim(nb, k) else nb
+    }
+    def merge(a: Seq[Keyed], b: Seq[Keyed]): Seq[Keyed] = trim(a ++ b, k)
+    def finish(b: Seq[Keyed]): Seq[Keyed] = trim(b, k).sorted(ord)
+    def bufferEncoder: Encoder[Seq[Keyed]] = ExpressionEncoder[Seq[Keyed]]()
+    def outputEncoder: Encoder[Seq[Keyed]] = bufferEncoder
+  }
+
+  /** Lifted UDAF: `topKByScore(k)(scoreCol, idCol)` in any groupBy. */
+  def topKByScore(k: Int): UserDefinedFunction = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    udaf(new TopKByScore(k), Encoders.product[Scored])
+  }
+
+  /** Lifted UDAF: `keepKByKey(k)(rankKeyCol, idCol)` in any groupBy. */
+  def keepKByKey(k: Int): UserDefinedFunction = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    udaf(new KeepKByKey(k), Encoders.product[Keyed])
+  }
+}

@@ -1277,4 +1277,148 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("top-N list"))
   }
+
+  // ---------- per-stratum quota cap ----------
+
+  test("quotaCap: window-identical selection, cap respected, layout-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val d = (1L to 300L).map(i => (i, s"src${rnd.nextInt(5)}"))
+      .toDF("doc_id", "source")
+    val got = SampleOps.quotaCap(d, col("doc_id"), col("source"), cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // reference: the window formulation over the same hash order
+    val win = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("s0"), col("doc_id").cast("string"))), col("doc_id"))
+    val ref = d.withColumn("rn", row_number().over(win)).where(col("rn") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got === ref)
+    assert(got.groupBy(_._1).forall(_._2.size == 10))
+    // layout independence: a re-sharded input keeps the identical rows
+    val reshard = SampleOps.quotaCap(d.repartition(7), col("doc_id"),
+      col("source"), cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(reshard === got)
+    // a stratum smaller than the cap survives whole
+    val small = SampleOps.quotaCap(d.limit(3), col("doc_id"), col("source"), 10)
+    assert(small.count() === 3)
+  }
+
+  test("quotaCap plans as a partial aggregate, not a window sort") {
+    val d = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val plan = SampleOps.quotaCap(d, col("doc_id"), col("source"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  // ---------- batch ANN ----------
+
+  private def synthVecs(n: Int, dim: Int, seed: Int = 11) = {
+    val rnd = new scala.util.Random(seed)
+    (1L to n.toLong).map(i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+  }
+
+  test("batchTopK matches per-query bruteForceTopK") {
+    val vecs = synthVecs(60, 8)
+    val queries = vecs.where(col("vec_id") <= 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val batch = AnnOps.batchTopK(vecs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    queries.foreach { case (qid, q) =>
+      val solo = AnnOps.bruteForceTopK(vecs, q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = batch.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(mine === solo, s"query $qid")
+    }
+    // excludeSelf drops the vec_id == query_id hit (rank 1 by construction)
+    val ex = AnnOps.batchTopK(vecs, queries, k = 5, excludeSelf = true).collect()
+    assert(!ex.exists(r => r.getLong(0) == r.getLong(2)))
+  }
+
+  test("batchTopK plans as a partial aggregate; frame overload guards the batch") {
+    val vecs = synthVecs(30, 4)
+    val qs = Seq((1L, Seq(1f, 0f, 0f, 0f)))
+    val plan = AnnOps.batchTopK(vecs, qs, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    val qdf = vecs.withColumnRenamed("vec_id", "query_id")
+    val ex = intercept[IllegalArgumentException] {
+      AnnOps.batchTopKFrame(vecs, qdf, 3, maxBatch = 10)
+    }
+    assert(ex.getMessage.contains("maxBatch"))
+    val ok = AnnOps.batchTopKFrame(vecs, qdf.limit(2), 3)
+    assert(ok.count() === 6)
+  }
+
+  // ---------- distributed PCA ----------
+
+  test("covariance matches hand math on a tiny example") {
+    val d = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(5.0f, 9.0f))).toDF("vec_id", "embedding")
+    val (mu, cov) = PcaOps.covariance(d, 2)
+    assert(mu.toSeq === Seq(3.0, 5.0))
+    // E[x0²]−μ0² = (1+9+25)/3 − 9 = 8/3; E[x0x1]−μ0μ1 = (2+12+45)/3 − 15
+    assert(cov(0)(0) === BigDecimal(35.0 / 3 - 9.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cov(0)(1) === BigDecimal(59.0 / 3 - 15.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cov(0)(1) === cov(1)(0))
+    assert(cov(1)(1) === BigDecimal(101.0 / 3 - 25.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("power iteration recovers the planted dominant direction") {
+    // anisotropic corpus: dim 0 carries 10× the variance of the rest
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val d = (1L to 300L).map { i =>
+      val v = Array.fill(dim)((rnd.nextFloat() * 2 - 1) * 0.3f)
+      v(0) = (rnd.nextFloat() * 2 - 1) * 3.0f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (mu, cov) = PcaOps.covariance(d, dim)
+    val comps = PcaOps.powerComponents(cov, r = 3, iters = 12)
+    val (_, v0, l0) = comps(0)
+    // dominant component aligns with e0 (up to sign)
+    assert(math.abs(v0(0)) > 0.95, v0.toSeq.toString)
+    // eigenpair residual ‖Cv − λv‖ is small
+    val res = v0.indices.map { i =>
+      val cv = v0.indices.map(j => cov(i)(j) * v0(j)).sum
+      val r0 = cv - l0 * v0(i); r0 * r0
+    }.sum
+    assert(math.sqrt(res) < 0.05, s"residual ${math.sqrt(res)}")
+    // eigenvalues come out in non-increasing order; deflation keeps
+    // successive components near-orthogonal
+    assert(comps(0)._3 >= comps(1)._3 && comps(1)._3 >= comps(2)._3)
+    val d01 = v0.zip(comps(1)._2).map { case (a, b) => a * b }.sum
+    assert(math.abs(d01) < 0.05, s"comp0·comp1 = $d01")
+  }
+
+  test("pcaSearch in projected space reproduces full-space top-k on low-rank data") {
+    // vectors that genuinely live in a 3-dim subspace of dim 8: the
+    // r=3 projection is lossless up to rounding, so the projected
+    // search must recall the full-space page
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val basis = Array.tabulate(3, dim)((_, _) => rnd.nextGaussian())
+    val d = (1L to 200L).map { i =>
+      val c = Array.fill(3)(rnd.nextGaussian())
+      val v = Array.tabulate(dim)(j =>
+        (0 until 3).map(b => c(b) * basis(b)(j)).sum.toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val (mu, cov) = PcaOps.covariance(d, dim)
+    val comps = PcaOps.powerComponents(cov, r = 3, iters = 15)
+    val q = d.where(col("vec_id") === 1L).collect()(0).getSeq[Float](1).toSeq
+    val full = AnnOps.bruteForceTopK(d, q, 10, excludeId = Some(1L))
+      .collect().map(_.getLong(0)).toSet
+    val proj = PcaOps.pcaSearch(d, mu, comps, q, 10, excludeId = Some(1L))
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (full & proj).size
+    assert(overlap >= 8, s"projected recall $overlap/10")
+  }
 }
