@@ -1164,6 +1164,35 @@ SELECT vec_id, round(d2, 6) AS d2 FROM d ORDER BY round(d2, 6), vec_id LIMIT $k"
                             ORDER BY md5('s0' || doc_id), doc_id) AS rn
   FROM documents) WHERE rn <= $cap ORDER BY doc_id"""
 
+  /** Token-budget cutoff oracle (SampleOps.tokenBudget): the single-
+    * window inclusive-running-sum formulation the engine's bucketed
+    * prefix-sum must reproduce bit-exactly. */
+  def tokenBudgetSql(budget: Long): String =
+    s"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY md5('s0' || doc_id), doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents) WHERE cum <= $budget ORDER BY doc_id"""
+
+  /** Two-stage retrieval oracle (HybridOps.semanticRerank): the BM25
+    * top-`kList` lexical page, re-ordered by 6-rounded embedding
+    * cosine to the vec_id-0 query, top `k`. */
+  def rerankSql(ts: Seq[String], kList: Int, k: Int): String =
+    prefix(ts) + scored + s""",
+lex AS MATERIALIZED (SELECT doc_id, round(raw, 4) + 0.0 AS score FROM scored
+        ORDER BY round(raw, 4) DESC, doc_id LIMIT $kList),
+f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS MATERIALIZED (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+dd AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+       FROM f JOIN q USING(i)
+       WHERE f.vec_id IN (SELECT doc_id FROM lex)
+       GROUP BY f.vec_id)
+SELECT l.doc_id, l.score, round(dd.dot / (dd.nv * qn.nq), 6) AS cosine
+FROM lex l JOIN dd ON dd.vec_id = l.doc_id CROSS JOIN qn
+ORDER BY round(dd.dot / (dd.nv * qn.nq), 6) DESC, l.doc_id LIMIT $k"""
+
   /** Batch-ANN oracle (AnnOps.batchTopK, excludeSelf): per-query
     * exact cosine ranking over the shared vector explosion —
     * queries are vec_id < `nq`, self-hits dropped, 6-rounded cosine

@@ -717,6 +717,14 @@ object SparkEntry {
         excludeId = Some(0L)).withColumnRenamed("vec_id", "doc_id")
       HybridOps.rrfFuse(Seq((lex, "score"), (den, "cosine")), k0 = 60, topK = 10)
     }),
+    // two-stage retrieval: BM25 recalls the top-50 page from the
+    // inverted index; the dense stage re-orders it by cosine (ONE
+    // broadcast-page join against the corpus embeddings)
+    "hy_rerank" -> ((s, d) => {
+      val lex = EntrySupport.topkDf(s, d,
+        Query.Or(Seq(t("data"), t("stream"), t("query"))), 50)
+      HybridOps.semanticRerank(lex, embeddings(s, d), queryVec(s, d), k = 10)
+    }),
     // MMR diversification of the dense top-20 page: greedy
     // relevance-vs-redundancy re-rank (page op — the oracle unrolls
     // the same 10 greedy steps as CTEs)
@@ -819,6 +827,15 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // per-stratum TOKEN-budget cutoff (the form a training mix
+    // actually specifies): keep docs in md5-hash order until the
+    // source's cumulative char count reaches the budget — computed
+    // as a bucketed distributed prefix sum, never a per-stratum sort
+    "dp_token_budget" -> ((s, d) =>
+      graft.pipeline.SampleOps.tokenBudget(documents(s, d), col("doc_id"),
+        col("source"), col("n_chars"), budget = 3000L)
+        .select(col("key").as("doc_id"), col("stratum").as("source"))
+        .orderBy("doc_id")),
     // RefinedWeb-role per-source quota cap: at most 10 docs per
     // source, selected in md5-hash order through a REAL partial
     // top-k aggregate — the shuffle carries parts × strata × cap
@@ -999,6 +1016,8 @@ ORDER BY doc_id, change""",
     "dp_sample" -> EntrySql.sampleSql(0.25),
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "dp_quota" -> EntrySql.quotaSql(10),
+    "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),
+    "hy_rerank" -> EntrySql.rerankSql(Seq("data", "stream", "query"), 50, 10),
     "ta_langid" -> EntrySql.langIdSql,
     "ta_repetition" -> EntrySql.repetitionSql,
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),

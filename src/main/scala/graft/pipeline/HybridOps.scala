@@ -141,4 +141,41 @@ object HybridOps {
     }
     out.toSeq.toDF("rank", idCol, "mmr")
   }
+
+  /**
+   * Two-stage retrieval: re-rank a lexical (BM25) top-N page by
+   * embedding cosine to the query — the standard retrieve-then-rerank
+   * shape (BM25 recalls cheaply from the inverted index; the dense
+   * model re-orders the short page). Complements [[rrfFuse]] (which
+   * MERGES two rankings): here the lexical stage decides WHAT is on
+   * the page and the dense stage alone decides the ORDER.
+   *
+   * Scale contract — a PAGE op: `page` is a top-N list (loud
+   * maxListLen guard); `embeddings` is corpus-sized but touched by
+   * ONE broadcast-page join, so exactly N embedding rows flow out of
+   * the scan and the corpus never shuffles. Cosines round to 6
+   * decimals before the cut, ties break on id ascending (the
+   * portability contract shared with [[graft.pipeline.AnnOps]]).
+   * Page rows without an embedding are dropped (nothing to rerank
+   * by). Output: (idCol, score, cosine) ordered cosine desc, top k.
+   */
+  def semanticRerank(page: DataFrame, embeddings: DataFrame,
+                     query: Seq[Float], k: Int,
+                     idCol: String = "doc_id", scoreCol: String = "score",
+                     maxListLen: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = page.select(col(idCol).cast("long").as(idCol),
+      col(scoreCol).as("score")).limit(maxListLen + 1)
+    require(p.count() <= maxListLen,
+      s"semanticRerank got a page over maxListLen=$maxListLen rows — " +
+        "pass a top-N list, not a corpus")
+    val cos = AnnOps.cosineToQuery(
+      embeddings.join(broadcast(p.select(col(idCol))),
+        col("vec_id") === col(idCol)).select("vec_id", "embedding"),
+      query)
+    p.join(broadcast(cos), p(idCol) === cos("vec_id"))
+      .select(p(idCol), col("score"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, p(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -70,6 +71,57 @@ object SampleOps {
         md5(concat(lit(seed), key.cast("string"))),
         key.cast("long")).as("kept"))
       .select(col("stratum"), explode(col("kept.id")).as("key"))
+  }
+
+  /** Per-stratum TOKEN-BUDGET cutoff: keep rows in md5-hash order
+    * until the stratum's cumulative `weight` (token count, char
+    * count) reaches `budget` — [[quotaCap]] in token space, the form
+    * a training mix actually specifies ("2B tokens of lang=X", not
+    * "N documents"). A row is kept iff its inclusive running sum
+    * ≤ budget, i.e. exactly `SUM(w) OVER (PARTITION BY stratum
+    * ORDER BY md5 ..., key ROWS UNBOUNDED PRECEDING) <= budget` —
+    * which is how the driver gate value-checks it. Deterministic and
+    * layout-independent like every op here.
+    *
+    * Scale shape — a distributed prefix-sum cutoff, NOT a per-stratum
+    * sort: the md5 rank key's first two hex chars split each
+    * stratum's hash ORDER into 256 contiguous ranges, so
+    *   1. one groupBy((stratum, bucket)).sum(w) — map-side combined,
+    *      shuffle bounded by parts × strata × 256;
+    *   2. bucket offsets via a window over ≤ 256 rows per stratum
+    *      (bounded by construction — no stratum can skew it);
+    *   3. buckets that END within budget keep ALL their rows with no
+    *      row-level work; buckets that START past it drop entirely;
+    *      only the ONE boundary bucket per stratum runs a row-level
+    *      running sum, over 1/256 of the stratum.
+    * A monster domain therefore never sorts: its full buckets pass
+    * through a join, and the boundary slice is 256× smaller than the
+    * single-window formulation would sort. Returns (stratum, key). */
+  def tokenBudget(df: DataFrame, key: Column, stratum: Column,
+                  weight: Column, budget: Long,
+                  seed: String = "s0"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val base = df.select(stratum.as("stratum"), key.cast("long").as("key"),
+        weight.cast("long").as("w"),
+        md5(concat(lit(seed), key.cast("string"))).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val bsums = base.groupBy("stratum", "bucket").agg(sum("w").as("bsum"))
+    val wOff = Window.partitionBy("stratum").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bsums.withColumn("boff",
+      coalesce(sum("bsum").over(wOff), lit(0L)))
+    val joined = base.join(offsets, Seq("stratum", "bucket"))
+    val full = joined.where(col("boff") + col("bsum") <= budget)
+      .select("stratum", "key")
+    val wRow = Window.partitionBy("stratum", "bucket")
+      .orderBy(col("h"), col("key"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = joined
+      .where(col("boff") < budget && col("boff") + col("bsum") > budget)
+      .withColumn("cum", col("boff") + sum("w").over(wRow))
+      .where(col("cum") <= budget)
+      .select("stratum", "key")
+    full.unionByName(boundary)
   }
 
   /** Stratified data mixing: per-stratum keep-rates (e.g. language or

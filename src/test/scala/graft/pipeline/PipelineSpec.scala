@@ -1312,6 +1312,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("tokenBudget: window-identical cutoff, layout-independent, edge cases") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val d = (1L to 400L).map(i => (i, s"src${rnd.nextInt(4)}", 50L + rnd.nextInt(200)))
+      .toDF("doc_id", "source", "n")
+    def winRef(df: org.apache.spark.sql.DataFrame, budget: Long) = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("s0"), col("doc_id").cast("string"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum", sum("n").over(w)).where(col("cum") <= budget)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val budget = 2000L
+    val got = SampleOps.tokenBudget(d, col("doc_id"), col("source"), col("n"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === winRef(d, budget))
+    assert(got.nonEmpty && got.size < 400)
+    // layout independence
+    val reshard = SampleOps.tokenBudget(d.repartition(9), col("doc_id"),
+      col("source"), col("n"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(reshard === got)
+    // budget above the stratum total keeps everything
+    val all = SampleOps.tokenBudget(d, col("doc_id"), col("source"), col("n"),
+      budget = 1000000L)
+    assert(all.count() === 400)
+    // a first-by-hash row bigger than the whole budget empties its
+    // stratum (inclusive-sum contract: cum > budget from row one)
+    val fat = Seq((1L, "s", 999L), (2L, "s", 999L)).toDF("doc_id", "source", "n")
+    assert(SampleOps.tokenBudget(fat, col("doc_id"), col("source"), col("n"),
+      budget = 500L).count() === 0)
+  }
+
+  test("semanticRerank re-orders the lexical page by cosine and guards scale") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // orthogonal to query
+      (2L, Seq(0.0f, 1.0f)),   // = query
+      (3L, Seq(1.0f, 1.0f)))   // diagonal
+      .toDF("vec_id", "embedding")
+    val page = Seq((1L, 9.0), (2L, 5.0), (3L, 7.0), (4L, 6.0))
+      .toDF("doc_id", "score")
+    val got = HybridOps.semanticRerank(page, emb, Seq(0f, 1f), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // doc 4 has no embedding -> dropped; order by cosine: 2 (1.0), 3 (.707), 1 (0)
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 1L))
+    assert(got(0)._2 === 5.0 && got(1)._3 === 0.707107)
+    val big = (1L to 50L).map(i => (i, 1.0)).toDF("doc_id", "score")
+    val ex = intercept[IllegalArgumentException] {
+      HybridOps.semanticRerank(big, emb, Seq(0f, 1f), k = 3, maxListLen = 10)
+    }
+    assert(ex.getMessage.contains("top-N list"))
+  }
+
   // ---------- batch ANN ----------
 
   private def synthVecs(n: Int, dim: Int, seed: Int = 11) = {
