@@ -1210,6 +1210,40 @@ r AS (SELECT d.qid, d.vec_id, round(dot / (nv * qn.nq), 6) AS cosine,
 SELECT qid AS query_id, rn::INT AS rank, vec_id, cosine
 FROM r WHERE rn <= $k ORDER BY query_id, rank"""
 
+  /** IVF-probed batch-ANN oracle (AnnOps.batchTopKIvf, excludeSelf):
+    * the [[ivfSearchSql]] assignment/probe chain generalized to a
+    * batch — per-query probes ranked by 9-rounded centroid cosine,
+    * each query scoring only vectors assigned to ITS probe set. */
+  def annBatchIvfSql(nCentroids: Int, nq: Int, nprobe: Int, k: Int): String =
+    s"""WITH f AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+cen AS MATERIALIZED (SELECT vec_id AS cid, v, i FROM f WHERE vec_id < $nCentroids),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cen GROUP BY cid),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM f GROUP BY vec_id),
+dots AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN cen c USING(i) GROUP BY 1, 2),
+coss AS (SELECT d.vec_id, d.cid, round(d.dot / (vn.n * cn.n), 9) AS c9
+        FROM dots d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cid = d.cid),
+assigned AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c9 DESC, cid) AS rn
+  FROM coss) WHERE rn = 1),
+q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, i FROM f WHERE vec_id < $nq),
+qn AS MATERIALIZED (SELECT qid, sqrt(sum(qv * qv)) AS nq FROM q GROUP BY qid),
+pc AS (SELECT q.qid, c.cid, sum(c.v * q.qv) AS dot FROM cen c JOIN q USING(i) GROUP BY 1, 2),
+probe AS MATERIALIZED (SELECT qid, cid FROM (
+  SELECT pc.qid, pc.cid, row_number() OVER (PARTITION BY pc.qid
+    ORDER BY round(pc.dot / (cn.n * qn.nq), 9) DESC, pc.cid) AS rn
+  FROM pc JOIN cn USING(cid) JOIN qn USING(qid)) WHERE rn <= $nprobe),
+d AS (SELECT q.qid, f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+      FROM f JOIN q USING(i)
+      JOIN assigned a ON a.vec_id = f.vec_id
+      JOIN probe p ON p.qid = q.qid AND p.cid = a.cid
+      GROUP BY q.qid, f.vec_id),
+r AS (SELECT d.qid, d.vec_id, round(dot / (nv * qn.nq), 6) AS cosine,
+             row_number() OVER (PARTITION BY d.qid
+               ORDER BY round(dot / (nv * qn.nq), 6) DESC, d.vec_id) AS rn
+      FROM d JOIN qn USING(qid) WHERE d.vec_id <> d.qid)
+SELECT qid AS query_id, rn::INT AS rank, vec_id, cosine
+FROM r WHERE rn <= $k ORDER BY query_id, rank"""
+
   /** Shared PCA-training CTE chain (PcaOps.covariance +
     * powerComponents): 6-rounded covariance from the vector
     * explosion, then per component `iters` unrolled power-iteration

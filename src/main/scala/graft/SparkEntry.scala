@@ -577,6 +577,17 @@ object SparkEntry {
         centroids(s, d, 4).map { case (i, v) => (i.toLong, v) }, k = 5,
         excludeSelf = true)
         .orderBy("query_id", "rank")),
+    // the production batch shape: the same batch over the
+    // MATERIALIZED IVF index — one scan reads the union of all
+    // probed partitions (plan-time pruning), each query scores only
+    // its own probe set via a codegen'd conditional
+    "ann_batch_ivf" -> ((s, d) => {
+      val cs = centroids(s, d, 8)
+      AnnOps.batchTopKIvf(s, ivfIndexPath(s, d, cs), cs,
+        centroids(s, d, 4).map { case (i, v) => (i.toLong, v) },
+        k = 5, nprobe = 3, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
     // distributed PCA (FAISS PCAMatrix role): covariance in ONE
     // map-side-combined pass, components via deterministic power
     // iteration + deflation — the oracle unrolls the identical
@@ -974,6 +985,8 @@ object SparkEntry {
     "dd_embdup" -> EntrySql.embDupSql(embPlanes, rowsPerBand = 4, minCosine = 0.35),
     "ann_topk" -> EntrySql.annTopkSql(10),
     "ann_batch" -> EntrySql.annBatchSql(nq = 4, k = 5),
+    "ann_batch_ivf" -> EntrySql.annBatchIvfSql(nCentroids = 8, nq = 4,
+      nprobe = 3, k = 5),
     "ann_pca" -> EntrySql.pcaTrainSql(dim = 64, r = 3, iters = 8),
     "ann_pca_search" -> EntrySql.pcaSearchSql(dim = 64, r = 3, iters = 8, k = 10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),

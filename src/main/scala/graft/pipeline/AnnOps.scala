@@ -321,8 +321,15 @@ object AnnOps {
         round(dotLit(col("embedding"), q) / (norm(col("embedding")) * lit(qn)), 6)
           .as("cosine"))
     }
-    val scored = vecs
-      .select(col("vec_id"), explode(array(perQuery: _*)).as("qc"))
+    batchRank(vecs.select(col("vec_id"), explode(array(perQuery: _*)).as("qc")),
+      k, excludeSelf)
+  }
+
+  /** Shared batch reduction: (vec_id, qc(query_id, cosine)) pairs →
+    * per-query (rank, vec_id, cosine) pages via the bounded top-k
+    * partial aggregate. */
+  private def batchRank(scored: DataFrame, k: Int,
+                        excludeSelf: Boolean): DataFrame = {
     val base =
       if (excludeSelf) scored.where(col("qc.query_id") =!= col("vec_id"))
       else scored
@@ -332,6 +339,43 @@ object AnnOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
       .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
         col("hit.id").as("vec_id"), col("hit.score").as("cosine"))
+  }
+
+  /** [[batchTopK]] over a [[writeIvfIndex]] index — the production
+    * batch shape: each query scores only its own `nprobe` probed
+    * centroids. ONE scan reads the UNION of all probed partitions
+    * (plan-time partition pruning — an eval sweep whose queries
+    * collectively probe 10% of the centroids reads 10% of the
+    * corpus), and each row enters a query's top-k aggregate only when
+    * its centroid_id is in THAT query's probe set (a codegen'd
+    * conditional — the non-probed (row, query) pair is never scored).
+    * Probe choice per query is the [[probeCentroids]] driver
+    * arithmetic; reduction is the same bounded partial aggregate as
+    * [[batchTopK]]. */
+  def batchTopKIvf(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, centroids: Seq[(Int, Seq[Float])],
+                   queries: Seq[(Long, Seq[Float])], k: Int, nprobe: Int,
+                   excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = queries.map { case (qid, q) =>
+      (qid, q, probeCentroids(centroids, q, nprobe))
+    }
+    val union = probes.flatMap(_._3).distinct.sorted
+    val vecs = spark.read.parquet(indexPath)
+      .where(col("centroid_id").isin(union: _*))
+    val perQuery = probes.map { case (qid, q, ps) =>
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      when(col("centroid_id").isin(ps: _*),
+        struct(lit(qid).as("query_id"),
+          round(dotLit(col("embedding"), q) / (norm(col("embedding")) * lit(qn)), 6)
+            .as("cosine")))
+    }
+    batchRank(
+      vecs.select(col("vec_id"), col("centroid_id"),
+          explode(array(perQuery: _*)).as("qc"))
+        .where(col("qc").isNotNull),
+      k, excludeSelf)
   }
 
   /** [[batchTopK]] with the batch read from a DataFrame of

@@ -1391,6 +1391,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(!ex.exists(r => r.getLong(0) == r.getLong(2)))
   }
 
+  test("batchTopKIvf: per-query probes match per-query ivfSearch; partitions prune") {
+    val vecs = synthVecs(80, 8, seed = 3)
+    val cents = vecs.where(col("vec_id") <= 4).collect()
+      .map(r => (r.getLong(0).toInt - 1, r.getSeq[Float](1).toSeq)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("batch-ivf").toString + "/idx"
+    AnnOps.writeIvfIndex(vecs, cents, dir)
+    val queries = vecs.where(col("vec_id") >= 10 && col("vec_id") < 13).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val batch = AnnOps.batchTopKIvf(spark, dir, cents, queries, k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    queries.foreach { case (qid, q) =>
+      val solo = AnnOps.ivfSearchIndexed(spark, dir, cents, q, 4, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = batch.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(mine === solo, s"query $qid")
+    }
+    // plan-time pruning: the scan reads exactly the union of the
+    // probed partitions, not the full index
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.selectedPartitions.totalNumberOfFiles
+      }.getOrElse(-1L)
+    }
+    val unionProbes = queries.flatMap(q => AnnOps.probeCentroids(cents, q._2, 1)).toSet
+    val batchScan = AnnOps.batchTopKIvf(spark, dir, cents, queries, 4, nprobe = 1)
+    val plan = batchScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"batch probe not pruned by partition:\n${plan.take(1500)}")
+    val prunedN = scannedFiles(batchScan.sparkSession.read.parquet(dir)
+      .where(col("centroid_id").isin(unionProbes.toSeq: _*)))
+    val allN = scannedFiles(spark.read.parquet(dir))
+    assert(prunedN > 0 && prunedN < allN,
+      s"pruned=$prunedN all=$allN probes=$unionProbes")
+  }
+
   test("batchTopK plans as a partial aggregate; frame overload guards the batch") {
     val vecs = synthVecs(30, 4)
     val qs = Seq((1L, Seq(1f, 0f, 0f, 0f)))
