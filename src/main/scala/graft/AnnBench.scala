@@ -1,0 +1,69 @@
+package graft
+
+import graft.pipeline.AnnOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch-ANN amortization microbench: the SAME query-vector workload
+ * answered (a) as ONE batchTopK job and (b) as a per-query
+ * bruteForceTopK loop (the FAISS-client shape: one search call per
+ * query), then the same comparison over the materialized IVF index
+ * (batchTopKIvf vs an ivfSearchIndexed loop). The batch path pays one
+ * corpus scan + one bounded partial aggregate for the whole workload;
+ * the loop pays a scan (or a probe read) per query — the gap is the
+ * amortization factor and it widens with batch size, the same shape
+ * BatchBench proves for the lexical matcher. One JSON line on stdout.
+ */
+object AnnBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nQueries = if (args.nonEmpty) args(0).toInt else 64
+    val loopN = if (args.length > 1) args(1).toInt else math.min(nQueries, 16)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val nVecs = emb.count()
+    val queries = emb.where(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val cents = queries.take(16).map { case (id, v) => (id.toInt, v) }
+    val dir = java.nio.file.Files.createTempDirectory("annbench").toString + "/ivf"
+    AnnOps.writeIvfIndex(emb, cents, dir)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm plans/codegen on both paths
+    AnnOps.batchTopK(emb, queries.take(4), 10).count()
+    AnnOps.bruteForceTopK(emb, queries.head._2, 10).count()
+    AnnOps.batchTopKIvf(spark, dir, cents, queries.take(4), 10, nprobe = 4).count()
+    AnnOps.ivfSearchIndexed(spark, dir, cents, queries.head._2, 10, nprobe = 4).count()
+
+    val batchSec = time(AnnOps.batchTopK(emb, queries, 10).count())
+    // loop measured on loopN queries, extrapolated linearly (each
+    // iteration is an independent job; running all nQueries serially
+    // just multiplies the same per-job cost)
+    val loopSec = time(queries.take(loopN).foreach { case (_, q) =>
+      AnnOps.bruteForceTopK(emb, q, 10).count()
+    }) / loopN * nQueries
+
+    val batchIvfSec = time(
+      AnnOps.batchTopKIvf(spark, dir, cents, queries, 10, nprobe = 4).count())
+    val loopIvfSec = time(queries.take(loopN).foreach { case (_, q) =>
+      AnnOps.ivfSearchIndexed(spark, dir, cents, q, 10, nprobe = 4).count()
+    }) / loopN * nQueries
+
+    println(
+      f"""{"metric":"ann_batch_amortization","n_vecs":$nVecs,"n_queries":$nQueries,"loop_measured":$loopN,"batch_sec":$batchSec%.3f,"loop_sec_extrap":$loopSec%.3f,"speedup":${loopSec / batchSec}%.1f,"batch_ivf_sec":$batchIvfSec%.3f,"loop_ivf_sec_extrap":$loopIvfSec%.3f,"ivf_speedup":${loopIvfSec / batchIvfSec}%.1f}""")
+    spark.stop()
+  }
+}

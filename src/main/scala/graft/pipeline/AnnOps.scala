@@ -300,9 +300,9 @@ object AnnOps {
     * row scores all queries in a single codegen'd projection (the
     * query batch is a literal — broadcast by value, no join), and the
     * per-query reduction is [[TopKAgg.topKByScore]], a REAL partial
-    * aggregate — each map task forwards at most k candidates per
-    * query, so the shuffle is parts × |batch| × k rows whatever the
-    * corpus size (the window-rank formulation would shuffle
+    * aggregate — each map task forwards an O(k)-bounded buffer per
+    * query, so the shuffle is parts × |batch| × O(k) rows whatever
+    * the corpus size (the window-rank formulation would shuffle
     * |batch| × N scored rows). Cosines round to 6 decimals BEFORE the
     * cut (the portability contract of [[bruteForceTopK]]); ties break
     * on vec_id ascending.

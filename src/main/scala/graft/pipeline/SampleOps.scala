@@ -56,12 +56,12 @@ object SampleOps {
     * driver gate value-checks it.
     *
     * Scale shape: ONE shuffle keyed by stratum with map-side partial
-    * top-cap ([[TopKAgg.keepKByKey]]) — each map task forwards at
-    * most `cap` rows per stratum it saw, so a billion-page domain
-    * ships parts × cap rows through the shuffle, not a billion (the
-    * window formulation would shuffle AND sort every row of the
-    * monster stratum into one partition). Returns (stratum, key)
-    * survivors; semi-join on key to recover full rows.
+    * top-cap ([[TopKAgg.keepKByKey]]) — each map task forwards an
+    * O(cap)-bounded buffer per stratum it saw, so a billion-page
+    * domain ships parts × O(cap) rows through the shuffle, not a
+    * billion (the window formulation would shuffle AND sort every
+    * row of the monster stratum into one partition). Returns
+    * (stratum, key) survivors; semi-join on key to recover full rows.
     */
   def quotaCap(df: DataFrame, key: Column, stratum: Column, cap: Int,
                seed: String = "s0"): DataFrame = {

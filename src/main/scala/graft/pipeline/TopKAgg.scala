@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions.udaf
  * per-group top-k over N corpus rows ships N rows. A typed
  * Aggregator lifted with `functions.udaf` participates in partial
  * aggregation (ObjectHashAggregate partial → shuffle → merge), so
- * each map task emits AT MOST k rows per group it saw: the shuffle is
- * bounded by parts × groups × k regardless of corpus size — the
+ * each map task emits a BOUNDED buffer per group it saw — under 4k
+ * rows (the lazy-trim watermark below; partial buffers ship as-is,
+ * so the bound is the watermark, not k itself): the shuffle is
+ * bounded by parts × groups × 4k regardless of corpus size — the
  * map-side-combine shape `groupBy().sum` gets for free, extended to
  * top-k, which no built-in aggregate expresses (`max_by` is k=1;
  * `collect_list`+`slice` ships the UNBOUNDED list through the

@@ -1366,6 +1366,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("top-N list"))
   }
 
+  test("TopKAgg fuzz: both aggregators match the window formulation under ties") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    // heavy ties: scores drawn from 7 distinct values, 13 groups,
+    // 2000 rows — k straddles tie runs constantly
+    val d = (1L to 2000L).map(i =>
+      (i, s"g${rnd.nextInt(13)}", rnd.nextInt(7).toDouble / 10,
+        f"${rnd.nextInt(64)}%02x")).toDF("id", "g", "score", "hk")
+    val k = 5
+    val byScore = d.groupBy(col("g"))
+      .agg(TopKAgg.topKByScore(k)(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r", "h")))
+      .select(col("g"), col("r"), col("h.id").as("id"), col("h.score").as("score"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val wS = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val refS = d.withColumn("rn", row_number().over(wS)).where(col("rn") <= k)
+      .collect().map(r => (r.getString(1), r.getInt(4) - 1, r.getLong(0), r.getDouble(2))).toSet
+    assert(byScore === refS)
+    val byKey = d.groupBy(col("g"))
+      .agg(TopKAgg.keepKByKey(k)(col("hk"), col("id")).as("top"))
+      .select(col("g"), explode(col("top")).as("h"))
+      .select(col("g"), col("h.rank_key").as("hk"), col("h.id").as("id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val wK = Window.partitionBy("g").orderBy(col("hk").asc, col("id").asc)
+    val refK = d.withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
+      .collect().map(r => (r.getString(1), r.getString(3), r.getLong(0))).toSet
+    assert(byKey === refK)
+  }
+
   // ---------- batch ANN ----------
 
   private def synthVecs(n: Int, dim: Int, seed: Int = 11) = {
