@@ -1312,6 +1312,32 @@ SELECT vec_id, round(dot / (nv * (SELECT n FROM qnorm)), 6) AS cosine
 FROM dn ORDER BY round(dot / (nv * (SELECT n FROM qnorm)), 6) DESC, vec_id
 LIMIT $k"""
 
+  /** PCA shortlist + exact-refine oracle (PcaOps.pcaSearchRefined):
+    * the projected-space ranking cut at `shortlist`, re-ranked by
+    * exact full-dim cosine over only the shortlist rows. */
+  def pcaRefineSql(dim: Int, r: Int, iters: Int, shortlist: Int,
+                   k: Int): String =
+    pcaCtes(dim, r, iters) + s""",
+proj AS MATERIALIZED (SELECT f.vec_id, c.component,
+  round(sum(c.x * (f.v - mu.m)), 6) AS y
+  FROM f JOIN mu USING(i) JOIN comps c ON c.i = f.i
+  GROUP BY f.vec_id, c.component),
+qp AS MATERIALIZED (SELECT component, y AS qy FROM proj WHERE vec_id = 0),
+qnorm AS (SELECT sqrt(sum(qy * qy)) AS n FROM qp),
+dn AS (SELECT vec_id, sum(y * qy) AS dot, sqrt(sum(y * y)) AS nv
+  FROM proj JOIN qp USING(component) WHERE vec_id <> 0 GROUP BY vec_id),
+cand AS MATERIALIZED (SELECT vec_id FROM dn
+  ORDER BY round(dot / (nv * (SELECT n FROM qnorm)), 6) DESC, vec_id
+  LIMIT $shortlist),
+qf AS MATERIALIZED (SELECT i, v AS qv FROM f WHERE vec_id = 0),
+qfn AS (SELECT sqrt(sum(qv * qv)) AS n FROM qf),
+ex AS (SELECT f.vec_id, sum(f.v * qf.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+  FROM f JOIN qf USING(i)
+  WHERE f.vec_id IN (SELECT vec_id FROM cand) GROUP BY f.vec_id)
+SELECT vec_id, round(dot / (nv * (SELECT n FROM qfn)), 6) AS cosine
+FROM ex ORDER BY round(dot / (nv * (SELECT n FROM qfn)), 6) DESC, vec_id
+LIMIT $k"""
+
   /** get_matching_terms oracle: the BM25-OR top-k page, then every
     * (doc, query-term) pair with a posting in that doc — `tf` is
     * already the term-pruned posting set of the query. */

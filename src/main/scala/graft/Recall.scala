@@ -109,6 +109,35 @@ object Recall {
       println(f"""{"metric":"ivf_recall_at_10","k":$k,"nprobe":$nprobe,"queries":${queries.length},"mean_recall":$mean%.4f}""")
     }
 
+    // ---- PCA projected-search recall@10 vs full-space cosine ----
+    // dimension-reduction loss on the UNIFORM corpus: a flat spectrum
+    // has no low-rank structure to keep, so this is the honest
+    // worst case (the clustered measurement below is the regime the
+    // op targets). comps are deflation-prefix-stable, so one r=16
+    // training serves every r.
+    val (muP, covP) = graft.pipeline.PcaOps.covariance(emb, 64)
+    val comps16 = graft.pipeline.PcaOps.powerComponents(covP, r = 16, iters = 12)
+    for (r <- Seq(4, 8, 16)) {
+      val recalls = queries.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopK(emb, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = graft.pipeline.PcaOps.pcaSearch(emb, muP, comps16.take(r),
+            q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size / 10.0
+      }
+      println(f"""{"metric":"pca_recall_at_10","r":$r,"corpus":"uniform","queries":${queries.length},"mean_recall":${recalls.sum / recalls.length}%.4f}""")
+      val refined = queries.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopK(emb, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = graft.pipeline.PcaOps.pcaSearchRefined(emb, muP,
+            comps16.take(r), q, 10, shortlist = 50, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size / 10.0
+      }
+      println(f"""{"metric":"pca_refined_recall_at_10","r":$r,"shortlist":50,"corpus":"uniform","queries":${queries.length},"mean_recall":${refined.sum / refined.length}%.4f}""")
+    }
+
     // ---- PQ ADC recall@10 vs exact L2 (pure quantization loss) ----
     val books = PqOps.pqTrain(emb, m = 8, ksub = 16, iters = 3)
     val encoded = PqOps.pqEncodeWide(emb, books).cache()
@@ -259,6 +288,32 @@ object Recall {
       val mr = pairs.map(_._2).sum / pairs.length
       val mf = pairs.map(_._3).sum / pairs.length
       println(f"""{"metric":"ivfpq_clustered_recall_at_10","k":$k,"m":8,"ksub":16,"nprobe":$nprobe,"queries":${cq.length},"plain":$mp%.4f,"residual":$mr%.4f,"residual_refined_50":$mf%.4f}""")
+    }
+
+    // ---- PCA on the CLUSTERED corpus: the regime it targets ----
+    // 16 planted clusters span a ~16-dim affine subspace, so the
+    // spectrum has real structure for the components to keep.
+    val (muC, covC) = graft.pipeline.PcaOps.covariance(clustered, dim)
+    val compsC = graft.pipeline.PcaOps.powerComponents(covC, r = 16, iters = 12)
+    for (r <- Seq(4, 8, 16)) {
+      val recalls = cq.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopK(clustered, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = graft.pipeline.PcaOps.pcaSearch(clustered, muC, compsC.take(r),
+            q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size / 10.0
+      }
+      println(f"""{"metric":"pca_recall_at_10","r":$r,"corpus":"clustered","queries":${cq.length},"mean_recall":${recalls.sum / recalls.length}%.4f}""")
+      val refined = cq.map { case (qid, q) =>
+        val exact = AnnOps.bruteForceTopK(clustered, q, 10, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        val got = graft.pipeline.PcaOps.pcaSearchRefined(clustered, muC,
+            compsC.take(r), q, 10, shortlist = 50, excludeId = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+        exact.intersect(got).size / 10.0
+      }
+      println(f"""{"metric":"pca_refined_recall_at_10","r":$r,"shortlist":50,"corpus":"clustered","queries":${cq.length},"mean_recall":${refined.sum / refined.length}%.4f}""")
     }
     spark.stop()
   }

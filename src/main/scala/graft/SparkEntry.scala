@@ -612,6 +612,16 @@ object SparkEntry {
       graft.pipeline.PcaOps.pcaSearch(emb, mu, comps, queryVec(s, d), 10,
         excludeId = Some(0L))
     }),
+    // the production PCA shape (PCAMatrix + IndexRefine): projected
+    // shortlist, exact full-dim re-rank of only the shortlist rows
+    // through a pushed IN predicate
+    "ann_pca_refine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (mu, cov) = graft.pipeline.PcaOps.covariance(emb, 64)
+      val comps = graft.pipeline.PcaOps.powerComponents(cov, r = 3, iters = 8)
+      graft.pipeline.PcaOps.pcaSearchRefined(emb, mu, comps, queryVec(s, d),
+        10, shortlist = 50, excludeId = Some(0L))
+    }),
     // Distributed Lloyd k-means IVF training: md5-hash-sampled seeds,
     // each round ONE distributed assign+mean pass (only k×dim rounded
     // means reach the driver); output = assignment against the
@@ -989,6 +999,8 @@ object SparkEntry {
       nprobe = 3, k = 5),
     "ann_pca" -> EntrySql.pcaTrainSql(dim = 64, r = 3, iters = 8),
     "ann_pca_search" -> EntrySql.pcaSearchSql(dim = 64, r = 3, iters = 8, k = 10),
+    "ann_pca_refine" -> EntrySql.pcaRefineSql(dim = 64, r = 3, iters = 8,
+      shortlist = 50, k = 10),
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),

@@ -168,4 +168,27 @@ object PcaOps {
       .getOrElse(scored)
     base.orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
   }
+
+  /** The production PCA shape (FAISS PCAMatrix + IndexRefine): the
+    * r-dim projection SHORTLISTS `shortlist` candidates cheaply, then
+    * exact full-dim cosine re-ranks only those rows through a pushed
+    * IN predicate — per-query raw-vector work is bounded by the
+    * shortlist width, like [[PqOps.adcSearchRefined]].
+    *
+    * Why the refine tier is not optional here: projection keeps the
+    * HIGH-VARIANCE directions, but the fine-grained ranking signal
+    * between near-neighbors can live in the discarded ones (measured:
+    * standalone r=16 projected search recalls ~0.2 of the exact
+    * top-10 on both uniform and clustered corpora, while
+    * shortlist-50 + exact refine recovers most of it — the
+    * graft.Recall ladder in BASELINE.md). */
+  def pcaSearchRefined(vecs: DataFrame, mu: Array[Double],
+                       comps: Seq[(Int, Array[Double], Double)],
+                       query: Seq[Float], k: Int, shortlist: Int,
+                       excludeId: Option[Long] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pcaSearch(vecs, mu, comps, query, shortlist, excludeId)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    AnnOps.bruteForceTopK(vecs.where(col("vec_id").isin(cand: _*)), query, k)
+  }
 }

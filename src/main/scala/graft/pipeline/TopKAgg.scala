@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions.udaf
  * Buffers stay unsorted and trim to k lazily at 4k entries, so
  * per-row reduce cost is O(1) amortized with an O(k log k) sort every
  * 3k inserts; merge concatenates and trims.
+ *
+ * Ops note for VERY-many-group workloads (e.g. a per-domain cap over
+ * millions of domains): ObjectHashAggregate falls back to sort-based
+ * partial aggregation once a partition sees more than
+ * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+ * distinct groups (default 128) — still correct and still
+ * shuffle-bounded (the sort is per-partition, map-side, and emits
+ * one bounded buffer per group), but raise the threshold if the
+ * map-side sort shows up in the stage profile.
  */
 object TopKAgg {
 

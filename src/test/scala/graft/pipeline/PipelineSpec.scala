@@ -1540,5 +1540,16 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val overlap = (full & proj).size
     assert(overlap >= 8, s"projected recall $overlap/10")
+    // the refined path: full-width shortlist == exact brute force
+    // (identity), narrow shortlist still returns k exact-scored rows
+    val refinedFull = PcaOps.pcaSearchRefined(d, mu, comps, q, 10,
+      shortlist = 200, excludeId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = AnnOps.bruteForceTopK(d, q, 10, excludeId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refinedFull === exact)
+    val narrow = PcaOps.pcaSearchRefined(d, mu, comps, q, 10,
+      shortlist = 20, excludeId = Some(1L)).collect()
+    assert(narrow.length === 10)
   }
 }
