@@ -863,6 +863,52 @@ ranked AS (SELECT vec_id, cid, c9,
 SELECT vec_id, cid::INT AS centroid_id, round(c9, 6) AS cosine
 FROM ranked WHERE rn = 1 ORDER BY vec_id"""
 
+  /** Filtered exact search oracle (AnnOps.filteredTopK): the
+    * brute-force cosine top-k restricted to rows matching the label
+    * predicate, query vector = vec_id 0 (excluded). */
+  def annFilteredSql(k: Int, label: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+keep AS (SELECT vec_id FROM embeddings WHERE label = $label),
+d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+      FROM f JOIN q USING(i)
+      WHERE f.vec_id IN (SELECT vec_id FROM keep) GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
+WHERE vec_id <> 0
+ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
+
+  /** Filtered IVF search oracle (AnnOps.ivfSearchIndexedFiltered):
+    * [[ivfSearchSql]]'s assignment + probe CTEs with the label
+    * predicate intersected into the probed-bucket candidate set. */
+  def ivfFilteredSql(nCentroids: Int, nprobe: Int, k: Int,
+                     label: Int): String =
+    s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+cen AS (SELECT vec_id AS cid, v, i FROM f WHERE vec_id < $nCentroids),
+cn AS (SELECT cid, sqrt(sum(v * v)) AS n FROM cen GROUP BY cid),
+vn AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM f GROUP BY vec_id),
+dots AS (SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot FROM f JOIN cen c USING(i) GROUP BY 1, 2),
+cos AS (SELECT d.vec_id, d.cid, round(d.dot / (vn.n * cn.n), 9) AS c9
+        FROM dots d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cid = d.cid),
+assigned AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY c9 DESC, cid) AS rn
+  FROM cos) WHERE rn = 1),
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+pc AS (SELECT c.cid, sum(c.v * q.qv) AS dot FROM cen c JOIN q USING(i) GROUP BY c.cid),
+probe AS (SELECT cid FROM (
+  SELECT pc.cid, row_number() OVER (
+    ORDER BY round(pc.dot / (cn.n * qn.nq), 9) DESC, pc.cid) AS rn
+  FROM pc JOIN cn USING(cid), qn) WHERE rn <= $nprobe),
+keep AS (SELECT vec_id FROM embeddings WHERE label = $label),
+d AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+      FROM f JOIN q USING(i)
+      WHERE f.vec_id IN (SELECT a.vec_id FROM assigned a JOIN probe USING(cid))
+        AND f.vec_id IN (SELECT vec_id FROM keep)
+      GROUP BY f.vec_id)
+SELECT vec_id, round(dot / (nv * nq), 6) AS cosine FROM d, qn
+ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $k"""
+
   /** IVF-probed search oracle: same assignment CTEs as
     * [[ivfAssignSql]], probe centroids ranked by 9-rounded cosine to
     * the vec_id-0 query (matching AnnOps.ivfSearch's rounding), then

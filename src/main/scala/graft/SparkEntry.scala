@@ -641,6 +641,24 @@ object SparkEntry {
       AnnOps.ivfSearchIndexed(s, ivfIndexPath(s, d, cs), cs,
         queryVec(s, d), 10, nprobe = 3)
     }),
+    // Filtered vector search (the FAISS IDSelector / "WHERE label=x
+    // AND nearest" shape): the metadata predicate is PUSHED into the
+    // scan — non-matching rows are dropped by the parquet reader,
+    // never scored — and the survivors run the exact codegen'd
+    // top-k. Exact over the filtered subset by construction.
+    "ann_filtered" -> ((s, d) => {
+      AnnOps.filteredTopK(embeddings(s, d), col("label") === 3,
+        queryVec(s, d), 10, excludeId = Some(0L))
+    }),
+    // Filtered IVF: partition pruning (probed centroids) COMPOSES
+    // with predicate pushdown (label filter) in one scan — the
+    // 100 TB shape reads probed-partitions ∩ matching-rows only;
+    // nprobe is raised to offset predicate selectivity (~1/p rule)
+    "ann_ivf_filtered" -> ((s, d) => {
+      val cs = centroids(s, d, 8)
+      AnnOps.ivfSearchIndexedFiltered(s, ivfIndexPath(s, d, cs), cs,
+        col("label") === 3, queryVec(s, d), 10, nprobe = 6)
+    }),
     // Product quantization (FAISS-IVFPQ-role compression): per-
     // subspace codebooks trained as distributed Lloyd rounds (ONE
     // explode+groupBy pass per round for all 8 subspaces), vectors
@@ -1004,6 +1022,8 @@ object SparkEntry {
     "ann_ivf" -> EntrySql.ivfAssignSql(8),
     "ann_kmeans" -> EntrySql.kmeansAssignSql(8, 3),
     "ann_ivf_search" -> EntrySql.ivfSearchSql(8, 3, 10),
+    "ann_filtered" -> EntrySql.annFilteredSql(10, 3),
+    "ann_ivf_filtered" -> EntrySql.ivfFilteredSql(8, 6, 10, 3),
     "ann_pq_refine" -> EntrySql.pqRefineSql(ksub = 16, dsub = 8, iters = 2,
       shortlist = 50, k = 10),
     "ann_ivfpq_search" -> EntrySql.pqIvfSearchSql(nCentroids = 8, nprobe = 3,

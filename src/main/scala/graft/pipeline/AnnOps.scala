@@ -292,6 +292,52 @@ object AnnOps {
       query, k)
   }
 
+  /** Filtered exact search: a metadata predicate composed with
+    * vector top-k (the FAISS `IDSelector` / filtered-ANN shape every
+    * production vector store exposes — "nearest neighbors WHERE
+    * label = x"). In Spark the pre-filter formulation is simply the
+    * predicate pushed into the scan: rows failing it are dropped by
+    * the parquet reader (PushedFilters + row-group min/max pruning,
+    * never scored), the survivors run the same codegen'd
+    * score → TakeOrderedAndProject as [[bruteForceTopK]]. Exact over
+    * the filtered subset by construction — none of the
+    * post-filter-recall compromises approximate stores make. */
+  def filteredTopK(vecs: DataFrame, predicate: Column, query: Seq[Float],
+                   k: Int, excludeId: Option[Long] = None): DataFrame =
+    bruteForceTopK(vecs.where(predicate), query, k, excludeId)
+
+  /** Filtered IVF search over a [[writeIvfIndex]] index: plan-time
+    * partition pruning (the probed centroids) COMPOSES with predicate
+    * pushdown (the metadata filter) in ONE scan — PartitionFilters
+    * picks the probed directories, PushedFilters drops non-matching
+    * rows inside them, exact top-k runs on what's left. The standard
+    * filtered-ANN caveat applies and is the caller's knob, not hidden
+    * tuning: a selective predicate thins each probed bucket, so raise
+    * `nprobe` to keep the effective candidate count (a predicate
+    * keeping fraction p wants ~nprobe/p). */
+  def ivfSearchIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String,
+                               centroids: Seq[(Int, Seq[Float])],
+                               predicate: Column, query: Seq[Float],
+                               k: Int, nprobe: Int): DataFrame =
+    ivfSearchIndexedFilteredD(spark, indexPath,
+      centroids.map { case (c, v) => (c, v.map(_.toDouble)) },
+      predicate, query, k, nprobe)
+
+  /** [[ivfSearchIndexedFiltered]] over Double-valued centroids. */
+  def ivfSearchIndexedFilteredD(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String,
+                                centroids: Seq[(Int, Seq[Double])],
+                                predicate: Column, query: Seq[Float],
+                                k: Int, nprobe: Int): DataFrame = {
+    val probeIds = probeCentroidsD(centroids, query, nprobe)
+    bruteForceTopK(
+      spark.read.parquet(indexPath)
+        .where(col("centroid_id").isin(probeIds: _*))
+        .where(predicate),
+      query, k)
+  }
+
   /** Batch ANN: exact cosine top-k for a whole BATCH of query vectors
     * in ONE distributed job — the embedding twin of
     * [[graft.matcher.BatchMatcher]] (hard-negative mining, eval-set
