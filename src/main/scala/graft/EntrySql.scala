@@ -1475,6 +1475,35 @@ FROM ex ORDER BY stream, seq_id, tok_start"""
 
   /** Hash-threshold sampling oracles: same md5-prefix string compare
     * as SampleOps (seed "s0"), lowercase-hex order ≡ numeric order. */
+  /** Per-document fate oracle (AuditOps.audit): first failing stage
+    * in pipeline order, same md5-threshold sample rule as
+    * [[sampleSql]]. */
+  def auditSql(minChars: Int, rate: Double): String =
+    s"""WITH canon AS (SELECT doc_id, n_chars,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM documents)
+SELECT doc_id,
+  CASE WHEN n_chars < $minChars THEN 'too_short'
+       WHEN doc_id <> cid THEN 'exact_dup'
+       WHEN NOT (substr(md5('s0' || doc_id), 1, 6)
+                 < '${graft.pipeline.SampleOps.thresholdHex(rate)}')
+         THEN 'sampled_out'
+       ELSE 'kept' END AS reason,
+  CASE WHEN n_chars >= $minChars AND doc_id = cid
+        AND substr(md5('s0' || doc_id), 1, 6)
+            < '${graft.pipeline.SampleOps.thresholdHex(rate)}'
+       THEN 1 ELSE 0 END AS kept
+FROM canon ORDER BY doc_id"""
+
+  /** Corpus report oracle (AuditOps.corpusStats): quantile_cont(0.5)
+    * IS percentile_cont semantics, which the engine reproduces from
+    * the distribution table. */
+  val corpusStatsSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+  round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars,
+  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+  max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang"""
+
   def sampleSql(rate: Double): String =
     s"""SELECT doc_id FROM documents
 WHERE substr(md5('s0' || doc_id), 1, 6) < '${graft.pipeline.SampleOps.thresholdHex(rate)}'

@@ -885,6 +885,21 @@ object SparkEntry {
         col("doc_id"), col("source"), cap = 10)
         .select(col("key").as("doc_id"), col("stratum").as("source"))
         .orderBy("doc_id")),
+    // per-document fate table (pipeline observability): every doc,
+    // exactly once, with the first failing stage as the reason —
+    // too_short → exact_dup → sampled_out → kept; costs ONE shuffle
+    // (the dedup window the pipeline already pays)
+    "dp_audit" -> ((s, d) =>
+      graft.pipeline.AuditOps.audit(documents(s, d), minChars = 100,
+        sampleRate = 0.6).orderBy("doc_id")),
+    // per-language corpus report with an EXACT percentile_cont(0.5)
+    // median computed from the (lang, n_chars) distribution table —
+    // the shuffle carries distinct (lang, length) pairs, never the
+    // corpus, so the exact median survives a billion-doc stratum
+    // where percentile()'s per-group buffer would OOM
+    "ta_corpus_stats" -> ((s, d) =>
+      graft.pipeline.AuditOps.corpusStats(documents(s, d))
+        .orderBy("lang")),
     "ta_langid" -> ((s, d) =>
       TextOps.langId(documents(s, d)).orderBy("doc_id")),
     "ta_repetition" -> ((s, d) =>
@@ -1059,6 +1074,8 @@ ORDER BY doc_id, change""",
     "ta_chunks" -> EntrySql.chunksSql(40, 30),
     "dp_pack" -> EntrySql.packSql(40, 30, 512, 8),
     "dp_sample" -> EntrySql.sampleSql(0.25),
+    "dp_audit" -> EntrySql.auditSql(100, 0.6),
+    "ta_corpus_stats" -> EntrySql.corpusStatsSql,
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "dp_quota" -> EntrySql.quotaSql(10),
     "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Pipeline observability operators: the tables a production curation
+ * pipeline ships NEXT TO its output — per-document fate (why did this
+ * doc survive / get dropped?) and the per-stratum corpus report.
+ * Both are deterministic and layout-independent like everything in
+ * [[SampleOps]], so the audit of a resumed or re-sharded run is
+ * bit-identical.
+ */
+object AuditOps {
+
+  /**
+   * Per-document fate table for a CCNet/RefinedWeb-style curation
+   * chain: every input doc appears EXACTLY once with its final
+   * `reason` — the first failing stage in pipeline order, or 'kept'.
+   * This is the debugging/monitoring table every production pipeline
+   * needs ("where did my German docs go?"): `groupBy(reason).count()`
+   * over it is the per-stage loss report, and a join back on doc_id
+   * explains any individual document.
+   *
+   * Stage order (earliest failure wins, mirroring execution order —
+   * cheap gates first, so a doc dropped for length never pays the
+   * dedup hash):
+   *   1. `too_short`   — n_chars < minChars
+   *   2. `exact_dup`   — not the canonical (min doc_id) of its
+   *      md5(text) group. Identical text ⇒ identical n_chars, so a
+   *      dup group passes/fails stage 1 TOGETHER — the length gate
+   *      can never drop a canonical and strand its duplicates.
+   *   3. `sampled_out` — outside the deterministic hash sample
+   *      ([[SampleOps.sample]]'s md5-threshold rule, same seed ⇒
+   *      the audit names exactly the rows sample() keeps).
+   *
+   * Scale shape: ONE shuffle, keyed by md5(text) (the dedup window —
+   * the same shuffle a plain dedup pass already pays; uniform hash
+   * key, no skew); the length and sampling stages are per-row
+   * codegen'd expressions fused into the scan. The audit costs
+   * nothing beyond the dedup it explains.
+   */
+  def audit(docs: DataFrame, minChars: Int, sampleRate: Double,
+            seed: String = "s0"): DataFrame = {
+    val canonical =
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+    val inSample =
+      substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 6) <
+        lit(SampleOps.thresholdHex(sampleRate))
+    val reason = when(col("n_chars") < minChars, "too_short")
+      .when(col("doc_id") =!= canonical, "exact_dup")
+      .when(!inSample, "sampled_out")
+      .otherwise("kept")
+    docs
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("kept", (col("reason") === "kept").cast("int"))
+  }
+
+  /**
+   * Per-language corpus report: doc count, total/avg/max characters,
+   * and the EXACT interpolated median (percentile_cont(0.5)
+   * semantics) — computed scalably from the (lang, n_chars)
+   * DISTRIBUTION table instead of buffering every value per group.
+   *
+   * Why not `percentile()`: Spark's exact percentile aggregate
+   * buffers the whole group in memory — at 100 TB a single language
+   * holds billions of rows and the executor dies. n_chars is a
+   * bounded-cardinality integer, so the distribution-table
+   * formulation is exact AND scalable:
+   *
+   *   1. `groupBy(lang, n_chars).count()` — map-side combined; the
+   *      shuffle carries one row per DISTINCT (lang, length) pair
+   *      (≤ strata × max doc length, independent of corpus size);
+   *   2. a cumulative window over that tiny table locates the two
+   *      middle order statistics per language and interpolates.
+   *
+   * The window sorts the distribution table, not the corpus. Same
+   * trick extends to any percentile of any bounded-int column.
+   */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val dist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    // this row covers order-statistic positions (lo, hi]
+    val cum = dist
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c"))
+    val tot = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      max(col("n_chars")).as("max_chars"))
+    // percentile_cont(0.5): position p = (N+1)/2, k = floor(p),
+    // f = p − k; median = v(k) + f·(v(k+1) − v(k))
+    val med = cum.join(tot.select(col("lang"), col("n_docs")), "lang")
+      .withColumn("p", (col("n_docs") + 1) / 2.0)
+      .withColumn("k", floor(col("p")))
+      .withColumn("f", col("p") - col("k"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("lo") < col("k") && col("k") <= col("hi"),
+          col("n_chars"))).as("vk"),
+        max(when(col("lo") < col("k") + 1 && col("k") + 1 <= col("hi"),
+          col("n_chars"))).as("vk1"),
+        first(col("f")).as("f"))
+      .select(col("lang"),
+        round(col("vk") + col("f") *
+          (coalesce(col("vk1"), col("vk")) - col("vk")), 4).as("p50_chars"))
+    tot.join(med, "lang").select(
+      col("lang"),
+      col("n_docs"),
+      col("total_chars"),
+      round(col("total_chars") / col("n_docs"), 4).as("avg_chars"),
+      col("p50_chars"),
+      col("max_chars"))
+  }
+}

@@ -198,6 +198,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits2.toSeq === Seq(0L, 2L))
   }
 
+  test("AuditOps.audit: every doc once, first failing stage wins, sample-consistent") {
+    import graft.pipeline.{AuditOps, SampleOps}
+    // doc 1/2 duplicate text (2 loses to canonical 1); doc 3 short;
+    // doc 4/5 unique and long (fate decided by the hash sample alone)
+    val docs = Seq(
+      (1L, "a long enough unique document body", 34L),
+      (2L, "a long enough unique document body", 34L),
+      (3L, "tiny", 4L),
+      (4L, "another long enough document body x", 35L),
+      (5L, "yet another long enough document body", 37L))
+      .toDF("doc_id", "text", "n_chars")
+    val a = AuditOps.audit(docs, minChars = 10, sampleRate = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(a.size === 5)
+    assert(a(3L) === ("too_short", 0))
+    assert(a(2L) === ("exact_dup", 0))
+    // kept set == what SampleOps.sample keeps among the survivors
+    val sampled = SampleOps.sample(
+      docs.where(col("doc_id").isin(1L, 4L, 5L)), col("doc_id"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    for (id <- Seq(1L, 4L, 5L))
+      assert((a(id)._2 == 1) === sampled.contains(id),
+        s"doc $id audit/sample disagree")
+    for (id <- Seq(1L, 4L, 5L))
+      assert(a(id)._1 === (if (sampled.contains(id)) "kept" else "sampled_out"))
+  }
+
+  test("AuditOps.corpusStats: exact interpolated median from the distribution table") {
+    import graft.pipeline.AuditOps
+    // en: odd count {10,20,300} → p50 = 20; de: even {10,20,30,40} →
+    // p50 = 25.0 (interpolated); fr: even with duplicated middle
+    // {5,5,9} covered by one dist row spanning both positions → 5
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 300L),
+      (4L, "de", 10L), (5L, "de", 20L), (6L, "de", 30L), (7L, "de", 40L),
+      (8L, "fr", 5L), (9L, "fr", 5L), (10L, "fr", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    val stats = AuditOps.corpusStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(stats("en") === ((3L, 330L, 110.0, 20.0, 300L)))
+    assert(stats("de") === ((4L, 100L, 25.0, 25.0, 40L)))
+    assert(stats("fr") === ((3L, 19L, 6.3333, 5.0, 9L)))
+  }
+
   test("filteredTopK: predicate pre-filters, exact over the subset, pushed to scan") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f), 1), (1L, Seq(1f, 0f, 0f), 1),
