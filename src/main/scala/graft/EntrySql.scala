@@ -721,6 +721,37 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, a.ppl
 FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"""
 
+  /** Interpolated Kneser–Ney bigram perplexity oracle: retrains the
+    * exact model (bigram counts, distinct-continuation/context
+    * counts, type total, vocab) and replays the same absolute-
+    * discount + continuation-backoff formula with identical
+    * left-associated float expression order; self-scoring means
+    * every bigram is seen, so the inner joins here mirror the Spark
+    * side's left-join-plus-coalesce exactly. */
+  def knPerplexitySql(discount: Double, gamma: Double): String =
+    s"""WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos FROM tokarr),
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2) AS c1, count(*)::DOUBLE AS n1fwd FROM c2 GROUP BY 1),
+cont AS (SELECT w2, count(*)::DOUBLE AS n1bwd FROM c2 GROUP BY 1),
+tot AS (SELECT (SELECT count(*)::DOUBLE FROM c2) AS n_types,
+               (SELECT count(DISTINCT term)::DOUBLE FROM tok) AS v),
+p AS (SELECT big.doc_id,
+             ln(greatest(c2.c2 - $discount, 0.0) / ctx.c1
+                + $discount * ctx.n1fwd / ctx.c1
+                  * ((cont.n1bwd + $gamma) / (tot.n_types + $gamma * (tot.v + 1.0)))) AS lnp
+      FROM big JOIN c2 USING(w1, w2) JOIN ctx USING(w1) JOIN cont USING(w2), tot),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(exp(-sum(lnp) / count(*)), 4) AS kn_ppl
+        FROM p GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, a.kn_ppl
+FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"""
+
   /** Duplicated-line removal oracle: identical line synthesis
     * (every-10-words wrap — DuckDB spells the replacement `\1`+chr(10)
     * where Spark spells it `$1\n`; same RE2-portable pattern), then

@@ -807,6 +807,12 @@ object SparkEntry {
     "ta_perplexity" -> ((s, d) =>
       TextOps.bigramPerplexity(documents(s, d), alpha = 0.5)
         .orderBy("doc_id")),
+    // interpolated Kneser–Ney (the smoothing production LM filters
+    // use): absolute discount + continuation-probability backoff;
+    // the oracle retrains the identical model and formula in SQL
+    "ta_kn_perplexity" -> ((s, d) =>
+      TextOps.knPerplexity(documents(s, d), discount = 0.75, gamma = 0.5)
+        .orderBy("doc_id")),
     // BPE vocabulary TRAINING (Sennrich et al.): 8 distributed merge
     // rounds — ONE pair-count aggregate each over the cached
     // vocab-sized word table, one winning row to the driver per
@@ -1067,6 +1073,7 @@ ORDER BY doc_id, change""",
     "ta_qtrain" -> EntrySql.qualityLrTrainSql(qualityStopwords),
     "ta_qscore" -> EntrySql.qualityLrScoreSql(qualityStopwords),
     "ta_perplexity" -> EntrySql.perplexitySql(0.5),
+    "ta_kn_perplexity" -> EntrySql.knPerplexitySql(0.75, 0.5),
     "ta_bpe_train" -> EntrySql.bpeTrainSql(8),
     "ta_bpe_encode" -> EntrySql.bpeEncodeSql(8),
     "ta_winnow" -> EntrySql.winnowSql(),

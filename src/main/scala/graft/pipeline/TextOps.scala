@@ -620,4 +620,90 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
   }
+
+  /**
+   * Interpolated Kneser–Ney bigram perplexity — the smoothing the
+   * published LM-quality filters actually ship (CCNet's KenLM models
+   * are modified-KN; Chen & Goodman 1998 showed KN dominates add-α).
+   * Absolute discounting with a continuation-probability backoff:
+   *
+   *   p_cont(w2)   = (N1+(·,w2) + γ) / (N1+(·,·) + γ·(V+1))
+   *   p_kn(w2|w1)  = max(c(w1,w2) − D, 0)/c(w1,·)
+   *                  + D·N1+(w1,·)/c(w1,·) · p_cont(w2)
+   *   unseen w1    → p_cont(w2)                 (pure backoff)
+   *
+   * where N1+(w1,·) is the number of distinct continuations of w1,
+   * N1+(·,w2) the number of distinct contexts of w2, N1+(·,·) the
+   * total bigram-type count. The add-γ floor on p_cont (γ over the
+   * V+1 event space, +1 for unk) keeps every probability strictly
+   * positive when scoring held-out text — unseen words back off to
+   * the uniform floor instead of ln(0).
+   *
+   * Why this beats add-α for filtering: add-α over-penalizes frequent
+   * contexts (the α·V denominator dwarfs real counts), so fluent
+   * docs dominated by common transitions score too close to garbled
+   * ones. KN's continuation count ranks a word by how PROMISCUOUSLY
+   * it appears, not how often — the signal that separates
+   * boilerplate ("click here" everywhere) from fluent prose.
+   *
+   * Scale shape identical to [[bigramPerplexity]]: in-row bigram
+   * construction, model = hash aggregates over the exploded bigram
+   * types (N1+ columns are COUNT rows of the c2 table — no extra
+   * corpus pass), scoring joins broadcast the vocab-bounded model,
+   * scalar totals ride one-row crossJoins. Tokenization is the
+   * SQL-replayable simple mode, so the DuckDB oracle retrains the
+   * exact model. Output: (doc_id, n_bigrams, kn_ppl), kn_ppl NULL
+   * below two tokens, rounded to 4 decimals like ppl.
+   */
+  def knPerplexity(docs: DataFrame, discount: Double = 0.75,
+                   gamma: Double = 0.5, textCol: String = "text",
+                   train: Option[DataFrame] = None,
+                   broadcastModel: Boolean = true): DataFrame = {
+    def words(df: DataFrame) = df.select(col("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= lit("")).as("ws"))
+    def bigrams(df: DataFrame) = words(df)
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val trainDocs = train.getOrElse(docs)
+    val c2 = bigrams(trainDocs).groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("c2"))
+    // context table: token count AND distinct-continuation count of
+    // w1 in one aggregate over bigram TYPES (c2 rows, not the corpus)
+    val ctx = c2.groupBy("w1").agg(sum(col("c2")).as("c1"),
+      count(lit(1)).cast("double").as("n1fwd"))
+    // continuation table: distinct-context count of w2
+    val cont = c2.groupBy("w2")
+      .agg(count(lit(1)).cast("double").as("n1bwd"))
+    // scalar totals: bigram-type count + vocab size (for the γ floor)
+    val totals = c2.agg(count(lit(1)).cast("double").as("n_types"))
+      .crossJoin(words(trainDocs).select(explode(col("ws")).as("w"))
+        .agg(count_distinct(col("w")).cast("double").as("v")))
+
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val d = lit(discount)
+    val pCont = (coalesce(col("n1bwd"), lit(0.0)) + lit(gamma)) /
+      (col("n_types") + lit(gamma) * (col("v") + lit(1.0)))
+    val pKn = when(col("c1").isNull, pCont).otherwise(
+      greatest(coalesce(col("c2"), lit(0.0)) - d, lit(0.0)) / col("c1") +
+        d * col("n1fwd") / col("c1") * pCont)
+    val scored = bigrams(docs)
+      .join(side(c2), Seq("w1", "w2"), "left")
+      .join(side(ctx), Seq("w1"), "left")
+      .join(side(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), log(pKn).as("lnp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("lnp")) / count(lit(1))), 4).as("kn_ppl"))
+
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("kn_ppl"))
+  }
 }

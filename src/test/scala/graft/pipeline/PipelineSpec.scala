@@ -609,6 +609,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(scoredAgainst(0).getDouble(2) == 4.0)
   }
 
+  test("knPerplexity: interpolated Kneser-Ney, hand-computed and by-property") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.knPerplexity(d, discount = 0.75, gamma = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // model: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1; ctx a:(c1=3,n1fwd=1),
+    // b:(c1=2,n1fwd=2); cont a/b/c: n1bwd=1; n_types=3, V=4
+    val pc = (1.0 + 0.5) / (3.0 + 0.5 * 5.0)               // p_cont, any seen w2
+    val pab = math.max(3.0 - 0.75, 0) / 3.0 + 0.75 * 1.0 / 3.0 * pc
+    val pba = math.max(1.0 - 0.75, 0) / 2.0 + 0.75 * 2.0 / 2.0 * pc
+    val pbc = pba                                           // same counts as (b,a)
+    def ppl(ps: Seq[Double]) =
+      BigDecimal(math.exp(-ps.map(math.log).sum / ps.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 3L, Some(ppl(Seq(pab, pba, pab))))), got(0).toString)
+    assert(got(1) == ((2L, 2L, Some(ppl(Seq(pab, pbc))))), got(1).toString)
+    assert(got(2) == ((3L, 0L, None)))
+    // held-out: unseen context z backs off to the γ-floored p_cont;
+    // both bigrams score (0+0.5)/(3+0.5*5) → ppl = 5.5/0.5 = 11
+    val held = TextOps.knPerplexity(Seq((9L, "z z q")).toDF("doc_id", "text"),
+      discount = 0.75, gamma = 0.5, train = Some(d)).collect()
+    assert(held.length == 1 && held(0).getDouble(2) == 11.0, held.mkString)
+    // property: the CCNet separation — repetitive doc scores lower
+    // perplexity than one of all-distinct transitions
+    val d2 = Seq((1L, "w w w w w w w w"), (2L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val p2 = TextOps.knPerplexity(d2).orderBy("doc_id")
+      .collect().map(_.getDouble(2))
+    assert(p2(0) < p2(1), p2.mkString(","))
+    // property: KN probabilities over seen events stay in (0, 1)
+    assert(Seq(pab, pba, pc).forall(p => p > 0 && p < 1))
+  }
+
   test("rrfFuse: reciprocal-rank fusion of a lexical and a dense list") {
     import spark.implicits._
     val lex = Seq((1L, 3.0), (2L, 2.0)).toDF("doc_id", "score")
