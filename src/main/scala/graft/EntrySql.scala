@@ -1550,6 +1550,36 @@ WHERE substr(md5('s0' || doc_id), 1, 6) <
 ORDER BY doc_id"""
   }
 
+  /** Temperature-sampling oracle: retrains the n^α stratum weights,
+    * the left-to-right cumulative total, and the 6-decimal rate →
+    * (integer epochs, fractional-epoch hex threshold) split in the
+    * exact expression order SampleOps.temperatureSample uses, then
+    * emits one row per surviving (stratum, key, epoch). */
+  def temperatureSampleSql(alpha: Double, targetRows: Long): String =
+    s"""WITH stats AS (
+  SELECT lang AS stratum, count(*)::DOUBLE AS n,
+         pow(count(*)::DOUBLE, $alpha) AS w
+  FROM documents GROUP BY 1),
+cum AS (SELECT stratum, n, w,
+        sum(w) OVER (ORDER BY stratum
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM stats),
+rates AS (SELECT stratum,
+          round($targetRows.0 * w / (SELECT max(cw) FROM cum) / n, 6) AS rate
+          FROM cum),
+split AS (SELECT stratum, floor(rate)::BIGINT AS epochs,
+          round(round(rate - floor(rate), 6) * 16777216.0, 0)::BIGINT AS cut
+          FROM rates),
+thr AS (SELECT stratum, epochs,
+        CASE WHEN cut >= 16777216 THEN 'g' WHEN cut <= 0 THEN '000000'
+             ELSE printf('%06x', cut) END AS thr FROM split),
+nc AS (SELECT d.lang AS stratum, d.doc_id AS "key",
+       t.epochs + CASE WHEN substr(md5('s0' || d.doc_id), 1, 6) < t.thr
+                       THEN 1 ELSE 0 END AS nc
+       FROM documents d JOIN thr t ON d.lang = t.stratum)
+SELECT stratum, "key", unnest(generate_series(0, nc - 1)) AS epoch
+FROM nc WHERE nc >= 1 ORDER BY stratum, "key", epoch"""
+
   val tokensSql: String = {
     // DuckDB '…' strings keep backslashes literal; only quotes escape
     val p = graft.pipeline.TextOps.BpeishPattern.replace("'", "''")

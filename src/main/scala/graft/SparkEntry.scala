@@ -872,6 +872,16 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // temperature-scaled mixture resampling (the mBERT/XLM-R α-
+    // smoothing recipe): stratum weight ∝ n^α, per-stratum rate may
+    // exceed 1 → deterministic integer epochs + hash-threshold
+    // fractional epoch; at sf0.01/target=600 the small langs
+    // UP-sample (epoch ≥ 1 rows appear) while en down-samples, so one
+    // gate exercises both regimes
+    "dp_temperature" -> ((s, d) =>
+      graft.pipeline.SampleOps.temperatureSample(documents(s, d),
+        col("doc_id"), col("lang"), alpha = 0.5, targetRows = 600L)
+        .orderBy("stratum", "key", "epoch")),
     // per-stratum TOKEN-budget cutoff (the form a training mix
     // actually specifies): keep docs in md5-hash order until the
     // source's cumulative char count reaches the budget — computed
@@ -1084,6 +1094,7 @@ ORDER BY doc_id, change""",
     "dp_audit" -> EntrySql.auditSql(100, 0.6),
     "ta_corpus_stats" -> EntrySql.corpusStatsSql,
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
+    "dp_temperature" -> EntrySql.temperatureSampleSql(0.5, 600L),
     "dp_quota" -> EntrySql.quotaSql(10),
     "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),
     "hy_rerank" -> EntrySql.rerankSql(Seq("data", "stream", "query"), 50, 10),

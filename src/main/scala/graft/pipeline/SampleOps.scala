@@ -124,6 +124,69 @@ object SampleOps {
     full.unionByName(boundary)
   }
 
+  /**
+   * Temperature-scaled mixture sampling with deterministic
+   * repetition — the multilingual/multi-source rebalancing pass the
+   * published LM data recipes use (mBERT/XLM-R exponential smoothing,
+   * GPT-3's per-source epoch counts): stratum s with n_s rows gets
+   * sampling weight n_s^α, so α=1 is proportional (big sources
+   * dominate), α=0 is uniform (every source equal), and α≈0.3–0.7
+   * up-weights the tail. Each stratum's target row count is
+   * `targetRows · n_s^α / Σ n^α`; its per-row rate = target/n_s may
+   * EXCEED 1, which becomes integer epochs (every row repeated) plus
+   * one fractional epoch filled by the same hash-threshold rule as
+   * [[sample]] — so up- and down-sampling fall out of one formula.
+   *
+   * Output: one row per (stratum, key, epoch), epoch = 0..n_copies−1;
+   * a doc at rate 2.3 emits epochs {0,1} always and epoch 2 iff
+   * md5(seed ‖ key) sorts under the 0.3 threshold.
+   *
+   * Determinism contract (the trainQualityLr 6-decimal resync): rates
+   * are rounded to 6 decimals, and the Σ n^α total is a LEFT-TO-RIGHT
+   * cumulative sum in stratum order — a window over the strata-sized
+   * stats frame, never a partition-order-dependent sum — so any
+   * engine reproduces the exact per-stratum thresholds and the gate
+   * can value-check the full multiset. The stats window is
+   * single-partition by construction (one row per stratum — the
+   * rrfFuse bounded-frame contract); everything row-level is a
+   * broadcast join of the strata-sized rate table plus a codegen'd
+   * filter/explode, no corpus shuffle.
+   */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+                        alpha: Double, targetRows: Long,
+                        seed: String = "s0"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val stats = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("w", pow(col("n"), lit(alpha)))
+    val wCum = Window.orderBy("stratum")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = stats
+      .withColumn("cw", sum("w").over(wCum))
+      .withColumn("total", max("cw").over(wAll))
+      .withColumn("rate",
+        round(lit(targetRows.toDouble) * col("w") / col("total") / col("n"), 6))
+      .withColumn("epochs", floor(col("rate")).cast("long"))
+      .withColumn("frac", round(col("rate") - floor(col("rate")), 6))
+      .withColumn("cut",
+        round(col("frac") * lit(HexSpace.toDouble), 0).cast("long"))
+      .withColumn("thr",
+        when(col("cut") >= HexSpace, lit("g"))
+          .when(col("cut") <= 0L, lit("000000"))
+          .otherwise(format_string("%06x", col("cut"))))
+      .select("stratum", "epochs", "thr")
+    df.select(stratum.as("stratum"), key.cast("long").as("key"))
+      .join(broadcast(rates), Seq("stratum"))
+      .withColumn("nc", col("epochs") +
+        when(hashKey(col("key"), seed) < col("thr"), 1L).otherwise(0L))
+      .where(col("nc") >= 1L)
+      .select(col("stratum"), col("key"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("epoch"))
+  }
+
   /** Stratified data mixing: per-stratum keep-rates (e.g. language or
     * source → rate), `default` for unmapped strata — the mixture-
     * weights pass that rebalances a corpus before training. */

@@ -524,6 +524,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(en == enViaMix)
   }
 
+  test("temperature sampling up-samples the tail with deterministic epochs") {
+    import spark.implicits._
+    // big: 1600 rows, small: 100 rows; α=.5 ⇒ w = {40, 10}, Σ=50;
+    // target 800 ⇒ rate_big = .4 (down), rate_small = 1.6 (1 full
+    // epoch + .6 fractional)
+    val d = ((1L to 1600L).map(i => (i, "big")) ++
+      (2001L to 2100L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val t = SampleOps.temperatureSample(d, col("doc_id"), col("lang"),
+      alpha = 0.5, targetRows = 800L).cache()
+    // down-sampled stratum: single epoch, selection IS the uniform
+    // hash-threshold sample at its rate (same seed/key hash)
+    val big = t.where($"stratum" === "big")
+    assert(big.agg(max("epoch")).head.getLong(0) == 0L)
+    val bigKeys = big.select("key").as[Long].collect().sorted.toSeq
+    val bigRef = SampleOps.sample(d.where($"lang" === "big"),
+      col("doc_id"), 0.4).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bigKeys == bigRef)
+    // up-sampled stratum: EVERY key present at epoch 0, and the
+    // epoch-1 copies are exactly the rate-0.6 fractional sample
+    val small = t.where($"stratum" === "small")
+    assert(small.where($"epoch" === 0L).count() == 100L)
+    val extra = small.where($"epoch" === 1L)
+      .select("key").as[Long].collect().sorted.toSeq
+    val extraRef = SampleOps.sample(d.where($"lang" === "small"),
+      col("doc_id"), 0.6).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(extra == extraRef)
+    assert(small.agg(max("epoch")).head.getLong(0) == 1L)
+    // α=0 is uniform over strata: each stratum targets ~400 rows
+    val u = SampleOps.temperatureSample(d, col("doc_id"), col("lang"),
+      alpha = 0.0, targetRows = 800L)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(u("big") - 400L) < 60, u.toString)
+    assert(u("small") == 400L, u.toString) // rate 4.0 ⇒ exactly 4 epochs/key
+    // layout independence: identical multiset under a different layout
+    val again = SampleOps.temperatureSample(d.repartition(7), col("doc_id"),
+      col("lang"), alpha = 0.5, targetRows = 800L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val first = t.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(first == again)
+    t.unpersist()
+  }
+
   test("chunk slices token windows with stride and a short tail") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val d = docs(1L -> text, 2L -> "only three tokens here".split(" ").take(3).mkString(" "),
