@@ -675,6 +675,27 @@ reach AS (
 )
 SELECT id AS doc_id, min(cluster) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Leakage-free split oracle: [[clusterSql]]'s transitive-closure
+    * CTEs plus the same md5 hash-threshold rule applied to the
+    * CLUSTER label — every member of a component gets the same
+    * side. */
+  def splitSql(validFrac: Double, minJaccard: Double = 0.8,
+               seeds: Int = 12, k: Int = 8, rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${nearDupCtes(seeds, k, rowsPerBand)},
+e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jaccard >= $minJaccard
+      UNION SELECT doc_b, doc_a FROM j WHERE jaccard >= $minJaccard),
+reach AS (
+  SELECT doc_id AS id, doc_id AS cluster FROM documents
+  UNION
+  SELECT e.src AS id, r.cluster FROM reach r JOIN e ON e.dst = r.id
+),
+cl AS (SELECT id AS doc_id, min(cluster) AS cluster FROM reach GROUP BY id)
+SELECT doc_id, cluster,
+       CASE WHEN substr(md5('s0' || cluster), 1, 6) <
+                 '${graft.pipeline.SampleOps.thresholdHex(validFrac)}'
+            THEN 'valid' ELSE 'train' END AS split
+FROM cl ORDER BY doc_id"""
+
   /** Hybrid-retrieval RRF oracle: the BM25 lexical top-`kList` (same
     * CTEs as [[orTopk]]) and the embedding-cosine top-`kList` (same
     * CTEs as [[annTopkSql]], vec_id plays doc_id), each re-ranked by

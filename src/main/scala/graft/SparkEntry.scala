@@ -872,6 +872,18 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // leakage-free train/valid split: the side is assigned by the
+    // near-dup CLUSTER's hash, so a document can never train while
+    // its near-duplicate sits in validation — the contamination
+    // failure exact-dedup papers measure; the assignment itself is a
+    // codegen'd expression, no shuffle beyond the clustering
+    "dp_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      DedupOps.clusterPairs(docs, DedupOps.nearDupPairs(docs, 0.8))
+        .withColumn("split",
+          graft.pipeline.SampleOps.assignSplit(col("cluster"), 0.1))
+        .orderBy("doc_id")
+    }),
     // temperature-scaled mixture resampling (the mBERT/XLM-R α-
     // smoothing recipe): stratum weight ∝ n^α, per-stratum rate may
     // exceed 1 → deterministic integer epochs + hash-threshold
@@ -1095,6 +1107,7 @@ ORDER BY doc_id, change""",
     "ta_corpus_stats" -> EntrySql.corpusStatsSql,
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "dp_temperature" -> EntrySql.temperatureSampleSql(0.5, 600L),
+    "dp_split" -> EntrySql.splitSql(0.1),
     "dp_quota" -> EntrySql.quotaSql(10),
     "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),
     "hy_rerank" -> EntrySql.rerankSql(Seq("data", "stream", "query"), 50, 10),

@@ -41,6 +41,20 @@ object SampleOps {
              seed: String = "s0"): DataFrame =
     df.filter(hashKey(key, seed) < lit(thresholdHex(rate)))
 
+  /** Split assignment by GROUP hash — the leakage-free train/valid
+    * split: every member of a group (near-dup cluster, url domain,
+    * repo …) lands on the SAME side, so a duplicated document can
+    * never sit in train while its twin contaminates validation (the
+    * failure mode the Lee et al. dedup paper measures). A codegen'd
+    * per-row expression over the group key — no shuffle beyond
+    * whatever produced the grouping — and the same md5
+    * hash-threshold rule as [[sample]], so the assignment is
+    * deterministic, layout-independent, and engine-reproducible. */
+  def assignSplit(group: Column, validFrac: Double,
+                  seed: String = "s0"): Column =
+    when(hashKey(group, seed) < lit(thresholdHex(validFrac)), lit("valid"))
+      .otherwise(lit("train"))
+
   /** Per-stratum quota cap: keep AT MOST `cap` rows per stratum
     * (domain, source, license bucket …), selected in md5-hash order —
     * the RefinedWeb/CCNet per-domain cap that stops one giant site

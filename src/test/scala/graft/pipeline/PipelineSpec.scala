@@ -524,6 +524,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(en == enViaMix)
   }
 
+  test("assignSplit: near-dup clusters never straddle the train/valid boundary") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps going"
+    // many singleton docs + a planted near-dup cluster {1,2,3}
+    val d = docs((Seq(
+      1L -> base, 2L -> base, 3L -> (base + "!")) ++
+      (10L to 200L).map(i => i -> s"unique document number $i about topic ${i * 7}")): _*)
+    val pairs = DedupOps.nearDupPairs(d, minJaccard = 0.8)
+    val split = DedupOps.clusterPairs(d, pairs)
+      .withColumn("split", SampleOps.assignSplit(col("cluster"), 0.3)).cache()
+    val side = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the leakage invariant: every verified near-dup pair is co-assigned
+    pairs.collect().foreach { r =>
+      assert(side(r.getLong(0)) == side(r.getLong(1)), r.toString)
+    }
+    assert(side(1L) == side(2L) && side(2L) == side(3L))
+    // both sides populated at validFrac=.3 over ~190 singleton clusters
+    val n = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("valid") > 20 && n("train") > 90, n.toString)
+    // group-hash rule: assignment equals the uniform sample decision
+    // on the cluster label (same seed/hash ⇒ pure threshold move)
+    val validClusters = split.where($"split" === "valid")
+      .select("cluster").distinct()
+    val sampled = SampleOps.sample(split.select("cluster").distinct(),
+      col("cluster"), 0.3)
+    assert(validClusters.exceptAll(sampled).isEmpty &&
+      sampled.exceptAll(validClusters).isEmpty)
+    // edges: frac 0 → all train; frac 1 → all valid
+    assert(split.withColumn("s", SampleOps.assignSplit(col("cluster"), 0.0))
+      .where($"s" === "valid").count() == 0)
+    assert(split.withColumn("s", SampleOps.assignSplit(col("cluster"), 1.0))
+      .where($"s" === "train").count() == 0)
+    split.unpersist()
+  }
+
   test("temperature sampling up-samples the tail with deterministic epochs") {
     import spark.implicits._
     // big: 1600 rows, small: 100 rows; α=.5 ⇒ w = {40, 10}, Σ=50;
