@@ -872,6 +872,14 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // trigram substring search (the Code Search/zoekt query class a
+    // term index can't answer — the pattern crosses token
+    // boundaries): candidates = docs holding ALL the pattern's
+    // trigrams via one hash aggregate, exact contains() verify runs
+    // over candidates only; the oracle is the brute-force scan
+    "ft_trigram" -> ((s, d) =>
+      graft.pipeline.CodeSearchOps.substringSearch(
+        documents(s, d), "fast merge").orderBy("doc_id")),
     // leakage-free train/valid split: the side is assigned by the
     // near-dup CLUSTER's hash, so a document can never train while
     // its near-duplicate sits in validation — the contamination
@@ -1108,6 +1116,9 @@ ORDER BY doc_id, change""",
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "dp_temperature" -> EntrySql.temperatureSampleSql(0.5, 600L),
     "dp_split" -> EntrySql.splitSql(0.1),
+    "ft_trigram" ->
+      """SELECT doc_id FROM documents WHERE contains(text, 'fast merge')
+ORDER BY doc_id""",
     "dp_quota" -> EntrySql.quotaSql(10),
     "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),
     "hy_rerank" -> EntrySql.rerankSql(Seq("data", "stream", "query"), 50, 10),

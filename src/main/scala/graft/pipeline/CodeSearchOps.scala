@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Trigram substring search — the code-search query class a term
+ * index cannot answer. A term/posting index (xapian's model; this
+ * repo's `graft.index`) matches whole tokens, but the queries a
+ * source-code corpus actually gets are literal substrings crossing
+ * token boundaries (`"fast merge"`, `x->len`, `#include <`). The
+ * public solution (Google Code Search, Russ Cox's "Regular Expression
+ * Matching with a Trigram Index"; zoekt) indexes every 3-byte window
+ * and answers a literal pattern as the AND of its trigrams followed
+ * by an exact verify of the candidates only — the same
+ * candidates-only shape as [[DedupOps]]' banded verify joins.
+ *
+ * Scale shape: the postings build is one scan-fused explode + one
+ * distinct (shuffle keyed by (gram, doc_id) — uniform by
+ * construction, since each doc contributes a gram at most once); a
+ * query touches only the pattern's ≤ |p|−2 gram groups, the
+ * AND-intersection is one hash aggregate over those groups' postings,
+ * and the verify scan reads candidate rows only. The persisted
+ * variant partitions postings by a gram hash bucket, so a query scans
+ * just the buckets its grams live in — plan-time partition pruning,
+ * the same discipline as the IVF centroid partitions.
+ */
+object CodeSearchOps {
+
+  /** Distinct (doc_id, gram) trigram postings of `textCol`: every
+    * 3-char window, docs shorter than 3 chars contribute nothing.
+    * Build is scan-fused (explode) + one uniform-keyed distinct. */
+  def trigramPostings(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.where(length(col(textCol)) >= 3)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length($textCol) - 2)," +
+          s" i -> substring($textCol, i, 3))")).as("gram"))
+      .distinct()
+
+  /** Literal substring search: docs whose `textCol` CONTAINS
+    * `pattern`. Patterns of length ≥ 3 run the trigram plan —
+    * candidates = docs holding ALL the pattern's distinct trigrams
+    * (one hash aggregate over the matching gram groups), then an
+    * exact `contains` verify over the candidates only. Shorter
+    * patterns (< 3 chars: no trigram exists) fall back to the full
+    * verify scan — the one case the index genuinely can't prune.
+    * Pass a prebuilt [[trigramPostings]] frame to amortize the build
+    * across queries. */
+  def substringSearch(docs: DataFrame, pattern: String,
+                      textCol: String = "text",
+                      postings: Option[DataFrame] = None): DataFrame = {
+    require(pattern.nonEmpty, "substringSearch needs a non-empty pattern")
+    if (pattern.length < 3)
+      docs.where(col(textCol).contains(pattern)).select(col("doc_id"))
+    else {
+      val grams = pattern.sliding(3).toSeq.distinct
+      val post = postings.getOrElse(trigramPostings(docs, textCol))
+      val cands = post.where(col("gram").isin(grams: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        .where(col("ng") === grams.size)
+        .select("doc_id")
+      // verify candidates only; the candidate side is small for any
+      // selective pattern — AQE broadcasts it under the size gate
+      docs.join(cands, "doc_id")
+        .where(col(textCol).contains(pattern))
+        .select(col("doc_id"))
+    }
+  }
+
+  /** Persist the trigram postings partitioned by a gram hash bucket:
+    * a query's grams map to ≤ |grams| buckets, so the search scan
+    * prunes every other partition at plan time (`bucket IN (…)` is a
+    * partition filter, not a row filter). `nBuckets` sizes the
+    * partition count — at corpus scale each bucket is one uniform
+    * 1/nBuckets slice of the postings (grams are hash-assigned). */
+  def writeTrigramIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
+                        textCol: String = "text"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    trigramPostings(docs, textCol)
+      .withColumn("bucket", pmod(xxhash64(col("gram")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** [[substringSearch]] against a persisted [[writeTrigramIndex]]
+    * directory: reads ONLY the buckets the pattern's grams hash to
+    * (partition pruning), intersects, then verifies against `docs`. */
+  def substringSearchIndexed(spark: SparkSession, docs: DataFrame,
+                             indexDir: String, pattern: String,
+                             nBuckets: Int = 64,
+                             textCol: String = "text"): DataFrame = {
+    require(pattern.length >= 3,
+      "indexed search needs a pattern of length >= 3 (shorter patterns " +
+        "have no trigram — run substringSearch's fallback scan instead)")
+    val post = spark.read.parquet(indexDir)
+    val grams = pattern.sliding(3).toSeq.distinct
+    val bucketed = post
+      .where(col("bucket").isin(
+        grams.map(g => buckets(g, nBuckets)).distinct: _*))
+      .where(col("gram").isin(grams: _*))
+    substringSearch(docs, pattern, textCol, postings = Some(bucketed))
+  }
+
+  /** The bucket a gram hashes to — must mirror writeTrigramIndex's
+    * pmod(xxhash64(gram), nBuckets) exactly, so the planner's bucket
+    * list is computed driver-side without touching the index. */
+  private def buckets(gram: String, nBuckets: Int): Long = {
+    // xxhash64 over a UTF8 string with Spark's seed 42
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gram),
+      org.apache.spark.sql.types.StringType, 42L)
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+}

@@ -524,6 +524,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(en == enViaMix)
   }
 
+  test("trigram substring search: boundary-crossing patterns, pruning, fallback") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "fast merge sort on spark",
+      2L -> "the merge is fast",          // has words but not the substring
+      3L -> "abcx then bcde",             // all grams of "abcd", not the string
+      4L -> "superfast merger here",      // substring inside larger tokens
+      5L -> "xy")                         // shorter than a trigram
+    def hits(p: String) = CodeSearchOps.substringSearch(d, p)
+      .as[Long].collect().sorted.toSeq
+    def brute(p: String) = d.where($"text".contains(p))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // token-boundary-crossing pattern; includes the inside-token hit
+    assert(hits("fast merge") == Seq(1L, 4L))
+    assert(hits("fast merge") == brute("fast merge"))
+    // the false candidate: doc 3 holds every trigram of "abcd"
+    // ("abc" from abcx, "bcd" from bcde) yet must be verify-rejected
+    val cands = CodeSearchOps.trigramPostings(d)
+      .where(col("gram").isin("abc", "bcd")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n")).where($"n" === 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cands.contains(3L))
+    assert(hits("abcd") == brute("abcd") && !hits("abcd").contains(3L))
+    // sub-trigram pattern falls back to the verify scan
+    assert(hits("xy") == Seq(5L) && hits("xy") == brute("xy"))
+    // persisted index: identical answer, and the scan PRUNES to the
+    // pattern's gram buckets at plan time
+    val dir = java.nio.file.Files.createTempDirectory("tgidx").toString
+    CodeSearchOps.writeTrigramIndex(d, dir, nBuckets = 16)
+    val viaIdx = CodeSearchOps.substringSearchIndexed(spark, d, dir,
+      "fast merge", nBuckets = 16)
+    assert(viaIdx.as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val scan = spark.read.parquet(dir).where(col("bucket").isin(0L, 1L))
+    val pf = scan.queryExecution.executedPlan.toString
+    assert(pf.contains("PartitionFilters") && pf.contains("bucket"), pf)
+  }
+
   test("assignSplit: near-dup clusters never straddle the train/valid boundary") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps going"
