@@ -880,6 +880,12 @@ object SparkEntry {
     "ft_trigram" -> ((s, d) =>
       graft.pipeline.CodeSearchOps.substringSearch(
         documents(s, d), "fast merge").orderBy("doc_id")),
+    // regex search compiled to a trigram constraint (Cox's Code
+    // Search method): candidates satisfy the pattern's required-gram
+    // algebra, the regex itself verifies candidates only
+    "ft_regex" -> ((s, d) =>
+      graft.pipeline.RegexTrigram.regexSearch(
+        documents(s, d), "f[ao]st (merge|stream)").orderBy("doc_id")),
     // leakage-free train/valid split: the side is assigned by the
     // near-dup CLUSTER's hash, so a document can never train while
     // its near-duplicate sits in validation — the contamination
@@ -1118,6 +1124,10 @@ ORDER BY doc_id, change""",
     "dp_split" -> EntrySql.splitSql(0.1),
     "ft_trigram" ->
       """SELECT doc_id FROM documents WHERE contains(text, 'fast merge')
+ORDER BY doc_id""",
+    "ft_regex" ->
+      """SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'f[ao]st (merge|stream)')
 ORDER BY doc_id""",
     "dp_quota" -> EntrySql.quotaSql(10),
     "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),

@@ -95,7 +95,7 @@ object CodeSearchOps {
     val grams = pattern.sliding(3).toSeq.distinct
     val bucketed = post
       .where(col("bucket").isin(
-        grams.map(g => buckets(g, nBuckets)).distinct: _*))
+        grams.map(g => gramBucket(g, nBuckets)).distinct: _*))
       .where(col("gram").isin(grams: _*))
     substringSearch(docs, pattern, textCol, postings = Some(bucketed))
   }
@@ -103,7 +103,7 @@ object CodeSearchOps {
   /** The bucket a gram hashes to — must mirror writeTrigramIndex's
     * pmod(xxhash64(gram), nBuckets) exactly, so the planner's bucket
     * list is computed driver-side without touching the index. */
-  private def buckets(gram: String, nBuckets: Int): Long = {
+  private[pipeline] def gramBucket(gram: String, nBuckets: Int): Long = {
     // xxhash64 over a UTF8 string with Spark's seed 42
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(gram),

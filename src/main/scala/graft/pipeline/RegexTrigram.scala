@@ -1,0 +1,375 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Regex → trigram-constraint compiler, the second half of the Code
+ * Search capability ([[CodeSearchOps]] answers literals): a regular
+ * expression is compiled to a boolean constraint over trigrams that
+ * every matching document MUST satisfy, candidates are gathered from
+ * the trigram postings by that constraint, and the regex itself runs
+ * only over the candidates (`rlike` verify). The method is Russ Cox's
+ * published "Regular Expression Matching with a Trigram Index"
+ * (swtch.com/~rsc/regexp/regexp4.html; the public codesearch tool);
+ * this is an original conservative variant of that algebra: we track
+ * the EXACT SET of strings a subpattern can match (capped), emit each
+ * flushed set as an OR-of-(AND-of-trigrams) constraint, and degrade
+ * to no-constraint (full verify scan) wherever the algebra would
+ * over-constrain — so the candidate set is a superset of the true
+ * match set by construction, for every supported or unsupported
+ * pattern alike.
+ *
+ * Scale shape: the constraint tree touches only the pattern's gram
+ * groups (leaf = `gram IN (…)` + one hash aggregate), AND = inner
+ * joins of already-small candidate frames, OR = union; the verify
+ * scan reads candidate rows only. Unsupported constructs cost
+ * correctness nothing — they widen the scan, never wrong answers.
+ */
+object RegexTrigram {
+
+  // ---- constraint tree --------------------------------------------------
+
+  /** A constraint every matching doc must satisfy. */
+  sealed trait TriQ
+  /** No pruning possible — every doc is a candidate. */
+  case object QAll extends TriQ
+  /** Doc must contain ALL of these trigrams (from one definite substring). */
+  final case class QGrams(grams: Seq[String]) extends TriQ
+  final case class QAnd(qs: Seq[TriQ]) extends TriQ
+  final case class QOr(qs: Seq[TriQ]) extends TriQ
+
+  private def qAnd(qs: Seq[TriQ]): TriQ = {
+    val kept = qs.flatMap {
+      case QAll       => Nil
+      case QAnd(inner) => inner
+      case q          => Seq(q)
+    }
+    kept match {
+      case Seq()  => QAll
+      case Seq(q) => q
+      case many   => QAnd(many)
+    }
+  }
+
+  private def qOr(qs: Seq[TriQ]): TriQ =
+    if (qs.isEmpty || qs.contains(QAll)) QAll
+    else if (qs.size == 1) qs.head
+    else QOr(qs)
+
+  /** Constraint implied by one definite substring: all its trigrams
+    * (none exist below length 3 → no constraint). */
+  private def gramsOf(s: String): TriQ =
+    if (s.length < 3) QAll else QGrams(s.sliding(3).toSeq.distinct)
+
+  /** All trigrams mentioned anywhere in the tree — the bucket list
+    * for partition pruning on a persisted index. */
+  def allGrams(q: TriQ): Set[String] = q match {
+    case QAll        => Set.empty
+    case QGrams(gs)  => gs.toSet
+    case QAnd(qs)    => qs.flatMap(allGrams).toSet
+    case QOr(qs)     => qs.flatMap(allGrams).toSet
+  }
+
+  // ---- regex AST (Java-regex-compatible subset) -------------------------
+
+  private sealed trait Rx
+  private case class RLit(c: Char) extends Rx
+  /** Known small character class (alternation of single chars). */
+  private case class RSet(chars: Seq[Char]) extends Rx
+  /** Matches empty string (anchors ^ $ \b — position constraints the
+    * trigram layer safely ignores). */
+  private case object REmpty extends Rx
+  /** Unknown atom: `.`  big/negated classes, \d\w\s, exotic groups.
+    * Contributes no constraint. */
+  private case object RAny extends Rx
+  private case class RSeq(es: List[Rx]) extends Rx
+  private case class RAlt(es: List[Rx]) extends Rx
+  /** Repetition; only `min` matters for constraints (min ≥ 1 ⇒ the
+    * body must occur at least once). */
+  private case class RRep(e: Rx, min: Int) extends Rx
+
+  private final class Parser(p: String) {
+    private var i = 0
+    private def peek: Char = p.charAt(i)
+    private def eof: Boolean = i >= p.length
+    def parse(): Rx = { val e = alt(); require(eof, s"dangling input at $i"); e }
+
+    private def alt(): Rx = {
+      val branches = scala.collection.mutable.ListBuffer(seq())
+      while (!eof && peek == '|') { i += 1; branches += seq() }
+      if (branches.size == 1) branches.head else RAlt(branches.toList)
+    }
+
+    private def seq(): Rx = {
+      val es = scala.collection.mutable.ListBuffer.empty[Rx]
+      while (!eof && peek != '|' && peek != ')') es += repeated()
+      if (es.size == 1) es.head else RSeq(es.toList)
+    }
+
+    private def repeated(): Rx = {
+      var e = atom()
+      var done = false
+      while (!eof && !done) peek match {
+        case '*' => i += 1; e = RRep(e, 0)
+        case '+' => i += 1; e = RRep(e, 1)
+        case '?' => i += 1; e = RRep(e, 0)
+        case '{' => e = counted(e)
+        case _   => done = true
+      }
+      e
+    }
+
+    /** `{m}` / `{m,}` / `{m,n}`; a `{` that isn't a quantifier is a
+      * literal in Java regex — mirror that. */
+    private def counted(e: Rx): Rx = {
+      val close = p.indexOf('}', i)
+      val body = if (close < 0) "" else p.substring(i + 1, close)
+      if (close >= 0 && body.matches("""\d+(,\d*)?""")) {
+        i = close + 1
+        RRep(e, body.takeWhile(_.isDigit).toInt)
+      } else { i += 1; RSeq(List(e, RLit('{'))) }
+    }
+
+    private def atom(): Rx = {
+      require(!eof, "pattern ends mid-atom")
+      peek match {
+        case '(' =>
+          i += 1
+          if (!eof && peek == '?') {
+            // (?:...) is plain grouping; every other (?...) construct
+            // (flags, lookaround, named groups) → conservative RAny
+            if (i + 1 < p.length && p.charAt(i + 1) == ':') { i += 2 }
+            else { skipGroup(); return RAny }
+          }
+          val e = alt()
+          require(!eof && peek == ')', "unclosed group"); i += 1
+          e
+        case '[' => charClass()
+        case '.' => i += 1; RAny
+        case '^' | '$' => i += 1; REmpty
+        case '\\' => i += 1; escape()
+        case c =>
+          require(!"*+?".contains(c), s"dangling quantifier '$c'")
+          i += 1; RLit(c)
+      }
+    }
+
+    /** Consume a balanced `(...)` whose contents we refuse to model. */
+    private def skipGroup(): Unit = {
+      var depth = 1
+      while (depth > 0) {
+        require(!eof, "unclosed group")
+        peek match {
+          case '\\' => i += 2
+          case '('  => depth += 1; i += 1
+          case ')'  => depth -= 1; i += 1
+          case _    => i += 1
+        }
+      }
+    }
+
+    private def escape(): Rx = {
+      require(!eof, "pattern ends mid-escape")
+      val c = peek; i += 1
+      c match {
+        case 'n' => RLit('\n')
+        case 't' => RLit('\t')
+        case 'r' => RLit('\r')
+        case 'd' | 'D' | 'w' | 'W' | 's' | 'S' => RAny
+        case 'b' | 'B' | 'A' | 'z' | 'Z' => REmpty
+        case other =>
+          require(!other.isLetter && !other.isDigit,
+            s"unsupported escape \\$other")
+          RLit(other)
+      }
+    }
+
+    private def charClass(): Rx = {
+      i += 1 // consume [
+      val negated = !eof && peek == '^'
+      if (negated) i += 1
+      val chars = scala.collection.mutable.ListBuffer.empty[Char]
+      var exotic = false
+      var first = true
+      while (!eof && (peek != ']' || first)) {
+        val c = peek
+        // Java's class intersection ([a&&[b]]) nests brackets, so this
+        // parser's first-']' close would mis-read the tail as required
+        // literals — an OVER-constraint. Bail the whole pattern to QAll.
+        require(!(c == '&' && i + 1 < p.length && p.charAt(i + 1) == '&'),
+          "class intersection unsupported")
+        if (c == '\\') {
+          i += 1; require(!eof, "class ends mid-escape")
+          val e = peek; i += 1
+          if ("dDwWsS".contains(e)) exotic = true
+          else chars += (e match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case o => o
+          })
+        } else if (i + 2 < p.length && p.charAt(i + 1) == '-' &&
+                   p.charAt(i + 2) != ']') {
+          val lo = c; val hi = p.charAt(i + 2); i += 3
+          require(lo <= hi, s"bad range $lo-$hi")
+          if (hi - lo > 32) exotic = true else chars ++= (lo to hi)
+        } else { chars += c; i += 1 }
+        first = false
+      }
+      require(!eof, "unclosed character class"); i += 1 // consume ]
+      if (negated || exotic || chars.size > 16) RAny
+      else RSet(chars.distinct.toList)
+    }
+  }
+
+  // ---- exact-set algebra -------------------------------------------------
+
+  private val MaxSet = 16
+  private val MaxLen = 24
+
+  /** The exact set of strings `e` can match, or None when unbounded
+    * or past the caps. */
+  private def exact(e: Rx): Option[Seq[String]] = e match {
+    case RLit(c)  => Some(Seq(c.toString))
+    case RSet(cs) => Some(cs.map(_.toString))
+    case REmpty   => Some(Seq(""))
+    case RAny     => None
+    case RSeq(es) =>
+      es.foldLeft(Option(Seq(""))) {
+        case (Some(acc), el) =>
+          exact(el) match {
+            case Some(set) if acc.size * set.size <= MaxSet =>
+              val crossed = for (a <- acc; b <- set) yield a + b
+              if (crossed.forall(_.length <= MaxLen)) Some(crossed.distinct)
+              else None
+            case _ => None
+          }
+        case (None, _) => None
+      }
+    case RAlt(es) =>
+      val sets = es.map(exact)
+      if (sets.forall(_.isDefined) && sets.flatMap(_.get).size <= MaxSet)
+        Some(sets.flatMap(_.get).distinct)
+      else None
+    case RRep(_, _) => None
+  }
+
+  /** Constraint for `e` in isolation (used for required repeat bodies
+    * and alternation branches). */
+  private def constrain(e: Rx): TriQ = e match {
+    case RAlt(es) => qOr(es.map(constrain))
+    case RSeq(es) => walk(es)
+    case RRep(body, min) if min >= 1 => constrain(body)
+    case RRep(_, _) | RAny | REmpty => QAll
+    case single => walk(List(single))
+  }
+
+  /** Walk a concatenation, building definite contiguous strings while
+    * the exact sets stay small; on any unknown (or cap overflow) flush
+    * the pending set as a constraint and keep going. Flushing loses
+    * only the boundary trigrams — the emitted constraints stay sound. */
+  private def walk(es: List[Rx]): TriQ = {
+    val acc = scala.collection.mutable.ListBuffer.empty[TriQ]
+    var pending: Seq[String] = Seq("")
+    def flush(): Unit = {
+      if (pending.exists(_.length >= 3))
+        acc += qOr(pending.map(gramsOf))
+      pending = Seq("")
+    }
+    es.foreach { e =>
+      exact(e) match {
+        case Some(set) if pending.size * set.size <= MaxSet &&
+            pending.forall(_.length <= MaxLen) =>
+          val crossed = (for (a <- pending; b <- set) yield a + b).distinct
+          if (crossed.forall(_.length <= MaxLen)) pending = crossed
+          else { flush(); pending = set }
+        case Some(set) => flush(); pending = set
+        case None =>
+          flush()
+          acc += constrain(e)
+      }
+    }
+    flush()
+    qAnd(acc.toSeq)
+  }
+
+  /** Compile `pattern` (Java regex) to its trigram constraint. Returns
+    * QAll — full verify scan, still correct — for anything the subset
+    * doesn't model, including un-parseable patterns. Inline flags
+    * `(?i)` etc. parse as RAny (no constraint from that group), which
+    * stays sound because flags only WIDEN what the verify regex
+    * accepts relative to the case-exact literals... it does not: a
+    * case-insensitive literal can match text none of whose case-exact
+    * trigrams appear. So any `(?` construct forces QAll outright. */
+  def compile(pattern: String): TriQ =
+    if (pattern.contains("(?")) QAll
+    else try constrain(new Parser(pattern).parse())
+    catch { case _: IllegalArgumentException => QAll }
+
+  // ---- evaluation over postings ------------------------------------------
+
+  /** Candidate doc_ids satisfying `q` against a [[CodeSearchOps
+    * .trigramPostings]] frame; None means "no pruning" (caller scans
+    * everything). Leaves are one gram-IN filter + one hash aggregate;
+    * AND joins the (small) candidate frames; OR unions them. */
+  def candidates(q: TriQ, postings: DataFrame): Option[DataFrame] = q match {
+    case QAll => None
+    case QGrams(gs) =>
+      Some(postings.where(col("gram").isin(gs: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        .where(col("ng") === gs.size).select("doc_id"))
+    case QAnd(qs) =>
+      qs.flatMap(candidates(_, postings)) match {
+        case Seq() => None
+        case frames => Some(frames.reduce((a, b) => a.join(b, "doc_id"))
+          .select("doc_id"))
+      }
+    case QOr(qs) =>
+      val frames = qs.map(candidates(_, postings))
+      if (frames.exists(_.isEmpty)) None
+      else Some(frames.flatten.reduce(_ unionByName _).distinct())
+  }
+
+  /** Regex search over `docs`: trigram-pruned candidates → `rlike`
+    * verify (unanchored find, Java semantics — exactly what `rlike`
+    * runs, so verify and candidate algebra agree). Pass a prebuilt
+    * postings frame to amortize the index across queries. */
+  def regexSearch(docs: DataFrame, pattern: String,
+                  textCol: String = "text",
+                  postings: Option[DataFrame] = None): DataFrame = {
+    require(pattern.nonEmpty, "regexSearch needs a non-empty pattern")
+    val q = compile(pattern)
+    val base = candidates(q, postings.getOrElse(
+        CodeSearchOps.trigramPostings(docs, textCol))) match {
+      case Some(cands) => docs.join(cands, "doc_id")
+      case None        => docs
+    }
+    base.where(col(textCol).rlike(pattern)).select(col("doc_id"))
+  }
+
+  /** [[regexSearch]] against a persisted [[CodeSearchOps
+    * .writeTrigramIndex]] directory: reads only the buckets the
+    * compiled constraint's grams hash to (plan-time partition
+    * pruning); a constraint-free pattern falls back to the full
+    * verify scan without touching the index at all. */
+  def regexSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                         docs: DataFrame, indexDir: String, pattern: String,
+                         nBuckets: Int = 64,
+                         textCol: String = "text"): DataFrame = {
+    val q = compile(pattern)
+    val grams = allGrams(q)
+    if (grams.isEmpty)
+      docs.where(col(textCol).rlike(pattern)).select(col("doc_id"))
+    else {
+      val post = spark.read.parquet(indexDir)
+        .where(col("bucket").isin(
+          grams.toSeq.map(g => CodeSearchOps.gramBucket(g, nBuckets))
+            .distinct: _*))
+        .where(col("gram").isin(grams.toSeq: _*))
+      val base = candidates(q, post) match {
+        case Some(cands) => docs.join(cands, "doc_id")
+        case None        => docs
+      }
+      base.where(col(textCol).rlike(pattern)).select(col("doc_id"))
+    }
+  }
+}

@@ -561,6 +561,101 @@ class PipelineSpec extends AnyFunSuite {
     assert(pf.contains("PartitionFilters") && pf.contains("bucket"), pf)
   }
 
+  test("regex trigram compile: constraints are sound and as tight as the algebra allows") {
+    import RegexTrigram._
+    // alternation of literals → OR of gram-ANDs
+    assert(compile("fast|merge") ==
+      QOr(Seq(QGrams(Seq("fas", "ast")), QGrams(Seq("mer", "erg", "rge")))))
+    // a .* gap splits into two required substrings
+    assert(compile("fast.*merge") ==
+      QAnd(Seq(QGrams(Seq("fas", "ast")), QGrams(Seq("mer", "erg", "rge")))))
+    // small class crosses into the literal tail
+    assert(compile("f[ao]st") ==
+      QOr(Seq(QGrams(Seq("fas", "ast")), QGrams(Seq("fos", "ost")))))
+    // x+ requires one occurrence; anchors are position-only
+    assert(compile("^(abc)+$") == QGrams(Seq("abc")))
+    // unsupported constructs degrade to no-constraint, never wrong
+    assert(compile("(?=look)ahead") == QAll)
+    assert(compile("[a&&[b]]xyz") == QAll)
+    assert(compile("\\Qquoted\\E") == QAll)
+    assert(compile("ab") == QAll) // too short for any trigram
+  }
+
+  test("regex trigram search: pruned answers identical to the full rlike scan") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "fast merge sort on spark",
+      2L -> "fost merge variant here",
+      3L -> "a fast stream, later a merge",
+      4L -> "nothing relevant at all",
+      5L -> "FAST MERGE uppercase only",
+      6L -> "prefix fastmerge joined")
+    def viaIdx(p: String) = RegexTrigram.regexSearch(d, p)
+      .as[Long].collect().sorted.toSeq
+    def brute(p: String) = d.where($"text".rlike(p))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (p <- Seq("fast merge", "f[ao]st merge", "fast.*merge",
+                  "fast (merge|stream)", "(fast|merge)+", "^fast",
+                  "fast\\s+merge", "merge{1,2}", "(?i)fast merge",
+                  "fa..merge", "\\bfast\\b"))
+      assert(viaIdx(p) == brute(p), s"pattern <$p>")
+    // the pruning actually fires: candidates for the AND pattern
+    // exclude the non-matching docs before the verify
+    val q = RegexTrigram.compile("fast.*merge")
+    val cands = RegexTrigram.candidates(
+      q, CodeSearchOps.trigramPostings(d)).get
+      .as[Long].collect().sorted.toSeq
+    assert(cands == Seq(1L, 3L, 6L)) // 2/4 lack grams, 5 is uppercase
+  }
+
+  test("regex trigram fuzz: random patterns, pruned == brute on every one") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map { i =>
+      val r = new scala.util.Random(i)
+      i -> Seq.fill(8)(Seq.fill(2 + r.nextInt(6))(
+        ('a' + r.nextInt(4)).toChar).mkString).mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val post = CodeSearchOps.trigramPostings(d).cache()
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("a", "b", "c", "d", "ab", "bc", "[ab]", "[cd]", ".",
+      "a+", "b*", "c?", "(ab|cd)", "abc", "a{2}", "\\w", "^a", "d$")
+    def pat(): String = Seq.fill(1 + rnd.nextInt(4))(
+      atoms(rnd.nextInt(atoms.size))).mkString
+    var checked = 0
+    for (_ <- 1 to 80) {
+      val p = pat()
+      val viaIdx = RegexTrigram.regexSearch(d, p, postings = Some(post))
+        .as[Long].collect().sorted.toSeq
+      val brute = d.where($"text".rlike(p))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(viaIdx == brute, s"pattern <$p>")
+      checked += 1
+    }
+    assert(checked == 80)
+    post.unpersist()
+  }
+
+  test("regex search against the persisted index prunes to the pattern's buckets") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "fast merge sort on spark",
+      2L -> "the merge is fast",
+      3L -> "a fast stream appears",
+      4L -> "nothing relevant at all")
+    val dir = java.nio.file.Files.createTempDirectory("tgrx").toString
+    CodeSearchOps.writeTrigramIndex(d, dir, nBuckets = 16)
+    def viaIdx(p: String) = RegexTrigram
+      .regexSearchIndexed(spark, d, dir, p, nBuckets = 16)
+      .as[Long].collect().sorted.toSeq
+    def brute(p: String) = d.where($"text".rlike(p))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (p <- Seq("fast (merge|stream)", "fast.*merge", "merge"))
+      assert(viaIdx(p) == brute(p), s"pattern <$p>")
+    // no-constraint pattern: answered by the verify scan, index untouched
+    assert(viaIdx("a.c") == brute("a.c"))
+  }
+
   test("assignSplit: near-dup clusters never straddle the train/valid boundary") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps going"
