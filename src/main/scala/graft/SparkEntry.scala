@@ -886,6 +886,28 @@ object SparkEntry {
     "ft_regex" -> ((s, d) =>
       graft.pipeline.RegexTrigram.regexSearch(
         documents(s, d), "f[ao]st (merge|stream)").orderBy("doc_id")),
+    // case-insensitive substring search: pattern and postings both
+    // case-folded (the grep -i / zoekt case:no query class). The
+    // mixed-case pattern proves the fold path — the case-sensitive
+    // plan returns zero docs on this corpus for this pattern
+    "ft_trigram_ci" -> ((s, d) =>
+      graft.pipeline.CodeSearchOps.substringSearchCI(
+        documents(s, d), "Fast Merge").orderBy("doc_id")),
+    // identifier subtoken split (zoekt/Sourcegraph symbol
+    // tokenization): camelCase + acronym-run + snake_case boundaries,
+    // as a pure codegen'd column expression; the identifier under
+    // test is synthesized deterministically from the corpus so the
+    // snake part varies per-document while the camel+acronym prefix
+    // exercises every boundary rule
+    "cs_subtokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.pipeline.CodeSearchOps.subtokens(
+            concat(lit("parseHTTPRequest2xml_"),
+              regexp_replace(substring(col("text"), 1, 40), " ", "_"))))
+            .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy("tok")),
     // leakage-free train/valid split: the side is assigned by the
     // near-dup CLUSTER's hash, so a document can never train while
     // its near-duplicate sits in validation — the contamination
@@ -1129,6 +1151,25 @@ ORDER BY doc_id""",
       """SELECT doc_id FROM documents
 WHERE regexp_matches(text, 'f[ao]st (merge|stream)')
 ORDER BY doc_id""",
+    "ft_trigram_ci" ->
+      """SELECT doc_id FROM documents
+WHERE contains(lower(text), 'fast merge')
+ORDER BY doc_id""",
+    "cs_subtokens" ->
+      """WITH ident AS (
+  SELECT 'parseHTTPRequest2xml_' || replace(substring(text, 1, 40), ' ', '_') AS id
+  FROM documents
+), toks AS (
+  SELECT unnest(list_filter(
+    string_split_regex(
+      regexp_replace(
+        regexp_replace(id, '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
+        '([a-z0-9])([A-Z])', '\1_\2', 'g'),
+      '[^A-Za-z0-9]+'),
+    t -> length(t) > 0)) AS tok_raw
+  FROM ident
+)
+SELECT lower(tok_raw) AS tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY tok""",
     "dp_quota" -> EntrySql.quotaSql(10),
     "dp_token_budget" -> EntrySql.tokenBudgetSql(3000L),
     "hy_rerank" -> EntrySql.rerankSql(Seq("data", "stream", "query"), 50, 10),

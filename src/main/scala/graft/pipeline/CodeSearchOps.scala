@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -29,13 +29,60 @@ object CodeSearchOps {
 
   /** Distinct (doc_id, gram) trigram postings of `textCol`: every
     * 3-char window, docs shorter than 3 chars contribute nothing.
-    * Build is scan-fused (explode) + one uniform-keyed distinct. */
-  def trigramPostings(docs: DataFrame, textCol: String = "text"): DataFrame =
+    * Build is scan-fused (explode) + one uniform-keyed distinct.
+    * `foldCase` lowercases before gramming — the case-insensitive
+    * index variant; searches against it must fold the same way. */
+  def trigramPostings(docs: DataFrame, textCol: String = "text",
+                      foldCase: Boolean = false): DataFrame =
     docs.where(length(col(textCol)) >= 3)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length($textCol) - 2)," +
-          s" i -> substring($textCol, i, 3))")).as("gram"))
+          s" i -> substring(${if (foldCase) s"lower($textCol)" else textCol}, i, 3))"))
+        .as("gram"))
       .distinct()
+
+  /** Case-insensitive [[substringSearch]]: grams and verify both run
+    * over the folded text. Pass postings built with foldCase=true. */
+  def substringSearchCI(docs: DataFrame, pattern: String,
+                        textCol: String = "text",
+                        postings: Option[DataFrame] = None): DataFrame = {
+    require(pattern.nonEmpty, "substringSearchCI needs a non-empty pattern")
+    val pat = pattern.toLowerCase
+    if (pat.length < 3)
+      docs.where(lower(col(textCol)).contains(pat)).select(col("doc_id"))
+    else {
+      val grams = pat.sliding(3).toSeq.distinct
+      val post = postings.getOrElse(
+        trigramPostings(docs, textCol, foldCase = true))
+      val cands = post.where(col("gram").isin(grams: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        .where(col("ng") === grams.size)
+        .select("doc_id")
+      docs.join(cands, "doc_id")
+        .where(lower(col(textCol)).contains(pat))
+        .select(col("doc_id"))
+    }
+  }
+
+  /** Identifier subtokens — the code-search tokenization (zoekt's
+    * symbol splitting, Sourcegraph's identifier search): split a
+    * camelCase / PascalCase / snake_case / SCREAMING_CASE identifier
+    * into its lowercased word parts, so `parseHTTPRequest` matches a
+    * query for `http`. Boundaries: `_` and any non-alphanumeric; a
+    * lower/digit→Upper transition; the last capital of an acronym run
+    * before a lowercase (`HTTPRequest` → `http`, `request`). Pure
+    * column expression (regexp_replace ×2 + split + filter +
+    * transform) — codegen'd, no UDF, replayable verbatim in SQL. */
+  def subtokens(ident: Column): Column =
+    transform(
+      filter(
+        split(
+          regexp_replace(
+            regexp_replace(ident, "([A-Z]+)([A-Z][a-z])", "$1_$2"),
+            "([a-z0-9])([A-Z])", "$1_$2"),
+          "[^A-Za-z0-9]+"),
+        t => length(t) > 0),
+      t => lower(t))
 
   /** Literal substring search: docs whose `textCol` CONTAINS
     * `pattern`. Patterns of length ≥ 3 run the trigram plan —

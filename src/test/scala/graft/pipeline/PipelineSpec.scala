@@ -656,6 +656,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaIdx("a.c") == brute("a.c"))
   }
 
+  test("case-insensitive substring search: folded grams, folded verify, case-sensitive misses") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "Fast Merge sort on spark",   // mixed case
+      2L -> "FAST MERGE uppercase",       // all caps
+      3L -> "fast merge lowercase",       // already folded
+      4L -> "the merge is fast",          // words, not the substring
+      5L -> "ABCx then BCDe",             // folded grams of "abcd", not the string
+      6L -> "Xy")                         // shorter than a trigram
+    def ci(p: String) = CodeSearchOps.substringSearchCI(d, p)
+      .as[Long].collect().sorted.toSeq
+    def brute(p: String) = d.where(lower($"text").contains(p.toLowerCase))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // any casing of the pattern finds every casing of the text
+    for (p <- Seq("fast merge", "Fast Merge", "FAST MERGE"))
+      assert(ci(p) == Seq(1L, 2L, 3L) && ci(p) == brute(p), s"pattern <$p>")
+    // the case-SENSITIVE search misses the non-lowercase docs
+    assert(CodeSearchOps.substringSearch(d, "fast merge")
+      .as[Long].collect().sorted.toSeq == Seq(3L))
+    // false candidate under folding: doc 5 holds every folded trigram
+    // of "abcd" yet must be verify-rejected
+    assert(ci("abcd") == brute("abcd") && !ci("abcd").contains(5L))
+    // sub-trigram pattern falls back to the folded verify scan
+    assert(ci("xY") == Seq(6L) && ci("xY") == brute("xY"))
+    // reusing a pre-built folded postings frame gives the same answer
+    val post = CodeSearchOps.trigramPostings(d, foldCase = true)
+    assert(CodeSearchOps.substringSearchCI(d, "Fast Merge",
+      postings = Some(post)).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("identifier subtokens: camel, acronym-run, snake, screaming, digit boundaries") {
+    import spark.implicits._
+    val cases = Seq(
+      "parseHTTPRequest2xml" -> Seq("parse", "http", "request2xml"),
+      "XMLHttpRequest2"      -> Seq("xml", "http", "request2"),
+      "snake_case_id"        -> Seq("snake", "case", "id"),
+      "SCREAMING_SNAKE"      -> Seq("screaming", "snake"),
+      "camelCase"            -> Seq("camel", "case"),
+      "foo.bar::baz-qux"     -> Seq("foo", "bar", "baz", "qux"),
+      "value2X"              -> Seq("value2", "x"),
+      "__init__"             -> Seq("init"),
+      "A"                    -> Seq("a"),
+      ""                     -> Seq())
+    val got = cases.map(_._1).toDF("id")
+      .select(col("id"), CodeSearchOps.subtokens(col("id")).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    for ((id, want) <- cases)
+      assert(got(id) == want, s"ident <$id>: got ${got(id)}, want $want")
+    // pure column expression: the same split replays verbatim in SQL
+    val viaSql = spark.sql(
+      """SELECT transform(
+           filter(
+             split(regexp_replace(regexp_replace(
+                     'parseHTTPRequest2xml_foo',
+                     '([A-Z]+)([A-Z][a-z])', '$1_$2'),
+                   '([a-z0-9])([A-Z])', '$1_$2'),
+                   '[^A-Za-z0-9]+'),
+             t -> length(t) > 0),
+           t -> lower(t)) AS toks""")
+      .as[Seq[String]].head()
+    assert(viaSql == Seq("parse", "http", "request2xml", "foo"))
+  }
+
   test("assignSplit: near-dup clusters never straddle the train/valid boundary") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps going"
