@@ -886,6 +886,12 @@ object SparkEntry {
     "ft_regex" -> ((s, d) =>
       graft.pipeline.RegexTrigram.regexSearch(
         documents(s, d), "f[ao]st (merge|stream)").orderBy("doc_id")),
+    // case-insensitive regex: constraints compiled over FOLDED grams
+    // (plain compile degrades any (?i) pattern to a full scan; this
+    // path prunes). Mixed-case pattern proves the fold
+    "ft_regex_ci" -> ((s, d) =>
+      graft.pipeline.RegexTrigram.regexSearchCI(
+        documents(s, d), "(?i)F[ao]st (Merge|Stream)").orderBy("doc_id")),
     // case-insensitive substring search: pattern and postings both
     // case-folded (the grep -i / zoekt case:no query class). The
     // mixed-case pattern proves the fold path — the case-sensitive
@@ -1154,6 +1160,10 @@ ORDER BY doc_id""",
     "ft_trigram_ci" ->
       """SELECT doc_id FROM documents
 WHERE contains(lower(text), 'fast merge')
+ORDER BY doc_id""",
+    "ft_regex_ci" ->
+      """SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(?i)F[ao]st (Merge|Stream)')
 ORDER BY doc_id""",
     "cs_subtokens" ->
       """WITH ident AS (

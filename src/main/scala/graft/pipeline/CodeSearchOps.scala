@@ -121,9 +121,10 @@ object CodeSearchOps {
     * partition count — at corpus scale each bucket is one uniform
     * 1/nBuckets slice of the postings (grams are hash-assigned). */
   def writeTrigramIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
-                        textCol: String = "text"): Unit = {
+                        textCol: String = "text",
+                        foldCase: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    trigramPostings(docs, textCol)
+    trigramPostings(docs, textCol, foldCase)
       .withColumn("bucket", pmod(xxhash64(col("gram")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }

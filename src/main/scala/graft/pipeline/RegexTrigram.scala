@@ -305,6 +305,45 @@ object RegexTrigram {
     else try constrain(new Parser(pattern).parse())
     catch { case _: IllegalArgumentException => QAll }
 
+  // ---- case-insensitive compilation ---------------------------------------
+
+  /** Lowercase every literal/class char (Locale.ROOT — the same
+    * locale-independent fold Spark's `lower` applies to the text), so
+    * the constraints are over FOLDED trigrams and sound against
+    * postings built with `foldCase = true`. A char whose fold expands
+    * to multiple chars (e.g. İ → i̇) becomes the expanded literal
+    * sequence — the same expansion `lower(text)` performs; a class
+    * containing such a char degrades to no-constraint. */
+  private def foldRx(e: Rx): Rx = e match {
+    case RLit(c) =>
+      val f = c.toString.toLowerCase(java.util.Locale.ROOT)
+      if (f.length == 1) RLit(f.head) else RSeq(f.toList.map(RLit))
+    case RSet(cs) =>
+      val folded = cs.map(_.toString.toLowerCase(java.util.Locale.ROOT))
+      if (folded.exists(_.length != 1)) RAny
+      else RSet(folded.map(_.head).distinct)
+    case RSeq(es)     => RSeq(es.map(foldRx))
+    case RAlt(es)     => RAlt(es.map(foldRx))
+    case RRep(b, min) => RRep(foldRx(b), min)
+    case leaf         => leaf
+  }
+
+  /** Strip one whole-pattern `(?i)` prefix (the global-flag form —
+    * scoped inline flags keep the conservative QAll degrade). */
+  private[pipeline] def stripCiPrefix(pattern: String): String =
+    if (pattern.startsWith("(?i)")) pattern.drop(4) else pattern
+
+  /** Compile `pattern` for CASE-INSENSITIVE matching: constraints are
+    * over case-folded trigrams and must be evaluated against postings
+    * built with `foldCase = true`. An optional leading `(?i)` is
+    * accepted and ignored (the mode already says it). */
+  def compileCI(pattern: String): TriQ = {
+    val p = stripCiPrefix(pattern)
+    if (p.contains("(?")) QAll
+    else try constrain(foldRx(new Parser(p).parse()))
+    catch { case _: IllegalArgumentException => QAll }
+  }
+
   // ---- evaluation over postings ------------------------------------------
 
   /** Candidate doc_ids satisfying `q` against a [[CodeSearchOps
@@ -346,19 +385,43 @@ object RegexTrigram {
     base.where(col(textCol).rlike(pattern)).select(col("doc_id"))
   }
 
+  /** Case-insensitive [[regexSearch]]: the constraint runs over
+    * FOLDED postings (pass a frame built with `foldCase = true`, or
+    * one is built), the verify runs the original pattern under a
+    * global `(?i)`. An already-`(?i)`-prefixed pattern is accepted. */
+  def regexSearchCI(docs: DataFrame, pattern: String,
+                    textCol: String = "text",
+                    postings: Option[DataFrame] = None): DataFrame = {
+    require(pattern.nonEmpty, "regexSearchCI needs a non-empty pattern")
+    val stripped = stripCiPrefix(pattern)
+    val q = compileCI(stripped)
+    val base = candidates(q, postings.getOrElse(
+        CodeSearchOps.trigramPostings(docs, textCol, foldCase = true))) match {
+      case Some(cands) => docs.join(cands, "doc_id")
+      case None        => docs
+    }
+    base.where(col(textCol).rlike("(?i)" + stripped)).select(col("doc_id"))
+  }
+
   /** [[regexSearch]] against a persisted [[CodeSearchOps
     * .writeTrigramIndex]] directory: reads only the buckets the
     * compiled constraint's grams hash to (plan-time partition
     * pruning); a constraint-free pattern falls back to the full
-    * verify scan without touching the index at all. */
+    * verify scan without touching the index at all. With
+    * `caseInsensitive = true` the directory must hold a FOLDED index
+    * (written with `foldCase = true`) and the verify runs under
+    * `(?i)`. */
   def regexSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                          docs: DataFrame, indexDir: String, pattern: String,
                          nBuckets: Int = 64,
-                         textCol: String = "text"): DataFrame = {
-    val q = compile(pattern)
+                         textCol: String = "text",
+                         caseInsensitive: Boolean = false): DataFrame = {
+    val stripped = if (caseInsensitive) stripCiPrefix(pattern) else pattern
+    val verifyPat = if (caseInsensitive) "(?i)" + stripped else stripped
+    val q = if (caseInsensitive) compileCI(stripped) else compile(stripped)
     val grams = allGrams(q)
     if (grams.isEmpty)
-      docs.where(col(textCol).rlike(pattern)).select(col("doc_id"))
+      docs.where(col(textCol).rlike(verifyPat)).select(col("doc_id"))
     else {
       val post = spark.read.parquet(indexDir)
         .where(col("bucket").isin(
@@ -369,7 +432,7 @@ object RegexTrigram {
         case Some(cands) => docs.join(cands, "doc_id")
         case None        => docs
       }
-      base.where(col(textCol).rlike(pattern)).select(col("doc_id"))
+      base.where(col(textCol).rlike(verifyPat)).select(col("doc_id"))
     }
   }
 }

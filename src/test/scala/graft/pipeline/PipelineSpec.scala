@@ -656,6 +656,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaIdx("a.c") == brute("a.c"))
   }
 
+  test("case-insensitive regex: folded constraints prune, answers match the (?i) rlike scan") {
+    import RegexTrigram._
+    // folded compile: literals and classes lowercase into the algebra
+    assert(compileCI("(?i)Fast|MERGE") ==
+      QOr(Seq(QGrams(Seq("fas", "ast")), QGrams(Seq("mer", "erg", "rge")))))
+    assert(compileCI("F[Ao]st") ==
+      QOr(Seq(QGrams(Seq("fas", "ast")), QGrams(Seq("fos", "ost")))))
+    // plain compile refuses (?i) patterns outright; compileCI prunes them
+    assert(compile("(?i)Fast") == QAll)
+    assert(compileCI("FAST.*Merge") ==
+      QAnd(Seq(QGrams(Seq("fas", "ast")), QGrams(Seq("mer", "erg", "rge")))))
+    import spark.implicits._
+    val d = docs(
+      1L -> "Fast Merge sort on spark",
+      2L -> "FAST MERGE uppercase",
+      3L -> "fast merge lowercase",
+      4L -> "fost stream variant",
+      5L -> "nothing relevant at all")
+    val post = CodeSearchOps.trigramPostings(d, foldCase = true).cache()
+    def ci(p: String) = RegexTrigram.regexSearchCI(d, p, postings = Some(post))
+      .as[Long].collect().sorted.toSeq
+    def brute(p: String) = d.where($"text".rlike("(?i)" +
+        RegexTrigram.stripCiPrefix(p)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (p <- Seq("F[ao]st (Merge|Stream)", "(?i)FAST.*MERGE", "Fast Merge",
+                  "f[ao]st", "FOST stream", "merge{1,2}", "^Fast", "\\bFAST\\b"))
+      assert(ci(p) == brute(p), s"pattern <$p>")
+    // the pruning actually fires across case: folded candidates for the
+    // AND pattern keep only docs carrying the folded grams
+    val cands = RegexTrigram.candidates(
+      RegexTrigram.compileCI("FAST.*Merge"), post).get
+      .as[Long].collect().sorted.toSeq
+    assert(cands == Seq(1L, 2L, 3L))
+    post.unpersist()
+    // persisted folded index: identical answers, case-insensitive flag
+    val dir = java.nio.file.Files.createTempDirectory("tgci").toString
+    CodeSearchOps.writeTrigramIndex(d, dir, nBuckets = 16, foldCase = true)
+    for (p <- Seq("F[ao]st (Merge|Stream)", "Fast Merge"))
+      assert(RegexTrigram.regexSearchIndexed(spark, d, dir, p, nBuckets = 16,
+        caseInsensitive = true).as[Long].collect().sorted.toSeq == brute(p),
+        s"indexed pattern <$p>")
+  }
+
+  test("case-insensitive regex fuzz: folded-pruned == (?i) brute on random patterns") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map { i =>
+      val r = new scala.util.Random(i)
+      // mixed-case corpus over a 4-letter alphabet
+      i -> Seq.fill(8)(Seq.fill(2 + r.nextInt(6))(
+        (if (r.nextBoolean()) 'a' else 'A') match {
+          case base => (base + r.nextInt(4)).toChar
+        }).mkString).mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val post = CodeSearchOps.trigramPostings(d, foldCase = true).cache()
+    val rnd = new scala.util.Random(4242)
+    val atoms = Seq("a", "B", "c", "D", "aB", "Bc", "[aB]", "[Cd]", ".",
+      "A+", "b*", "C?", "(aB|cD)", "ABC", "a{2}", "\\w", "^A", "d$")
+    def pat(): String = Seq.fill(1 + rnd.nextInt(4))(
+      atoms(rnd.nextInt(atoms.size))).mkString
+    for (_ <- 1 to 60) {
+      val p = pat()
+      val viaIdx = RegexTrigram.regexSearchCI(d, p, postings = Some(post))
+        .as[Long].collect().sorted.toSeq
+      val brute = d.where($"text".rlike("(?i)" + p))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(viaIdx == brute, s"pattern <$p>")
+    }
+    post.unpersist()
+  }
+
   test("case-insensitive substring search: folded grams, folded verify, case-sensitive misses") {
     import spark.implicits._
     val d = docs(
