@@ -780,6 +780,29 @@ FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"""
     * in position order. string_agg skips the NULLed dup lines, so the
     * CASE inside it is the exact mirror of the Spark-side filter over
     * the collected struct array. */
+  /** grep -n oracle: lines of the 10-words-per-line synthesized text
+    * (the [[lineDedupSql]] convention) where the pattern matches,
+    * with their 1-based numbers. `regex = true` runs an unanchored
+    * regexp find (grep -E), else a literal `contains`. */
+  def grepSql(pattern: String, regex: Boolean): String = {
+    val pred = if (regex) s"regexp_matches(line, '$pattern')"
+               else s"contains(line, '$pattern')"
+    s"""WITH docs2 AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+  FROM docs2
+)
+SELECT doc_id, line_no::BIGINT AS line_no, line
+FROM lines WHERE $pred
+ORDER BY doc_id, line_no"""
+  }
+
   def lineDedupSql(minDocs: Int = 2, minLineLen: Int = 1): String =
     s"""WITH docs2 AS (
   SELECT doc_id,

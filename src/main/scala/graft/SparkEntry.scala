@@ -899,6 +899,28 @@ object SparkEntry {
     "ft_trigram_ci" -> ((s, d) =>
       graft.pipeline.CodeSearchOps.substringSearchCI(
         documents(s, d), "Fast Merge").orderBy("doc_id")),
+    // grep -n output shape: one row per MATCHING LINE (doc_id,
+    // 1-based line_no, line) of the multi-line corpus (the dd_lines
+    // 10-words-per-line synthesis). The trigram prune gates the
+    // line explode at DOC level, so the per-line scan touches the
+    // match set only; occurrences the line synthesis splits across a
+    // boundary contain the newline and so match at neither level —
+    // grep's exact answer, which this corpus exercises
+    "cs_grep" -> ((s, d) =>
+      graft.pipeline.CodeSearchOps.grepLines(
+        documents(s, d).select(col("doc_id"),
+          regexp_replace(col("text"),
+            "((\\S+ ){9}\\S+) ", "$1\n").as("text")),
+        "fast merge").orderBy("doc_id", "line_no")),
+    // grep -n -E: same line shape, candidates from the compiled
+    // trigram CONSTRAINT (no doc-level verify — the per-line rlike
+    // is the verify), alternation forces the OR algebra
+    "cs_grep_rx" -> ((s, d) =>
+      graft.pipeline.RegexTrigram.grepLinesRegex(
+        documents(s, d).select(col("doc_id"),
+          regexp_replace(col("text"),
+            "((\\S+ ){9}\\S+) ", "$1\n").as("text")),
+        "f[ao]st (merge|stream)").orderBy("doc_id", "line_no")),
     // identifier subtoken split (zoekt/Sourcegraph symbol
     // tokenization): camelCase + acronym-run + snake_case boundaries,
     // as a pure codegen'd column expression; the identifier under
@@ -1165,6 +1187,8 @@ ORDER BY doc_id""",
       """SELECT doc_id FROM documents
 WHERE regexp_matches(text, '(?i)F[ao]st (Merge|Stream)')
 ORDER BY doc_id""",
+    "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),
+    "cs_grep_rx" -> EntrySql.grepSql("f[ao]st (merge|stream)", regex = true),
     "cs_subtokens" ->
       """WITH ident AS (
   SELECT 'parseHTTPRequest2xml_' || replace(substring(text, 1, 40), ' ', '_') AS id

@@ -148,6 +148,34 @@ object CodeSearchOps {
     substringSearch(docs, pattern, textCol, postings = Some(bucketed))
   }
 
+  /** `grep -n` over the corpus: one row per MATCHING LINE —
+    * `(doc_id, line_no, line)`, line_no 1-based like grep's. The
+    * trigram index prunes at DOCUMENT level first (docs holding all
+    * the pattern's grams, exact doc-level `contains` verify), and
+    * only the matching docs are exploded into lines — at corpus scale
+    * the explode + per-line filter runs over the match set, not the
+    * corpus. The doc-level prune is sound because a line is a
+    * contiguous substring of the doc: any line hit implies the doc
+    * contains the pattern (an occurrence spanning a line boundary
+    * contains the newline, so it matches at NEITHER level — grep's
+    * answer too). */
+  def grepLines(docs: DataFrame, pattern: String, textCol: String = "text",
+                postings: Option[DataFrame] = None): DataFrame =
+    lineMatches(
+      docs.join(substringSearch(docs, pattern, textCol, postings), "doc_id"),
+      textCol, _.contains(pattern))
+
+  /** Explode candidate docs into 1-based-numbered lines and keep the
+    * ones passing `pred`. Shared tail of the grep family. */
+  private[pipeline] def lineMatches(cands: DataFrame, textCol: String,
+                                    pred: Column => Column): DataFrame =
+    cands
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(pred(col("line")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
+        col("line"))
+
   /** The bucket a gram hashes to — must mirror writeTrigramIndex's
     * pmod(xxhash64(gram), nBuckets) exactly, so the planner's bucket
     * list is computed driver-side without touching the index. */

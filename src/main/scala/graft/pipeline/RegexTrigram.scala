@@ -385,6 +385,29 @@ object RegexTrigram {
     base.where(col(textCol).rlike(pattern)).select(col("doc_id"))
   }
 
+  /** `grep -n -E` over the corpus: one row per matching LINE —
+    * `(doc_id, line_no, line)` — for lines where the pattern FINDS a
+    * match (unanchored `rlike`, Java semantics). Docs are pruned
+    * first by the pattern's trigram constraint; no doc-level `rlike`
+    * verify runs — the constraint alone gates the explode, because a
+    * line is a contiguous substring of the doc:
+    * any line-level match implies the doc-level constraint holds, so
+    * candidates are a superset and the per-line `rlike` is the exact
+    * verify. Anchors (`^`/`$`) contribute no grams (REmpty), which
+    * keeps the prune sound even though they bind differently at line
+    * scope than at doc scope. */
+  def grepLinesRegex(docs: DataFrame, pattern: String,
+                     textCol: String = "text",
+                     postings: Option[DataFrame] = None): DataFrame = {
+    require(pattern.nonEmpty, "grepLinesRegex needs a non-empty pattern")
+    val base = candidates(compile(pattern), postings.getOrElse(
+        CodeSearchOps.trigramPostings(docs, textCol))) match {
+      case Some(cands) => docs.join(cands, "doc_id")
+      case None        => docs
+    }
+    CodeSearchOps.lineMatches(base, textCol, _.rlike(pattern))
+  }
+
   /** Case-insensitive [[regexSearch]]: the constraint runs over
     * FOLDED postings (pass a frame built with `foldCase = true`, or
     * one is built), the verify runs the original pattern under a

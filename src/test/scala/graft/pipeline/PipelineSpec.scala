@@ -757,6 +757,56 @@ class PipelineSpec extends AnyFunSuite {
       postings = Some(post)).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("grepLines: grep -n shape, 1-based numbering, boundary-spanning doc yields no lines") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "fast merge sort\nthen fast merge again\nplain tail",
+      2L -> "prefix fast\nmerge suffix",   // "fast\nmerge" spans the
+                                           // break: not a match at all
+      3L -> "no hits here at all",
+      4L -> "superfast merger inline")     // inside-token hit on line 1
+    val got = CodeSearchOps.grepLines(d, "fast merge")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L, "fast merge sort"),
+      (1L, 2L, "then fast merge again"),
+      (4L, 1L, "superfast merger inline")))
+    // brute line-level identity
+    val brute = d.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .where(col("line").contains("fast merge"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long"), col("line"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == brute)
+    // the line-break-spanning doc isn't even a doc-level match — the
+    // newline breaks the literal, so doc verify prunes it before any
+    // line explode (and no line matches, so grep agrees)
+    assert(!CodeSearchOps.substringSearch(d, "fast merge")
+      .as[Long].collect().contains(2L))
+  }
+
+  test("grepLinesRegex: pruned line answers identical to the full per-line rlike scan") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "fast merge sort\nfost stream here",
+      2L -> "fast stream\nmerge fast",
+      3L -> "nothing relevant\nat all",
+      4L -> "anchored merge line\nfast merge")
+    val post = CodeSearchOps.trigramPostings(d).cache()
+    def pruned(p: String) = RegexTrigram
+      .grepLinesRegex(d, p, postings = Some(post))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    def brute(p: String) = d.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .where(col("line").rlike(p))
+      .select(col("doc_id"), (col("pos") + 1).cast("long"), col("line"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    for (p <- Seq("f[ao]st (merge|stream)", "^fast", "merge$",
+                  "fast .*stream", "(fast|merge)"))
+      assert(pruned(p) == brute(p), s"pattern <$p>")
+    post.unpersist()
+  }
+
   test("identifier subtokens: camel, acronym-run, snake, screaming, digit boundaries") {
     import spark.implicits._
     val cases = Seq(
