@@ -803,6 +803,41 @@ FROM lines WHERE $pred
 ORDER BY doc_id, line_no"""
   }
 
+  /** grep -C oracle: matching lines plus `ctx` context lines each
+    * side, the same sliding window over (doc_id, line_no). */
+  def grepCtxSql(pattern: String, ctx: Int): String =
+    s"""WITH docs2 AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS line_no
+  FROM docs2
+),
+flagged AS (
+  SELECT doc_id, line_no, line,
+         contains(line, '$pattern') AS is_match,
+         max(CASE WHEN contains(line, '$pattern') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY line_no
+                 ROWS BETWEEN $ctx PRECEDING AND $ctx FOLLOWING) AS near
+  FROM lines
+)
+SELECT doc_id, line_no::BIGINT AS line_no, line, is_match
+FROM flagged WHERE near = 1
+ORDER BY doc_id, line_no"""
+
+  /** grep -f oracle: every (pattern, doc) containment pair. */
+  def grepMultiSql(patterns: Seq[(Long, String)]): String = {
+    val vals = patterns.map { case (id, p) => s"($id, '$p')" }.mkString(", ")
+    s"""WITH pats(pat_id, pattern) AS (VALUES $vals)
+SELECT p.pat_id::BIGINT AS pat_id, d.doc_id
+FROM documents d JOIN pats p ON contains(d.text, p.pattern)
+ORDER BY pat_id, doc_id"""
+  }
+
   def lineDedupSql(minDocs: Int = 2, minLineLen: Int = 1): String =
     s"""WITH docs2 AS (
   SELECT doc_id,

@@ -921,6 +921,23 @@ object SparkEntry {
           regexp_replace(col("text"),
             "((\\S+ ){9}\\S+) ", "$1\n").as("text")),
         "f[ao]st (merge|stream)").orderBy("doc_id", "line_no")),
+    // grep -C 1: matching lines plus one context line each side, a
+    // single sliding window over the candidate docs' lines (never a
+    // line self-join); overlapping context regions coalesce
+    "cs_grep_ctx" -> ((s, d) =>
+      graft.pipeline.CodeSearchOps.grepLinesContext(
+        documents(s, d).select(col("doc_id"),
+          regexp_replace(col("text"),
+            "((\\S+ ){9}\\S+) ", "$1\n").as("text")),
+        "fast merge", ctx = 1).orderBy("doc_id", "line_no")),
+    // grep -f: a whole pattern TABLE in ONE postings pass — the
+    // BatchMatcher amortization applied to substring search; the
+    // 2-char pattern exercises the shared short-pattern scan path
+    "cs_grep_multi" -> ((s, d) =>
+      graft.pipeline.CodeSearchOps.multiSubstringSearch(
+        documents(s, d),
+        Seq(1L -> "fast merge", 2L -> "slow scan", 3L -> "spark window",
+            4L -> "ag")).orderBy("pat_id", "doc_id")),
     // identifier subtoken split (zoekt/Sourcegraph symbol
     // tokenization): camelCase + acronym-run + snake_case boundaries,
     // as a pure codegen'd column expression; the identifier under
@@ -1189,6 +1206,10 @@ WHERE regexp_matches(text, '(?i)F[ao]st (Merge|Stream)')
 ORDER BY doc_id""",
     "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),
     "cs_grep_rx" -> EntrySql.grepSql("f[ao]st (merge|stream)", regex = true),
+    "cs_grep_ctx" -> EntrySql.grepCtxSql("fast merge", ctx = 1),
+    "cs_grep_multi" -> EntrySql.grepMultiSql(
+      Seq(1L -> "fast merge", 2L -> "slow scan", 3L -> "spark window",
+          4L -> "ag")),
     "cs_subtokens" ->
       """WITH ident AS (
   SELECT 'parseHTTPRequest2xml_' || replace(substring(text, 1, 40), ' ', '_') AS id

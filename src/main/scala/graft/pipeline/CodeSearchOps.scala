@@ -127,6 +127,45 @@ object CodeSearchOps {
     trigramPostings(docs, textCol, foldCase)
       .withColumn("bucket", pmod(xxhash64(col("gram")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    writeKnobs(dir, nBuckets, foldCase)
+  }
+
+  /** Append a NEW batch's postings to an existing [[writeTrigramIndex]]
+    * directory — the incremental-ingest contract the LSH and IVF-PQ
+    * indexes already have: grams bucket with the SAME hash, appended
+    * files land inside the existing bucket partition dirs, so searches
+    * see the new docs immediately and plan-time bucket pruning is
+    * unchanged. Fails loudly on a knob mismatch with the on-disk index
+    * (a different nBuckets or fold would scatter the batch's grams
+    * into buckets queries never read — a silent-miss, not an error).
+    * The batch must be new doc_ids (append, not upsert — replace goes
+    * through a rebuild, same as the LSH index). */
+  def appendTrigramIndex(newDocs: DataFrame, dir: String, nBuckets: Int = 64,
+                         textCol: String = "text",
+                         foldCase: Boolean = false): Unit = {
+    checkKnobs(dir, nBuckets, foldCase)
+    trigramPostings(newDocs, textCol, foldCase)
+      .withColumn("bucket", pmod(xxhash64(col("gram")), lit(nBuckets)))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
+  private def knobLine(nBuckets: Int, foldCase: Boolean) =
+    s"nBuckets=$nBuckets foldCase=$foldCase"
+
+  private def writeKnobs(dir: String, nBuckets: Int, foldCase: Boolean): Unit = {
+    val f = new java.io.File(dir, "_GRAFT_TRIGRAM")
+    java.nio.file.Files.write(f.toPath,
+      knobLine(nBuckets, foldCase).getBytes("UTF-8"))
+  }
+
+  private[pipeline] def checkKnobs(dir: String, nBuckets: Int,
+                                   foldCase: Boolean): Unit = {
+    val f = new java.io.File(dir, "_GRAFT_TRIGRAM")
+    require(f.isFile, s"$dir is not a graft trigram index (no _GRAFT_TRIGRAM)")
+    val want = knobLine(nBuckets, foldCase)
+    val got = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    require(got == want,
+      s"trigram index knob mismatch at $dir: index has <$got>, caller says <$want>")
   }
 
   /** [[substringSearch]] against a persisted [[writeTrigramIndex]]
@@ -139,6 +178,7 @@ object CodeSearchOps {
     require(pattern.length >= 3,
       "indexed search needs a pattern of length >= 3 (shorter patterns " +
         "have no trigram — run substringSearch's fallback scan instead)")
+    checkKnobs(indexDir, nBuckets, foldCase = false)
     val post = spark.read.parquet(indexDir)
     val grams = pattern.sliding(3).toSeq.distinct
     val bucketed = post
@@ -146,6 +186,77 @@ object CodeSearchOps {
         grams.map(g => gramBucket(g, nBuckets)).distinct: _*))
       .where(col("gram").isin(grams: _*))
     substringSearch(docs, pattern, textCol, postings = Some(bucketed))
+  }
+
+  /** Multi-pattern literal search (`grep -f patterns`): a whole
+    * pattern TABLE answered in ONE postings pass — the batch
+    * amortization the term matcher gets from BatchMatcher, applied
+    * to substring search. Returns distinct `(pat_id, doc_id)`
+    * matches. The per-pattern gram requirement joins as a small
+    * broadcast table against the postings scan (paid once for the
+    * whole batch); candidates are pairs holding ALL their pattern's
+    * grams (one hash aggregate keyed by the pair — bounded by the
+    * candidate count, never corpus × patterns); the exact verify
+    * reads candidate docs only. Patterns shorter than 3 chars have
+    * no trigram and fall back to one full-scan pass shared by ALL
+    * short patterns (they're matched per-row against a broadcast
+    * array — still a single corpus read). */
+  def multiSubstringSearch(docs: DataFrame, patterns: Seq[(Long, String)],
+                           textCol: String = "text",
+                           postings: Option[DataFrame] = None): DataFrame = {
+    require(patterns.nonEmpty, "multiSubstringSearch needs patterns")
+    require(patterns.forall(_._2.nonEmpty), "empty pattern")
+    require(patterns.map(_._1).distinct.size == patterns.size,
+      "pat_id values must be distinct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (short, long) = patterns.partition(_._2.length < 3)
+
+    val longHits = if (long.isEmpty) None else {
+      val gramRows = long.flatMap { case (id, p) =>
+        p.sliding(3).toSeq.distinct.map(g => (id, g)) }
+      val nGrams = long.map { case (id, p) =>
+        (id, p.sliding(3).toSeq.distinct.size) }.toDF("pat_id", "n_need")
+      val grams = gramRows.toDF("pat_id", "gram")
+      val post = postings.getOrElse(trigramPostings(docs, textCol))
+      val cands = post
+        .join(broadcast(grams), "gram")
+        .groupBy("pat_id", "doc_id").agg(count(lit(1)).as("ng"))
+        .join(broadcast(nGrams), "pat_id")
+        .where(col("ng") === col("n_need"))
+        .select("pat_id", "doc_id")
+      val pats = long.toDF("pat_id", "pattern")
+      Some(docs.join(cands, "doc_id").join(broadcast(pats), "pat_id")
+        .where(expr(s"instr($textCol, pattern) > 0"))
+        .select(col("pat_id"), col("doc_id")))
+    }
+    val shortHits = if (short.isEmpty) None else {
+      val pats = short.toDF("pat_id", "pattern")
+      Some(docs.crossJoin(broadcast(pats))
+        .where(expr(s"instr($textCol, pattern) > 0"))
+        .select(col("pat_id"), col("doc_id")))
+    }
+    (longHits ++ shortHits).reduce(_ unionByName _)
+  }
+
+  /** [[multiSubstringSearch]] against a persisted
+    * [[writeTrigramIndex]] directory: one read of the UNION of the
+    * buckets any pattern's grams hash to (plan-time partition
+    * pruning shared across the batch). */
+  def multiSubstringSearchIndexed(spark: SparkSession, docs: DataFrame,
+                                  indexDir: String,
+                                  patterns: Seq[(Long, String)],
+                                  nBuckets: Int = 64,
+                                  textCol: String = "text"): DataFrame = {
+    val grams = patterns.flatMap(_._2.sliding(3)).distinct
+    checkKnobs(indexDir, nBuckets, foldCase = false)
+    val post =
+      if (grams.isEmpty) None
+      else Some(spark.read.parquet(indexDir)
+        .where(col("bucket").isin(
+          grams.map(g => gramBucket(g, nBuckets)).distinct: _*))
+        .where(col("gram").isin(grams: _*)))
+    multiSubstringSearch(docs, patterns, textCol, post)
   }
 
   /** `grep -n` over the corpus: one row per MATCHING LINE —
@@ -164,6 +275,30 @@ object CodeSearchOps {
     lineMatches(
       docs.join(substringSearch(docs, pattern, textCol, postings), "doc_id"),
       textCol, _.contains(pattern))
+
+  /** `grep -n -C ctx`: matching lines PLUS up to `ctx` context lines
+    * on each side, one row per kept line with an `is_match` flag
+    * (context rows that also match are matches, as in grep).
+    * Context selection is ONE sliding window per candidate doc —
+    * `max(is_match) over (doc_id, pos rows ±ctx)` — never a
+    * line-level self-join; the window's partition is a single
+    * document's lines (bounded by doc length), and only docs passing
+    * the trigram prune + doc verify are exploded at all. */
+  def grepLinesContext(docs: DataFrame, pattern: String, ctx: Int,
+                       textCol: String = "text",
+                       postings: Option[DataFrame] = None): DataFrame = {
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-ctx, ctx)
+    docs.join(substringSearch(docs, pattern, textCol, postings), "doc_id")
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("is_match", col("line").contains(pattern))
+      .withColumn("near", max(col("is_match").cast("int")).over(w))
+      .where(col("near") === 1)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
+        col("line"), col("is_match"))
+  }
 
   /** Explode candidate docs into 1-based-numbered lines and keep the
     * ones passing `pred`. Shared tail of the grep family. */

@@ -446,6 +446,7 @@ object RegexTrigram {
     if (grams.isEmpty)
       docs.where(col(textCol).rlike(verifyPat)).select(col("doc_id"))
     else {
+      CodeSearchOps.checkKnobs(indexDir, nBuckets, foldCase = caseInsensitive)
       val post = spark.read.parquet(indexDir)
         .where(col("bucket").isin(
           grams.toSeq.map(g => CodeSearchOps.gramBucket(g, nBuckets))

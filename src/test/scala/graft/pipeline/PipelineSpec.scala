@@ -807,6 +807,80 @@ class PipelineSpec extends AnyFunSuite {
     post.unpersist()
   }
 
+  test("multiSubstringSearch: one postings pass answers the whole pattern table") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "fast merge sort on spark",
+      2L -> "the merge is fast",
+      3L -> "abcx then bcde",           // all grams of "abcd", not the string
+      4L -> "superfast merger here",
+      5L -> "xy and more")
+    val pats = Seq(1L -> "fast merge", 2L -> "abcd", 3L -> "merge",
+                   4L -> "xy")          // <3 chars: shared full-scan path
+    val got = CodeSearchOps.multiSubstringSearch(d, pats)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val brute = (for ((pid, p) <- pats)
+      yield d.where($"text".contains(p)).select(lit(pid), $"doc_id")
+        .as[(Long, Long)].collect().toSeq).flatten.sorted
+    assert(got == brute)
+    assert(got.contains((4L, 5L)) && !got.exists(_ == (2L, 3L))) // verify rejects
+    // indexed variant: identical, reading only the patterns' buckets
+    val dir = java.nio.file.Files.createTempDirectory("tgmulti").toString
+    CodeSearchOps.writeTrigramIndex(d, dir, nBuckets = 16)
+    val viaIdx = CodeSearchOps.multiSubstringSearchIndexed(spark, d, dir,
+      pats, nBuckets = 16).as[(Long, Long)].collect().sorted.toSeq
+    assert(viaIdx == brute)
+    // knob mismatch fails loudly instead of silently missing
+    intercept[IllegalArgumentException] {
+      CodeSearchOps.multiSubstringSearchIndexed(spark, d, dir, pats,
+        nBuckets = 8)
+    }
+  }
+
+  test("grepLinesContext: grep -C window, overlap coalesced, is_match flags exact") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "aa\nbb\nfast merge\ncc\ndd\nee\nfast merge\nff",
+      2L -> "no match anywhere\nstill nothing",
+      3L -> "fast merge\ntail")
+    val got = CodeSearchOps.grepLinesContext(d, "fast merge", ctx = 1)
+      .as[(Long, Long, String, Boolean)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 2L, "bb", false), (1L, 3L, "fast merge", true),
+      (1L, 4L, "cc", false), (1L, 6L, "ee", false),
+      (1L, 7L, "fast merge", true), (1L, 8L, "ff", false),
+      (3L, 1L, "fast merge", true), (3L, 2L, "tail", false)))
+    // ctx=0 degenerates to grepLines rows (plus the flag, all true)
+    val zero = CodeSearchOps.grepLinesContext(d, "fast merge", ctx = 0)
+      .as[(Long, Long, String, Boolean)].collect().sorted.toSeq
+    val plain = CodeSearchOps.grepLines(d, "fast merge")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(zero.map(r => (r._1, r._2, r._3)) == plain && zero.forall(_._4))
+  }
+
+  test("appendTrigramIndex: appended batch searchable immediately, knob mismatch loud") {
+    import spark.implicits._
+    val d1 = docs(1L -> "fast merge sort", 2L -> "unrelated words")
+    val d2 = docs(3L -> "another fast merge doc", 4L -> "still unrelated")
+    val dir = java.nio.file.Files.createTempDirectory("tgappend").toString
+    CodeSearchOps.writeTrigramIndex(d1, dir, nBuckets = 16)
+    CodeSearchOps.appendTrigramIndex(d2, dir, nBuckets = 16)
+    val all = d1.unionByName(d2)
+    val hits = CodeSearchOps.substringSearchIndexed(spark, all, dir,
+      "fast merge", nBuckets = 16).as[Long].collect().sorted.toSeq
+    assert(hits == Seq(1L, 3L))
+    // bucket pruning unchanged after the append
+    val scan = spark.read.parquet(dir).where(col("bucket").isin(0L, 1L))
+    val pf = scan.queryExecution.executedPlan.toString
+    assert(pf.contains("PartitionFilters") && pf.contains("bucket"), pf)
+    intercept[IllegalArgumentException] {
+      CodeSearchOps.appendTrigramIndex(d2, dir, nBuckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      CodeSearchOps.appendTrigramIndex(d2, dir, nBuckets = 16, foldCase = true)
+    }
+  }
+
   test("identifier subtokens: camel, acronym-run, snake, screaming, digit boundaries") {
     import spark.implicits._
     val cases = Seq(
