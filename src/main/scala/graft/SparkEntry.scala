@@ -944,6 +944,21 @@ object SparkEntry {
     // test is synthesized deterministically from the corpus so the
     // snake part varies per-document while the camel+acronym prefix
     // exercises every boundary rule
+    // ranked symbol search (zoekt sym:): identifiers synthesized
+    // deterministically from each doc's first four words (one camel
+    // pair + one snake pair, so the subtoken split is exercised on
+    // both casings), postings = (doc, subtok, ident-hit count),
+    // query = one filter + TakeOrderedAndProject
+    "cs_symbol" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val docs = documents(s, d).where(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), array(
+          concat(get(w, lit(0)), initcap(get(w, lit(1)))),
+          concat(get(w, lit(2)), lit("_"), get(w, lit(3)))).as("idents"))
+      graft.pipeline.CodeSearchOps.symbolSearch(
+        graft.pipeline.CodeSearchOps.subtokenPostings(docs, "idents"),
+        "scan", 20)
+    }),
     "cs_subtokens" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
@@ -1210,6 +1225,31 @@ ORDER BY doc_id""",
     "cs_grep_multi" -> EntrySql.grepMultiSql(
       Seq(1L -> "fast merge", 2L -> "slow scan", 3L -> "spark window",
           4L -> "ag")),
+    "cs_symbol" ->
+      """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 4
+), idents AS (
+  SELECT doc_id, unnest([
+    w[1] || upper(substring(w[2], 1, 1)) || substring(w[2], 2),
+    w[3] || '_' || w[4]]) AS ident
+  FROM words
+), subs AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(list_filter(
+    string_split_regex(
+      regexp_replace(
+        regexp_replace(ident, '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
+        '([a-z0-9])([A-Z])', '\1_\2', 'g'),
+      '[^A-Za-z0-9]+'),
+    t -> length(t) > 0), t -> lower(t)))) AS subtok
+  FROM idents
+), post AS (
+  SELECT doc_id, subtok, count(*)::BIGINT AS n FROM subs GROUP BY 1, 2
+)
+SELECT doc_id, subtok, n FROM post
+WHERE subtok = 'scan'
+ORDER BY n DESC, doc_id ASC
+LIMIT 20""",
     "cs_subtokens" ->
       """WITH ident AS (
   SELECT 'parseHTTPRequest2xml_' || replace(substring(text, 1, 40), ' ', '_') AS id

@@ -188,6 +188,55 @@ object CodeSearchOps {
     substringSearch(docs, pattern, textCol, postings = Some(bucketed))
   }
 
+  /** Subtoken postings — the symbol-search index (zoekt's `sym:`
+    * query class): one row per `(doc_id, subtok, n)` where `n` counts
+    * the identifiers in `identsCol` (array<string>) containing the
+    * subtoken. An identifier contributes each of its subtokens once
+    * (`parseHTTPRequest` is ONE hit for `http`, however it's cased).
+    * Build is scan-fused double explode + one uniform-keyed hash
+    * aggregate — the trigram-postings discipline applied to the
+    * identifier layer. */
+  def subtokenPostings(docs: DataFrame, identsCol: String): DataFrame =
+    docs.select(col("doc_id"), explode(col(identsCol)).as("ident"))
+      .select(col("doc_id"),
+        explode(array_distinct(subtokens(col("ident")))).as("subtok"))
+      .groupBy("doc_id", "subtok").agg(count(lit(1)).as("n"))
+
+  /** Ranked symbol search: top-`k` docs by how many of their
+    * identifiers contain the (case-folded) query subtoken, docid
+    * tie-break. One filter + TakeOrderedAndProject over the postings
+    * — at corpus scale each task forwards its local top-k only. */
+  def symbolSearch(postings: DataFrame, query: String, k: Int): DataFrame = {
+    require(query.nonEmpty, "symbolSearch needs a non-empty query")
+    postings.where(col("subtok") === query.toLowerCase(java.util.Locale.ROOT))
+      .orderBy(desc("n"), asc("doc_id")).limit(k)
+  }
+
+  /** Persist the subtoken postings partitioned by a subtok hash
+    * bucket — same plan-time pruning contract as
+    * [[writeTrigramIndex]]: a query reads exactly one bucket. */
+  def writeSubtokenIndex(docs: DataFrame, identsCol: String, dir: String,
+                         nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    subtokenPostings(docs, identsCol)
+      .withColumn("bucket", pmod(xxhash64(col("subtok")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** [[symbolSearch]] against a persisted [[writeSubtokenIndex]]
+    * directory: the scan prunes to the ONE bucket the query hashes
+    * to. */
+  def symbolSearchIndexed(spark: SparkSession, indexDir: String,
+                          query: String, k: Int,
+                          nBuckets: Int = 64): DataFrame = {
+    val folded = query.toLowerCase(java.util.Locale.ROOT)
+    symbolSearch(
+      spark.read.parquet(indexDir)
+        .where(col("bucket") === gramBucket(folded, nBuckets))
+        .drop("bucket"),
+      folded, k)
+  }
+
   /** Multi-pattern literal search (`grep -f patterns`): a whole
     * pattern TABLE answered in ONE postings pass — the batch
     * amortization the term matcher gets from BatchMatcher, applied

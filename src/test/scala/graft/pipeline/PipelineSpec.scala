@@ -881,6 +881,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("symbol search: subtoken postings rank docs by identifier hits, one-bucket prune") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("parseHTTPRequest", "httpClient", "fooBar")), // http ×2
+      (2L, Seq("HTTPServer", "http_server")),                // http ×2 (tie)
+      (3L, Seq("XMLHttpRequest")),                           // http ×1
+      (4L, Seq("nothingHere", "other_thing")))               // no http
+      .toDF("doc_id", "idents")
+    val post = CodeSearchOps.subtokenPostings(d, "idents")
+    // an identifier contributes a subtok ONCE however often it recurs
+    assert(post.where($"doc_id" === 1 && $"subtok" === "http")
+      .select("n").as[Long].head() == 2L)
+    val top = CodeSearchOps.symbolSearch(post, "HTTP", 10)
+      .select("doc_id", "n").as[(Long, Long)].collect().toSeq
+    assert(top == Seq((1L, 2L), (2L, 2L), (3L, 1L))) // tie → doc_id asc
+    // persisted index: identical answer from exactly one bucket
+    val dir = java.nio.file.Files.createTempDirectory("symidx").toString
+    CodeSearchOps.writeSubtokenIndex(d, "idents", dir, nBuckets = 16)
+    val viaIdx = CodeSearchOps.symbolSearchIndexed(spark, dir, "HTTP", 10,
+      nBuckets = 16)
+    assert(viaIdx.select("doc_id", "n").as[(Long, Long)].collect().toSeq == top)
+    val pf = viaIdx.queryExecution.executedPlan.toString
+    assert(pf.contains("PartitionFilters") && pf.contains("bucket"), pf)
+  }
+
   test("identifier subtokens: camel, acronym-run, snake, screaming, digit boundaries") {
     import spark.implicits._
     val cases = Seq(
