@@ -2101,6 +2101,16 @@ SELECT user_id, sid::BIGINT AS session_seq, min(es)::BIGINT AS start_epoch,
        round(sum(value), 4) AS sum_value
 FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Range-join oracle: every event matched to its session interval
+    * by a plain BETWEEN join over the [[sessionsSql]] CTE. */
+  def rangeSessionSql(gapSeconds: Long): String =
+    s"""WITH sess AS (${sessionsSql(gapSeconds)}),
+pts AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS pt FROM events)
+SELECT p.event_id, s.session_seq, s.start_epoch
+FROM pts p JOIN sess s
+  ON p.user_id = s.user_id AND p.pt BETWEEN s.start_epoch AND s.end_epoch
+ORDER BY event_id, session_seq"""
+
   val revenueSql: String =
     """SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l

@@ -1058,6 +1058,40 @@ object SparkEntry {
       EventOps.sessionize(events(s, d)).orderBy("user_id", "session_seq")),
     "ev_sliding" -> ((s, d) =>
       EventOps.slidingCounts(events(s, d)).orderBy("win_epoch", "event_type")),
+    // backward AS-OF join: each click takes the user's latest
+    // at-or-before purchase — the union+window formulation (one
+    // range shuffle on user_id, no join explosion); right side
+    // deduped per (user, ts) so the oracle's native ASOF JOIN picks
+    // the identical winner
+    "ev_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.pipeline.TemporalOps.asofJoin(
+        ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value")),
+        "user_id", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("purchase_value"),
+          // session tz is UTC, so the ntz→instant cast is identity
+          unix_micros(col("asof_ts").cast("timestamp")).as("asof_us"))
+        .orderBy("event_id")
+    }),
+    // point-in-interval RANGE join via interval binning: every raw
+    // event assigned to its session interval WITHOUT a cross product
+    // — intervals explode into their 1800s buckets, points join on
+    // their one bucket, exact BETWEEN after (the backfill shape:
+    // re-attribute a raw stream against precomputed intervals)
+    "ev_range" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.pipeline.TemporalOps.rangeJoin(
+        ev.select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("pt")),
+        EventOps.sessionize(ev, 1800L)
+          .select("user_id", "session_seq", "start_epoch", "end_epoch"),
+        "user_id", "pt", "start_epoch", "end_epoch", bucketWidth = 1800L)
+        .select("event_id", "session_seq", "start_epoch")
+        .orderBy("event_id", "session_seq")
+    }),
 
     // ---------- relational joins (broadcast dims) ----------
     "rel_revenue" -> ((s, d) => {
@@ -1275,6 +1309,18 @@ SELECT lower(tok_raw) AS tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY tok"""
     "ev_hourly" -> EntrySql.hourlySql,
     "ev_sessions" -> EntrySql.sessionsSql(1800L),
     "ev_sliding" -> EntrySql.slidingSql(3600L, 900L),
+    "ev_asof" ->
+      """WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS purchase_value FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, p.purchase_value, epoch_us(p.ts) AS asof_us
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id""",
+    "ev_range" -> EntrySql.rangeSessionSql(1800L),
     "rel_revenue" -> EntrySql.revenueSql,
     "rel_top_orders" -> EntrySql.topOrdersSql)
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal joins — the two operators event pipelines need that Spark's
+ * built-in join strategies don't express directly: the backward AS-OF
+ * join (each left row takes the LATEST right row at-or-before its
+ * timestamp, per key) and the point-in-interval RANGE join. Both are
+ * written as single-shuffle declarative plans, never a cross product:
+ *
+ *  - as-of: the published union+window formulation — tag both sides,
+ *    union, ONE range shuffle on the key, and a running `last(...,
+ *    ignoreNulls)` carries each right row's payload forward to the
+ *    left rows it answers. Work is O(n log n) per key partition, no
+ *    join explosion, no per-key driver loop; skewed keys ride AQE
+ *    like any other window.
+ *  - range: interval binning — each interval explodes into the
+ *    fixed-width buckets it overlaps, each point joins on its single
+ *    bucket, the exact BETWEEN filter runs after. Shuffle volume is
+ *    points + intervals×(len/bucket+1) rows, tunable by bucket width;
+ *    the equi-join on (key, bucket) hash-partitions like any other —
+ *    the shape Spark would otherwise plan as a broadcast nested loop.
+ */
+object TemporalOps {
+
+  /** Backward as-of join. For every row of `left`, the latest `right`
+    * row with the same `key` and `right.ts <= left.ts` (inclusive)
+    * supplies `valueCols` plus its timestamp as `asof_ts`; rows with
+    * no prior match (or none within `toleranceSec`) get nulls.
+    *
+    * `ts` must exist on both sides and be orderable with a meaningful
+    * numeric cast (timestamp / numeric). Right rows should be unique
+    * per (key, ts); if not, the winner among equal timestamps is the
+    * greatest payload struct (deterministic, but dedupe upstream if
+    * you need a different rule). `toleranceSec` compares at full
+    * timestamp precision (fractional seconds included). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String],
+               toleranceSec: Option[Double] = None): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val clash = valueCols.filter(left.columns.contains)
+    require(clash.isEmpty, s"value columns already on left: ${clash.mkString(",")}")
+    require(!left.columns.contains("asof_ts"), "left already has asof_ts")
+    toleranceSec.foreach(t => require(t >= 0, s"negative tolerance $t"))
+
+    // right rows carry their payload in ONE struct — non-null on every
+    // right row, so a null VALUE inside a newer right row correctly
+    // shadows an older non-null one (a bare last(value, ignoreNulls)
+    // would leak the stale value forward)
+    val pay = struct(col(ts).as("_t") +: valueCols.map(col): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("_is_left"), pay.as("_pay")) ++
+        left.columns.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      Seq(col("*"), lit(1).as("_is_left"),
+        lit(null).cast(r.schema("_pay").dataType).as("_pay")): _*)
+    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+
+    // at equal ts the right row sorts FIRST (inclusive match); equal
+    // right timestamps order by payload so the pick is deterministic
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_is_left").asc, col("_pay").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = col("_m")
+    val within = toleranceSec match {
+      case Some(t) => m.isNotNull &&
+        (col(ts).cast("double") - m.getField("_t").cast("double")) <= t
+      case None => m.isNotNull
+    }
+    unioned
+      .withColumn("_m", last(col("_pay"), ignoreNulls = true).over(w))
+      .where(col("_is_left") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => when(within, m.getField(c)).as(c)) :+
+        when(within, m.getField("_t")).as("asof_ts"): _*)
+  }
+
+  /** Point-in-interval range join: rows of `left` matched to the rows
+    * of `right` (same `key`) whose interval `[lo, hi]` contains
+    * `pt` (inclusive both ends; values compared via numeric cast,
+    * epoch seconds for timestamps). Returns left columns + right's
+    * non-key columns; column names must not clash. `bucketWidth`
+    * trades shuffle duplication (an interval lands in
+    * len/bucket + 1 bucket rows) against post-join filter work —
+    * size it near the typical interval length. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                pt: String, lo: String, hi: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val clash = right.columns.filter(c => c != key && left.columns.contains(c))
+    require(clash.isEmpty, s"column name clash: ${clash.mkString(",")}")
+    val lb = left.withColumn("_b",
+      floor(col(pt).cast("double") / bucketWidth).cast("long"))
+    val rb = right.withColumn("_b", explode(sequence(
+      floor(col(lo).cast("double") / bucketWidth).cast("long"),
+      floor(col(hi).cast("double") / bucketWidth).cast("long"))))
+    lb.join(rb, Seq(key, "_b"))
+      .where(col(pt).cast("double").between(
+        col(lo).cast("double"), col(hi).cast("double")))
+      .drop("_b")
+  }
+}

@@ -807,6 +807,76 @@ class PipelineSpec extends AnyFunSuite {
     post.unpersist()
   }
 
+  test("asofJoin: latest-at-or-before per key, inclusive ties, tolerance, null payloads") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0), (1L, 5L, 50.0),
+      (2L, 15L, 150.0), (3L, 99L, 999.0))
+      .toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, Some("a")),   // equal ts → inclusive match for (1,10)
+      (1L, 18L, None),        // NULL payload must SHADOW the older "a"
+      (2L, 1L, Some("b")),
+      (4L, 7L, Some("z")))    // key never queried
+      .toDF("k", "t", "rv")
+    val got = TemporalOps.asofJoin(left, right, "k", "t", Seq("rv"))
+      .select("k", "t", "rv", "asof_ts")
+      .as[(Long, Long, Option[String], Option[Long])].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 5L, None, None),             // before any right row
+      (1L, 10L, Some("a"), Some(10L)),  // inclusive
+      (1L, 20L, None, Some(18L)),       // newer null payload wins
+      (2L, 15L, Some("b"), Some(1L)),
+      (3L, 99L, None, None)))           // no right rows for key
+    // tolerance cuts matches older than the window
+    val tol = TemporalOps.asofJoin(left, right, "k", "t", Seq("rv"),
+      toleranceSec = Some(5.0))
+      .select("k", "t", "rv").as[(Long, Long, Option[String])]
+      .collect().sorted.toSeq
+    assert(tol.contains((1L, 10L, Some("a"))) &&   // age 0 ≤ 5
+      tol.contains((2L, 15L, None)))               // age 14 > 5 → nulled
+  }
+
+  test("asofJoin fuzz: window formulation == per-row brute scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lrows = Seq.fill(200)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val rrows = Seq.fill(120)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val l = lrows.toDF("k", "t")
+    val r = rrows.toDF("k", "t", "rv")
+    val got = TemporalOps.asofJoin(l, r, "k", "t", Seq("rv"))
+      .select("k", "t", "rv").as[(Long, Long, Option[String])]
+      .collect().sorted.toSeq
+    val brute = lrows.map { case (k, t) =>
+      val m = rrows.filter(x => x._1 == k && x._2 <= t).sortBy(_._2).lastOption
+      (k, t, m.map(_._3))
+    }.sorted
+    assert(got == brute)
+  }
+
+  test("rangeJoin: binned interval join == brute between filter, no duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong))
+    val ivs = Seq.tabulate(80) { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (rnd.nextInt(6).toLong, i.toLong, lo, lo + rnd.nextInt(400).toLong)
+    }
+    val l = pts.toDF("pid", "k", "pt")
+    val r = ivs.toDF("k", "iid", "lo", "hi")
+    for (bucket <- Seq(1L, 64L, 1000L)) {
+      val got = TemporalOps.rangeJoin(l, r, "k", "pt", "lo", "hi", bucket)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val brute = (for ((pid, k, pt) <- pts; (ik, iid, lo, hi) <- ivs
+                        if ik == k && pt >= lo && pt <= hi)
+        yield (pid, iid)).sorted
+      assert(got == brute, s"bucket=$bucket")
+      assert(got.distinct == got, s"duplicates at bucket=$bucket")
+    }
+  }
+
   test("multiSubstringSearch: one postings pass answers the whole pattern table") {
     import spark.implicits._
     val d = docs(
