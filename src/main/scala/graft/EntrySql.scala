@@ -2101,6 +2101,63 @@ SELECT user_id, sid::BIGINT AS session_seq, min(es)::BIGINT AS start_epoch,
        round(sum(value), 4) AS sum_value
 FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** PMI collocation oracle: identical tokenization, counts, formula,
+    * and round-before-cut rank. */
+  def collocSql(minCount: Long, k: Int): String =
+    s"""WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w <> '') AS ws
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+  FROM ws WHERE len(ws) >= 2
+), c12 AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(ws) AS w FROM ws
+), uc AS (
+  SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(c12) FROM c12) AS nb, (SELECT sum(c) FROM uc) AS nu
+)
+SELECT p.w1, p.w2, p.c12::BIGINT AS c12,
+       round(ln((p.c12 / t.nb) / ((a.c / t.nu) * (b.c / t.nu))), 6) AS pmi
+FROM c12 p
+JOIN uc a ON a.w = p.w1
+JOIN uc b ON b.w = p.w2
+CROSS JOIN tot t
+WHERE p.c12 >= $minCount
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT $k"""
+
+  /** Per-doc tf-idf keyword oracle: the window formulation over the
+    * same rounded scores. */
+  def keywordsSql(k: Int): String =
+    s"""WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*)::DOUBLE AS tf FROM w GROUP BY 1, 2
+), dfv AS (
+  SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.w,
+         round(t.tf * ln(n.n_docs / d.df), 6) AS score
+  FROM tf t JOIN dfv d USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, w AS word, score
+FROM ranked WHERE rank <= $k
+ORDER BY doc_id, rank"""
+
   /** Range-join oracle: every event matched to its session interval
     * by a plain BETWEEN join over the [[sessionsSql]] CTE. */
   def rangeSessionSql(gapSeconds: Long): String =

@@ -813,6 +813,15 @@ object SparkEntry {
     "ta_kn_perplexity" -> ((s, d) =>
       TextOps.knPerplexity(documents(s, d), discount = 0.75, gamma = 0.5)
         .orderBy("doc_id")),
+    // collocation extraction: top adjacent pairs by PMI (rounded
+    // before the rank cut), vocab-bounded broadcast joins
+    "ta_colloc" -> ((s, d) =>
+      TextOps.collocations(documents(s, d), minCount = 5, k = 20)),
+    // per-doc tf-idf keywords through the BOUNDED top-k aggregate —
+    // map tasks ship ≤ watermark rows per doc, never its vocabulary
+    "ta_keywords" -> ((s, d) =>
+      TextOps.keywords(documents(s, d), k = 3)
+        .orderBy("doc_id", "rank")),
     // BPE vocabulary TRAINING (Sennrich et al.): 8 distributed merge
     // rounds — ONE pair-count aggregate each over the cached
     // vocab-sized word table, one winning row to the driver per
@@ -1235,6 +1244,8 @@ ORDER BY doc_id, change""",
     "dp_sample" -> EntrySql.sampleSql(0.25),
     "dp_audit" -> EntrySql.auditSql(100, 0.6),
     "ta_corpus_stats" -> EntrySql.corpusStatsSql,
+    "ta_colloc" -> EntrySql.collocSql(minCount = 5, k = 20),
+    "ta_keywords" -> EntrySql.keywordsSql(k = 3),
     "dp_mix" -> EntrySql.mixSql(Seq("en" -> 0.5, "de" -> 0.2), 0.1),
     "dp_temperature" -> EntrySql.temperatureSampleSql(0.5, 600L),
     "dp_split" -> EntrySql.splitSql(0.1),

@@ -39,7 +39,24 @@ object TemporalOps {
     * timestamp precision (fractional seconds included). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String],
-               toleranceSec: Option[Double] = None): DataFrame = {
+               toleranceSec: Option[Double] = None): DataFrame =
+    asofJoinImpl(left, right, key, ts, valueCols, toleranceSec,
+      forward = false)
+
+  /** Forward as-of join: each left row takes the EARLIEST right row
+    * at-or-after its timestamp (the "next event" direction — e.g.
+    * attribute a click to the purchase that followed it). Same plan
+    * as [[asofJoin]] with the scan order reversed. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, valueCols: Seq[String],
+                      toleranceSec: Option[Double] = None): DataFrame =
+    asofJoinImpl(left, right, key, ts, valueCols, toleranceSec,
+      forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, valueCols: Seq[String],
+                           toleranceSec: Option[Double],
+                           forward: Boolean): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val clash = valueCols.filter(left.columns.contains)
     require(clash.isEmpty, s"value columns already on left: ${clash.mkString(",")}")
@@ -61,14 +78,19 @@ object TemporalOps {
     val unioned = l.unionByName(r.select(l.columns.map(col): _*))
 
     // at equal ts the right row sorts FIRST (inclusive match); equal
-    // right timestamps order by payload so the pick is deterministic
+    // right timestamps order by payload so the pick is deterministic.
+    // forward = the same scan in reverse time order: "latest before"
+    // becomes "earliest after"
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_is_left").asc, col("_pay").asc)
+      .orderBy(if (forward) col(ts).desc else col(ts).asc,
+        col("_is_left").asc, col("_pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val m = col("_m")
+    val age =
+      if (forward) m.getField("_t").cast("double") - col(ts).cast("double")
+      else col(ts).cast("double") - m.getField("_t").cast("double")
     val within = toleranceSec match {
-      case Some(t) => m.isNotNull &&
-        (col(ts).cast("double") - m.getField("_t").cast("double")) <= t
+      case Some(t) => m.isNotNull && age <= t
       case None => m.isNotNull
     }
     unioned

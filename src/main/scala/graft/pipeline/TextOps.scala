@@ -706,4 +706,77 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("kn_ppl"))
   }
+
+  /**
+   * Collocation extraction: the top-`k` adjacent word pairs by
+   * pointwise mutual information, `pmi = ln((c12/Nb) / ((c1/Nu) ·
+   * (c2/Nu)))` with a bigram-count floor — the corpus-analysis pass
+   * that surfaces multiword terms ("new york") for synonym/phrase
+   * dictionaries. Same scale shape as [[bigramPerplexity]]: in-row
+   * bigram construction, counts are two hash aggregates over exploded
+   * types, the unigram tables join broadcast (vocab-bounded), scalar
+   * totals ride one-row crossJoins. PMI is rounded to 6 decimals
+   * BEFORE the rank cut (the round-before-cut portability rule), ties
+   * break on (w1, w2). Output: (w1, w2, c12, pmi), pmi desc.
+   */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20,
+                   textCol: String = "text",
+                   broadcastModel: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val words = docs.select(col("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= lit("")).as("ws"))
+    val bigrams = words.where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("double").as("c12"))
+    val uni = words.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val totals = c12.agg(sum(col("c12")).as("nb"))
+      .crossJoin(uni.agg(sum(col("c")).as("nu")))
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    c12.where(col("c12") >= minCount)
+      .join(side(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(side(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+        round(log((col("c12") / col("nb")) /
+          ((col("c1") / col("nu")) * (col("c2") / col("nu")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2")).limit(k)
+  }
+
+  /**
+   * Per-document keyword extraction: the top-`k` terms of each doc by
+   * tf·idf (idf = ln(N/df), score rounded to 6 decimals before the
+   * cut, ties to the lexicographically lower word). The per-doc cut
+   * is a BOUNDED partial aggregate ([[TopKAgg.topKByScoreStr]]) — map
+   * tasks forward ≤ watermark rows per doc, never the doc's whole
+   * vocabulary, the same shuffle bound as `dp_quota`. The df table
+   * joins broadcast (vocab-bounded) under the flag. Output one row
+   * per (doc, rank): (doc_id, rank, word, score). */
+  def keywords(docs: DataFrame, k: Int = 5, textCol: String = "text",
+               broadcastModel: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col("doc_id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          w => w =!= lit(""))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    tf.join(side(dfTab), "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
+      .groupBy("doc_id")
+      .agg(TopKAgg.topKByScoreStr(k)(col("score"), col("w")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "kw")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("rank"),
+        col("kw.id").as("word"), col("kw.score").as("score"))
+  }
 }

@@ -92,10 +92,38 @@ object TopKAgg {
     def outputEncoder: Encoder[Seq[Keyed]] = bufferEncoder
   }
 
+  /** (score, id) rows with STRING ids → the k highest scores, ties to
+    * the lexicographically lower id — the [[Scored]] contract for
+    * word/term keys (per-doc keyword extraction, term suggestions). */
+  final case class ScoredStr(score: Double, id: String)
+
+  private class TopKByScoreStr(k: Int)
+      extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+    private implicit val ord: Ordering[ScoredStr] =
+      Ordering.by((r: ScoredStr) => (-r.score, r.id))
+    def zero: Seq[ScoredStr] = Vector.empty
+    def reduce(b: Seq[ScoredStr], a: ScoredStr): Seq[ScoredStr] = {
+      val nb = b :+ a
+      if (nb.length >= 4 * k) trim(nb, k) else nb
+    }
+    def merge(a: Seq[ScoredStr], b: Seq[ScoredStr]): Seq[ScoredStr] =
+      trim(a ++ b, k)
+    def finish(b: Seq[ScoredStr]): Seq[ScoredStr] = trim(b, k).sorted(ord)
+    def bufferEncoder: Encoder[Seq[ScoredStr]] =
+      ExpressionEncoder[Seq[ScoredStr]]()
+    def outputEncoder: Encoder[Seq[ScoredStr]] = bufferEncoder
+  }
+
   /** Lifted UDAF: `topKByScore(k)(scoreCol, idCol)` in any groupBy. */
   def topKByScore(k: Int): UserDefinedFunction = {
     require(k >= 1, s"k must be >= 1, got $k")
     udaf(new TopKByScore(k), Encoders.product[Scored])
+  }
+
+  /** Lifted UDAF: `topKByScoreStr(k)(scoreCol, idCol)` — string ids. */
+  def topKByScoreStr(k: Int): UserDefinedFunction = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    udaf(new TopKByScoreStr(k), Encoders.product[ScoredStr])
   }
 
   /** Lifted UDAF: `keepKByKey(k)(rankKeyCol, idCol)` in any groupBy. */

@@ -807,6 +807,62 @@ class PipelineSpec extends AnyFunSuite {
     post.unpersist()
   }
 
+  test("collocations: PMI ranks the planted pair first, brute-identical") {
+    import spark.implicits._
+    // "new york" always adjacent; filler words shuffled per doc so
+    // filler bigrams are incoherent (PMI rewards consistent adjacency)
+    val rnd = new scala.util.Random(3)
+    val filler = Seq("the", "cat", "sat", "dog", "ran", "to", "near", "again")
+    val texts = (1L to 30L).map { i =>
+      val f = rnd.shuffle(filler)
+      i -> (f.take(4) ++ Seq("new", "york") ++ f.drop(4)).mkString(" ")
+    }
+    val d = docs(texts: _*)
+    val got = TextOps.collocations(d, minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // brute PMI over the same tokenization
+    val toks = texts.flatMap(_._2.split(" ").toSeq)
+    val bgs = texts.flatMap(_._2.split(" ").sliding(2).map(p => (p(0), p(1))))
+    val nu = toks.size.toDouble; val nb = bgs.size.toDouble
+    val uc = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val brute = bgs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      .filter(_._2 >= 2)
+      .map { case ((a, b), c12) =>
+        (a, b, c12.toLong, BigDecimal((math.log((c12 / nb) /
+          ((uc(a) / nu) * (uc(b) / nu)))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy(r => (-r._4, r._1, r._2)).take(10)
+    assert(got == brute)
+    assert(got.head._1 == "new" && got.head._2 == "york") // the collocation wins
+  }
+
+  test("keywords: per-doc tf-idf top-k, bounded aggregate == window formulation") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "apple apple apple banana common common",
+      2L -> "banana cherry common common common",
+      3L -> "common words only here",
+      4L -> "durian durian apple common")
+    val got = TextOps.keywords(d, k = 2)
+      .as[(Long, Long, String, Double)].collect().sorted.toSeq
+    // window formulation over the same rounded scores
+    val tf = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("w"))
+    val brute = tf.join(dfT, "w")
+      .withColumn("score", round(col("tf") * log(lit(4.0) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .select(col("doc_id"), col("rank").cast("long"), col("w"), col("score"))
+      .as[(Long, Long, String, Double)].collect().sorted.toSeq
+    assert(got == brute)
+    // doc 1's top keyword is its dominant rare term
+    assert(got.filter(r => r._1 == 1L && r._2 == 1L).head._3 == "apple")
+  }
+
   test("asofJoin: latest-at-or-before per key, inclusive ties, tolerance, null payloads") {
     import spark.implicits._
     val left = Seq(
@@ -853,6 +909,17 @@ class PipelineSpec extends AnyFunSuite {
       (k, t, m.map(_._3))
     }.sorted
     assert(got == brute)
+    // forward direction: earliest at-or-after, with a tolerance
+    val fwd = TemporalOps.asofJoinForward(l, r, "k", "t", Seq("rv"),
+      toleranceSec = Some(50.0))
+      .select("k", "t", "rv").as[(Long, Long, Option[String])]
+      .collect().sorted.toSeq
+    val fwdBrute = lrows.map { case (k, t) =>
+      val m = rrows.filter(x => x._1 == k && x._2 >= t && x._2 - t <= 50)
+        .sortBy(_._2).headOption
+      (k, t, m.map(_._3))
+    }.sorted
+    assert(fwd == fwdBrute)
   }
 
   test("rangeJoin: binned interval join == brute between filter, no duplicates") {
