@@ -1,0 +1,115 @@
+package graft
+
+import graft.pipeline.TemporalOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal-join microbench: evidences the binned range join's scale
+ * claim with numbers. Without binning, Spark plans a key-equal +
+ * range theta-join as a shuffled join keyed on user alone — every
+ * (point, interval) pair OF THE SAME KEY is compared, so per-key cost
+ * is points×intervals and the whole job degrades quadratically as
+ * keys get hot. The binned form adds the bucket to the join key,
+ * cutting per-key work to the pairs sharing a time bucket.
+ *
+ * For each size N: points = N events over a fixed horizon across K
+ * hot keys, intervals = N/10 disjoint-ish sessions per key; time
+ *   (a) the naive theta-join `l.join(r, key && pt between lo and hi)`
+ *   (b) TemporalOps.rangeJoin at bucket = typical interval length
+ * and print one JSON line per N with the row-identical check. The
+ * as-of join gets the same treatment vs a per-left-row correlated
+ * max lookup (join + groupBy max + re-join) — the formulation a SQL
+ * engine without ASOF support would run.
+ */
+object TemporalBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // few HOT keys: the regime where the key-only theta-join's
+    // per-key points×intervals cost actually bites
+    val nKeys = 8
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // deterministic synthetic stream: points hash-scattered over a
+    // horizon sized so each key holds n/(10·nKeys) ~300s intervals
+    def data(n: Int) = {
+      val horizon = (n / 10 / nKeys) * 400L
+      val pts = spark.range(n.toLong).select(
+        col("id").as("pid"),
+        pmod(xxhash64(col("id")), lit(nKeys)).as("k"),
+        pmod(xxhash64(col("id"), lit(1)), lit(horizon)).as("pt"))
+        .cache()
+      val ivs = spark.range(n.toLong / 10).select(
+        col("id").as("iid"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nKeys)).as("k"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(horizon - 400L)))
+          .as("lo"))
+        .withColumn("hi", col("lo") + 300L)
+        .cache()
+      pts.count(); ivs.count()
+      (pts, ivs)
+    }
+
+    // range series: per-key pairs grow quadratically in n — the
+    // theta-join pays them all, the binned join only bucket-mates
+    Seq(80000, 320000, 1280000).foreach { n =>
+      val (pts, ivs) = data(n)
+      val naive = pts.join(ivs,
+        pts("k") === ivs("k") && pts("pt").between(ivs("lo"), ivs("hi")))
+      val (naiveSec, naiveRows) = timed(naive.count())
+      val binned = TemporalOps.rangeJoin(pts, ivs, "k", "pt", "lo", "hi",
+        bucketWidth = 300L)
+      val (binSec, binRows) = timed(binned.count())
+      require(naiveRows == binRows, s"range rows: $naiveRows vs $binRows")
+      println(f"""{"metric":"temporal_bench_range","n_points":$n,""" +
+        f""""n_intervals":${n / 10},"match_rows":$binRows,""" +
+        f""""naive_sec":$naiveSec%.3f,"binned_sec":$binSec%.3f,""" +
+        f""""speedup":${naiveSec / binSec}%.1f}""")
+      pts.unpersist(); ivs.unpersist()
+    }
+
+    // as-of series: the correlated shape must MATERIALIZE every
+    // (point, earlier-interval) pair into its aggregate; the window
+    // formulation sorts n + n/10 rows once
+    Seq(40000, 160000, 640000).foreach { n =>
+      val (pts, ivs) = data(n)
+      // right deduped per (k, t) so both formulations answer identically
+      val right = ivs.select(col("k"), col("lo").as("t"),
+          col("iid").as("rv"))
+        .groupBy("k", "t").agg(max("rv").as("rv")).cache()
+      right.count()
+      val asof = TemporalOps.asofJoin(pts.select(col("pid"), col("k"),
+        col("pt").as("t")), right, "k", "t", Seq("rv"))
+      val (asofSec, asofRows) = timed(
+        asof.where(col("rv").isNotNull).count())
+      // the shape a SQL engine without ASOF runs: pair join →
+      // per-row max → re-join to fetch the payload
+      val corr0 = pts.join(right, pts("k") === right("k") &&
+          right("t") <= pts("pt"))
+        .groupBy(pts("pid").as("pid"), pts("k").as("k2"))
+        .agg(max(right("t")).as("mt"))
+      val corr = corr0.join(right,
+        corr0("k2") === right("k") && corr0("mt") === right("t"))
+      val (corrSec, corrRows) = timed(corr.count())
+      require(asofRows == corrRows, s"asof rows: $asofRows vs $corrRows")
+      println(f"""{"metric":"temporal_bench_asof","n_points":$n,""" +
+        f""""n_intervals":${n / 10},"matched":$asofRows,""" +
+        f""""window_sec":$asofSec%.3f,"correlated_sec":$corrSec%.3f,""" +
+        f""""speedup":${corrSec / asofSec}%.1f}""")
+      pts.unpersist(); ivs.unpersist(); right.unpersist()
+    }
+    spark.stop()
+  }
+}
