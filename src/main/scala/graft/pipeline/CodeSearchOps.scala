@@ -158,8 +158,8 @@ object CodeSearchOps {
       knobLine(nBuckets, foldCase).getBytes("UTF-8"))
   }
 
-  private[pipeline] def checkKnobs(dir: String, nBuckets: Int,
-                                   foldCase: Boolean): Unit = {
+  private[graft] def checkKnobs(dir: String, nBuckets: Int,
+                                foldCase: Boolean): Unit = {
     val f = new java.io.File(dir, "_GRAFT_TRIGRAM")
     require(f.isFile, s"$dir is not a graft trigram index (no _GRAFT_TRIGRAM)")
     val want = knobLine(nBuckets, foldCase)
@@ -335,18 +335,47 @@ object CodeSearchOps {
     * the trigram prune + doc verify are exploded at all. */
   def grepLinesContext(docs: DataFrame, pattern: String, ctx: Int,
                        textCol: String = "text",
-                       postings: Option[DataFrame] = None): DataFrame = {
+                       postings: Option[DataFrame] = None): DataFrame =
+    linesWithContext(
+      docs.join(substringSearch(docs, pattern, textCol, postings), "doc_id"),
+      textCol, _.contains(pattern), ctx)
+
+  /** Shared tail of the context family: explode candidate docs into
+    * numbered lines, flag matches, keep rows within `ctx` of one. */
+  private def linesWithContext(cands: DataFrame, textCol: String,
+                               pred: Column => Column, ctx: Int): DataFrame = {
     require(ctx >= 0, s"ctx must be >= 0, got $ctx")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(-ctx, ctx)
-    docs.join(substringSearch(docs, pattern, textCol, postings), "doc_id")
+    cands
       .select(col("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("is_match", col("line").contains(pattern))
+      .withColumn("is_match", pred(col("line")))
       .withColumn("near", max(col("is_match").cast("int")).over(w))
       .where(col("near") === 1)
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
         col("line"), col("is_match"))
+  }
+
+  /** Case-insensitive [[grepLines]] (`grep -i -n`): candidates from
+    * the FOLDED postings, per-line verify on the folded text. Pass
+    * postings built with `foldCase = true`. */
+  def grepLinesCI(docs: DataFrame, pattern: String, textCol: String = "text",
+                  postings: Option[DataFrame] = None): DataFrame = {
+    val pat = pattern.toLowerCase(java.util.Locale.ROOT)
+    lineMatches(
+      docs.join(substringSearchCI(docs, pattern, textCol, postings), "doc_id"),
+      textCol, l => lower(l).contains(pat))
+  }
+
+  /** Case-insensitive [[grepLinesContext]] (`grep -i -n -C`). */
+  def grepLinesContextCI(docs: DataFrame, pattern: String, ctx: Int,
+                         textCol: String = "text",
+                         postings: Option[DataFrame] = None): DataFrame = {
+    val pat = pattern.toLowerCase(java.util.Locale.ROOT)
+    linesWithContext(
+      docs.join(substringSearchCI(docs, pattern, textCol, postings), "doc_id"),
+      textCol, l => lower(l).contains(pat), ctx)
   }
 
   /** Explode candidate docs into 1-based-numbered lines and keep the
@@ -363,7 +392,7 @@ object CodeSearchOps {
   /** The bucket a gram hashes to — must mirror writeTrigramIndex's
     * pmod(xxhash64(gram), nBuckets) exactly, so the planner's bucket
     * list is computed driver-side without touching the index. */
-  private[pipeline] def gramBucket(gram: String, nBuckets: Int): Long = {
+  private[graft] def gramBucket(gram: String, nBuckets: Int): Long = {
     // xxhash64 over a UTF8 string with Spark's seed 42
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(gram),

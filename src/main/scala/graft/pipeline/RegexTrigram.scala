@@ -408,6 +408,22 @@ object RegexTrigram {
     CodeSearchOps.lineMatches(base, textCol, _.rlike(pattern))
   }
 
+  /** Case-insensitive [[grepLinesRegex]] (`grep -i -n -E`): the
+    * constraint compiles over FOLDED grams (pass postings built with
+    * `foldCase = true`), the per-line verify runs under `(?i)`. */
+  def grepLinesRegexCI(docs: DataFrame, pattern: String,
+                       textCol: String = "text",
+                       postings: Option[DataFrame] = None): DataFrame = {
+    require(pattern.nonEmpty, "grepLinesRegexCI needs a non-empty pattern")
+    val stripped = stripCiPrefix(pattern)
+    val base = candidates(compileCI(stripped), postings.getOrElse(
+        CodeSearchOps.trigramPostings(docs, textCol, foldCase = true))) match {
+      case Some(cands) => docs.join(cands, "doc_id")
+      case None        => docs
+    }
+    CodeSearchOps.lineMatches(base, textCol, _.rlike("(?i)" + stripped))
+  }
+
   /** Case-insensitive [[regexSearch]]: the constraint runs over
     * FOLDED postings (pass a frame built with `foldCase = true`, or
     * one is built), the verify runs the original pattern under a

@@ -1,0 +1,168 @@
+package graft.tools
+
+import graft.pipeline.{CodeSearchOps, RegexTrigram}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed grep over a parquet corpus — the user surface of the
+ * trigram code-search family (reference analog: the standalone
+ * matching tools shipped next to the engine; the feature itself is
+ * the Google-Code-Search/zoekt query class). Run via
+ *
+ *   spark-submit --class graft.tools.Grep <jar> \
+ *     <docsParquet> "<pattern>" [--regex] [--ignore-case] [--lines]
+ *     [--context=N] [--count] [--limit=100] [--text-col=text]
+ *     [--index=<dir>] [--buckets=64]
+ *   spark-submit --class graft.tools.Grep <jar> \
+ *     <docsParquet> --build-index=<dir> [--ignore-case] [--buckets=64]
+ *
+ * Output modes mirror grep's: default prints matching doc_ids
+ * (`grep -l`); `--lines` prints `doc:line_no:line` (`grep -n`);
+ * `--context=N` adds N context lines each side, context rows joined
+ * with `-` like grep's; `--count` prints `doc:n_matching_lines`.
+ * `--regex` switches the pattern to Java-regex find semantics
+ * (candidates from the compiled trigram constraint). `--index` scans
+ * a persisted [[CodeSearchOps.writeTrigramIndex]] directory instead
+ * of regramming the corpus — the directory's recorded knobs must
+ * match (`--ignore-case` needs a fold-built index; mismatches fail
+ * loudly, never miss silently).
+ */
+object Grep {
+  final case class Args(
+      docs: String, pattern: String = "", regex: Boolean = false,
+      ignoreCase: Boolean = false, lines: Boolean = false,
+      context: Int = 0, count: Boolean = false, limit: Int = 100,
+      textCol: String = "text", index: Option[String] = None,
+      buildIndex: Option[String] = None, nBuckets: Int = 64)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    var a = pos match {
+      case Seq(d, p) => Args(docs = d, pattern = p)
+      case Seq(d)    => Args(docs = d)
+      case _ => throw new IllegalArgumentException(
+        "usage: Grep <docsParquet> \"<pattern>\" [flags] | " +
+          "Grep <docsParquet> --build-index=<dir> [flags]")
+    }
+    argv.filter(_.startsWith("--")).foreach { f =>
+      val (k, v) = f.split("=", 2) match {
+        case Array(k0, v0) => (k0, v0)
+        case Array(k0)     => (k0, "")
+      }
+      k match {
+        case "--regex"       => a = a.copy(regex = true)
+        case "--ignore-case" => a = a.copy(ignoreCase = true)
+        case "--lines"       => a = a.copy(lines = true)
+        case "--context"     => a = a.copy(context = v.toInt, lines = true)
+        case "--count"       => a = a.copy(count = true)
+        case "--limit"       => a = a.copy(limit = v.toInt)
+        case "--text-col"    => a = a.copy(textCol = v)
+        case "--index"       => a = a.copy(index = Some(v))
+        case "--build-index" => a = a.copy(buildIndex = Some(v))
+        case "--buckets"     => a = a.copy(nBuckets = v.toInt)
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    require(a.buildIndex.nonEmpty || a.pattern.nonEmpty,
+      "need a pattern (or --build-index)")
+    require(!(a.count && a.context > 0), "--count and --context conflict")
+    a
+  }
+
+  /** The testable core of main(): returns the printed lines. */
+  def run(spark: SparkSession, a: Args): Seq[String] = {
+    val docs = spark.read.parquet(a.docs)
+    a.buildIndex match {
+      case Some(dir) =>
+        CodeSearchOps.writeTrigramIndex(docs, dir, a.nBuckets, a.textCol,
+          foldCase = a.ignoreCase)
+        return Seq(s"built trigram index at $dir (nBuckets=${a.nBuckets}, " +
+          s"foldCase=${a.ignoreCase})")
+      case None =>
+    }
+    // the pattern's gram set decides how much of a persisted index a
+    // query must read; an empty set (sub-trigram literal, or a regex
+    // compiling to QAll) means no pruning is possible — fall back to
+    // the verify scan without touching the index at all
+    val grams: Set[String] =
+      if (a.regex)
+        RegexTrigram.allGrams(
+          if (a.ignoreCase) RegexTrigram.compileCI(a.pattern)
+          else RegexTrigram.compile(a.pattern))
+      else {
+        val p = if (a.ignoreCase)
+          a.pattern.toLowerCase(java.util.Locale.ROOT) else a.pattern
+        p.sliding(3).filter(_.length == 3).toSet
+      }
+    val postOrNone: Option[DataFrame] = a.index.flatMap { dir =>
+      CodeSearchOps.checkKnobs(dir, a.nBuckets, foldCase = a.ignoreCase)
+      if (grams.isEmpty) None
+      else Some(spark.read.parquet(dir)
+        .where(col("bucket").isin(
+          grams.toSeq.map(g => CodeSearchOps.gramBucket(g, a.nBuckets))
+            .distinct: _*))
+        .where(col("gram").isin(grams.toSeq: _*)))
+    }
+
+    def lineFrame(ctx: Int): DataFrame = (a.regex, a.ignoreCase) match {
+      case (false, false) if ctx == 0 =>
+        CodeSearchOps.grepLines(docs, a.pattern, a.textCol, postOrNone)
+          .withColumn("is_match", lit(true))
+      case (false, false) =>
+        CodeSearchOps.grepLinesContext(docs, a.pattern, ctx, a.textCol,
+          postOrNone)
+      case (false, true) if ctx == 0 =>
+        CodeSearchOps.grepLinesCI(docs, a.pattern, a.textCol, postOrNone)
+          .withColumn("is_match", lit(true))
+      case (false, true) =>
+        CodeSearchOps.grepLinesContextCI(docs, a.pattern, ctx, a.textCol,
+          postOrNone)
+      case (true, false) =>
+        require(ctx == 0, "--context with --regex is not supported")
+        RegexTrigram.grepLinesRegex(docs, a.pattern, a.textCol, postOrNone)
+          .withColumn("is_match", lit(true))
+      case (true, true) =>
+        require(ctx == 0, "--context with --regex is not supported")
+        RegexTrigram.grepLinesRegexCI(docs, a.pattern, a.textCol, postOrNone)
+          .withColumn("is_match", lit(true))
+    }
+
+    if (a.count) {
+      lineFrame(0).groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id").limit(a.limit).collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(1)}").toSeq
+    } else if (a.lines) {
+      lineFrame(a.context).orderBy("doc_id", "line_no").limit(a.limit)
+        .collect()
+        .map { r =>
+          val sep = if (r.getBoolean(3)) ":" else "-"
+          s"${r.getLong(0)}:${r.getLong(1)}$sep${r.getString(2)}"
+        }.toSeq
+    } else {
+      val hits = (a.regex, a.ignoreCase) match {
+        case (false, false) =>
+          CodeSearchOps.substringSearch(docs, a.pattern, a.textCol, postOrNone)
+        case (false, true) =>
+          CodeSearchOps.substringSearchCI(docs, a.pattern, a.textCol,
+            postOrNone)
+        case (true, false) =>
+          RegexTrigram.regexSearch(docs, a.pattern, a.textCol, postOrNone)
+        case (true, true) =>
+          RegexTrigram.regexSearchCI(docs, a.pattern, a.textCol, postOrNone)
+      }
+      hits.orderBy("doc_id").limit(a.limit).collect()
+        .map(_.getLong(0).toString).toSeq
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-grep")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    try run(spark, a).foreach(println)
+    finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

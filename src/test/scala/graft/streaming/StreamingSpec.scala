@@ -354,4 +354,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted.toSeq === batch.sorted.toSeq)
     assert(got.sorted.toSeq === Seq((11L, 2L), (15L, 4L)))
   }
+
+  test("streaming ingest trigram index: per-micro-batch appends equal the batch build") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.CodeSearchOps
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-tgstream").toString
+    val dir = s"$work/idx"
+    val base = Seq((1L, "fast merge sort here"), (2L, "unrelated words"))
+    CodeSearchOps.writeTrigramIndex(base.toDF("doc_id", "text"), dir,
+      nBuckets = 16)
+    val arriving = Seq(
+      (10L, "another fast merge arrives"),
+      (11L, "still nothing relevant"),
+      (12L, "fast merge in the second batch"))
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CodeSearchOps.appendTrigramIndex(b, dir, nBuckets = 16)
+      }.start()
+    try {
+      stream.addData(arriving.take(1)); query.processAllAvailable()
+      stream.addData(arriving.drop(1)); query.processAllAvailable()
+    } finally query.stop()
+    // postings identical to a one-shot batch build of all five docs
+    val all = (base ++ arriving).toDF("doc_id", "text")
+    val bDir = s"$work/batch"
+    CodeSearchOps.writeTrigramIndex(all, bDir, nBuckets = 16)
+    def postings(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("bucket"))).toSet
+    assert(postings(dir) == postings(bDir))
+    // searches over the streamed index see the streamed docs
+    val hits = CodeSearchOps.substringSearchIndexed(spark, all, dir,
+      "fast merge", nBuckets = 16).as[Long].collect().sorted.toSeq
+    assert(hits == Seq(1L, 10L, 12L))
+  }
 }

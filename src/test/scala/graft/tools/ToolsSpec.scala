@@ -440,4 +440,54 @@ class ToolsSpec extends AnyFunSuite {
     val r = IndexReader.open(spark, s"$work/idx")
     assert(r.docs.select("clen").collect().forall(!_.isNullAt(0)))
   }
+
+  test("Grep CLI: every output mode, indexed and indexless, knob guard") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-grepcli").toString
+    val docs = s"$work/docs.parquet"
+    Seq(
+      (1L, "fast merge sort\nplain middle\nthen fast merge again"),
+      (2L, "nothing to see\nhere at all"),
+      (3L, "Fast Merge only in mixed case"))
+      .toDF("doc_id", "text").write.parquet(docs)
+
+    def go(flags: String*): Seq[String] =
+      Grep.run(spark, Grep.parseArgs(Seq(docs, "fast merge") ++ flags))
+    // doc-id mode (grep -l)
+    assert(go() == Seq("1"))
+    assert(go("--ignore-case") == Seq("1", "3"))
+    // line mode (grep -n)
+    assert(go("--lines") == Seq(
+      "1:1:fast merge sort", "1:3:then fast merge again"))
+    // context mode: grep's ':' match / '-' context separators
+    assert(go("--context=1") == Seq(
+      "1:1:fast merge sort", "1:2-plain middle", "1:3:then fast merge again"))
+    // count mode (grep -c)
+    assert(go("--count") == Seq("1:2"))
+    // regex modes
+    assert(Grep.run(spark, Grep.parseArgs(Seq(
+      docs, "f[ao]st (merge|sort)", "--regex"))) == Seq("1"))
+    assert(Grep.run(spark, Grep.parseArgs(Seq(
+      docs, "f[ao]st (merge|sort)", "--regex", "--ignore-case", "--lines")))
+      == Seq("1:1:fast merge sort", "1:3:then fast merge again",
+             "3:1:Fast Merge only in mixed case"))
+    // build an index, search through it, identical answers
+    assert(Grep.run(spark, Grep.parseArgs(Seq(
+      docs, "--build-index=" + s"$work/idx", "--buckets=8"))).head
+      .contains("built trigram index"))
+    assert(Grep.run(spark, Grep.parseArgs(Seq(
+      docs, "fast merge", "--index=" + s"$work/idx", "--buckets=8",
+      "--lines"))) == go("--lines"))
+    // a case-folded query against the case-exact index fails loudly
+    intercept[IllegalArgumentException] {
+      Grep.run(spark, Grep.parseArgs(Seq(
+        docs, "fast merge", "--index=" + s"$work/idx", "--buckets=8",
+        "--ignore-case")))
+    }
+    // flag validation
+    intercept[IllegalArgumentException] { Grep.parseArgs(Seq(docs)) }
+    intercept[IllegalArgumentException] {
+      Grep.parseArgs(Seq(docs, "x", "--count", "--context=1"))
+    }
+  }
 }
