@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed graph analytics over edge tables — the corpus-level
+ * link signals a web/code training pipeline derives (PageRank-family
+ * quality weights over the dependency or hyperlink graph).
+ *
+ * Engine-reproducible by the same protocol as the trained operators
+ * (`ann_kmeans`, `ta_qtrain`): every per-iteration rank is rounded, so
+ * the whole trajectory is a deterministic function of the edge set and
+ * the oracle replays it as unrolled SQL CTEs.
+ */
+object GraphOps {
+
+  /**
+   * PageRank over a directed edge table `(src, dst)`.
+   *
+   * Semantics: multigraph (parallel edges each carry a full share of
+   * the source's rank), uniform teleport `(1-d)/n`, dangling mass
+   * (rank sitting on nodes with no out-edges) redistributed uniformly
+   * each round. `n` is the number of distinct nodes on either side.
+   *
+   * Scale shape (what survives 10^12 edges): `nodes`/`outdeg` are
+   * computed once; edges are hash-repartitioned by `src` ONCE and
+   * cached so each iteration's rank join reuses that partitioning.
+   * One iteration = one join (ranks are node-sized — AQE broadcasts
+   * them when small, hash-joins co-partitioned otherwise) + one
+   * `groupBy(dst)` partial-aggregated shuffle + a 1-row dangling-mass
+   * aggregate cross-joined back (broadcast by construction — there is
+   * NO driver-side collect anywhere). `checkpoint = true` truncates
+   * lineage per round for deep loops (localCheckpoint — executor
+   * storage, no HDFS round-trip).
+   */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               roundTo: Int = 9, checkpoint: Boolean = false): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    // every frame below descends from the same edge plan — join keys
+    // carry DISTINCT names so none of the joins is an ambiguous
+    // self-join
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count() // a bounded count job, not a collect
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "od_id").cache()
+    var ranks = nodes.select(col("id"), round(lit(1.0) / n, roundTo).as("rank"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(outdeg, col("id") === col("od_id"))
+        .select(col("id").as("jsrc"),
+          (col("rank") / col("outdeg")).as("share"))
+      val contribs = e.join(shares, col("src") === col("jsrc"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+        .withColumnRenamed("dst", "c_id")
+      val dangling = ranks.join(outdeg, col("id") === col("od_id"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val next = nodes.join(contribs, col("id") === col("c_id"), "left")
+        .crossJoin(dangling)
+        .select(col("id"),
+          round(lit(1.0 - damping) / n +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n),
+            roundTo).as("rank"))
+      ranks = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    ranks
+  }
+}
