@@ -1,0 +1,166 @@
+package graft.tools
+
+import graft.pipeline.{AuditOps, CodeFilterOps, DedupOps, PackOps, SampleOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * One-command training-data preparation: the whole preprocessing
+ * pipeline — ingest filters → exact dedup → (optional) near-dup
+ * clustering → leakage-free train/valid split → context-window
+ * chunking → sequence packing → deterministic shards — composed from
+ * the library's oracle-gated stages and run via
+ *
+ *   spark-submit --class graft.tools.TrainPrep <jar> \
+ *     <corpusParquet> <outDir> [--window=256] [--stride=256]
+ *     [--budget=2048] [--streams=8] [--valid-frac=0.05]
+ *     [--drop-licenses=gpl,unknown] [--near-dup[=0.8]]
+ *     [--partitions=32]
+ *
+ * Input: the `input_hint` corpus shape (any parquet with a `content`
+ * or `text` column; `doc_id` is taken if present, else derived as
+ * xxhash64 of the (repo, path, commit) natural key). Output:
+ * `<outDir>/train` and `<outDir>/valid` shard trees (parquet
+ * partitioned by packing stream, manifest-gated: a re-run with
+ * unchanged inputs+params is a no-op — [[PackOps.writeShards]]), plus
+ * a JSON drop report on stdout.
+ *
+ * Scale shape: the three ingest filters are ONE fused projection
+ * ([[CodeFilterOps.ingestGate]]); exact dedup is the one md5-keyed
+ * shuffle; the split is a per-row hash expression over the dedup
+ * GROUP (near-dup cluster when enabled, else the text hash), so a
+ * duplicate can never train while its twin validates; chunking is
+ * scan → explode; packing is one per-stream window. Every stage count
+ * in the report is a bounded aggregate, not a collect.
+ */
+object TrainPrep {
+
+  final case class Args(
+      corpus: String, outDir: String,
+      window: Int = 256, stride: Int = 256, budget: Int = 2048,
+      streams: Int = 8, validFrac: Double = 0.05,
+      dropLicenses: Set[String] = Set.empty,
+      nearDup: Boolean = false, minJaccard: Double = 0.8,
+      partitions: Int = 32)
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val pos = argv.filterNot(_.startsWith("--"))
+    require(pos.length == 2, "usage: TrainPrep <corpusParquet> <outDir> [flags]")
+    var a = Args(corpus = pos(0), outDir = pos(1))
+    argv.filter(_.startsWith("--")).foreach { f =>
+      val (k, v) = f.split("=", 2) match {
+        case Array(k0, v0) => (k0, v0)
+        case Array(k0)     => (k0, "")
+      }
+      k match {
+        case "--window"        => a = a.copy(window = v.toInt)
+        case "--stride"        => a = a.copy(stride = v.toInt)
+        case "--budget"        => a = a.copy(budget = v.toInt)
+        case "--streams"       => a = a.copy(streams = v.toInt)
+        case "--valid-frac"    => a = a.copy(validFrac = v.toDouble)
+        case "--drop-licenses" =>
+          a = a.copy(dropLicenses = v.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        case "--near-dup" =>
+          a = a.copy(nearDup = true,
+            minJaccard = if (v.isEmpty) a.minJaccard else v.toDouble)
+        case "--partitions"    => a = a.copy(partitions = v.toInt)
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    a
+  }
+
+  /** Normalize an arbitrary corpus parquet to (doc_id, text). */
+  private def normalize(raw: DataFrame): DataFrame = {
+    val textCol =
+      if (raw.columns.contains("text")) col("text")
+      else if (raw.columns.contains("content")) col("content")
+      else throw new IllegalArgumentException(
+        "corpus has neither 'text' nor 'content' column")
+    val naturalKey = Seq("repo", "path", "commit")
+      .filter(raw.columns.contains).map(col)
+    val idCol =
+      if (raw.columns.contains("doc_id")) col("doc_id")
+      else if (naturalKey.nonEmpty) xxhash64(naturalKey: _*)
+      else xxhash64(textCol)
+    raw.select(idCol.as("doc_id"), coalesce(textCol, lit("")).as("text"))
+  }
+
+  /** Run the pipeline; returns the per-stage counts for the report
+    * (also printed as one JSON line). */
+  def run(spark: SparkSession, a: Args): Map[String, Long] = {
+    val docs = normalize(spark.read.parquet(a.corpus))
+    val total = docs.count()
+
+    // 1. fused ingest gate — one projection, then ONE count-by-reason
+    //    aggregate for the report
+    val gated = CodeFilterOps.ingestGate(docs, a.dropLicenses).cache()
+    val byReason = gated.groupBy(col("reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = gated.filter(col("reason") === "kept")
+      .select(col("doc_id"), col("text"))
+
+    // 2. exact dedup: keep the canonical (min doc_id) of each
+    //    md5(text) group — the one corpus-keyed shuffle
+    val canon = DedupOps.exactCanonical(clean)
+    val exact = clean.join(canon, "doc_id")
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("text"))
+
+    // 3. the split GROUP: near-dup cluster when enabled (leakage-free
+    //    across near-duplicates), else the exact-text hash (still
+    //    leakage-free across exact duplicates by construction)
+    val grouped =
+      if (a.nearDup) {
+        val pairs = DedupOps.nearDupPairs(exact, a.minJaccard)
+        val clusters = DedupOps.clusterPairs(exact, pairs)
+        // keep only cluster canonicals (min doc_id per cluster), split
+        // by the cluster id so dropped-near-dup twins can never leak
+        exact.join(clusters, "doc_id")
+          .withColumn("_rk", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+          .filter(col("doc_id") === col("_rk"))
+          .select(col("doc_id"), col("text"), col("cluster").as("_grp"))
+      } else exact.withColumn("_grp", md5(col("text")))
+    val split = grouped.withColumn("split",
+      SampleOps.assignSplit(col("_grp"), a.validFrac)).drop("_grp").cache()
+
+    // 4. chunk → pack → shards, per side
+    val counts = scala.collection.mutable.Map[String, Long](
+      "input" -> total,
+      "kept" -> byReason.getOrElse("kept", 0L),
+      "low_quality" -> byReason.getOrElse("low_quality", 0L),
+      "license_blocked" -> byReason.getOrElse("license_blocked", 0L),
+      "has_secret" -> byReason.getOrElse("has_secret", 0L))
+    Seq("train", "valid").foreach { side =>
+      val docsSide = split.filter(col("split") === side)
+        .select(col("doc_id"), col("text"))
+      val chunks = TextOps.chunk(docsSide, a.window, a.stride)
+        .select(col("doc_id"), col("chunk_id"), col("chunk"), col("n_tokens"))
+      val packed = PackOps.pack(chunks, a.budget, a.streams)
+      val fp = s"${a.corpus}|$side|w=${a.window},s=${a.stride}," +
+        s"b=${a.budget},n=${a.streams},v=${a.validFrac}," +
+        s"lic=${a.dropLicenses.toSeq.sorted.mkString("+")}," +
+        s"nd=${a.nearDup}:${a.minJaccard}|docs=$total"
+      PackOps.writeShards(packed, s"${a.outDir}/$side", fp)
+      counts(s"${side}_docs") = docsSide.count()
+      counts(s"${side}_sequences") =
+        packed.select(col("stream"), col("seq_id")).distinct().count()
+    }
+    split.unpersist(); gated.unpersist()
+    val report = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(report)
+    counts.toMap
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-trainprep")
+      .config("spark.sql.shuffle.partitions", a.partitions)
+      .getOrCreate()
+    try run(spark, a)
+    finally if (sys.env.contains("GRAFT_CLI_STOP_SESSION")) spark.stop()
+  }
+}

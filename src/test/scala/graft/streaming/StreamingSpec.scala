@@ -392,4 +392,36 @@ class StreamingSpec extends AnyFunSuite {
       "fast merge", nBuckets = 16).as[Long].collect().sorted.toSeq
     assert(hits == Seq(1L, 10L, 12L))
   }
+
+  test("stateless code filters on streams: secret scan per micro-batch equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.CodeFilterOps
+    import org.apache.spark.sql.functions.col
+    val stream = MemoryStream[(Long, String)]
+    val src = stream.toDS().toDF("doc_id", "text")
+    // per-row codegen'd filter signals run unchanged on a streaming
+    // frame (the live ingest-gate shape: scan incoming files before
+    // they reach the training corpus)
+    val combined = CodeFilterOps.secretScan(src)
+      .select(col("doc_id"), col("has_secret"))
+    val query = combined.writeStream.format("memory").queryName("codefilter_stream")
+      .outputMode("append").start()
+    val mk = (i: Long) =>
+      (i, if (i % 3 == 0) s"doc $i password = topsecret$i$i$i" else s"clean doc $i")
+    try {
+      stream.addData((1L to 30L).map(mk))
+      query.processAllAvailable()
+      stream.addData((31L to 60L).map(mk))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("codefilter_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = CodeFilterOps.secretScan(
+      (1L to 60L).map(mk).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("has_secret")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == batch)
+    assert(got.count(_._2) === 20) // every %3 row fired, nothing else
+  }
 }

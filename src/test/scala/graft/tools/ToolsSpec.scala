@@ -490,4 +490,58 @@ class ToolsSpec extends AnyFunSuite {
       Grep.parseArgs(Seq(docs, "x", "--count", "--context=1"))
     }
   }
+
+  test("TrainPrep: filter -> dedup -> split -> pack end to end, resume is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val work = Files.createTempDirectory("graft-trainprep").toString
+    val corpusPq = s"$work/corpus.parquet"
+    val base = CorpusGen.generate(seed = 9, nRepos = 3, filesPerRepo = 20)
+    // plant: an exact duplicate pair (different path => different
+    // doc_id), a secret-bearing file, and a generated file
+    val rows = base ++ Seq(
+      base.head.copy(path = "src/copy/Dup.java"),
+      base(1).copy(path = "src/bad/Key.java",
+        content = base(1).content + " password = hunter2hunter2"),
+      base(2).copy(path = "src/gen/Gen.java",
+        content = "// DO NOT EDIT\n" + base(2).content))
+    spark.createDataset(rows).write.parquet(corpusPq)
+
+    val a = TrainPrep.parseArgs(Seq(corpusPq, s"$work/out",
+      "--window=32", "--stride=32", "--budget=64", "--streams=4",
+      "--valid-frac=0.2"))
+    val counts = TrainPrep.run(spark, a)
+
+    assert(counts("input") === rows.size.toLong)
+    // the reason partition is exhaustive
+    assert(counts("kept") + counts("low_quality") +
+      counts("license_blocked") + counts("has_secret") === counts("input"))
+    assert(counts("has_secret") >= 1L)
+    assert(counts("low_quality") >= 1L) // the DO NOT EDIT plant
+    // exact dup dropped: survivors < kept
+    assert(counts("train_docs") + counts("valid_docs") < counts("kept"))
+    assert(counts("valid_docs") > 0L && counts("train_docs") > 0L)
+
+    // packed shards: per-sequence token mass never exceeds the budget
+    val packed = spark.read.parquet(s"$work/out/train")
+    val over = packed.groupBy(col("stream"), col("seq_id"))
+      .agg(fsum(col("n_tok")).as("m")).filter(col("m") > 64).count()
+    assert(over === 0L)
+
+    // resume: identical args are a byte-level no-op (manifest match)
+    val m1 = new java.io.File(s"$work/out/train/_GRAFT_SOURCE").lastModified()
+    val counts2 = TrainPrep.run(spark, a)
+    assert(counts2 === counts)
+    assert(new java.io.File(s"$work/out/train/_GRAFT_SOURCE").lastModified() === m1)
+
+    // near-dup mode converges and still packs
+    val b = TrainPrep.parseArgs(Seq(corpusPq, s"$work/out2",
+      "--window=32", "--stride=32", "--budget=64", "--streams=4",
+      "--near-dup=0.7", "--drop-licenses=unknown"))
+    val c2 = TrainPrep.run(spark, b)
+    // every license in the synthetic corpus is unknown => all blocked
+    assert(c2("license_blocked") === c2("input") - c2("low_quality") -
+      c2("has_secret"))
+    assert(c2("kept") === 0L)
+  }
 }
