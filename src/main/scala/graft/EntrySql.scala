@@ -2444,6 +2444,24 @@ e AS (SELECT doc_id,
       FROM p)
 SELECT doc_id, module FROM e ORDER BY doc_id, module"""
 
+  /** gr_components oracle: replays
+    * [[graft.pipeline.GraphOps.connectedComponents]] over the
+    * deterministic chain graph — the same recursive
+    * label-reachability CTE as [[clusterSql]] (UNION dedupe
+    * terminates the recursion). */
+  def componentsSql: String =
+    """WITH RECURSIVE e0 AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 < 3
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+n AS (SELECT DISTINCT src AS id FROM e),
+reach AS (
+  SELECT id, id AS component FROM n
+  UNION
+  SELECT e.src AS id, r.component FROM reach r JOIN e ON e.dst = r.id
+)
+SELECT id, min(component) AS component FROM reach GROUP BY id ORDER BY id"""
+
   /** gr_pagerank oracle: replays [[graft.pipeline.GraphOps.pageRank]]
     * over the deterministic arithmetic edge set — `iters` unrolled CTE
     * rounds, each with the contribution aggregate, the dangling-mass

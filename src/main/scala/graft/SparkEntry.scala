@@ -1035,6 +1035,16 @@ object SparkEntry {
       graft.pipeline.GraphOps.pageRank(e, iters = 5)
         .select(col("id"), col("rank").as("pr")).orderBy("id")
     }),
+    // connected components over a deterministic chain graph (three
+    // consecutive edges per decade of ids => 4-node components);
+    // oracle is the dd_cluster recursive-reachability CTE over the
+    // same edges
+    "gr_components" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.where(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.pipeline.GraphOps.connectedComponents(e).orderBy("id")
+    }),
     "cs_subtokens" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
@@ -1336,6 +1346,7 @@ ORDER BY doc_id""",
     "ta_secrets" -> EntrySql.secretsSql,
     "cs_imports" -> EntrySql.importEdgesSql,
     "gr_pagerank" -> EntrySql.pageRankSql(),
+    "gr_components" -> EntrySql.componentsSql,
     "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),
     "cs_grep_rx" -> EntrySql.grepSql("f[ao]st (merge|stream)", regex = true),
     "cs_grep_ctx" -> EntrySql.grepCtxSql("fast merge", ctx = 1),

@@ -67,4 +67,22 @@ object GraphOps {
     }
     ranks
   }
+
+  /**
+   * Connected components over a directed edge table `(src, dst)`
+   * (edges are symmetrized; long ids): every node labeled with the
+   * SMALLEST id in its component. Delegates to the dedup engine's
+   * min-label propagation ([[DedupOps.clusterPairs]] — one keyed
+   * shuffle per round, bounded by component diameter, loud on
+   * non-convergence); for pathological diameters use
+   * [[DedupOps.clusterPairsStar]]'s O(log n) alternating-star rounds
+   * with the same (nodes, pairs) inputs.
+   */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id"))).distinct()
+    val pairs = edges.select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    DedupOps.clusterPairs(nodes, pairs, maxIters = maxIters)
+      .select(col("doc_id").as("id"), col("cluster").as("component"))
+  }
 }

@@ -128,6 +128,16 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(got(2L) > got(0L))
   }
 
+  test("connectedComponents: chains merge under min label, isolates absent") {
+    // 1-2-3 chain (via directed edges both ways exercised by the
+    // symmetrize) + 7-8 pair; node 9 appears only as a dst
+    val e = Seq((2L, 1L), (2L, 3L), (7L, 8L), (8L, 9L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("pageRank: multigraph parallel edges double the contribution") {
     // two parallel edges 0->1 vs one edge 2->3: outdeg(0)=2 so each
     // share is rank/2 but BOTH land on 1 ⇒ node 1 and node 3 equal;
