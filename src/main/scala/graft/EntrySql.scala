@@ -2427,6 +2427,27 @@ SELECT doc_id, aws_keys, gh_tokens, private_keys, password_assigns,
        (aws_keys + gh_tokens + private_keys + password_assigns) > 0 AS has_secret
 FROM c ORDER BY doc_id"""
 
+  /** ta_secret_scrub oracle: replays
+    * [[graft.pipeline.CodeFilterOps.secretScrub]] — the same four
+    * patterns as chained whole-match replacements ('g' = every
+    * occurrence, matching Spark's regexp_replace default). */
+  def secretScrubSql: String =
+    s"""WITH p AS (SELECT doc_id, $secretPlantSql AS text FROM documents),
+c AS (
+  SELECT doc_id,
+         (len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))
+          + len(regexp_extract_all(text, 'ghp_[A-Za-z0-9]{36}'))
+          + len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
+          + len(regexp_extract_all(text, '(?i)(password|passwd|secret|api_key|apikey)\\s*[:=]\\s*\\S{8,}')))::BIGINT AS n_secrets,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           'AKIA[0-9A-Z]{16}', '[AWS_KEY]', 'g'),
+           'ghp_[A-Za-z0-9]{36}', '[GH_TOKEN]', 'g'),
+           '-----BEGIN [A-Z ]*PRIVATE KEY-----', '[PRIVATE_KEY]', 'g'),
+           '(?i)(password|passwd|secret|api_key|apikey)\\s*[:=]\\s*\\S{8,}', '[SECRET_ASSIGN]', 'g') AS scrubbed
+  FROM p
+)
+SELECT doc_id, n_secrets, scrubbed FROM c ORDER BY doc_id"""
+
   /** The deterministic import planting shared by cs_imports and
     * gr_pagerank's edge derivation notes. */
   val importPlantSql: String =
