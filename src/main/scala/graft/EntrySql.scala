@@ -2483,6 +2483,72 @@ reach AS (
 )
 SELECT id, min(component) AS component FROM reach GROUP BY id ORDER BY id"""
 
+  /** ta_vendored oracle: replays
+    * [[graft.pipeline.CodeFilterOps.pathFilter]] over the planted
+    * paths — same three regexes (regexp_matches ≡ rlike: unanchored
+    * find). */
+  def vendoredSql: String =
+    """WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'src/app/main' || CAST(doc_id AS VARCHAR) || '.py'
+           WHEN 1 THEN 'vendor/lib/util' || CAST(doc_id AS VARCHAR) || '.js'
+           WHEN 2 THEN 'web/assets/app' || CAST(doc_id AS VARCHAR) || '.min.js'
+           WHEN 3 THEN 'node_modules/pkg' || CAST(doc_id AS VARCHAR) || '/index.js'
+           ELSE 'rust/Cargo.lock' END AS path
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_matches(path, '(^|/)(vendor|vendors|node_modules|third_party|thirdparty|external|deps|dist|target)(/|$)') AS vendored,
+         regexp_matches(path, '\.min\.(js|css)$') AS minified,
+         regexp_matches(path, '(^|/)(package-lock\.json|yarn\.lock|Cargo\.lock|poetry\.lock|Pipfile\.lock|composer\.lock|Gemfile\.lock)$') AS lockfile
+  FROM p
+)
+SELECT doc_id, vendored, minified, lockfile,
+       (NOT vendored AND NOT minified AND NOT lockfile) AS keep
+FROM c ORDER BY doc_id"""
+
+  /** gr_ppr oracle: replays
+    * [[graft.pipeline.GraphOps.personalizedPageRank]] over the same
+    * arithmetic edge set with seeds = doc_id % `seedMod` = 0 —
+    * teleport mass 1/|S| on seeds, dangling mass returns to seeds,
+    * per-round rounding; expression structure mirrors the engine for
+    * IEEE identity. */
+  def pprSql(iters: Int = 5, modulus: Int = 500, seedMod: Int = 50): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst, sum(r.pr / o.outdeg) AS contrib
+       FROM edges e JOIN r${k - 1} r ON r.id = e.src
+       JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
+        FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id
+        WHERE o.src IS NULL),
+r$k AS (SELECT t.id,
+               round(((1 - 0.85::DOUBLE) + 0.85::DOUBLE * d.dm) * t.tp
+                     + 0.85::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE),
+                     9) AS pr
+        FROM tp t CROSS JOIN d$k d
+        LEFT JOIN c$k c ON c.dst = t.id)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % $modulus FROM documents
+),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+seeds AS (SELECT doc_id AS s_id FROM documents WHERE doc_id % $seedMod = 0),
+ns AS (SELECT count(*)::BIGINT AS k FROM seeds),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+tp AS (SELECT n.id,
+              CASE WHEN s.s_id IS NOT NULL THEN 1.0::DOUBLE / ns.k
+                   ELSE 0.0::DOUBLE END AS tp
+       FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON s.s_id = n.id),
+r0 AS (SELECT id, round(tp, 9) AS pr FROM tp),
+$rounds
+SELECT id, pr FROM r$iters ORDER BY id"""
+  }
+
   /** gr_pagerank oracle: replays [[graft.pipeline.GraphOps.pageRank]]
     * over the deterministic arithmetic edge set — `iters` unrolled CTE
     * rounds, each with the contribution aggregate, the dangling-mass

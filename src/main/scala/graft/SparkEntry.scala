@@ -1050,6 +1050,36 @@ object SparkEntry {
       graft.pipeline.GraphOps.pageRank(e, iters = 5)
         .select(col("id"), col("rank").as("pr")).orderBy("id")
     }),
+    // path-based exclusion (vendor trees / minified assets /
+    // lockfiles) over deterministically planted paths — the filter a
+    // code pipeline runs on the file LISTING before reading content
+    "ta_vendored" -> ((s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("src/app/main"), col("doc_id").cast("string"), lit(".py")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("vendor/lib/util"), col("doc_id").cast("string"), lit(".js")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("web/assets/app"), col("doc_id").cast("string"), lit(".min.js")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("node_modules/pkg"), col("doc_id").cast("string"), lit("/index.js")))
+        .otherwise(lit("rust/Cargo.lock")).as("path"))
+      graft.pipeline.CodeFilterOps.pathFilter(planted).orderBy("doc_id")
+    }),
+    // personalized PageRank: teleport restricted to the seed set
+    // (doc_id % 50 = 0) — curated-seed trust propagation; same edge
+    // set, dangling mass returns to seeds
+    "gr_ppr" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 17 + 3) % 500).as("dst"))
+        .union(ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 7) % 500).as("dst")))
+      val seeds = ids.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"))
+      graft.pipeline.GraphOps.personalizedPageRank(e, seeds, iters = 5)
+        .select(col("id"), col("rank").as("pr")).orderBy("id")
+    }),
     // connected components over a deterministic chain graph (three
     // consecutive edges per decade of ids => 4-node components);
     // oracle is the dd_cluster recursive-reachability CTE over the
@@ -1363,6 +1393,8 @@ ORDER BY doc_id""",
     "cs_imports" -> EntrySql.importEdgesSql,
     "gr_pagerank" -> EntrySql.pageRankSql(),
     "gr_components" -> EntrySql.componentsSql,
+    "gr_ppr" -> EntrySql.pprSql(),
+    "ta_vendored" -> EntrySql.vendoredSql,
     "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),
     "cs_grep_rx" -> EntrySql.grepSql("f[ao]st (merge|stream)", regex = true),
     "cs_grep_ctx" -> EntrySql.grepCtxSql("fast merge", ctx = 1),

@@ -69,6 +69,58 @@ object GraphOps {
   }
 
   /**
+   * Personalized PageRank: teleport restricted to a SOURCE set — the
+   * seed-based quality-propagation variant a corpus curation pipeline
+   * runs ("trust flows outward from curated repos"). Semantics as
+   * [[pageRank]] with teleport vector t(i) = 1/|S| on the seed set S
+   * (0 elsewhere); dangling mass also returns to the seeds. Seeds
+   * arrive as a 1-column frame (`id`) — joined, never collected; the
+   * per-round shape is identical to [[pageRank]] plus one broadcast
+   * membership join.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5, damping: Double = 0.85,
+                           roundTo: Int = 9,
+                           checkpoint: Boolean = false): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val seedSet = seeds.select(col("id").as("s_id")).distinct().cache()
+    val nSeeds = seedSet.count() // bounded count
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    // teleport mass per node: 1/|S| on seeds, 0 elsewhere — attached
+    // once and reused every round
+    val teleported = nodes.join(seedSet, nodes("id") === col("s_id"), "left")
+      .select(col("id"),
+        when(col("s_id").isNotNull, lit(1.0) / nSeeds).otherwise(lit(0.0))
+          .as("tp")).cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "od_id").cache()
+    var ranks = teleported.select(col("id"), round(col("tp"), roundTo).as("rank"))
+    for (_ <- 1 to iters) {
+      val shares = ranks.join(outdeg, col("id") === col("od_id"))
+        .select(col("id").as("jsrc"),
+          (col("rank") / col("outdeg")).as("share"))
+      val contribs = e.join(shares, col("src") === col("jsrc"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+        .withColumnRenamed("dst", "c_id")
+      val dangling = ranks.join(outdeg, col("id") === col("od_id"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val next = teleported
+        .join(contribs, col("id") === col("c_id"), "left")
+        .crossJoin(dangling)
+        .select(col("id"),
+          round((lit(1.0 - damping) + lit(damping) * col("dm")) * col("tp") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0)),
+            roundTo).as("rank"))
+      ranks = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    ranks
+  }
+
+  /**
    * Connected components over a directed edge table `(src, dst)`
    * (edges are symmetrized; long ids): every node labeled with the
    * SMALLEST id in its component. Delegates to the dedup engine's

@@ -70,7 +70,7 @@ object TrainPrep {
     a
   }
 
-  /** Normalize an arbitrary corpus parquet to (doc_id, text). */
+  /** Normalize an arbitrary corpus parquet to (doc_id, text[, path]). */
   private def normalize(raw: DataFrame): DataFrame = {
     val textCol =
       if (raw.columns.contains("text")) col("text")
@@ -83,14 +83,30 @@ object TrainPrep {
       if (raw.columns.contains("doc_id")) col("doc_id")
       else if (naturalKey.nonEmpty) xxhash64(naturalKey: _*)
       else xxhash64(textCol)
-    raw.select(idCol.as("doc_id"), coalesce(textCol, lit("")).as("text"))
+    val base = Seq(idCol.as("doc_id"), coalesce(textCol, lit("")).as("text"))
+    val cols =
+      if (raw.columns.contains("path")) base :+ col("path") else base
+    raw.select(cols: _*)
   }
 
   /** Run the pipeline; returns the per-stage counts for the report
     * (also printed as one JSON line). */
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
-    val docs = normalize(spark.read.parquet(a.corpus))
-    val total = docs.count()
+    val normalized = normalize(spark.read.parquet(a.corpus))
+    val total = normalized.count()
+
+    // 0. path-based exclusion FIRST (vendor trees / minified /
+    //    lockfiles) — at scale this runs on the file listing, before
+    //    any content is read
+    val (docs, vendoredCount) =
+      if (normalized.columns.contains("path")) {
+        val pf = CodeFilterOps.pathFilter(normalized)
+          .select(col("doc_id"), col("keep").as("_pathKeep"))
+        val joined = normalized.join(pf, "doc_id").cache()
+        val dropped = joined.filter(!col("_pathKeep")).count()
+        (joined.filter(col("_pathKeep")).select(col("doc_id"), col("text")),
+          dropped)
+      } else (normalized, 0L)
 
     // 1. fused ingest gate — one projection, then ONE count-by-reason
     //    aggregate for the report
@@ -128,6 +144,7 @@ object TrainPrep {
     // 4. chunk → pack → shards, per side
     val counts = scala.collection.mutable.Map[String, Long](
       "input" -> total,
+      "vendored_path" -> vendoredCount,
       "kept" -> byReason.getOrElse("kept", 0L),
       "low_quality" -> byReason.getOrElse("low_quality", 0L),
       "license_blocked" -> byReason.getOrElse("license_blocked", 0L),

@@ -504,7 +504,9 @@ class ToolsSpec extends AnyFunSuite {
       base(1).copy(path = "src/bad/Key.java",
         content = base(1).content + " password = hunter2hunter2"),
       base(2).copy(path = "src/gen/Gen.java",
-        content = "// DO NOT EDIT\n" + base(2).content))
+        content = "// DO NOT EDIT\n" + base(2).content),
+      base(3).copy(path = "node_modules/dep/index.js"),
+      base(4).copy(path = "web/app.min.js"))
     spark.createDataset(rows).write.parquet(corpusPq)
 
     val a = TrainPrep.parseArgs(Seq(corpusPq, s"$work/out",
@@ -513,9 +515,11 @@ class ToolsSpec extends AnyFunSuite {
     val counts = TrainPrep.run(spark, a)
 
     assert(counts("input") === rows.size.toLong)
-    // the reason partition is exhaustive
+    // the reason partition is exhaustive after the path stage
+    assert(counts("vendored_path") === 2L) // node_modules + .min.js plants
     assert(counts("kept") + counts("low_quality") +
-      counts("license_blocked") + counts("has_secret") === counts("input"))
+      counts("license_blocked") + counts("has_secret") ===
+      counts("input") - counts("vendored_path"))
     assert(counts("has_secret") >= 1L)
     assert(counts("low_quality") >= 1L) // the DO NOT EDIT plant
     // exact dup dropped: survivors < kept
@@ -540,8 +544,8 @@ class ToolsSpec extends AnyFunSuite {
       "--near-dup=0.7", "--drop-licenses=unknown"))
     val c2 = TrainPrep.run(spark, b)
     // every license in the synthetic corpus is unknown => all blocked
-    assert(c2("license_blocked") === c2("input") - c2("low_quality") -
-      c2("has_secret"))
+    assert(c2("license_blocked") === c2("input") - c2("vendored_path") -
+      c2("low_quality") - c2("has_secret"))
     assert(c2("kept") === 0L)
   }
 }
