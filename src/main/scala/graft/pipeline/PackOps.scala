@@ -45,7 +45,8 @@ object PackOps {
    */
   def pack(chunks: DataFrame, budget: Int, nStreams: Int,
            docCol: String = "doc_id", chunkCol: String = "chunk_id",
-           tokCol: String = "n_tokens"): DataFrame = {
+           tokCol: String = "n_tokens",
+           carryCols: Seq[String] = Nil): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(nStreams >= 1, s"nStreams must be >= 1, got $nStreams")
     val key = md5(concat(col(docCol).cast("string"), lit(":"),
@@ -54,9 +55,14 @@ object PackOps {
     // only when nStreams divides 65536 — powers of two recommended)
     val stream = (conv(substring(key, 1, 4), 16, 10).cast("long")
       % nStreams).cast("int")
+    // carryCols ride the ONE pack shuffle instead of a join-back
+    // later (a self-contained shard writer carries the chunk text
+    // this way; a spanning chunk's payload duplicates per incidence
+    // row, same volume a join-back would materialize)
     val base = chunks.filter(col(tokCol) > 0)
-      .select(col(docCol), col(chunkCol),
-        col(tokCol).cast("long").as("_n"), key.as("_key"), stream.as("stream"))
+      .select(Seq(col(docCol), col(chunkCol),
+        col(tokCol).cast("long").as("_n"), key.as("_key"),
+        stream.as("stream")) ++ carryCols.map(col): _*)
     val w = Window.partitionBy(col("stream")).orderBy(col("_key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // [_start, _end) = the chunk's interval in the stream's global
@@ -69,11 +75,12 @@ object PackOps {
         expr(s"_start div $budget"), expr(s"(_end - 1) div $budget"))))
       .withColumn("_s0", greatest(col("_start"), col("seq_id") * budget))
       .withColumn("_s1", least(col("_end"), (col("seq_id") + 1) * budget))
-      .select(col("stream"), col("seq_id").cast("long").as("seq_id"),
+      .select(Seq(col("stream"), col("seq_id").cast("long").as("seq_id"),
         col(docCol), col(chunkCol),
         (col("_s0") - col("_start")).cast("long").as("src_offset"),
         (col("_s0") - col("seq_id") * budget).cast("long").as("tok_start"),
-        (col("_s1") - col("_s0")).cast("long").as("n_tok"))
+        (col("_s1") - col("_s0")).cast("long").as("n_tok")) ++
+        carryCols.map(col): _*)
   }
 
   /**

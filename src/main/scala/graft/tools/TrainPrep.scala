@@ -154,11 +154,19 @@ object TrainPrep {
         .select(col("doc_id"), col("text"))
       val chunks = TextOps.chunk(docsSide, a.window, a.stride)
         .select(col("doc_id"), col("chunk_id"), col("chunk"), col("n_tokens"))
-      val packed = PackOps.pack(chunks, a.budget, a.streams)
+      // chunk text rides the pack shuffle; each incidence row's text
+      // is the exact token slice it contributes, so a shard is
+      // self-contained trainable input (no join back to the corpus)
+      val packed = PackOps
+        .pack(chunks, a.budget, a.streams, carryCols = Seq("chunk"))
+        .withColumn("text", array_join(slice(
+          org.apache.spark.sql.functions.split(col("chunk"), " "),
+          col("src_offset").cast("int") + 1, col("n_tok").cast("int")), " "))
+        .drop("chunk")
       val fp = s"${a.corpus}|$side|w=${a.window},s=${a.stride}," +
         s"b=${a.budget},n=${a.streams},v=${a.validFrac}," +
         s"lic=${a.dropLicenses.toSeq.sorted.mkString("+")}," +
-        s"nd=${a.nearDup}:${a.minJaccard}|docs=$total"
+        s"nd=${a.nearDup}:${a.minJaccard},text=1|docs=$total"
       PackOps.writeShards(packed, s"${a.outDir}/$side", fp)
       counts(s"${side}_docs") = docsSide.count()
       counts(s"${side}_sequences") =

@@ -111,6 +111,17 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(m(4L) === (0L, "nothing sensitive"))
   }
 
+  test("ingestGate: one projection over the scan — no shuffle, no join in the plan") {
+    val d = docs(1L -> "clean file\nwith lines", 2L -> "password = hunter2hunter2")
+    val gated = CodeFilterOps.ingestGate(d, dropLicenses = Set("gpl"))
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ingestGate must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"ingestGate must not join:\n$plan")
+    val r = gated.collect().map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[String]("reason")).toMap
+    assert(r === Map(1L -> "kept", 2L -> "has_secret"))
+  }
+
   test("importEdges: extraction, multiword scan, importless docs drop") {
     val d = docs(
       1L -> "import foo.bar\nimport baz_qux stuff",

@@ -531,6 +531,12 @@ class ToolsSpec extends AnyFunSuite {
     val over = packed.groupBy(col("stream"), col("seq_id"))
       .agg(fsum(col("n_tok")).as("m")).filter(col("m") > 64).count()
     assert(over === 0L)
+    // shards are self-contained: every row carries exactly its token
+    // slice (no join back to the corpus needed to train)
+    import org.apache.spark.sql.functions.{size => fsize, split => fsplit}
+    val badText = packed
+      .filter(fsize(fsplit(col("text"), " ")) =!= col("n_tok")).count()
+    assert(badText === 0L)
 
     // resume: identical args are a byte-level no-op (manifest match)
     val m1 = new java.io.File(s"$work/out/train/_GRAFT_SOURCE").lastModified()
