@@ -210,7 +210,14 @@ FROM cnt"""
     * the text), the k3=1 wqf factor 2·wqf/(1+wqf), and the 4-decimal
     * round BEFORE the per-query cut (ties break on doc_id in both
     * engines). */
-  def batchTopkSql(queries: Seq[(Int, String)], k: Int): String = {
+  def batchTopkSql(queries: Seq[(Int, String)], k: Int): String =
+    s"""${batchTopkCtes(queries)}
+SELECT query_id, doc_id, score FROM ranked WHERE rn <= $k
+ORDER BY query_id, score DESC, doc_id"""
+
+  /** The shared batch-scoring CTE chain through `ranked` (reused by
+    * [[batchTopkSql]] and [[irMetricsSql]]). */
+  private def batchTopkCtes(queries: Seq[(Int, String)]): String = {
     val vals = queries.map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
     s"""WITH corpus AS (SELECT * FROM documents),
 tok AS (
@@ -244,10 +251,40 @@ scored AS (SELECT query_id, doc_id, round(sum(part), 4) + 0.0 AS score
            FROM sp GROUP BY 1, 2),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
-                    ORDER BY score DESC, doc_id) AS rn FROM scored)
-SELECT query_id, doc_id, score FROM ranked WHERE rn <= $k
-ORDER BY query_id, score DESC, doc_id"""
+                    ORDER BY score DESC, doc_id) AS rn FROM scored)"""
   }
+
+  /** ir_metrics oracle: replays [[graft.pipeline.EvalOps.ndcgMrr]]
+    * over the batch matcher's pages — planted graded qrels
+    * ((doc_id + query_id) % 4 → rel 2/1/0), DCG with the 2^rel gain,
+    * per-query ideal ranking for IDCG, MRR as 1/first-relevant-rank.
+    * pow/log2 forced to DOUBLE so both engines do identical IEEE
+    * arithmetic; 6-decimal round on the final metrics. */
+  def irMetricsSql(queries: Seq[(Int, String)], k: Int): String =
+    s"""${batchTopkCtes(queries)},
+page AS (SELECT query_id, doc_id, score, rn AS rank FROM ranked WHERE rn <= $k),
+rels AS (SELECT qq.query_id, d.doc_id,
+                CASE (d.doc_id + qq.query_id) % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+         FROM documents d CROSS JOIN (SELECT DISTINCT query_id FROM q) qq),
+rp AS (SELECT query_id, doc_id, rel FROM rels WHERE rel > 0),
+j AS (SELECT p.query_id, p.rank, coalesce(r.rel, 0) AS rel
+      FROM page p LEFT JOIN rp r USING (query_id, doc_id)),
+dcg AS (SELECT query_id,
+               sum((pow(2.0::DOUBLE, rel) - 1) / log2(rank + 1)) AS dcg,
+               min(CASE WHEN rel > 0 THEN rank END) AS frank
+        FROM j GROUP BY query_id),
+ideal AS (SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, doc_id) AS irank
+          FROM rp),
+idcg AS (SELECT query_id,
+                sum((pow(2.0::DOUBLE, rel) - 1) / log2(irank + 1)) AS idcg
+         FROM ideal WHERE irank <= $k GROUP BY query_id)
+SELECT d.query_id,
+       round(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0::DOUBLE
+                  ELSE d.dcg / i.idcg END, 6) AS ndcg,
+       round(coalesce(1.0::DOUBLE / d.frank, 0.0::DOUBLE), 6) AS mrr
+FROM dcg d LEFT JOIN idcg i USING (query_id) ORDER BY query_id"""
 
   val tokOnly: String =
     """WITH tok AS (

@@ -396,6 +396,24 @@ object SparkEntry {
         idx, batchQueries.toDF("query_id", "qtext"), 10,
         remap = Some(EntrySupport.docIds(idx).select("docId", "doc_id")))
     }),
+    // ranked-retrieval evaluation: nDCG@10 + MRR@10 of the batch
+    // matcher's pages against planted graded qrels — the TREC-style
+    // quality sweep, metrics rounded for engine reproducibility
+    "ir_metrics" -> ((s, d) => {
+      import s.implicits._
+      val idx = EntrySupport.reader(s, d)
+      val res = graft.matcher.BatchMatcher.batchTopk(
+        idx, batchQueries.toDF("query_id", "qtext"), 10,
+        remap = Some(EntrySupport.docIds(idx).select("docId", "doc_id")))
+      val rels = documents(s, d).select(col("doc_id"))
+        .crossJoin(batchQueries.toDF("query_id", "qtext")
+          .select(col("query_id")))
+        .select(col("query_id"), col("doc_id"),
+          when((col("doc_id") + col("query_id")) % 4 === 0, 2L)
+            .when((col("doc_id") + col("query_id")) % 4 === 1, 1L)
+            .otherwise(0L).as("rel"))
+      graft.pipeline.EvalOps.ndcgMrr(res, rels, 10).orderBy("query_id")
+    }),
     // snapshot CDC: the delta between snapshot v1 (odd doc_ids) and
     // v3 (both halves, minus the bulk-deleted doc_id % 7 == 0) —
     // inserts are read from the v2 segment only, deletes resolve the
@@ -1344,6 +1362,7 @@ object SparkEntry {
     "ann_pq_search" -> EntrySql.pqSearchSql(ksub = 16, dsub = 8, iters = 2, k = 10),
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
     "ft_batch_topk" -> EntrySql.batchTopkSql(batchQueries, 10),
+    "ir_metrics" -> EntrySql.irMetricsSql(batchQueries, 10),
     "ft_snapshot_diff" -> """
 SELECT doc_id, 'insert' AS change FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
 UNION ALL

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Ranked-retrieval evaluation — the metrics an engine's own quality
+ * sweeps report (TREC-style graded judgments): per-query nDCG@k and
+ * MRR@k over any (query_id, doc_id, score) result table, e.g.
+ * [[graft.matcher.BatchMatcher.batchTopk]]'s pages.
+ *
+ * Scale shape: results are page-sized (batch × k) and qrels are human
+ * judgments (small by nature) — both windows partition by query over
+ * bounded groups; the evaluation of a million-query sweep is one
+ * shuffle keyed by query_id, never a corpus operation.
+ */
+object EvalOps {
+
+  /**
+   * nDCG@k and MRR@k per query. `results`: (query_id, doc_id, score);
+   * `rels`: (query_id, doc_id, rel ≥ 0) — unjudged pairs count as 0.
+   * Ranking uses the matcher's tiebreak (score desc, doc_id asc);
+   * gain is 2^rel − 1; IDCG ranks the judged set ideally (rel desc,
+   * doc_id asc). Queries with no positive judgment score 0/0 → 0.
+   * Metrics rounded to 6 decimals (the engine-reproducibility
+   * protocol — the oracle replays the identical IEEE expressions).
+   */
+  def ndcgMrr(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val page = results.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    val judged = rels.filter(col("rel") > 0)
+      .select(col("query_id"), col("doc_id"), col("rel"))
+    val j = page.join(judged, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val dcg = j.groupBy(col("query_id")).agg(
+      sum((pow(lit(2.0), col("rel")) - lit(1)) / log2(col("rank") + 1))
+        .as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("frank"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = judged.withColumn("irank", row_number().over(wIdeal))
+      .filter(col("irank") <= k)
+      .groupBy(col("query_id")).agg(
+        sum((pow(lit(2.0), col("rel")) - lit(1)) / log2(col("irank") + 1))
+          .as("idcg"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(when(col("idcg").isNull || col("idcg") === 0.0, lit(0.0))
+          .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("frank"), lit(0.0)), 6).as("mrr"))
+  }
+}

@@ -81,6 +81,27 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(m(6L).getAs[Long]("n_secrets") === 0L)
   }
 
+  test("ndcgMrr: hand-computed DCG/IDCG/MRR, unjudged=0, no-positive query") {
+    // q1: results ranked (by score desc) docs 10,11,12; rels: 11->2, 12->1, 99->2 (unretrieved)
+    // q2: no positive judgments at all
+    val results = Seq(
+      (1, 10L, 3.0), (1, 11L, 2.0), (1, 12L, 1.0),
+      (2, 10L, 3.0), (2, 11L, 2.0)).toDF("query_id", "doc_id", "score")
+    val rels = Seq(
+      (1, 11L, 2L), (1, 12L, 1L), (1, 99L, 2L),
+      (2, 10L, 0L)).toDF("query_id", "doc_id", "rel")
+    val m = EvalOps.ndcgMrr(results, rels, 10).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // DCG: rank1 rel0 (doc 10 unjudged) + rank2 rel2 + rank3 rel1
+    val dcg = 3.0 / log2(3.0) + 1.0 / log2(4.0)
+    // ideal over judged set {2,2,1}: ranks 1..3
+    val idcg = 3.0 / log2(2.0) + 3.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(m(1)._1 - dcg / idcg) < 1e-6)
+    assert(m(1)._2 === 0.5) // first relevant at rank 2
+    assert(m(2) === ((0.0, 0.0))) // no positives: ndcg 0, mrr 0
+  }
+
   test("pathFilter: vendor trees, minified assets, lockfiles; clean paths keep") {
     val d = Seq(
       (1L, "src/app/main.py"),
