@@ -100,12 +100,9 @@ object TrainPrep {
     //    any content is read
     val (docs, vendoredCount) =
       if (normalized.columns.contains("path")) {
-        val pf = CodeFilterOps.pathFilter(normalized)
-          .select(col("doc_id"), col("keep").as("_pathKeep"))
-        val joined = normalized.join(pf, "doc_id").cache()
-        val dropped = joined.filter(!col("_pathKeep")).count()
-        (joined.filter(col("_pathKeep")).select(col("doc_id"), col("text")),
-          dropped)
+        val keep = CodeFilterOps.pathKeep(col("path"))
+        val dropped = normalized.filter(!keep).count()
+        (normalized.filter(keep).select(col("doc_id"), col("text")), dropped)
       } else (normalized, 0L)
 
     // 1. fused ingest gate — one projection, then ONE count-by-reason
