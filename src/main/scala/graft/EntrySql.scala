@@ -499,6 +499,41 @@ ORDER BY tfx * log2((1 + cf / c.big_n) / (cf / c.big_n))
          + log2(1 + cf / c.big_n) DESC, term
 LIMIT $k"""
 
+  /** ft_mlt oracle: more-like-this — Bo1-rank the source document's
+    * terms (the esetBo1Sql formula with rset = {doc 0}), take the top
+    * `m`, score the corpus BM25 over that DYNAMIC term set (the
+    * standard tw/sp chain with the literal IN-list replaced by the
+    * mlt subquery), exclude the source, top `k` by (rounded score
+    * desc, doc_id). */
+  def mltSql(m: Int = 8, k: Int = 10): String =
+    s"""WITH corpus AS (SELECT * FROM documents),
+tok AS (
+  SELECT doc_id, t.term AS term
+  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n,
+                 (SELECT sum(len) FROM doclen)::DOUBLE / (SELECT count(*) FROM corpus) AS avglen),
+cfq AS (SELECT term, count(*)::DOUBLE AS cf FROM tok GROUP BY term),
+tfx AS (SELECT term, count(*)::DOUBLE AS tfx FROM tok WHERE doc_id < 1 GROUP BY term),
+mlt AS (SELECT term FROM tfx JOIN cfq USING(term), stats c
+        ORDER BY tfx * log2((1 + cf / c.n) / (cf / c.n)) + log2(1 + cf / c.n) DESC, term
+        LIMIT $m),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS wdf FROM tok
+       WHERE term IN (SELECT term FROM mlt) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (SELECT term, ln(CASE WHEN (s.n - df + 0.5) / (df + 0.5) < 2
+                 THEN (s.n - df + 0.5) / (df + 0.5) / 2 + 1
+                 ELSE (s.n - df + 0.5) / (df + 0.5) END) AS tw
+      FROM df, stats s),
+sp AS (SELECT tf.doc_id,
+              w.tw * tf.wdf * 2.0 / ((0.5 + 0.5 * greatest(dl.len::DOUBLE / s.avglen, 0.5)) + tf.wdf) AS part
+       FROM tf JOIN w USING(term) JOIN doclen dl ON dl.doc_id = tf.doc_id, stats s),
+scored AS (SELECT doc_id, round(sum(part), 4) + 0.0 AS score FROM sp
+           WHERE doc_id <> 0 GROUP BY doc_id)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $k"""
+
   // ---------------- training-data pipeline oracles ----------------
 
   val exactDedupSql: String =

@@ -396,6 +396,19 @@ object SparkEntry {
         idx, batchQueries.toDF("query_id", "qtext"), 10,
         remap = Some(EntrySupport.docIds(idx).select("docId", "doc_id")))
     }),
+    // more-like-this (Omega's $topterms flow): Bo1-expand the source
+    // document's terms, OR-query the top 8, exclude the source, BM25
+    // top-10 — relevance feedback driving retrieval end to end
+    "ft_mlt" -> ((s, d) => {
+      val idx = EntrySupport.reader(s, d)
+      val src = idx.docs.where(col("path").cast("long") === 0)
+        .select(col("docId")).first.getLong(0)
+      val terms = graft.matcher.Expand.eset(idx, Seq(src), k = 8,
+        scheme = "bo1").select("term").collect().map(_.getString(0)).toSeq
+      EntrySupport.matchDf(s, d, Query.Or(terms.map(t)))
+        .filter(col("doc_id") =!= 0L)
+        .orderBy(desc("score"), col("doc_id")).limit(10)
+    }),
     // ranked-retrieval evaluation: nDCG@10 + MRR@10 of the batch
     // matcher's pages against planted graded qrels — the TREC-style
     // quality sweep, metrics rounded for engine reproducibility
@@ -1363,6 +1376,7 @@ object SparkEntry {
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
     "ft_batch_topk" -> EntrySql.batchTopkSql(batchQueries, 10),
     "ir_metrics" -> EntrySql.irMetricsSql(batchQueries, 10),
+    "ft_mlt" -> EntrySql.mltSql(8, 10),
     "ft_snapshot_diff" -> """
 SELECT doc_id, 'insert' AS change FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
 UNION ALL
