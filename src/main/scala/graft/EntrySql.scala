@@ -2621,6 +2621,38 @@ $rounds
 SELECT id, pr FROM r$iters ORDER BY id"""
   }
 
+  /** gr_wpagerank oracle: the weighted variant — outdeg is the summed
+    * edge weight, each edge contributes (pr / outdeg) × w, mirroring
+    * the engine's expression structure exactly. */
+  def weightedPageRankSql(iters: Int = 5, modulus: Int = 500): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst, sum((r.pr / o.outdeg) * e.w) AS contrib
+       FROM edges e JOIN r${k - 1} r ON r.id = e.src
+       JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
+        FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id
+        WHERE o.src IS NULL),
+r$k AS (SELECT n.id,
+               round((1 - 0.85::DOUBLE) / nn.n
+                     + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.dm / nn.n),
+                     7) AS pr
+        FROM nodes n CROSS JOIN nn CROSS JOIN d$k d
+        LEFT JOIN c$k c ON c.dst = n.id)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst, (doc_id % 3) + 1 AS w FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % $modulus, (doc_id % 5) + 1 FROM documents
+),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, sum(w)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS pr FROM nodes CROSS JOIN nn),
+$rounds
+SELECT id, pr FROM r$iters ORDER BY id"""
+  }
+
   /** gr_pagerank oracle: replays [[graft.pipeline.GraphOps.pageRank]]
     * over the deterministic arithmetic edge set — `iters` unrolled CTE
     * rounds, each with the contribution aggregate, the dangling-mass

@@ -1097,6 +1097,24 @@ object SparkEntry {
         .otherwise(lit("rust/Cargo.lock")).as("path"))
       graft.pipeline.CodeFilterOps.pathFilter(planted).orderBy("doc_id")
     }),
+    // weighted PageRank: integer edge weights (the import-count /
+    // link-multiplicity case) — share ∝ weight / total outgoing
+    // weight; same engine loop, weights ride the one edge shuffle
+    "gr_wpagerank" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 17 + 3) % 500).as("dst"),
+          ((col("doc_id") % 3) + 1).as("w"))
+        .union(ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 7) % 500).as("dst"),
+          ((col("doc_id") % 5) + 1).as("w")))
+      // roundTo = 7: weighted shares sum across more distinct
+      // magnitudes, so the per-round grid leaves a wider margin over
+      // the engines' summation-order noise
+      graft.pipeline.GraphOps.pageRank(e, iters = 5, roundTo = 7,
+          weightCol = "w")
+        .select(col("id"), col("rank").as("pr")).orderBy("id")
+    }),
     // personalized PageRank: teleport restricted to the seed set
     // (doc_id % 50 = 0) — curated-seed trust propagation; same edge
     // set, dangling mass returns to seeds
@@ -1427,6 +1445,7 @@ ORDER BY doc_id""",
     "gr_pagerank" -> EntrySql.pageRankSql(),
     "gr_components" -> EntrySql.componentsSql,
     "gr_ppr" -> EntrySql.pprSql(),
+    "gr_wpagerank" -> EntrySql.weightedPageRankSql(),
     "ta_vendored" -> EntrySql.vendoredSql,
     "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),
     "cs_grep_rx" -> EntrySql.grepSql("f[ao]st (merge|stream)", regex = true),

@@ -35,16 +35,22 @@ object GraphOps {
    * storage, no HDFS round-trip).
    */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-               roundTo: Int = 9, checkpoint: Boolean = false): DataFrame = {
+               roundTo: Int = 9, checkpoint: Boolean = false,
+               weightCol: String = ""): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // every frame below descends from the same edge plan — join keys
     // carry DISTINCT names so none of the joins is an ambiguous
-    // self-join
-    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    // self-join. `weightCol` names an integer edge-weight column
+    // (import counts, link multiplicity); empty = unweighted, which
+    // is NUMERICALLY IDENTICAL to weight-1 edges (share × 1 is IEEE
+    // exact), so the unweighted trajectory is unchanged.
+    val wCol = if (weightCol.isEmpty) lit(1L) else col(weightCol)
+    val e = edges.select(col("src"), col("dst"), wCol.as("w"))
+      .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count() // a bounded count job, not a collect
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
       .withColumnRenamed("src", "od_id").cache()
     var ranks = nodes.select(col("id"), round(lit(1.0) / n, roundTo).as("rank"))
     for (_ <- 1 to iters) {
@@ -52,7 +58,7 @@ object GraphOps {
         .select(col("id").as("jsrc"),
           (col("rank") / col("outdeg")).as("share"))
       val contribs = e.join(shares, col("src") === col("jsrc"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("share") * col("w")).as("contrib"))
         .withColumnRenamed("dst", "c_id")
       val dangling = ranks.join(outdeg, col("id") === col("od_id"),
           "left_anti")

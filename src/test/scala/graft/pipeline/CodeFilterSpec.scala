@@ -190,6 +190,19 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(got(2L) > got(0L))
   }
 
+  test("weighted pageRank: weight-2 edge equals two parallel edges exactly") {
+    val parallelE = Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    // collapse the parallel pair into one weight-2 edge
+    val weighted = Seq((0L, 1L, 2L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val a = GraphOps.pageRank(parallelE, iters = 4, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = GraphOps.pageRank(weighted, iters = 4, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    assert(a(1L) > a(2L)) // the heavier edge carries more rank
+  }
+
   test("connectedComponents: chains merge under min label, isolates absent") {
     // 1-2-3 chain (via directed edges both ways exercised by the
     // symmetrize) + 7-8 pair; node 9 appears only as a dst
