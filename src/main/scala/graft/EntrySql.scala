@@ -2599,7 +2599,7 @@ d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
 r$k AS (SELECT t.id,
                round(((1 - 0.85::DOUBLE) + 0.85::DOUBLE * d.dm) * t.tp
                      + 0.85::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE),
-                     9) AS pr
+                     7) AS pr
         FROM tp t CROSS JOIN d$k d
         LEFT JOIN c$k c ON c.dst = t.id)"""
     }.mkString(",\n")
@@ -2616,7 +2616,7 @@ tp AS (SELECT n.id,
               CASE WHEN s.s_id IS NOT NULL THEN 1.0::DOUBLE / ns.k
                    ELSE 0.0::DOUBLE END AS tp
        FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON s.s_id = n.id),
-r0 AS (SELECT id, round(tp, 9) AS pr FROM tp),
+r0 AS (SELECT id, round(tp, 7) AS pr FROM tp),
 $rounds
 SELECT id, pr FROM r$iters ORDER BY id"""
   }
@@ -2671,7 +2671,7 @@ d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
 r$k AS (SELECT n.id,
                round((1 - 0.85::DOUBLE) / nn.n
                      + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.dm / nn.n),
-                     9) AS pr
+                     7) AS pr
         FROM nodes n CROSS JOIN nn CROSS JOIN d$k d
         LEFT JOIN c$k c ON c.dst = n.id)"""
     }.mkString(",\n")
@@ -2683,7 +2683,7 @@ r$k AS (SELECT n.id,
 nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT id, round(1.0::DOUBLE / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
+r0 AS (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS pr FROM nodes CROSS JOIN nn),
 $rounds
 SELECT id, pr FROM r$iters ORDER BY id"""
   }

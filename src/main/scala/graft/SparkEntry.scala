@@ -1078,7 +1078,7 @@ object SparkEntry {
           ((col("doc_id") * 17 + 3) % 500).as("dst"))
         .union(ids.select(col("doc_id").as("src"),
           ((col("doc_id") * 31 + 7) % 500).as("dst")))
-      graft.pipeline.GraphOps.pageRank(e, iters = 5)
+      graft.pipeline.GraphOps.pageRank(e, iters = 5, roundTo = 7)
         .select(col("id"), col("rank").as("pr")).orderBy("id")
     }),
     // path-based exclusion (vendor trees / minified assets /
@@ -1126,7 +1126,8 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 500).as("dst")))
       val seeds = ids.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("id"))
-      graft.pipeline.GraphOps.personalizedPageRank(e, seeds, iters = 5)
+      graft.pipeline.GraphOps.personalizedPageRank(e, seeds, iters = 5,
+          roundTo = 7)
         .select(col("id"), col("rank").as("pr")).orderBy("id")
     }),
     // connected components over a deterministic chain graph (three
