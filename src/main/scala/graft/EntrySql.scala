@@ -286,6 +286,35 @@ SELECT d.query_id,
        round(coalesce(1.0::DOUBLE / d.frank, 0.0::DOUBLE), 6) AS mrr
 FROM dcg d LEFT JOIN idcg i USING (query_id) ORDER BY query_id"""
 
+  /** ir_pr oracle: precision/recall/truncated-AP@k over the same
+    * batch-matcher pages and planted binarized qrels as
+    * [[irMetricsSql]] — cumulative precision replayed with a window
+    * sum, AP denominator = total judged-relevant per query. */
+  def irPrSql(queries: Seq[(Int, String)], k: Int): String =
+    s"""${batchTopkCtes(queries)},
+page AS (SELECT query_id, doc_id, score, rn AS rank FROM ranked WHERE rn <= $k),
+rels AS (SELECT qq.query_id, d.doc_id,
+                CASE (d.doc_id + qq.query_id) % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS rel
+         FROM documents d CROSS JOIN (SELECT DISTINCT query_id FROM q) qq),
+rp AS (SELECT query_id, doc_id FROM rels WHERE rel > 0),
+j AS (SELECT p.query_id, p.rank,
+             CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM page p LEFT JOIN rp r USING (query_id, doc_id)),
+cum AS (SELECT query_id, rank, hit,
+               sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS cumhits
+        FROM j),
+tot AS (SELECT query_id, count(*)::BIGINT AS nrel FROM rp GROUP BY query_id),
+agg AS (SELECT query_id, sum(hit)::BIGINT AS hits,
+               sum(CASE WHEN hit = 1 THEN cumhits::DOUBLE / rank END) AS apsum
+        FROM cum GROUP BY query_id)
+SELECT a.query_id,
+       round(a.hits / $k.0, 6) AS p_at_k,
+       round(CASE WHEN coalesce(t.nrel, 0) = 0 THEN 0.0::DOUBLE
+                  ELSE a.hits::DOUBLE / t.nrel END, 6) AS r_at_k,
+       round(CASE WHEN coalesce(t.nrel, 0) = 0 THEN 0.0::DOUBLE
+                  ELSE coalesce(a.apsum, 0.0::DOUBLE) / t.nrel END, 6) AS ap_at_k
+FROM agg a LEFT JOIN tot t USING (query_id) ORDER BY a.query_id"""
+
   val tokOnly: String =
     """WITH tok AS (
   SELECT doc_id, t.term AS term
@@ -821,7 +850,9 @@ FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"""
     * left-associated float expression order; self-scoring means
     * every bigram is seen, so the inner joins here mirror the Spark
     * side's left-join-plus-coalesce exactly. */
-  def knPerplexitySql(discount: Double, gamma: Double): String =
+  /** The KN model + per-doc scoring CTE block (through `agg`), shared
+    * by [[knPerplexitySql]] and [[pplBucketSql]]. */
+  private def knAggCtes(discount: Double, gamma: Double): String =
     s"""WITH tokarr AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
@@ -841,9 +872,36 @@ p AS (SELECT big.doc_id,
       FROM big JOIN c2 USING(w1, w2) JOIN ctx USING(w1) JOIN cont USING(w2), tot),
 agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
                round(exp(-sum(lnp) / count(*)), 4) AS kn_ppl
-        FROM p GROUP BY doc_id)
+        FROM p GROUP BY doc_id)"""
+
+  def knPerplexitySql(discount: Double, gamma: Double): String =
+    knAggCtes(discount, gamma) + """
 SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, a.kn_ppl
 FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"""
+
+  /** ta_ppl_bucket oracle: retrains the identical KN model, then
+    * replays the per-language discrete-tertile bucket rule — the
+    * same distribution-table order statistics at ranks ⌈n/3⌉ and
+    * ⌈2n/3⌉, boundary ties to the lower bucket. */
+  def pplBucketSql(discount: Double, gamma: Double): String =
+    knAggCtes(discount, gamma) + """,
+scored AS (SELECT a.doc_id, coalesce(dd.lang, 'und') AS lang, a.kn_ppl
+           FROM agg a JOIN documents dd USING(doc_id)),
+dist AS (SELECT lang, kn_ppl, count(*)::BIGINT AS c
+         FROM scored GROUP BY 1, 2),
+cum AS (SELECT lang, kn_ppl,
+               sum(c) OVER (PARTITION BY lang ORDER BY kn_ppl) AS hi
+        FROM dist),
+nl AS (SELECT lang, count(*)::BIGINT AS n FROM scored GROUP BY 1),
+th AS (SELECT c.lang,
+              min(CASE WHEN c.hi >= ceil(n.n / 3.0) THEN c.kn_ppl END) AS t1,
+              min(CASE WHEN c.hi >= ceil(n.n * 2.0 / 3.0) THEN c.kn_ppl END) AS t2
+       FROM cum c JOIN nl n USING(lang) GROUP BY c.lang)
+SELECT s.doc_id, s.lang, s.kn_ppl,
+       CASE WHEN s.kn_ppl <= t.t1 THEN 'head'
+            WHEN s.kn_ppl <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th t USING(lang) ORDER BY s.doc_id"""
 
   /** Duplicated-line removal oracle: identical line synthesis
     * (every-10-words wrap — DuckDB spells the replacement `\1`+chr(10)
@@ -2537,6 +2595,83 @@ e AS (SELECT doc_id,
       FROM p)
 SELECT doc_id, module FROM e ORDER BY doc_id, module"""
 
+  /** ta_mm_encode oracle: replays
+    * [[graft.pipeline.UnigramOps.mmHistogram]] — the greedy
+    * longest-match walk as a recursive CTE over (word, position)
+    * states: each step consumes the longest vocab piece matching at
+    * the cursor (a correlated ORDER BY length DESC LIMIT 1 lookup),
+    * else one character. Positions strictly advance, so the
+    * recursion is linear in total piece count. The vocab literal
+    * mirrors SparkEntry.mmVocab. */
+  def mmEncodeSql(vocab: Seq[String]): String = {
+    val vals = vocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE v(piece) AS (SELECT * FROM (VALUES $vals) t(piece)),
+tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+wc AS (SELECT term AS word, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+seg AS (
+  SELECT word, 0 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wc
+  UNION ALL
+  SELECT word, pos + length(np) AS pos, np AS piece
+  FROM (
+    SELECT word, pos,
+           coalesce((SELECT p.piece FROM v p
+                     WHERE substr(word, pos + 1, length(p.piece)) = p.piece
+                     ORDER BY length(p.piece) DESC, p.piece LIMIT 1),
+                    substr(word, pos + 1, 1)) AS np
+    FROM seg WHERE pos < length(word)) s
+)
+SELECT s.piece, sum(w.cnt)::BIGINT AS n
+FROM seg s JOIN wc w ON w.word = s.word
+WHERE s.piece IS NOT NULL
+GROUP BY s.piece ORDER BY s.piece"""
+  }
+
+  /** The deterministic definition/usage planting shared by cs_defs
+    * and cs_refs (mirror of SparkEntry.defPlanted). */
+  val defPlantSql: String =
+    """'def gfun' || CAST(doc_id % 20 AS VARCHAR) || '(x): pass class GCls' || CAST(doc_id % 10 AS VARCHAR) ||
+    CASE WHEN doc_id % 2 = 0 THEN ' gfun' || CAST((doc_id + 3) % 20 AS VARCHAR) || '()' ELSE '' END ||
+    ' ' || text"""
+
+  private val defReSql = """\b(def|class|fn|function)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"""
+
+  /** cs_defs oracle: replays
+    * [[graft.pipeline.CodeSearchOps.definitions]] — same regex, full
+    * matches exploded, kind/name groups re-extracted per match. */
+  def definitionsSql: String =
+    s"""WITH p AS (SELECT doc_id, $defPlantSql AS text FROM documents),
+m AS (SELECT doc_id, unnest(regexp_extract_all(text, '$defReSql', 0)) AS m
+      FROM p)
+SELECT doc_id, regexp_extract(m, '$defReSql', 1) AS kind,
+       regexp_extract(m, '$defReSql', 2) AS name
+FROM m ORDER BY doc_id, kind, name"""
+
+  /** cs_refs oracle: replays
+    * [[graft.pipeline.CodeSearchOps.references]] — distinct
+    * (doc, identifier) mentions, self-definitions anti-joined away,
+    * only defined names kept. */
+  def referencesSql: String =
+    s"""WITH p AS (SELECT doc_id, $defPlantSql AS text FROM documents),
+defs AS (SELECT DISTINCT doc_id,
+                regexp_extract(m, '$defReSql', 2) AS name
+         FROM (SELECT doc_id,
+                      unnest(regexp_extract_all(text, '$defReSql', 0)) AS m
+               FROM p)),
+men AS (SELECT DISTINCT doc_id, t.name
+        FROM p, unnest(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*', 0)) AS t(name)),
+refs AS (SELECT m.name, m.doc_id FROM men m
+         WHERE EXISTS (SELECT 1 FROM defs d WHERE d.name = m.name)
+           AND NOT EXISTS (SELECT 1 FROM defs d2
+                           WHERE d2.name = m.name AND d2.doc_id = m.doc_id)),
+nd AS (SELECT name, count(*)::BIGINT AS n_def_docs FROM defs GROUP BY 1),
+nr AS (SELECT name, count(*)::BIGINT AS n_ref_docs FROM refs GROUP BY 1)
+SELECT nd.name, nd.n_def_docs, coalesce(nr.n_ref_docs, 0)::BIGINT AS n_ref_docs
+FROM nd LEFT JOIN nr USING(name) ORDER BY nd.name"""
+
   /** gr_components oracle: replays
     * [[graft.pipeline.GraphOps.connectedComponents]] over the
     * deterministic chain graph — the same recursive
@@ -2659,6 +2794,44 @@ SELECT id, pr FROM r$iters ORDER BY id"""
     * scalar, and the per-round 9-decimal rounding (the ta_qtrain
     * engine-reproducibility protocol). Literals are forced ::DOUBLE so
     * both engines do the identical IEEE arithmetic. */
+  /** HITS oracle: unrolls the auth-then-hub rounds as CTE chains over
+    * the same arithmetic edge set as the PageRank gates — per-round
+    * L1 normalization and 7-decimal rounding replayed exactly
+    * (the gr_pagerank engine-reproducibility protocol). */
+  def hitsSql(iters: Int = 5, modulus: Int = 500): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""ra$k AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS rawa
+        FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst),
+an$k AS MATERIALIZED (SELECT sum(rawa) AS anorm FROM ra$k),
+a$k AS MATERIALIZED (SELECT n.id,
+               round(CASE WHEN an.anorm > 0
+                          THEN coalesce(r.rawa, 0.0::DOUBLE) / an.anorm
+                          ELSE 0.0::DOUBLE END, 7) AS auth
+        FROM nodes n CROSS JOIN an$k an
+        LEFT JOIN ra$k r ON r.dst = n.id),
+rh$k AS MATERIALIZED (SELECT e.src, sum(a.auth) AS rawh
+        FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY e.src),
+hn$k AS MATERIALIZED (SELECT sum(rawh) AS hnorm FROM rh$k),
+h$k AS MATERIALIZED (SELECT n.id,
+               round(CASE WHEN hn.hnorm > 0
+                          THEN coalesce(r.rawh, 0.0::DOUBLE) / hn.hnorm
+                          ELSE 0.0::DOUBLE END, 7) AS hub
+        FROM nodes n CROSS JOIN hn$k hn
+        LEFT JOIN rh$k r ON r.src = n.id)"""
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % $modulus FROM documents
+),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+a0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS auth FROM nodes CROSS JOIN nn),
+h0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS hub FROM nodes CROSS JOIN nn),
+$rounds
+SELECT a.id, a.auth, h.hub FROM a$iters a JOIN h$iters h ON h.id = a.id ORDER BY a.id"""
+  }
+
   def pageRankSql(iters: Int = 5, modulus: Int = 500): String = {
     val rounds = (1 to iters).map { k =>
       s"""c$k AS (SELECT e.dst, sum(r.pr / o.outdeg) AS contrib

@@ -37,6 +37,20 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Deterministic definition/usage planting shared by cs_defs and
+    * cs_refs: every doc defines gfun{id%20} and GCls{id%10}; even
+    * docs additionally MENTION gfun{(id+3)%20} — a guaranteed
+    * external reference (3 ≢ 0 mod 20). Mirrored verbatim by
+    * [[EntrySql.defPlantSql]]. */
+  private def defPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("def gfun"), (col("doc_id") % 20).cast("string"),
+        lit("(x): pass class GCls"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" gfun"), ((col("doc_id") + 3) % 20).cast("string"),
+            lit("()"))).otherwise(lit("")),
+        lit(" "), col("text")).as("text"))
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     embeddings(s, dir).where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toSeq
@@ -179,6 +193,12 @@ object SparkEntry {
     * (VALUES relation on the SQL side). Covers a repeated term
     * (wqf = 2 exercises the k3 factor), a single-term query, and an
     * out-of-vocabulary term (scores nothing, batch unaffected). */
+  /** Fixed maximal-munch vocabulary for ta_mm_encode — mirrored
+    * literally in [[EntrySql.mmEncodeSql]]. */
+  private val mmVocab: Seq[String] = Seq(
+    "ta", "ble", "ar", "ow", "rt", "sc", "an", "me", "rg",
+    "va", "lue", "ha", "sh", "ke", "li", "ne")
+
   private val batchQueries: Seq[(Int, String)] = Seq(
     1 -> "data stream",
     2 -> "query batch index",
@@ -426,6 +446,24 @@ object SparkEntry {
             .when((col("doc_id") + col("query_id")) % 4 === 1, 1L)
             .otherwise(0L).as("rel"))
       graft.pipeline.EvalOps.ndcgMrr(res, rels, 10).orderBy("query_id")
+    }),
+    // set-based retrieval metrics: precision/recall/truncated-AP@10
+    // of the same batch pages against the same planted qrels,
+    // binarized — averaging ap_at_k over queries is MAP@10
+    "ir_pr" -> ((s, d) => {
+      import s.implicits._
+      val idx = EntrySupport.reader(s, d)
+      val res = graft.matcher.BatchMatcher.batchTopk(
+        idx, batchQueries.toDF("query_id", "qtext"), 10,
+        remap = Some(EntrySupport.docIds(idx).select("docId", "doc_id")))
+      val rels = documents(s, d).select(col("doc_id"))
+        .crossJoin(batchQueries.toDF("query_id", "qtext")
+          .select(col("query_id")))
+        .select(col("query_id"), col("doc_id"),
+          when((col("doc_id") + col("query_id")) % 4 === 0, 2L)
+            .when((col("doc_id") + col("query_id")) % 4 === 1, 1L)
+            .otherwise(0L).as("rel"))
+      graft.pipeline.EvalOps.prAp(res, rels, 10).orderBy("query_id")
     }),
     // snapshot CDC: the delta between snapshot v1 (odd doc_ids) and
     // v3 (both halves, minus the bulk-deleted doc_id % 7 == 0) —
@@ -844,6 +882,13 @@ object SparkEntry {
     "ta_kn_perplexity" -> ((s, d) =>
       TextOps.knPerplexity(documents(s, d), discount = 0.75, gamma = 0.5)
         .orderBy("doc_id")),
+    // CCNet-style curation split: per-language head/middle/tail by
+    // KN perplexity, assigned by discrete tertile THRESHOLDS (one
+    // distribution-table aggregate + broadcast assign — never an
+    // ntile sort of a whole language in one task)
+    "ta_ppl_bucket" -> ((s, d) =>
+      TextOps.perplexityBuckets(documents(s, d), discount = 0.75,
+        gamma = 0.5).orderBy("doc_id")),
     // collocation extraction: top adjacent pairs by PMI (rounded
     // before the rank cut), vocab-bounded broadcast joins
     "ta_colloc" -> ((s, d) =>
@@ -853,6 +898,30 @@ object SparkEntry {
     "ta_keywords" -> ((s, d) =>
       TextOps.keywords(documents(s, d), k = 3)
         .orderBy("doc_id", "rank")),
+    // maximal-munch (WordPiece-inference) encoding with a fixed
+    // vocabulary: corpus piece histogram; the oracle replays the
+    // greedy longest-match walk as a recursive CTE (one row per
+    // word-position — linear, unlike Viterbi)
+    "ta_mm_encode" -> ((s, d) =>
+      graft.pipeline.UnigramOps.mmHistogram(documents(s, d), mmVocab)
+        .orderBy("piece")),
+    // unigram-LM (SentencePiece) vocabulary TRAINING, hard-EM form:
+    // substring seeding + 2 Viterbi-EM rounds over the distinct-word
+    // table. The per-word DP is not SQL-expressible, so this gate is
+    // rows-only; UnigramSpec replays the trainer driver-side and
+    // asserts exact equality (counts are integer sums — fully
+    // engine-reproducible)
+    "ta_unigram_train" -> ((s, d) =>
+      graft.pipeline.UnigramOps.pieceTable(documents(s, d),
+        vocabSize = 120, maxPieceLen = 3, emIters = 2).orderBy("piece")),
+    // encode with the trained unigram vocab: per-doc word and
+    // Viterbi-piece counts (rows-only for the same reason)
+    "ta_unigram_encode" -> ((s, d) => {
+      val ps = graft.pipeline.UnigramOps.unigramTrain(documents(s, d),
+        vocabSize = 120, maxPieceLen = 3, emIters = 2)
+      graft.pipeline.UnigramOps.unigramEncode(documents(s, d), ps,
+        maxPieceLen = 3).orderBy("doc_id")
+    }),
     // BPE vocabulary TRAINING (Sennrich et al.): 8 distributed merge
     // rounds — ONE pair-count aggregate each over the cached
     // vocab-sized word table, one winning row to the driver per
@@ -1068,6 +1137,20 @@ object SparkEntry {
       graft.pipeline.CodeFilterOps.importEdges(planted)
         .orderBy("doc_id", "module")
     }),
+    // symbol-definition extraction (the ctags pass): planted
+    // def/class statements (+ planted cross-doc usages on even docs)
+    // to (doc_id, kind, name) rows
+    "cs_defs" -> ((s, d) => {
+      graft.pipeline.CodeSearchOps.definitions(defPlanted(documents(s, d)))
+        .orderBy("doc_id", "kind", "name")
+    }),
+    // "find references" aggregated per symbol: defining-doc and
+    // external-referencing-doc counts over the same planted corpus —
+    // name-keyed joins only, no corpus pair blowup
+    "cs_refs" -> ((s, d) => {
+      graft.pipeline.CodeSearchOps.references(defPlanted(documents(s, d)))
+        .orderBy("name")
+    }),
     // PageRank over a deterministic arithmetic edge set (2 out-edges
     // per doc): 5 rounds, per-round rounding = engine-reproducible
     // trajectory, oracle unrolls the rounds as CTE chains (the
@@ -1129,6 +1212,18 @@ object SparkEntry {
       graft.pipeline.GraphOps.personalizedPageRank(e, seeds, iters = 5,
           roundTo = 7)
         .select(col("id"), col("rank").as("pr")).orderBy("id")
+    }),
+    // HITS hubs & authorities over the same arithmetic edge set as
+    // gr_pagerank: 5 auth-then-hub rounds, per-round L1 norm +
+    // 7-decimal rounding — the oracle unrolls the trajectory
+    "gr_hits" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 17 + 3) % 500).as("dst"))
+        .union(ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 7) % 500).as("dst")))
+      graft.pipeline.GraphOps.hits(e, iters = 5, roundTo = 7)
+        .orderBy("id")
     }),
     // connected components over a deterministic chain graph (three
     // consecutive edges per decade of ids => 4-node components);
@@ -1395,6 +1490,7 @@ object SparkEntry {
     "ft_matchterms" -> EntrySql.matchingTermsSql(Seq("data", "stream", "query"), 10),
     "ft_batch_topk" -> EntrySql.batchTopkSql(batchQueries, 10),
     "ir_metrics" -> EntrySql.irMetricsSql(batchQueries, 10),
+    "ir_pr" -> EntrySql.irPrSql(batchQueries, 10),
     "ft_mlt" -> EntrySql.mltSql(8, 10),
     "ft_snapshot_diff" -> """
 SELECT doc_id, 'insert' AS change FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
@@ -1409,6 +1505,11 @@ ORDER BY doc_id, change""",
     "ta_qscore" -> EntrySql.qualityLrScoreSql(qualityStopwords),
     "ta_perplexity" -> EntrySql.perplexitySql(0.5),
     "ta_kn_perplexity" -> EntrySql.knPerplexitySql(0.75, 0.5),
+    "ta_ppl_bucket" -> EntrySql.pplBucketSql(0.75, 0.5),
+    "ta_mm_encode" -> EntrySql.mmEncodeSql(mmVocab),
+    // ta_unigram_train / ta_unigram_encode: deliberately absent — the
+    // per-word Viterbi DP has no SQL form; the driver's rows-only
+    // check applies and UnigramSpec carries the exact-replay proof
     "ta_bpe_train" -> EntrySql.bpeTrainSql(8),
     "ta_bpe_encode" -> EntrySql.bpeEncodeSql(8),
     "ta_winnow" -> EntrySql.winnowSql(),
@@ -1443,7 +1544,10 @@ ORDER BY doc_id""",
     "ta_secrets" -> EntrySql.secretsSql,
     "ta_secret_scrub" -> EntrySql.secretScrubSql,
     "cs_imports" -> EntrySql.importEdgesSql,
+    "cs_defs" -> EntrySql.definitionsSql,
+    "cs_refs" -> EntrySql.referencesSql,
     "gr_pagerank" -> EntrySql.pageRankSql(),
+    "gr_hits" -> EntrySql.hitsSql(),
     "gr_components" -> EntrySql.componentsSql,
     "gr_ppr" -> EntrySql.pprSql(),
     "gr_wpagerank" -> EntrySql.weightedPageRankSql(),

@@ -389,6 +389,61 @@ object CodeSearchOps {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
         col("line"))
 
+  /** Definition statement forms across the corpus's languages:
+    * `def`/`class` (Python, Scala), `fn` (Rust), `function` (JS).
+    * Group 1 = kind, group 2 = name; RE2-portable (the oracle replays
+    * it verbatim in DuckDB). */
+  val defRe: String =
+    "\\b(def|class|fn|function)[ \\t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+  /**
+   * Symbol-DEFINITION extraction — the ctags pass of a code-intel
+   * pipeline: one `(doc_id, kind, name)` row per definition
+   * statement. One regexp_extract_all + explode over the scan (no
+   * shuffle); full matches are exploded and the kind/name groups
+   * re-extracted from each short match string, so both engines see
+   * the identical group semantics.
+   */
+  def definitions(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(defRe), lit(0)))
+          .as("m"))
+      .select(col("doc_id"),
+        regexp_extract(col("m"), defRe, 1).as("kind"),
+        regexp_extract(col("m"), defRe, 2).as("name"))
+
+  /**
+   * Cross-file REFERENCE counts — "find references" aggregated per
+   * symbol: for every defined name, the number of docs that define
+   * it and the number of OTHER docs that mention it (a doc that both
+   * defines and mentions its own symbol is not an external
+   * reference).
+   *
+   * Scale shape: mention candidates are each doc's DISTINCT
+   * identifier tokens (array_distinct in-row before the explode, so
+   * the shuffle carries ≤ vocab-per-doc rows); defining (name, doc)
+   * pairs anti-join away self-references and a semi-join keeps only
+   * defined names. Everything is name-keyed hash aggregation — no
+   * corpus-×-corpus pair ever materializes. Output:
+   * (name, n_def_docs, n_ref_docs).
+   */
+  def references(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val defPairs = definitions(docs, textCol)
+      .select(col("name"), col("doc_id")).distinct()
+    val mentions = docs.select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(col(textCol),
+          lit("[A-Za-z_][A-Za-z0-9_]*"), lit(0)))).as("name"))
+    val refPairs = mentions
+      .join(defPairs, Seq("name", "doc_id"), "left_anti")
+      .join(defPairs.select(col("name")).distinct(), Seq("name"),
+        "left_semi")
+    defPairs.groupBy(col("name")).agg(count(lit(1)).as("n_def_docs"))
+      .join(refPairs.groupBy(col("name")).agg(count(lit(1)).as("n_ref_docs")),
+        Seq("name"), "left")
+      .select(col("name"), col("n_def_docs"),
+        coalesce(col("n_ref_docs"), lit(0L)).as("n_ref_docs"))
+  }
+
   /** The bucket a gram hashes to — must mirror writeTrigramIndex's
     * pmod(xxhash64(gram), nBuckets) exactly, so the planner's bucket
     * list is computed driver-side without touching the index. */

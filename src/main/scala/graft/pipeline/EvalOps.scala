@@ -54,4 +54,51 @@ object EvalOps {
           .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"),
         round(coalesce(lit(1.0) / col("frank"), lit(0.0)), 6).as("mrr"))
   }
+
+  /**
+   * Precision@k, recall@k, and (truncated) average precision@k per
+   * query — the set-based companions to [[ndcgMrr]]'s graded metrics;
+   * averaging `ap_at_k` over queries gives MAP@k. Judgments are
+   * binarized (`rel > 0` is relevant). `ap_at_k` follows trec_eval's
+   * truncated AP: Σ_{i ≤ k, hit(i)} P@i divided by R = the TOTAL
+   * judged-relevant count (not min(R, k)), so AP ≤ recall and the
+   * metric is comparable across cutoffs. Queries with R = 0 score 0;
+   * queries absent from `results` produce no row (as in [[ndcgMrr]]).
+   * Ranking uses the matcher's tiebreak (score desc, doc_id asc);
+   * metrics rounded to 6 decimals under the engine-reproducibility
+   * protocol.
+   *
+   * Scale shape: identical to [[ndcgMrr]] — pages are batch × k, the
+   * per-rank cumulative window runs over ≤ k rows per query, and the
+   * whole evaluation is one shuffle keyed by query_id.
+   */
+  def prAp(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val page = results.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+    val judged = rels.filter(col("rel") > 0)
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    val totals = judged.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nrel"))
+    val j = page.join(judged, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("hit"), lit(0)).as("hit"))
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val agg = j.withColumn("cumhits", sum(col("hit")).over(wCum))
+      .groupBy(col("query_id")).agg(
+        sum(col("hit")).as("hits"),
+        sum(when(col("hit") === 1,
+          col("cumhits").cast("double") / col("rank"))).as("apsum"))
+    agg.join(totals, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(col("hits") / lit(k.toDouble), 6).as("p_at_k"),
+        round(when(coalesce(col("nrel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("hits").cast("double") / col("nrel")), 6)
+          .as("r_at_k"),
+        round(when(coalesce(col("nrel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("apsum"), lit(0.0)) / col("nrel")), 6)
+          .as("ap_at_k"))
+  }
 }

@@ -127,6 +127,81 @@ object GraphOps {
   }
 
   /**
+   * HITS (Kleinberg's hubs & authorities) over a directed edge table
+   * `(src, dst)` — the query-independent link signal that separates
+   * "pages many good hubs point AT" (authorities) from "pages that
+   * point at many good authorities" (hubs); in a code corpus, the
+   * utility-module vs orchestrator-module split over the import
+   * graph.
+   *
+   * Semantics: multigraph (parallel edges each contribute), L1
+   * normalization (scores sum to 1 across nodes, which keeps the
+   * oracle's arithmetic in plain SQL — the classic L2 variant only
+   * changes the norm, not the ranking), and the standard update
+   * order: authorities from the PREVIOUS hubs, then hubs from the
+   * NEW authorities. Nodes with no in-edges hold authority 0; no
+   * out-edges, hub 0. Per-round rounding to `roundTo` decimals makes
+   * the whole trajectory engine-reproducible (the [[pageRank]]
+   * protocol) so the oracle replays it as unrolled CTE chains.
+   *
+   * Scale shape: edges are hash-partitioned ONCE and cached; one
+   * round = two keyed join+aggregate shuffles (hub→auth by dst,
+   * auth→hub by src) plus two 1-row norm aggregates cross-joined
+   * back (broadcast by construction). Scores are node-sized frames —
+   * AQE broadcasts them when small; nothing collects to the driver.
+   *
+   * `checkpoint` defaults ON, unlike [[pageRank]]: the auth↔hub
+   * recursion branches ×4 per round (each side is consumed twice —
+   * contribution join + norm aggregate — by a frame that itself
+   * feeds two consumers), so an untruncated 5-round plan embeds 4⁵
+   * copies of the edge scan; Catalyst re-walks and re-executes that
+   * tree without subplan sharing (a 30-row run OOMed just RENDERING
+   * it). localCheckpoint makes each round a LogicalRDD leaf — plan
+   * size and recompute cost stay linear in rounds.
+   */
+  def hits(edges: DataFrame, iters: Int = 5, roundTo: Int = 7,
+           checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count() // bounded count job, not a collect
+    require(n > 0, "hits needs a non-empty edge table")
+    var auths = nodes.select(col("id"), round(lit(1.0) / n, roundTo).as("auth"))
+    var hubs = nodes.select(col("id"), round(lit(1.0) / n, roundTo).as("hub"))
+    for (_ <- 1 to iters) {
+      // authority pass: pull the previous round's hub mass along edges
+      val rawA = e.join(hubs.select(col("id").as("h_id"), col("hub")),
+          col("src") === col("h_id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("rawa"))
+      val aNorm = rawA.agg(sum(col("rawa")).as("anorm")) // 1 row
+      val nextA = nodes.join(rawA, col("id") === col("dst"), "left")
+        .crossJoin(aNorm)
+        .select(col("id"),
+          round(when(col("anorm") > 0.0,
+            coalesce(col("rawa"), lit(0.0)) / col("anorm"))
+            .otherwise(lit(0.0)), roundTo).as("auth"))
+      auths = if (checkpoint) nextA.localCheckpoint(true) else nextA
+      // hub pass: pull the NEW authority mass back along edges
+      val rawH = e.join(auths.select(col("id").as("a_id"), col("auth")),
+          col("dst") === col("a_id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("rawh"))
+      val hNorm = rawH.agg(sum(col("rawh")).as("hnorm")) // 1 row
+      val nextH = nodes.join(rawH, col("id") === col("src"), "left")
+        .crossJoin(hNorm)
+        .select(col("id"),
+          round(when(col("hnorm") > 0.0,
+            coalesce(col("rawh"), lit(0.0)) / col("hnorm"))
+            .otherwise(lit(0.0)), roundTo).as("hub"))
+      hubs = if (checkpoint) nextH.localCheckpoint(true) else nextH
+    }
+    auths.join(hubs.select(col("id").as("hj_id"), col("hub")),
+        col("id") === col("hj_id"))
+      .select(col("id"), col("auth"), col("hub"))
+  }
+
+  /**
    * Connected components over a directed edge table `(src, dst)`
    * (edges are symmetrized; long ids): every node labeled with the
    * SMALLEST id in its component. Delegates to the dedup engine's

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -705,6 +706,70 @@ object TextOps {
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("kn_ppl"))
+  }
+
+  /**
+   * Per-group discrete tertile thresholds from a value column — the
+   * order statistics at ranks ⌈n/3⌉ and ⌈2n/3⌉ of each group.
+   * Computed from the (group, value) DISTRIBUTION table (the
+   * [[AuditOps.corpusStats]] trick): one map-side-combined aggregate
+   * whose shuffle carries a row per DISTINCT (group, value) pair, a
+   * cumulative window over that small table (never the corpus), and
+   * a per-group min-filter to pick the threshold values. Exact,
+   * deterministic, and group sizes never buffer in memory — unlike
+   * `percentile()`, which dies when one group holds billions of rows.
+   * Output: (groupCol, t1, t2).
+   */
+  def tertiles(df: DataFrame, groupCol: String,
+               valCol: String): DataFrame = {
+    val dist = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(groupCol).orderBy(valCol)
+    val cum = dist.withColumn("hi", sum(col("c")).over(w))
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    cum.join(n, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("hi") >= ceil(col("n") / 3.0), col(valCol))).as("t1"),
+        min(when(col("hi") >= ceil(col("n") * 2.0 / 3.0), col(valCol)))
+          .as("t2"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data"): per-language head/middle/tail thirds by Kneser–Ney
+   * perplexity — the curation split that trains on the fluent head
+   * and drops (or down-samples) the tail. Buckets are assigned by
+   * per-language DISCRETE tertile thresholds ([[tertiles]]), not an
+   * `ntile` window: `ntile` would sort each whole language inside
+   * one task, while the threshold form is one distribution-table
+   * aggregate plus a broadcast assign — the shape that survives a
+   * billion docs per language. Boundary ties share the lower bucket
+   * (all docs with equal ppl land together), so the split is
+   * deterministic without any within-tie ordering. Docs too short to
+   * score (no bigrams → NULL ppl) are excluded, as in CCNet.
+   * Output: (doc_id, lang, kn_ppl, bucket), lang NULL-coalesced to
+   * 'und'.
+   */
+  def perplexityBuckets(docs: DataFrame, discount: Double = 0.75,
+                        gamma: Double = 0.5): DataFrame = {
+    // cache the scored frame: it feeds the distribution table, the
+    // per-lang counts AND the final assign join — without the cache
+    // each reference re-embeds the whole KN-model plan (train joins
+    // included) and the composite plan explodes combinatorially
+    // (observed: a 30-row test OOMing on the plan STRING). The frame
+    // is (id, lang, double) — tiny relative to the corpus it scores.
+    val scored = knPerplexity(docs, discount, gamma)
+      .where(col("kn_ppl").isNotNull)
+      .join(docs.select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("lang")), Seq("doc_id"))
+      .cache()
+    scored.join(broadcast(tertiles(scored, "lang", "kn_ppl")), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("kn_ppl"),
+        when(col("kn_ppl") <= col("t1"), lit("head"))
+          .when(col("kn_ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /**

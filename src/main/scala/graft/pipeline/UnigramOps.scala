@@ -1,0 +1,240 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM subword vocabulary training (Kudo, "Subword
+ * Regularization: Improving Neural Network Translation Models with
+ * Multiple Subword Candidates", ACL 2018 — the SentencePiece unigram
+ * algorithm) in its deterministic hard-EM form: the E-step assigns
+ * every word its single best (Viterbi) segmentation under the
+ * current piece probabilities, the M-step re-estimates probabilities
+ * from the resulting piece counts. Hard EM is the standard
+ * deterministic variant of the published soft-EM trainer; together
+ * with [[BpeOps]] it completes the two subword-vocabulary algorithms
+ * a tokenizer-training pipeline ships.
+ *
+ * Scale design — the [[BpeOps.bpeTrain]] /
+ * [[AnnOps]]-kmeans engine-reproducibility pattern:
+ *
+ *  - The corpus is scanned ONCE ([[BpeOps.wordCounts]]); every later
+ *    stage runs on the VOCAB-sized (word, cnt) table. At 100 TB the
+ *    corpus has billions of rows; the distinct-word table has
+ *    millions, and only it is exploded, segmented, or joined.
+ *  - Candidate seeding is one substring-explode + hash aggregate
+ *    over that word table (≤ len × maxPieceLen candidates per word),
+ *    with the top `vocabSize` multi-char pieces picked by
+ *    (freq desc, piece asc) — an integer-keyed deterministic cut.
+ *    Single characters are always kept (full coverage: every word
+ *    stays segmentable).
+ *  - One EM round = one segmentation pass over the word table (a
+ *    Scala Viterbi over the BROADCAST piece table — vocab-sized, the
+ *    kmeans-centroid shape) + one weighted hash aggregate; only the
+ *    piece-count table (≤ vocabSize rows) returns to the driver.
+ *  - Everything is exactly reproducible: piece counts are integer
+ *    sums (no FP accumulation across partitions), probabilities are
+ *    ratios of those integers, and the Viterbi tie-break (higher
+ *    score, then fewer pieces, then longest-piece-first) is total.
+ *    The UnigramSpec replays the whole trainer driver-side and
+ *    asserts equality — the [[GraphOps.pageRank]] protocol where SQL
+ *    can't express the DP.
+ */
+object UnigramOps {
+
+  /** A trained piece: log-probability and the (weighted) count that
+    * produced it in the final E-step. */
+  case class Piece(piece: String, cnt: Long, prob: Double)
+
+  /**
+   * Viterbi segmentation of `word` under piece log-probs `lp`:
+   * maximize total log-prob; ties prefer fewer pieces, then the
+   * longer piece at the earliest divergent boundary (l iterates
+   * descending with strict improvement, so first-seen —
+   * longest — wins). Positions with no matching piece fall back to
+   * the single character with `floorLp` (the unk floor), so every
+   * word segments.
+   */
+  def viterbi(word: String, lp: collection.Map[String, Double],
+              maxLen: Int, floorLp: Double): List[String] = {
+    val n = word.length
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    val np = Array.fill(n + 1)(Int.MaxValue)
+    score(0) = 0.0; np(0) = 0
+    var i = 1
+    while (i <= n) {
+      var l = math.min(i, maxLen)
+      while (l >= 1) {
+        val piece = word.substring(i - l, i)
+        val p = lp.get(piece) match {
+          case Some(v) => v
+          case None => if (l == 1) floorLp else Double.NaN
+        }
+        if (!p.isNaN && score(i - l) != Double.NegativeInfinity) {
+          val s = score(i - l) + p
+          val c = np(i - l) + 1
+          if (s > score(i) || (s == score(i) && c < np(i))) {
+            score(i) = s; back(i) = l; np(i) = c
+          }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    var out = List.empty[String]
+    var pos = n
+    while (pos > 0) {
+      out = word.substring(pos - back(pos), pos) :: out
+      pos -= back(pos)
+    }
+    out
+  }
+
+  /**
+   * Candidate seed pieces: every substring of length 1..maxPieceLen
+   * of every corpus word, weighted by word count — single chars all
+   * kept, plus the top `vocabSize` multi-char pieces by (freq desc,
+   * piece asc). The explode runs over the word TABLE (vocab-sized);
+   * the limit is a deterministic integer-keyed cut.
+   */
+  def seedPieces(wordCnt: DataFrame, vocabSize: Int,
+                 maxPieceLen: Int): DataFrame = {
+    val subs = wordCnt.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)),
+            s -> transform(sequence(0, least($maxPieceLen, length(word) - s + 1) - 1),
+                   l -> substring(word, s, l + 1))))"""))
+      .as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+    val chars = subs.where(length(col("piece")) === 1)
+    val multi = subs.where(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece").asc).limit(vocabSize)
+    chars.unionByName(multi)
+  }
+
+  /**
+   * Train the unigram vocabulary: seed, then `emIters` hard-EM
+   * rounds. Returns the surviving pieces (an unused piece's count
+   * drops to zero and it is pruned — the EM side of SentencePiece's
+   * prune step) with final counts and probabilities. The driver
+   * holds only piece tables (≤ vocabSize + alphabet rows per round).
+   */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 200,
+                   maxPieceLen: Int = 4, emIters: Int = 2,
+                   textCol: String = "text"): Seq[Piece] = {
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val spark = docs.sparkSession
+    val wordCnt = BpeOps.wordCounts(docs, textCol).persist()
+    try {
+      val seeds = seedPieces(wordCnt, vocabSize, maxPieceLen).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      var counts: Map[String, Long] = seeds.toMap
+      for (_ <- 1 to emIters) {
+        val total = counts.valuesIterator.sum.toDouble
+        val lp = counts.map { case (p, c) => p -> math.log(c / total) }
+        // unk floor below every real piece: a position is only
+        // floored when NO piece matches, so the floor's exact value
+        // never changes a Viterbi choice — but keep it deterministic
+        val floor = math.log(0.5 / total)
+        val lpB = spark.sparkContext.broadcast(lp)
+        val ml = maxPieceLen
+        val seg = udf((w: String) => viterbi(w, lpB.value, ml, floor))
+        counts = wordCnt
+          .select(col("cnt"), explode(seg(col("word"))).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        lpB.destroy()
+      }
+      val total = counts.valuesIterator.sum.toDouble
+      counts.toSeq.sortBy(_._1)
+        .map { case (p, c) => Piece(p, c, c / total) }
+    } finally { wordCnt.unpersist(); () }
+  }
+
+  /** The trained pieces as a DataFrame (piece, cnt, prob rounded to
+    * 9 — the per-round grid convention). */
+  def pieceTable(docs: DataFrame, vocabSize: Int = 200,
+                 maxPieceLen: Int = 4, emIters: Int = 2,
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramTrain(docs, vocabSize, maxPieceLen, emIters, textCol)
+      .map(p => (p.piece, p.cnt, BigDecimal(p.prob)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("piece", "cnt", "prob")
+  }
+
+  /**
+   * Encode the corpus with a trained unigram vocabulary: per doc,
+   * word count and total Viterbi-piece count. Segmentation runs once
+   * per DISTINCT word (vocab-sized table, broadcast piece probs);
+   * the corpus side is one broadcast join + doc-keyed aggregate —
+   * the [[BpeOps.bpeEncode]] shape.
+   */
+  def unigramEncode(docs: DataFrame, pieces: Seq[Piece],
+                    maxPieceLen: Int = 4,
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val total = pieces.iterator.map(_.cnt).sum.toDouble
+    val lp = pieces.map(p => p.piece -> math.log(p.cnt / total)).toMap
+    val floor = math.log(0.5 / total)
+    val lpB = spark.sparkContext.broadcast(lp)
+    val ml = maxPieceLen
+    val seg = udf((w: String) => viterbi(w, lpB.value, ml, floor).size)
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= lit(""))).as("word"))
+    val nsyms = words.select(col("word")).distinct()
+      .select(col("word"), seg(col("word")).as("n_syms"))
+    val agg = words.join(broadcast(nsyms), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms").cast("long")).as("n_pieces"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /**
+   * Maximal-munch (WordPiece-inference-style, greedy
+   * longest-match-first) segmentation of `word` against a fixed
+   * piece set: at each position take the longest vocab piece that
+   * matches, else emit the single character. Linear, deterministic,
+   * and — unlike Viterbi — replayable in SQL as a recursive CTE with
+   * one row per (word, position), which is what the ta_mm_encode
+   * oracle does.
+   */
+  def greedy(word: String, vocab: Set[String], maxLen: Int): List[String] = {
+    val out = List.newBuilder[String]
+    var pos = 0
+    val n = word.length
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      while (l > 1 && !vocab.contains(word.substring(pos, pos + l))) l -= 1
+      out += word.substring(pos, pos + l)
+      pos += l
+    }
+    out.result()
+  }
+
+  /**
+   * Corpus piece histogram under maximal-munch encoding with a fixed
+   * vocabulary: (piece, n) weighted by word frequency. Segmentation
+   * runs on the distinct-word table only; the corpus contributes one
+   * hash aggregate. Single-char fallback pieces appear in the
+   * histogram like any other (the unk-char accounting a tokenizer
+   * audit wants).
+   */
+  def mmHistogram(docs: DataFrame, vocab: Seq[String],
+                  textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "mmHistogram needs a non-empty vocabulary")
+    val maxLen = vocab.iterator.map(_.length).max
+    val vset = vocab.toSet
+    val seg = udf((w: String) => greedy(w, vset, maxLen))
+    val wordCnt = BpeOps.wordCounts(docs, textCol)
+    wordCnt.select(col("cnt"), explode(seg(col("word"))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+  }
+}

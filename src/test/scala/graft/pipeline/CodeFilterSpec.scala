@@ -102,6 +102,69 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(m(2) === ((0.0, 0.0))) // no positives: ndcg 0, mrr 0
   }
 
+  test("prAp: hand-computed precision/recall/AP, zero-positive query") {
+    // q1: page 10,11,12 (score desc); relevant = {11, 12, 99}
+    //   hits at ranks 2,3 → P@10 = 2/10, R = 2/3,
+    //   AP = (1/2 + 2/3) / 3 (truncated AP over R_total = 3)
+    // q2: no positive judgments → all zeros
+    val results = Seq(
+      (1, 10L, 3.0), (1, 11L, 2.0), (1, 12L, 1.0),
+      (2, 10L, 3.0), (2, 11L, 2.0)).toDF("query_id", "doc_id", "score")
+    val rels = Seq(
+      (1, 11L, 2L), (1, 12L, 1L), (1, 99L, 2L),
+      (2, 10L, 0L)).toDF("query_id", "doc_id", "rel")
+    val m = EvalOps.prAp(results, rels, 10).collect()
+      .map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1)._1 === 0.2)
+    assert(math.abs(m(1)._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(m(1)._3 - (0.5 + 2.0 / 3) / 3) < 1e-6)
+    assert(m(2) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("tertiles: discrete order statistics at ceil(n/3) and ceil(2n/3)") {
+    // group a: values 1..7 → ranks ceil(7/3)=3, ceil(14/3)=5 → t1=3, t2=5
+    // group b: a boundary TIE at the t1 rank picks that value
+    val df = ((1 to 7).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 2.0), ("b", 2.0), ("b", 9.0)))
+      .toDF("lang", "v")
+    val t = TextOps.tertiles(df, "lang", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(t("a") === ((3.0, 5.0)))
+    // b: n=4, ranks ceil(4/3)=2 → value 2.0; ceil(8/3)=3 → value 2.0
+    assert(t("b") === ((2.0, 2.0)))
+  }
+
+  test("perplexityBuckets: within each lang, head ppl <= middle <= tail; ties share") {
+    // three langs with enough docs to split; fluent docs repeat the
+    // training distribution, garbled docs shuffle it
+    val rows = (0L until 30L).map { i =>
+      val lang = Seq("en", "de", "fr")(((i % 3)).toInt)
+      val text =
+        if (i < 15) "the cat sat on the mat and the dog ran to the cat"
+        else s"zx${i}q qq${i} mat cat wp${i} on zz the kk${i} sat"
+      (i, text, lang)
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val b = TextOps.perplexityBuckets(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("kn_ppl"), r.getAs[String]("bucket")))
+    assert(b.nonEmpty)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    b.groupBy(_._2).foreach { case (_, g) =>
+      // bucket order must agree with ppl order
+      for (x <- g; y <- g if order(x._4) < order(y._4))
+        assert(x._3 <= y._3, s"bucket inversion: $x vs $y")
+      // equal ppl never splits across buckets
+      g.groupBy(_._3).foreach { case (_, same) =>
+        assert(same.map(_._4).distinct.size === 1)
+      }
+    }
+    // identical repeated docs (the fluent half) land in head together
+    val fluent = b.filter(_._1 < 15L)
+    assert(fluent.nonEmpty && fluent.forall(_._4 === "head"))
+  }
+
   test("pathFilter: vendor trees, minified assets, lockfiles; clean paths keep") {
     val d = Seq(
       (1L, "src/app/main.py"),
@@ -232,6 +295,53 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(math.abs(r(2L) - 0.85 * 0.85 * r0) < 0.01)
     // total mass conserved (dangling nodes 2 and 6 return to seeds)
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("hits: complete bipartite graph splits hub and authority mass evenly") {
+    // hubs {0,1} each point at authorities {10,11,12}: the L1 fixed
+    // point is auth = 1/3 on the right side, hub = 1/2 on the left,
+    // and the off-roles are exactly 0 (no in-edges / no out-edges)
+    val e = (for (h <- Seq(0L, 1L); a <- Seq(10L, 11L, 12L)) yield (h, a))
+      .toDF("src", "dst")
+    val r = GraphOps.hits(e, iters = 5).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val auth = r.map(t => t._1 -> t._2).toMap
+    val hub = r.map(t => t._1 -> t._3).toMap
+    Seq(10L, 11L, 12L).foreach { a =>
+      assert(math.abs(auth(a) - 1.0 / 3) < 1e-6)
+      assert(hub(a) === 0.0)
+    }
+    Seq(0L, 1L).foreach { h =>
+      assert(math.abs(hub(h) - 0.5) < 1e-6)
+      assert(auth(h) === 0.0)
+    }
+  }
+
+  test("hits: chain reaches its fixed point and matches a rounded replay") {
+    // 0 -> 1 -> 2: auth(1) = auth(2) = 1/2, hub(0) = hub(1) = 1/2
+    // after one round, then stable — and the whole trajectory must
+    // equal a plain-Scala replay under the same rounding protocol
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val got = GraphOps.hits(edges.toDF("src", "dst"), iters = 3).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = Seq(0L, 1L, 2L)
+    var auth = nodes.map(_ -> rnd(1.0 / 3)).toMap
+    var hub = nodes.map(_ -> rnd(1.0 / 3)).toMap
+    for (_ <- 1 to 3) {
+      val rawA = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => hub(s) }.sum }
+      val an = rawA.values.sum
+      auth = nodes.map(i => i -> rnd(rawA.getOrElse(i, 0.0) / an)).toMap
+      val rawH = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => auth(d) }.sum }
+      val hn = rawH.values.sum
+      hub = nodes.map(i => i -> rnd(rawH.getOrElse(i, 0.0) / hn)).toMap
+    }
+    assert(got === nodes.map(i => i -> (auth(i), hub(i))).toMap)
+    assert(got(1L) === ((0.5, 0.5))) // mid-node is both hub and authority
+    assert(got(0L)._1 === 0.0 && got(2L)._2 === 0.0)
   }
 
   test("pageRank: multigraph parallel edges double the contribution") {

@@ -524,6 +524,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(en == enViaMix)
   }
 
+  test("definitions: every kind extracted, names with digits/underscores, none in prose") {
+    val d = docs(
+      1L -> "def parse_x2(a): pass\nclass Parser2:\nfn run() {}\nfunction go_now() {}",
+      2L -> "the class of functions we define here is informal prose",
+      3L -> "redefine nothing")
+    val got = CodeSearchOps.definitions(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, "def", "parse_x2"), (1L, "class", "Parser2"),
+      (1L, "fn", "run"), (1L, "function", "go_now"),
+      (2L, "class", "of"))) // prose 'class of' matches by design: regex pass, no parser
+    // 'redefine' must NOT match — \b guards the keyword
+  }
+
+  test("references: self-mentions excluded, external distinct-doc counts, undefined names absent") {
+    val d = docs(
+      1L -> "def alpha(x): alpha(1) beta()",  // defines alpha, mentions alpha (self) + beta
+      2L -> "def beta(y): pass",
+      3L -> "beta() beta() alpha()",          // mentions both (beta twice, counts once)
+      4L -> "gamma()")                        // undefined name: absent from output
+    val got = CodeSearchOps.references(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // alpha: defined in 1; external mentions: doc 3 only (doc 1 self-excluded)
+    // beta: defined in 2; external mentions: docs 1 and 3
+    // x/y/pass/gamma are mentioned but never DEFINED: absent
+    assert(got === Set(("alpha", 1L, 1L), ("beta", 1L, 2L)))
+  }
+
   test("trigram substring search: boundary-crossing patterns, pruning, fallback") {
     import spark.implicits._
     val d = docs(

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Unigram-LM trainer + maximal-munch encoder: driver-side exact
+  * replay of the distributed hard-EM loop (the pageRank-replay
+  * protocol for ops whose DP has no SQL form), plus hand-computed
+  * segmentation corners. */
+class UnigramSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("viterbi: longest piece wins score ties, floor covers unknown chars") {
+    val lp = Map("ab" -> math.log(0.25), "a" -> math.log(0.5),
+      "b" -> math.log(0.125), "c" -> math.log(0.125))
+    // "ab": piece 'ab' = log .25; 'a'+'b' = log .0625 → 'ab' wins on score
+    assert(UnigramOps.viterbi("ab", lp, 2, -100.0) === List("ab"))
+    // "abz": z unseen → floor char fallback
+    assert(UnigramOps.viterbi("abz", lp, 2, -100.0) === List("ab", "z"))
+    // score tie: give 'ab' exactly prob of a+b; fewer pieces wins
+    val lpTie = Map("ab" -> math.log(0.0625), "a" -> math.log(0.5),
+      "b" -> math.log(0.125))
+    assert(UnigramOps.viterbi("ab", lpTie, 2, -100.0) === List("ab"))
+  }
+
+  test("greedy: maximal munch takes longest match, falls to chars") {
+    val v = Set("ta", "ble", "tab")
+    // at pos 0 'tab' (len 3) beats 'ta' — then 'l','e' fall through
+    assert(UnigramOps.greedy("table", v, 3) === List("tab", "l", "e"))
+    assert(UnigramOps.greedy("xta", v, 3) === List("x", "ta"))
+    assert(UnigramOps.greedy("zzz", v, 3) === List("z", "z", "z"))
+  }
+
+  test("mmHistogram: hand-computed piece counts weighted by word frequency") {
+    val d = docs(1L -> "table table value", 2L -> "value zq")
+    val got = UnigramOps.mmHistogram(d, Seq("ta", "ble", "va", "lue"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // table ×2 → ta, ble each 2; value ×2 → va, lue each 2; zq → z, q
+    assert(got === Map("ta" -> 2L, "ble" -> 2L, "va" -> 2L, "lue" -> 2L,
+      "z" -> 1L, "q" -> 1L))
+  }
+
+  test("unigramTrain: distributed loop equals a plain-Scala replay exactly") {
+    val corpus = Seq(1L -> "abab abc cab abab", 2L -> "abc abab bc bc",
+      3L -> "cab abc q")
+    val d = docs(corpus: _*)
+    val vocabSize = 6
+    val maxLen = 3
+    val iters = 3
+    val got = UnigramOps.unigramTrain(d, vocabSize, maxLen, iters)
+
+    // --- replay: word counts
+    val wc = corpus.flatMap(_._2.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // seed: all substrings (chars always; top-V multi by freq desc, piece asc)
+    val subs = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; s <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - s))
+      subs(w.substring(s, s + l)) = subs.getOrElse(w.substring(s, s + l), 0L) + c
+    val chars = subs.filter(_._1.length == 1)
+    val multi = subs.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(vocabSize)
+    var counts: Map[String, Long] = (chars ++ multi).toMap
+    for (_ <- 1 to iters) {
+      val total = counts.values.sum.toDouble
+      val lp = counts.map { case (p, c) => p -> math.log(c / total) }
+      val floor = math.log(0.5 / total)
+      val next = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- wc; p <- UnigramOps.viterbi(w, lp, maxLen, floor))
+        next(p) = next.getOrElse(p, 0L) + c
+      counts = next.toMap
+    }
+    val total = counts.values.sum.toDouble
+    val want = counts.toSeq.sortBy(_._1)
+      .map { case (p, c) => UnigramOps.Piece(p, c, c / total) }
+    assert(got === want)
+    // the dominant bigram pattern must survive as a real piece
+    assert(got.exists(p => p.piece == "ab" || p.piece == "aba" || p.piece == "abab"))
+  }
+
+  test("unigramEncode: per-doc piece counts equal per-word viterbi lengths") {
+    val corpus = Seq(1L -> "abab abc", 2L -> "", 3L -> "cab")
+    val d = docs(corpus: _*)
+    val pieces = UnigramOps.unigramTrain(d.where($"text" =!= ""), 6, 3, 2)
+    val got = UnigramOps.unigramEncode(d, pieces, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = pieces.map(_.cnt).sum.toDouble
+    val lp = pieces.map(p => p.piece -> math.log(p.cnt / total)).toMap
+    val floor = math.log(0.5 / total)
+    def enc(t: String) = {
+      val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      (ws.length.toLong,
+        ws.map(w => UnigramOps.viterbi(w, lp, 3, floor).size.toLong).sum)
+    }
+    assert(got(1L) === enc("abab abc"))
+    assert(got(2L) === ((0L, 0L)))
+    assert(got(3L) === enc("cab"))
+  }
+}
