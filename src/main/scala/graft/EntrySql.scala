@@ -2672,6 +2672,78 @@ nr AS (SELECT name, count(*)::BIGINT AS n_ref_docs FROM refs GROUP BY 1)
 SELECT nd.name, nd.n_def_docs, coalesce(nr.n_ref_docs, 0)::BIGINT AS n_ref_docs
 FROM nd LEFT JOIN nr USING(name) ORDER BY nd.name"""
 
+  /** gr_lpa oracle: replays
+    * [[graft.pipeline.GraphOps.labelPropagation]] over the chain
+    * graph — per round: neighbor labels + one self-vote, count by
+    * (node, label), argmax with ties to the smallest label, unrolled
+    * as CTE chains (MATERIALIZED: each round references the previous
+    * twice and DuckDB would otherwise inline the recursion into
+    * exponentially many scans). */
+  def lpaSql(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (
+  SELECT x.n, x.label, count(*)::BIGINT AS c FROM (
+    SELECT e.dst AS n, l.label FROM edges e JOIN l${k - 1} l ON l.id = e.src
+    UNION ALL
+    SELECT id AS n, label FROM l${k - 1}) x
+  GROUP BY x.n, x.label),
+l$k AS MATERIALIZED (
+  SELECT n AS id, label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+    FROM v$k) y WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 < 3
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+$rounds
+SELECT id, label AS community FROM l$iters ORDER BY id"""
+  }
+
+  /** ta_textrank oracle: replays [[graft.pipeline.TextOps.textrank]]
+    * — adjacent-pair counts floored at `minCount`, symmetrized into
+    * weighted edges, then the weighted-PageRank round template
+    * (7-decimal per-round grid) and the rounded-before-cut top-k. */
+  def textrankSql(minCount: Long = 5, iters: Int = 5, k: Int = 50): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT e.dst, sum((x.pr / o.outdeg) * e.w) AS contrib
+       FROM edges e JOIN r${r - 1} x ON x.id = e.src
+       JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+d$r AS MATERIALIZED (SELECT coalesce(sum(x.pr), 0.0::DOUBLE) AS dm
+        FROM r${r - 1} x LEFT JOIN outdeg o ON o.src = x.id
+        WHERE o.src IS NULL),
+r$r AS MATERIALIZED (SELECT n.id,
+               round((1 - 0.85::DOUBLE) / nn.n
+                     + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.dm / nn.n),
+                     7) AS pr
+        FROM nodes n CROSS JOIN nn CROSS JOIN d$r d
+        LEFT JOIN c$r c ON c.dst = n.id)"""
+    }.mkString(",\n")
+    s"""WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term, generate_subscripts(ws, 1) AS pos FROM tokarr),
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+pc AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c
+      FROM big GROUP BY 1, 2 HAVING count(*) >= $minCount),
+edges AS MATERIALIZED (
+  SELECT w1 AS src, w2 AS dst, c AS w FROM pc
+  UNION ALL
+  SELECT w2, w1, c FROM pc),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS pr FROM nodes CROSS JOIN nn),
+$rounds
+SELECT id AS word, pr AS tr FROM r$iters ORDER BY pr DESC, id LIMIT $k"""
+  }
+
   /** gr_components oracle: replays
     * [[graft.pipeline.GraphOps.connectedComponents]] over the
     * deterministic chain graph — the same recursive

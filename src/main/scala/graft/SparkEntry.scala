@@ -889,6 +889,11 @@ object SparkEntry {
     "ta_ppl_bucket" -> ((s, d) =>
       TextOps.perplexityBuckets(documents(s, d), discount = 0.75,
         gamma = 0.5).orderBy("doc_id")),
+    // TextRank keywords at corpus scope: weighted PageRank over the
+    // adjacent-pair co-occurrence graph (vocab-sized after the
+    // minCount floor), rounded rounds, round-before-cut top-50
+    "ta_textrank" -> ((s, d) =>
+      TextOps.textrank(documents(s, d), minCount = 5, iters = 5, k = 50)),
     // collocation extraction: top adjacent pairs by PMI (rounded
     // before the rank cut), vocab-bounded broadcast joins
     "ta_colloc" -> ((s, d) =>
@@ -1225,6 +1230,16 @@ object SparkEntry {
       graft.pipeline.GraphOps.hits(e, iters = 5, roundTo = 7)
         .orderBy("id")
     }),
+    // label-propagation community detection over the chain graph:
+    // 5 synchronized rounds (neighbor votes + self-vote, ties to the
+    // smallest label) — argmax is an AGGREGATE, not a window; the
+    // oracle unrolls the identical rounds
+    "gr_lpa" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.where(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.pipeline.GraphOps.labelPropagation(e, iters = 5).orderBy("id")
+    }),
     // connected components over a deterministic chain graph (three
     // consecutive edges per decade of ids => 4-node components);
     // oracle is the dd_cluster recursive-reachability CTE over the
@@ -1548,6 +1563,8 @@ ORDER BY doc_id""",
     "cs_refs" -> EntrySql.referencesSql,
     "gr_pagerank" -> EntrySql.pageRankSql(),
     "gr_hits" -> EntrySql.hitsSql(),
+    "gr_lpa" -> EntrySql.lpaSql(),
+    "ta_textrank" -> EntrySql.textrankSql(),
     "gr_components" -> EntrySql.componentsSql,
     "gr_ppr" -> EntrySql.pprSql(),
     "gr_wpagerank" -> EntrySql.weightedPageRankSql(),

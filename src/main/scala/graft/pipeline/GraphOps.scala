@@ -202,6 +202,52 @@ object GraphOps {
   }
 
   /**
+   * Synchronous label propagation (Raghavan et al., "Near linear
+   * time algorithm to detect community structures in large-scale
+   * networks", 2007) — community detection over a directed edge
+   * table `(src, dst)` with long node ids. Edges are symmetrized;
+   * each round every node adopts the MOST FREQUENT label among its
+   * neighbors plus one self-vote (the self-vote damps the 2-cycle
+   * oscillation synchronous LPA is known for), ties to the SMALLEST
+   * label. The update is fully deterministic, so the whole
+   * trajectory is engine-reproducible and the oracle replays it as
+   * unrolled CTE rounds — unlike [[connectedComponents]], which
+   * converges to reachability, LPA finds densely-linked groups.
+   *
+   * Scale shape: one round = one keyed join (neighbor labels ride
+   * the cached src-partitioned edges) + one (node, label) hash
+   * aggregate + one argmax AGGREGATE — `max(struct(count, -label))`,
+   * not a window, so a billion-edge hub never sorts inside one task.
+   * `checkpoint` defaults ON ([[hits]]'s reasoning: labels feed both
+   * the neighbor join and the self-vote, branching ×2 per round).
+   */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val dir = edges.select(col("src"), col("dst"))
+    val e = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).cache()
+    // symmetrized: every endpoint appears as a src
+    val nodes = e.select(col("src").as("id")).distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val nbr = e.join(labels.select(col("id").as("l_id"), col("label")),
+          col("src") === col("l_id"))
+        .select(col("dst").as("n"), col("label"))
+      val votes = nbr.unionByName(
+          labels.select(col("id").as("n"), col("label")))
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("c"))
+      val next = votes
+        .groupBy(col("n"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("n").as("id"), (-col("m.nl")).as("label"))
+      labels = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
+  /**
    * Connected components over a directed edge table `(src, dst)`
    * (edges are symmetrized; long ids): every node labeled with the
    * SMALLEST id in its component. Delegates to the dedup engine's

@@ -709,6 +709,44 @@ object TextOps {
   }
 
   /**
+   * TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+   * Bringing Order into Text", EMNLP 2004) at corpus scope: PageRank
+   * over the word co-occurrence graph. Adjacent-pair counts (the
+   * [[collocations]] c12 table, floored at `minCount`) become
+   * symmetric weighted edges; [[GraphOps.pageRank]] runs its
+   * engine-reproducible rounded rounds; the top `k` words by
+   * (rank desc, word asc — rounded BEFORE the cut, the portability
+   * rule) come back as (word, tr).
+   *
+   * Scale shape: the co-occurrence graph is VOCAB-sized (pairs above
+   * minCount), built in one explode + hash aggregate over the
+   * corpus; everything after runs on that small graph — the
+   * composition a 100 TB corpus wants (corpus-pass once, then
+   * graph-sized iteration).
+   */
+  def textrank(docs: DataFrame, minCount: Long = 5, iters: Int = 5,
+               k: Int = 50, textCol: String = "text"): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= lit("")).as("ws"))
+    val pairs = words.where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    val e = pairs.select(col("w1").as("src"), col("w2").as("dst"),
+        col("c").as("w"))
+      .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst"),
+        col("c").as("w")))
+    GraphOps.pageRank(e, iters = iters, roundTo = 7, weightCol = "w")
+      .orderBy(col("rank").desc, col("id").asc).limit(k)
+      .select(col("id").as("word"), col("rank").as("tr"))
+  }
+
+  /**
    * Per-group discrete tertile thresholds from a value column — the
    * order statistics at ranks ⌈n/3⌉ and ⌈2n/3⌉ of each group.
    * Computed from the (group, value) DISTRIBUTION table (the

@@ -344,6 +344,48 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(got(0L)._1 === 0.0 && got(2L)._2 === 0.0)
   }
 
+  test("labelPropagation: two triangles joined by a bridge split into two communities") {
+    // triangle {0,1,2} — bridge 2-10 — triangle {10,11,12}: LPA must
+    // keep the triangles as separate communities (each node has 2
+    // same-side neighbors vs at most 1 across the bridge)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L)).toDF("src", "dst")
+    val r = GraphOps.labelPropagation(e, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Set(r(0L), r(1L), r(2L)).size === 1)
+    assert(Set(r(10L), r(11L), r(12L)).size === 1)
+    assert(r(0L) !== r(10L), "bridge must not merge the triangles")
+  }
+
+  test("labelPropagation: matches a plain-Scala replay of the vote rule") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.map(i => i -> i).toMap
+    for (_ <- 1 to 4) {
+      lab = nodes.map { n =>
+        val votes = (sym.collect { case (s, d) if d == n => lab(s) } :+ lab(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    assert(got === lab)
+  }
+
+  test("textrank: hub word out-ranks leaves; output capped and rank-ordered") {
+    import org.apache.spark.sql.functions.col
+    // 'hub' co-occurs with every leaf; leaves only with hub
+    val text = (1 to 6).map(i => s"hub leaf$i").mkString(" pad ")
+    val d = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val r = TextOps.textrank(d, minCount = 2, iters = 5, k = 4).collect()
+    assert(r.length === 4)
+    assert(r.head.getString(0) === "hub")
+    val ranks = r.map(_.getDouble(1))
+    assert(ranks.sameElements(ranks.sorted.reverse), "must be rank-descending")
+  }
+
   test("pageRank: multigraph parallel edges double the contribution") {
     // two parallel edges 0->1 vs one edge 2->3: outdeg(0)=2 so each
     // share is rank/2 but BOTH land on 1 ⇒ node 1 and node 3 equal;
