@@ -2672,6 +2672,59 @@ nr AS (SELECT name, count(*)::BIGINT AS n_ref_docs FROM refs GROUP BY 1)
 SELECT nd.name, nd.n_def_docs, coalesce(nr.n_ref_docs, 0)::BIGINT AS n_ref_docs
 FROM nd LEFT JOIN nr USING(name) ORDER BY nd.name"""
 
+  /** ta_vocab_growth oracle: replays
+    * [[graft.pipeline.AuditOps.vocabGrowth]] — first-appearance
+    * bucketing (min doc_id per term), bucket counts, cumulative sum.
+    * Both engines do the identical double division inside floor(). */
+  def vocabGrowthSql(buckets: Int = 4): String =
+    s"""WITH tok AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+first AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+pb AS (SELECT floor(fd * $buckets / (m + 1))::BIGINT AS bucket,
+              count(*)::BIGINT AS c
+       FROM first, mx GROUP BY 1),
+spine AS (SELECT unnest(range(0, $buckets))::BIGINT AS bucket)
+SELECT s.bucket,
+       floor((s.bucket + 1) * (m + 1) / $buckets)::BIGINT AS prefix_docs,
+       (sum(coalesce(p.c, 0)) OVER (ORDER BY s.bucket))::BIGINT AS vocab
+FROM spine s LEFT JOIN pb p ON p.bucket = s.bucket CROSS JOIN mx
+ORDER BY s.bucket"""
+
+  /** gr_triangles oracle: replays
+    * [[graft.pipeline.GraphOps.triangles]] with the simple
+    * id-ordered triangle join (x < y < z over canonical a < b
+    * edges) — same result SET as the engine's degree-ordered
+    * compact-forward plan, which only changes WHERE wedges are
+    * generated, never which triangles exist. */
+  def trianglesSql: String =
+    """WITH e0 AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 < 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT id, count(*)::BIGINT AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) x GROUP BY id),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+pn AS (SELECT id, count(*)::BIGINT AS tri FROM (
+         SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri) t GROUP BY id)
+SELECT d.id, d.deg, coalesce(p.tri, 0)::BIGINT AS tri,
+       CASE WHEN d.deg < 2 THEN 0.0::DOUBLE
+            ELSE round(2.0::DOUBLE * coalesce(p.tri, 0) / (d.deg * (d.deg - 1)), 7)
+       END AS cc
+FROM deg d LEFT JOIN pn p USING(id) ORDER BY d.id"""
+
   /** gr_lpa oracle: replays
     * [[graft.pipeline.GraphOps.labelPropagation]] over the chain
     * graph — per round: neighbor labels + one self-vote, count by

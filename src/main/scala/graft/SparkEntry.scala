@@ -889,6 +889,12 @@ object SparkEntry {
     "ta_ppl_bucket" -> ((s, d) =>
       TextOps.perplexityBuckets(documents(s, d), discount = 0.75,
         gamma = 0.5).orderBy("doc_id")),
+    // Heaps-law vocabulary growth: exact distinct-term counts at 4
+    // prefix endpoints via FIRST-APPEARANCE aggregation — one token
+    // pass, never a per-prefix rescan
+    "ta_vocab_growth" -> ((s, d) =>
+      graft.pipeline.AuditOps.vocabGrowth(documents(s, d), buckets = 4)
+        .orderBy("bucket")),
     // TextRank keywords at corpus scope: weighted PageRank over the
     // adjacent-pair co-occurrence graph (vocab-sized after the
     // minCount floor), rounded rounds, round-before-cut top-50
@@ -1230,6 +1236,18 @@ object SparkEntry {
       graft.pipeline.GraphOps.hits(e, iters = 5, roundTo = 7)
         .orderBy("id")
     }),
+    // per-node triangle counts + clustering coefficient over chain +
+    // skip-link edges (every %10<2 decade closes (i, i+1, i+2));
+    // engine runs the degree-ordered compact-forward wedge plan, the
+    // oracle the equivalent id-ordered join
+    "gr_triangles" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.where(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.where(col("doc_id") % 10 < 2)
+          .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
+      graft.pipeline.GraphOps.triangles(e).orderBy("id")
+    }),
     // label-propagation community detection over the chain graph:
     // 5 synchronized rounds (neighbor votes + self-vote, ties to the
     // smallest label) — argmax is an AGGREGATE, not a window; the
@@ -1564,6 +1582,8 @@ ORDER BY doc_id""",
     "gr_pagerank" -> EntrySql.pageRankSql(),
     "gr_hits" -> EntrySql.hitsSql(),
     "gr_lpa" -> EntrySql.lpaSql(),
+    "gr_triangles" -> EntrySql.trianglesSql,
+    "ta_vocab_growth" -> EntrySql.vocabGrowthSql(4),
     "ta_textrank" -> EntrySql.textrankSql(),
     "gr_components" -> EntrySql.componentsSql,
     "gr_ppr" -> EntrySql.pprSql(),

@@ -114,4 +114,45 @@ object AuditOps {
       col("p50_chars"),
       col("max_chars"))
   }
+
+  /**
+   * Vocabulary-growth (Heaps' law) report: the EXACT distinct-term
+   * count of each doc_id-prefix of the corpus, at `buckets` evenly
+   * spaced prefix endpoints — the curve a tokenizer-budget or
+   * dedup-saturation review reads.
+   *
+   * Why it scales: the naive formulation (count distinct per prefix)
+   * re-scans the corpus per point. This one uses first appearances:
+   * vocab(prefix) = #terms whose MINIMUM doc_id falls inside it — so
+   * ONE token pass (min-aggregate per term), one bucket count over
+   * the vocab-sized result, and a cumulative sum over `buckets`
+   * rows. Exact, not a sketch. Output: (bucket, prefix_docs, vocab),
+   * prefix_docs = the 1-based doc count the bucket's endpoint covers
+   * (doc_ids assumed 0-based dense, as the corpus tables are).
+   */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 4,
+                  textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val tok = docs.select(col("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        w => w =!= lit(""))).as("term"))
+    val first = tok.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val mx = docs.agg(max(col("doc_id")).as("m")) // 1 row
+    val perBucket = first.crossJoin(broadcast(mx))
+      .select(floor(col("fd") * buckets / (col("m") + 1)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    // full bucket spine so a saturated vocabulary still reports every
+    // prefix point (empty buckets carry the cumulative forward);
+    // cumulative over `buckets` rows — the window sorts the report,
+    // never the corpus
+    val spine = docs.sparkSession.range(0, buckets)
+      .select(col("id").as("bucket")).crossJoin(broadcast(mx))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"),
+        floor((col("bucket") + 1) * (col("m") + 1) / buckets)
+          .as("prefix_docs"),
+        sum(coalesce(col("c"), lit(0L))).over(w).as("vocab"))
+  }
 }

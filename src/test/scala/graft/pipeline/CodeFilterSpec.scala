@@ -344,6 +344,47 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(got(0L)._1 === 0.0 && got(2L)._2 === 0.0)
   }
 
+  test("vocabGrowth: cumulative first-appearance counts equal per-prefix distinct counts") {
+    val d = Seq(
+      (0L, "a b c"), (1L, "a d"), (2L, "b e f"), (3L, "a"),
+      (4L, "g"), (5L, "a g h"), (6L, "i"), (7L, "a")).toDF("doc_id", "text")
+    val got = AuditOps.vocabGrowth(d, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // prefixes end at docs 2, 4, 6, 8 → distinct over docs 0..1, 0..3, 0..5, 0..7
+    assert(got.toSeq === Seq((0L, 2L, 4L), (1L, 4L, 6L), (2L, 6L, 8L),
+      (3L, 8L, 9L)))
+    // saturated vocab: every term appears in the first quarter — the
+    // spine still reports all buckets, cumulative carried forward
+    val sat = Seq((0L, "a b"), (1L, "x"), (2L, "a"), (3L, "b"),
+      (4L, "x"), (5L, "a"), (6L, "b x"), (7L, "a")).toDF("doc_id", "text")
+    val g2 = AuditOps.vocabGrowth(sat, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(g2.toSeq === Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+
+  test("triangles: K4 has 4 nodes in 3 triangles each, cc=1; star has none") {
+    // K4 on {0,1,2,3}: C(4,3)=4 triangles, each node in 3, cc = 1
+    // star 10-{11,12,13}: no triangle, hub cc = 0
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val e = (k4 ++ star).toDF("src", "dst")
+    val r = GraphOps.triangles(e).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    (0L to 3L).foreach(i => assert(r(i) === ((3L, 3L, 1.0))))
+    assert(r(10L) === ((3L, 0L, 0.0)))
+    assert(r(11L) === ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: parallel edges, self-loops and direction do not change counts") {
+    // triangle 0-1-2 written messily: duplicates, both directions, a self-loop
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 0L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = GraphOps.triangles(e).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("labelPropagation: two triangles joined by a bridge split into two communities") {
     // triangle {0,1,2} — bridge 2-10 — triangle {10,11,12}: LPA must
     // keep the triangles as separate communities (each node has 2
