@@ -821,6 +821,39 @@ SELECT doc_id, round(sum(1.0 / ($k0 + rank)), 6) AS rrf, count(*)::BIGINT AS n_l
 FROM u GROUP BY doc_id
 ORDER BY round(sum(1.0 / ($k0 + rank)), 6) DESC, doc_id LIMIT $k"""
 
+  /** hy_linear oracle: replays
+    * [[graft.pipeline.HybridOps.linearFuse]] over the same two lists
+    * as [[rrfSql]] — per-list min-max normalization (single-valued
+    * list → 1.0), weighted sum, 6-decimal round, (fused desc, id)
+    * cut. */
+  def linearFuseSql(ts: Seq[String], kList: Int, wLex: Double,
+                    wDen: Double, k: Int): String =
+    prefix(ts) + scored + s""",
+lex AS (SELECT doc_id, sc FROM (SELECT doc_id, round(raw, 4) + 0.0 AS sc FROM scored
+              ORDER BY round(raw, 4) DESC, doc_id LIMIT $kList)),
+lst AS (SELECT min(sc) AS mn, max(sc) AS mx FROM lex),
+ln AS (SELECT doc_id,
+              (CASE WHEN l.mx = l.mn THEN 1.0::DOUBLE
+                    ELSE (sc - l.mn) / (l.mx - l.mn) END) * $wLex AS contrib
+       FROM lex, lst l),
+f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),
+q AS (SELECT v AS qv, i FROM f WHERE vec_id = 0),
+dd AS (SELECT f.vec_id, sum(f.v * q.qv) AS dot, sqrt(sum(f.v * f.v)) AS nv
+       FROM f JOIN q USING(i) GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+den AS (SELECT doc_id, cz FROM (SELECT vec_id AS doc_id, round(dot / (nv * nq), 6) AS cz
+              FROM dd, qn WHERE vec_id <> 0
+              ORDER BY round(dot / (nv * nq), 6) DESC, vec_id LIMIT $kList)),
+dst AS (SELECT min(cz) AS mn, max(cz) AS mx FROM den),
+dn AS (SELECT doc_id,
+              (CASE WHEN d.mx = d.mn THEN 1.0::DOUBLE
+                    ELSE (cz - d.mn) / (d.mx - d.mn) END) * $wDen AS contrib
+       FROM den, dst d),
+u AS (SELECT * FROM ln UNION ALL SELECT * FROM dn)
+SELECT doc_id, round(sum(contrib), 6) AS fused, count(*)::BIGINT AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY round(sum(contrib), 6) DESC, doc_id LIMIT $k"""
+
   /** Add-α bigram-LM perplexity oracle: same simple tokenization,
     * same model counts, same smoothing as TextOps.bigramPerplexity —
     * the entire LM training replayed in SQL. */
@@ -1039,6 +1072,49 @@ SELECT doc_a, doc_b,
              ELSE len(list_intersect(sa, sb))::DOUBLE /
                   (len(sa) + len(sb) - len(list_intersect(sa, sb))) END, 6) AS jaccard
 FROM p ORDER BY doc_a"""
+
+  /** dd_minhash_est oracle: replays
+    * [[graft.pipeline.DedupOps.minhashEstimate]] — LSH candidates,
+    * per-position signature agreement / seeds, exact hashed-shingle
+    * Jaccard, absolute error. */
+  def minhashEstimateSql(seeds: Int = 12, k: Int = 8,
+                         rowsPerBand: Int = 2): String = {
+    val bandSelects = (0 until seeds / rowsPerBand).map { b =>
+      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      s"SELECT doc_id, md5('$b:' || ${hs.mkString(" || ")}) AS band FROM sig " +
+        s"WHERE ${hs.map(h => s"$h IS NOT NULL").mkString(" AND ")}"
+    }.mkString("\n UNION ALL ")
+    val agree = (0 until seeds)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sig AS MATERIALIZED (
+  SELECT doc_id,
+       ${minhashCols(seeds, k)}
+  FROM documents
+),
+bands AS (
+ $bandSelects
+),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+est AS (SELECT p.doc_a, p.doc_b, ($agree) / $seeds.0 AS est_j
+        FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+        JOIN sig b ON b.doc_id = p.doc_b),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, length(text) - ${k - 2}),
+                i -> substr(text, i, $k))) AS s
+       FROM documents),
+tj AS (SELECT p.doc_a, p.doc_b,
+              CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0::DOUBLE
+                   ELSE len(list_intersect(a.s, b.s))::DOUBLE /
+                        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END AS true_j
+       FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+       JOIN sh b ON b.doc_id = p.doc_b)
+SELECT e.doc_a, e.doc_b, e.est_j, t.true_j,
+       abs(e.est_j - t.true_j) AS abs_err
+FROM est e JOIN tj t USING(doc_a, doc_b)
+ORDER BY e.doc_a, e.doc_b"""
+  }
 
   def annTopkSql(k: Int): String =
     s"""WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i FROM embeddings),

@@ -560,6 +560,11 @@ object SparkEntry {
     "dd_incremental" -> ((s, d) =>
       DedupOps.incrementalNearDups(lshIndexPath(s, d),
         documents(s, d).where(col("doc_id") % 2 === 1)).orderBy("doc_id")),
+    // sketch-accuracy audit: MinHash Jaccard estimate vs exact
+    // shingle Jaccard for every LSH candidate pair — the table that
+    // justifies (or refuses) signature-only verification at scale
+    "dd_minhash_est" -> ((s, d) =>
+      DedupOps.minhashEstimate(documents(s, d)).orderBy("doc_a", "doc_b")),
     "dd_jaccard_adj" -> ((s, d) => {
       val docs = documents(s, d)
       val pairs = docs.select(col("doc_id").as("doc_a"))
@@ -824,6 +829,17 @@ object SparkEntry {
       val den = AnnOps.bruteForceTopK(embeddings(s, d), queryVec(s, d), 50,
         excludeId = Some(0L)).withColumnRenamed("vec_id", "doc_id")
       HybridOps.rrfFuse(Seq((lex, "score"), (den, "cosine")), k0 = 60, topK = 10)
+    }),
+    // score-aware hybrid: the same two lists fused by min-max
+    // normalized weighted sum (CombSUM) — the calibrated-scores
+    // alternative to RRF
+    "hy_linear" -> ((s, d) => {
+      val lex = EntrySupport.topkDf(s, d,
+        Query.Or(Seq(t("data"), t("stream"), t("query"))), 50)
+      val den = AnnOps.bruteForceTopK(embeddings(s, d), queryVec(s, d), 50,
+        excludeId = Some(0L)).withColumnRenamed("vec_id", "doc_id")
+      HybridOps.linearFuse(Seq((lex, "score", 0.5), (den, "cosine", 0.5)),
+        topK = 10)
     }),
     // two-stage retrieval: BM25 recalls the top-50 page from the
     // inverted index; the dense stage re-orders it by cosine (ONE
@@ -1483,6 +1499,7 @@ object SparkEntry {
     "dd_lsh_pairs" -> EntrySql.lshPairsSql(),
     "dd_incremental" -> EntrySql.incrementalDupSql(),
     "dd_jaccard_adj" -> EntrySql.jaccardAdjacentSql(),
+    "dd_minhash_est" -> EntrySql.minhashEstimateSql(),
     "dd_simhash" -> EntrySql.simhashSql,
     "dd_simdup" -> EntrySql.simdupSql(3),
     "dd_neardup" -> EntrySql.nearDupSql(0.8),
@@ -1531,6 +1548,8 @@ UNION ALL
 SELECT doc_id, 'delete' AS change FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0
 ORDER BY doc_id, change""",
     "hy_rrf" -> EntrySql.rrfSql(Seq("data", "stream", "query"), 50, 60, 10),
+    "hy_linear" -> EntrySql.linearFuseSql(Seq("data", "stream", "query"),
+      50, 0.5, 0.5, 10),
     "hy_mmr" -> EntrySql.mmrSql(kList = 20, k = 10, lambda = 0.5),
     "ta_tokens" -> EntrySql.tokensSql,
     "ta_quality" -> EntrySql.qualitySql(qualityStopwords),

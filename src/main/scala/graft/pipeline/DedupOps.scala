@@ -93,8 +93,15 @@ object DedupOps {
     * distinct/intersect, so the verify join ships fixed 8-byte longs
     * instead of ~8× the document text as string arrays — identical
     * Jaccard (a 64-bit collision across a candidate pair's few
-    * thousand shingles is ~1e-13), ~3× less shuffled data at scale. */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 8): DataFrame = {
+    * thousand shingles is ~1e-13), ~3× less shuffled data at scale.
+    * `roundTo < 0` skips rounding: Jaccard is a ratio of SMALL
+    * integers, so unlike the continuous scores the rounding protocol
+    * was made for, it can land exactly on a decimal half-boundary
+    * where engines' round() disagree (hit live: 41/640 at 6
+    * decimals) — the bare int/int division is bit-identical across
+    * engines and strictly more portable. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 8,
+                   roundTo: Int = 6): DataFrame = {
     val sets = docs.select(
       col("doc_id"),
       when(length(col("text")) < k, array().cast("array<bigint>"))
@@ -107,7 +114,47 @@ object DedupOps {
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(when(uni === 0, 0.0).otherwise(inter.cast("double") / uni), 6).as("jaccard"))
+        {
+          val j = when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
+          (if (roundTo >= 0) round(j, roundTo) else j).as("jaccard")
+        })
+  }
+
+  /**
+   * Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+   * ESTIMATE of Jaccard (fraction of agreeing signature positions —
+   * the estimator whose expectation IS the true Jaccard) next to the
+   * exact shingle Jaccard and the absolute error. The table a dedup
+   * threshold review reads before trusting signature-only verify at
+   * scale (the incremental path scores candidates exactly this way).
+   * Candidates only — never all pairs; the exact side reuses
+   * [[ngramJaccard]]'s hashed-shingle join.
+   */
+  def minhashEstimate(docs: DataFrame, k: Int = 8, seeds: Int = 12,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhash(docs, k, seeds).cache()
+    val pairs = lshCandidatePairs(sigs, rowsPerBand)
+      .select(col("doc_a"), col("doc_b"))
+    val aSig = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until seeds).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val bSig = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until seeds).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val agree = (0 until seeds).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(aSig, "doc_a").join(bSig, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (agree / lit(seeds.toDouble)).as("est_j"))
+    // nothing here is rounded: every column is a ratio (or abs
+    // difference of ratios) of small integers — int/int division is
+    // bit-identical across engines, while rounding such a ratio can
+    // land exactly on a decimal half-boundary where engines' round()
+    // disagree (observed live on 41/640 at 6 decimals)
+    est.join(ngramJaccard(docs, pairs, k, roundTo = -1),
+        Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_j"),
+        col("jaccard").as("true_j"),
+        abs(col("est_j") - col("jaccard")).as("abs_err"))
   }
 
   /** 64-bit SimHash over whitespace tokens, emitted as a 16-char hex

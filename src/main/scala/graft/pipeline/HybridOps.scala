@@ -20,6 +20,52 @@ import org.apache.spark.sql.functions._
 object HybridOps {
 
   /**
+   * Min-max-normalized weighted linear fusion (the score-AWARE
+   * complement to [[rrfFuse]] — CombSUM with normalization, Vogt &
+   * Cottrell's convex combination): each list's scores are min-max
+   * normalized to [0, 1] in one 1-row aggregate, then fused as
+   * Σ wᵢ·normᵢ(id) over the lists that contain the id. Use when
+   * score MAGNITUDES carry signal (calibrated cosine vs BM25);
+   * use RRF when only ranks are trustworthy.
+   *
+   * Same top-k-list contract as [[rrfFuse]]: duplicate ids collapse
+   * to their best score, and a list longer than `maxListLen` fails
+   * loudly via a raise_error expression. A single-valued list
+   * (max = min) normalizes to 1.0 — its members all carry the full
+   * weight. With two lists the fused sum is a 2-term double add
+   * (commutative — exactly reproducible); rounded to 6 decimals.
+   * Output: (idCol, fused, n_lists) ordered (fused desc, id asc),
+   * top `topK`.
+   */
+  def linearFuse(lists: Seq[(DataFrame, String, Double)], topK: Int = 10,
+                 idCol: String = "doc_id",
+                 maxListLen: Int = 10000): DataFrame = {
+    require(lists.nonEmpty, "linearFuse needs at least one scored list")
+    val normed = lists.map { case (df, scoreCol, w) =>
+      val dedup = df.groupBy(col(idCol))
+        .agg(max(col(scoreCol)).as("s"))
+        .limit(maxListLen + 1)
+      val stats = dedup.agg(count(lit(1)).as("n"),
+        min(col("s")).as("mn"), max(col("s")).as("mx"))
+      dedup.crossJoin(broadcast(stats))
+        .select(col(idCol),
+          (when(col("n") > maxListLen,
+            raise_error(lit(s"linearFuse: input list exceeds maxListLen=" +
+              s"$maxListLen distinct ids — pass top-k lists, not a corpus"))
+              .cast("double"))
+            .when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("s") - col("mn")) / (col("mx") - col("mn")))
+            * lit(w)).as("contrib"))
+    }
+    normed.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum(col("contrib")), 6).as("fused"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("fused").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard
    * score-free fusion): each list contributes 1/(k0 + rank) for every
    * id it contains; ids are ranked by the summed contribution.

@@ -524,6 +524,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(en == enViaMix)
   }
 
+  test("linearFuse: normalization, weights, single-valued list, dup collapse, loud guard") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0), (3L, -1.0)).toDF("doc_id", "s1")
+    val b = Seq((2L, 7.0), (4L, 7.0)).toDF("doc_id", "s2") // single-valued → all 1.0
+    val r = HybridOps.linearFuse(Seq((a, "s1", 0.4), (b, "s2", 0.6)), topK = 10)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    // a normalized: 1 -> 1.0, 2 -> 0.5, 3 -> 0.0 (dup row collapsed to best 0.0)
+    assert(r(1L) === ((0.4, 1L)))
+    assert(r(2L) === ((0.4 * 0.5 + 0.6, 2L)))
+    assert(r(3L) === ((0.0, 1L)))
+    assert(r(4L) === ((0.6, 1L)))
+    // corpus-scale misuse fails loudly
+    val big = spark.range(0, 50).select(col("id").as("doc_id"),
+      col("id").cast("double").as("s"))
+    val ex = intercept[Exception] {
+      HybridOps.linearFuse(Seq((big, "s", 1.0)), maxListLen = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxListLen"))
+  }
+
+  test("minhashEstimate: identical docs estimate 1.0 with zero error; disjoint pairs absent") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> t, 2L -> t, 3L -> "completely different content here xyz")
+    val r = DedupOps.minhashEstimate(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r.contains((1L, 2L)))
+    assert(r((1L, 2L)) === ((1.0, 1.0, 0.0)))
+    // doc 3 shares no band with the twins — LSH never pairs it
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("definitions: every kind extracted, names with digits/underscores, none in prose") {
     val d = docs(
       1L -> "def parse_x2(a): pass\nclass Parser2:\nfn run() {}\nfunction go_now() {}",
