@@ -2834,22 +2834,23 @@ SELECT id, label AS community FROM l$iters ORDER BY id"""
 
   /** ta_textrank oracle: replays [[graft.pipeline.TextOps.textrank]]
     * — adjacent-pair counts floored at `minCount`, symmetrized into
-    * weighted edges, then the weighted-PageRank round template
-    * (7-decimal per-round grid) and the rounded-before-cut top-k. */
-  def textrankSql(minCount: Long = 5, iters: Int = 5, k: Int = 50): String = {
+    * weighted edges, then the FIXED-POINT integer PageRank rounds
+    * (see [[pageRankFixedSql]] — no float, no rounding rule) and the
+    * grid-exact top-k cut. */
+  def textrankSql(minCount: Long = 5, iters: Int = 5, k: Int = 50,
+                  scale: Long = 10000000L, dampNum: Long = 17L,
+                  dampDen: Long = 20L): String = {
     val rounds = (1 to iters).map { r =>
-      s"""c$r AS MATERIALIZED (SELECT e.dst, sum((x.pr / o.outdeg) * e.w) AS contrib
+      s"""c$r AS MATERIALIZED (SELECT e.dst, sum((x.rank * e.w) // o.outdeg)::BIGINT AS contrib
        FROM edges e JOIN r${r - 1} x ON x.id = e.src
        JOIN outdeg o ON o.src = e.src
        GROUP BY e.dst),
-d$r AS MATERIALIZED (SELECT coalesce(sum(x.pr), 0.0::DOUBLE) AS dm
+d$r AS MATERIALIZED (SELECT coalesce(sum(x.rank), 0)::BIGINT AS dm
         FROM r${r - 1} x LEFT JOIN outdeg o ON o.src = x.id
         WHERE o.src IS NULL),
 r$r AS MATERIALIZED (SELECT n.id,
-               round((1 - 0.85::DOUBLE) / nn.n
-                     + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.dm / nn.n),
-                     7) AS pr
-        FROM nodes n CROSS JOIN nn CROSS JOIN d$r d
+               (tp.t + ($dampNum * (coalesce(c.contrib, 0) + d.dm // nn.n)) // $dampDen)::BIGINT AS rank
+        FROM nodes n CROSS JOIN nn CROSS JOIN tp CROSS JOIN d$r d
         LEFT JOIN c$r c ON c.dst = n.id)"""
     }.mkString(",\n")
     s"""WITH tokarr AS (
@@ -2861,16 +2862,18 @@ big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
         FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
 pc AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c
       FROM big GROUP BY 1, 2 HAVING count(*) >= $minCount),
-edges AS MATERIALIZED (
+edges0 AS (
   SELECT w1 AS src, w2 AS dst, c AS w FROM pc
   UNION ALL
   SELECT w2, w1, c FROM pc),
+edges AS MATERIALIZED (SELECT src, dst, sum(w)::BIGINT AS w FROM edges0 GROUP BY 1, 2),
 nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
 outdeg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS outdeg FROM edges GROUP BY src),
-r0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS pr FROM nodes CROSS JOIN nn),
+tp AS (SELECT ((($dampDen - $dampNum) * $scale) // ($dampDen * nn.n))::BIGINT AS t FROM nn),
+r0 AS MATERIALIZED (SELECT id, ($scale // nn.n)::BIGINT AS rank FROM nodes CROSS JOIN nn),
 $rounds
-SELECT id AS word, pr AS tr FROM r$iters ORDER BY pr DESC, id LIMIT $k"""
+SELECT id AS word, rank / $scale.0 AS tr FROM r$iters ORDER BY rank DESC, id LIMIT $k"""
   }
 
   /** gr_components oracle: replays
@@ -2957,36 +2960,44 @@ $rounds
 SELECT id, pr FROM r$iters ORDER BY id"""
   }
 
-  /** gr_wpagerank oracle: the weighted variant — outdeg is the summed
-    * edge weight, each edge contributes (pr / outdeg) × w, mirroring
-    * the engine's expression structure exactly. */
-  def weightedPageRankSql(iters: Int = 5, modulus: Int = 500): String = {
+  /** Fixed-point (weighted) PageRank oracle: replays
+    * [[graft.pipeline.GraphOps.pageRankFixed]] — every quantity a
+    * BIGINT on the 1/scale grid, every division `//`, damping the
+    * exact rational 17/20. No floating point → no rounding rule to
+    * disagree about (the float grid's decimal-half-boundary failure
+    * class, hit live at sf0.1, is structurally impossible here). */
+  def pageRankFixedSql(iters: Int = 5, modulus: Int = 500,
+                       weighted: Boolean = true,
+                       scale: Long = 10000000L, dampNum: Long = 17L,
+                       dampDen: Long = 20L): String = {
     val rounds = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst, sum((r.pr / o.outdeg) * e.w) AS contrib
+      s"""c$k AS (SELECT e.dst, sum((r.rank * e.w) // o.outdeg)::BIGINT AS contrib
        FROM edges e JOIN r${k - 1} r ON r.id = e.src
        JOIN outdeg o ON o.src = e.src
        GROUP BY e.dst),
-d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
+d$k AS (SELECT coalesce(sum(r.rank), 0)::BIGINT AS dm
         FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id
         WHERE o.src IS NULL),
 r$k AS (SELECT n.id,
-               round((1 - 0.85::DOUBLE) / nn.n
-                     + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.dm / nn.n),
-                     7) AS pr
-        FROM nodes n CROSS JOIN nn CROSS JOIN d$k d
+               (tp.t + ($dampNum * (coalesce(c.contrib, 0) + d.dm // nn.n)) // $dampDen)::BIGINT AS rank
+        FROM nodes n CROSS JOIN nn CROSS JOIN tp CROSS JOIN d$k d
         LEFT JOIN c$k c ON c.dst = n.id)"""
     }.mkString(",\n")
-    s"""WITH edges AS (
-  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst, (doc_id % 3) + 1 AS w FROM documents
+    val w1 = if (weighted) "(doc_id % 3) + 1" else "1"
+    val w2 = if (weighted) "(doc_id % 5) + 1" else "1"
+    s"""WITH edges0 AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst, $w1 AS w FROM documents
   UNION ALL
-  SELECT doc_id, (doc_id * 31 + 7) % $modulus, (doc_id % 5) + 1 FROM documents
+  SELECT doc_id, (doc_id * 31 + 7) % $modulus, $w2 FROM documents
 ),
+edges AS (SELECT src, dst, sum(w)::BIGINT AS w FROM edges0 GROUP BY 1, 2),
 nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
 outdeg AS (SELECT src, sum(w)::BIGINT AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS pr FROM nodes CROSS JOIN nn),
+tp AS (SELECT ((($dampDen - $dampNum) * $scale) // ($dampDen * nn.n))::BIGINT AS t FROM nn),
+r0 AS (SELECT id, ($scale // nn.n)::BIGINT AS rank FROM nodes CROSS JOIN nn),
 $rounds
-SELECT id, pr FROM r$iters ORDER BY id"""
+SELECT id, rank / $scale.0 AS pr FROM r$iters ORDER BY id"""
   }
 
   /** gr_pagerank oracle: replays [[graft.pipeline.GraphOps.pageRank]]

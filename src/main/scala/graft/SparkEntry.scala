@@ -1218,12 +1218,12 @@ object SparkEntry {
         .union(ids.select(col("doc_id").as("src"),
           ((col("doc_id") * 31 + 7) % 500).as("dst"),
           ((col("doc_id") % 5) + 1).as("w")))
-      // roundTo = 7: weighted shares sum across more distinct
-      // magnitudes, so the per-round grid leaves a wider margin over
-      // the engines' summation-order noise
-      graft.pipeline.GraphOps.pageRank(e, iters = 5, roundTo = 7,
-          weightCol = "w")
-        .select(col("id"), col("rank").as("pr")).orderBy("id")
+      // FIXED-POINT: the float 7-decimal grid hit a decimal
+      // half-boundary live at sf0.1 (weighted shares are exact
+      // small-denominator rationals) — integer arithmetic has no
+      // rounding rule for the engines to disagree about
+      graft.pipeline.GraphOps.pageRankFixed(e, iters = 5, weightCol = "w")
+        .orderBy("id")
     }),
     // personalized PageRank: teleport restricted to the seed set
     // (doc_id % 50 = 0) — curated-seed trust propagation; same edge
@@ -1606,7 +1606,7 @@ ORDER BY doc_id""",
     "ta_textrank" -> EntrySql.textrankSql(),
     "gr_components" -> EntrySql.componentsSql,
     "gr_ppr" -> EntrySql.pprSql(),
-    "gr_wpagerank" -> EntrySql.weightedPageRankSql(),
+    "gr_wpagerank" -> EntrySql.pageRankFixedSql(weighted = true),
     "ta_vendored" -> EntrySql.vendoredSql,
     "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),
     "cs_grep_rx" -> EntrySql.grepSql("f[ao]st (merge|stream)", regex = true),

@@ -127,6 +127,83 @@ object GraphOps {
   }
 
   /**
+   * FIXED-POINT PageRank: the [[pageRank]] semantics carried out
+   * entirely in scaled INTEGER arithmetic — ranks live on a
+   * 1/`scale` grid as BIGINTs, every division is integer division,
+   * and damping is the exact rational dampNum/dampDen (17/20 =
+   * 0.85). There is no floating point anywhere in the trajectory, so
+   * the result is bit-exact on ANY engine with 64-bit integers.
+   *
+   * Why this exists: the float variant rounds each round to a
+   * decimal grid, and PageRank's structure pushes EXACT
+   * small-denominator rationals (teleport (1−d)/n, shares
+   * rank·w/outdeg) onto grid HALF-boundaries, where decimal-repr
+   * rounding (Spark's BigDecimal HALF_UP) and binary rounding
+   * (DuckDB) legitimately disagree — observed live on 2 of 5000 rows
+   * of the weighted gate at sf0.1. Integer arithmetic has no
+   * rounding rule to disagree about. The cost is floor truncation
+   * (≤ 1 grid unit per operation, total mass shrinks by ≤
+   * (edges+2)/scale per round) — at scale = 10⁷ that is noise, and
+   * it is OUR deterministic contract, not an engine artifact.
+   *
+   * Per-edge semantics: edges are first CANONICALIZED — grouped by
+   * (src, dst) with weights summed — so a weight-2 edge and two
+   * parallel weight-1 edges are the same input by construction
+   * (under floor division they would otherwise differ by a grid
+   * unit). Each canonical edge then contributes
+   * (rank(src) · w) div outdeg(src) — the division happens per edge
+   * so the sum is an order-free integer sum. Dangling mass is summed
+   * exactly and redistributed as dm div n. One round =
+   *   next = (dampDen−dampNum)·scale div (dampDen·n)
+   *        + dampNum·(contrib + dm div n) div dampDen
+   * Output: (id, pr) with pr = rank_int / scale as DOUBLE (exact —
+   * both operands ≤ 2⁵³). Same shuffle shape as [[pageRank]], and
+   * the same deep-loop contract: ranks feed two consumers per round
+   * (contribution join + dangling aggregate), so pass
+   * `checkpoint = true` beyond ~6 iterations or the 2^iters plan
+   * nesting OOMs the driver.
+   */
+  def pageRankFixed(edges: DataFrame, iters: Int = 5,
+                    scale: Long = 10000000L, weightCol: String = "",
+                    dampNum: Long = 17L, dampDen: Long = 20L,
+                    checkpoint: Boolean = false): DataFrame = {
+    require(iters >= 1, "pageRankFixed needs at least one iteration")
+    require(dampNum > 0 && dampDen > dampNum,
+      "damping must be a proper positive fraction dampNum/dampDen")
+    val wCol = if (weightCol.isEmpty) lit(1L) else col(weightCol)
+    val e = edges.select(col("src"), col("dst"), wCol.as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+      .withColumnRenamed("src", "od_id").cache()
+    var ranks = nodes.select(col("id"), lit(scale / n).as("rank"))
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("id").as("jsrc"), col("rank")),
+          col("src") === col("jsrc"))
+        .join(outdeg, col("src") === col("od_id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(rank * w) div outdeg")).as("contrib"))
+        .withColumnRenamed("dst", "c_id")
+      val dangling = ranks.join(outdeg, col("id") === col("od_id"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val next = nodes.join(contribs, col("id") === col("c_id"), "left")
+        .crossJoin(dangling)
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"($dampNum * (coalesce(contrib, 0L) + dm div $n)) " +
+              s"div $dampDen")).as("rank"))
+      ranks = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    ranks.select(col("id"), (col("rank") / lit(scale.toDouble)).as("pr"))
+  }
+
+  /**
    * HITS (Kleinberg's hubs & authorities) over a directed edge table
    * `(src, dst)` — the query-independent link signal that separates
    * "pages many good hubs point AT" (authorities) from "pages that

@@ -741,9 +741,12 @@ object TextOps {
         col("c").as("w"))
       .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst"),
         col("c").as("w")))
-    GraphOps.pageRank(e, iters = iters, roundTo = 7, weightCol = "w")
-      .orderBy(col("rank").desc, col("id").asc).limit(k)
-      .select(col("id").as("word"), col("rank").as("tr"))
+    // fixed-point ranks: the word graph's weighted shares are exact
+    // small-denominator rationals — the float grid's half-boundary
+    // hazard (see GraphOps.pageRankFixed) applies, integers don't
+    GraphOps.pageRankFixed(e, iters = iters, weightCol = "w")
+      .orderBy(col("pr").desc, col("id").asc).limit(k)
+      .select(col("id").as("word"), col("pr").as("tr"))
   }
 
   /**

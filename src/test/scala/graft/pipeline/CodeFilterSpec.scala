@@ -253,6 +253,42 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(got(2L) > got(0L))
   }
 
+  test("pageRankFixed: integer trajectory matches a plain-Scala replay; parallel edges = weights") {
+    val edges = Seq((0L, 2L, 1L), (1L, 2L, 3L), (2L, 0L, 1L))
+    val got = GraphOps.pageRankFixed(edges.toDF("src", "dst", "w"),
+      iters = 4, weightCol = "w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // plain-Scala integer replay of the documented contract
+    val scale = 10000000L
+    val nodes = Seq(0L, 1L, 2L)
+    val n = 3L
+    val outdeg = Map(0L -> 1L, 1L -> 3L, 2L -> 1L)
+    val tp = (3L * scale) / (20L * n)
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => (rank(s) * w) / outdeg(s) }.sum }
+      val dm = rank.collect { case (i, v) if !outdeg.contains(i) => v }.sum
+      rank = nodes.map { i =>
+        i -> (tp + (17L * (contrib.getOrElse(i, 0L) + dm / n)) / 20L)
+      }.toMap
+    }
+    assert(got === rank.map { case (i, v) => i -> (v / scale.toDouble) })
+
+    // a weight-2 edge is exactly two parallel weight-1 edges
+    val par = GraphOps.pageRankFixed(
+      Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L)).toDF("src", "dst", "w"),
+      iters = 3, weightCol = "w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wtd = GraphOps.pageRankFixed(
+      Seq((0L, 1L, 2L), (0L, 2L, 1L)).toDF("src", "dst", "w"),
+      iters = 3, weightCol = "w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(par === wtd)
+    assert(par(1L) > par(2L))
+  }
+
   test("weighted pageRank: weight-2 edge equals two parallel edges exactly") {
     val parallelE = Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L))
       .toDF("src", "dst", "w")
