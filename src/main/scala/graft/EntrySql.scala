@@ -2797,7 +2797,7 @@ pn AS (SELECT id, count(*)::BIGINT AS tri FROM (
          UNION ALL SELECT z FROM tri) t GROUP BY id)
 SELECT d.id, d.deg, coalesce(p.tri, 0)::BIGINT AS tri,
        CASE WHEN d.deg < 2 THEN 0.0::DOUBLE
-            ELSE round(2.0::DOUBLE * coalesce(p.tri, 0) / (d.deg * (d.deg - 1)), 7)
+            ELSE 2.0::DOUBLE * coalesce(p.tri, 0) / (d.deg * (d.deg - 1))
        END AS cc
 FROM deg d LEFT JOIN pn p USING(id) ORDER BY d.id"""
 
@@ -2920,44 +2920,82 @@ SELECT doc_id, vendored, minified, lockfile,
        (NOT vendored AND NOT minified AND NOT lockfile) AS keep
 FROM c ORDER BY doc_id"""
 
-  /** gr_ppr oracle: replays
-    * [[graft.pipeline.GraphOps.personalizedPageRank]] over the same
-    * arithmetic edge set with seeds = doc_id % `seedMod` = 0 —
-    * teleport mass 1/|S| on seeds, dangling mass returns to seeds,
-    * per-round rounding; expression structure mirrors the engine for
-    * IEEE identity. */
-  def pprSql(iters: Int = 5, modulus: Int = 500, seedMod: Int = 50): String = {
+  /** HITS oracle: unrolls the auth-then-hub rounds as CTE chains over
+    * the same arithmetic edge set as the PageRank gates — per-round
+    * L1 normalization and 7-decimal rounding replayed exactly
+    * (the gr_pagerank engine-reproducibility protocol). */
+  def hitsSql(iters: Int = 5, modulus: Int = 500): String = {
     val rounds = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst, sum(r.pr / o.outdeg) AS contrib
-       FROM edges e JOIN r${k - 1} r ON r.id = e.src
-       JOIN outdeg o ON o.src = e.src
-       GROUP BY e.dst),
-d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
-        FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id
-        WHERE o.src IS NULL),
-r$k AS (SELECT t.id,
-               round(((1 - 0.85::DOUBLE) + 0.85::DOUBLE * d.dm) * t.tp
-                     + 0.85::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE),
-                     7) AS pr
-        FROM tp t CROSS JOIN d$k d
-        LEFT JOIN c$k c ON c.dst = t.id)"""
+      s"""ra$k AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS rawa
+        FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst),
+an$k AS MATERIALIZED (SELECT sum(rawa) AS anorm FROM ra$k),
+a$k AS MATERIALIZED (SELECT n.id,
+               round(CASE WHEN an.anorm > 0
+                          THEN coalesce(r.rawa, 0.0::DOUBLE) / an.anorm
+                          ELSE 0.0::DOUBLE END, 7) AS auth
+        FROM nodes n CROSS JOIN an$k an
+        LEFT JOIN ra$k r ON r.dst = n.id),
+rh$k AS MATERIALIZED (SELECT e.src, sum(a.auth) AS rawh
+        FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY e.src),
+hn$k AS MATERIALIZED (SELECT sum(rawh) AS hnorm FROM rh$k),
+h$k AS MATERIALIZED (SELECT n.id,
+               round(CASE WHEN hn.hnorm > 0
+                          THEN coalesce(r.rawh, 0.0::DOUBLE) / hn.hnorm
+                          ELSE 0.0::DOUBLE END, 7) AS hub
+        FROM nodes n CROSS JOIN hn$k hn
+        LEFT JOIN rh$k r ON r.src = n.id)"""
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
   SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst FROM documents
   UNION ALL
   SELECT doc_id, (doc_id * 31 + 7) % $modulus FROM documents
 ),
-nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-seeds AS (SELECT doc_id AS s_id FROM documents WHERE doc_id % $seedMod = 0),
-ns AS (SELECT count(*)::BIGINT AS k FROM seeds),
-outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-tp AS (SELECT n.id,
-              CASE WHEN s.s_id IS NOT NULL THEN 1.0::DOUBLE / ns.k
-                   ELSE 0.0::DOUBLE END AS tp
-       FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON s.s_id = n.id),
-r0 AS (SELECT id, round(tp, 7) AS pr FROM tp),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+a0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS auth FROM nodes CROSS JOIN nn),
+h0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS hub FROM nodes CROSS JOIN nn),
 $rounds
-SELECT id, pr FROM r$iters ORDER BY id"""
+SELECT a.id, a.auth, h.hub FROM a$iters a JOIN h$iters h ON h.id = a.id ORDER BY a.id"""
+  }
+
+  /** Fixed-point personalized PageRank oracle: replays
+    * [[graft.pipeline.GraphOps.personalizedPageRankFixed]] — integer
+    * seed teleport scale//|S|, canonicalized edge multiplicities,
+    * the three-term floor-sum round, all BIGINT. */
+  def pprFixedSql(iters: Int = 5, modulus: Int = 500, seedMod: Int = 50,
+                  scale: Long = 10000000L, dampNum: Long = 17L,
+                  dampDen: Long = 20L): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst, sum((r.rank * e.w) // o.outdeg)::BIGINT AS contrib
+       FROM edges e JOIN r${k - 1} r ON r.id = e.src
+       JOIN outdeg o ON o.src = e.src
+       GROUP BY e.dst),
+d$k AS (SELECT coalesce(sum(r.rank), 0)::BIGINT AS dm
+        FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id
+        WHERE o.src IS NULL),
+r$k AS (SELECT t.id,
+               ((((${dampDen - dampNum} * t.tp) // $dampDen)
+                 + (($dampNum * d.dm * t.tp) // (${dampDen} * ${scale}))
+                 + (($dampNum * coalesce(c.contrib, 0)) // $dampDen)))::BIGINT AS rank
+        FROM tpv t CROSS JOIN d$k d
+        LEFT JOIN c$k c ON c.dst = t.id)"""
+    }.mkString(",\n")
+    s"""WITH edges0 AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % $modulus FROM documents
+),
+edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM edges0 GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+seeds AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % $seedMod = 0),
+ns AS (SELECT count(*)::BIGINT AS n FROM seeds),
+tpv AS (SELECT n.id,
+               (CASE WHEN s.id IS NOT NULL THEN $scale // ns.n ELSE 0 END)::BIGINT AS tp
+        FROM nodes n LEFT JOIN seeds s ON s.id = n.id CROSS JOIN ns),
+outdeg AS (SELECT src, sum(w)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT id, tp AS rank FROM tpv),
+$rounds
+SELECT id, rank / $scale.0 AS pr FROM r$iters ORDER BY id"""
   }
 
   /** Fixed-point (weighted) PageRank oracle: replays
@@ -3006,70 +3044,4 @@ SELECT id, rank / $scale.0 AS pr FROM r$iters ORDER BY id"""
     * scalar, and the per-round 9-decimal rounding (the ta_qtrain
     * engine-reproducibility protocol). Literals are forced ::DOUBLE so
     * both engines do the identical IEEE arithmetic. */
-  /** HITS oracle: unrolls the auth-then-hub rounds as CTE chains over
-    * the same arithmetic edge set as the PageRank gates — per-round
-    * L1 normalization and 7-decimal rounding replayed exactly
-    * (the gr_pagerank engine-reproducibility protocol). */
-  def hitsSql(iters: Int = 5, modulus: Int = 500): String = {
-    val rounds = (1 to iters).map { k =>
-      s"""ra$k AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS rawa
-        FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY e.dst),
-an$k AS MATERIALIZED (SELECT sum(rawa) AS anorm FROM ra$k),
-a$k AS MATERIALIZED (SELECT n.id,
-               round(CASE WHEN an.anorm > 0
-                          THEN coalesce(r.rawa, 0.0::DOUBLE) / an.anorm
-                          ELSE 0.0::DOUBLE END, 7) AS auth
-        FROM nodes n CROSS JOIN an$k an
-        LEFT JOIN ra$k r ON r.dst = n.id),
-rh$k AS MATERIALIZED (SELECT e.src, sum(a.auth) AS rawh
-        FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY e.src),
-hn$k AS MATERIALIZED (SELECT sum(rawh) AS hnorm FROM rh$k),
-h$k AS MATERIALIZED (SELECT n.id,
-               round(CASE WHEN hn.hnorm > 0
-                          THEN coalesce(r.rawh, 0.0::DOUBLE) / hn.hnorm
-                          ELSE 0.0::DOUBLE END, 7) AS hub
-        FROM nodes n CROSS JOIN hn$k hn
-        LEFT JOIN rh$k r ON r.src = n.id)"""
-    }.mkString(",\n")
-    s"""WITH edges AS MATERIALIZED (
-  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst FROM documents
-  UNION ALL
-  SELECT doc_id, (doc_id * 31 + 7) % $modulus FROM documents
-),
-nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-a0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS auth FROM nodes CROSS JOIN nn),
-h0 AS MATERIALIZED (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS hub FROM nodes CROSS JOIN nn),
-$rounds
-SELECT a.id, a.auth, h.hub FROM a$iters a JOIN h$iters h ON h.id = a.id ORDER BY a.id"""
-  }
-
-  def pageRankSql(iters: Int = 5, modulus: Int = 500): String = {
-    val rounds = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst, sum(r.pr / o.outdeg) AS contrib
-       FROM edges e JOIN r${k - 1} r ON r.id = e.src
-       JOIN outdeg o ON o.src = e.src
-       GROUP BY e.dst),
-d$k AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS dm
-        FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id
-        WHERE o.src IS NULL),
-r$k AS (SELECT n.id,
-               round((1 - 0.85::DOUBLE) / nn.n
-                     + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE) + d.dm / nn.n),
-                     7) AS pr
-        FROM nodes n CROSS JOIN nn CROSS JOIN d$k d
-        LEFT JOIN c$k c ON c.dst = n.id)"""
-    }.mkString(",\n")
-    s"""WITH edges AS (
-  SELECT doc_id AS src, (doc_id * 17 + 3) % $modulus AS dst FROM documents
-  UNION ALL
-  SELECT doc_id, (doc_id * 31 + 7) % $modulus FROM documents
-),
-nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT id, round(1.0::DOUBLE / nn.n, 7) AS pr FROM nodes CROSS JOIN nn),
-$rounds
-SELECT id, pr FROM r$iters ORDER BY id"""
-  }
 }

@@ -1179,17 +1179,17 @@ object SparkEntry {
         .orderBy("name")
     }),
     // PageRank over a deterministic arithmetic edge set (2 out-edges
-    // per doc): 5 rounds, per-round rounding = engine-reproducible
-    // trajectory, oracle unrolls the rounds as CTE chains (the
-    // ta_qtrain protocol applied to graph analytics)
+    // per doc): 5 rounds on the FIXED-POINT integer grid — the
+    // oracle unrolls the identical BIGINT rounds (the float grid's
+    // decimal-half-boundary hazard is structural for PageRank's
+    // small-denominator rationals; integers have no rounding rule)
     "gr_pagerank" -> ((s, d) => {
       val ids = documents(s, d).select(col("doc_id"))
       val e = ids.select(col("doc_id").as("src"),
           ((col("doc_id") * 17 + 3) % 500).as("dst"))
         .union(ids.select(col("doc_id").as("src"),
           ((col("doc_id") * 31 + 7) % 500).as("dst")))
-      graft.pipeline.GraphOps.pageRank(e, iters = 5, roundTo = 7)
-        .select(col("id"), col("rank").as("pr")).orderBy("id")
+      graft.pipeline.GraphOps.pageRankFixed(e, iters = 5).orderBy("id")
     }),
     // path-based exclusion (vendor trees / minified assets /
     // lockfiles) over deterministically planted paths — the filter a
@@ -1236,9 +1236,8 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 500).as("dst")))
       val seeds = ids.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("id"))
-      graft.pipeline.GraphOps.personalizedPageRank(e, seeds, iters = 5,
-          roundTo = 7)
-        .select(col("id"), col("rank").as("pr")).orderBy("id")
+      graft.pipeline.GraphOps.personalizedPageRankFixed(e, seeds, iters = 5)
+        .orderBy("id")
     }),
     // HITS hubs & authorities over the same arithmetic edge set as
     // gr_pagerank: 5 auth-then-hub rounds, per-round L1 norm +
@@ -1598,14 +1597,14 @@ ORDER BY doc_id""",
     "cs_imports" -> EntrySql.importEdgesSql,
     "cs_defs" -> EntrySql.definitionsSql,
     "cs_refs" -> EntrySql.referencesSql,
-    "gr_pagerank" -> EntrySql.pageRankSql(),
+    "gr_pagerank" -> EntrySql.pageRankFixedSql(weighted = false),
     "gr_hits" -> EntrySql.hitsSql(),
     "gr_lpa" -> EntrySql.lpaSql(),
     "gr_triangles" -> EntrySql.trianglesSql,
     "ta_vocab_growth" -> EntrySql.vocabGrowthSql(4),
     "ta_textrank" -> EntrySql.textrankSql(),
     "gr_components" -> EntrySql.componentsSql,
-    "gr_ppr" -> EntrySql.pprSql(),
+    "gr_ppr" -> EntrySql.pprFixedSql(),
     "gr_wpagerank" -> EntrySql.pageRankFixedSql(weighted = true),
     "ta_vendored" -> EntrySql.vendoredSql,
     "cs_grep" -> EntrySql.grepSql("fast merge", regex = false),

@@ -127,6 +127,66 @@ object GraphOps {
   }
 
   /**
+   * FIXED-POINT personalized PageRank — [[personalizedPageRank]]'s
+   * semantics on [[pageRankFixed]]'s integer grid, for the same
+   * reason (seed teleport scale/|S| and per-edge shares are exact
+   * small-denominator rationals — the decimal-half-boundary class).
+   * Parallel edges are canonicalized to an integer multiplicity
+   * weight (matching the float variant's each-edge-contributes
+   * semantics). One round, all BIGINT:
+   *   next = (dampDen−dampNum)·tp div dampDen
+   *        + dampNum·dm·tp div (dampDen·scale)
+   *        + dampNum·contrib div dampDen
+   * with tp = scale div |S| on seeds (0 elsewhere) — dangling mass
+   * returns to the seeds, as in the float variant. Output (id, pr)
+   * with pr = rank/scale as DOUBLE (exact). Deep loops need
+   * `checkpoint = true` (ranks feed two consumers per round).
+   */
+  def personalizedPageRankFixed(edges: DataFrame, seeds: DataFrame,
+                                iters: Int = 5, scale: Long = 10000000L,
+                                dampNum: Long = 17L, dampDen: Long = 20L,
+                                checkpoint: Boolean = false): DataFrame = {
+    require(iters >= 1, "personalizedPageRankFixed needs >= 1 iteration")
+    val e = edges.select(col("src"), col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val seedSet = seeds.select(col("id").as("s_id")).distinct().cache()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRankFixed needs at least one seed")
+    val teleported = nodes.join(seedSet, nodes("id") === col("s_id"), "left")
+      .select(col("id"),
+        when(col("s_id").isNotNull, lit(scale / nSeeds)).otherwise(lit(0L))
+          .as("tp")).cache()
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+      .withColumnRenamed("src", "od_id").cache()
+    var ranks = teleported.select(col("id"), col("tp").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("id").as("jsrc"), col("rank")),
+          col("src") === col("jsrc"))
+        .join(outdeg, col("src") === col("od_id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(rank * w) div outdeg")).as("contrib"))
+        .withColumnRenamed("dst", "c_id")
+      val dangling = ranks.join(outdeg, col("id") === col("od_id"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val next = teleported
+        .join(contribs, col("id") === col("c_id"), "left")
+        .crossJoin(dangling)
+        .select(col("id"),
+          expr(s"((${dampDen - dampNum} * tp) div $dampDen) + " +
+            s"(($dampNum * dm * tp) div (${dampDen} * ${scale}L)) + " +
+            s"(($dampNum * coalesce(contrib, 0L)) div $dampDen)")
+            .as("rank"))
+      ranks = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    ranks.select(col("id"), (col("rank") / lit(scale.toDouble)).as("pr"))
+  }
+
+  /**
    * FIXED-POINT PageRank: the [[pageRank]] semantics carried out
    * entirely in scaled INTEGER arithmetic — ranks live on a
    * 1/`scale` grid as BIGINTs, every division is integer division,
@@ -327,13 +387,18 @@ object GraphOps {
     val perNode = tri.select(explode(array(col("u"), col("v1"), col("v2")))
         .as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    // cc deliberately UNROUNDED: it is a ratio of small integers, and
+    // rounding such a ratio can land exactly on a decimal
+    // half-boundary where engines' round() rules disagree (the
+    // dd_minhash_est / gr_wpagerank failure class) — the bare int/int
+    // division is bit-identical on every engine
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
       .withColumn("cc",
         when(col("deg") < 2, lit(0.0))
-          .otherwise(round(lit(2.0) * col("tri") /
-            (col("deg") * (col("deg") - 1)), 7)))
+          .otherwise(lit(2.0) * col("tri") /
+            (col("deg") * (col("deg") - 1))))
   }
 
   /**
