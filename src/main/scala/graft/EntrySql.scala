@@ -2282,6 +2282,49 @@ FROM v ORDER BY doc_id, frame_idx"""
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** ev_trending oracle: replays
+    * [[graft.pipeline.EventOps.trendingTypes]] — hourly type counts,
+    * rank over the (hour, type) grid with type tiebreak, top-k.
+    * Integer counts throughout. */
+  def trendingSql(k: Int = 3): String =
+    s"""WITH h AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                event_type, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT hour_epoch, event_type, n,
+             row_number() OVER (PARTITION BY hour_epoch
+               ORDER BY n DESC, event_type) AS rk
+      FROM h)
+SELECT hour_epoch, event_type, n, rk::BIGINT AS rank
+FROM r WHERE rk <= $k ORDER BY hour_epoch, rk"""
+
+  /** gr_kcore oracle: replays [[graft.pipeline.GraphOps.kCore]] —
+    * symmetrized deduped edges, `rounds` unrolled peel rounds (each:
+    * survivor-restricted degree, keep deg >= k), the final round's
+    * surviving (id, deg). Integer degrees throughout; MATERIALIZED
+    * because each survivor set feeds two joins in the next round. */
+  def kCoreSql(k: Int = 2, rounds: Int = 5): String = {
+    val rnds = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+  SELECT u.src AS id, count(*)::BIGINT AS deg
+  FROM und u JOIN a${r - 1} x ON x.id = u.src
+  JOIN a${r - 1} y ON y.id = u.dst
+  GROUP BY u.src),
+a$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= $k)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 < 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) s
+  WHERE src <> dst),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+$rnds
+SELECT id, deg FROM d$rounds WHERE deg >= $k ORDER BY id"""
+  }
+
   /** Sliding-window oracle: each event expands into
     * windowSec/slideSec epoch-aligned window starts (exactly Spark's
     * `window(ts, w, s)` assignment, computed in microseconds). */

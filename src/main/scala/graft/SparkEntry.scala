@@ -1263,6 +1263,17 @@ object SparkEntry {
           .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
       graft.pipeline.GraphOps.triangles(e).orderBy("id")
     }),
+    // 2-core peel over the chain+skip graph (every %10<2 decade's
+    // 4-node block survives; pure chains die): 5 synchronized peel
+    // rounds, integer degrees, oracle unrolls the identical rounds
+    "gr_kcore" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id"))
+      val e = ids.where(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.where(col("doc_id") % 10 < 2)
+          .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
+      graft.pipeline.GraphOps.kCore(e, k = 2, rounds = 5).orderBy("id")
+    }),
     // label-propagation community detection over the chain graph:
     // 5 synchronized rounds (neighbor votes + self-vote, ties to the
     // smallest label) — argmax is an AGGREGATE, not a window; the
@@ -1376,6 +1387,11 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")),
 
     // ---------- events: window rollup + sessionization ----------
+    // top-3 trending event types per hour (rank over the bounded
+    // (hour, type) grid — never the event stream)
+    "ev_trending" -> ((s, d) =>
+      graft.pipeline.EventOps.trendingTypes(events(s, d), k = 3)
+        .orderBy("hour_epoch", "rank")),
     "ev_hourly" -> ((s, d) =>
       EventOps.hourlyRollup(events(s, d)).orderBy("hour_epoch", "event_type")),
     "ev_sessions" -> ((s, d) =>
@@ -1661,6 +1677,8 @@ SELECT lower(tok_raw) AS tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY tok"""
     "mm_features" -> EntrySql.mmFeaturesSql(nPooled = 4),
     "mm_frames" -> EntrySql.framesSql(2),
     "ev_hourly" -> EntrySql.hourlySql,
+    "ev_trending" -> EntrySql.trendingSql(3),
+    "gr_kcore" -> EntrySql.kCoreSql(2, 5),
     "ev_sessions" -> EntrySql.sessionsSql(1800L),
     "ev_sliding" -> EntrySql.slidingSql(3600L, 900L),
     "ev_asof" ->

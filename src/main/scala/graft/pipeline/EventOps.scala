@@ -30,6 +30,25 @@ object EventOps {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Trending types: the top-`k` event types per hour by count —
+    * the "what spiked this hour" leaderboard. The rank window
+    * partitions the (hour, type) GRID (≤ #types rows per hour — a
+    * cardinality-bounded group like the eval pages, never the event
+    * stream); ties break on event_type so the cut is deterministic,
+    * and everything is integer counts — nothing to round. */
+  def trendingTypes(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hourly = events.groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_epoch"))
+      .orderBy(col("n").desc, col("event_type"))
+    hourly.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Sliding-window rollup: overlapping windows of `windowSec`
     * sliding every `slideSec` (epoch-aligned, the Spark `window()`
     * assignment: each event lands in windowSec/slideSec windows).

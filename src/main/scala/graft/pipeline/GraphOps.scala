@@ -127,6 +127,48 @@ object GraphOps {
   }
 
   /**
+   * k-core decomposition by synchronized peeling: repeatedly drop
+   * every node whose degree among SURVIVING nodes is < `k` — the
+   * graph-curation pass that separates densely-embedded pages/modules
+   * from chains and tendrils (a chain has no 2-core; a triangle
+   * does). `rounds` is a fixed iteration count, so the trajectory is
+   * deterministic whether or not the peel has converged, and the
+   * oracle unrolls the identical rounds (integer degrees — nothing
+   * to round). Converged = one extra round changes nothing.
+   *
+   * Scale shape: edges are symmetrized/deduped once and cached; one
+   * round = two semi-joins (edge endpoints against the survivor set)
+   * + one degree aggregate. Survivor sets are node-sized; the
+   * survivor frame feeds both semi-joins, so deep peels should pass
+   * `checkpoint = true` (the [[hits]] plan-branching reasoning).
+   * Output: the surviving (id, deg) after `rounds` peels.
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 5,
+            checkpoint: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dir = edges.select(col("src"), col("dst"))
+    val und = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    var alive = und.select(col("src").as("id")).distinct()
+    var out = alive.select(col("id"), lit(0L).as("deg"))
+    for (_ <- 1 to rounds) {
+      val deg = und
+        .join(alive.select(col("id").as("sa")), col("src") === col("sa"),
+          "left_semi")
+        .join(alive.select(col("id").as("da")), col("dst") === col("da"),
+          "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val next = deg.where(col("deg") >= k)
+        .select(col("src").as("id"), col("deg"))
+      out = if (checkpoint) next.localCheckpoint(true) else next
+      alive = out.select(col("id"))
+    }
+    out
+  }
+
+  /**
    * FIXED-POINT personalized PageRank — [[personalizedPageRank]]'s
    * semantics on [[pageRankFixed]]'s integer grid, for the same
    * reason (seed teleport scale/|S| and per-edge shares are exact

@@ -398,6 +398,36 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(g2.toSeq === Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
   }
 
+  test("kCore: triangle survives the 2-core peel, tail chain dies; k=3 empties it") {
+    // triangle 0-1-2 with a tail 2-3-4: after peeling, only the
+    // triangle remains (3 and 4 have degree 1 and cascade away)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val core2 = GraphOps.kCore(e, k = 2, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    val core3 = GraphOps.kCore(e, k = 3, rounds = 5).collect()
+    assert(core3.isEmpty)
+  }
+
+  test("trendingTypes: per-hour top-k by count, ties break on type name") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val e = Seq(
+      (ts(0, 1), "view"), (ts(0, 2), "view"), (ts(0, 3), "click"),
+      (ts(0, 4), "click"), (ts(0, 5), "error"),
+      (ts(1, 1), "error"), (ts(1, 2), "view")).toDF("ts", "event_type")
+    val r = EventOps.trendingTypes(e, k = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val hour0 = r.filter(_._1 == ts(0, 0).getTime / 1000)
+    // tie at n=2 between click and view: 'click' < 'view' takes rank 1
+    assert(hour0.map(t => (t._2, t._3, t._4)).toSet ===
+      Set(("click", 2L, 1L), ("view", 2L, 2L)))
+    val hour1 = r.filter(_._1 == ts(1, 0).getTime / 1000)
+    assert(hour1.map(t => (t._2, t._4)).toSet ===
+      Set(("error", 1L), ("view", 2L)))
+  }
+
   test("triangles: K4 has 4 nodes in 3 triangles each, cc=1; star has none") {
     // K4 on {0,1,2,3}: C(4,3)=4 triangles, each node in 3, cc = 1
     // star 10-{11,12,13}: no triangle, hub cc = 0
