@@ -2791,6 +2791,55 @@ nr AS (SELECT name, count(*)::BIGINT AS n_ref_docs FROM refs GROUP BY 1)
 SELECT nd.name, nd.n_def_docs, coalesce(nr.n_ref_docs, 0)::BIGINT AS n_ref_docs
 FROM nd LEFT JOIN nr USING(name) ORDER BY nd.name"""
 
+  /** ta_todo oracle: replays
+    * [[graft.pipeline.CodeFilterOps.todoScan]] over planted markers
+    * — same case-insensitive word-bounded patterns, counted with
+    * regexp_extract_all. */
+  def todoScanSql: String = {
+    def cnt(w: String) =
+      s"len(regexp_extract_all(text, '(?i)\\b$w\\b'))::INT"
+    s"""WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'TODO fix '
+           WHEN 1 THEN 'FIXME: x HACK y '
+           WHEN 2 THEN 'xxx marker todo again '
+           ELSE '' END || text AS text
+  FROM documents
+),
+c AS (SELECT doc_id, ${cnt("TODO")} AS todos, ${cnt("FIXME")} AS fixmes,
+             ${cnt("HACK")} AS hacks, ${cnt("XXX")} AS xxxs
+      FROM p)
+SELECT doc_id, todos, fixmes, hacks, xxxs,
+       (todos + fixmes + hacks + xxxs) AS n_markers,
+       (todos + fixmes + hacks + xxxs) > 0 AS has_debt
+FROM c ORDER BY doc_id"""
+  }
+
+  /** ta_zipf oracle: replays [[graft.pipeline.AuditOps.zipfFit]] —
+    * top-N terms by (count desc, term), log-log least squares in one
+    * aggregate, closed-form slope/intercept/R². */
+  def zipfFitSql(topN: Int = 100): String =
+    s"""WITH tok AS (
+  SELECT t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT $topN),
+p AS (SELECT ln((row_number() OVER (ORDER BY cnt DESC, term))::DOUBLE) AS x,
+             ln(cnt::DOUBLE) AS y
+      FROM top),
+s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p)
+SELECT n::BIGINT AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s"""
+
   /** ta_vocab_growth oracle: replays
     * [[graft.pipeline.AuditOps.vocabGrowth]] — first-appearance
     * bucketing (min doc_id per term), bucket counts, cumulative sum.

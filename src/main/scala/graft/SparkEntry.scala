@@ -905,6 +905,20 @@ object SparkEntry {
     "ta_ppl_bucket" -> ((s, d) =>
       TextOps.perplexityBuckets(documents(s, d), discount = 0.75,
         gamma = 0.5).orderBy("doc_id")),
+    // tech-debt marker scan over planted TODO/FIXME/HACK/XXX —
+    // word-bounded case-insensitive, one projection
+    "ta_todo" -> ((s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        concat(when(col("doc_id") % 4 === 0, lit("TODO fix "))
+          .when(col("doc_id") % 4 === 1, lit("FIXME: x HACK y "))
+          .when(col("doc_id") % 4 === 2, lit("xxx marker todo again "))
+          .otherwise(lit("")), col("text")).as("text"))
+      graft.pipeline.CodeFilterOps.todoScan(planted).orderBy("doc_id")
+    }),
+    // Zipf-law fit: one-row log-log least squares over the top-100
+    // terms — the distribution health check
+    "ta_zipf" -> ((s, d) =>
+      graft.pipeline.AuditOps.zipfFit(documents(s, d), topN = 100)),
     // Heaps-law vocabulary growth: exact distinct-term counts at 4
     // prefix endpoints via FIRST-APPEARANCE aggregation — one token
     // pass, never a per-prefix rescan
@@ -1618,6 +1632,8 @@ ORDER BY doc_id""",
     "gr_lpa" -> EntrySql.lpaSql(),
     "gr_triangles" -> EntrySql.trianglesSql,
     "ta_vocab_growth" -> EntrySql.vocabGrowthSql(4),
+    "ta_todo" -> EntrySql.todoScanSql,
+    "ta_zipf" -> EntrySql.zipfFitSql(100),
     "ta_textrank" -> EntrySql.textrankSql(),
     "gr_components" -> EntrySql.componentsSql,
     "gr_ppr" -> EntrySql.pprFixedSql(),

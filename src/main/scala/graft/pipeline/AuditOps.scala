@@ -116,6 +116,47 @@ object AuditOps {
   }
 
   /**
+   * Zipf-law fit report: least-squares slope/intercept/R² of
+   * ln(freq) against ln(rank) over the corpus's top-`topN` terms —
+   * the one-row distribution health check (natural text slopes near
+   * −1; template/boilerplate corpora flatten, spam steepens).
+   *
+   * Scale shape: term counts are one map-side-combined aggregate;
+   * the rank window runs over the LIMITed top-N frame (≤ topN rows —
+   * bounded by contract like the fusion lists, never the vocab); the
+   * regression is one 1-row aggregate of the five running sums with
+   * the closed form evaluated on the driver-free result row. Output:
+   * (n_points, slope, intercept, r2) rounded to 6 (continuous
+   * log-domain values — the rounding protocol's intended case).
+   */
+  def zipfFit(docs: DataFrame, topN: Int = 100,
+              textCol: String = "text"): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = docs.select(explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= lit("")))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val pts = counts.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nume = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").cast("long").as("n_points"),
+      round(nume / denx, 6).as("slope"),
+      round((col("sy") - (nume / denx) * col("sx")) / col("n"), 6)
+        .as("intercept"),
+      round(nume * nume / (denx * deny), 6).as("r2"))
+  }
+
+  /**
    * Vocabulary-growth (Heaps' law) report: the EXACT distinct-term
    * count of each doc_id-prefix of the corpus, at `buckets` evenly
    * spaced prefix endpoints — the curve a tokenizer-budget or

@@ -398,6 +398,36 @@ class CodeFilterSpec extends AnyFunSuite {
     assert(g2.toSeq === Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
   }
 
+  test("todoScan: word-bounded case-insensitive markers; hacky/Todoist don't match") {
+    val d = docs(
+      1L -> "TODO: one, todo two\nFIXME later",
+      2L -> "hacky Todoist xxxl",     // none of these are markers
+      3L -> "HACK XXX hack",
+      4L -> "clean code")
+    val m = CodeFilterOps.todoScan(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getBoolean(6))).toMap
+    assert(m(1L) === ((2, 1, 0, 0, 3, true)))
+    assert(m(2L) === ((0, 0, 0, 0, 0, false)))
+    assert(m(3L) === ((0, 0, 2, 1, 3, true)))
+    assert(m(4L) === ((0, 0, 0, 0, 0, false)))
+  }
+
+  test("zipfFit: exact power law recovers its slope with r2 = 1") {
+    // plant counts = round(1000 * r^-1) style is inexact; instead use
+    // an EXACT log-linear family: cnt(r) = 2^(8-r) for r = 1..7 →
+    // y = ln(256) - r·ln 2, but x = ln r (not r) so fit a known
+    // two-point case instead: two terms with counts 100 and 50 →
+    // slope = (y2-y1)/(x2-x1) = ln(1/2)/ln 2 = -1 exactly
+    val d = docs(1L -> (Seq.fill(100)("aa") ++ Seq.fill(50)("bb")).mkString(" "))
+    val z = AuditOps.zipfFit(d, topN = 2).collect()(0)
+    assert(z.getLong(0) === 2L)
+    assert(math.abs(z.getDouble(1) - (-1.0)) < 1e-6) // ln(50/100)/ln(2/1) = -1
+    assert(math.abs(z.getDouble(3) - 1.0) < 1e-6)    // perfect fit
+    assert(math.abs(z.getDouble(2) - math.log(100.0)) < 1e-6)
+  }
+
   test("kCore: triangle survives the 2-core peel, tail chain dies; k=3 empties it") {
     // triangle 0-1-2 with a tail 2-3-4: after peeling, only the
     // triangle remains (3 and 4 have degree 1 and cascade away)
