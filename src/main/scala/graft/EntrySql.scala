@@ -2714,6 +2714,38 @@ e AS (SELECT doc_id,
       FROM p)
 SELECT doc_id, module FROM e ORDER BY doc_id, module"""
 
+  /** ta_unigram_seed oracle: replays
+    * [[graft.pipeline.UnigramOps.seedPieces]] — every substring of
+    * length 1..maxLen of every corpus word weighted by word count
+    * (correlated lateral ranges), all single chars plus the top-V
+    * multi-char pieces by (freq desc, piece asc). The trainer's
+    * SQL-expressible first stage; only the Viterbi-EM loop after it
+    * is rows-only. */
+  def unigramSeedSql(vocabSize: Int, maxPieceLen: Int): String =
+    s"""WITH tok AS (
+  SELECT t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+wc AS (SELECT term AS word, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+subs AS (
+  SELECT piece, sum(cnt)::BIGINT AS freq FROM (
+    SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+             s -> list_transform(
+                    range(1, least($maxPieceLen, length(word) - s + 1) + 1),
+                    l -> substr(word, s::INT, l::INT))))) AS piece,
+           cnt
+    FROM wc) t
+  GROUP BY 1
+),
+chars AS (SELECT piece, freq FROM subs WHERE length(piece) = 1),
+multi AS (SELECT piece, freq FROM subs WHERE length(piece) > 1
+          ORDER BY freq DESC, piece LIMIT $vocabSize)
+SELECT piece, freq FROM chars
+UNION ALL
+SELECT piece, freq FROM multi
+ORDER BY piece"""
+
   /** ta_mm_encode oracle: replays
     * [[graft.pipeline.UnigramOps.mmHistogram]] — the greedy
     * longest-match walk as a recursive CTE over (word, position)

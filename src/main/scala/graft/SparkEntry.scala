@@ -946,6 +946,13 @@ object SparkEntry {
     "ta_mm_encode" -> ((s, d) =>
       graft.pipeline.UnigramOps.mmHistogram(documents(s, d), mmVocab)
         .orderBy("piece")),
+    // the unigram trainer's SEED stage alone (substring explode +
+    // deterministic top-V cut) — fully SQL-expressible, so the only
+    // rows-only surface left is the Viterbi-EM loop itself
+    "ta_unigram_seed" -> ((s, d) =>
+      graft.pipeline.UnigramOps.seedPieces(
+        graft.pipeline.BpeOps.wordCounts(documents(s, d)),
+        vocabSize = 120, maxPieceLen = 3).orderBy("piece")),
     // unigram-LM (SentencePiece) vocabulary TRAINING, hard-EM form:
     // substring seeding + 2 Viterbi-EM rounds over the distinct-word
     // table. The per-word DP is not SQL-expressible, so this gate is
@@ -1588,6 +1595,7 @@ ORDER BY doc_id, change""",
     "ta_kn_perplexity" -> EntrySql.knPerplexitySql(0.75, 0.5),
     "ta_ppl_bucket" -> EntrySql.pplBucketSql(0.75, 0.5),
     "ta_mm_encode" -> EntrySql.mmEncodeSql(mmVocab),
+    "ta_unigram_seed" -> EntrySql.unigramSeedSql(120, 3),
     // ta_unigram_train / ta_unigram_encode: deliberately absent — the
     // per-word Viterbi DP has no SQL form; the driver's rows-only
     // check applies and UnigramSpec carries the exact-replay proof

@@ -43,6 +43,17 @@ class UnigramSpec extends AnyFunSuite {
       "z" -> 1L, "q" -> 1L))
   }
 
+  test("seedPieces: all chars kept, multi-char cut by (freq desc, piece asc)") {
+    val wc = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "cnt")
+    val got = UnigramOps.seedPieces(wc, vocabSize = 2, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // chars: a = 2·2+1 = 5, b = 5, c = 1 — always kept
+    assert(got("a") === 5L && got("b") === 5L && got("c") === 1L)
+    // multi freqs: ab = 2·2+1 = 5, ba = 2, bc = 1, aba/bab = 2, abc = 1
+    // top-2 by (freq desc, piece asc): ab(5), then tie at 2 → aba < ba < bab
+    assert(got.keySet.filter(_.length > 1) === Set("ab", "aba"))
+  }
+
   test("unigramTrain: distributed loop equals a plain-Scala replay exactly") {
     val corpus = Seq(1L -> "abab abc cab abab", 2L -> "abc abab bc bc",
       3L -> "cab abc q")
